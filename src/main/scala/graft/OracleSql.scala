@@ -1,0 +1,352 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per [[Queries.registry]] key (minus the
+  * rows-only operators the driver checks without an oracle).
+  *
+  * Mirrors the Spark queries' arithmetic exactly: decimal-cast sums cast back
+  * to double, manually-expanded stddev, unrolled left-associated 64-term
+  * vector folds — so both engines produce bit-identical doubles and the
+  * driver's hash compare is stable.
+  */
+object OracleSql {
+
+  // -- decimal-exact helpers (twins of Queries.dsum/dmean/dstd) ------------
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+  private def dsumSq(x: String) = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  private def dmean(x: String) = s"${dsum(x)} / count($x)"
+  private def dstd(x: String) =
+    s"sqrt((${dsumSq(x)} - ${dsum(x)}*${dsum(x)}/count($x)) / (count($x) - 1))"
+
+  // -- unrolled 64-dim vector math (twin of VectorFunctions fold order) ----
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def normSql(a: String): String =
+    "sqrt(" + (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)").mkString(" + ") + ")"
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN (${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)}) ELSE NULL END"
+
+  private val tokSplit = """string_split_regex(trim(text), '\s+')"""
+
+  val sql: Map[String, String] = Map(
+    // -------------------------------------------------------- profiling
+    "p2_shape" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS tbl, count(*) AS n_rows FROM lineitem UNION ALL
+        |  SELECT 'orders', count(*) FROM orders UNION ALL
+        |  SELECT 'customer', count(*) FROM customer UNION ALL
+        |  SELECT 'documents', count(*) FROM documents) ORDER BY tbl""".stripMargin,
+
+    "p3_head" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+
+    "p5_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n, ${dmean(c)} AS mean, ${dstd(c)} AS std,
+           |min($c) AS min_v, quantile_cont($c, 0.5) AS median, max($c) AS max_v FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+
+    "p6_nullcounts" ->
+      """SELECT
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderkey,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_custkey,
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_orderstatus,
+        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_totalprice,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_orderdate,
+        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_orderpriority
+        |FROM orders""".stripMargin,
+
+    "p7_extremes" ->
+      """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+
+    "p8_dupcheck" ->
+      """SELECT count(*) AS n_dup_groups FROM
+        |  (SELECT text FROM documents GROUP BY text HAVING count(*) > 1)""".stripMargin,
+
+    "p9_value_counts" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+
+    // -------------------------------------------------- agg / join / window
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${dmean("l_quantity")} AS avg_qty,
+         |  ${dmean("l_extendedprice")} AS avg_price,
+         |  ${dmean("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast" ->
+      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "w1_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "w3_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e1_hourly_totals" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+
+    "e2_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ------------------------------------------------------------ cleaning
+    "c1_impute_median" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 45 THEN NULL ELSE l_quantity END AS qty FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  COALESCE(qty, (SELECT quantile_cont(qty, 0.5) FROM b)) AS qty_filled
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c2_impute_mean" ->
+      s"""WITH b AS (SELECT o_orderkey,
+         |  CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END AS price FROM orders)
+         |SELECT o_orderkey, COALESCE(price, (SELECT ${dmean("price")} FROM b)) AS price_filled
+         |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    "c3_impute_mode" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_tax > 0.07 THEN NULL ELSE l_returnflag END AS flag FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  COALESCE(flag, (SELECT flag FROM b WHERE flag IS NOT NULL
+        |    GROUP BY flag ORDER BY count(*) DESC, flag LIMIT 1)) AS flag_filled
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c4_impute_derived" ->
+      """WITH b AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderdate END AS odate FROM orders)
+        |SELECT o_orderkey, COALESCE(odate, (SELECT min(odate) FROM b)) AS odate_filled
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+
+    "c5_drop_nulls" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem
+        |WHERE NOT (l_quantity > 45) ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c6_zscore_filter" ->
+      s"""WITH s AS (SELECT ${dsum("o_totalprice")} AS sx, ${dsumSq("o_totalprice")} AS sxx,
+         |  count(o_totalprice) AS n FROM orders)
+         |SELECT o_orderkey, o_totalprice FROM orders, s
+         |WHERE abs(o_totalprice - sx/n) <= 3 * sqrt((sxx - sx*sx/n)/(n - 1))
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "c7_outlier_to_null" ->
+      s"""WITH s AS (SELECT ${dsum("value")} AS sx, ${dsumSq("value")} AS sxx,
+         |  count(value) AS n FROM events),
+         |b AS (SELECT event_id,
+         |  CASE WHEN abs(value - sx/n) > 3 * sqrt((sxx - sx*sx/n)/(n - 1))
+         |    THEN NULL ELSE value END AS v FROM events, s)
+         |SELECT event_id, COALESCE(v, (SELECT quantile_cont(v, 0.5) FROM b)) AS value_clean
+         |FROM b ORDER BY event_id""".stripMargin,
+
+    "c8_percentile_cap" ->
+      """SELECT o_orderkey,
+        |  least(o_totalprice, (SELECT quantile_cont(o_totalprice, 0.95) FROM orders)) AS price_capped
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c9_dedup_keyed" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "c10_normalize" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_norm,
+        |  lower(c_mktsegment) AS segment_norm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "c11_canonicalize" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'P' THEN 'PENDING'
+        |       WHEN o_orderstatus = 'O' THEN 'OPEN'
+        |       WHEN o_orderstatus = 'F' THEN 'FINISHED'
+        |       ELSE o_orderstatus END AS status_canon,
+        |  regexp_replace(o_orderpriority, '^[0-9]-', '') AS priority_clean
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c12_booleanize" ->
+      """SELECT event_id,
+        |  CASE WHEN trim(event_type) IN ('purchase', 'signup') THEN TRUE
+        |       WHEN trim(event_type) IN ('click', 'view', 'error') THEN FALSE
+        |       ELSE NULL END AS is_conversion
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "c13_date_flag" ->
+      """SELECT o_orderkey, o_orderdate > TIMESTAMP '2001-06-01 00:00:00' AS is_late,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c14_sentinel" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN trim(o_orderpriority) IN ('4-NOT SPECIFIED') THEN NULL
+        |       ELSE o_orderpriority END AS priority_or_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // ---------------------------------------------------------------- text
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($tokSplit)) AS BIGINT) AS n_uniq_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" -> {
+      val lenScore = "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
+      val divScore =
+        s"CASE WHEN len($tokSplit) > 0 THEN CAST(len(list_distinct($tokSplit)) AS DOUBLE) / len($tokSplit) ELSE 0.0 END"
+      val punctRatio =
+        """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
+      val punctPenalty = s"greatest(0.0, 1.0 - ($punctRatio) * 5.0)"
+      s"""SELECT doc_id,
+         |  round(($lenScore) * 0.4 + ($divScore) * 0.4 + ($punctPenalty) * 0.2, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_langid" -> {
+      def score(markers: Seq[String]) = {
+        val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), tk -> list_contains($list, tk)))"
+      }
+      val langs = graft.functions.TextFunctions.LangMarkers.toSeq.sortBy(_._1)
+      val scores = langs.map { case (l, m) => s"${score(m)} AS s_$l" }.mkString(",\n  ")
+      val names = langs.map(_._1)
+      val winner = names.map { l =>
+        val geq = names.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $geq THEN '$l'"
+      }.mkString("CASE ", " ", " END")
+      val best = s"greatest(${names.map(l => s"s_$l").mkString(", ")})"
+      s"""WITH sc AS (SELECT doc_id,
+         |  $scores
+         |FROM documents)
+         |SELECT doc_id, CASE WHEN $best > 0 THEN ($winner) ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ------------------------------------------------------ dedup / vectors
+    "d1_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+        |  FROM all_docs)
+        |SELECT min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, lang, source,
+         |  list_distinct($tokSplit) AS sset FROM documents)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN CAST(len(a.sset) + len(b.sset) AS DOUBLE)
+         |              - CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) > 0
+         |      THEN CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |           / (CAST(len(a.sset) + len(b.sset) AS DOUBLE)
+         |              - CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM s a JOIN s b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      s"""SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "s1_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q.qvec", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "e3_centroids" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |  unnest(embedding) AS v FROM embeddings),
+        |m AS (SELECT label, dim,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(v) AS m FROM x
+        |  GROUP BY label, dim)
+        |SELECT label, list(m ORDER BY dim) AS centroid FROM m
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,579 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Dedup, Similarity}
+import graft.functions.TextFunctions
+
+/** The driver-facing query registry: one entry per implemented operator
+  * (SURVEY.md §2 inventory + north-star extensions), each with a DuckDB
+  * oracle SQL twin in [[OracleSql]].
+  *
+  * Determinism contract with the oracle: every *computed* double is produced
+  * by exact decimal-sum arithmetic cast back to double (`dsum`/`dmean`/
+  * `dstd`), so Spark and DuckDB produce bit-identical values regardless of
+  * aggregation order. Raw column values pass through untouched. Every query
+  * has a total ORDER BY for stable row order.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+      // read nanos as long and floor to microsecond precision.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  private def ts(v: String): Column = lit(java.sql.Timestamp.valueOf(v))
+
+  // ---- exact-decimal aggregate helpers (see OracleSql twins) -------------
+  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+  private def dsumSq(c: Column): Column = sum((c * c).cast("decimal(38,6)")).cast("double")
+  private def dmean(c: Column): Column = dsum(c) / count(c)
+  private def dstd(c: Column): Column =
+    sqrt((dsumSq(c) - dsum(c) * dsum(c) / count(c)) / (count(c) - lit(1)))
+
+  // ======================================================================
+  // Profiling (SURVEY §2.2)
+  // ======================================================================
+
+  /** P2: shape — row counts of the core tables in one result. */
+  def p2Shape(s: SparkSession, dir: String): DataFrame = {
+    val parts = Seq("lineitem", "orders", "customer", "documents").map { n =>
+      t(s, dir, n).agg(lit(n).as("tbl"), count(lit(1)).as("n_rows"))
+    }
+    parts.reduce(_.unionAll(_)).orderBy(col("tbl"))
+  }
+
+  /** P3: deterministic head — first 5 lineitem rows by key. */
+  def p3Head(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(5)
+
+  /** P5: describe — count/mean/std/min/median/max per numeric column. */
+  def p5Describe(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("col_name"),
+        count(col(c)).as("n"),
+        dmean(col(c)).as("mean"),
+        dstd(col(c)).as("std"),
+        min(col(c)).as("min_v"),
+        percentile(col(c), lit(0.5)).as("median"),
+        max(col(c)).as("max_v"))
+    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  /** P6: null count per column (orders). */
+  def p6NullCounts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.agg(
+      sum(col("o_orderkey").isNull.cast("long")).as("n_orderkey"),
+      sum(col("o_custkey").isNull.cast("long")).as("n_custkey"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("n_orderstatus"),
+      sum(col("o_totalprice").isNull.cast("long")).as("n_totalprice"),
+      sum(col("o_orderdate").isNull.cast("long")).as("n_orderdate"),
+      sum(col("o_orderpriority").isNull.cast("long")).as("n_orderpriority"))
+  }
+
+  /** P7: extremes + exact distinct counts on lineitem. */
+  def p7Extremes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** P8: duplicate-text group count on documents. */
+  def p8DupCheck(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(count(lit(1)).as("n_dup_groups"))
+
+  /** P9: value counts of a categorical (order priority). */
+  def p9ValueCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+
+  // ======================================================================
+  // Aggregation / join / window (SURVEY §2.5 + scale extension)
+  // ======================================================================
+
+  /** TPC-H Q1-style pricing summary — the flagship scan+agg. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.where(col("l_shipdate") <= ts("2001-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        dmean(col("l_extendedprice")).as("avg_price"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top 10 unshipped orders by revenue. Small dims
+    * broadcast; the lineitem scan carries the filter.
+    */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").where(col("o_orderdate") < ts("2000-01-01 00:00:00"))
+    val li = t(s, dir, "lineitem").where(col("l_shipdate") > ts("2000-01-01 00:00:00"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region/year; dims broadcast,
+    * single shuffle on the group key.
+    */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .where(col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
+        col("o_orderdate") < ts("2000-01-01 00:00:00"))
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: single-row forecast — pure scan+filter+sum, the
+    * pushdown showcase.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1999-01-01 00:00:00") &&
+        col("l_shipdate") < ts("2000-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Semi-join: suppliers with a recent shipment. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_shipdate") >= ts("2001-01-01 00:00:00"))
+    t(s, dir, "supplier")
+      .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Anti-join: customers with no orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window top-k: 3 biggest orders per customer. */
+  def w1TopkPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Window running sum per supplier (decimal-exact accumulation so the
+    * result is independent of the engine's window-sum association).
+    */
+  def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Sessionization via lag: count 30-minute-gap sessions per user
+    * (second-truncated timestamps pin integer comparisons).
+    */
+  def w3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Hourly event rollup (the batch twin of the streaming windowed agg). */
+  def e1HourlyTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** JSON extraction from the props column. */
+  def e2JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .orderBy(col("event_id"))
+
+  // ======================================================================
+  // Cleaning (SURVEY §2.3) — nulls synthesized deterministically so the
+  // oracle can verify the imputation semantics on the shared testdata.
+  // ======================================================================
+
+  /** C1: median-impute l_quantity after nullifying values > 45. */
+  def c1ImputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")).as("qty"))
+    val m = base.select(percentile(col("qty"), lit(0.5))).head().getDouble(0)
+    base.select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("qty"), lit(m)).as("qty_filled"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** C2: mean-impute o_totalprice after nullifying values > 300000
+    * (decimal-exact mean so the filled value matches the oracle bit-for-bit).
+    */
+  def c2ImputeMean(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, lit(null)).otherwise(col("o_totalprice")).as("price"))
+    val m = base.agg(dmean(col("price"))).head().getDouble(0)
+    base.select(col("o_orderkey"), coalesce(col("price"), lit(m)).as("price_filled"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C3: mode-impute l_returnflag (nullified where l_tax > 0.07) with the
+    * pinned tie-break: max count, then smallest value.
+    */
+  def c3ImputeMode(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_tax") > 0.07, lit(null)).otherwise(col("l_returnflag")).as("flag"))
+    val m = Cleaning.pinnedMode(base, "flag").map(_.toString).getOrElse("")
+    base.select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("flag"), lit(m)).as("flag_filled"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** C4: derived-value impute — o_orderdate nullified for status 'P' rows,
+    * filled with min of the remaining dates ("never" placeholder).
+    */
+  def c4ImputeDerived(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_orderdate")).as("odate"))
+    val m = base.agg(min(col("odate"))).head().get(0) // LocalDateTime under NTZ
+    base.select(col("o_orderkey"), coalesce(col("odate"), lit(m)).as("odate_filled"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C5: drop rows with a null critical column (same nullification as C1). */
+  def c5DropNulls(s: SparkSession, dir: String): DataFrame =
+    Cleaning.dropNullRows(Seq("qty"))(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")).as("qty")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** C6: 3σ outlier filter on o_totalprice — μ and σ from decimal-exact
+    * sums so the cut boundary is engine-independent.
+    */
+  def c6ZscoreFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val r = o.agg(
+      dsum(col("o_totalprice")).as("sx"),
+      dsumSq(col("o_totalprice")).as("sxx"),
+      count(col("o_totalprice")).as("n")).head()
+    val (sx, sxx, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    val mean = sx / n
+    val std = math.sqrt((sxx - sx * sx / n) / (n - 1))
+    o.where(abs(col("o_totalprice") - mean) <= 3 * std)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C7: two-phase — beyond-3σ event values to null, then median-impute. */
+  def c7OutlierToNull(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val r = e.agg(
+      dsum(col("value")).as("sx"), dsumSq(col("value")).as("sxx"),
+      count(col("value")).as("n")).head()
+    val (sx, sxx, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    val mean = sx / n
+    val std = math.sqrt((sxx - sx * sx / n) / (n - 1))
+    val nulled = e.select(col("event_id"),
+      when(abs(col("value") - mean) > 3 * std, lit(null)).otherwise(col("value")).as("v"))
+    val med = nulled.select(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    nulled.select(col("event_id"), coalesce(col("v"), lit(med)).as("value_clean"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C8: winsorize o_totalprice at the exact 95th percentile. */
+  def c8PercentileCap(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cap = o.select(percentile(col("o_totalprice"), lit(0.95))).head().getDouble(0)
+    o.select(col("o_orderkey"),
+        least(col("o_totalprice"), lit(cap)).as("price_capped"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C9: keyed dedup keeping the min doc_id per (lang, source). */
+  def c9DedupKeyed(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByKey(t(s, dir, "documents"), "doc_id",
+        Seq(col("lang"), col("source")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** C10: whitespace/case normalization. */
+  def c10Normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_norm"),
+        lower(col("c_mktsegment")).as("segment_norm"))
+      .orderBy(col("c_custkey"))
+
+  /** C11: canonicalization — CASE dictionary + anchored regexp strip. */
+  def c11Canonicalize(s: SparkSession, dir: String): DataFrame = {
+    val canon = Cleaning.canonicalize("o_orderstatus",
+      Map("F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING")) _
+    canon(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_orderstatus").as("status_canon"),
+        regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("priority_clean"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C12: categorical → boolean canonicalization. */
+  def c12Booleanize(s: SparkSession, dir: String): DataFrame =
+    Cleaning.booleanize("event_type",
+        trueValues = Seq("purchase", "signup"),
+        falseValues = Seq("click", "view", "error"))(
+        t(s, dir, "events").select(col("event_id"), col("event_type")))
+      .withColumnRenamed("event_type", "is_conversion")
+      .orderBy(col("event_id"))
+
+  /** C13: date validity flag + derived year. */
+  def c13DateFlag(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderdate") > ts("2001-06-01 00:00:00")).as("is_late"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .orderBy(col("o_orderkey"))
+
+  /** C14: sentinel → null. */
+  def c14Sentinel(s: SparkSession, dir: String): DataFrame =
+    Cleaning.sentinelToNull(Seq("o_orderpriority"), Seq("4-NOT SPECIFIED"))(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
+      .withColumnRenamed("o_orderpriority", "priority_or_null")
+      .orderBy(col("o_orderkey"))
+
+  // ======================================================================
+  // Text analysis (north-star)
+  // ======================================================================
+
+  /** T1: token statistics per document. */
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_uniq_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  /** T2: heuristic quality score (formula mirrored exactly in the oracle). */
+  def t2Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** T3: stopword-profile language ID. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** T4: normalized-content fingerprint. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ======================================================================
+  // Dedup / similarity (north-star)
+  // ======================================================================
+
+  /** Documents ∪ 50 planted duplicates (ids shifted by 1e6) — the dedup
+    * fixture, built identically in the oracle.
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionAll(d.where(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** D1: exact-dup groups by content fingerprint over the planted fixture. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsWithPlantedDups(s, dir), "doc_id", "text")
+      .select(col("keep_id"), col("group_size"))
+      .orderBy(col("keep_id"))
+
+  /** D2: MinHash-LSH near-dup pairs (rows-only check; Jaccard-verified
+    * output, spec-tested for planted-dup recall).
+    */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
+        threshold = 0.8, numHashes = 32, bands = 8, shingleSize = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D3: SimHash near-dup pairs (rows-only check). */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(docsWithPlantedDups(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D4: token-set Jaccard near-dups, blocked by (lang, source). */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang", "source"), n = 1, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D5: embedding-cosine near-dup pairs within label blocks (exact cosine;
+    * the oracle mirrors the fold order with an unrolled 64-term sum).
+    */
+  def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val cos = graft.functions.VectorFunctions.cosine(col("a.vec"), col("b.vec"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))
+      .where(col("cosine") >= 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
+  def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S2: LSH approximate top-k (rows-only; recall spec-tested vs S1). */
+  def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = Similarity.bucketize(e, "vec_id", "embedding", lshBits = 8)
+    Similarity.lshTopK(corpus, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, lshBits = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** E3: per-label embedding centroids via decimal-exact element means. */
+  def e3Centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(col("v"))).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      .orderBy(col("label"))
+
+  /** MM1: multimodal metadata extraction over a synthetic binary column
+    * (stub decode; rows-only check — see [[graft.operators.Multimodal]]).
+    */
+  def mm1ImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val media = graft.operators.Multimodal.asMedia(docs, "doc_id", "payload", "image/fake")
+    graft.operators.Multimodal.imageMetadata(media).toDF()
+      .orderBy(col("id"))
+  }
+
+  // ======================================================================
+  // Registry
+  // ======================================================================
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_shape" -> (p2Shape _),
+    "p3_head" -> (p3Head _),
+    "p5_describe" -> (p5Describe _),
+    "p6_nullcounts" -> (p6NullCounts _),
+    "p7_extremes" -> (p7Extremes _),
+    "p8_dupcheck" -> (p8DupCheck _),
+    "p9_value_counts" -> (p9ValueCounts _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_semijoin" -> (qSemiJoin _),
+    "q_antijoin" -> (qAntiJoin _),
+    "w1_topk_per_customer" -> (w1TopkPerCustomer _),
+    "w2_running_sum" -> (w2RunningSum _),
+    "w3_sessionize" -> (w3Sessionize _),
+    "e1_hourly_totals" -> (e1HourlyTotals _),
+    "e2_json_extract" -> (e2JsonExtract _),
+    "c1_impute_median" -> (c1ImputeMedian _),
+    "c2_impute_mean" -> (c2ImputeMean _),
+    "c3_impute_mode" -> (c3ImputeMode _),
+    "c4_impute_derived" -> (c4ImputeDerived _),
+    "c5_drop_nulls" -> (c5DropNulls _),
+    "c6_zscore_filter" -> (c6ZscoreFilter _),
+    "c7_outlier_to_null" -> (c7OutlierToNull _),
+    "c8_percentile_cap" -> (c8PercentileCap _),
+    "c9_dedup_keyed" -> (c9DedupKeyed _),
+    "c10_normalize" -> (c10Normalize _),
+    "c11_canonicalize" -> (c11Canonicalize _),
+    "c12_booleanize" -> (c12Booleanize _),
+    "c13_date_flag" -> (c13DateFlag _),
+    "c14_sentinel" -> (c14Sentinel _),
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_quality" -> (t2Quality _),
+    "t3_langid" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
+    "s1_knn_bruteforce" -> (s1KnnBruteForce _),
+    "s2_lsh_topk" -> (s2LshTopK _),
+    "e3_centroids" -> (e3Centroids _),
+    "mm1_image_meta" -> (mm1ImageMeta _)
+  )
+}

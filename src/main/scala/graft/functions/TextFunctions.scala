@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are built from
+  * `org.apache.spark.sql.functions` (codegen'd, whole-stage-compatible) — no
+  * Scala UDFs in the hot path, so a 100 TB scan stays inside
+  * WholeStageCodegen with filters pushed to the parquet reader.
+  */
+object TextFunctions {
+
+  /** Whitespace-token count (the "token counting" baseline). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword count: words + digits + punctuation counted separately,
+    * approximating a byte-pair tokenizer's granularity without a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Distinct-token ratio — low values indicate repetitive/boilerplate text. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      regexp_count(text, lit("\\S")).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** English stopword hit-rate among tokens — a quality / language signal. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards reasonable length,
+    * lexical diversity, and modest punctuation (Gopher/C4-style filters,
+    * arXiv:2112.11446 §A; all thresholds are heuristic).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val divScore = distinctTokenRatio(text)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lenScore * 0.4 + divScore * 0.4 + punctPenalty * 0.2), 6)
+  }
+
+  /** Stopword-profile language ID over a fixed marker table. Scores each
+    * language by marker-token hit count; returns the argmax or "und" when no
+    * marker hits. A character-n-gram model would need a trained table; the
+    * marker approach is the classic stopword-profile heuristic (Cavnar &
+    * Trenkle 1994 reduced to its word-level special case) and is fully
+    * codegen'd (no UDF).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+  }
+
+  /** Predicted language code (argmax of marker scores; ties broken by
+    * language code ascending for determinism; all-zero -> "und").
+    */
+  def langId(text: Column): Column = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    // struct max = lexicographic (score, antiRank): highest score wins, ties
+    // go to the alphabetically-first language (highest antiRank).
+    val scored = langs.zipWithIndex.map { case ((lang, m), i) =>
+      struct(
+        langScore(text, m).as("score"),
+        lit(langs.size - i).as("antiRank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    * md5 — the exact-dup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(text), "[^a-z0-9]", ""), lit("utf-8")))
+
+  /** Word n-gram shingles (n>=1): for n=1 the distinct token set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    if (n <= 1) array_distinct(toks)
+    else {
+      // sliding windows at positions 0 .. size-n (guard: sequence(a,b) with
+      // a > b would generate a DESCENDING range, so gate on window count)
+      val cnt = size(toks) - (n - 1)
+      when(
+        cnt > 0,
+        array_distinct(transform(sequence(lit(0), cnt - 1), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+}

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cleaning operators — the reference's C1–C14 surface
+  * (SURVEY.md §2.3, mandated at `tool_call_agent.py:137-139`) re-expressed as
+  * composable `DataFrame => DataFrame` transformations.
+  *
+  * Semantics pinned to the committed golden artifacts (SURVEY.md §2.4):
+  *  - median/mean/mode imputation computed over the *input* frame, exact
+  *    values (pandas parity), applied before any row drop;
+  *  - mode tie-break = smallest value (pandas `mode()[0]`);
+  *  - stddev is sample stddev (ddof=1 = `stddev_samp`);
+  *  - 3σ filter keeps rows within |x−μ| ≤ 3σ on EVERY listed column.
+  *
+  * Scale design notes: statistics that feed an imputation are tiny scalar
+  * aggregates (one job each, map-side combined); they are collected to the
+  * driver and re-broadcast as literals — the standard Spark pattern for
+  * "aggregate, then map with the aggregate". Exact medians use
+  * `approxQuantile(relativeError=0)` for golden parity; at 100 TB pass
+  * `relativeError=1e-4` (fixed-memory Greenwald-Khanna sketch) — the switch
+  * is a parameter, not a rewrite.
+  */
+object Cleaning {
+
+  // ---------------------------------------------------------------- C1
+  /** Exact column median (pandas parity: linear interpolation). */
+  def exactMedian(df: DataFrame, c: String): Option[Double] = {
+    val r = df.select(percentile(col(c).cast("double"), lit(0.5)).as("m")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  /** C1: fill nulls in each column with that column's median. */
+  def imputeMedian(cols: Seq[String], relativeError: Double = 0.0)(df: DataFrame): DataFrame = {
+    val fills = cols.flatMap { c =>
+      if (relativeError == 0.0) exactMedian(df, c).map(c -> _)
+      else df.stat.approxQuantile(c, Array(0.5), relativeError).headOption.map(c -> _)
+    }.toMap
+    df.na.fill(fills)
+  }
+
+  // ---------------------------------------------------------------- C2
+  /** C2: fill nulls with the column mean (one fused agg job for all cols). */
+  def imputeMean(cols: Seq[String])(df: DataFrame): DataFrame = {
+    val row = df.agg(avg(col(cols.head)).as(cols.head),
+      cols.tail.map(c => avg(col(c)).as(c)): _*).head()
+    val fills = cols.flatMap(c =>
+      if (row.isNullAt(row.fieldIndex(c))) None else Some(c -> row.getAs[Double](c))).toMap
+    df.na.fill(fills)
+  }
+
+  // ---------------------------------------------------------------- C3
+  /** Mode with the pinned tie-break: highest count, then smallest value
+    * (pandas `mode()[0]` — verified on the golden run where `2024-05-13`
+    * beat the equal-count `2025-03-28`, SURVEY.md §2.4).
+    */
+  def pinnedMode(df: DataFrame, c: String): Option[Any] = {
+    val r = df
+      .where(col(c).isNotNull)
+      .groupBy(col(c))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col(c).asc)
+      .limit(1)
+      .collect()
+    r.headOption.map(_.get(0))
+  }
+
+  /** C3: fill nulls with the (pinned-tie-break) mode. */
+  def imputeMode(cols: Seq[String])(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      pinnedMode(d, c) match {
+        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
+        case None    => d
+      }
+    }
+
+  // ---------------------------------------------------------------- C4
+  /** C4: fill nulls with a derived scalar from another column, e.g.
+    * `last_promo_date <- min(join_date)` ("never promoted" placeholder,
+    * `stash/dirty_hr_final_clean_report.txt:12`).
+    */
+  def imputeDerived(target: String, derive: DataFrame => Any)(df: DataFrame): DataFrame =
+    df.withColumn(target, coalesce(col(target), lit(derive(df))))
+
+  /** Common derivation: min of a column. */
+  def minOf(c: String): DataFrame => Any = df => df.agg(min(col(c))).head().get(0)
+
+  // ---------------------------------------------------------------- C5
+  /** C5: drop rows with a null in any of the listed critical columns. */
+  def dropNullRows(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.na.drop("any", cols)
+
+  // ---------------------------------------------------------------- C6/C7 shared
+  /** Per-column (mean, stddev_samp) in one fused job. */
+  def meanStd(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.flatMap { c =>
+      val (mi, si) = (row.fieldIndex(s"__m_$c"), row.fieldIndex(s"__s_$c"))
+      if (row.isNullAt(mi) || row.isNullAt(si)) None
+      else Some(c -> (row.getDouble(mi), row.getDouble(si)))
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------- C6
+  /** C6: remove rows more than `z` sample standard deviations from the mean
+    * in ANY listed column (null cells pass — pandas comparison-with-NaN is
+    * false, so NaN rows are not flagged as outliers; verified §2.4).
+    */
+  def zscoreFilter(cols: Seq[String], z: Double = 3.0)(df: DataFrame): DataFrame = {
+    val stats = meanStd(df, cols)
+    val keep = cols
+      .flatMap(c => stats.get(c).map { case (m, s) =>
+        col(c).isNull || s === 0.0 || abs((col(c) - m) / s) <= z
+      })
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    df.where(keep)
+  }
+
+  private implicit class DoubleGuard(private val s: Double) extends AnyVal {
+    def ===(x: Double): Column = lit(s == x)
+  }
+
+  // ---------------------------------------------------------------- C7
+  /** C7: two-phase variant — outliers beyond `z`σ become null, then the
+    * caller imputes (`stash/dirty_hr_report.txt:15`).
+    */
+  def outlierToNull(cols: Seq[String], z: Double = 3.0)(df: DataFrame): DataFrame = {
+    val stats = meanStd(df, cols)
+    cols.foldLeft(df) { (d, c) =>
+      stats.get(c) match {
+        case Some((m, s)) if s != 0.0 =>
+          d.withColumn(c, when(abs((col(c) - m) / s) > z, lit(null)).otherwise(col(c)))
+        case _ => d
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- C8
+  /** C8: winsorize — cap values above the `p` quantile at that quantile
+    * (salary capped at 95th pctile, `graph_proj/README.md:108`).
+    */
+  def percentileCap(cols: Seq[String], p: Double = 0.95, relativeError: Double = 0.0)(
+      df: DataFrame): DataFrame = {
+    val caps = df.stat.approxQuantile(cols.toArray, Array(p), relativeError)
+    cols.zip(caps).foldLeft(df) { case (d, (c, capArr)) =>
+      capArr.headOption match {
+        case Some(cap) => d.withColumn(c, least(col(c), lit(cap)))
+        case None      => d
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- C9
+  /** C9: exact duplicate-row removal; `keyCols` nonempty = keyed dedup
+    * (reference deduped on `Email`). For a DETERMINISTIC representative per
+    * key use [[Dedup.exactByKey]]; this variant keeps Spark's arbitrary
+    * first-seen row (the reference's `drop_duplicates` semantics).
+    */
+  def dropDuplicateRows(keyCols: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    if (keyCols.isEmpty) df.dropDuplicates() else df.dropDuplicates(keyCols)
+
+  // ---------------------------------------------------------------- C10
+  /** C10: whitespace/case normalization of string categoricals. */
+  def normalizeStrings(
+      cols: Seq[String],
+      trimWs: Boolean = true,
+      caseMode: String = "none" // none | lower | upper | title
+  )(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val t0 = if (trimWs) trim(col(c)) else col(c)
+      val t1 = caseMode match {
+        case "lower" => lower(t0)
+        case "upper" => upper(t0)
+        case "title" => initcap(t0)
+        case _       => t0
+      }
+      d.withColumn(c, t1)
+    }
+
+  // ---------------------------------------------------------------- C11
+  /** C11: canonicalize typo/variant values via an explicit mapping
+    * (`enginr -> Engineer`, `Germny -> Germany`, `graph_proj/README.md:109`).
+    * Small maps compile to a codegen'd CASE chain; large dictionaries should
+    * use [[canonicalizeViaDictionary]] (broadcast join) instead.
+    */
+  def canonicalize(c: String, mapping: Map[String, String])(df: DataFrame): DataFrame = {
+    val expr = mapping.foldLeft(col(c)) { case (acc, (from, to)) =>
+      when(col(c) === from, lit(to)).otherwise(acc)
+    }
+    df.withColumn(c, expr)
+  }
+
+  /** C11 at scale: broadcast-join against a canonical dictionary table
+    * (variant, canonical). Keeps the fact-table scan shuffle-free.
+    */
+  def canonicalizeViaDictionary(c: String, dict: DataFrame)(df: DataFrame): DataFrame = {
+    val d = broadcast(dict.select(col("variant"), col("canonical")).dropDuplicates("variant"))
+    df.join(d, df(c) === d("variant"), "left")
+      .withColumn(c, coalesce(col("canonical"), col(c)))
+      .drop("variant", "canonical")
+  }
+
+  // ---------------------------------------------------------------- C12
+  /** C12: categorical -> boolean canonicalization (`Y/Yes/N/No/blank`). */
+  def booleanize(
+      c: String,
+      trueValues: Seq[String] = Seq("Y", "Yes", "True", "true", "1"),
+      falseValues: Seq[String] = Seq("N", "No", "False", "false", "0")
+  )(df: DataFrame): DataFrame =
+    df.withColumn(
+      c,
+      when(trim(col(c)).isin(trueValues: _*), lit(true))
+        .when(trim(col(c)).isin(falseValues: _*), lit(false))
+        .otherwise(lit(null).cast("boolean")))
+
+  // ---------------------------------------------------------------- C13
+  /** C13: parse a string date column and flag impossible future dates
+    * ("validation of 'Date Joined' for future dates",
+    * `graph_proj/README.md:113`). Adds `<c>_is_future`.
+    */
+  def parseDates(c: String, format: String = "yyyy-MM-dd", asOf: Option[java.sql.Date] = None)(
+      df: DataFrame): DataFrame = {
+    val parsed = to_date(col(c), format)
+    val ref: Column = asOf.map(d => lit(d)).getOrElse(current_date())
+    df.withColumn(c, parsed).withColumn(s"${c}_is_future", parsed > ref)
+  }
+
+  // ---------------------------------------------------------------- C14
+  /** C14: sentinel strings -> null (the `"N/A"` salaries in `dirty.csv`),
+    * then optional numeric cast.
+    */
+  def sentinelToNull(cols: Seq[String], sentinels: Seq[String] = Seq("N/A", "NA", "null", ""))(
+      df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(trim(col(c)).isin(sentinels: _*), lit(null)).otherwise(col(c)))
+    }
+
+  def castNumeric(cols: Seq[String])(df: DataFrame): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+}

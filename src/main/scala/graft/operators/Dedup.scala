@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is shuffle-bounded by design —
+  *  - exact dedup shuffles once on the fingerprint (map-side combined);
+  *  - MinHash/SimHash candidate generation shuffles on LSH *buckets*, never
+  *    all-pairs; verification joins only within buckets;
+  *  - embedding near-dup buckets by random-hyperplane LSH, so the self-join
+  *    is per-bucket, not N².
+  * All hashing is deterministic (xxhash64 with fixed seeds), so results are
+  * reproducible across runs and cluster sizes.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+  /** Exact duplicate groups by normalized-content fingerprint: one row per
+    * duplicated fingerprint with group size and the kept (minimum) id.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
+      .where(col("group_size") > 1)
+
+  /** Exact dedup keeping the row with the minimum id per fingerprint —
+    * deterministic (unlike `dropDuplicates`, whose survivor depends on
+    * partition order). One shuffle on the hash, then a window-free
+    * semi-join back.
+    */
+  def exactByKey(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
+    val keep = df
+      .select(col(idCol).as("__keep_id"), struct(keyCols: _*).as("__key"))
+      .groupBy(col("__key"))
+      .agg(min(col("__keep_id")).as("__keep_id"))
+      .select(col("__keep_id"))
+    df.join(keep, df(idCol) === keep("__keep_id"), "left_semi")
+  }
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactByKey(df, idCol, Seq(fingerprint(col(textCol))))
+
+  // ------------------------------------------------------------ MinHash + LSH
+  /** MinHash signature: `numHashes` independent min-hashes over word
+    * `shingleSize`-gram shingles, h_j(s) = xxhash64(j, s). Broder '97
+    * estimator: P[minhash_j(A)=minhash_j(B)] = Jaccard(A,B).
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = shingles(text, shingleSize)
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, s => xxhash64(lit(j), s)))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Pipeline: signature → band into `bands` of `rows` hashes → explode one
+    * row per (band, banded-signature-hash) → shuffle on the bucket →
+    * self-join within buckets → distinct candidate pairs → verify with exact
+    * shingle-set Jaccard ≥ `threshold`.
+    *
+    * The only all-to-all movement is the bucket shuffle; candidate
+    * verification re-joins the (small) candidate-id set back to the shingle
+    * sets. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+
+    val banded = sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(df, idCol, textCol, candidates, shingleSize, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for a candidate-pair set; keeps pairs with
+    * jaccard >= threshold. Shared by the MinHash and brute-force paths.
+    */
+  private def verifyJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleSize).as("sset"))
+    candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.sid"))
+      .join(sets.as("sb"), col("id_b") === col("sb.sid"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sa.sset"), col("sb.sset")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** |A∩B| / |A∪B| on array columns (null-safe via size guards). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------------------ n-gram Jaccard
+  /** Brute-force n-gram Jaccard near-dup within explicit blocking groups
+    * (e.g. same language+source). The blocking keys keep the self-join
+    * per-group instead of N²; for unblocked data use [[minhashLsh]].
+    * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 1,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id") +: blockCols.map(col) :+ shingles(col(textCol), n).as("sset"): _*)
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    sets.as("a").join(sets.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sset"), col("b.sset")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 64-bit SimHash (Charikar '02): per token t with hash h(t), bit i of the
+    * signature is the sign of Σ_t (h(t) bit i ? +1 : -1). Computed via
+    * explode + two-level aggregation: the per-(doc,token) work is narrow,
+    * and the per-doc reduce is a single shuffle on the doc id with map-side
+    * partial aggregation (the 64 bit-counters are one fixed-size array).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val hashed = toks.select(col("id"), xxhash64(col("tok")).as("h"))
+    // 64 fixed sum-aggregates (one per bit) — a single map-side-combinable
+    // groupBy on the doc id, no per-bit shuffle
+    val sums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val perDoc = hashed.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    perDoc.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the signature
+    * (pigeonhole: any pair within Hamming distance 3 shares at least one
+    * exact quarter), verify with full Hamming distance <= maxHamming.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val blocked = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("part"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("simhash"), col("blk.q"), col("blk.part"))
+    blocked.as("l").join(blocked.as("r"),
+        col("l.q") === col("r.q") && col("l.part") === col("r.part") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming64(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ embedding cosine
+  /** Embedding-cosine near-duplicate pairs within LSH buckets:
+    * random-hyperplane bucket (so same-bucket vectors are likely similar),
+    * per-bucket self-join, exact cosine verify >= threshold.
+    * `blockCols` optionally adds metadata blocking on top of the LSH bucket.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      lshBits: Int = 12,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val withBucket = df.select(
+      (col(idCol).as("id") +: col(vecCol).as("vec") +: blockCols.map(col)) :+
+        VectorFunctions.hyperplaneBucket(col(vecCol), lshBits, seed = 42).as("bucket"): _*)
+    val joinCond = (blockCols :+ "bucket")
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    withBucket.as("a").join(withBucket.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFunctions.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

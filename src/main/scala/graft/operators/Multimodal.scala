@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Model: media travels as an opaque `binary` column plus typed metadata
+  * (mime, width/height or sample-rate, etc.). The Spark-side plumbing —
+  * schema, batch iteration via `mapPartitions` on a typed Dataset,
+  * partition-size control — is real; the actual codec work is STUBBED with a
+  * deterministic fake because no image/audio library ships in this
+  * container. Swap [[StubCodecs]] for a real decoder (e.g. javacpp/ffmpeg)
+  * without touching the operator shape.
+  *
+  * Scale notes: media rows are large, so operators repartition by byte
+  * budget, not row count, before the decode stage (a 100 MB video row and a
+  * 10 KB thumbnail must not land in the same fixed-row-count partition), and
+  * the decode runs per-partition (one codec init per partition, not per row).
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, mime: String, data: Array[Byte])
+  final case class ImageMeta(id: Long, mime: String, width: Int, height: Int,
+      nBytes: Long, sha: String)
+  final case class Frame(id: Long, frameIndex: Int, width: Int, height: Int,
+      nBytes: Long)
+
+  /** ======== STUB: deterministic fake codecs ========
+    * Real implementations would decode the byte payload; these derive
+    * deterministic pseudo-metadata from the bytes so tests are stable.
+    */
+  object StubCodecs {
+    def decodeImageDims(data: Array[Byte]): (Int, Int) = {
+      // STUB — replace with a real image decoder. Fake dims derived from a
+      // byte hash, stable across runs.
+      val h = java.util.Arrays.hashCode(data)
+      (256 + math.abs(h % 1024), 256 + math.abs((h / 1024) % 1024))
+    }
+    def frameCount(data: Array[Byte]): Int = 1 + math.abs(java.util.Arrays.hashCode(data) % 8)
+  }
+
+  /** Wrap an id+binary DataFrame into the canonical media schema. */
+  def asMedia(df: DataFrame, idCol: String, binCol: String, mime: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), lit(mime).as("mime"),
+      col(binCol).cast("binary").as("data")).as[MediaRow]
+  }
+
+  /** Repartition so each partition holds at most ~`targetBytes` of payload.
+    * Uses a cheap size aggregate, never collects rows.
+    */
+  def repartitionByBytes(ds: Dataset[MediaRow], targetBytes: Long = 128L << 20): Dataset[MediaRow] = {
+    val total = ds.toDF().agg(coalesce(sum(length(col("data"))), lit(0L))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    ds.repartition(parts)
+  }
+
+  /** Extract image metadata: per-partition batch decode (codec init once per
+    * partition — mapPartitions, not map).
+    */
+  def imageMetadata(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // real code: open codec context here, close after the iterator drains
+      it.map { m =>
+        val (w, h) = StubCodecs.decodeImageDims(m.data)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(m.data).take(8).map("%02x".format(_)).mkString
+        ImageMeta(m.id, m.mime, w, h, m.data.length.toLong, sha)
+      }
+    }
+  }
+
+  /** Frame sampling: explode each video into every `stride`-th frame's
+    * metadata. Output size is bounded by frames/stride, not input bytes.
+    */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { m =>
+        val n = StubCodecs.frameCount(m.data)
+        val (w, h) = StubCodecs.decodeImageDims(m.data)
+        (0 until n by stride).map(i => Frame(m.id, i, w, h, m.data.length.toLong))
+      }
+    }
+  }
+
+  /** Feature-extraction stub: binary -> fixed-dim float vector (here a
+    * deterministic byte-histogram projection; real impl = model inference
+    * per partition-batch).
+    */
+  def embedMedia(ds: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val v = new Array[Float](dim)
+        m.data.foreach(b => v((b & 0xff) % dim) += 1f)
+        val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+        (m.id, if (n > 0) v.map(_ / n) else v)
+      }
+    }.toDF("id", "embedding")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.profile.{Profile, Profiler}
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+/** One named cleaning step: a pure `DataFrame => DataFrame`. */
+final case class Stage(name: String, description: String, op: DataFrame => DataFrame)
+
+/** Outcome envelope per stage — the engine's replacement for the reference's
+  * `{success, stdout, stderr}` subprocess result (`tool_call_agent.py:48-51`).
+  */
+final case class StageResult(
+    stage: String,
+    description: String,
+    ok: Boolean,
+    rowsBefore: Long,
+    rowsAfter: Long,
+    error: Option[String])
+
+/** Deterministic pipeline runner — the data-plane replacement for the
+  * reference's LLM plan/execute/observe loop (`tool_call_agent.py:91-171`,
+  * SURVEY.md §2.6). Ordered stages replace LLM judgment; an audit log
+  * replaces `final_messages.log` (A7); the profile cache replaces
+  * `basic_info` memoization (`system.txt:2`).
+  *
+  * Row counts per stage are actions; pass `audit = false` to keep the whole
+  * pipeline one lazy plan (the 100 TB mode — Catalyst then fuses every
+  * narrow stage into a single scan).
+  */
+final class Pipeline(stages: Seq[Stage], audit: Boolean = true) {
+
+  private val log = ArrayBuffer.empty[StageResult]
+  def auditLog: Seq[StageResult] = log.toSeq
+
+  def run(input: DataFrame): DataFrame = {
+    var df = input
+    var rows = if (audit) df.count() else -1L
+    stages.foreach { s =>
+      try {
+        val out = s.op(df)
+        val outRows = if (audit) out.count() else -1L
+        log += StageResult(s.name, s.description, ok = true, rows, outRows, None)
+        df = out
+        rows = outRows
+      } catch {
+        case NonFatal(e) =>
+          // Fail-fast per stage, reference A10: surface the error, keep the
+          // last good frame (no LLM retry loop to appease).
+          log += StageResult(s.name, s.description, ok = false, rows, rows,
+            Some(e.getMessage))
+          throw e
+      }
+    }
+    df
+  }
+}
+
+/** S5: natural-language cleaning report, replacing the LLM-written
+  * `<base>_report.txt` (`tool_call_agent.py:56-69`) with a deterministic
+  * rendering of the profile + audit log.
+  */
+object ReportRenderer {
+  def render(title: String, profile: Profile, results: Seq[StageResult]): String = {
+    val sb = new StringBuilder
+    sb ++= s"Data Cleaning Report: $title\n"
+    sb ++= "=" * (22 + title.length) + "\n\n"
+    sb ++= s"Dataset shape: ${profile.rowCount} rows x ${profile.columns.size} columns\n\n"
+    sb ++= "Columns:\n"
+    profile.columns.foreach { case (n, t) =>
+      val nulls = profile.nullCounts.getOrElse(n, 0L)
+      sb ++= f"  - $n ($t): $nulls%d missing\n"
+    }
+    sb ++= "\nNumeric summary:\n"
+    profile.numericStats.foreach { s =>
+      sb ++= f"  - ${s.column}: n=${s.count}, mean=${s.mean.fold("n/a")(v => f"$v%.4f")}, " +
+        f"std=${s.stddev.fold("n/a")(v => f"$v%.4f")}, min=${s.min.fold("n/a")(_.toString)}, " +
+        f"median=${s.median.fold("n/a")(_.toString)}, max=${s.max.fold("n/a")(_.toString)}\n"
+    }
+    sb ++= f"\nDuplicate rows: ${profile.duplicateRowCount}\n\nActions taken:\n"
+    results.foreach { r =>
+      val delta =
+        if (r.rowsBefore >= 0 && r.rowsAfter != r.rowsBefore)
+          s" (${r.rowsBefore} -> ${r.rowsAfter} rows)"
+        else ""
+      sb ++= s"  ${if (r.ok) "[ok]" else "[FAILED]"} ${r.stage}: ${r.description}$delta\n"
+    }
+    sb.toString
+  }
+
+  /** Write the report beside the data, reference path convention
+    * `<base>_report.txt` (`tool_call_agent.py:63-64`).
+    */
+  def write(reportContent: String, dataPath: String): java.nio.file.Path = {
+    val dot = dataPath.lastIndexOf('.')
+    val base = if (dot < 0) dataPath else dataPath.substring(0, dot)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${base}_report.txt"), reportContent)
+  }
+}

