@@ -495,9 +495,8 @@ object Queries {
   /** S2: LSH approximate top-k (rows-only; recall spec-tested vs S1). */
   def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val corpus = Similarity.bucketize(e, "vec_id", "embedding", lshBits = 8)
-    Similarity.lshTopK(corpus, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, lshBits = 8)
+    val corpus = Similarity.bucketize(e, "vec_id", "embedding")
+    Similarity.lshTopK(corpus, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -51,12 +51,18 @@ object Dedup {
     * `shingleSize`-gram shingles, h_j(s) = xxhash64(j, s). Broder '97
     * estimator: P[minhash_j(A)=minhash_j(B)] = Jaccard(A,B).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = shingles(text, shingleSize)
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    signatureFromShingles(shingles(text, shingleSize), numHashes)
+
+  /** Signature over an already-materialized shingle column. Keep the shingle
+    * array in its own projection before calling this: referencing the raw
+    * shingling expression here would inline (and recompute + re-codegen) it
+    * once per hash function.
+    */
+  def signatureFromShingles(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(sh, s => xxhash64(lit(j), s)))
     }: _*)
-  }
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -79,9 +85,9 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig"))
 
     val banded = sigs.select(
       col("id"),

@@ -41,15 +41,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Bucket a corpus once for reuse across many query batches. */
+  /** Bucket a corpus once for reuse across many query batches.
+    *
+    * OR-amplified LSH (the standard recall lever): `numTables` independent
+    * hash tables of `lshBits` hyperplane bits each; a pair is a candidate if
+    * it collides in ANY table. The corpus is stored `numTables` times — the
+    * classical space-for-recall trade — but each copy only carries
+    * (table, bucket, id, vec), and the per-table join stays bucket-local.
+    */
   def bucketize(corpus: DataFrame, idCol: String, vecCol: String,
-      lshBits: Int = 12, seed: Int = 42): DataFrame =
+      lshBits: Int = 6, numTables: Int = 8, seed: Int = 42): DataFrame = {
+    val tables = array((0 until numTables).map { tb =>
+      struct(lit(tb).as("table"),
+        hyperplaneBucket(col(vecCol), lshBits, seed + 1000 * tb).as("bucket"))
+    }: _*)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      hyperplaneBucket(col(vecCol), lshBits, seed).as("bucket"))
+        explode(tables).as("tb"))
+      .select(col("neighbor_id"), col("nvec"), col("tb.table"), col("tb.bucket"))
+  }
 
-  /** Approximate top-k: probe the query's own bucket plus all buckets at
-    * Hamming distance 1 (multi-probe LSH, Lv et al. VLDB'07) — recall
-    * degrades gracefully instead of falling off a cliff at bucket borders.
+  /** Approximate top-k: per table, probe the query's own bucket plus all
+    * buckets at Hamming distance 1 (multi-probe LSH, Lv et al. VLDB'07),
+    * union candidates across tables, exact-score, rank.
     */
   def lshTopK(
       bucketedCorpus: DataFrame,
@@ -57,23 +70,26 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 10,
-      lshBits: Int = 12,
+      lshBits: Int = 6,
+      numTables: Int = 8,
       seed: Int = 42): DataFrame = {
-    val probes = array((0 to lshBits).map { i =>
-      // i = 0: exact bucket; i >= 1: flip bit (i-1)
-      if (i == 0) col("qbucket")
-      else col("qbucket").bitwiseXOR(shiftleft(lit(1L), i - 1))
-    }: _*)
+    val qTables = (0 until numTables).flatMap { tb =>
+      val b = hyperplaneBucket(col(vecCol), lshBits, seed + 1000 * tb)
+      (0 to lshBits).map { i =>
+        val probe = if (i == 0) b else b.bitwiseXOR(shiftleft(lit(1L), i - 1))
+        struct(lit(tb).as("table"), probe.as("bucket"))
+      }
+    }
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-          hyperplaneBucket(col(vecCol), lshBits, seed).as("qbucket"))
-        .select(col("query_id"), col("qvec"), explode(probes).as("bucket")))
+          explode(array(qTables: _*)).as("tb"))
+        .select(col("query_id"), col("qvec"), col("tb.table"), col("tb.bucket")))
     val scored = bucketedCorpus
-      .join(q, Seq("bucket"))
+      .join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("nvec")).as("cosine"))
-      .groupBy(col("query_id"), col("neighbor_id")) // same pair via 2 probes
+      .groupBy(col("query_id"), col("neighbor_id")) // dedup multi-table hits
       .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Cleaning
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator unit tests on literal frames — the deterministic edge cases
+  * the reference's LLM never faced (FIXTURES.md §4).
+  */
+class CleaningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("imputeMedian: exact median, non-null cells untouched") {
+    val df = Seq[(Int, Option[Double])](
+      (1, Some(1.0)), (2, Some(2.0)), (3, Some(10.0)), (4, None)).toDF("id", "v")
+    val out = Cleaning.imputeMedian(Seq("v"))(df).orderBy("id").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 10.0, 2.0))
+  }
+
+  test("imputeMean: mean over non-null only") {
+    val df = Seq[(Int, Option[Double])](
+      (1, Some(2.0)), (2, Some(4.0)), (3, None)).toDF("id", "v")
+    val out = Cleaning.imputeMean(Seq("v"))(df).orderBy("id").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(2.0, 4.0, 3.0))
+  }
+
+  test("pinnedMode: tie broken by smallest value (pandas mode()[0])") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    assert(Cleaning.pinnedMode(df, "v").contains("a"))
+  }
+
+  test("imputeMode: all-null column is a no-op") {
+    val df = Seq[(Int, Option[String])]((1, None), (2, None)).toDF("id", "v")
+    val out = Cleaning.imputeMode(Seq("v"))(df).collect()
+    assert(out.forall(_.isNullAt(1)))
+  }
+
+  test("zscoreFilter: keeps nulls, drops only >3-sigma cells") {
+    // 10 tight values + one extreme outlier + one null row
+    val vals = (1 to 10).map(i => (i, Some(10.0 + i * 0.1))) :+
+      (11, Some(1000.0)) :+ (12, Option.empty[Double])
+    val df = vals.toDF("id", "v")
+    val kept = Cleaning.zscoreFilter(Seq("v"))(df).select("id")
+      .collect().map(_.getInt(0)).toSet
+    assert(!kept.contains(11) && kept.contains(12) && kept.size == 11)
+  }
+
+  test("zscoreFilter: degenerate n<=1 and zero-variance are no-ops") {
+    val one = Seq((1, 5.0)).toDF("id", "v")
+    assert(Cleaning.zscoreFilter(Seq("v"))(one).count() == 1)
+    val const = Seq((1, 5.0), (2, 5.0), (3, 5.0)).toDF("id", "v")
+    assert(Cleaning.zscoreFilter(Seq("v"))(const).count() == 3)
+  }
+
+  test("outlierToNull then impute = C7 two-phase") {
+    val vals = (1 to 10).map(i => (i, 10.0 + i * 0.1)) :+ (11, 1000.0)
+    val df = vals.toDF("id", "v")
+    val nulled = Cleaning.outlierToNull(Seq("v"))(df)
+    assert(nulled.where(col("v").isNull).count() == 1)
+  }
+
+  test("percentileCap: winsorizes upper tail only") {
+    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Cleaning.percentileCap(Seq("v"), 0.95)(df)
+    val mx = out.agg(max("v")).head().getDouble(0)
+    val mn = out.agg(min("v")).head().getDouble(0)
+    assert(mx < 100.0 && mn == 1.0)
+  }
+
+  test("dropDuplicateRows: full-row and keyed") {
+    val df = Seq((1, "a"), (1, "a"), (2, "a")).toDF("id", "k")
+    assert(Cleaning.dropDuplicateRows()(df).count() == 2)
+    assert(Cleaning.dropDuplicateRows(Seq("k"))(df).count() == 1)
+  }
+
+  test("normalizeStrings + canonicalize (C10/C11 dirty.csv semantics)") {
+    val df = Seq("  Audrey Edwards ", "andrew lewis").toDF("Name")
+    val out = Cleaning.normalizeStrings(Seq("Name"), caseMode = "title")(df)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Audrey Edwards", "Andrew Lewis"))
+    val jobs = Seq("enginr", "Engineer", "Desginer").toDF("job")
+    val canon = Cleaning.canonicalize("job",
+      Map("enginr" -> "Engineer", "Desginer" -> "Designer"))(jobs)
+      .collect().map(_.getString(0)).toSeq
+    assert(canon == Seq("Engineer", "Engineer", "Designer"))
+  }
+
+  test("canonicalizeViaDictionary: broadcast dictionary join") {
+    val df = Seq((1, "Germny"), (2, "Germany"), (3, "UK")).toDF("id", "country")
+    val dict = Seq(("Germny", "Germany"), ("U.K.", "UK")).toDF("variant", "canonical")
+    val out = Cleaning.canonicalizeViaDictionary("country", dict)(df)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("Germany", "Germany", "UK"))
+  }
+
+  test("booleanize: Y/Yes/N/No/blank -> boolean (C12)") {
+    val df = Seq(Some("Y"), Some("Yes"), Some("N"), Some("No"), Some("maybe"), None)
+      .toDF("Subscribed")
+    val out = Cleaning.booleanize("Subscribed")(df).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(out.toSeq == Seq(Some(true), Some(true), Some(false), Some(false), None, None))
+  }
+
+  test("sentinelToNull + castNumeric (C14 N/A salaries)") {
+    val df = Seq("52000.5", "N/A", " N/A ").toDF("Salary")
+    val out = Cleaning.castNumeric(Seq("Salary"))(
+      Cleaning.sentinelToNull(Seq("Salary"))(df)).collect()
+    assert(out(0).getDouble(0) == 52000.5 && out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("parseDates: format parse + future flag (C13)") {
+    val df = Seq("05/08/2023", "12/31/2099").toDF("Date Joined")
+    val out = Cleaning.parseDates("Date Joined", "MM/dd/yyyy",
+      asOf = Some(java.sql.Date.valueOf("2025-08-08")))(df).collect()
+    assert(out(0).getAs[java.sql.Date](0).toString == "2023-05-08")
+    assert(!out(0).getBoolean(1) && out(1).getBoolean(1))
+  }
+}

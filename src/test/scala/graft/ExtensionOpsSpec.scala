@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** North-star operator specs: text functions, dedup recall on planted
+  * near-dups, LSH-vs-brute-force recall, multimodal plumbing.
+  */
+class ExtensionOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ text
+  test("tokenCount / subwordCount / shingles") {
+    val df = Seq("the quick  brown fox", "", "one").toDF("text")
+    val out = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.shingles(col("text"), 2)).collect()
+    assert(out(0).getInt(0) == 4)
+    assert(out(0).getSeq[String](1) == Seq("the quick", "quick brown", "brown fox"))
+    assert(out(1).getInt(0) == 0)
+    assert(out(2).getSeq[String](1).isEmpty) // 1 token -> no bigrams
+  }
+
+  test("langId: marker-based prediction with deterministic tie-break") {
+    val df = Seq(
+      "the cat and the dog sat in the house",
+      "el perro y la casa de los gatos en la calle",
+      "der hund und die katze ist nicht hier",
+      "xyzzy qwerty").toDF("text")
+    val out = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint: normalization collapses case/punct/space variants") {
+    val df = Seq("Hello, World!", "hello world", "HELLO  WORLD").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  // --------------------------------------------------------------- vectors
+  test("cosine/dot/norm: known values, zero-vector guard") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(1f, 2f, 2f)),
+      (Array(0f, 0f, 0f), Array(1f, 0f, 0f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(out(2).isNullAt(0))
+  }
+
+  // ----------------------------------------------------------------- dedup
+  private val docs = {
+    val base = "spark catalyst shuffles partition columns into sorted runs " +
+      "while tungsten packs rows off heap for cache friendly scans"
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("sorted", "ordered")), // near dup of 1
+      (4L, "completely different text about gardening tulips and soil ph levels"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("id", "text")
+  }
+
+  test("exactDedup keeps min-id survivor per fingerprint") {
+    val kept = Dedup.exactDedup(docs, "id", "text").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhashLsh finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "id", "text",
+        threshold = 0.7, numHashes = 64, bands = 16, shingleSize = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $pairs")
+  }
+
+  test("simhashNearDup: exact dup at hamming 0, unrelated far") {
+    val pairs = Dedup.simhashNearDup(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0), s"exact dup not at hamming 0: ${pairs.toSeq}")
+    assert(!pairs.exists(p => (p._1, p._2) == (4L, 5L)))
+  }
+
+  test("ngramJaccard: blocked exact jaccard") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccard(blocked, "id", "text", Seq("blk"), n = 1, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  // ------------------------------------------------------------ similarity
+  test("lshTopK recall >= 60% of brute-force top-5 on real embeddings") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(
+        Similarity.bucketize(e, "vec_id", "embedding"),
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  // ------------------------------------------------------------ multimodal
+  test("multimodal: metadata + frame sampling over binary payloads") {
+    val df = Seq((1L, "abcdef"), (2L, "0123456789abcdef")).toDF("id", "payload")
+      .select(col("id"), encode(col("payload"), "utf-8").as("payload"))
+    val media = Multimodal.asMedia(df, "id", "payload", "image/fake")
+    val meta = Multimodal.imageMetadata(media).collect()
+    assert(meta.length == 2 && meta.forall(m => m.width > 0 && m.height > 0))
+    assert(meta.find(_.id == 1L).get.nBytes == 6L)
+    val frames = Multimodal.sampleFrames(media, stride = 1).collect()
+    assert(frames.nonEmpty && frames.forall(_.frameIndex >= 0))
+    val emb = Multimodal.embedMedia(media, dim = 16).collect()
+    assert(emb.forall(_.getSeq[Float](1).length == 16))
+  }
+}

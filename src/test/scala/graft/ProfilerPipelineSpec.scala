@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.{Pipeline, ReportRenderer, Stage}
+import graft.profile.Profiler
+import graft.sources.Csv
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilerPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val refDir = "/root/reference/graph_proj/src/agent"
+
+  test("profile of dirty_hr matches FIXTURES.md facts") {
+    val df = Csv.read(spark, s"$refDir/dirty_hr.csv")
+    val p = Profiler(df)
+    assert(p.shape == ((500L, 10)))
+    assert(p.nullCounts("last_promo_date") == 95L)
+    assert(p.nullCounts("age") == 7L)
+    assert(p.nullCounts("salary") == 39L)
+    assert(p.nullCounts("bonus_percent") == 6L)
+    assert(p.nullCounts("performance_score") == 27L)
+    assert(p.duplicateRowCount == 0L)
+    val age = p.numericStats.find(_.column == "age").get
+    assert(age.min.contains(5.0) && age.max.contains(91.0))
+    assert(age.median.contains(36.3))
+    // report aggregates verified in BASELINE.md: avg age 36.6
+    assert(math.abs(age.mean.get - 36.6) < 0.05)
+  }
+
+  test("valueCounts: deterministic order (count desc, value asc)") {
+    val df = Seq("b", "a", "a", "c", "b").toDF("v")
+    val vc = Profiler.valueCounts(df, "v").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vc.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("pipeline: audit log records row deltas; report renders") {
+    val df = Seq[(Int, Option[Double])]((1, Some(1.0)), (2, None), (3, Some(100.0)))
+      .toDF("id", "v")
+    val pipe = new Pipeline(Seq(
+      Stage("drop_nulls", "drop rows with null v",
+        graft.operators.Cleaning.dropNullRows(Seq("v"))),
+      Stage("identity", "no-op", identity)))
+    val out = pipe.run(df)
+    assert(out.count() == 2)
+    val log = pipe.auditLog
+    assert(log.map(_.stage) == Seq("drop_nulls", "identity"))
+    assert(log.head.rowsBefore == 3 && log.head.rowsAfter == 2)
+    val report = ReportRenderer.render("test", Profiler(df), log)
+    assert(report.contains("drop_nulls") && report.contains("3 rows"))
+  }
+
+  test("csv versioned sink never overwrites (S3 semantics)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1, "a")).toDF("id", "v")
+    val in = s"$tmp/data.csv"
+    df.write.option("header", "true").csv(in)
+    val out1 = Csv.writeVersioned(df, in, "clean")
+    assert(out1 == s"$tmp/data_clean.csv")
+    intercept[Exception] { Csv.writeVersioned(df, in, "clean") }
+  }
+}
