@@ -111,7 +111,8 @@ object Profiler {
         .head()
         .getLong(0)
 
-    Profile(df.dtypes.toSeq, rowCount, nulls, stats, dupCount)
+    Profile(df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString)),
+      rowCount, nulls, stats, dupCount)
   }
 
   /** P9-style value counts for a categorical column (SURVEY.md §2.5
