@@ -55,20 +55,28 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .limit(5)
 
-  /** P5: describe — count/mean/std/min/median/max per numeric column. */
+  /** P5: describe — count/mean/std/min/median/max per numeric column,
+    * fused into ONE scan + ONE aggregate (all columns' statistics including
+    * the exact medians in a single pass), then unpivoted with stack().
+    */
   def p5Describe(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    cols.map { c =>
-      li.agg(
-        lit(c).as("col_name"),
-        count(col(c)).as("n"),
-        dmean(col(c)).as("mean"),
-        dstd(col(c)).as("std"),
-        min(col(c)).as("min_v"),
-        percentile(col(c), lit(0.5)).as("median"),
-        max(col(c)).as("max_v"))
-    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        dmean(col(c)).as(s"mean_$c"),
+        dstd(col(c)).as(s"std_$c"),
+        min(col(c)).as(s"min_$c"),
+        percentile(col(c), lit(0.5)).as(s"med_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(" + cols.size + ", " +
+        cols.map(c => s"'$c', `n_$c`, `mean_$c`, `std_$c`, `min_$c`, `med_$c`, `max_$c`")
+          .mkString(", ") +
+        ") as (col_name, n, mean, std, min_v, median, max_v)")
+      .orderBy(col("col_name"))
   }
 
   /** P6: null count per column (orders). */
@@ -135,7 +143,9 @@ object Queries {
     val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").where(col("o_orderdate") < ts("2000-01-01 00:00:00"))
     val li = t(s, dir, "lineitem").where(col("l_shipdate") > ts("2000-01-01 00:00:00"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    // orders is a fact table: shuffle-join it (AQE may still broadcast at
+    // small SF); only the customer dim gets an explicit broadcast hint.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -154,7 +164,7 @@ object Queries {
     val cust = t(s, dir, "customer")
     val supp = t(s, dir, "supplier")
     val nat = t(s, dir, "nation")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
@@ -454,8 +464,12 @@ object Queries {
     * output, spec-tested for planted-dup recall).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    // r = numHashes/bands = 16 rows per band: band-collision threshold
+    // (1/bands)^(1/r) ~ 0.88, so the dense j~0.5 mass of this synthetic
+    // corpus stays out of the candidate join (at r=4 it admits ~40% of all
+    // pairs and the verify join goes quadratic).
     Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
-        threshold = 0.8, numHashes = 32, bands = 8, shingleSize = 3)
+        threshold = 0.8, numHashes = 128, bands = 8, shingleSize = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** D3: SimHash near-dup pairs (rows-only check). */
@@ -473,9 +487,13 @@ object Queries {
     * the oracle mirrors the fold order with an unrolled 64-term sum).
     */
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.{fdot, fnorm}
     val e = t(s, dir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
-    val cos = graft.functions.VectorFunctions.cosine(col("a.vec"), col("b.vec"))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"),
+        fnorm(col("embedding")).as("nrm")) // norm once per ROW, not per pair
+    val denom = col("a.nrm") * col("b.nrm")
+    val cos = when(denom > 0, fdot(col("a.vec"), col("b.vec")) / denom)
+      .otherwise(lit(null).cast("double"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))

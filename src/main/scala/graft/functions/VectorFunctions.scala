@@ -37,23 +37,13 @@ object VectorFunctions {
     when(n > 0, transform(a, v => v.cast("double") / n)).otherwise(transform(a, _.cast("double")))
   }
 
-  /** Random-hyperplane (SimHash) LSH bucket for a vector: `bits` sign bits
-    * of projections onto pseudo-random hyperplanes derived deterministically
-    * from (seed, bitIndex, dimIndex) via a hash — no stored projection
-    * matrix, so executors need no broadcast and the expression is pure
-    * codegen. Used by the ANN path in [[graft.operators.Similarity]].
+  /** Random-hyperplane (SimHash-style) LSH bucket for a float vector:
+    * `bits` sign bits of projections onto pseudo-random hyperplanes derived
+    * deterministically from (seed, bitIndex, dimIndex) — no stored
+    * projection matrix, so executors need no broadcast. Backed by the
+    * codegen'd [[HyperplaneLshBucket]] kernel (the higher-order-function
+    * formulation evaluates interpreted, per element per bit).
     */
-  def hyperplaneBucket(vec: Column, bits: Int, seed: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      // projection_b(v) = Σ_d v[d] * h(seed,b,d), h in [-1,1)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) => {
-          val h = pmod(xxhash64(lit(seed), lit(b), d), lit(2000000L)).cast("double")
-          v.cast("double") * (h / 1000000.0 - 1.0)
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, bits: Int, seed: Int): Column =
+    HyperplaneLshBucket.bucket(vec, bits, seed.toLong)
 }

@@ -54,15 +54,12 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
     signatureFromShingles(shingles(text, shingleSize), numHashes)
 
-  /** Signature over an already-materialized shingle column. Keep the shingle
-    * array in its own projection before calling this: referencing the raw
-    * shingling expression here would inline (and recompute + re-codegen) it
-    * once per hash function.
+  /** Signature over an already-materialized shingle column — one-pass
+    * codegen'd kernel (see [[graft.functions.MinHashSig]]); each shingle is
+    * hashed once, the k functions are derived by cheap mixing.
     */
   def signatureFromShingles(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s)))
-    }: _*)
+    graft.functions.MinHashSig.minhash(sh, numHashes)
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -89,6 +86,10 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig"))
 
+    // Both sides of the candidate self-join read `banded`; persist it so the
+    // scan + shingling + signature pipeline runs once, not twice. (At
+    // cluster scale this is the standard "materialize the signatures"
+    // step; MEMORY_AND_DISK spills instead of OOMing.)
     val banded = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -98,6 +99,7 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.as("l")
       .join(banded.as("r"),
@@ -119,7 +121,9 @@ object Dedup {
       candidates: DataFrame,
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    // joined twice (id_a side + id_b side): shingle once, reuse
     val sets = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleSize).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa.sid"))
       .join(sets.as("sb"), col("id_b") === col("sb.sid"))
@@ -220,15 +224,19 @@ object Dedup {
       threshold: Double = 0.95,
       lshBits: Int = 12,
       blockCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.VecExpressions.{fdot, fnorm}
     val withBucket = df.select(
-      (col(idCol).as("id") +: col(vecCol).as("vec") +: blockCols.map(col)) :+
+      (col(idCol).as("id") +: col(vecCol).as("vec") +:
+        fnorm(col(vecCol)).as("nrm") +: blockCols.map(col)) :+
         VectorFunctions.hyperplaneBucket(col(vecCol), lshBits, seed = 42).as("bucket"): _*)
     val joinCond = (blockCols :+ "bucket")
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    val denom = col("a.nrm") * col("b.nrm")
     withBucket.as("a").join(withBucket.as("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VectorFunctions.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        when(denom > 0, fdot(col("a.vec"), col("b.vec")) / denom)
+          .otherwise(lit(null).cast("double")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.functions.VecExpressions.{fdot, fnorm}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine from a codegen'd dot kernel and per-row precomputed norms —
+    * bit-identical to [[VectorFunctions.cosine]] (same fold order, same
+    * guard) but each vector's norm is computed once per ROW instead of once
+    * per PAIR, and the pair loop compiles into whole-stage codegen instead
+    * of interpreted higher-order lambdas.
+    */
+  private def fastCosine(aVec: Column, aNorm: Column, bVec: Column, bNorm: Column): Column = {
+    val denom = aNorm * bNorm
+    when(denom > 0, fdot(aVec, bVec) / denom).otherwise(lit(null).cast("double"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param corpus  (idCol, vecCol) table — may be arbitrarily large
     * @param queries small query table (same column names); broadcast
@@ -30,12 +42,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 10): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      fnorm(col(vecCol)).as("qnorm")))
     val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        fnorm(col(vecCol)).as("nnorm"))
       .join(q, col("query_id") =!= col("neighbor_id")) // cross w/ self filter
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("nvec")).as("cosine"))
+        fastCosine(col("qvec"), col("qnorm"), col("nvec"), col("nnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -56,8 +70,9 @@ object Similarity {
         hyperplaneBucket(col(vecCol), lshBits, seed + 1000 * tb).as("bucket"))
     }: _*)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-        explode(tables).as("tb"))
-      .select(col("neighbor_id"), col("nvec"), col("tb.table"), col("tb.bucket"))
+        fnorm(col(vecCol)).as("nnorm"), explode(tables).as("tb"))
+      .select(col("neighbor_id"), col("nvec"), col("nnorm"),
+        col("tb.table"), col("tb.bucket"))
   }
 
   /** Approximate top-k: per table, probe the query's own bucket plus all
@@ -82,13 +97,14 @@ object Similarity {
     }
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-          explode(array(qTables: _*)).as("tb"))
-        .select(col("query_id"), col("qvec"), col("tb.table"), col("tb.bucket")))
+          fnorm(col(vecCol)).as("qnorm"), explode(array(qTables: _*)).as("tb"))
+        .select(col("query_id"), col("qvec"), col("qnorm"),
+          col("tb.table"), col("tb.bucket")))
     val scored = bucketedCorpus
       .join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("nvec")).as("cosine"))
+        fastCosine(col("qvec"), col("qnorm"), col("nvec"), col("nnorm")).as("cosine"))
       .groupBy(col("query_id"), col("neighbor_id")) // dedup multi-table hits
       .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
