@@ -244,6 +244,45 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join: each event picks up the user's most recent order at or
+    * before the event time (kdb aj / pandas merge_asof semantics; Spark has
+    * no built-in — see [[graft.operators.AsOfJoin]]). Right side pre-deduped
+    * per (key, time) for determinism.
+    */
+  def w4AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("m.o_orderkey").as("o_orderkey"), col("m.o_totalprice").as("o_totalprice"))
+    graft.operators.AsOfJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightValues = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey"), col("asof_o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rollup aggregation: revenue subtotals by (returnflag, linestatus) with
+    * per-flag and grand totals.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: order counts per priority pivoted by status. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
   /** Hourly event rollup (the batch twin of the streaming windowed agg). */
   def e1HourlyTotals(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -563,6 +602,9 @@ object Queries {
     "w1_topk_per_customer" -> (w1TopkPerCustomer _),
     "w2_running_sum" -> (w2RunningSum _),
     "w3_sessionize" -> (w3Sessionize _),
+    "w4_asof_join" -> (w4AsofJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
     "e1_hourly_totals" -> (e1HourlyTotals _),
     "e2_json_extract" -> (e2JsonExtract _),
     "c1_impute_median" -> (c1ImputeMedian _),

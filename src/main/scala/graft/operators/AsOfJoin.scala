@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join: for each left row, attach the single
+  * right row with the same key and the greatest right-time <= left-time.
+  *
+  * Spark has no built-in as-of join; the classic implementations are
+  * (a) a range join + per-left-row argmax, or (b) the union-and-carry
+  * trick used here: tag both inputs, union them, sort within each key by
+  * (time, side) and carry the last seen right row forward with
+  * `last(..., ignoreNulls)` over an unbounded-preceding window, then keep
+  * the left rows. One shuffle on the key, one sort — the same cost shape
+  * as a sort-merge join, with no per-row probe loop. This is the
+  * pattern behind pandas `merge_asof` and kdb `aj`, expressed in
+  * Catalyst-native operators so codegen and AQE still apply.
+  */
+object AsOfJoin {
+
+  /** @param left        probe side (e.g. events)
+    * @param right       reference side (e.g. orders); duplicate
+    *                    (key, time) rows must be pre-deduped for a
+    *                    deterministic result
+    * @param leftKey     join key column name on left
+    * @param rightKey    join key column name on right
+    * @param leftTime    event-time column on left
+    * @param rightTime   event-time column on right
+    * @param rightValues right columns to carry (default: all except key/time)
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String] = Nil): DataFrame = {
+    val carried =
+      if (rightValues.nonEmpty) rightValues
+      else right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // left sorts after right at equal time
+      .withColumns(carried.map(c => s"__r_$c" -> lit(null)).toMap)
+    val r = right
+      .select(
+        (col(rightKey).as("__key") +: col(rightTime).as("__t") +:
+          lit(0).as("__side") +: carried.map(c => col(c).as(s"__r_$c"))): _*)
+      .withColumns(left.columns.map(c => c -> lit(null)).toMap)
+      .select(l.columns.map(col): _*) // align column order for union
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumns(carried.map(c =>
+        s"__r_$c" -> last(col(s"__r_$c"), ignoreNulls = true).over(w)).toMap)
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        carried.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+}
