@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash (Charikar '02) of a document in ONE pass over its text.
+  *
+  * Replaces the explode-tokens → 64-sum-aggregates → reassemble pipeline
+  * (a full shuffle on the doc id) with a pure per-row expression: tokenize,
+  * hash each distinct token once (xxhash64, seed 42 — same family as the
+  * MinHash kernel), accumulate the 64 ±1 bit counters in a local array,
+  * emit the sign bits. Bit-identical to the aggregate formulation.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.simhash($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  def simhash(s: UTF8String): Long = {
+    val toks = s.toString.trim.split("\\s+")
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = MinHashSig.hashUtf8(UTF8String.fromString(toks(i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+}

@@ -104,19 +104,10 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(text), "[^a-z0-9]", ""), lit("utf-8")))
 
-  /** Word n-gram shingles (n>=1): for n=1 the distinct token set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    if (n <= 1) array_distinct(toks)
-    else {
-      // sliding windows at positions 0 .. size-n (guard: sequence(a,b) with
-      // a > b would generate a DESCENDING range, so gate on window count)
-      val cnt = size(toks) - (n - 1)
-      when(
-        cnt > 0,
-        array_distinct(transform(sequence(lit(0), cnt - 1), i =>
-          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-        .otherwise(array().cast("array<string>"))
-    }
-  }
+  /** Word n-gram shingles (n>=1): for n=1 the distinct token set. Backed by
+    * the one-pass [[WordShingles]] kernel (the composable
+    * transform/element_at formulation re-splits the text per window
+    * position — Catalyst has no let-binding).
+    */
+  def shingles(text: Column, n: Int): Column = WordShingles.shingles(text, n)
 }

@@ -132,12 +132,11 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** |A∩B| / |A∪B| on array columns (null-safe via size guards). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - inter
-    when(union > 0, inter / union).otherwise(lit(0.0))
-  }
+  /** |A∩B| / |A∪B| on distinct-element array columns — one-pass kernel
+    * (see [[graft.functions.ArrayJaccard]]).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.ArrayJaccard.jaccardSim(a, b)
 
   // ------------------------------------------------------------ n-gram Jaccard
   /** Brute-force n-gram Jaccard near-dup within explicit blocking groups
@@ -164,27 +163,14 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ SimHash
-  /** 64-bit SimHash (Charikar '02): per token t with hash h(t), bit i of the
-    * signature is the sign of Σ_t (h(t) bit i ? +1 : -1). Computed via
-    * explode + two-level aggregation: the per-(doc,token) work is narrow,
-    * and the per-doc reduce is a single shuffle on the doc id with map-side
-    * partial aggregation (the 64 bit-counters are one fixed-size array).
+  /** 64-bit SimHash (Charikar '02): per distinct token t with hash h(t),
+    * bit i of the signature is the sign of Σ_t (h(t) bit i ? +1 : -1).
+    * One-pass per-row kernel ([[graft.functions.SimHash64]]) — no explode,
+    * no shuffle; the signature computation is a pure map over documents.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
-    val hashed = toks.select(col("id"), xxhash64(col("tok")).as("h"))
-    // 64 fixed sum-aggregates (one per bit) — a single map-side-combinable
-    // groupBy on the doc id, no per-bit shuffle
-    val sums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    val perDoc = hashed.groupBy(col("id")).agg(sums.head, sums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    perDoc.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
