@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the codegen'd
+  * kernels too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT graft_cosine_dot(a.vec, b.vec) / (graft_vec_norm(a.vec) * graft_vec_norm(b.vec)) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+
+    register("graft_vec_dot", "dot product of two float vectors (double fold)") {
+      args => FloatVecDot(args(0), args(1))
+    }
+    register("graft_vec_norm", "L2 norm of a float vector") {
+      args => FloatVecNorm(args(0))
+    }
+    register("graft_shingles", "(text, n) -> distinct word n-gram shingles") {
+      args => WordShingles(args(0), intArg(args(1), "n"))
+    }
+    register("graft_minhash", "(shingles, k) -> k-minhash signature") {
+      args => MinHashSig(args(0), intArg(args(1), "k"))
+    }
+    register("graft_jaccard", "jaccard similarity of two distinct-element string arrays") {
+      args => ArrayJaccard(args(0), args(1))
+    }
+    register("graft_simhash", "64-bit simhash of a text document") {
+      args => SimHash64(args(0))
+    }
+    register("graft_lsh_bucket", "(vec, bits, seed) -> random-hyperplane LSH bucket") {
+      args => HyperplaneLshBucket(args(0), intArg(args(1), "bits"), intArg(args(2), "seed").toLong)
+    }
+  }
+}

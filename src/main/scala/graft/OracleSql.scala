@@ -319,6 +319,30 @@ object OracleSql {
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t5_corpus_filter" -> {
+      val lenScore = "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
+      val divScore =
+        s"CASE WHEN len($tokSplit) > 0 THEN CAST(len(list_distinct($tokSplit)) AS DOUBLE) / len($tokSplit) ELSE 0.0 END"
+      val punctRatio =
+        """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
+      val punctPenalty = s"greatest(0.0, 1.0 - ($punctRatio) * 5.0)"
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  round(($lenScore) * 0.4 + ($divScore) * 0.4 + ($punctPenalty) * 0.2, 6) AS quality,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |FROM documents)
+         |SELECT doc_id, lang, quality, n_tokens FROM q
+         |WHERE quality >= 0.5 AND n_tokens >= 20 AND n_tokens <= 200
+         |  AND lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "p10_group_insight" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |  ${dmean("c_acctbal")} AS avg_balance,
+         |  ${dstd("c_acctbal")} AS std_balance,
+         |  min(c_acctbal) AS min_balance, max(c_acctbal) AS max_balance
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     // ------------------------------------------------------ dedup / vectors
     "d1_exact_dedup" ->
       """WITH all_docs AS (

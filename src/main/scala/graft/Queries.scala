@@ -480,6 +480,33 @@ object Queries {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** T5: corpus filter — the canonical training-data selection pipeline:
+    * keep docs passing quality + length + language gates.
+    */
+  def t5CorpusFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("quality") >= 0.5 && col("n_tokens") >= 20 &&
+        col("n_tokens") <= 200 && col("lang").isin("en", "de", "fr"))
+      .orderBy(col("doc_id"))
+
+  /** P10: group-wise insight — the reference's recommended analysis shape
+    * ("department and performance scores", SURVEY §2.5) over the testdata:
+    * per market segment, customer count / mean balance / balance spread.
+    */
+  def p10GroupInsight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dmean(col("c_acctbal")).as("avg_balance"),
+        dstd(col("c_acctbal")).as("std_balance"),
+        min(col("c_acctbal")).as("min_balance"),
+        max(col("c_acctbal")).as("max_balance"))
+      .orderBy(col("c_mktsegment"))
+
   // ======================================================================
   // Dedup / similarity (north-star)
   // ======================================================================
@@ -625,6 +652,8 @@ object Queries {
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_corpus_filter" -> (t5CorpusFilter _),
+    "p10_group_insight" -> (p10GroupInsight _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),

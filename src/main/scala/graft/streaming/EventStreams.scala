@@ -59,6 +59,14 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup: drop events already seen within the watermark
+    * horizon (state is bounded by horizon × key cardinality — the streaming
+    * face of the batch dedup family).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */

@@ -38,6 +38,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("win_out").count() == batchHours)
   }
 
+  test("streaming dedup: duplicated batch collapses to distinct events") {
+    val batch = eventsBatch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    batch.unionAll(batch).write.mode("overwrite").parquet(tmp) // plant dups
+    val streamed = spark.readStream.schema(batch.schema).parquet(tmp)
+    val deduped = EventStreams.dedupStream(streamed, Seq("event_id"))
+    val q = EventStreams.runToMemory(deduped, "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == batch.count())
+  }
+
   test("sessionize: per-user state via mapGroupsWithState") {
     val batch = eventsBatch
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
