@@ -584,6 +584,18 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S3: IVF (coarse-quantization) approximate top-k — rows-only check;
+    * recall spec-tested vs S1 (see [[graft.operators.Similarity.ivfIndex]]).
+    */
+  def s3IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (assigned, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
+      nClusters = 16, iterations = 2)
+    Similarity.ivfTopK(assigned, cents, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** E3: per-label embedding centroids via decimal-exact element means. */
   def e3Centroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -661,6 +673,7 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
+    "s3_ivf_topk" -> (s3IvfTopK _),
     "e3_centroids" -> (e3Centroids _),
     "mm1_image_meta" -> (mm1ImageMeta _)
   )

@@ -31,12 +31,23 @@ object Cleaning {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
-  /** C1: fill nulls in each column with that column's median. */
+  /** C1: fill nulls in each column with that column's median — ALL columns'
+    * medians in one aggregate job (one table scan however many columns are
+    * imputed). Exact by default (pandas parity); `relativeError > 0`
+    * switches to the fixed-memory Greenwald-Khanna sketch for huge tables.
+    */
   def imputeMedian(cols: Seq[String], relativeError: Double = 0.0)(df: DataFrame): DataFrame = {
-    val fills = cols.flatMap { c =>
-      if (relativeError == 0.0) exactMedian(df, c).map(c -> _)
-      else df.stat.approxQuantile(c, Array(0.5), relativeError).headOption.map(c -> _)
-    }.toMap
+    val fills: Map[String, Double] =
+      if (relativeError == 0.0) {
+        val aggs = cols.map(c => percentile(col(c).cast("double"), lit(0.5)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.flatMap(c => if (row.isNullAt(row.fieldIndex(c))) None
+          else Some(c -> row.getAs[Double](c))).toMap
+      } else {
+        val doubled = cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+        cols.zip(doubled.stat.approxQuantile(cols.toArray, Array(0.5), relativeError))
+          .flatMap { case (c, q) => q.headOption.map(c -> _) }.toMap
+      }
     df.na.fill(fills)
   }
 
@@ -66,14 +77,42 @@ object Cleaning {
     r.headOption.map(_.get(0))
   }
 
-  /** C3: fill nulls with the (pinned-tie-break) mode. */
-  def imputeMode(cols: Seq[String])(df: DataFrame): DataFrame =
+  /** All columns' pinned-tie-break modes in ONE pass: explode each row into
+    * (column, stringValue) pairs, count, argmax per column via
+    * max_by-over-struct with the (count desc, value asc) tie-break encoded
+    * in the struct ordering. One scan + one shuffle regardless of column
+    * count (vs one groupBy job per column).
+    */
+  def pinnedModes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
+    val pairs = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("__col", "__val")))
+      .where(col("__val").isNotNull)
+    pairs
+      .groupBy(col("__col"), col("__val"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__col"))
+      // min_by over (-count, value): highest count first, then SMALLEST
+      // value — the pinned pandas mode()[0] tie-break — in one aggregate.
+      .agg(min_by(col("__val"), struct((-col("__cnt")).as("nc"), col("__val"))).as("__mode"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+
+  /** C3: fill nulls with the (pinned-tie-break) mode — one pass for all
+    * columns; values are re-cast to each column's type by `na.fill`'s
+    * string-coercion (string/numeric/date columns all round-trip exactly).
+    */
+  def imputeMode(cols: Seq[String])(df: DataFrame): DataFrame = {
+    val modes = pinnedModes(df, cols)
     cols.foldLeft(df) { (d, c) =>
-      pinnedMode(d, c) match {
-        case Some(m) => d.withColumn(c, coalesce(col(c), lit(m)))
-        case None    => d
+      modes.get(c) match {
+        case Some(m) =>
+          d.withColumn(c, coalesce(col(c), lit(m).cast(d.schema(c).dataType)))
+        case None => d
       }
     }
+  }
 
   // ---------------------------------------------------------------- C4
   /** C4: fill nulls with a derived scalar from another column, e.g.

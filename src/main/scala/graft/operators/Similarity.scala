@@ -123,4 +123,83 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
       .select(col("cluster"), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+
+  // ------------------------------------------------------------------ IVF
+  /** Nearest-cluster assignment of every vector against a (small, broadcast)
+    * centroid table: explode per centroid, keep the argmin distance per id.
+    */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"), col("nvec"), col("cluster"),
+        graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        min_by(struct(col("cluster"), col("nvec")), struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("neighbor_id"), col("m.cluster").as("cluster"), col("m.nvec").as("nvec"))
+
+  /** Build an IVF index: Lloyd's k-means with deterministic init (the
+    * `nClusters` lowest-id vectors) and a fixed iteration count — each
+    * iteration is one broadcast-assign pass plus one centroid reduce,
+    * the textbook distributed k-means shape. Returns (assignedCorpus,
+    * centroids): the corpus partitioned by coarse cluster, ready for
+    * [[ivfTopK]] probes; reusable across query batches.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      iterations: Int = 3): (DataFrame, DataFrame) = {
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), _.cast("double")).as("nvec"))
+    var cents = vecs.orderBy(col("neighbor_id")).limit(nClusters)
+      .select(col("neighbor_id").cast("int").as("cluster"), col("nvec").as("centroid"))
+      // re-number clusters 0..k-1 deterministically
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy(col("cluster"))) - 1).cast("int"))
+    (1 to iterations).foreach { _ =>
+      val assigned = assign(vecs, cents)
+      cents = centroids(assigned, "cluster", "nvec")
+        .select(col("cluster").cast("int").as("cluster"), col("centroid"))
+      cents = cents.persist()
+      cents.count() // materialize: cut the lineage so iterations don't stack
+    }
+    val assigned = assign(vecs, cents)
+      .withColumn("nnorm", graft.functions.VecExpressions.fnorm(col("nvec")))
+      .persist()
+    (assigned, cents)
+  }
+
+  /** IVF approximate top-k: route each query to its `nProbe` nearest
+    * centroids, score only vectors assigned to those clusters. The corpus
+    * side touches ~nProbe/nClusters of the data per query — the coarse-
+    * quantization scale path complementary to the LSH route.
+    */
+  def ivfTopK(
+      assignedCorpus: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qvec"))
+    val routed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("cluster"),
+        graft.functions.VecExpressions.fdistSq(col("qvec"), col("centroid")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cluster"))
+    val scored = broadcast(routed.withColumn("qnorm",
+        graft.functions.VecExpressions.fnorm(col("qvec"))))
+      .join(assignedCorpus, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("qvec"), col("qnorm"), col("nvec"), col("nnorm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -113,6 +113,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("ivfTopK recall >= 60% of brute-force top-5") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (assigned, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
+      nClusters = 8, iterations = 2)
+    val approx = Similarity.ivfTopK(assigned, cents, queries, "vec_id", "embedding",
+        k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   // ------------------------------------------------------------ multimodal
   test("multimodal: metadata + frame sampling over binary payloads") {
     val df = Seq((1L, "abcdef"), (2L, "0123456789abcdef")).toDF("id", "payload")
