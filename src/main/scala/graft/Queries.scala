@@ -462,16 +462,22 @@ object Queries {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy(col("doc_id"))
 
-  /** T2: heuristic quality score (formula mirrored exactly in the oracle). */
+  /** T2: heuristic quality score (formula mirrored exactly in the oracle);
+    * token array materialized once per row.
+    */
   def t2Quality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** T3: stopword-profile language ID. */
+  /** T3: stopword-profile language ID (token array materialized once). */
   def t3LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ltoks"))
+      .select(col("doc_id"),
+        TextFunctions.langIdFromToks(col("ltoks")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   /** T4: normalized-content fingerprint. */
@@ -485,8 +491,10 @@ object Queries {
     */
   def t5CorpusFilter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), col("lang"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("quality"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .where(col("quality") >= 0.5 && col("n_tokens") >= 20 &&
         col("n_tokens") <= 200 && col("lang").isin("en", "de", "fr"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress harness: explode the sf0.1 testdata by `factor` into /tmp
+  * (ids offset per replica to keep keys unique), then time the registry
+  * queries at ~sf1 to expose scale cliffs the small SFs hide.
+  */
+object StressMain {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = s"/tmp/stress_sf${factor}x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      // replicate with id-space offsets so joins/keys stay consistent
+      val offsets = Map(
+        "lineitem" -> Seq("l_orderkey" -> 1000000L),
+        "orders" -> Seq("o_orderkey" -> 1000000L, "o_custkey" -> 0L),
+        "customer" -> Seq(), "supplier" -> Seq(), "part" -> Seq(),
+        "nation" -> Seq(), "region" -> Seq(),
+        "events" -> Seq("event_id" -> 10000000L),
+        "documents" -> Seq("doc_id" -> 10000000L),
+        "embeddings" -> Seq("vec_id" -> 10000000L))
+      offsets.foreach { case (tbl, offs) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val base = spark.read.parquet(s"/root/testdata/sf0.1/$tbl.parquet")
+        val reps = if (offs.isEmpty) base else
+          (0 until factor).map { r =>
+            offs.foldLeft(base) { case (d, (c, off)) =>
+              d.withColumn(c, col(c) + lit(off * r)) }
+          }.reduce(_ unionAll _)
+        reps.repartition(32).write.mode("overwrite").parquet(s"$outDir/$tbl.parquet")
+        println(s"[stress] wrote $tbl x${if (offs.isEmpty) 1 else factor}")
+      }
+    }
+
+    val headline = Seq("q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+      "q6_forecast", "w1_topk_per_customer", "w2_running_sum", "w3_sessionize",
+      "w4_asof_join", "c1_impute_median", "c6_zscore_filter", "c8_percentile_cap",
+      "p5_describe", "e1_hourly_totals", "t1_token_stats", "t2_quality",
+      "t4_fingerprint", "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
+      "s1_knn_bruteforce", "s2_lsh_topk", "e3_centroids", "p10_group_insight")
+    headline.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        Queries.registry(name)(spark, outDir).write.format("noop").mode("overwrite").save()
+        println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      } catch {
+        case e: Throwable =>
+          println(f"[stress] $name%-22s FAILED: ${e.getMessage.take(120)}")
+      }
+    }
+    spark.stop()
+  }
+}

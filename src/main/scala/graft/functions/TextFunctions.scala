@@ -54,10 +54,19 @@ object TextFunctions {
   /** Composite heuristic quality score in [0,1]: rewards reasonable length,
     * lexical diversity, and modest punctuation (Gopher/C4-style filters,
     * arXiv:2112.11446 §A; all thresholds are heuristic).
+    *
+    * Callers on a hot path should pre-materialize the token array and use
+    * [[qualityScoreFromToks]] — Catalyst re-evaluates the split per
+    * reference otherwise.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromToks(text, split(trim(text), "\\s+"))
+
+  /** Same formula with the token array supplied as a (materialized) column. */
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
-    val divScore = distinctTokenRatio(text)
+    val divScore = when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks)).otherwise(lit(0.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     round((lenScore * 0.4 + divScore * 0.4 + punctPenalty * 0.2), 6)
   }
@@ -76,21 +85,27 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  def langScore(text: Column, markers: Seq[String]): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    size(filter(toks, t => t.isin(markers.map(lit): _*)))
-  }
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreFromToks(split(lower(trim(text)), "\\s+"), markers)
+
+  def langScoreFromToks(lowerToks: Column, markers: Seq[String]): Column =
+    size(filter(lowerToks, t => t.isin(markers.map(lit): _*)))
 
   /** Predicted language code (argmax of marker scores; ties broken by
     * language code ascending for determinism; all-zero -> "und").
+    * Hot paths: materialize the lowercased token array and use
+    * [[langIdFromToks]] (the inline form re-splits once per language).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    langIdFromToks(split(lower(trim(text)), "\\s+"))
+
+  def langIdFromToks(lowerToks: Column): Column = {
     val langs = LangMarkers.toSeq.sortBy(_._1)
     // struct max = lexicographic (score, antiRank): highest score wins, ties
     // go to the alphabetically-first language (highest antiRank).
     val scored = langs.zipWithIndex.map { case ((lang, m), i) =>
       struct(
-        langScore(text, m).as("score"),
+        langScoreFromToks(lowerToks, m).as("score"),
         lit(langs.size - i).as("antiRank"),
         lit(lang).as("lang"))
     }

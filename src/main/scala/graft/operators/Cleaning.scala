@@ -31,6 +31,34 @@ object Cleaning {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
+  /** Exact interpolated quantiles via DISTRIBUTED sort + rank pick.
+    *
+    * The `percentile` aggregate buffers every distinct value and merges the
+    * maps single-threaded at the final stage — fine to ~1M rows, a wall at
+    * cluster scale. This variant range-shuffle-sorts the column (parallel at
+    * any size), indexes it, and collects only the 2 bracketing values per
+    * requested quantile. Interpolation follows the quantile_cont formula
+    * `lo + (h − ⌊h⌋)·(hi − lo)`, h = (n−1)·p.
+    */
+  def exactQuantilesDistributed(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] = {
+    val vals = df.select(col(c).cast("double").as("v")).where(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) ps.map(_ => None)
+    else {
+      val ranks: Seq[(Double, Long, Long)] = ps.map { p =>
+        val h = (n - 1) * p
+        (h, math.floor(h).toLong, math.ceil(h).toLong)
+      }
+      val wanted = ranks.flatMap { case (_, lo, hi) => Seq(lo, hi) }.toSet
+      val picked = vals.rdd.map(_.getDouble(0)).sortBy(identity)
+        .zipWithIndex().filter(t => wanted(t._2)).map(_.swap).collect().toMap
+      ranks.map { case (h, lo, hi) =>
+        val (vlo, vhi) = (picked(lo), picked(hi))
+        Some(vlo + (h - lo) * (vhi - vlo))
+      }
+    }
+  }
+
   /** C1: fill nulls in each column with that column's median — ALL columns'
     * medians in one aggregate job (one table scan however many columns are
     * imputed). Exact by default (pandas parity); `relativeError > 0`

@@ -18,6 +18,15 @@ class CleaningSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 10.0, 2.0))
   }
 
+  test("exactQuantilesDistributed == percentile aggregate on real data") {
+    val li = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+    for (p <- Seq(0.5, 0.95, 0.25)) {
+      val agg = li.select(percentile(col("l_extendedprice"), lit(p))).head().getDouble(0)
+      val dist = Cleaning.exactQuantilesDistributed(li, "l_extendedprice", Seq(p)).head.get
+      assert(agg == dist, s"p=$p: agg=$agg dist=$dist")
+    }
+  }
+
   test("imputeMean: mean over non-null only") {
     val df = Seq[(Int, Option[Double])](
       (1, Some(2.0)), (2, Some(4.0)), (3, None)).toDF("id", "v")
