@@ -166,6 +166,7 @@ object AutoClean {
     val res = clean(df, policy, title = new java.io.File(path).getName)
     val out = Csv.writeVersioned(res.df, path, suffix, singleFile)
     ReportRenderer.write(res.report, path)
+    graft.plans.AuditLog.write(res.audit, path) // S6: <base>_audit.jsonl
     (res, out)
   }
 }

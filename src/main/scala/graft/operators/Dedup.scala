@@ -29,18 +29,17 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keep_id"))
       .where(col("group_size") > 1)
 
-  /** Exact dedup keeping the row with the minimum id per fingerprint —
+  /** Exact dedup keeping the row with the minimum id per key —
     * deterministic (unlike `dropDuplicates`, whose survivor depends on
-    * partition order). One shuffle on the hash, then a window-free
-    * semi-join back.
+    * partition order), and correct even when ids themselves repeat (a
+    * semi-join back on the id would keep BOTH copies of a duplicated id):
+    * one shuffle, `min_by` the whole row ordered by (id, row).
     */
   def exactByKey(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
-    val keep = df
-      .select(col(idCol).as("__keep_id"), struct(keyCols: _*).as("__key"))
-      .groupBy(col("__key"))
-      .agg(min(col("__keep_id")).as("__keep_id"))
-      .select(col("__keep_id"))
-    df.join(keep, df(idCol) === keep("__keep_id"), "left_semi")
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols: _*)
+      .agg(min_by(rowStruct, struct(col(idCol), rowStruct)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -100,3 +100,33 @@ object ReportRenderer {
       java.nio.file.Paths.get(s"${base}_report.txt"), reportContent)
   }
 }
+
+/** S6: audit-log sink — JSON-lines per pipeline stage, the engine's
+  * replacement for the reference's `final_messages.log`
+  * (`tool_call_agent.py:188-202`).
+  */
+object AuditLog {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJsonLines(results: Seq[StageResult]): String =
+    results.map { r =>
+      s"""{"stage":"${esc(r.stage)}","description":"${esc(r.description)}",""" +
+        s""""ok":${r.ok},"rowsBefore":${r.rowsBefore},"rowsAfter":${r.rowsAfter}""" +
+        r.error.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+    }.mkString("", "\n", "\n")
+
+  /** Write `<base>_audit.jsonl` beside the data file. */
+  def write(results: Seq[StageResult], dataPath: String): java.nio.file.Path = {
+    val dot = dataPath.lastIndexOf('.')
+    val base = if (dot < 0) dataPath else dataPath.substring(0, dot)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${base}_audit.jsonl"), toJsonLines(results))
+  }
+}

@@ -115,6 +115,17 @@ object Profiler {
       rowCount, nulls, stats, dupCount)
   }
 
+  /** The reference's `basic_info` memo (`system.txt:2`: "cached basic info
+    * regarding the csv file") — profile once per (path, percentileError),
+    * reuse across pipeline passes and sessions.
+    */
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, Double), Profile]
+
+  def cached(df: DataFrame, key: String, percentileError: Double = 0.0): Profile =
+    cache.getOrElseUpdate((key, percentileError), apply(df, percentileError))
+
+  def invalidate(key: String): Unit = cache.filterInPlace((k, _) => k._1 != key)
+
   /** P9-style value counts for a categorical column (SURVEY.md §2.5
     * "value counts / frequency"). Deterministic order: count desc, value asc.
     */

@@ -42,6 +42,17 @@ object Csv {
     else s"${inputPath.substring(0, dot)}_$suffix${inputPath.substring(dot)}"
   }
 
+  /** S4: resolve the newest version in a lineage (`x.csv`, `x_clean.csv`,
+    * `x_clean_clean.csv`, …) — the reference's "always reload the DataFrame
+    * from the latest clean CSV" (`tool_call_agent.py:140`).
+    */
+  def latestVersion(inputPath: String, suffix: String = "clean"): String = {
+    var cur = inputPath
+    var next = versionedPath(cur, suffix)
+    while (new java.io.File(next).exists()) { cur = next; next = versionedPath(cur, suffix) }
+    cur
+  }
+
   /** S3: write a cleaned frame beside its input, never overwriting. */
   def writeVersioned(
       df: DataFrame,

@@ -50,7 +50,7 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     assert(report.contains("drop_nulls") && report.contains("3 rows"))
   }
 
-  test("csv versioned sink never overwrites (S3 semantics)") {
+  test("csv versioned sink never overwrites (S3) and latestVersion resolves (S4)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = Seq((1, "a")).toDF("id", "v")
     val in = s"$tmp/data.csv"
@@ -58,5 +58,21 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     val out1 = Csv.writeVersioned(df, in, "clean")
     assert(out1 == s"$tmp/data_clean.csv")
     intercept[Exception] { Csv.writeVersioned(df, in, "clean") }
+    assert(Csv.latestVersion(in) == s"$tmp/data_clean.csv")
+    val out2 = Csv.writeVersioned(df, out1, "clean")
+    assert(Csv.latestVersion(in) == out2)
+  }
+
+  test("audit JSONL sink (S6) + profile memo cache") {
+    val df = Seq((1, 2.0)).toDF("id", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val res = Seq(graft.plans.StageResult("s1", "desc \"q\"", ok = true, 3, 2, None))
+    val p = graft.plans.AuditLog.write(res, s"$tmp/d.csv")
+    val line = java.nio.file.Files.readString(p)
+    assert(line.contains(""""stage":"s1"""") && line.contains("\\\"q\\\""))
+    val p1 = graft.profile.Profiler.cached(df, "k1")
+    val p2 = graft.profile.Profiler.cached(df.limit(0), "k1") // memo hit: same key
+    assert(p1 eq p2)
+    graft.profile.Profiler.invalidate("k1")
   }
 }
