@@ -130,6 +130,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("saltedJoin == plain join on skewed data") {
+    import graft.operators.SkewJoin
+    // one hot key (90% of rows) + a tail
+    val big = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    val small = (1 to 101).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(big, small, "k", factor = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    val skew = SkewJoin.keySkew(big, "k", 1).head()
+    assert(skew.getLong(0) == 1L && skew.getLong(1) == 900L)
+  }
+
   // ------------------------------------------------------------ multimodal
   test("multimodal: metadata + frame sampling over binary payloads") {
     val df = Seq((1L, "abcdef"), (2L, "0123456789abcdef")).toDF("id", "payload")

@@ -28,6 +28,22 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     assert(math.abs(age.mean.get - 36.6) < 0.05)
   }
 
+  test("profile of timestamp/JSON-bearing events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = Profiler(ev)
+    assert(p.rowCount == 1000)
+    assert(p.columns.exists { case (n, t) => n == "ts" && t == "timestamp" })
+    assert(!p.hasNulls)
+    val v = p.numericStats.find(_.column == "value").get
+    assert(v.count == 1000 && v.min.get >= 0)
+    // JSON props profile via value counts on an extracted field
+    val vc = Profiler.valueCounts(
+      ev.select(get_json_object(col("props"), "$.k").cast("long").as("k")), "k", 3)
+    assert(vc.count() == 3)
+  }
+
   test("valueCounts: deterministic order (count desc, value asc)") {
     val df = Seq("b", "a", "a", "c", "b").toDF("v")
     val vc = Profiler.valueCounts(df, "v").collect().map(r => (r.getString(0), r.getLong(1)))
