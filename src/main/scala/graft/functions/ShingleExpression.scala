@@ -35,7 +35,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
   def shingle(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.trim.split("\\s+")
+    // Match Spark's semantics EXACTLY: sql trim() strips spaces only (not
+    // tabs — UTF8String.trim), and sql split() uses Java limit -1 (keeps
+    // trailing empty strings). Divergence found by PropertySpec on
+    // tab-edged input.
+    val toks = s.trim().toString.split("\\s+", -1)
     val out = new java.util.LinkedHashSet[String]()
     if (n <= 1) {
       var i = 0

@@ -32,7 +32,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   def simhash(s: UTF8String): Long = {
-    val toks = s.toString.trim.split("\\s+")
+    // sql-trim (spaces only) + split limit -1, matching the Spark built-ins
+    // (see WordShingles)
+    val toks = s.trim().toString.split("\\s+", -1)
     val seen = new java.util.HashSet[String]()
     val counts = new Array[Int](64)
     var i = 0
