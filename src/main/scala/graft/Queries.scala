@@ -55,20 +55,25 @@ object Queries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
       .limit(5)
 
-  /** P5: describe — count/mean/std/min/median/max per numeric column,
-    * fused into ONE scan + ONE aggregate (all columns' statistics including
-    * the exact medians in a single pass), then unpivoted with stack().
+  /** P5: describe — count/mean/std/min/median/max per numeric column:
+    * moments fused into ONE scan + ONE aggregate, exact medians via the
+    * DISTRIBUTED sort-and-pick (the `percentile` aggregate merges every
+    * distinct value single-threaded at the final stage; the distributed
+    * variant is spec-proven bit-equal), then unpivoted with stack().
     */
   def p5Describe(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val medians: Map[String, Double] = cols.map { c =>
+      c -> Cleaning.exactQuantilesDistributed(li, c, Seq(0.5)).head.get
+    }.toMap
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
         dmean(col(c)).as(s"mean_$c"),
         dstd(col(c)).as(s"std_$c"),
         min(col(c)).as(s"min_$c"),
-        percentile(col(c), lit(0.5)).as(s"med_$c"),
+        lit(medians(c)).as(s"med_$c"),
         max(col(c)).as(s"max_$c"))
     }
     li.agg(aggs.head, aggs.tail: _*)
