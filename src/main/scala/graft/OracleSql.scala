@@ -163,6 +163,17 @@ object OracleSql {
         |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
+    "w5_range_window" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec FROM orders)
+        |SELECT o_orderkey,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY sec
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS trailing_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY sec
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_extendedprice")} AS sum_price, count(*) AS n

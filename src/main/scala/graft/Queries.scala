@@ -270,6 +270,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Range-frame window: trailing 30-day order count + decimal-exact spend
+    * per order within its priority class (RANGE frames include ties by
+    * value, so the result is deterministic under any tie order).
+    */
+  def w5RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("sec"))
+      .rangeBetween(-2592000L, 0L) // 30 days in seconds
+    t(s, dir, "orders")
+      // NTZ has no direct long cast; NTZ -> TIMESTAMP in the UTC session
+      // == DuckDB's epoch() of the naive timestamp
+      .withColumn("sec", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("trailing_n"), col("trailing_spend"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Rollup aggregation: revenue subtotals by (returnflag, linestatus) with
     * per-flag and grand totals.
     */
@@ -655,6 +674,7 @@ object Queries {
     "w2_running_sum" -> (w2RunningSum _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_asof_join" -> (w4AsofJoin _),
+    "w5_range_window" -> (w5RangeWindow _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
     "e1_hourly_totals" -> (e1HourlyTotals _),
