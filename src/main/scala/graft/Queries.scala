@@ -64,9 +64,7 @@ object Queries {
   def p5Describe(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val medians: Map[String, Double] = cols.map { c =>
-      c -> Cleaning.exactQuantilesDistributed(li, c, Seq(0.5)).head.get
-    }.toMap
+    val medians = Cleaning.exactQuantilesMulti(li, cols, 0.5)
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
@@ -331,7 +329,7 @@ object Queries {
     val base = t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")).as("qty"))
-    val m = base.select(percentile(col("qty"), lit(0.5))).head().getDouble(0)
+    val m = Cleaning.exactQuantilesMulti(base, Seq("qty"), 0.5)("qty")
     base.select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("qty"), lit(m)).as("qty_filled"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -410,7 +408,7 @@ object Queries {
     val std = math.sqrt((sxx - sx * sx / n) / (n - 1))
     val nulled = e.select(col("event_id"),
       when(abs(col("value") - mean) > 3 * std, lit(null)).otherwise(col("value")).as("v"))
-    val med = nulled.select(percentile(col("v"), lit(0.5))).head().getDouble(0)
+    val med = Cleaning.exactQuantilesMulti(nulled, Seq("v"), 0.5)("v")
     nulled.select(col("event_id"), coalesce(col("v"), lit(med)).as("value_clean"))
       .orderBy(col("event_id"))
   }
@@ -418,7 +416,7 @@ object Queries {
   /** C8: winsorize o_totalprice at the exact 95th percentile. */
   def c8PercentileCap(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val cap = o.select(percentile(col("o_totalprice"), lit(0.95))).head().getDouble(0)
+    val cap = Cleaning.exactQuantilesMulti(o, Seq("o_totalprice"), 0.95)("o_totalprice")
     o.select(col("o_orderkey"),
         least(col("o_totalprice"), lit(cap)).as("price_capped"))
       .orderBy(col("o_orderkey"))

@@ -31,31 +31,85 @@ object Cleaning {
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
-  /** Exact interpolated quantiles via DISTRIBUTED sort + rank pick.
+  /** Exact interpolated quantiles, scalable: bracket-and-refine.
     *
     * The `percentile` aggregate buffers every distinct value and merges the
     * maps single-threaded at the final stage — fine to ~1M rows, a wall at
-    * cluster scale. This variant range-shuffle-sorts the column (parallel at
-    * any size), indexes it, and collects only the 2 bracketing values per
-    * requested quantile. Interpolation follows the quantile_cont formula
-    * `lo + (h − ⌊h⌋)·(hi − lo)`, h = (n−1)·p.
+    * cluster scale (and a full RDD sort boxes every value). Instead:
+    * (1) bracket the target rank with a Greenwald-Khanna approxQuantile
+    * (fixed-memory sketch, rank error ≤ εn); (2) count rows strictly below
+    * the bracket (columnar scan); (3) collect and sort only the ~εn values
+    * inside the bracket; (4) pick the two exact ranks and interpolate with
+    * the quantile_cont formula `lo + (h − ⌊h⌋)·(hi − lo)`, h = (n−1)·p.
+    * Small frames skip straight to a local sort.
     */
-  def exactQuantilesDistributed(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] = {
-    val vals = df.select(col(c).cast("double").as("v")).where(col("v").isNotNull)
-    val n = vals.count()
-    if (n == 0) ps.map(_ => None)
+  def exactQuantilesDistributed(df: DataFrame, c: String, ps: Seq[Double]): Seq[Option[Double]] =
+    ps.map(p => exactQuantilesMulti(df, Seq(c), p).get(c))
+
+  private def interp(n: Long, p: Double, pick: Long => Double): Double = {
+    val h = (n - 1) * p
+    val lo = math.floor(h).toLong
+    val vlo = pick(lo)
+    if (math.ceil(h).toLong == lo) vlo
     else {
-      val ranks: Seq[(Double, Long, Long)] = ps.map { p =>
-        val h = (n - 1) * p
-        (h, math.floor(h).toLong, math.ceil(h).toLong)
+      val vhi = pick(lo + 1)
+      // DuckDB quantile_cont arithmetic EXACTLY (empirically verified):
+      // weighted form vlo*(1-f) + vhi*f — NOT vlo + f*(vhi-vlo), which
+      // drifts in the last ulp at uneven quantile points.
+      val f = h - lo
+      vlo * (1 - f) + vhi * f
+    }
+  }
+
+  /** All listed columns' exact p-quantile in a FIXED number of jobs
+    * (3, independent of column count): counts, sketch brackets, then one
+    * conditional aggregate collecting each column's base rank + in-bracket
+    * window. Small frames (≤200k non-null) take one collect_list pass.
+    */
+  def exactQuantilesMulti(df: DataFrame, cols: Seq[String], p: Double): Map[String, Double] = {
+    val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val cntRow = d.agg(count(col(cols.head)).as(cols.head),
+      cols.tail.map(c => count(col(c)).as(c)): _*).head()
+    val ns = cols.map(c => c -> cntRow.getAs[Long](c)).toMap
+    val present = cols.filter(ns(_) > 0)
+    if (present.isEmpty) return Map.empty
+
+    if (present.map(ns).max <= 200000) {
+      val listRow = d.agg(
+        sort_array(collect_list(col(present.head))).as(present.head),
+        present.tail.map(c => sort_array(collect_list(col(c))).as(c)): _*).head()
+      present.map { c =>
+        val sorted = listRow.getSeq[Double](listRow.fieldIndex(c))
+        c -> interp(ns(c), p, i => sorted(i.toInt))
+      }.toMap
+    } else {
+      val eps = 1e-3
+      val pl = math.max(0.0, p - 2 * eps)
+      val ph = math.min(1.0, p + 2 * eps)
+      val brackets = present.zip(
+        d.stat.approxQuantile(present.toArray, Array(pl, ph), eps / 2))
+        .map { case (c, arr) => c -> (arr(0), arr(1)) }.toMap
+      val aggs = present.flatMap { c =>
+        val (a, b) = brackets(c)
+        Seq(
+          sum(when(col(c) < a, 1L).otherwise(0L)).as(s"__base_$c"),
+          sort_array(collect_list(when(col(c) >= a && col(c) <= b, col(c))))
+            .as(s"__win_$c"))
       }
-      val wanted = ranks.flatMap { case (_, lo, hi) => Seq(lo, hi) }.toSet
-      val picked = vals.rdd.map(_.getDouble(0)).sortBy(identity)
-        .zipWithIndex().filter(t => wanted(t._2)).map(_.swap).collect().toMap
-      ranks.map { case (h, lo, hi) =>
-        val (vlo, vhi) = (picked(lo), picked(hi))
-        Some(vlo + (h - lo) * (vhi - vlo))
-      }
+      val row = d.agg(aggs.head, aggs.tail: _*).head()
+      present.map { c =>
+        val (a, b) = brackets(c)
+        if (a == b) c -> a
+        else {
+          val base = row.getAs[Long](s"__base_$c")
+          val win = row.getSeq[Double](row.fieldIndex(s"__win_$c"))
+          def pick(r: Long): Double = {
+            val idx = (r - base).toInt
+            win(math.min(math.max(idx, 0), win.length - 1))
+          }
+          c -> interp(ns(c), p, pick)
+        }
+      }.toMap
     }
   }
 
@@ -66,12 +120,8 @@ object Cleaning {
     */
   def imputeMedian(cols: Seq[String], relativeError: Double = 0.0)(df: DataFrame): DataFrame = {
     val fills: Map[String, Double] =
-      if (relativeError == 0.0) {
-        val aggs = cols.map(c => percentile(col(c).cast("double"), lit(0.5)).as(c))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        cols.flatMap(c => if (row.isNullAt(row.fieldIndex(c))) None
-          else Some(c -> row.getAs[Double](c))).toMap
-      } else {
+      if (relativeError == 0.0) exactQuantilesMulti(df, cols, 0.5)
+      else {
         val doubled = cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
         cols.zip(doubled.stat.approxQuantile(cols.toArray, Array(0.5), relativeError))
           .flatMap { case (c, q) => q.headOption.map(c -> _) }.toMap
