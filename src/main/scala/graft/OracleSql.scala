@@ -124,6 +124,19 @@ object OracleSql {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_setops" ->
+      """WITH b98 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        |b99 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_custkey, cohort FROM (
+        |  SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM b98 EXCEPT SELECT * FROM b99)
+        |  UNION ALL
+        |  SELECT o_custkey, 'repeat' FROM (SELECT * FROM b98 INTERSECT SELECT * FROM b99))
+        |ORDER BY cohort, o_custkey""".stripMargin,
+
     "w1_topk_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -207,6 +207,21 @@ object Queries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Set operations: customers who bought in 1998 but not 1999 (EXCEPT),
+    * plus the 1998∩1999 repeat buyers (INTERSECT), tagged and unioned.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def buyers(y0: String, y1: String) = ord
+      .where(col("o_orderdate") >= ts(y0) && col("o_orderdate") < ts(y1))
+      .select(col("o_custkey"))
+    val b98 = buyers("1998-01-01 00:00:00", "1999-01-01 00:00:00")
+    val b99 = buyers("1999-01-01 00:00:00", "2000-01-01 00:00:00")
+    b98.except(b99).select(col("o_custkey"), lit("churned").as("cohort"))
+      .unionAll(b98.intersect(b99).select(col("o_custkey"), lit("repeat").as("cohort")))
+      .orderBy(col("cohort"), col("o_custkey"))
+  }
+
   /** Window top-k: 3 biggest orders per customer. */
   def w1TopkPerCustomer(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -668,6 +683,7 @@ object Queries {
     "q6_forecast" -> (q6Forecast _),
     "q_semijoin" -> (qSemiJoin _),
     "q_antijoin" -> (qAntiJoin _),
+    "q_setops" -> (qSetOps _),
     "w1_topk_per_customer" -> (w1TopkPerCustomer _),
     "w2_running_sum" -> (w2RunningSum _),
     "w3_sessionize" -> (w3Sessionize _),
