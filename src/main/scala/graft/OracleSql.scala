@@ -367,6 +367,15 @@ object OracleSql {
          |  min(c_acctbal) AS min_balance, max(c_acctbal) AS max_balance
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "t6_ngram_counts" ->
+      s"""WITH t AS (SELECT $tokSplit AS toks FROM documents),
+         |bg AS (SELECT list_distinct(list_transform(
+         |    list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+         |    x -> x[1] || ' ' || x[2])) AS bigrams FROM t)
+         |SELECT bigram, count(*) AS doc_freq
+         |FROM (SELECT unnest(bigrams) AS bigram FROM bg)
+         |GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 20""".stripMargin,
+
     // ------------------------------------------------------ dedup / vectors
     "d1_exact_dedup" ->
       """WITH all_docs AS (

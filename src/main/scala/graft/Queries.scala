@@ -552,6 +552,17 @@ object Queries {
         max(col("c_acctbal")).as("max_balance"))
       .orderBy(col("c_mktsegment"))
 
+  /** T6: corpus-level n-gram document frequency — top 20 bigrams by the
+    * number of documents containing them (distinct per doc via shingles).
+    */
+  def t6NgramCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(20)
+
   // ======================================================================
   // Dedup / similarity (north-star)
   // ======================================================================
@@ -712,6 +723,7 @@ object Queries {
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_corpus_filter" -> (t5CorpusFilter _),
+    "t6_ngram_counts" -> (t6NgramCounts _),
     "p10_group_insight" -> (p10GroupInsight _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
