@@ -137,6 +137,14 @@ object OracleSql {
         |  SELECT o_custkey, 'repeat' FROM (SELECT * FROM b98 INTERSECT SELECT * FROM b99))
         |ORDER BY cohort, o_custkey""".stripMargin,
 
+    "q_above_own_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+
     "w1_topk_per_customer" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -222,6 +222,21 @@ object Queries {
       .orderBy(col("cohort"), col("o_custkey"))
   }
 
+  /** Correlated-subquery shape: orders above their customer's own average
+    * spend — expressed as a grouped window (decimal-exact mean), the
+    * Spark-native decorrelation of `WHERE price > (SELECT avg ... )`.
+    */
+  def qAboveOwnAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .where(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Window top-k: 3 biggest orders per customer. */
   def w1TopkPerCustomer(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -695,6 +710,7 @@ object Queries {
     "q_semijoin" -> (qSemiJoin _),
     "q_antijoin" -> (qAntiJoin _),
     "q_setops" -> (qSetOps _),
+    "q_above_own_avg" -> (qAboveOwnAvg _),
     "w1_topk_per_customer" -> (w1TopkPerCustomer _),
     "w2_running_sum" -> (w2RunningSum _),
     "w3_sessionize" -> (w3Sessionize _),
