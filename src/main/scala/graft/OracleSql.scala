@@ -49,12 +49,12 @@ object OracleSql {
 
     "p6_nullcounts" ->
       """SELECT
-        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orderkey,
-        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_custkey,
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_orderstatus,
-        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_totalprice,
-        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_orderdate,
-        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_orderpriority
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderkey,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderstatus,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_totalprice,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderdate,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderpriority
         |FROM orders""".stripMargin,
 
     "p7_extremes" ->
@@ -168,7 +168,7 @@ object OracleSql {
         |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -203,9 +203,9 @@ object OracleSql {
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "e1_hourly_totals" ->
@@ -432,11 +432,9 @@ object OracleSql {
 
     "e3_centroids" ->
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
-        |  unnest(embedding) AS v FROM embeddings),
-        |m AS (SELECT label, dim,
-        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(v) AS m FROM x
-        |  GROUP BY label, dim)
-        |SELECT label, list(m ORDER BY dim) AS centroid FROM m
-        |GROUP BY label ORDER BY label""".stripMargin
+        |  unnest(embedding) AS v FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(v) AS m
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
   )
 }

@@ -667,18 +667,19 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** E3: per-label embedding centroids via decimal-exact element means. */
+  /** E3: per-label embedding centroids via decimal-exact element means.
+    * Long form `(label, dim, m)` — dim 1-based to match SQL
+    * `generate_subscripts`; the array re-assembly lives in
+    * [[graft.operators.Similarity.centroids]] for library callers.
+    */
   def e3Centroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
         count(col("v"))).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-      .select(col("label"),
-        transform(col("pairs"), p => p.getField("m")).as("centroid"))
-      .orderBy(col("label"))
+      .select(col("label"), (col("dim") + 1).cast("long").as("dim"), col("m"))
+      .orderBy(col("label"), col("dim"))
 
   /** MM1: multimodal metadata extraction over a synthetic binary column
     * (stub decode; rows-only check — see [[graft.operators.Multimodal]]).

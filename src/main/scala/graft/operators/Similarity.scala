@@ -152,11 +152,16 @@ object Similarity {
       iterations: Int = 3): (DataFrame, DataFrame) = {
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       transform(col(vecCol), _.cast("double")).as("nvec"))
-    var cents = vecs.orderBy(col("neighbor_id")).limit(nClusters)
-      .select(col("neighbor_id").cast("int").as("cluster"), col("nvec").as("centroid"))
-      // re-number clusters 0..k-1 deterministically
-      .withColumn("cluster",
-        (row_number().over(Window.orderBy(col("cluster"))) - 1).cast("int"))
+    // Deterministic init: the nClusters lowest-id vectors, renumbered 0..k-1
+    // in id order. The init set is tiny (≤ nClusters rows) so it is collected
+    // and rebuilt driver-side — no global Window over the cluster ids.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val init = vecs.orderBy(col("neighbor_id")).limit(nClusters)
+      .select(col("nvec")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    var cents = init.toSeq.toDF("cluster", "centroid")
     (1 to iterations).foreach { _ =>
       val assigned = assign(vecs, cents)
       cents = centroids(assigned, "cluster", "nvec")
