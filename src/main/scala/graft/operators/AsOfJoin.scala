@@ -41,15 +41,20 @@ object AsOfJoin {
       if (rightValues.nonEmpty) rightValues
       else right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
 
+    // Carry the whole right row as ONE struct: the struct is non-null for
+    // every right row even when its fields are null, so `last(ignoreNulls)`
+    // matches the latest right ROW wholesale (pandas merge_asof / kdb aj
+    // semantics) — a null field in the matched row stays null rather than
+    // being back-filled from an older row, and all carried columns come
+    // from the same right row.
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts after right at equal time
-      .withColumns(carried.map(c => s"__r_$c" -> lit(null)).toMap)
+      .withColumn("__r", lit(null))
     val r = right
-      .select(
-        (col(rightKey).as("__key") +: col(rightTime).as("__t") +:
-          lit(0).as("__side") +: carried.map(c => col(c).as(s"__r_$c"))): _*)
+      .select(col(rightKey).as("__key"), col(rightTime).as("__t"),
+        lit(0).as("__side"), struct(carried.map(col): _*).as("__r"))
       .withColumns(left.columns.map(c => c -> lit(null)).toMap)
       .select(l.columns.map(col): _*) // align column order for union
 
@@ -58,10 +63,9 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .withColumns(carried.map(c =>
-        s"__r_$c" -> last(col(s"__r_$c"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(left.columns.map(col) ++
-        carried.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        carried.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -159,22 +159,36 @@ object Cleaning {
   }
 
   /** All columns' pinned-tie-break modes in ONE pass: explode each row into
-    * (column, stringValue) pairs, count, argmax per column via
-    * max_by-over-struct with the (count desc, value asc) tie-break encoded
-    * in the struct ordering. One scan + one shuffle regardless of column
-    * count (vs one groupBy job per column).
+    * (column, value) pairs, count, argmax per column via min_by-over-struct
+    * with the (count desc, value asc) tie-break encoded in the struct
+    * ordering. One scan + one shuffle regardless of column count (vs one
+    * groupBy job per column).
+    *
+    * The tie-break compares the column's NATIVE order, not the string form:
+    * numeric columns carry a double sort key (so 9.0 < 10.0, not
+    * "10.0" < "9.0"), everything else falls through to the string value
+    * (exact for ISO dates/timestamps and booleans) — matching single-column
+    * [[pinnedMode]] and pandas `mode()[0]`.
     */
   def pinnedModes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.types.NumericType
+    def numKey(c: String): Column = df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case _ => lit(null).cast("double")
+    }
     val pairs = df.select(explode(map(
-      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("__col", "__val")))
-      .where(col("__val").isNotNull)
+      cols.flatMap(c => Seq(lit(c),
+        struct(col(c).cast("string").as("s"), numKey(c).as("n")))): _*))
+        .as(Seq("__col", "__val")))
+      .where(col("__val.s").isNotNull)
     pairs
       .groupBy(col("__col"), col("__val"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("__col"))
-      // min_by over (-count, value): highest count first, then SMALLEST
-      // value — the pinned pandas mode()[0] tie-break — in one aggregate.
-      .agg(min_by(col("__val"), struct((-col("__cnt")).as("nc"), col("__val"))).as("__mode"))
+      // min_by over (-count, numKey, value): highest count first, then the
+      // SMALLEST value in the column's own order — pandas mode()[0].
+      .agg(min_by(col("__val.s"), struct((-col("__cnt")).as("nc"),
+        col("__val.n").as("n"), col("__val.s").as("s"))).as("__mode"))
       .collect()
       .map(r => r.getString(0) -> r.getString(1))
       .toMap

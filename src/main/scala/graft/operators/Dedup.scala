@@ -107,28 +107,25 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    verifyJaccard(df, idCol, textCol, candidates, shingleSize, threshold)
-  }
-
-  /** Exact shingle-set Jaccard for a candidate-pair set; keeps pairs with
-    * jaccard >= threshold. Shared by the MinHash and brute-force paths.
-    */
-  private def verifyJaccard(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      candidates: DataFrame,
-      shingleSize: Int,
-      threshold: Double): DataFrame = {
     // joined twice (id_a side + id_b side): shingle once, reuse
     val sets = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleSize).as("sset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    val verified = candidates
       .join(sets.as("sa"), col("id_a") === col("sa.sid"))
       .join(sets.as("sb"), col("id_b") === col("sb.sid"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sa.sset"), col("sb.sset")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+
+    // Materialize the (small: pairs above threshold) output, then release
+    // the large cached intermediates — repeated calls in a long-lived
+    // session must not accumulate blocks until LRU pressure. Callers may
+    // unpersist the returned frame when finished with it.
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    banded.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    out
   }
 
   /** |A∩B| / |A∪B| on distinct-element array columns — one-pass kernel

@@ -23,13 +23,26 @@ object Csv {
       spark: SparkSession,
       path: String,
       nullValues: Seq[String] = Seq("N/A", "NA", "", "null")
-  ): DataFrame =
-    spark.read
+  ): DataFrame = {
+    // Spark's CSV reader accepts a single `nullValue`; parse with the first
+    // sentinel (the dominant one, so it can't break numeric inference), then
+    // null out the remaining sentinels in the string columns post-read. A
+    // column whose cells are ONLY secondary sentinels plus numbers still
+    // infers as string — callers needing a numeric type after that apply
+    // Cleaning.castNumeric (AutoClean does).
+    val raw = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .option("nullValue", nullValues.headOption.orNull)
       .option("nanValue", "NaN")
       .csv(path)
+    val rest = nullValues.drop(1)
+    val strCols = raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    if (rest.isEmpty || strCols.isEmpty) raw
+    else graft.operators.Cleaning.sentinelToNull(strCols, rest)(raw)
+  }
 
   /** Next version name in the reference's lineage convention:
     * `x.csv -> x_clean.csv -> x_clean_clean.csv` style suffixing

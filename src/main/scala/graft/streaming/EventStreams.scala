@@ -37,24 +37,44 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Custom per-user session state via mapGroupsWithState: a session closes
-    * after `gapMinutes` of inactivity (processing-time timeout for the
-    * local smoke; event-time in production).
+  /** Custom per-user session state via flatMapGroupsWithState: a session
+    * closes after `gapMinutes` of event-time inactivity. Within each batch
+    * the group's events are processed in event-time order; an event more
+    * than the gap after the open session's last event closes it (emitted
+    * with `closed = true`) and starts a new one. The still-open session is
+    * emitted with `closed = false` and kept in state so it can absorb later
+    * batches. A late event inside the open session's span merges into it.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
     events.as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Sess, SessionUpdate](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Sess, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Sess]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          val init = state.getOption.getOrElse(Sess(Long.MaxValue, Long.MinValue, 0L, 0.0))
-          val s = sorted.foldLeft(init) { (acc, e) =>
-            Sess(math.min(acc.start, e.ts.getTime), math.max(acc.last, e.ts.getTime),
-              acc.n + 1, acc.total + e.value)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open = open match {
+              case Some(s) if t - s.last > gapMs =>
+                out += SessionUpdate(userId, new java.sql.Timestamp(s.start),
+                  s.n, s.total, closed = true)
+                Some(Sess(t, t, 1L, e.value))
+              case Some(s) =>
+                Some(Sess(math.min(s.start, t), math.max(s.last, t),
+                  s.n + 1, s.total + e.value))
+              case None => Some(Sess(t, t, 1L, e.value))
+            }
           }
-          state.update(s)
-          SessionUpdate(userId, new java.sql.Timestamp(s.start), s.n, s.total, closed = false)
+          open.foreach { s =>
+            state.update(s)
+            out += SessionUpdate(userId, new java.sql.Timestamp(s.start),
+              s.n, s.total, closed = false)
+          }
+          out.iterator
       }
       .toDF()
   }

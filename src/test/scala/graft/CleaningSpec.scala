@@ -39,6 +39,20 @@ class CleaningSpec extends AnyFunSuite {
     assert(Cleaning.pinnedMode(df, "v").contains("a"))
   }
 
+  test("pinnedModes: numeric ties break on numeric order, not string order") {
+    // counts tied between 9.0 and 10.0 — pandas mode()[0] picks 9.0, but a
+    // lexicographic tie-break would pick "10.0" ("10.0" < "9.0" as strings)
+    val df = Seq(9.0, 9.0, 10.0, 10.0, 11.0).toDF("v")
+      .withColumn("s", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x"),
+        org.apache.spark.sql.functions.col("v").cast("int")))
+    val m = Cleaning.pinnedModes(df, Seq("v", "s"))
+    assert(m("v") == "9.0")
+    assert(m("s") == "x10") // string column still string-ordered: "x10" < "x9"
+    // and the single-column path agrees on the numeric column
+    assert(Cleaning.pinnedMode(df, "v").contains(9.0))
+  }
+
   test("imputeMode: all-null column is a no-op") {
     val df = Seq[(Int, Option[String])]((1, None), (2, None)).toDF("id", "v")
     val out = Cleaning.imputeMode(Seq("v"))(df).collect()

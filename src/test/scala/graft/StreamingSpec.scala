@@ -50,18 +50,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == batch.count())
   }
 
-  test("sessionize: per-user state via mapGroupsWithState") {
+  test("sessionize: per-user state via flatMapGroupsWithState") {
     val batch = eventsBatch
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     batch.write.mode("overwrite").parquet(tmp)
     val streamed = spark.readStream.schema(batch.schema).parquet(tmp)
     val sess = EventStreams.sessionize(spark, streamed)
-    val q = EventStreams.runToMemory(sess, "sess_out")
+    val q = EventStreams.runToMemory(sess, "sess_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
     q.processAllAvailable(); q.stop()
     val out = spark.table("sess_out")
     val users = batch.select("user_id").distinct().count()
     assert(out.select("user_id").distinct().count() == users)
+    // every event lands in exactly one emitted session (closed or open)
     val totalEvents = out.agg(sum("nEvents")).head().getLong(0)
     assert(totalEvents == batch.count())
+  }
+
+  test("sessionize splits on inactivity gaps and closes prior sessions") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      EventStreams.Event(1L, at(0), 7L, "click", 1.0, "{}"),
+      EventStreams.Event(2L, at(10), 7L, "click", 2.0, "{}"),
+      EventStreams.Event(3L, at(120), 7L, "view", 3.0, "{}"), // > 30 min gap
+      EventStreams.Event(4L, at(125), 7L, "view", 4.0, "{}")
+    ).toDF()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    events.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(events.schema).parquet(tmp)
+    val sess = EventStreams.sessionize(spark, streamed, gapMinutes = 30)
+    val q = EventStreams.runToMemory(sess, "sess_gap_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_gap_out")
+      .orderBy(col("sessionStart")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Boolean]("closed") && rows(0).getAs[Long]("nEvents") == 2L)
+    assert(rows(0).getAs[Double]("totalValue") == 3.0)
+    assert(!rows(1).getAs[Boolean]("closed") && rows(1).getAs[Long]("nEvents") == 2L)
+    assert(rows(1).getAs[java.sql.Timestamp]("sessionStart") == at(120))
   }
 }
