@@ -10,12 +10,19 @@ package graft
   */
 object OracleSql {
 
-  // -- decimal-exact helpers (twins of Queries.dsum/dmean/dstd) ------------
-  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+  // -- exact-sum helpers (twins of Queries.dsum/lsum/lmean/lstd) -----------
+  // lsum: quantize to 6dp with floor(x*1e6+0.5), sum the exact integers
+  // (DuckDB sums BIGINT as HUGEINT — still exact), divide once. Identical
+  // IEEE ops to the Spark twin, so bit-identical doubles.
   private def dsumSq(x: String) = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,6))) AS DOUBLE)"
-  private def dmean(x: String) = s"${dsum(x)} / count($x)"
-  private def dstd(x: String) =
-    s"sqrt((${dsumSq(x)} - ${dsum(x)}*${dsum(x)}/count($x)) / (count($x) - 1))"
+  // parenthesized: lsum is a quotient, so embedding it in a larger * / chain
+  // without parens would re-associate the division (SQL * and / are
+  // left-associative) and drift the last ulp vs the Spark twin
+  private def lsum(x: String) =
+    s"(CAST(SUM(CAST(floor(($x)*1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
+  private def lmean(x: String) = s"${lsum(x)} / count($x)"
+  private def lstd(x: String) =
+    s"sqrt((${dsumSq(x)} - ${lsum(x)}*${lsum(x)}/count($x)) / (count($x) - 1))"
 
   // -- unrolled 64-dim vector math (twin of VectorFunctions fold order) ----
   private def dotSql(a: String, b: String): String =
@@ -41,7 +48,7 @@ object OracleSql {
 
     "p5_describe" -> {
       def one(c: String) =
-        s"""SELECT '$c' AS col_name, count($c) AS n, ${dmean(c)} AS mean, ${dstd(c)} AS std,
+        s"""SELECT '$c' AS col_name, count($c) AS n, ${lmean(c)} AS mean, ${lstd(c)} AS std,
            |min($c) AS min_v, quantile_cont($c, 0.5) AS median, max($c) AS max_v FROM lineitem""".stripMargin
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
@@ -74,19 +81,19 @@ object OracleSql {
     // -------------------------------------------------- agg / join / window
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dsum("l_quantity")} AS sum_qty,
-         |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-         |  ${dmean("l_quantity")} AS avg_qty,
-         |  ${dmean("l_extendedprice")} AS avg_price,
-         |  ${dmean("l_discount")} AS avg_disc,
+         |  ${lsum("l_quantity")} AS sum_qty,
+         |  ${lsum("l_extendedprice")} AS sum_base_price,
+         |  ${lsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${lsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${lmean("l_quantity")} AS avg_qty,
+         |  ${lmean("l_extendedprice")} AS avg_price,
+         |  ${lmean("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_revenue" ->
-      s"""SELECT l_orderkey, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      s"""SELECT l_orderkey, ${lsum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -96,7 +103,7 @@ object OracleSql {
          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_nation_revenue" ->
-      s"""SELECT n_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+      s"""SELECT n_name, ${lsum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -107,7 +114,7 @@ object OracleSql {
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_forecast" ->
-      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
+      s"""SELECT ${lsum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
@@ -140,7 +147,8 @@ object OracleSql {
     "q_above_own_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |    (CAST(SUM(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT))
+        |        OVER (PARTITION BY o_custkey) AS DOUBLE) / 100.0)
         |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
         |  FROM orders)
         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
@@ -155,9 +163,9 @@ object OracleSql {
 
     "w2_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(floor(l_quantity*100.0 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS running_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) / 100.0 AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "w3_sessionize" ->
@@ -190,14 +198,14 @@ object OracleSql {
         |SELECT o_orderkey,
         |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY sec
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS trailing_n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY o_orderpriority ORDER BY sec
-        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS trailing_spend
         |FROM o ORDER BY o_orderkey""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dsum("l_extendedprice")} AS sum_price, count(*) AS n
+         |  ${lsum("l_extendedprice")} AS sum_price, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
@@ -210,7 +218,7 @@ object OracleSql {
 
     "e1_hourly_totals" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         |  count(*) AS n_events, ${dsum("value")} AS total_value
+         |  count(*) AS n_events, ${lsum("value")} AS total_value
          |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
 
     "e2_json_extract" ->
@@ -228,7 +236,7 @@ object OracleSql {
     "c2_impute_mean" ->
       s"""WITH b AS (SELECT o_orderkey,
          |  CASE WHEN o_totalprice > 300000 THEN NULL ELSE o_totalprice END AS price FROM orders)
-         |SELECT o_orderkey, COALESCE(price, (SELECT ${dmean("price")} FROM b)) AS price_filled
+         |SELECT o_orderkey, COALESCE(price, (SELECT ${lmean("price")} FROM b)) AS price_filled
          |FROM b ORDER BY o_orderkey""".stripMargin,
 
     "c3_impute_mode" ->
@@ -250,14 +258,14 @@ object OracleSql {
         |WHERE NOT (l_quantity > 45) ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "c6_zscore_filter" ->
-      s"""WITH s AS (SELECT ${dsum("o_totalprice")} AS sx, ${dsumSq("o_totalprice")} AS sxx,
+      s"""WITH s AS (SELECT ${lsum("o_totalprice")} AS sx, ${dsumSq("o_totalprice")} AS sxx,
          |  count(o_totalprice) AS n FROM orders)
          |SELECT o_orderkey, o_totalprice FROM orders, s
          |WHERE abs(o_totalprice - sx/n) <= 3 * sqrt((sxx - sx*sx/n)/(n - 1))
          |ORDER BY o_orderkey""".stripMargin,
 
     "c7_outlier_to_null" ->
-      s"""WITH s AS (SELECT ${dsum("value")} AS sx, ${dsumSq("value")} AS sxx,
+      s"""WITH s AS (SELECT ${lsum("value")} AS sx, ${dsumSq("value")} AS sxx,
          |  count(value) AS n FROM events),
          |b AS (SELECT event_id,
          |  CASE WHEN abs(value - sx/n) > 3 * sqrt((sxx - sx*sx/n)/(n - 1))
@@ -370,8 +378,8 @@ object OracleSql {
 
     "p10_group_insight" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers,
-         |  ${dmean("c_acctbal")} AS avg_balance,
-         |  ${dstd("c_acctbal")} AS std_balance,
+         |  ${lmean("c_acctbal")} AS avg_balance,
+         |  ${lstd("c_acctbal")} AS std_balance,
          |  min(c_acctbal) AS min_balance, max(c_acctbal) AS max_balance
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -434,7 +442,8 @@ object OracleSql {
       """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
         |  unnest(embedding) AS v FROM embeddings)
         |SELECT label, CAST(dim AS BIGINT) AS dim,
-        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(v) AS m
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000.0 / count(v) AS m
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
   )
 }

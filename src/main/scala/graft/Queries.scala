@@ -12,10 +12,14 @@ import graft.functions.TextFunctions
   * oracle SQL twin in [[OracleSql]].
   *
   * Determinism contract with the oracle: every *computed* double is produced
-  * by exact decimal-sum arithmetic cast back to double (`dsum`/`dmean`/
-  * `dstd`), so Spark and DuckDB produce bit-identical values regardless of
-  * aggregation order. Raw column values pass through untouched. Every query
-  * has a total ORDER BY for stable row order.
+  * by exact-sum arithmetic (scaled-long `lsum`/`lmean`/`lstd`, or decimal
+  * `dsum`/`dsumSq` where magnitudes demand it) cast back to double, so Spark
+  * and DuckDB produce bit-identical values regardless of aggregation order.
+  * Raw column values pass through untouched. Row ORDER is NOT part of the
+  * contract — the driver's harness sorts rows canonically before hashing —
+  * so all-rows outputs carry no final ORDER BY (a global sort of a 100 TB
+  * result would dominate the query); ORDER BY remains only where it is
+  * semantic (head/top-k selection) or the output is tiny.
   */
 object Queries {
 
@@ -30,12 +34,23 @@ object Queries {
 
   private def ts(v: String): Column = lit(java.sql.Timestamp.valueOf(v))
 
-  // ---- exact-decimal aggregate helpers (see OracleSql twins) -------------
+  // ---- exact aggregate helpers (see OracleSql twins) ---------------------
+  // Two exact-sum families, both bit-identical between Spark and DuckDB
+  // because both engines run the same IEEE ops in the same order:
+  //  - dsum/dsumSq: DECIMAL-cast accumulation — unbounded magnitude, but
+  //    every row pays a BigDecimal add (~3.6x a double sum).
+  //  - lsum/lmean/lstd: quantize to 6 decimal places with floor(x*1e6+0.5)
+  //    (pure codegen'd double math, no BigDecimal), accumulate the exact
+  //    integer as BIGINT (associative, shuffle-order-independent), divide
+  //    once at the end. Valid while sum(|x|) <= 9.2e12 (long range / 1e6);
+  //    beyond that — grand totals over ~1e9 money rows — use dsum.
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
   private def dsumSq(c: Column): Column = sum((c * c).cast("decimal(38,6)")).cast("double")
-  private def dmean(c: Column): Column = dsum(c) / count(c)
-  private def dstd(c: Column): Column =
-    sqrt((dsumSq(c) - dsum(c) * dsum(c) / count(c)) / (count(c) - lit(1)))
+  private def lsum(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)
+  private def lmean(c: Column): Column = lsum(c) / count(c)
+  private def lstd(c: Column): Column =
+    sqrt((dsumSq(c) - lsum(c) * lsum(c) / count(c)) / (count(c) - lit(1)))
 
   // ======================================================================
   // Profiling (SURVEY §2.2)
@@ -68,8 +83,8 @@ object Queries {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
-        dmean(col(c)).as(s"mean_$c"),
-        dstd(col(c)).as(s"std_$c"),
+        lmean(col(c)).as(s"mean_$c"),
+        lstd(col(c)).as(s"std_$c"),
         min(col(c)).as(s"min_$c"),
         lit(medians(c)).as(s"med_$c"),
         max(col(c)).as(s"max_$c"))
@@ -127,14 +142,14 @@ object Queries {
     li.where(col("l_shipdate") <= ts("2001-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        lsum(col("l_quantity")).as("sum_qty"),
+        lsum(col("l_extendedprice")).as("sum_base_price"),
+        lsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        lsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
           .as("sum_charge"),
-        dmean(col("l_quantity")).as("avg_qty"),
-        dmean(col("l_extendedprice")).as("avg_price"),
-        dmean(col("l_discount")).as("avg_disc"),
+        lmean(col("l_quantity")).as("avg_qty"),
+        lmean(col("l_extendedprice")).as("avg_price"),
+        lmean(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -151,7 +166,7 @@ object Queries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -173,7 +188,7 @@ object Queries {
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -186,7 +201,7 @@ object Queries {
         col("l_shipdate") < ts("2000-01-01 00:00:00") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+      .agg(lsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** Semi-join: suppliers with a recent shipment. */
@@ -195,7 +210,6 @@ object Queries {
     t(s, dir, "supplier")
       .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
-      .orderBy(col("s_suppkey"))
   }
 
   /** Anti-join: customers with no orders. */
@@ -204,7 +218,6 @@ object Queries {
     t(s, dir, "customer")
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Set operations: customers who bought in 1998 but not 1999 (EXCEPT),
@@ -219,7 +232,6 @@ object Queries {
     val b99 = buyers("1999-01-01 00:00:00", "2000-01-01 00:00:00")
     b98.except(b99).select(col("o_custkey"), lit("churned").as("cohort"))
       .unionAll(b98.intersect(b99).select(col("o_custkey"), lit("repeat").as("cohort")))
-      .orderBy(col("cohort"), col("o_custkey"))
   }
 
   /** Correlated-subquery shape: orders above their customer's own average
@@ -229,12 +241,13 @@ object Queries {
   def qAboveOwnAvg(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
     t(s, dir, "orders")
+      // scaled-long window sum (o_totalprice has 2 decimal places): exact,
+      // association-independent, no BigDecimal per row — see lsum
       .withColumn("cust_avg",
-        sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double") /
-          count(lit(1)).over(w))
+        (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w).cast("double") /
+          lit(100.0)) / count(lit(1)).over(w))
       .where(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** Window top-k: 3 biggest orders per customer. */
@@ -245,10 +258,9 @@ object Queries {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
-      .orderBy(col("o_custkey"), col("rk"))
   }
 
-  /** Window running sum per supplier (decimal-exact accumulation so the
+  /** Window running sum per supplier (scaled-long exact accumulation so the
     * result is independent of the engine's window-sum association).
     */
   def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
@@ -257,9 +269,9 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("running_qty",
-        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+        sum(floor(col("l_quantity") * lit(100.0) + lit(0.5))).over(w)
+          .cast("double") / lit(100.0))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Sessionization via lag: count 30-minute-gap sessions per user
@@ -274,7 +286,6 @@ object Queries {
         when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"))
   }
 
   /** As-of join: each event picks up the user's most recent order at or
@@ -295,7 +306,6 @@ object Queries {
         rightValues = Seq("o_orderkey", "o_totalprice"))
       .select(col("event_id"), col("user_id"),
         col("asof_o_orderkey"), col("asof_o_totalprice"))
-      .orderBy(col("event_id"))
   }
 
   /** Range-frame window: trailing 30-day order count + decimal-exact spend
@@ -312,9 +322,9 @@ object Queries {
       .withColumn("sec", col("o_orderdate").cast("timestamp").cast("long"))
       .withColumn("trailing_n", count(lit(1)).over(w))
       .withColumn("trailing_spend",
-        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w)
+          .cast("double") / lit(100.0))
       .select(col("o_orderkey"), col("trailing_n"), col("trailing_spend"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** Rollup aggregation: revenue subtotals by (returnflag, linestatus) with
@@ -323,7 +333,7 @@ object Queries {
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .agg(lsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Pivot: order counts per priority pivoted by status. */
@@ -339,15 +349,13 @@ object Queries {
   def e1HourlyTotals(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-      .orderBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), lsum(col("value")).as("total_value"))
 
   /** JSON extraction from the props column. */
   def e2JsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_value"))
-      .orderBy(col("event_id"))
 
   // ======================================================================
   // Cleaning (SURVEY §2.3) — nulls synthesized deterministically so the
@@ -362,7 +370,6 @@ object Queries {
     val m = Cleaning.exactQuantilesMulti(base, Seq("qty"), 0.5)("qty")
     base.select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("qty"), lit(m)).as("qty_filled"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** C2: mean-impute o_totalprice after nullifying values > 300000
@@ -372,9 +379,8 @@ object Queries {
     val base = t(s, dir, "orders").select(
       col("o_orderkey"),
       when(col("o_totalprice") > 300000, lit(null)).otherwise(col("o_totalprice")).as("price"))
-    val m = base.agg(dmean(col("price"))).head().getDouble(0)
+    val m = base.agg(lmean(col("price"))).head().getDouble(0)
     base.select(col("o_orderkey"), coalesce(col("price"), lit(m)).as("price_filled"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** C3: mode-impute l_returnflag (nullified where l_tax > 0.07) with the
@@ -387,7 +393,6 @@ object Queries {
     val m = Cleaning.pinnedMode(base, "flag").map(_.toString).getOrElse("")
     base.select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("flag"), lit(m)).as("flag_filled"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** C4: derived-value impute — o_orderdate nullified for status 'P' rows,
@@ -399,7 +404,6 @@ object Queries {
       when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_orderdate")).as("odate"))
     val m = base.agg(min(col("odate"))).head().get(0) // LocalDateTime under NTZ
     base.select(col("o_orderkey"), coalesce(col("odate"), lit(m)).as("odate_filled"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** C5: drop rows with a null critical column (same nullification as C1). */
@@ -408,7 +412,6 @@ object Queries {
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")).as("qty")))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** C6: 3σ outlier filter on o_totalprice — μ and σ from decimal-exact
     * sums so the cut boundary is engine-independent.
@@ -416,7 +419,7 @@ object Queries {
   def c6ZscoreFilter(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val r = o.agg(
-      dsum(col("o_totalprice")).as("sx"),
+      lsum(col("o_totalprice")).as("sx"),
       dsumSq(col("o_totalprice")).as("sxx"),
       count(col("o_totalprice")).as("n")).head()
     val (sx, sxx, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
@@ -424,14 +427,13 @@ object Queries {
     val std = math.sqrt((sxx - sx * sx / n) / (n - 1))
     o.where(abs(col("o_totalprice") - mean) <= 3 * std)
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** C7: two-phase — beyond-3σ event values to null, then median-impute. */
   def c7OutlierToNull(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val r = e.agg(
-      dsum(col("value")).as("sx"), dsumSq(col("value")).as("sxx"),
+      lsum(col("value")).as("sx"), dsumSq(col("value")).as("sxx"),
       count(col("value")).as("n")).head()
     val (sx, sxx, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
     val mean = sx / n
@@ -440,7 +442,6 @@ object Queries {
       when(abs(col("value") - mean) > 3 * std, lit(null)).otherwise(col("value")).as("v"))
     val med = Cleaning.exactQuantilesMulti(nulled, Seq("v"), 0.5)("v")
     nulled.select(col("event_id"), coalesce(col("v"), lit(med)).as("value_clean"))
-      .orderBy(col("event_id"))
   }
 
   /** C8: winsorize o_totalprice at the exact 95th percentile. */
@@ -449,7 +450,6 @@ object Queries {
     val cap = Cleaning.exactQuantilesMulti(o, Seq("o_totalprice"), 0.95)("o_totalprice")
     o.select(col("o_orderkey"),
         least(col("o_totalprice"), lit(cap)).as("price_capped"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** C9: keyed dedup keeping the min doc_id per (lang, source). */
@@ -457,7 +457,6 @@ object Queries {
     Dedup.exactByKey(t(s, dir, "documents"), "doc_id",
         Seq(col("lang"), col("source")))
       .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy(col("doc_id"))
 
   /** C10: whitespace/case normalization. */
   def c10Normalize(s: SparkSession, dir: String): DataFrame =
@@ -465,7 +464,6 @@ object Queries {
       .select(col("c_custkey"),
         upper(trim(col("c_name"))).as("name_norm"),
         lower(col("c_mktsegment")).as("segment_norm"))
-      .orderBy(col("c_custkey"))
 
   /** C11: canonicalization — CASE dictionary + anchored regexp strip. */
   def c11Canonicalize(s: SparkSession, dir: String): DataFrame = {
@@ -474,7 +472,6 @@ object Queries {
     canon(t(s, dir, "orders"))
       .select(col("o_orderkey"), col("o_orderstatus").as("status_canon"),
         regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("priority_clean"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** C12: categorical → boolean canonicalization. */
@@ -484,7 +481,6 @@ object Queries {
         falseValues = Seq("click", "view", "error"))(
         t(s, dir, "events").select(col("event_id"), col("event_type")))
       .withColumnRenamed("event_type", "is_conversion")
-      .orderBy(col("event_id"))
 
   /** C13: date validity flag + derived year. */
   def c13DateFlag(s: SparkSession, dir: String): DataFrame =
@@ -492,14 +488,12 @@ object Queries {
       .select(col("o_orderkey"),
         (col("o_orderdate") > ts("2001-06-01 00:00:00")).as("is_late"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      .orderBy(col("o_orderkey"))
 
   /** C14: sentinel → null. */
   def c14Sentinel(s: SparkSession, dir: String): DataFrame =
     Cleaning.sentinelToNull(Seq("o_orderpriority"), Seq("4-NOT SPECIFIED"))(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
       .withColumnRenamed("o_orderpriority", "priority_or_null")
-      .orderBy(col("o_orderkey"))
 
   // ======================================================================
   // Text analysis (north-star)
@@ -512,7 +506,6 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_uniq_tokens"),
         length(col("text")).cast("long").as("n_chars_actual"))
-      .orderBy(col("doc_id"))
 
   /** T2: heuristic quality score (formula mirrored exactly in the oracle);
     * token array materialized once per row.
@@ -522,21 +515,17 @@ object Queries {
       .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("quality"))
-      .orderBy(col("doc_id"))
 
-  /** T3: stopword-profile language ID (token array materialized once). */
+  /** T3: stopword-profile language ID (one-pass codegen kernel). */
   def t3LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ltoks"))
       .select(col("doc_id"),
-        TextFunctions.langIdFromToks(col("ltoks")).as("lang_pred"))
-      .orderBy(col("doc_id"))
+        TextFunctions.langId(col("text")).as("lang_pred"))
 
   /** T4: normalized-content fingerprint. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
 
   /** T5: corpus filter — the canonical training-data selection pipeline:
     * keep docs passing quality + length + language gates.
@@ -550,7 +539,6 @@ object Queries {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .where(col("quality") >= 0.5 && col("n_tokens") >= 20 &&
         col("n_tokens") <= 200 && col("lang").isin("en", "de", "fr"))
-      .orderBy(col("doc_id"))
 
   /** P10: group-wise insight — the reference's recommended analysis shape
     * ("department and performance scores", SURVEY §2.5) over the testdata:
@@ -561,8 +549,8 @@ object Queries {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_customers"),
-        dmean(col("c_acctbal")).as("avg_balance"),
-        dstd(col("c_acctbal")).as("std_balance"),
+        lmean(col("c_acctbal")).as("avg_balance"),
+        lstd(col("c_acctbal")).as("std_balance"),
         min(col("c_acctbal")).as("min_balance"),
         max(col("c_acctbal")).as("max_balance"))
       .orderBy(col("c_mktsegment"))
@@ -595,7 +583,6 @@ object Queries {
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docsWithPlantedDups(s, dir), "doc_id", "text")
       .select(col("keep_id"), col("group_size"))
-      .orderBy(col("keep_id"))
 
   /** D2: MinHash-LSH near-dup pairs (rows-only check; Jaccard-verified
     * output, spec-tested for planted-dup recall).
@@ -607,18 +594,15 @@ object Queries {
     // pairs and the verify join goes quadratic).
     Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
         threshold = 0.8, numHashes = 128, bands = 8, shingleSize = 3)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** D3: SimHash near-dup pairs (rows-only check). */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docsWithPlantedDups(s, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** D4: token-set Jaccard near-dups, blocked by (lang, source). */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang", "source"), n = 1, threshold = 0.5)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** D5: embedding-cosine near-dup pairs within label blocks (exact cosine;
     * the oracle mirrors the fold order with an unrolled 64-term sum).
@@ -635,7 +619,6 @@ object Queries {
         col("a.label") === col("b.label") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cosine"))
       .where(col("cosine") >= 0.3)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
@@ -676,8 +659,10 @@ object Queries {
     t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg((sum(col("v").cast("double").cast("decimal(18,9)")).cast("double") /
-        count(col("v"))).as("m"))
+      // scaled-long exact mean at 9dp (|v|<=1, so the quantized sum fits a
+      // long with huge headroom)
+      .agg((sum(floor(col("v").cast("double") * lit(1e9) + lit(0.5)))
+        .cast("double") / lit(1e9) / count(col("v"))).as("m"))
       .select(col("label"), (col("dim") + 1).cast("long").as("dim"), col("m"))
       .orderBy(col("label"), col("dim"))
 
@@ -689,7 +674,6 @@ object Queries {
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
     val media = graft.operators.Multimodal.asMedia(docs, "doc_id", "payload", "image/fake")
     graft.operators.Multimodal.imageMetadata(media).toDF()
-      .orderBy(col("id"))
   }
 
   // ======================================================================

@@ -93,11 +93,10 @@ object TextFunctions {
 
   /** Predicted language code (argmax of marker scores; ties broken by
     * language code ascending for determinism; all-zero -> "und").
-    * Hot paths: materialize the lowercased token array and use
-    * [[langIdFromToks]] (the inline form re-splits once per language).
+    * Backed by the one-pass [[LangIdExpr]] kernel; [[langIdFromToks]] is the
+    * composable reference formulation it is spec-proven equal to.
     */
-  def langId(text: Column): Column =
-    langIdFromToks(split(lower(trim(text)), "\\s+"))
+  def langId(text: Column): Column = LangIdExpr.langId(text)
 
   def langIdFromToks(lowerToks: Column): Column = {
     val langs = LangMarkers.toSeq.sortBy(_._1)

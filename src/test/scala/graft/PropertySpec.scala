@@ -98,6 +98,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("langId kernel == composable filter/isin formulation incl. overlaps") {
+    import graft.functions.TextFunctions
+    // draw from the marker vocabulary (incl. "la", a marker for BOTH es and
+    // fr), noise words, and whitespace edge cases
+    val wordGen = Gen.oneOf(
+      TextFunctions.LangMarkers.values.flatten.toSeq ++
+        Seq("xyzzy", "Foo", "BAR", "", " ", "\t", "la", "the", "de"): _*)
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    forAllSampled(textGen, n = 25) { text =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val kernel = df.select(TextFunctions.langId(col("t"))).head().getString(0)
+      val composable = df
+        .select(TextFunctions.langIdFromToks(split(lower(trim(col("t"))), "\\s+")))
+        .head().getString(0)
+      assert(kernel == composable, s"text=$text")
+    }
+  }
+
   test("shingle kernel == split/transform semantics incl. whitespace edges") {
     val textGen = Gen.listOf(Gen.oneOf("ab", "cd", "ef", " ", "  ", "\t")).map(_.mkString(" "))
     forAllSampled(textGen, n = 20) { text =>
