@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. The noop sink forces full materialization of every
   * output column (a bare .count() would let Spark prune the plan).
+  *
+  * Each query is timed on TWO full passes and the minimum is reported: the
+  * bench may share a machine with other work (the driver's own harness,
+  * GC of a previous suite), and min-of-N is the standard way to read
+  * steady-state cost through transient load spikes. A real regression slows
+  * both passes; a noise spike slows one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,16 +27,23 @@ object Bench {
     // reflect execution, not first-call classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop blocks cached by eager operators (minhashLsh etc.) so queries
+      // are timed cold and repeated passes don't accumulate storage.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
+    }.toMap
+    val passes = Seq(onePass(), onePass())
+    val results = names.map { case (n, _) => n -> passes.map(_(n)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,8 +46,15 @@ object Queries {
   //    beyond that — grand totals over ~1e9 money rows — use dsum.
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
   private def dsumSq(c: Column): Column = sum((c * c).cast("decimal(38,6)")).cast("double")
-  private def lsum(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)
+  private def lsum(c: Column): Column = {
+    // try_sum nulls out on Long overflow where plain sum would wrap silently
+    // (non-ANSI); the guard turns that into a loud error instead of a wrong
+    // total. Past the bound, switch the call site to dsum.
+    val s = try_sum(floor(c * lit(1e6) + lit(0.5)))
+    when(s.isNull && count(c) > 0,
+        raise_error(lit("lsum overflow: sum(|x|*1e6) exceeded Long range; use dsum")))
+      .otherwise(s).cast("double") / lit(1e6)
+  }
   private def lmean(c: Column): Column = lsum(c) / count(c)
   private def lstd(c: Column): Column =
     sqrt((dsumSq(c) - lsum(c) * lsum(c) / count(c)) / (count(c) - lit(1)))
@@ -243,8 +250,9 @@ object Queries {
     t(s, dir, "orders")
       // scaled-long window sum (o_totalprice has 2 decimal places): exact,
       // association-independent, no BigDecimal per row — see lsum
+      // try_sum: a wrap past Long range surfaces as null, never a wrong avg
       .withColumn("cust_avg",
-        (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w).cast("double") /
+        (try_sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w).cast("double") /
           lit(100.0)) / count(lit(1)).over(w))
       .where(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
@@ -269,7 +277,7 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("running_qty",
-        sum(floor(col("l_quantity") * lit(100.0) + lit(0.5))).over(w)
+        try_sum(floor(col("l_quantity") * lit(100.0) + lit(0.5))).over(w)
           .cast("double") / lit(100.0))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
@@ -322,7 +330,7 @@ object Queries {
       .withColumn("sec", col("o_orderdate").cast("timestamp").cast("long"))
       .withColumn("trailing_n", count(lit(1)).over(w))
       .withColumn("trailing_spend",
-        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w)
+        try_sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w)
           .cast("double") / lit(100.0))
       .select(col("o_orderkey"), col("trailing_n"), col("trailing_spend"))
   }

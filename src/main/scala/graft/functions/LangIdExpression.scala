@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,16 +22,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullable: Boolean = true
+  // Null text identifies as "und", matching the composable formulation:
+  // size(null) is null there, so the when() chain falls to otherwise("und").
+  override def nullable: Boolean = false
 
-  override def nullSafeEval(input: Any): Any =
-    LangIdExpr.langIdOf(input.asInstanceOf[UTF8String])
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangIdExpr.undLang else LangIdExpr.langIdOf(v.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val cls = LangIdExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $cls.langIdOf($a);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = LangIdExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val utf8 = classOf[UTF8String].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $utf8 ${ev.value} = ${childGen.isNull} ? $cls.undLang() : $cls.langIdOf(${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -40,7 +52,7 @@ object LangIdExpr {
     TextFunctions.LangMarkers.keys.toArray.sorted
   private val langUtf8: Array[UTF8String] =
     langs.map(UTF8String.fromString)
-  private val und = UTF8String.fromString("und")
+  val undLang: UTF8String = UTF8String.fromString("und")
 
   /** marker token -> bitmask of the languages it scores for. */
   private val masks: java.util.HashMap[String, Integer] = {
@@ -78,7 +90,7 @@ object LangIdExpr {
       if (counts(l) > bestScore) { bestScore = counts(l); best = l }
       l += 1
     }
-    if (best < 0) und else langUtf8(best)
+    if (best < 0) undLang else langUtf8(best)
   }
 
   def langId(text: Column): Column =

@@ -70,6 +70,16 @@ object Dedup {
     * The only all-to-all movement is the bucket shuffle; candidate
     * verification re-joins the (small) candidate-id set back to the shingle
     * sets. Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * EXECUTION CONTRACT (not lazy): this method runs a Spark job eagerly —
+    * the signature/banding intermediates are persisted for the self-join,
+    * the verified pair set is materialized (and persisted) so those large
+    * intermediates can be released before returning. The returned DataFrame
+    * is cached; the CALLER owns its lifecycle and should
+    * `.unpersist()` it when done (long-lived sessions that call this
+    * repeatedly without unpersisting accumulate cached outputs until LRU
+    * eviction). Re-deriving the result after an eviction recomputes the
+    * full lineage — correct, just slower.
     */
   def minhashLsh(
       df: DataFrame,

@@ -40,41 +40,59 @@ object EventStreams {
   /** Custom per-user session state via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of event-time inactivity. Within each batch
     * the group's events are processed in event-time order; an event more
-    * than the gap after the open session's last event closes it (emitted
-    * with `closed = true`) and starts a new one. The still-open session is
-    * emitted with `closed = false` and kept in state so it can absorb later
-    * batches. A late event inside the open session's span merges into it.
+    * than the gap after the open session's last event closes it and starts a
+    * new one. The still-open session stays in state (absorbing later
+    * batches; a late event inside its span merges in) and is flushed by an
+    * EVENT-TIME TIMEOUT once the watermark passes its last event + gap.
+    *
+    * Append-mode contract: only CLOSED sessions are ever emitted (each
+    * exactly once) — Append sinks treat rows as final, so emitting an open
+    * session every batch would double-count any consumer summing
+    * nEvents/totalValue. Open-session progress reporting belongs to an
+    * Update-mode sink, not here. A final session whose `last + gap` the
+    * watermark never passes stays in state unemitted — the stream can't
+    * prove it over. `closed` is retained in the schema (always true) so the
+    * output unions cleanly with batch sessionizations that do report open
+    * tails.
     */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._
     val gapMs = gapMinutes.toLong * 60000L
-    events.as[Event]
+    events.withWatermark("ts", watermark).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Sess, SessionUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Sess]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          var open = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open = open match {
-              case Some(s) if t - s.last > gapMs =>
-                out += SessionUpdate(userId, new java.sql.Timestamp(s.start),
-                  s.n, s.total, closed = true)
-                Some(Sess(t, t, 1L, e.value))
-              case Some(s) =>
-                Some(Sess(math.min(s.start, t), math.max(s.last, t),
-                  s.n + 1, s.total + e.value))
-              case None => Some(Sess(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: no on-time event can extend it
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new java.sql.Timestamp(s.start),
+              s.n, s.total, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += SessionUpdate(userId, new java.sql.Timestamp(s.start),
+                    s.n, s.total, closed = true)
+                  Some(Sess(t, t, 1L, e.value))
+                case Some(s) =>
+                  Some(Sess(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case None => Some(Sess(t, t, 1L, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.iterator
           }
-          open.foreach { s =>
-            state.update(s)
-            out += SessionUpdate(userId, new java.sql.Timestamp(s.start),
-              s.n, s.total, closed = false)
-          }
-          out.iterator
       }
       .toDF()
   }

@@ -104,7 +104,7 @@ class PropertySpec extends AnyFunSuite {
     // fr), noise words, and whitespace edge cases
     val wordGen = Gen.oneOf(
       TextFunctions.LangMarkers.values.flatten.toSeq ++
-        Seq("xyzzy", "Foo", "BAR", "", " ", "\t", "la", "the", "de"): _*)
+        Seq("xyzzy", "Foo", "BAR", "", " ", "\t", "la", "the", "de"))
     val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
     forAllSampled(textGen, n = 25) { text =>
       val df = Seq(Tuple1(text)).toDF("t")
@@ -114,6 +114,18 @@ class PropertySpec extends AnyFunSuite {
         .head().getString(0)
       assert(kernel == composable, s"text=$text")
     }
+  }
+
+  test("langId kernel: null text -> \"und\", matching the composable otherwise()") {
+    import graft.functions.TextFunctions
+    val df = Seq[Option[String]](None, Some("the and"), Some(""))
+      .toDF("t")
+    val kernel = df.select(TextFunctions.langId(col("t"))).collect().map(_.getString(0))
+    val composable = df
+      .select(TextFunctions.langIdFromToks(split(lower(trim(col("t"))), "\\s+")))
+      .collect().map(_.getString(0))
+    assert(kernel.toSeq == composable.toSeq)
+    assert(kernel(0) == "und") // null in, "und" out — never null
   }
 
   test("shingle kernel == split/transform semantics incl. whitespace edges") {

@@ -60,11 +60,13 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.OutputMode.Append())
     q.processAllAvailable(); q.stop()
     val out = spark.table("sess_out")
-    val users = batch.select("user_id").distinct().count()
-    assert(out.select("user_id").distinct().count() == users)
-    // every event lands in exactly one emitted session (closed or open)
+    // Append contract: every emitted session is final (closed), and no
+    // event is counted twice — emitted events never exceed the input.
+    assert(out.where(!col("closed")).count() == 0)
     val totalEvents = out.agg(sum("nEvents")).head().getLong(0)
-    assert(totalEvents == batch.count())
+    assert(totalEvents > 0 && totalEvents <= batch.count())
+    val users = batch.select("user_id").distinct().count()
+    assert(out.select("user_id").distinct().count() <= users)
   }
 
   test("sessionize splits on inactivity gaps and closes prior sessions") {
@@ -86,10 +88,48 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     val rows = spark.table("sess_gap_out")
       .orderBy(col("sessionStart")).collect()
-    assert(rows.length == 2)
+    // the first session is closed by the gap; the trailing open session
+    // (120..125) is NOT emitted — the watermark (125) never passes
+    // last + gap (155), so the stream can't prove it over
+    assert(rows.length == 1)
     assert(rows(0).getAs[Boolean]("closed") && rows(0).getAs[Long]("nEvents") == 2L)
     assert(rows(0).getAs[Double]("totalValue") == 3.0)
-    assert(!rows(1).getAs[Boolean]("closed") && rows(1).getAs[Long]("nEvents") == 2L)
-    assert(rows(1).getAs[java.sql.Timestamp]("sessionStart") == at(120))
+    assert(rows(0).getAs[java.sql.Timestamp]("sessionStart") == at(0))
+  }
+
+  test("sessionize across two batches: open session absorbs the later batch, emits once") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream5")
+    // two files, forced into two micro-batches via maxFilesPerTrigger=1,
+    // ordered by mtime (file-source default: oldest first)
+    val f1 = tmp.resolve("b1"); val f2 = tmp.resolve("b2")
+    Seq(EventStreams.Event(1L, at(0), 7L, "click", 1.0, "{}"),
+        EventStreams.Event(2L, at(10), 7L, "click", 2.0, "{}"))
+      .toDF().coalesce(1).write.parquet(f1.toString)
+    Seq(EventStreams.Event(3L, at(200), 7L, "view", 3.0, "{}"),
+        EventStreams.Event(4L, at(205), 7L, "view", 4.0, "{}"))
+      .toDF().coalesce(1).write.parquet(f2.toString)
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    val later = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000)
+    java.nio.file.Files.walk(f1).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.setLastModifiedTime(p, now))
+    java.nio.file.Files.walk(f2).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.setLastModifiedTime(p, later))
+    val schema = Seq.empty[EventStreams.Event].toDF().schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val sess = EventStreams.sessionize(spark, streamed, gapMinutes = 30)
+    val q = EventStreams.runToMemory(sess, "sess_2batch_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_2batch_out").collect()
+    // session (0..10) held open through batch 1 (no closed=false noise),
+    // closed exactly once when batch 2's gap arrives; (200..205) stays open
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0).getAs[Boolean]("closed"))
+    assert(rows(0).getAs[Long]("nEvents") == 2L)
+    assert(rows(0).getAs[Double]("totalValue") == 3.0)
   }
 }
