@@ -444,6 +444,28 @@ object OracleSql {
         |SELECT label, CAST(dim AS BIGINT) AS dim,
         |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / 1000000000.0 / count(v) AS m
-        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // stub codec contract: dims from payload length by BIGINT arithmetic,
+    // content id = first 8 bytes of SHA-256 over the utf-8 payload
+    "mm1_image_meta" ->
+      """SELECT doc_id AS id, 'image/fake' AS mime,
+        |  CAST(256 + (octet_length(encode(text)) * 2654435761) % 1024 AS INTEGER) AS width,
+        |  CAST(256 + ((octet_length(encode(text)) * 2654435761) // 1024) % 1024 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substr(sha256(text), 1, 16) AS sha
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // recall gates: the engine emits per-query `recall_ok` (approximate
+    // top-10 hit-count vs exact brute force >= 6); the oracle asserts the
+    // invariant — TRUE for every query id — so a recall regression flips the
+    // driver hash red instead of hiding in a rows-only check
+    "s2_lsh_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "s3_ivf_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
 }

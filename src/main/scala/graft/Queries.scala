@@ -674,14 +674,41 @@ object Queries {
       .select(col("label"), (col("dim") + 1).cast("long").as("dim"), col("m"))
       .orderBy(col("label"), col("dim"))
 
-  /** MM1: multimodal metadata extraction over a synthetic binary column
-    * (stub decode; rows-only check — see [[graft.operators.Multimodal]]).
+  /** MM1: multimodal metadata extraction over a synthetic binary column.
+    * The stub codec derives dims from the payload length by plain BIGINT
+    * arithmetic and the content id is 8 bytes of SHA-256, so the DuckDB
+    * oracle reproduces every column exactly (no longer rows-only).
     */
   def mm1ImageMeta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
     val media = graft.operators.Multimodal.asMedia(docs, "doc_id", "payload", "image/fake")
     graft.operators.Multimodal.imageMetadata(media).toDF()
+      .select(col("id"), col("mime"), col("width"), col("height"),
+        col("nBytes").as("n_bytes"), col("sha"))
+  }
+
+  /** S2-recall: oracle-checked quality gate for the LSH ANN path — per
+    * query, does approximate top-10 recall vs the exact brute force reach
+    * the 60% floor? The oracle simply asserts TRUE for every query id, so a
+    * recall regression flips the hash red instead of hiding in a rows-only
+    * check.
+    */
+  def s2LshRecall(s: SparkSession, dir: String): DataFrame =
+    recallFloor(s1KnnBruteForce(s, dir), s2LshTopK(s, dir), minHits = 6)
+
+  /** S3-recall: same oracle-checked 60% floor for the IVF ANN path. */
+  def s3IvfRecall(s: SparkSession, dir: String): DataFrame =
+    recallFloor(s1KnnBruteForce(s, dir), s3IvfTopK(s, dir), minHits = 6)
+
+  private def recallFloor(exact: DataFrame, approx: DataFrame, minHits: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("nhits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("nhits"), lit(0L)) >= lit(minHits.toLong)).as("recall_ok"))
   }
 
   // ======================================================================
@@ -741,7 +768,9 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
+    "s2_lsh_recall" -> (s2LshRecall _),
     "s3_ivf_topk" -> (s3IvfTopK _),
+    "s3_ivf_recall" -> (s3IvfRecall _),
     "e3_centroids" -> (e3Centroids _),
     "mm1_image_meta" -> (mm1ImageMeta _)
   )

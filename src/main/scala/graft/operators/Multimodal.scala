@@ -32,12 +32,13 @@ object Multimodal {
     */
   object StubCodecs {
     def decodeImageDims(data: Array[Byte]): (Int, Int) = {
-      // STUB — replace with a real image decoder. Fake dims derived from a
-      // byte hash, stable across runs.
-      val h = java.util.Arrays.hashCode(data)
-      (256 + math.abs(h % 1024), 256 + math.abs((h / 1024) % 1024))
+      // STUB — replace with a real image decoder. Fake dims derived from the
+      // payload length by plain BIGINT arithmetic (Knuth multiplicative mix)
+      // so an engine-independent oracle can reproduce them in ANSI SQL.
+      val h = data.length.toLong * 2654435761L
+      ((256 + (h % 1024)).toInt, (256 + ((h / 1024) % 1024)).toInt)
     }
-    def frameCount(data: Array[Byte]): Int = 1 + math.abs(java.util.Arrays.hashCode(data) % 8)
+    def frameCount(data: Array[Byte]): Int = 1 + (data.length % 8)
   }
 
   /** Wrap an id+binary DataFrame into the canonical media schema. */
