@@ -150,7 +150,10 @@ object AutoClean {
         pass += 1
       }
     }
-    Result(df, pass, audit, ReportRenderer.render(title, initialProfile, audit))
+    // Insights run on the CLEANED frame (post-impute/-dedup stats are the
+    // ones worth narrating); bounded group-by jobs, see Profiler.groupInsights.
+    val insights = graft.profile.Profiler.groupInsights(df)
+    Result(df, pass, audit, ReportRenderer.render(title, initialProfile, audit, insights))
   }
 
   /** Full reference flow: CSV in → clean → versioned CSV out + report

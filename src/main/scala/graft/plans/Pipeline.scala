@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.profile.{Profile, Profiler}
+import graft.profile.{GroupInsight, Profile, Profiler}
 import org.apache.spark.sql.DataFrame
 
 import scala.collection.mutable.ArrayBuffer
@@ -63,7 +63,8 @@ final class Pipeline(stages: Seq[Stage], audit: Boolean = true) {
   * rendering of the profile + audit log.
   */
 object ReportRenderer {
-  def render(title: String, profile: Profile, results: Seq[StageResult]): String = {
+  def render(title: String, profile: Profile, results: Seq[StageResult],
+      insights: Seq[GroupInsight] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"Data Cleaning Report: $title\n"
     sb ++= "=" * (22 + title.length) + "\n\n"
@@ -86,6 +87,26 @@ object ReportRenderer {
           s" (${r.rowsBefore} -> ${r.rowsAfter} rows)"
         else ""
       sb ++= s"  ${if (r.ok) "[ok]" else "[FAILED]"} ${r.stage}: ${r.description}$delta\n"
+    }
+    // Group-wise insights — the deterministic stand-in for the reference's
+    // LLM "recommended_analysis" narrative (tool_call_agent.py:148, e.g.
+    // "sales has high bonuses"): spell out which group leads/trails each
+    // numeric measure and flag it for follow-up analysis.
+    if (insights.nonEmpty) {
+      sb ++= "\nGroup-wise insights:\n"
+      insights.foreach { ins =>
+        sb ++= s"  ${ins.valueCol} by ${ins.byCol}:\n"
+        ins.groups.foreach { g =>
+          sb ++= f"    - ${g.group}: n=${g.n}, mean=${g.mean.fold("n/a")(v => f"$v%.4f")}, " +
+            f"std=${g.stddev.fold("n/a")(v => f"$v%.4f")}\n"
+        }
+        for (t <- ins.top; b <- ins.bottom if t.group != b.group) {
+          sb ++= f"    -> highest average ${ins.valueCol}: ${t.group} " +
+            f"(${t.mean.get}%.4f); lowest: ${b.group} (${b.mean.get}%.4f)\n"
+          sb ++= s"    -> recommended analysis: compare ${ins.valueCol} " +
+            s"drivers between ${t.group} and ${b.group}\n"
+        }
+      }
     }
     sb.toString
   }

@@ -134,4 +134,67 @@ object Profiler {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(column).asc)
       .limit(limit)
+
+  /** Group-wise insight (P10 as a report component, the deterministic
+    * replacement for the reference's LLM "recommended_analysis" narratives,
+    * `tool_call_agent.py:148`): per-group numeric stats for every
+    * low-cardinality string column x every numeric column.
+    *
+    * Scale: one cheap approx-distinct agg to pick grouping columns, then
+    * ONE groupBy job per grouping column covering all numeric columns
+    * (map-side combined; output bounded by maxGroups per insight).
+    */
+  def groupInsights(df: DataFrame, maxGroups: Int = 12,
+      maxInsights: Int = 6): Seq[GroupInsight] = {
+    val strCols = df.schema.fields.collect {
+      case StructField(n, StringType, _, _) => n
+    }.toSeq
+    val numCols = numericColumns(df)
+    if (strCols.isEmpty || numCols.isEmpty) return Nil
+
+    val cardRow = df.agg(
+      approx_count_distinct(col(strCols.head)).as(strCols.head),
+      strCols.tail.map(c => approx_count_distinct(col(c)).as(c)): _*).head()
+    val byCols = strCols.filter { c =>
+      val n = cardRow.getAs[Long](c); n >= 2 && n <= maxGroups
+    }
+
+    byCols.flatMap { byCol =>
+      val aggs = numCols.flatMap { v =>
+        Seq(count(col(v)).as(s"__n__$v"), avg(col(v)).as(s"__mean__$v"),
+          stddev_samp(col(v)).as(s"__std__$v"))
+      }
+      val rows = df.where(col(byCol).isNotNull)
+        .groupBy(col(byCol).as("__g"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("__g"))
+        .collect()
+      numCols.map { v =>
+        GroupInsight(byCol, v, rows.toSeq.map { r =>
+          GroupStats(
+            group = r.getAs[String]("__g"),
+            n = r.getAs[Long](s"__n__$v"),
+            mean = if (r.isNullAt(r.fieldIndex(s"__mean__$v"))) None
+                   else Some(r.getAs[Double](s"__mean__$v")),
+            stddev = if (r.isNullAt(r.fieldIndex(s"__std__$v"))) None
+                     else Some(r.getAs[Double](s"__std__$v")))
+        })
+      }
+    }.take(maxInsights)
+  }
+}
+
+/** One group's stats within a [[GroupInsight]]. */
+final case class GroupStats(group: String, n: Long, mean: Option[Double],
+    stddev: Option[Double])
+
+/** Per-group numeric stats for one (grouping column, value column) pair,
+  * with the deterministic headline the report renders.
+  */
+final case class GroupInsight(byCol: String, valueCol: String,
+    groups: Seq[GroupStats]) {
+  def top: Option[GroupStats] =
+    groups.filter(_.mean.isDefined).sortBy(g => (-g.mean.get, g.group)).headOption
+  def bottom: Option[GroupStats] =
+    groups.filter(_.mean.isDefined).sortBy(g => (g.mean.get, g.group)).headOption
 }

@@ -66,6 +66,24 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     assert(report.contains("drop_nulls") && report.contains("3 rows"))
   }
 
+  test("report surfaces group-wise insights with a recommended-analysis line") {
+    val df = Seq(
+      ("sales", 9000.0), ("sales", 9500.0), ("sales", 8800.0),
+      ("eng", 4000.0), ("eng", 4200.0), ("hr", 5100.0))
+      .toDF("dept", "bonus")
+    val insights = Profiler.groupInsights(df)
+    assert(insights.nonEmpty)
+    val ins = insights.find(i => i.byCol == "dept" && i.valueCol == "bonus").get
+    assert(ins.top.get.group == "sales" && ins.bottom.get.group == "eng")
+    val report = ReportRenderer.render("t", Profiler(df), Nil, insights)
+    assert(report.contains("Group-wise insights"))
+    assert(report.contains("highest average bonus: sales"))
+    assert(report.contains("recommended analysis: compare bonus drivers between sales and eng"))
+    // full path: AutoClean report carries the section too
+    val res = graft.operators.AutoClean.clean(df, title = "hr")
+    assert(res.report.contains("Group-wise insights"))
+  }
+
   test("csv versioned sink never overwrites (S3) and latestVersion resolves (S4)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = Seq((1, "a")).toDF("id", "v")
