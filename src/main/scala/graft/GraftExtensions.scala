@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_lsh_bucket", "(vec, bits, seed) -> random-hyperplane LSH bucket") {
       args => HyperplaneLshBucket(args(0), intArg(args(1), "bits"), intArg(args(2), "seed").toLong)
     }
+    register("graft_langid", "marker-profile language id of a text ('und' if unknown/null)") {
+      args => LangIdExpr(args(0))
+    }
   }
 }

@@ -14,7 +14,13 @@ object OracleSql {
   // lsum: quantize to 6dp with floor(x*1e6+0.5), sum the exact integers
   // (DuckDB sums BIGINT as HUGEINT — still exact), divide once. Identical
   // IEEE ops to the Spark twin, so bit-identical doubles.
-  private def dsumSq(x: String) = s"CAST(SUM(CAST(($x)*($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  // dsumSq: 6dp integer quantization, exact DECIMAL(19,0)^2 products — a
+  // double->decimal cast of x*x is NOT portable (Spark rounds the shortest
+  // string repr, DuckDB the exact binary value), so quantize first and keep
+  // every step integer-exact; see the Queries.dsumSq twin
+  private def dsumSq(x: String) =
+    s"(CAST(SUM(CAST(CAST(floor(($x)*1000000.0 + 0.5) AS DECIMAL(19,0)) * " +
+      s"CAST(floor(($x)*1000000.0 + 0.5) AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0)"
   // parenthesized: lsum is a quotient, so embedding it in a larger * / chain
   // without parens would re-associate the division (SQL * and / are
   // left-associative) and drift the last ulp vs the Spark twin
@@ -43,8 +49,12 @@ object OracleSql {
         |  SELECT 'customer', count(*) FROM customer UNION ALL
         |  SELECT 'documents', count(*) FROM documents) ORDER BY tbl""".stripMargin,
 
+    // total-order sort — (l_orderkey, l_linenumber) is not unique, and a
+    // head over a partial order is engine-dependent
     "p3_head" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey,
+        |l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        |l_returnflag, l_linestatus, l_shipdate LIMIT 5""".stripMargin,
 
     "p5_describe" -> {
       def one(c: String) =
@@ -165,7 +175,8 @@ object OracleSql {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(floor(l_quantity*100.0 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) / 100.0 AS running_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "w3_sessionize" ->
@@ -425,6 +436,23 @@ object OracleSql {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs over the planted fixture: equality with the Spark
+    // side's LSH-bucketed plan proves 100% candidate recall at the 0.99
+    // near-dup threshold (background pairs top out at cosine ~0.51)
+    "d5b_embedding_neardup_lsh" ->
+      s"""WITH fx AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM embeddings WHERE vec_id < 50)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -45,7 +45,15 @@ object Queries {
   //    once at the end. Valid while sum(|x|) <= 9.2e12 (long range / 1e6);
   //    beyond that — grand totals over ~1e9 money rows — use dsum.
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
-  private def dsumSq(c: Column): Column = sum((c * c).cast("decimal(38,6)")).cast("double")
+  // Sum of squares via 6dp integer quantization and exact DECIMAL products.
+  // A double->decimal cast of x*x is NOT portable (Spark rounds the shortest
+  // string repr, DuckDB the exact binary value — they disagree on ~1e-7 of
+  // rows, which cancellation in the stddev formula amplifies); quantizing to
+  // an integer first makes every step exact in both engines.
+  private def dsumSq(c: Column): Column = {
+    val q = floor(c * lit(1e6) + lit(0.5)).cast("decimal(19,0)")
+    sum((q * q).cast("decimal(38,0)")).cast("double") / lit(1e12)
+  }
   private def lsum(c: Column): Column = {
     // try_sum nulls out on Long overflow where plain sum would wrap silently
     // (non-ANSI); the guard turns that into a loud error instead of a wrong
@@ -72,10 +80,12 @@ object Queries {
   }
 
   /** P3: deterministic head — first 5 lineitem rows by key. */
-  def p3Head(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-      .limit(5)
+  def p3Head(s: SparkSession, dir: String): DataFrame = {
+    // total-order sort: (l_orderkey, l_linenumber) is NOT unique in the
+    // generated data, and a head over a partial order is engine-dependent
+    val li = t(s, dir, "lineitem")
+    li.orderBy(li.columns.map(col).toIndexedSeq: _*).limit(5)
+  }
 
   /** P5: describe — count/mean/std/min/median/max per numeric column:
     * moments fused into ONE scan + ONE aggregate, exact medians via the
@@ -272,8 +282,11 @@ object Queries {
     * result is independent of the engine's window-sum association).
     */
   def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    // l_quantity closes the sort: (shipdate, orderkey, linenumber) is not
+    // unique in the generated data, and rows tying on the full key carry
+    // equal quantity, so the ROWS-frame prefix sums are a stable multiset
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("running_qty",
@@ -629,6 +642,26 @@ object Queries {
       .where(col("cosine") >= 0.3)
   }
 
+  /** D5b: the SCALE path for embedding near-dup — OR-amplified multi-table
+    * hyperplane-LSH bucketing, per-bucket join, exact-cosine verify — run
+    * against a fixture with 50 planted near-identical vectors (element 1
+    * scaled by 1.001f, ids +1e6; built identically in the oracle). The
+    * oracle computes exact all-pairs cosine >= 0.99, so hash equality
+    * proves the bucketed plan recovers every qualifying pair (100% recall
+    * at near-dup thresholds) without an all-pairs join: candidate
+    * generation is bucket-local, O(n·tables) bucket rows.
+    */
+  def d5bEmbeddingNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    Dedup.embeddingNearDup(e.unionAll(planted), "vec_id", "embedding",
+      threshold = 0.99, lshBits = 12, tables = 4)
+  }
+
   /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
   def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -766,6 +799,7 @@ object Queries {
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
+    "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s2_lsh_recall" -> (s2LshRecall _),

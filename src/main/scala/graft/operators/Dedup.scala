@@ -207,6 +207,12 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs within LSH buckets:
     * random-hyperplane bucket (so same-bucket vectors are likely similar),
     * per-bucket self-join, exact cosine verify >= threshold.
+    *
+    * `tables` > 1 OR-amplifies recall: a pair is a candidate if it collides
+    * in ANY of the `tables` independent hyperplane tables (miss probability
+    * (1-(1-θ/π)^bits)^tables for angle θ), at the cost of `tables`× bucket
+    * rows. Candidates are distinct'd across tables BEFORE the exact-cosine
+    * verify, so each surviving pair is verified once.
     * `blockCols` optionally adds metadata blocking on top of the LSH bucket.
     */
   def embeddingNearDup(
@@ -215,19 +221,32 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       lshBits: Int = 12,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil,
+      tables: Int = 1): DataFrame = {
     import graft.functions.VecExpressions.{fdot, fnorm}
-    val withBucket = df.select(
+    val base = df.select(
       (col(idCol).as("id") +: col(vecCol).as("vec") +:
-        fnorm(col(vecCol)).as("nrm") +: blockCols.map(col)) :+
-        VectorFunctions.hyperplaneBucket(col(vecCol), lshBits, seed = 42).as("bucket"): _*)
-    val joinCond = (blockCols :+ "bucket")
+        fnorm(col(vecCol)).as("nrm") +: blockCols.map(col)): _*)
+    val withBucket = base.select(
+      (col("id") +: blockCols.map(col)) :+
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFunctions.hyperplaneBucket(col("vec"), lshBits, seed = 42 + t).as("bucket"))
+        }: _*)).as("tb"): _*)
+      .select((col("id") +: blockCols.map(col)) :+ col("tb.tbl") :+ col("tb.bucket"): _*)
+    val joinCond = (blockCols :+ "tbl" :+ "bucket")
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)
-    val denom = col("a.nrm") * col("b.nrm")
-    withBucket.as("a").join(withBucket.as("b"), joinCond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        when(denom > 0, fdot(col("a.vec"), col("b.vec")) / denom)
+    val candidates = withBucket.as("a").join(withBucket.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sides = base.select(col("id"), col("vec"), col("nrm"))
+    val denom = col("sa.nrm") * col("sb.nrm")
+    candidates
+      .join(sides.as("sa"), col("id_a") === col("sa.id"))
+      .join(sides.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        when(denom > 0, fdot(col("sa.vec"), col("sb.vec")) / denom)
           .otherwise(lit(null).cast("double")).as("cosine"))
       .where(col("cosine") >= threshold)
   }

@@ -96,6 +96,21 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("embeddingNearDup multi-table LSH: planted near-identical pairs, 100% recall") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val pairs = Dedup.embeddingNearDup(e.unionAll(planted), "vec_id", "embedding",
+        threshold = 0.99, lshBits = 12, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (i, i+1e6) pair recovered, nothing else qualifies
+    assert(pairs == (0L until 20L).map(i => (i, i + 1000000L)).toSet)
+  }
+
   // ------------------------------------------------------------ similarity
   test("lshTopK recall >= 60% of brute-force top-5 on real embeddings") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
