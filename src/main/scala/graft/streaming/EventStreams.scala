@@ -105,6 +105,19 @@ object EventStreams {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (user profile, allow/deny list, per-user aggregates). Spark
+    * plans this without stream-side state — each micro-batch joins against
+    * the static side, which should be broadcast when it is dimension-sized
+    * (pass `broadcastDim = true`, the default). Left join keeps events with
+    * no dimension row (the 100 TB norm: dims lag the stream).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, on: Seq[String],
+      broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    events.join(d, on, "left")
+  }
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */

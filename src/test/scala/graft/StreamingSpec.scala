@@ -97,6 +97,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[java.sql.Timestamp]("sessionStart") == at(0))
   }
 
+  test("stream-static enrich: broadcast left join against a dimension") {
+    import spark.implicits._
+    val batch = eventsBatch
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream6").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(batch.schema).parquet(tmp)
+    val dim = batch.select("user_id").distinct().limit(10)
+      .withColumn("tier", lit("gold"))
+    val q = EventStreams.runToMemory(
+      EventStreams.enrich(streamed, dim, Seq("user_id")), "enrich_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+    assert(out.count() == batch.count()) // left join keeps every event
+    val gold = dim.select("user_id").as[Long].collect().toSet
+    val tagged = out.where(col("tier") === "gold")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(tagged == gold)
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
