@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the composition a 100 TB
+  * LLM-data pipeline actually runs, built from the engine's own operators —
+  *
+  *   quality/token gates → language filter → exact dedup → MinHash-LSH
+  *   near-dedup → typed corpus with per-doc metadata.
+  *
+  * Scale shape: the gates and metadata are one narrow map over the scan
+  * (Catalyst fuses them; nothing shuffles until dedup), exact dedup is one
+  * fingerprint shuffle, and near-dedup's only all-to-all movement is the
+  * LSH bucket shuffle. Stats counts are optional actions (`audit = false`
+  * skips them; the near-dup pair computation itself is eager by
+  * [[Dedup.minhashLsh]]'s contract).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      minQuality: Double = 0.3,
+      langs: Seq[String] = Nil, // empty = keep all
+      nearDupThreshold: Double = 0.9,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      audit: Boolean = true)
+
+  final case class Stats(
+      input: Long,
+      afterGates: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long)
+
+  /** Run the pipeline. Returns the cleaned corpus — original columns plus
+    * (lang, n_tokens, quality) — and per-stage counts (-1s when
+    * `audit = false`).
+    *
+    * Near-dup policy is the standard greedy keep-first: for every verified
+    * pair (id_a < id_b) the larger id is dropped, so each near-dup cluster
+    * keeps at least its minimum id (a chain a~b~c keeps `a`, drops `b`,`c`;
+    * transitive near-dups of the survivor may survive if they never paired
+    * with it directly — exact duplicate groups always collapse to one).
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, Stats) = {
+    def n(df: DataFrame): Long = if (cfg.audit) df.count() else -1L
+
+    val nInput = n(docs)
+
+    // 1. metadata + gates: one fused narrow pass, no shuffle
+    val withMeta = docs
+      .withColumn("lang", TextFunctions.langId(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+    val gated0 = withMeta.where(
+      col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("quality") >= cfg.minQuality)
+    val gated =
+      if (cfg.langs.isEmpty) gated0 else gated0.where(col("lang").isin(cfg.langs: _*))
+    val nGated = n(gated)
+
+    // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor
+    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    val nExact = n(exact)
+
+    // 3. near-dedup: LSH-bucketed candidate pairs, exact-Jaccard verified;
+    //    drop the id_b side of every pair (see policy above). The pair set
+    //    is orders of magnitude smaller than the corpus — the anti-join
+    //    broadcasts it.
+    val dropIds = Dedup.minhashLsh(exact, idCol, textCol,
+        threshold = cfg.nearDupThreshold, numHashes = cfg.numHashes,
+        bands = cfg.bands, shingleSize = cfg.shingleSize)
+      .select(col("id_b").as("__drop_id")).distinct()
+    val deduped = exact.join(broadcast(dropIds),
+      exact(idCol) === col("__drop_id"), "left_anti")
+    val nFinal = n(deduped)
+
+    (deduped, Stats(nInput, nGated, nExact, nFinal))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.CorpusPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("end-to-end corpus prep: gates, exact dedup, LSH near-dedup") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant 10 exact copies (higher ids -> dropped sides) and 2 junk docs
+    val planted = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val junk = Seq((2000001L, "x"), (2000002L, "")).toDF("doc_id", "text")
+    val fixture = docs.unionAll(planted).unionAll(junk)
+
+    val (out, stats) = CorpusPipeline.run(fixture, "doc_id", "text")
+
+    assert(stats.input == docs.count() + 12)
+    // gates drop the 2 junk docs (token floor) but keep real documents
+    assert(stats.afterGates <= stats.input - 2)
+    // exact dedup collapses every planted (original, copy) pair
+    assert(stats.afterExactDedup <= stats.afterGates - 10)
+    // near-dedup can only shrink further
+    assert(stats.afterNearDedup <= stats.afterExactDedup)
+    assert(stats.afterNearDedup > 0)
+
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2000001L) && !ids.contains(2000002L)) // junk gone
+    assert((0L until 10L).forall(i => !ids.contains(i + 1000000L))) // copies gone
+    // survivors carry typed metadata
+    assert(out.columns.toSet == Set("doc_id", "text", "lang", "n_tokens", "quality"))
+    assert(out.where(col("n_tokens") < 5).count() == 0)
+  }
+
+  test("audit=false keeps the pipeline lazy (no counts)") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val (out, stats) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(audit = false))
+    assert(stats.input == -1L && stats.afterNearDedup == -1L)
+    assert(out.count() > 0) // still runnable
+  }
+}
