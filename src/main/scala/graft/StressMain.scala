@@ -48,7 +48,9 @@ object StressMain {
       "w4_asof_join", "c1_impute_median", "c6_zscore_filter", "c8_percentile_cap",
       "p5_describe", "e1_hourly_totals", "t1_token_stats", "t2_quality",
       "t4_fingerprint", "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
-      "s1_knn_bruteforce", "s2_lsh_topk", "e3_centroids", "p10_group_insight")
+      "d2b_minhash_lsh_oracle", "d5b_embedding_neardup_lsh",
+      "s1_knn_bruteforce", "s2_lsh_topk", "s3_ivf_topk", "mm1_image_meta",
+      "e3_centroids", "p10_group_insight")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
