@@ -23,7 +23,7 @@ import graft.functions.TextFunctions
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
       // read nanos as long and floor to microsecond precision.

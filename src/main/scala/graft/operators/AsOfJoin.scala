@@ -56,7 +56,7 @@ object AsOfJoin {
       .select(col(rightKey).as("__key"), col(rightTime).as("__t"),
         lit(0).as("__side"), struct(carried.map(col): _*).as("__r"))
       .withColumns(left.columns.map(c => c -> lit(null)).toMap)
-      .select(l.columns.map(col): _*) // align column order for union
+      .select(l.columns.map(col).toIndexedSeq: _*) // align column order for union
 
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
@@ -65,7 +65,7 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        carried.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
+      .select((left.columns.map(col) ++
+        carried.map(c => col("__r").getField(c).as(s"asof_$c"))).toIndexedSeq: _*)
   }
 }

@@ -36,10 +36,10 @@ object Dedup {
     * one shuffle, `min_by` the whole row ordered by (id, row).
     */
   def exactByKey(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame = {
-    val rowStruct = struct(df.columns.map(col): _*)
+    val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
     df.groupBy(keyCols: _*)
       .agg(min_by(rowStruct, struct(col(idCol), rowStruct)).as("__row"))
-      .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+      .select(df.columns.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

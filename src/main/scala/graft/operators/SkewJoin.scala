@@ -30,7 +30,7 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(factor > 0)
     val saltExpr: Column =
-      pmod(xxhash64(big.columns.map(col): _*), lit(factor)).cast("int")
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int")
     val b = big.withColumn("__salt", saltExpr)
     val s = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))

@@ -126,6 +126,16 @@ object Profiler {
 
   def invalidate(key: String): Unit = cache.filterInPlace((k, _) => k._1 != key)
 
+  /** P3: deterministic head — the reference previews head(5) or head(10)
+    * (`system.txt:2`). A head over a partial order is engine- and
+    * partitioning-dependent, so the sort key is ALL columns by default
+    * (pass `sortCols` to preview by a meaningful prefix instead).
+    */
+  def head(df: DataFrame, n: Int = 5, sortCols: Seq[String] = Nil): DataFrame = {
+    val keys = if (sortCols.nonEmpty) sortCols else df.columns.toSeq
+    df.orderBy(keys.map(col): _*).limit(n)
+  }
+
   /** P9-style value counts for a categorical column (SURVEY.md §2.5
     * "value counts / frequency"). Deterministic order: count desc, value asc.
     */

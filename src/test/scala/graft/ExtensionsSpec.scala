@@ -24,7 +24,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(graft_minhash(graft_shingles('a b c d', 2), 16)) AS sig_len,
           |  graft_jaccard(array('a','b'), array('b','c')) AS jac,
           |  graft_simhash('hello world') AS sh64,
-          |  graft_lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 42) AS bkt
+          |  graft_lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), 4, 42) AS bkt,
+          |  graft_langid('the and is of la le') AS lang,
+          |  graft_langid(NULL) AS lang_null
           |""".stripMargin).head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 5.0)
@@ -32,6 +34,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(3) == 16)
       assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-15)
       assert(r.getLong(6) >= 0 && r.getLong(6) < 16)
+      assert(r.getString(7) == "en")
+      assert(r.getString(8) == "und") // null text identifies as "und"
     } finally {
       // leave the shared session intact for other suites
     }

@@ -44,6 +44,19 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     assert(vc.count() == 3)
   }
 
+  test("head(n): deterministic total-order preview; SqlMain views register") {
+    val df = Seq((2, "b"), (1, "a"), (3, "c"), (1, "z")).toDF("k", "v")
+    val h = Profiler.head(df, 2).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(h.toSeq == Seq((1, "a"), (1, "z"))) // sorted by ALL columns
+    val h10 = Profiler.head(df, 10)
+    assert(h10.count() == 4) // n larger than data is fine
+    // ad-hoc SQL surface: SqlMain's views register and query (graft_*
+    // function resolution is covered by ExtensionsSpec's own session)
+    SqlMain.registerViews(spark, SparkTestSession.sfDir)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").head().getLong(0) > 0)
+  }
+
   test("valueCounts: deterministic order (count desc, value asc)") {
     val df = Seq("b", "a", "a", "c", "b").toDF("v")
     val vc = Profiler.valueCounts(df, "v").collect().map(r => (r.getString(0), r.getLong(1)))
