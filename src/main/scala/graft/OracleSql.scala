@@ -435,6 +435,45 @@ object OracleSql {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
+    // exact all-pairs 64-bit SimHash Hamming over the planted fixture.
+    // The signature is rebuilt from scratch in SQL: token hash = first 16
+    // hex chars of md5 -> unsigned 64-bit integer (HUGEINT digit sum), bit b
+    // of the signature = sign of (2*ones_b - ntok), assembled as a HUGEINT
+    // power-of-two sum and wrapped to signed BIGINT. Equality with the
+    // Spark side proves both the portable MD5 token hash and that the
+    // pigeonhole quarter-blocking plan recovers every pair at Hamming <= 3.
+    "d3_simhash" -> {
+      val hex2u = (0 until 16).map { j =>
+        s"CAST(strpos('0123456789abcdef', substr(h,${j + 1},1)) - 1 AS HUGEINT)" +
+          s" * CAST(power(2, ${4 * (15 - j)}) AS HUGEINT)"
+      }.mkString(" + ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |tok AS (SELECT doc_id,
+         |  unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tk
+         |  FROM all_docs),
+         |hx AS (SELECT doc_id, md5(tk) AS h FROM tok),
+         |hv AS (SELECT doc_id, $hex2u AS u FROM hx),
+         |nt AS (SELECT doc_id, count(*) AS ntok FROM hv GROUP BY doc_id),
+         |bits AS (SELECT hv.doc_id, b.range AS b,
+         |    SUM(CAST((u // CAST(power(2, b.range) AS HUGEINT)) % 2 AS HUGEINT)) AS ones
+         |  FROM hv, range(64) b GROUP BY hv.doc_id, b.range),
+         |sigu AS (SELECT bits.doc_id,
+         |    SUM(CASE WHEN 2*ones - ntok > 0 THEN CAST(power(2, b) AS HUGEINT)
+         |        ELSE CAST(0 AS HUGEINT) END) AS su
+         |  FROM bits JOIN nt ON bits.doc_id = nt.doc_id GROUP BY bits.doc_id),
+         |sig AS (SELECT doc_id,
+         |    CAST(CASE WHEN su >= CAST(power(2,63) AS HUGEINT)
+         |      THEN su - CAST(power(2,64) AS HUGEINT) ELSE su END AS BIGINT) AS s
+         |  FROM sigu)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
     "d4_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, lang, source,
          |  list_distinct($tokSplit) AS sset FROM documents)
@@ -505,16 +544,38 @@ object OracleSql {
         |  substr(sha256(text), 1, 16) AS sha
         |FROM documents ORDER BY id""".stripMargin,
 
-    // recall gates: the engine emits per-query `recall_ok` (approximate
-    // top-10 hit-count vs exact brute force >= 6); the oracle asserts the
-    // invariant — TRUE for every query id — so a recall regression flips the
-    // driver hash red instead of hiding in a rows-only check
-    "s2_lsh_recall" ->
-      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // stub frame-sampling contract: nframes = 1 + n_bytes % 8, stride 2,
+    // dims the same Knuth-mix arithmetic as mm1 — all BIGINT-exact in SQL
+    "mm2_frames" ->
+      """WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT id, nb, unnest(range(0, 1 + nb % 8, 2)) AS fi FROM m)
+        |SELECT id, CAST(fi AS INTEGER) AS frame_index,
+        |  CAST(256 + (nb * 2654435761) % 1024 AS INTEGER) AS width,
+        |  CAST(256 + ((nb * 2654435761) // 1024) % 1024 AS INTEGER) AS height,
+        |  CAST(nb AS BIGINT) AS n_bytes
+        |FROM f ORDER BY id, frame_index""".stripMargin,
 
-    "s3_ivf_recall" ->
-      """SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+    // planted-dup invariant through the multimodal embedding pipeline: the
+    // engine must find every (i, i+1e6) identical-payload pair via
+    // byte-histogram embedding + blocked LSH near-dup; the oracle asserts
+    // the invariant (TRUE for all 50 planted ids)
+    "mm3_media_embed" ->
+      """SELECT doc_id AS id, TRUE AS dup_found FROM documents
+        |WHERE doc_id < 50 ORDER BY id""".stripMargin,
+
+    // ANN gates: the topk entries emit per-query `recall_ok` (approximate
+    // top-10 hit-count vs exact brute force >= 6) and `k_full` (a full 10
+    // results returned); the oracle asserts the invariant — TRUE for every
+    // query id — so a recall regression flips the driver hash red instead
+    // of hiding in a rows-only check. The approximate neighbor lists
+    // themselves follow the engine-private hash functions and cannot be
+    // reproduced by an independent oracle.
+    "s2_lsh_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "s3_ivf_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
 }

@@ -64,6 +64,18 @@ object Queries {
       .otherwise(s).cast("double") / lit(1e6)
   }
   private def lmean(c: Column): Column = lsum(c) / count(c)
+  // Windowed twin of lsum with the SAME loud-overflow policy: try_sum nulls
+  // out on Long wrap, and a silent null would quietly drop rows from any
+  // comparison against the windowed value — so wrap it in the identical
+  // null-plus-nonempty raise_error guard (count(c) over the same window spec
+  // folds into the same Window operator; no extra pass).
+  private def lsumWin(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+      scale: Double): Column = {
+    val s = try_sum(floor(c * lit(scale) + lit(0.5))).over(w)
+    when(s.isNull && count(c).over(w) > 0,
+        raise_error(lit("window lsum overflow: sum(|x|*scale) exceeded Long range; use dsum")))
+      .otherwise(s).cast("double") / lit(scale)
+  }
   private def lstd(c: Column): Column =
     sqrt((dsumSq(c) - lsum(c) * lsum(c) / count(c)) / (count(c) - lit(1)))
 
@@ -259,11 +271,10 @@ object Queries {
     val w = Window.partitionBy(col("o_custkey"))
     t(s, dir, "orders")
       // scaled-long window sum (o_totalprice has 2 decimal places): exact,
-      // association-independent, no BigDecimal per row — see lsum
-      // try_sum: a wrap past Long range surfaces as null, never a wrong avg
+      // association-independent, no BigDecimal per row — see lsumWin (loud
+      // error on Long wrap, never a silent null that drops rows)
       .withColumn("cust_avg",
-        (try_sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w).cast("double") /
-          lit(100.0)) / count(lit(1)).over(w))
+        lsumWin(col("o_totalprice"), w, 100.0) / count(lit(1)).over(w))
       .where(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
   }
@@ -289,9 +300,7 @@ object Queries {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
-      .withColumn("running_qty",
-        try_sum(floor(col("l_quantity") * lit(100.0) + lit(0.5))).over(w)
-          .cast("double") / lit(100.0))
+      .withColumn("running_qty", lsumWin(col("l_quantity"), w, 100.0))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
 
@@ -342,9 +351,7 @@ object Queries {
       // == DuckDB's epoch() of the naive timestamp
       .withColumn("sec", col("o_orderdate").cast("timestamp").cast("long"))
       .withColumn("trailing_n", count(lit(1)).over(w))
-      .withColumn("trailing_spend",
-        try_sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))).over(w)
-          .cast("double") / lit(100.0))
+      .withColumn("trailing_spend", lsumWin(col("o_totalprice"), w, 100.0))
       .select(col("o_orderkey"), col("trailing_n"), col("trailing_spend"))
   }
 
@@ -629,9 +636,17 @@ object Queries {
     Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
       threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3)
 
-  /** D3: SimHash near-dup pairs (rows-only check). */
+  /** D3: SimHash near-dup pairs — ORACLE-CHECKED: the token hash is
+    * portable (first 8 MD5 bytes, [[graft.functions.SimHash64.tokenHash]]),
+    * so DuckDB rebuilds every 64-bit signature from `md5(tk)` with integer
+    * arithmetic and compares exact all-pairs `bit_count(xor) <= 3` against
+    * this plan's pigeonhole-blocked join (4 × 16-bit quarters — provably
+    * exact for Hamming ≤ 3, so hash equality proves the blocked plan loses
+    * nothing vs the quadratic oracle).
+    */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docsWithPlantedDups(s, dir), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
 
   /** D4: token-set Jaccard near-dups, blocked by (lang, source). */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -684,24 +699,57 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** S2: LSH approximate top-k (rows-only; recall spec-tested vs S1). */
+  // The exact S1 result is the yardstick for BOTH ANN gates (s2, s3) — memo
+  // it per data dir as a persisted 50-row frame so the brute-force pass runs
+  // once per dir, not once per gate. If an external clearCache() drops the
+  // blocks the lineage recomputes transparently.
+  private val s1Cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def s1Cached(s: SparkSession, dir: String): DataFrame =
+    s1Cache.getOrElseUpdate(dir, {
+      val df = s1KnnBruteForce(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  // IVF index memo: the k-means build is the dominant cost of the IVF path
+  // and is query-independent — build once per dir, reuse across calls
+  // (ivfIndex persists the assigned corpus + centroids internally).
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private def ivfCached(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.ivfIndex(e, "vec_id", "embedding", nClusters = 16, iterations = 2)
+    })
+
+  /** S2: LSH approximate top-k, emitted as its own oracle-checked quality
+    * gate: per query, `recall_ok` (the approximate top-10 recovers ≥ 6 of
+    * the exact top-10) and `k_full` (a full k results came back). The
+    * approximate neighbor LISTS follow the hash functions and are therefore
+    * engine-private — no independent oracle can reproduce them — so the
+    * checkable contract is the recall invariant; a recall regression flips
+    * the driver hash red instead of hiding in a rows-only check. Library
+    * callers get the full top-k rows from [[Similarity.lshTopK]]
+    * (spec-tested for exact agreement shape + recall in SimilaritySpec).
+    */
   def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val corpus = Similarity.bucketize(e, "vec_id", "embedding")
-    Similarity.lshTopK(corpus, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
+    val approx = Similarity.lshTopK(corpus, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10)
+    annGate(s1Cached(s, dir), approx, minHits = 6, k = 10)
   }
 
-  /** S3: IVF (coarse-quantization) approximate top-k — rows-only check;
-    * recall spec-tested vs S1 (see [[graft.operators.Similarity.ivfIndex]]).
+  /** S3: IVF approximate top-k as the same oracle-checked recall gate (see
+    * [[s2LshTopK]]); the k-means index is built once per dir via the memo.
     */
   def s3IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val (assigned, cents) = Similarity.ivfIndex(e, "vec_id", "embedding",
-      nClusters = 16, iterations = 2)
-    Similarity.ivfTopK(assigned, cents, e.where(col("vec_id") < 5),
-        "vec_id", "embedding", k = 10, nProbe = 4)
-      .orderBy(col("query_id"), col("rank"))
+    val (assigned, cents) = ivfCached(s, dir)
+    val approx = Similarity.ivfTopK(assigned, cents, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nProbe = 4)
+    annGate(s1Cached(s, dir), approx, minHits = 6, k = 10)
   }
 
   /** E3: per-label embedding centroids via decimal-exact element means.
@@ -734,27 +782,69 @@ object Queries {
         col("nBytes").as("n_bytes"), col("sha"))
   }
 
-  /** S2-recall: oracle-checked quality gate for the LSH ANN path — per
-    * query, does approximate top-10 recall vs the exact brute force reach
-    * the 60% floor? The oracle simply asserts TRUE for every query id, so a
-    * recall regression flips the hash red instead of hiding in a rows-only
-    * check.
+  /** MM2: frame sampling over a synthetic video column — every 2nd frame's
+    * metadata per document. The stub frame count and dims are plain BIGINT
+    * arithmetic on the payload length ([[graft.operators.Multimodal
+    * .StubCodecs]]), so the oracle reproduces the full exploded output;
+    * what the check proves Spark-side is the mapPartitions explode plumbing
+    * (per-partition codec batching, bounded output).
     */
-  def s2LshRecall(s: SparkSession, dir: String): DataFrame =
-    recallFloor(s1KnnBruteForce(s, dir), s2LshTopK(s, dir), minHits = 6)
+  def mm2Frames(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val media = graft.operators.Multimodal.asMedia(docs, "doc_id", "payload", "video/fake")
+    graft.operators.Multimodal.sampleFrames(media, stride = 2).toDF()
+      .select(col("id"), col("frameIndex").as("frame_index"),
+        col("width"), col("height"), col("nBytes").as("n_bytes"))
+  }
 
-  /** S3-recall: same oracle-checked 60% floor for the IVF ANN path. */
-  def s3IvfRecall(s: SparkSession, dir: String): DataFrame =
-    recallFloor(s1KnnBruteForce(s, dir), s3IvfTopK(s, dir), minHits = 6)
+  /** MM3: media embedding feeding the d5b near-dup path — the planted-dup
+    * invariant through the full multimodal pipeline: payload → byte-histogram
+    * embedding ([[graft.operators.Multimodal.embedMedia]]; identical payloads
+    * give identical vectors) → (n_bytes, hyperplane-LSH)-blocked
+    * exact-cosine near-dup. Emits one row per planted id with `dup_found`;
+    * the oracle asserts TRUE for all 50, so a regression anywhere in the
+    * chain (embedding determinism, LSH recall at cosine≈1, blocking) flips
+    * the hash red. Neighbor lists beyond the invariant follow the embedding
+    * stub and are not part of the contract.
+    */
+  def mm3MediaEmbed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val fixture = docs.unionAll(
+      docs.where(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 1000000L))
+    val media = graft.operators.Multimodal.asMedia(fixture, "doc_id", "payload", "image/fake")
+    val emb = graft.operators.Multimodal.embedMedia(media)
+      .join(media.toDF().select(col("id"), length(col("data")).as("n_bytes")), Seq("id"))
+    val pairs = Dedup.embeddingNearDup(emb, "id", "embedding",
+      threshold = 0.999999, lshBits = 12, blockCols = Seq("n_bytes"), tables = 1)
+    val found = pairs.where(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a").as("id"), lit(true).as("__f"))
+    t(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id").as("id"))
+      .join(found, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__f"), lit(false)).as("dup_found"))
+      .orderBy(col("id"))
+  }
 
-  private def recallFloor(exact: DataFrame, approx: DataFrame, minHits: Int): DataFrame = {
-    val hits = exact.select("query_id", "neighbor_id")
-      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("nhits"))
+  /** The fold of the old separate recall-gate queries into the topk entries:
+    * ONE pass over the approximate results (left join against the tiny
+    * memoized exact set, then a per-query aggregate — `approx` is never
+    * referenced twice, so the expensive ANN plan runs once), emitting
+    * (query_id, recall_ok, k_full).
+    */
+  private def annGate(exact: DataFrame, approx: DataFrame, minHits: Int, k: Int): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val stats = approx.select("query_id", "neighbor_id")
+      .join(ex, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("nhits"), count(lit(1)).as("nret"))
     exact.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
+      .join(stats, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("nhits"), lit(0L)) >= lit(minHits.toLong)).as("recall_ok"))
+        (coalesce(col("nhits"), lit(0L)) >= lit(minHits.toLong)).as("recall_ok"),
+        (coalesce(col("nret"), lit(0L)) === lit(k.toLong)).as("k_full"))
+      .orderBy(col("query_id"))
   }
 
   // ======================================================================
@@ -816,10 +906,10 @@ object Queries {
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
-    "s2_lsh_recall" -> (s2LshRecall _),
     "s3_ivf_topk" -> (s3IvfTopK _),
-    "s3_ivf_recall" -> (s3IvfRecall _),
     "e3_centroids" -> (e3Centroids _),
-    "mm1_image_meta" -> (mm1ImageMeta _)
+    "mm1_image_meta" -> (mm1ImageMeta _),
+    "mm2_frames" -> (mm2Frames _),
+    "mm3_media_embed" -> (mm3MediaEmbed _)
   )
 }

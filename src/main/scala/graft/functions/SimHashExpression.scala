@@ -10,9 +10,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Replaces the explode-tokens → 64-sum-aggregates → reassemble pipeline
   * (a full shuffle on the doc id) with a pure per-row expression: tokenize,
-  * hash each distinct token once (xxhash64, seed 42 — same family as the
-  * MinHash kernel), accumulate the 64 ±1 bit counters in a local array,
-  * emit the sign bits. Bit-identical to the aggregate formulation.
+  * hash each distinct token once, accumulate the 64 ±1 bit counters in a
+  * local array, emit the sign bits. Bit-identical to the aggregate
+  * formulation.
+  *
+  * The token hash is the first 8 bytes of MD5 (big-endian) — a PORTABLE
+  * hash: any engine with an `md5()` function reproduces the signature
+  * bit-for-bit (the DuckDB oracle rebuilds it from `substr(md5(tk),1,16)`
+  * with integer arithmetic), unlike engine-private xxhash64. MD5 costs
+  * ~10× xxhash64 per token, which is noise next to the candidate join the
+  * signatures feed; its bit-uniformity is cryptographic-grade, which the
+  * sign-aggregation step likes.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -31,6 +39,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5 over the token's UTF-8 bytes, big-endian, as a
+    * signed long — exactly the integer an oracle derives from the first 16
+    * hex chars of a SQL `md5()`.
+    */
+  def tokenHash(tok: String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   def simhash(s: UTF8String): Long = {
     // sql-trim (spaces only) + split limit -1, matching the Spark built-ins
     // (see WordShingles)
@@ -40,7 +67,7 @@ object SimHash64 {
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
-        val h = MinHashSig.hashUtf8(UTF8String.fromString(toks(i)))
+        val h = tokenHash(toks(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) != 0) counts(b) += 1 else counts(b) -= 1

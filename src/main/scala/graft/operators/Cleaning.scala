@@ -61,59 +61,143 @@ object Cleaning {
     }
   }
 
+  /** Cap on values collected to the driver per column for an exact
+    * quantile: ~1M doubles ≈ 8 MB. Keeps the bracket-and-refine plan
+    * driver-safe at ANY row count (the window would otherwise grow as εn).
+    */
+  val DefaultQuantileWindowBudget: Long = 1L << 20
+
   /** All listed columns' exact p-quantile in a FIXED number of jobs
     * (3, independent of column count): counts, sketch brackets, then one
     * conditional aggregate collecting each column's base rank + in-bracket
     * window. Small frames (≤200k non-null) take one collect_list pass.
+    *
+    * The collected in-bracket window is bounded by `windowBudget` values
+    * per column, NOT by a fraction of n: ε adapts as budget/(5n) (the
+    * window spans ~5εn ranks), and once ε would need to drop below the
+    * GK-sketch floor (1e-5 — beyond that the sketch itself gets expensive),
+    * the plan switches to iterative re-bracketing: count the window,
+    * re-sketch INSIDE it at the rank the quantile needs, repeat until it
+    * fits, then collect. Each round shrinks the window ~40× (5e-3-ε sketch
+    * over the bracket), so even 10¹²-row columns converge in 2–3 rounds.
     */
-  def exactQuantilesMulti(df: DataFrame, cols: Seq[String], p: Double): Map[String, Double] = {
+  def exactQuantilesMulti(df: DataFrame, cols: Seq[String], p: Double): Map[String, Double] =
+    exactQuantilesMultiStats(df, cols, p, DefaultQuantileWindowBudget)._1
+
+  /** Stats variant for specs: also returns the per-column count of values
+    * actually collected to the driver (the bound under test).
+    */
+  private[graft] def exactQuantilesMultiStats(
+      df: DataFrame,
+      cols: Seq[String],
+      p: Double,
+      windowBudget: Long): (Map[String, Double], Map[String, Long]) = {
     val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
     val cntRow = d.agg(count(col(cols.head)).as(cols.head),
       cols.tail.map(c => count(col(c)).as(c)): _*).head()
     val ns = cols.map(c => c -> cntRow.getAs[Long](c)).toMap
     val present = cols.filter(ns(_) > 0)
-    if (present.isEmpty) return Map.empty
+    if (present.isEmpty) return (Map.empty, Map.empty)
 
     if (present.map(ns).max <= 200000) {
       val listRow = d.agg(
         sort_array(collect_list(col(present.head))).as(present.head),
         present.tail.map(c => sort_array(collect_list(col(c))).as(c)): _*).head()
-      present.map { c =>
+      val out = present.map { c =>
         val sorted = listRow.getSeq[Double](listRow.fieldIndex(c))
         c -> interp(ns(c), p, i => sorted(i.toInt))
       }.toMap
+      (out, present.map(c => c -> ns(c)).toMap)
     } else {
-      // ε trades sketch cost against window size: window ≤ ~5εn values are
-      // collected; 5e-3 keeps the GK sketch cheap and the collect ≤2.5% of
-      // rows.
-      val eps = 5e-3
+      // ε trades sketch cost against window size: ~5εn values are collected
+      // per column. Adaptive: small enough that the window fits the budget,
+      // floored at the sketch's practical limit, capped at 5e-3.
+      val nMax = present.map(ns).max
+      val eps = math.max(math.min(5e-3, windowBudget.toDouble / (5.0 * nMax)), 1e-5)
       val pl = math.max(0.0, p - 2 * eps)
       val ph = math.min(1.0, p + 2 * eps)
       val brackets = present.zip(
         d.stat.approxQuantile(present.toArray, Array(pl, ph), eps / 2))
         .map { case (c, arr) => c -> (arr(0), arr(1)) }.toMap
-      val aggs = present.flatMap { c =>
-        val (a, b) = brackets(c)
-        Seq(
-          sum(when(col(c) < a, 1L).otherwise(0L)).as(s"__base_$c"),
-          sort_array(collect_list(when(col(c) >= a && col(c) <= b, col(c))))
-            .as(s"__win_$c"))
-      }
-      val row = d.agg(aggs.head, aggs.tail: _*).head()
-      present.map { c =>
-        val (a, b) = brackets(c)
-        if (a == b) c -> a
-        else {
-          val base = row.getAs[Long](s"__base_$c")
-          val win = row.getSeq[Double](row.fieldIndex(s"__win_$c"))
-          def pick(r: Long): Double = {
-            val idx = (r - base).toInt
-            win(math.min(math.max(idx, 0), win.length - 1))
-          }
-          c -> interp(ns(c), p, pick)
+
+      if (5.0 * eps * nMax <= 2.0 * windowBudget) {
+        // predicted windows fit: the fused single-pass path (3 jobs total)
+        val aggs = present.flatMap { c =>
+          val (a, b) = brackets(c)
+          Seq(
+            sum(when(col(c) < a, 1L).otherwise(0L)).as(s"__base_$c"),
+            sort_array(collect_list(when(col(c) >= a && col(c) <= b, col(c))))
+              .as(s"__win_$c"))
         }
-      }.toMap
+        val row = d.agg(aggs.head, aggs.tail: _*).head()
+        val picked = present.map { c =>
+          val (a, b) = brackets(c)
+          if (a == b) (c -> a, c -> 0L)
+          else {
+            val base = row.getAs[Long](s"__base_$c")
+            val win = row.getSeq[Double](row.fieldIndex(s"__win_$c"))
+            def pick(r: Long): Double = {
+              val idx = (r - base).toInt
+              win(math.min(math.max(idx, 0), win.length - 1))
+            }
+            (c -> interp(ns(c), p, pick), c -> win.length.toLong)
+          }
+        }
+        (picked.map(_._1).toMap, picked.map(_._2).toMap)
+      } else {
+        // n so large that even ε=1e-5 overflows the budget (n ≳ 2·10¹⁰ at
+        // the default budget): per-column iterative re-bracketing. Extra
+        // jobs only on this path, never at ordinary scale.
+        val picked = present.map { c =>
+          val (v, w) = refineAndPick(d, c, ns(c), p, brackets(c), windowBudget)
+          (c -> v, c -> w)
+        }
+        (picked.map(_._1).toMap, picked.map(_._2).toMap)
+      }
     }
+  }
+
+  /** Shrink the bracket [a,b] around the target global ranks until the
+    * in-bracket window fits `budget`, then collect + interpolate. Each round
+    * is one count aggregate and (if still too big) one GK sketch over the
+    * bracketed rows at the LOCAL fraction of the needed ranks. Ties collapse
+    * the bracket to a single value (exact answer, nothing collected); the
+    * round cap is a safety valve — on pathological no-progress distributions
+    * the final round collects whatever the window holds (correct, just
+    * bigger than budget).
+    */
+  private def refineAndPick(d: DataFrame, c: String, n: Long, p: Double,
+      bracket0: (Double, Double), budget: Long): (Double, Long) = {
+    val h = (n - 1) * p
+    val rLo = math.floor(h).toLong
+    val rHi = math.min(rLo + 1, n - 1)
+    var (a, b) = bracket0
+    var iter = 0
+    while (true) {
+      if (a == b) return (a, 0L)
+      val row = d.agg(
+        sum(when(col(c) < a, 1L).otherwise(0L)).as("base"),
+        sum(when(col(c) >= a && col(c) <= b, 1L).otherwise(0L)).as("m")).head()
+      val base = row.getLong(0)
+      val m = row.getLong(1)
+      if (m <= budget || iter >= 5) {
+        val win = d.where(col(c) >= a && col(c) <= b)
+          .agg(sort_array(collect_list(col(c)))).head().getSeq[Double](0)
+        def pick(r: Long): Double =
+          win(math.min(math.max((r - base).toInt, 0), win.length - 1))
+        return (interp(n, p, pick), win.length.toLong)
+      }
+      val e = 5e-3
+      val denom = math.max(m - 1, 1L).toDouble
+      val fLo = math.max(0.0, (rLo - base).toDouble / denom - 2 * e)
+      val fHi = math.min(1.0, (rHi - base).toDouble / denom + 2 * e)
+      val arr = d.where(col(c) >= a && col(c) <= b)
+        .stat.approxQuantile(c, Array(fLo, fHi), e / 2)
+      a = arr(0)
+      b = arr(1)
+      iter += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** C1: fill nulls in each column with that column's median — ALL columns'

@@ -70,15 +70,25 @@ object CorpusPipeline {
     val nExact = n(exact)
 
     // 3. near-dedup: LSH-bucketed candidate pairs, exact-Jaccard verified;
-    //    drop the id_b side of every pair (see policy above). The pair set
-    //    is orders of magnitude smaller than the corpus — the anti-join
-    //    broadcasts it.
-    val dropIds = Dedup.minhashLsh(exact, idCol, textCol,
+    //    drop the id_b side of every pair (see policy above). The drop set
+    //    is usually orders of magnitude smaller than the corpus, but "much
+    //    smaller than 10B docs" can still be past the broadcast ceiling —
+    //    so no explicit broadcast() hint: AQE sees the materialized size and
+    //    broadcasts the anti-join side only when it actually fits.
+    val pairs = Dedup.minhashLsh(exact, idCol, textCol,
         threshold = cfg.nearDupThreshold, numHashes = cfg.numHashes,
         bands = cfg.bands, shingleSize = cfg.shingleSize)
-      .select(col("id_b").as("__drop_id")).distinct()
-    val deduped = exact.join(broadcast(dropIds),
-      exact(idCol) === col("__drop_id"), "left_anti")
+    // Materialize the (near-dup-bounded) drop-id set, then release the pair
+    // set minhashLsh cached — per its contract the caller owns that cache,
+    // and repeated runs in a long-lived session must not accumulate blocks.
+    // dropIds itself stays cached: the returned lazy corpus re-reads it on
+    // every downstream action, and it is bounded by the near-dup count, not
+    // the corpus size.
+    val dropIds = pairs.select(col("id_b").as("__drop_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dropIds.count()
+    pairs.unpersist(blocking = false)
+    val deduped = exact.join(dropIds, exact(idCol) === col("__drop_id"), "left_anti")
     val nFinal = n(deduped)
 
     (deduped, Stats(nInput, nGated, nExact, nFinal))

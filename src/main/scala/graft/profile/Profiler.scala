@@ -128,12 +128,25 @@ object Profiler {
 
   /** P3: deterministic head — the reference previews head(5) or head(10)
     * (`system.txt:2`). A head over a partial order is engine- and
-    * partitioning-dependent, so the sort key is ALL columns by default
-    * (pass `sortCols` to preview by a meaningful prefix instead).
+    * partitioning-dependent, so the sort key is ALL ORDERABLE columns by
+    * default (map columns have no ordering in Spark and would throw
+    * AnalysisException; they ride along unsorted). Pass `sortCols` to
+    * preview by a meaningful prefix instead — cheaper than the full-row
+    * sort, and the only fully deterministic option when every orderable
+    * column can tie.
     */
   def head(df: DataFrame, n: Int = 5, sortCols: Seq[String] = Nil): DataFrame = {
-    val keys = if (sortCols.nonEmpty) sortCols else df.columns.toSeq
-    df.orderBy(keys.map(col): _*).limit(n)
+    val keys =
+      if (sortCols.nonEmpty) sortCols
+      else df.schema.fields.filter(f => isOrderable(f.dataType)).map(_.name).toSeq
+    if (keys.isEmpty) df.limit(n) else df.orderBy(keys.map(col): _*).limit(n)
+  }
+
+  private def isOrderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case a: ArrayType => isOrderable(a.elementType)
+    case s: StructType => s.fields.forall(f => isOrderable(f.dataType))
+    case _ => true
   }
 
   /** P9-style value counts for a categorical column (SURVEY.md §2.5

@@ -23,17 +23,28 @@ import scala.jdk.CollectionConverters._
   */
 object Jsonl {
 
-  private val corruptCol = "_corrupt"
+  // Collision-proof capture name: a crawl document could legitimately carry
+  // a "_corrupt" field, which would be misclassified as malformed (or break
+  // the reader with a duplicate column). The dunder-namespaced name cannot
+  // appear in real data by accident; schemas that somehow do carry it are
+  // rejected loudly below rather than silently mangled.
+  private val corruptCol = "__graft_corrupt__"
+
+  private def requireNoCapture(schema: StructType): Unit =
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already contains the corrupt-capture column '$corruptCol'")
 
   /** Read JSONL with a known schema; malformed lines land whole in the
-    * `_corrupt` column instead of killing the job or vanishing.
+    * capture column instead of killing the job or vanishing.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    requireNoCapture(schema)
     spark.read
       .schema(schema.add(corruptCol, "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+  }
 
   /** Exploration-only: infer the schema from a bounded sample of lines
     * (one extra bounded read, never a full-data inference pass).
@@ -54,6 +65,7 @@ object Jsonl {
     * line parses to a null struct; the split is a plain filter.
     */
   def quarantine(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    requireNoCapture(schema)
     // from_json under PERMISSIVE yields an all-null struct for malformed
     // input (indistinguishable from a legitimately-null row), so the
     // capture field rides INSIDE the parse schema instead

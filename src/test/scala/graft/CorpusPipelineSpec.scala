@@ -36,6 +36,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.where(col("n_tokens") < 5).count() == 0)
   }
 
+  test("near-dup anti-join is not force-broadcast: AQE decides, oversized drop sets survive") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      // simulate a drop set past the broadcast ceiling: with broadcasts
+      // disabled entirely, a hardcoded broadcast() hint would still force a
+      // BroadcastHashJoin (hints override the threshold) — so the assertion
+      // below fails exactly when someone reintroduces the hint
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (out, stats) = CorpusPipeline.run(docs, "doc_id", "text")
+      assert(stats.afterNearDedup > 0)
+      assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "anti-join must not carry a broadcast hint")
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast forced despite threshold=-1:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("audit=false keeps the pipeline lazy (no counts)") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text")).limit(50)

@@ -42,6 +42,22 @@ class JsonlSpec extends AnyFunSuite {
     assert(df.select("a", "b").count() == 2)
   }
 
+  test("a document field named _corrupt is data, not a quarantine trigger") {
+    val withCorruptField = StructType(schema.fields :+ StructField("_corrupt", StringType))
+    val path = writeLines(Seq(
+      """{"doc_id": 1, "text": "t", "lang": "en", "_corrupt": "just a field"}""",
+      """{broken"""))
+    val (clean, corrupt) = Jsonl.quarantine(spark, path, withCorruptField)
+    assert(clean.count() == 1 && corrupt.count() == 1)
+    assert(clean.head().getString(3) == "just a field")
+  }
+
+  test("schema carrying the reserved capture column is rejected loudly") {
+    val bad = StructType(schema.fields :+ StructField("__graft_corrupt__", StringType))
+    intercept[IllegalArgumentException] { Jsonl.quarantine(spark, "/nonexistent", bad) }
+    intercept[IllegalArgumentException] { Jsonl.read(spark, "/nonexistent", bad) }
+  }
+
   test("sink round-trips and never overwrites by default") {
     import spark.implicits._
     val df = Seq((1L, "t1", "en"), (2L, "t2", "fr")).toDF("doc_id", "text", "lang")

@@ -117,6 +117,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(tagged == gold)
   }
 
+  test("streaming sessionize == batch w3 once every real session is closed") {
+    // One sentinel event per user, 10 days after the last real event: its
+    // arrival closes each user's final open session through the normal gap
+    // logic (the sentinel's own session stays open and unemitted), so the
+    // Append stream's closed sessions are EXACTLY the batch sessionization —
+    // the semantic tie between EventStreams.sessionize and Queries.w3.
+    val batch = eventsBatch
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+    val sentinels = batch.select("user_id").distinct()
+      .withColumn("event_id", col("user_id") + 1000000000L)
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("event_type", lit("sentinel"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .select(colsInOrder.map(col): _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_w3").toString
+    batch.select(colsInOrder.map(col): _*).unionByName(sentinels)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val streamed = spark.readStream.schema(schema).parquet(tmp)
+    val sess = EventStreams.sessionize(spark, streamed, gapMinutes = 30)
+    val q = EventStreams.runToMemory(sess, "sess_w3_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamAgg = spark.table("sess_w3_out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("nEvents")).as("n_events"))
+    val w3 = Queries.w3Sessionize(spark, SparkTestSession.sfDir)
+    assert(streamAgg.exceptAll(w3).count() == 0 && w3.exceptAll(streamAgg).count() == 0,
+      "streaming closed sessions must reproduce the batch w3 sessionization")
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
