@@ -43,7 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"queries":$qs,"sf":"$sfDir"}""")
+    // pass_totals: each full pass's wall total (pass 1 includes first-call
+    // JIT/classloading) so round-over-round comparisons can be made
+    // like-for-like against either single-pass or min-of-N methodology.
+    val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

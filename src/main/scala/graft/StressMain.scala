@@ -50,7 +50,7 @@ object StressMain {
       "t4_fingerprint", "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d2b_minhash_lsh_oracle", "d5b_embedding_neardup_lsh",
       "s1_knn_bruteforce", "s2_lsh_topk", "s3_ivf_topk", "mm1_image_meta",
-      "e3_centroids", "p10_group_insight")
+      "mm2_frames", "mm3_media_embed", "e3_centroids", "p10_group_insight")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
