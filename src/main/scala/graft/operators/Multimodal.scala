@@ -26,11 +26,25 @@ object Multimodal {
   final case class Frame(id: Long, frameIndex: Int, width: Int, height: Int,
       nBytes: Long)
 
-  /** ======== STUB: deterministic fake codecs ========
-    * Real implementations would decode the byte payload; these derive
-    * deterministic pseudo-metadata from the bytes so tests are stable.
+  /** The decode seam: every operator takes a codec as a parameter, so a
+    * real decoder (javacpp/ffmpeg, an inference runtime for [[MediaCodec
+    * .embed]]) swaps in without touching the Spark plumbing. Implementations
+    * must be Serializable — they ship inside the `mapPartitions` closures
+    * and are instantiated once per executor, with per-partition reuse.
     */
-  object StubCodecs {
+  trait MediaCodec extends Serializable {
+    def decodeImageDims(data: Array[Byte]): (Int, Int)
+    def frameCount(data: Array[Byte]): Int
+    /** Feature-extract the payload to a unit-norm `dim`-float vector. */
+    def embed(data: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** ======== STUB: deterministic fake codec (the default) ========
+    * Real implementations would decode the byte payload; this derives
+    * deterministic pseudo-metadata from the bytes so tests are stable and
+    * an engine-independent oracle can reproduce every value in ANSI SQL.
+    */
+  object StubCodecs extends MediaCodec {
     def decodeImageDims(data: Array[Byte]): (Int, Int) = {
       // STUB — replace with a real image decoder. Fake dims derived from the
       // payload length by plain BIGINT arithmetic (Knuth multiplicative mix)
@@ -39,6 +53,16 @@ object Multimodal {
       ((256 + (h % 1024)).toInt, (256 + ((h / 1024) % 1024)).toInt)
     }
     def frameCount(data: Array[Byte]): Int = 1 + (data.length % 8)
+    /** STUB embed: L2-normalized byte histogram folded into `dim` bins —
+      * deterministic, and identical payloads give identical vectors (the
+      * property mm3's planted-dup invariant rides on).
+      */
+    def embed(data: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      data.foreach(b => v((b & 0xff) % dim) += 1f)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      if (n > 0) v.map(_ / n) else v
+    }
   }
 
   /** Wrap an id+binary DataFrame into the canonical media schema. */
@@ -61,13 +85,15 @@ object Multimodal {
   /** Extract image metadata: per-partition batch decode (codec init once per
     * partition — mapPartitions, not map).
     */
-  def imageMetadata(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
+  def imageMetadata(ds: Dataset[MediaRow],
+      codec: MediaCodec = StubCodecs): Dataset[ImageMeta] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // real code: open codec context here, close after the iterator drains
+      // real code: open the codec context here, close after the iterator
+      // drains — one init per partition, not per row
       it.map { m =>
-        val (w, h) = StubCodecs.decodeImageDims(m.data)
+        val (w, h) = codec.decodeImageDims(m.data)
         val sha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(m.data).take(8).map("%02x".format(_)).mkString
         ImageMeta(m.id, m.mime, w, h, m.data.length.toLong, sha)
@@ -78,32 +104,29 @@ object Multimodal {
   /** Frame sampling: explode each video into every `stride`-th frame's
     * metadata. Output size is bounded by frames/stride, not input bytes.
     */
-  def sampleFrames(ds: Dataset[MediaRow], stride: Int = 2): Dataset[Frame] = {
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int = 2,
+      codec: MediaCodec = StubCodecs): Dataset[Frame] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       it.flatMap { m =>
-        val n = StubCodecs.frameCount(m.data)
-        val (w, h) = StubCodecs.decodeImageDims(m.data)
+        val n = codec.frameCount(m.data)
+        val (w, h) = codec.decodeImageDims(m.data)
         (0 until n by stride).map(i => Frame(m.id, i, w, h, m.data.length.toLong))
       }
     }
   }
 
-  /** Feature-extraction stub: binary -> fixed-dim float vector (here a
-    * deterministic byte-histogram projection; real impl = model inference
-    * per partition-batch).
+  /** Feature extraction: binary -> fixed-dim float vector via the codec's
+    * `embed` (stub = deterministic byte-histogram projection; real impl =
+    * model inference per partition-batch).
     */
-  def embedMedia(ds: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+  def embedMedia(ds: Dataset[MediaRow], dim: Int = 64,
+      codec: MediaCodec = StubCodecs): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      it.map { m =>
-        val v = new Array[Float](dim)
-        m.data.foreach(b => v((b & 0xff) % dim) += 1f)
-        val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
-        (m.id, if (n > 0) v.map(_ / n) else v)
-      }
+      it.map(m => (m.id, codec.embed(m.data, dim)))
     }.toDF("id", "embedding")
   }
 }

@@ -164,10 +164,12 @@ object Similarity {
     var cents = init.toSeq.toDF("cluster", "centroid")
     (1 to iterations).foreach { _ =>
       val assigned = assign(vecs, cents)
+      val prev = cents
       cents = centroids(assigned, "cluster", "nvec")
         .select(col("cluster").cast("int").as("cluster"), col("centroid"))
       cents = cents.persist()
       cents.count() // materialize: cut the lineage so iterations don't stack
+      prev.unpersist(blocking = false) // release the superseded iteration's blocks
     }
     val assigned = assign(vecs, cents)
       .withColumn("nnorm", graft.functions.VecExpressions.fnorm(col("nvec")))
@@ -206,5 +208,57 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  // ------------------------------------------------- caller-owned handles
+  /** An ANN index a library caller builds once, probes many times, and
+    * releases explicitly — the cached corpus structures are owned by the
+    * handle, not hidden in a session-lifetime global. `close()` drops the
+    * persisted blocks; the handle must not be probed afterwards (the lazy
+    * lineage would silently rebuild the index per query).
+    */
+  sealed trait AnnIndex extends AutoCloseable {
+    /** Approximate top-k for a query batch; probe cost is index-local
+      * (buckets or nProbe clusters), never a full corpus scan.
+      */
+    def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int = 10): DataFrame
+  }
+
+  /** OR-amplified hyperplane-LSH index: the bucketized corpus is persisted
+    * once and every probe batch joins bucket-locally against it.
+    */
+  final case class LshIndex private[Similarity] (
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      lshBits: Int, numTables: Int, seed: Int) extends AnnIndex {
+    def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int = 10): DataFrame =
+      lshTopK(bucketed, queries, idCol, vecCol, k, lshBits, numTables, seed)
+    override def close(): Unit = bucketed.unpersist(blocking = false)
+  }
+
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      lshBits: Int = 6, numTables: Int = 8, seed: Int = 42): LshIndex = {
+    val b = bucketize(corpus, idCol, vecCol, lshBits, numTables, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count() // materialize: probes must reuse blocks, not re-bucketize
+    LshIndex(b, idCol, vecCol, lshBits, numTables, seed)
+  }
+
+  /** IVF (coarse k-means) index: assigned corpus + centroid table, both
+    * persisted by [[ivfIndex]]; probes route through nProbe clusters.
+    */
+  final case class IvfIndex private[Similarity] (
+      assigned: DataFrame, cents: DataFrame, nProbe: Int) extends AnnIndex {
+    def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int = 10): DataFrame =
+      ivfTopK(assigned, cents, queries, idCol, vecCol, k, nProbe)
+    override def close(): Unit = {
+      assigned.unpersist(blocking = false)
+      cents.unpersist(blocking = false)
+    }
+  }
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, iterations: Int = 3, nProbe: Int = 4): IvfIndex = {
+    val (assigned, cents) = ivfIndex(corpus, idCol, vecCol, nClusters, iterations)
+    IvfIndex(assigned, cents, nProbe)
   }
 }

@@ -173,4 +173,85 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val emb = Multimodal.embedMedia(media, dim = 16).collect()
     assert(emb.forall(_.getSeq[Float](1).length == 16))
   }
+
+  test("codec seam: operators follow whichever MediaCodec is injected") {
+    val df = Seq((1L, "abcdef"), (2L, "0123456789abcdef")).toDF("id", "payload")
+      .select(col("id"), encode(col("payload"), "utf-8").as("payload"))
+    val media = Multimodal.asMedia(df, "id", "payload", "image/fake")
+    // a second fake implementing the same trait with different arithmetic —
+    // the same spec body must hold for both, proving the seam is pluggable
+    val codecs: Seq[(Multimodal.MediaCodec, String)] =
+      Seq((Multimodal.StubCodecs, "stub"), (ExtensionOpsSpec.AltCodec, "alt"))
+    codecs.foreach { case (codec, name) =>
+      val meta = Multimodal.imageMetadata(media, codec).collect()
+      assert(meta.length == 2, name)
+      meta.foreach { m =>
+        val (w, h) = codec.decodeImageDims(Array.fill(m.nBytes.toInt)(0: Byte))
+        assert((m.width, m.height) == (w, h), s"$name dims must come from the codec")
+      }
+      val frames = Multimodal.sampleFrames(media, stride = 1, codec = codec)
+        .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(frames(1L) == codec.frameCount(new Array[Byte](6)).toLong, name)
+      val emb = Multimodal.embedMedia(media, dim = 8, codec = codec).collect()
+      emb.foreach { r =>
+        val got = r.getSeq[Float](1)
+        assert(got.length == 8, name)
+      }
+    }
+    // and the two codecs genuinely disagree, so the assertions above aren't
+    // vacuously shared behavior
+    assert(Multimodal.StubCodecs.decodeImageDims(new Array[Byte](6)) !=
+      ExtensionOpsSpec.AltCodec.decodeImageDims(new Array[Byte](6)))
+  }
+
+  test("AnnIndex handles: build once, probe, close releases the cached blocks") {
+    import org.apache.spark.storage.StorageLevel
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 5)
+
+    val lsh = Similarity.buildLshIndex(e, "vec_id", "embedding")
+    assert(lsh.bucketed.storageLevel != StorageLevel.NONE)
+    val r1 = lsh.topK(queries, "vec_id", "embedding", k = 5)
+    val r2 = lsh.topK(queries, "vec_id", "embedding", k = 5) // reuse, no rebuild
+    assert(r1.count() == r2.count() && r1.count() > 0)
+    lsh.close()
+    assert(lsh.bucketed.storageLevel == StorageLevel.NONE)
+
+    val ivf = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      nClusters = 8, iterations = 2, nProbe = 3)
+    assert(ivf.assigned.storageLevel != StorageLevel.NONE)
+    assert(ivf.cents.storageLevel != StorageLevel.NONE)
+    assert(ivf.topK(queries, "vec_id", "embedding", k = 5).count() > 0)
+    ivf.close()
+    assert(ivf.assigned.storageLevel == StorageLevel.NONE)
+    assert(ivf.cents.storageLevel == StorageLevel.NONE)
+  }
+
+  test("ivfIndex leaves no leaked per-iteration centroid caches") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    val ivf = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      nClusters = 4, iterations = 3)
+    ivf.close()
+    // every iteration's superseded centroid frame was unpersisted during the
+    // build, and close() released the final index — nothing new may linger
+    assert(spark.sparkContext.getPersistentRDDs.size <= n0,
+      "ivfIndex build leaked cached frames")
+  }
+}
+
+object ExtensionOpsSpec {
+  /** Second fake codec for the seam test: same trait, different arithmetic. */
+  object AltCodec extends graft.operators.Multimodal.MediaCodec {
+    def decodeImageDims(data: Array[Byte]): (Int, Int) =
+      (64 + data.length % 7, 64 + data.length % 5)
+    def frameCount(data: Array[Byte]): Int = 1 + data.length % 3
+    def embed(data: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(data.length % dim) = 1f
+      v
+    }
+  }
 }
