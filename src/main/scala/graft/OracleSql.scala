@@ -514,6 +514,16 @@ object OracleSql {
          |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 
+    // closed-form invariant for the adversarial skew-guard fixture (see
+    // Queries.d6SkewGuard): the 5000-variant template family is synthetic
+    // and SF-independent, pairwise trigram Jaccard 58/60 >= 0.9, so greedy
+    // keep-first must collapse it to doc 0 — every other id dropped — and
+    // the hot-bucket guard must have engaged (buckets of ~4.4k > cap 1000)
+    "d6_skew_guard" ->
+      """SELECT CAST(r AS BIGINT) AS id, r <> 0 AS dropped,
+        |  TRUE AS guard_engaged
+        |FROM range(5000) t(r) ORDER BY id""".stripMargin,
+
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
          |  FROM embeddings WHERE vec_id < 5),

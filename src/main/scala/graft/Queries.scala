@@ -829,6 +829,44 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** The adversarial LSH fixture: `n` near-identical template variants —
+    * one shared 60-token base plus a per-variant suffix token, so variants
+    * are NOT byte-identical (exact dedup can't collapse them) yet any two
+    * share 58 of ~59 trigrams (Jaccard 58/60 ≈ 0.967). At crawl scale this
+    * is the boilerplate-family shape that piles an entire corpus slice into
+    * one (band, bucket) and melts an unguarded LSH self-join. Synthetic and
+    * SF-independent by construction, so the oracle is closed-form.
+    */
+  private[graft] def templateFamily(s: SparkSession, n: Int): DataFrame = {
+    val base = (0 until 60).map(i => f"tok$i%02d").mkString(" ")
+    s.range(n).select(col("id").as("doc_id"),
+      concat(lit(base + " v"), col("id")).as("text"))
+  }
+
+  /** D6: hot-bucket skew guard under adversarial input — 5000 template
+    * variants whose common band signatures put ~4.4k ids into each band's
+    * hot bucket (maxBucket = 1000, so the guard MUST engage: members verify
+    * against the bucket's 8 smallest-id representatives instead of
+    * all-pairs, O(n·8) not O(n²) candidates). The oracle asserts the
+    * closed-form invariant: greedy keep-first still collapses the whole
+    * family to doc 0 (every other id is dropped), and the audit saw
+    * oversized buckets — so a guard regression (lost recall OR silently
+    * quadratic fallback) flips the driver hash red.
+    */
+  def d6SkewGuard(s: SparkSession, dir: String): DataFrame = {
+    val fam = templateFamily(s, 5000)
+    val (pairs, audit) = Dedup.minhashLshAudited(fam, "doc_id", "text",
+      threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3,
+      maxBucket = 1000, repFactor = 8)
+    val dropIds = pairs.select(col("id_b").as("id")).distinct()
+      .withColumn("__d", lit(true))
+    fam.select(col("doc_id").as("id"))
+      .join(dropIds, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__d"), lit(false)).as("dropped"),
+        lit(audit.oversizedBuckets > 0).as("guard_engaged"))
+      .orderBy(col("id"))
+  }
+
   /** The fold of the old separate recall-gate queries into the topk entries:
     * ONE pass over the approximate results (left join against the tiny
     * memoized exact set, then a per-query aggregate — `approx` is never
@@ -906,6 +944,7 @@ object Queries {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
+    "d6_skew_guard" -> (d6SkewGuard _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),

@@ -50,7 +50,8 @@ object StressMain {
       "t4_fingerprint", "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash",
       "d2b_minhash_lsh_oracle", "d5b_embedding_neardup_lsh",
       "s1_knn_bruteforce", "s2_lsh_topk", "s3_ivf_topk", "mm1_image_meta",
-      "mm2_frames", "mm3_media_embed", "e3_centroids", "p10_group_insight")
+      "mm2_frames", "mm3_media_embed", "e3_centroids", "p10_group_insight",
+      "d6_skew_guard")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -61,6 +62,21 @@ object StressMain {
           println(f"[stress] $name%-22s FAILED: ${e.getMessage.take(120)}")
       }
     }
+
+    // Adversarial hot-bucket family at 10× the registry fixture: 50k
+    // near-identical template variants. Unguarded, each band's hot bucket
+    // would self-join ~44k² /2 ≈ 1e9 candidate rows × 16 bands; with the
+    // guard it is O(n·repFactor) — the row below staying near the 5k
+    // fixture's time (not ~100× it) is the sub-quadratic proof.
+    val t0 = System.nanoTime()
+    val fam = Queries.templateFamily(spark, 50000)
+    val (pairs, audit) = graft.operators.Dedup.minhashLshAudited(
+      fam, "doc_id", "text", threshold = 0.9, numHashes = 128, bands = 16,
+      shingleSize = 3, maxBucket = 1000, repFactor = 8)
+    val drops = pairs.select("id_b").distinct().count()
+    pairs.unpersist(blocking = false)
+    println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+      f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -18,6 +19,96 @@ import org.apache.spark.sql.functions._
   * reproducible across runs and cluster sizes.
   */
 object Dedup {
+
+  /** Default hot-bucket guard settings for the LSH family (MinHash, SimHash,
+    * hyperplane). Ordinary corpora never populate a single (band, bucket)
+    * anywhere near `DefaultMaxBucket`; a real 100 TB crawl does — boilerplate
+    * template families (near-identical but NOT byte-identical, so exact
+    * dedup upstream doesn't collapse them) pile 10⁵–10⁶ ids into one bucket
+    * and an unguarded within-bucket self-join goes quadratic on that key.
+    */
+  val DefaultMaxBucket: Int = 4096
+  val DefaultRepFactor: Int = 8
+
+  /** Per-run skew audit emitted by the `*Audited` variants. */
+  final case class SkewAudit(oversizedBuckets: Long, maxBucketSize: Long)
+
+  /** Candidate pairs from a bucketed frame with a hot-bucket guard.
+    *
+    * Buckets with ≤ `maxBucket` members self-join all-pairs (exact candidate
+    * enumeration, unchanged semantics). An OVERSIZED bucket — the LSH
+    * failure mode above — switches to representative verification: every
+    * member pairs with the bucket's `repFactor` smallest-id members (which
+    * also pair among themselves), so candidate volume is O(n·repFactor)
+    * instead of O(n²) per bucket.
+    *
+    * Semantics under the guard: all-pairs ENUMERATION inside an oversized
+    * bucket is itself quadratic OUTPUT — no engine can list it
+    * sub-quadratically — so the guarded contract is the one dedup needs:
+    * every member is still verified against the bucket's smallest ids,
+    * hence greedy keep-first (drop the larger id of every verified pair)
+    * still collapses a homogeneous template family to its minimum id.
+    * Member–member pairs between non-representatives of the same oversized
+    * bucket are not emitted; pairs they form in any other (small) bucket
+    * still are.
+    *
+    * `blocked` must carry `idCol` + `bucketCols` + `carryCols`; output is
+    * (id_a, id_b) with id_a < id_b plus `<c>_a`/`<c>_b` for each carry
+    * column. Callers should `.distinct()` (pairs repeat across buckets).
+    */
+  private[graft] def boundedBucketPairs(
+      blocked: DataFrame,
+      idCol: String,
+      bucketCols: Seq[String],
+      carryCols: Seq[String],
+      maxBucket: Int,
+      repFactor: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val marked = blocked
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+    val joinOn = bucketCols.map(c => col(s"l.$c") === col(s"r.$c"))
+
+    val small = marked.where(col("__n") <= maxBucket)
+    val smallPairs = small.as("l")
+      .join(small.as("r"),
+        joinOn.foldLeft(col(s"l.$idCol") < col(s"r.$idCol"))(_ && _))
+      .select(col(s"l.$idCol").as("id_a") +: col(s"r.$idCol").as("id_b") +:
+        carryCols.flatMap(c =>
+          Seq(col(s"l.$c").as(s"${c}_a"), col(s"r.$c").as(s"${c}_b"))): _*)
+
+    val big = marked.where(col("__n") > maxBucket)
+    val reps = big.where(col("__rn") <= repFactor)
+    val la = col(s"l.$idCol") < col(s"r.$idCol")
+    val bigPairs = big.as("l")
+      .join(reps.as("r"),
+        joinOn.foldLeft(col(s"l.$idCol") =!= col(s"r.$idCol"))(_ && _))
+      .select(
+        when(la, col(s"l.$idCol")).otherwise(col(s"r.$idCol")).as("id_a") +:
+        when(la, col(s"r.$idCol")).otherwise(col(s"l.$idCol")).as("id_b") +:
+        carryCols.flatMap(c => Seq(
+          when(la, col(s"l.$c")).otherwise(col(s"r.$c")).as(s"${c}_a"),
+          when(la, col(s"r.$c")).otherwise(col(s"l.$c")).as(s"${c}_b"))): _*)
+
+    smallPairs.unionAll(bigPairs)
+  }
+
+  /** One-job skew audit over a bucketed frame: how many buckets exceeded
+    * `maxBucket`, and the largest population seen.
+    */
+  private[graft] def bucketSkewAudit(
+      blocked: DataFrame, bucketCols: Seq[String], maxBucket: Int): SkewAudit = {
+    val r = blocked
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("oversized"),
+        max(col("__n")).as("mx"))
+      .head()
+    SkewAudit(
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
 
   // ------------------------------------------------------------ exact
   /** Exact duplicate groups by normalized-content fingerprint: one row per
@@ -88,7 +179,26 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 32,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame =
+    minhashLshAudited(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize, maxBucket, repFactor)._1
+
+  /** [[minhashLsh]] plus the hot-bucket [[SkewAudit]] — at crawl scale the
+    * oversized count is the canary that template families are being handled
+    * by representative verification rather than a quadratic join.
+    */
+  def minhashLshAudited(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): (DataFrame, SkewAudit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df
@@ -110,11 +220,8 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val candidates = boundedBucketPairs(banded, "id", Seq("band", "bucket"),
+        Nil, maxBucket, repFactor)
       .distinct()
 
     // joined twice (id_a side + id_b side): shingle once, reuse
@@ -133,9 +240,10 @@ object Dedup {
     // unpersist the returned frame when finished with it.
     val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    val audit = bucketSkewAudit(banded, Seq("band", "bucket"), maxBucket)
     banded.unpersist(blocking = false)
     sets.unpersist(blocking = false)
-    out
+    (out, audit)
   }
 
   /** |A∩B| / |A∪B| on distinct-element array columns — one-pass kernel
@@ -184,9 +292,14 @@ object Dedup {
   /** SimHash near-dup pairs: block on the 4 16-bit quarters of the signature
     * (pigeonhole: any pair within Hamming distance 3 shares at least one
     * exact quarter), verify with full Hamming distance <= maxHamming.
+    * Quarter buckets get the same hot-bucket guard as the MinHash path —
+    * a 16-bit quarter shared by a whole template family is exactly the
+    * oversized-bucket shape.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     val blocked = sig.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { q =>
@@ -194,11 +307,10 @@ object Dedup {
           shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("part"))
       }: _*)).as("blk"))
       .select(col("id"), col("simhash"), col("blk.q"), col("blk.part"))
-    blocked.as("l").join(blocked.as("r"),
-        col("l.q") === col("r.q") && col("l.part") === col("r.part") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        hamming64(col("l.simhash"), col("r.simhash")).as("hamming"))
+    boundedBucketPairs(blocked, "id", Seq("q", "part"), Seq("simhash"),
+        maxBucket, repFactor)
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("simhash_a"), col("simhash_b")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -222,7 +334,9 @@ object Dedup {
       threshold: Double = 0.95,
       lshBits: Int = 12,
       blockCols: Seq[String] = Nil,
-      tables: Int = 1): DataFrame = {
+      tables: Int = 1,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame = {
     import graft.functions.VecExpressions.{fdot, fnorm}
     val base = df.select(
       (col(idCol).as("id") +: col(vecCol).as("vec") +:
@@ -234,11 +348,8 @@ object Dedup {
             VectorFunctions.hyperplaneBucket(col("vec"), lshBits, seed = 42 + t).as("bucket"))
         }: _*)).as("tb"): _*)
       .select((col("id") +: blockCols.map(col)) :+ col("tb.tbl") :+ col("tb.bucket"): _*)
-    val joinCond = (blockCols :+ "tbl" :+ "bucket")
-      .map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.id") < col("b.id"))(_ && _)
-    val candidates = withBucket.as("a").join(withBucket.as("b"), joinCond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = boundedBucketPairs(withBucket, "id",
+        blockCols ++ Seq("tbl", "bucket"), Nil, maxBucket, repFactor)
       .distinct()
     val sides = base.select(col("id"), col("vec"), col("nrm"))
     val denom = col("sa.nrm") * col("sb.nrm")

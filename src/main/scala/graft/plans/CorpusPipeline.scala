@@ -29,6 +29,7 @@ object CorpusPipeline {
       numHashes: Int = 128,
       bands: Int = 16,
       shingleSize: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
       audit: Boolean = true)
 
   final case class Stats(
@@ -77,7 +78,8 @@ object CorpusPipeline {
     //    broadcasts the anti-join side only when it actually fits.
     val pairs = Dedup.minhashLsh(exact, idCol, textCol,
         threshold = cfg.nearDupThreshold, numHashes = cfg.numHashes,
-        bands = cfg.bands, shingleSize = cfg.shingleSize)
+        bands = cfg.bands, shingleSize = cfg.shingleSize,
+        maxBucket = cfg.maxBucket)
     // Materialize the (near-dup-bounded) drop-id set, then release the pair
     // set minhashLsh cached — per its contract the caller owns that cache,
     // and repeated runs in a long-lived session must not accumulate blocks.

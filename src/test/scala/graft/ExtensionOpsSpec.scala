@@ -111,6 +111,51 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(pairs == (0L until 20L).map(i => (i, i + 1000000L)).toSet)
   }
 
+  test("hot-bucket guard: template family collapses to min id, sub-quadratic candidates") {
+    // 500 near-identical variants, cap 50 → every band's hot bucket is
+    // oversized and MUST go through representative verification
+    val fam = Queries.templateFamily(spark, 500)
+    val (guarded, audit) = Dedup.minhashLshAudited(fam, "doc_id", "text",
+      threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3,
+      maxBucket = 50, repFactor = 8)
+    assert(audit.oversizedBuckets > 0, "guard must engage on the template family")
+    assert(audit.maxBucketSize > 50)
+    val guardedDrops = guarded.select("id_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(guardedDrops == (1L until 500L).toSet,
+      "greedy keep-first must still collapse the family to doc 0")
+    guarded.unpersist(blocking = false)
+    // and with the cap out of reach the unguarded all-pairs plan drops the
+    // exact same id set — the guard changes cost, not the dedup outcome
+    val (unguarded, audit2) = Dedup.minhashLshAudited(fam, "doc_id", "text",
+      threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3,
+      maxBucket = 1000000, repFactor = 8)
+    assert(audit2.oversizedBuckets == 0L)
+    val plainDrops = unguarded.select("id_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    unguarded.unpersist(blocking = false)
+    assert(guardedDrops == plainDrops)
+  }
+
+  test("hot-bucket guard: simhash and embedding paths stay correct when capped") {
+    // identical texts → identical simhash → all four quarter buckets hold
+    // the whole family; cap 20 forces the representative path
+    val fam = (0L until 100L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val simDrops = Dedup.simhashNearDup(fam, "doc_id", "text", maxHamming = 3,
+        maxBucket = 20, repFactor = 4)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(simDrops == (1L until 100L).toSet)
+
+    // identical vectors → one LSH bucket per table; cap 20 again
+    val vecs = (0L until 100L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val embDrops = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.99, lshBits = 8, tables = 2, maxBucket = 20, repFactor = 4)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(embDrops == (1L until 100L).toSet)
+  }
+
   // ------------------------------------------------------------ similarity
   test("lshTopK recall >= 60% of brute-force top-5 on real embeddings") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
