@@ -40,6 +40,45 @@ object OracleSql {
 
   private val tokSplit = """string_split_regex(trim(text), '\s+')"""
 
+  // -- shared text-metric fragments (twins of TextFunctions) ---------------
+  // quality: the exact qualityScoreFromToks formula (t2's hash-green twin)
+  private val qualitySql: String = {
+    val lenScore = "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
+    val divScore =
+      s"CASE WHEN len($tokSplit) > 0 THEN CAST(len(list_distinct($tokSplit)) AS DOUBLE) / len($tokSplit) ELSE 0.0 END"
+    val punctRatio =
+      """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
+    val punctPenalty = s"greatest(0.0, 1.0 - ($punctRatio) * 5.0)"
+    s"round(($lenScore) * 0.4 + ($divScore) * 0.4 + ($punctPenalty) * 0.2, 6)"
+  }
+  private val nTokensSql: String =
+    """CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"""
+  // language-ID marker scores + argmax (t3's hash-green twin); langScoreCols
+  // emits one `... AS s_<lang>` per language, langPredSql reads them
+  private val langNames: Seq[String] =
+    graft.functions.TextFunctions.LangMarkers.toSeq.sortBy(_._1).map(_._1)
+  private val langScoreCols: String = {
+    def score(markers: Seq[String]) = {
+      val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), tk -> list_contains($list, tk)))"
+    }
+    graft.functions.TextFunctions.LangMarkers.toSeq.sortBy(_._1)
+      .map { case (l, m) => s"${score(m)} AS s_$l" }.mkString(",\n  ")
+  }
+  private val langPredSql: String = {
+    val winner = langNames.map { l =>
+      val geq = langNames.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geq THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    val best = s"greatest(${langNames.map(l => s"s_$l").mkString(", ")})"
+    s"CASE WHEN $best > 0 THEN ($winner) ELSE 'und' END"
+  }
+  // distinct word-trigram set of `text` (d2b's hash-green shingle twin)
+  private val trigramSetSql: String =
+    s"""list_distinct(list_transform(
+       |    list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
+       |    x -> x[1] || ' ' || x[2] || ' ' || x[3]))""".stripMargin
+
   val sql: Map[String, String] = Map(
     // -------------------------------------------------------- profiling
     "p2_shape" ->
@@ -334,58 +373,31 @@ object OracleSql {
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t2_quality" -> {
-      val lenScore = "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
-      val divScore =
-        s"CASE WHEN len($tokSplit) > 0 THEN CAST(len(list_distinct($tokSplit)) AS DOUBLE) / len($tokSplit) ELSE 0.0 END"
-      val punctRatio =
-        """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
-      val punctPenalty = s"greatest(0.0, 1.0 - ($punctRatio) * 5.0)"
+    "t2_quality" ->
       s"""SELECT doc_id,
-         |  round(($lenScore) * 0.4 + ($divScore) * 0.4 + ($punctPenalty) * 0.2, 6) AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  $qualitySql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t3_langid" -> {
-      def score(markers: Seq[String]) = {
-        val list = markers.map(m => s"'$m'").mkString("[", ", ", "]")
-        s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), tk -> list_contains($list, tk)))"
-      }
-      val langs = graft.functions.TextFunctions.LangMarkers.toSeq.sortBy(_._1)
-      val scores = langs.map { case (l, m) => s"${score(m)} AS s_$l" }.mkString(",\n  ")
-      val names = langs.map(_._1)
-      val winner = names.map { l =>
-        val geq = names.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $geq THEN '$l'"
-      }.mkString("CASE ", " ", " END")
-      val best = s"greatest(${names.map(l => s"s_$l").mkString(", ")})"
+    "t3_langid" ->
       s"""WITH sc AS (SELECT doc_id,
-         |  $scores
+         |  $langScoreCols
          |FROM documents)
-         |SELECT doc_id, CASE WHEN $best > 0 THEN ($winner) ELSE 'und' END AS lang_pred
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, $langPredSql AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t5_corpus_filter" -> {
-      val lenScore = "least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
-      val divScore =
-        s"CASE WHEN len($tokSplit) > 0 THEN CAST(len(list_distinct($tokSplit)) AS DOUBLE) / len($tokSplit) ELSE 0.0 END"
-      val punctRatio =
-        """CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) ELSE 0.0 END"""
-      val punctPenalty = s"greatest(0.0, 1.0 - ($punctRatio) * 5.0)"
+    "t5_corpus_filter" ->
       s"""WITH q AS (SELECT doc_id, lang,
-         |  round(($lenScore) * 0.4 + ($divScore) * 0.4 + ($punctPenalty) * 0.2, 6) AS quality,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |  $qualitySql AS quality,
+         |  $nTokensSql AS n_tokens
          |FROM documents)
          |SELECT doc_id, lang, quality, n_tokens FROM q
          |WHERE quality >= 0.5 AND n_tokens >= 20 AND n_tokens <= 200
          |  AND lang IN ('en', 'de', 'fr')
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "p10_group_insight" ->
       s"""SELECT c_mktsegment, count(*) AS n_customers,
@@ -413,6 +425,75 @@ object OracleSql {
         |  FROM all_docs)
         |SELECT min(doc_id) AS keep_id, count(*) AS group_size
         |FROM fp GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    // full MinHash-LSH twin: the 128-hash signatures are REBUILT in SQL
+    // (portable MD5 base hash -> splitmix64 mixing emulated exactly in
+    // wrapping u64 arithmetic via HUGEINT; per-band 16-hash slices joined on
+    // equality = the banding collision), then candidates are verified with
+    // the same trigram Jaccard >= 0.8. Hash equality proves the engine's
+    // entire signature->band->verify plan bit-for-bit — the d3 pattern
+    // applied to MinHash, retiring the last rows-only registry row.
+    "d2_minhash_lsh" -> {
+      val p64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+      // first 16 hex chars of md5 -> unsigned 64-bit integer (HUGEINT)
+      val hex2u = (0 until 16).map { j =>
+        s"CAST(strpos('0123456789abcdef', substr(h,${j + 1},1)) - 1 AS HUGEINT)" +
+          s" * CAST(power(2, ${4 * (15 - j)}) AS HUGEINT)"
+      }.mkString(" + ")
+      // (z * C) mod 2^64 via 32-bit limbs (the product of two u64 overflows
+      // HUGEINT; limb products don't)
+      def mulmod(z: String, c: Long): String = {
+        val ch = java.lang.Long.toUnsignedString(c >>> 32)
+        val cl = java.lang.Long.toUnsignedString(c & 0xFFFFFFFFL)
+        s"((($z) % 4294967296) * $cl + (((($z) % 4294967296) * $ch + " +
+          s"(($z) // 4294967296) * $cl) % 4294967296) * 4294967296) % $p64"
+      }
+      // per-function offsets g_j = Golden * (j+1), wrapping — precomputed
+      // with Scala's own wrapping Long multiply, emitted as u64 literals
+      val gjRows = (0 until 128).map { j =>
+        val g = graft.functions.MinHashSig.Golden * (j + 1)
+        s"($j, CAST('${java.lang.Long.toUnsignedString(g)}' AS HUGEINT))"
+      }.mkString(",\n    ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |t AS (SELECT doc_id, $tokSplit AS toks FROM all_docs),
+         |s AS (SELECT doc_id, $trigramSetSql AS sh FROM t),
+         |shing AS (SELECT DISTINCT unnest(sh) AS sg FROM s),
+         |hx AS (SELECT sg, md5(sg) AS h FROM shing),
+         |base AS (SELECT sg, $hex2u AS u FROM hx),
+         |gj(j, g) AS (VALUES
+         |    $gjRows),
+         |m0 AS (SELECT sg, j, xor(u, g) AS z FROM base, gj),
+         |m1 AS (SELECT sg, j, (z + 11400714819323198485) % $p64 AS z FROM m0),
+         |m2 AS (SELECT sg, j, xor(z, z // 1073741824) AS z FROM m1),
+         |m3 AS (SELECT sg, j, ${mulmod("z", 0xBF58476D1CE4E5B9L)} AS z FROM m2),
+         |m4 AS (SELECT sg, j, xor(z, z // 134217728) AS z FROM m3),
+         |m5 AS (SELECT sg, j, ${mulmod("z", 0x94D049BB133111EBL)} AS z FROM m4),
+         |m6 AS (SELECT sg, j, xor(z, z // 2147483648) AS z FROM m5),
+         |hs AS (SELECT sg, j,
+         |    CAST(CASE WHEN z >= CAST(power(2,63) AS HUGEINT)
+         |      THEN z - $p64 ELSE z END AS BIGINT) AS hv
+         |  FROM m6),
+         |ds AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |sig AS (SELECT doc_id, j, min(hv) AS mh
+         |  FROM ds JOIN hs USING (sg) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 16 AS band,
+         |    string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // 16),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM cand JOIN s a ON cand.id_a = a.doc_id JOIN s b ON cand.id_b = b.doc_id)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
 
     // exact all-pairs trigram Jaccard over the planted fixture: equality
     // with the banding-tuned LSH plan proves it recovers the corpus's
@@ -523,6 +604,41 @@ object OracleSql {
       """SELECT CAST(r AS BIGINT) AS id, r <> 0 AS dropped,
         |  TRUE AS guard_engaged
         |FROM range(5000) t(r) ORDER BY id""".stripMargin,
+
+    // end-to-end twin of plans.CorpusPipeline.run (gates -> exact dedup ->
+    // MinHash-LSH near-dedup) built from already-proven fragments: quality/
+    // n_tokens (t2/t5), language argmax (t3), md5 fingerprint min-id dedup
+    // (t4/d1), exact all-pairs trigram Jaccard >= 0.9 with the same greedy
+    // keep-first drop policy (d2b). Equality proves the WHOLE composition —
+    // the bucketed near-dedup inside the pipeline recovers exactly the
+    // exact-Jaccard pair set on the gated, deduped corpus.
+    "cp1_corpus_pipeline" ->
+      s"""WITH sc AS (SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $nTokensSql AS n_tokens,
+         |  $langScoreCols
+         |  FROM documents),
+         |meta AS (SELECT doc_id, text, quality, n_tokens,
+         |    $langPredSql AS lang
+         |  FROM sc),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM gated),
+         |exact AS (SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |sh AS (SELECT doc_id, $trigramSetSql AS sh
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, n_tokens, quality FROM exact
+         |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
+         |ORDER BY doc_id""".stripMargin,
 
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

@@ -612,8 +612,12 @@ object Queries {
     Dedup.exactGroups(docsWithPlantedDups(s, dir), "doc_id", "text")
       .select(col("keep_id"), col("group_size"))
 
-  /** D2: MinHash-LSH near-dup pairs (rows-only check; Jaccard-verified
-    * output, spec-tested for planted-dup recall).
+  /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
+    * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
+    * .hashUtf8]]): DuckDB rebuilds every 128-hash signature (splitmix64
+    * emulated exactly in wrapping u64 arithmetic), joins band slices on
+    * equality, and verifies candidates with the same trigram Jaccard — so
+    * hash equality proves the full signature→band→verify plan bit-for-bit.
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     // r = numHashes/bands = 16 rows per band: band-collision threshold
@@ -867,6 +871,23 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** CP1: the flagship end-to-end corpus preparation — quality/token gates →
+    * exact fingerprint dedup → MinHash-LSH near-dedup, i.e.
+    * [[graft.plans.CorpusPipeline.run]] with its default config — checked
+    * WHOLE against a DuckDB oracle that recomputes every stage exactly
+    * (gates from the t2/t3 formulas, min-id dedup, exact all-pairs trigram
+    * Jaccard with the same greedy keep-first policy). The constituent
+    * stages were each oracle-green already; this row closes the
+    * parts-proven-vs-whole-proven gap.
+    */
+  def cp1CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false))
+    cleaned.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+  }
+
   /** The fold of the old separate recall-gate queries into the topk entries:
     * ONE pass over the approximate results (left join against the tiny
     * memoized exact set, then a per-query aggregate — `approx` is never
@@ -945,6 +966,7 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "d6_skew_guard" -> (d6SkewGuard _),
+    "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),

@@ -11,12 +11,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The naive formulation (`transform` + `array_min` once per hash function)
   * re-hashes every shingle string k times through interpreted higher-order
-  * lambdas. This kernel hashes each shingle ONCE (xxhash64 of its UTF-8
-  * bytes, seed 42) and derives the k "independent" hash functions by mixing
-  * the base hash with a per-function golden-ratio offset through a
-  * murmur-style finalizer — the standard cheap-family construction
-  * (cf. "Less Hashing, Same Performance", Kirsch & Mitzenmacher 2006).
-  * Keeps the whole signature computation inside whole-stage codegen.
+  * lambdas. This kernel hashes each shingle ONCE and derives the k
+  * "independent" hash functions by mixing the base hash with a per-function
+  * golden-ratio offset through a splitmix64 finalizer — the standard
+  * cheap-family construction (cf. "Less Hashing, Same Performance",
+  * Kirsch & Mitzenmacher 2006). Keeps the whole signature computation
+  * inside whole-stage codegen.
+  *
+  * The base hash is the first 8 bytes of MD5 (big-endian) — PORTABLE, like
+  * [[SimHash64]]: any engine with `md5()` and 64-bit integer arithmetic
+  * rebuilds every signature bit-for-bit (the DuckDB oracle re-derives the
+  * full 128-hash signatures and the band collisions; splitmix64 is pure
+  * wrapping u64 arithmetic, emulated exactly with HUGEINT). MD5 costs ~10×
+  * a native hash per shingle — noise next to the bucket shuffle and
+  * candidate join the signatures feed, and the price of an independent
+  * correctness oracle for the whole LSH plan.
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -71,11 +80,24 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 object MinHashSig {
   final val Golden = 0x9E3779B97F4A7C15L
 
-  /** xxhash64 of the string's UTF-8 bytes, seed 42 — same base hash family
-    * Spark's `xxhash64` uses.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5 over the shingle's UTF-8 bytes, big-endian, as a
+    * signed long — exactly the integer an oracle derives from the first 16
+    * hex chars of a SQL `md5()` (the [[SimHash64.tokenHash]] construction).
     */
-  def hashUtf8(s: UTF8String): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+  def hashUtf8(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
 
   /** splitmix64 finalizer — full-avalanche mixing of base ^ f(j). */
   def mix(z0: Long): Long = {
