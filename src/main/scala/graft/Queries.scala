@@ -99,30 +99,32 @@ object Queries {
     li.orderBy(li.columns.map(col).toIndexedSeq: _*).limit(5)
   }
 
-  /** P5: describe — count/mean/std/min/median/max per numeric column:
-    * moments fused into ONE scan + ONE aggregate, exact medians via the
-    * DISTRIBUTED sort-and-pick (the `percentile` aggregate merges every
-    * distinct value single-threaded at the final stage; the distributed
-    * variant is spec-proven bit-equal), then unpivoted with stack().
+  /** P5: describe — count/mean/std/min/median/max per numeric column in
+    * TWO table scans: the moments ride the exact-quantile plan's fused
+    * count+sketch job ([[Cleaning.exactQuantilesMultiFused]]), the second
+    * scan collects the budget-bounded median windows. All six statistics
+    * come back as driver scalars, so the result frame is a local relation —
+    * no third pass. (All three columns are DoubleType, so aggregating the
+    * quantile plan's cast-to-double projection is arithmetic-identical.)
     */
   def p5Describe(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val medians = Cleaning.exactQuantilesMulti(li, cols, 0.5)
-    val aggs = cols.flatMap { c =>
+    val moments = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"n_$c"),
-        lmean(col(c)).as(s"mean_$c"),
-        lstd(col(c)).as(s"std_$c"),
-        min(col(c)).as(s"min_$c"),
-        lit(medians(c)).as(s"med_$c"),
-        max(col(c)).as(s"max_$c"))
+        lmean(col(c)).as(s"__mean_$c"),
+        lstd(col(c)).as(s"__std_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"))
     }
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("stack(" + cols.size + ", " +
-        cols.map(c => s"'$c', `n_$c`, `mean_$c`, `std_$c`, `min_$c`, `med_$c`, `max_$c`")
-          .mkString(", ") +
-        ") as (col_name, n, mean, std, min_v, median, max_v)")
+    val (medians, _, row) = Cleaning.exactQuantilesMultiFused(
+      li, cols, 0.5, Cleaning.DefaultQuantileWindowBudget, moments)
+    import s.implicits._
+    cols.map { c =>
+      (c, row.getAs[Long](c), row.getAs[Double](s"__mean_$c"),
+        row.getAs[Double](s"__std_$c"), row.getAs[Double](s"__min_$c"),
+        medians(c), row.getAs[Double](s"__max_$c"))
+    }.toDF("col_name", "n", "mean", "std", "min_v", "median", "max_v")
       .orderBy(col("col_name"))
   }
 

@@ -67,19 +67,24 @@ object Cleaning {
     */
   val DefaultQuantileWindowBudget: Long = 1L << 20
 
-  /** All listed columns' exact p-quantile in a FIXED number of jobs
-    * (3, independent of column count): counts, sketch brackets, then one
-    * conditional aggregate collecting each column's base rank + in-bracket
-    * window. Small frames (≤200k non-null) take one collect_list pass.
+  /** All listed columns' exact p-quantile in TWO jobs for any column that
+    * fits the driver budget, THREE beyond it — independent of column count:
+    * (1) one codegen'd aggregate computing per-column counts (plus any
+    * caller-fused extras — see [[exactQuantilesMultiFused]]); (2) columns
+    * with ≤ `windowBudget` non-null values are collected outright (sorted
+    * collect_list — the budget IS the driver bound, so no sketch is
+    * needed); larger columns take (2') one `percentile_approx` bracket
+    * aggregate (rank error ≤ 5e-4·n; an aggregate column, not a separate
+    * RDD pass) and (3) one conditional aggregate collecting each column's
+    * base rank + in-bracket window.
     *
-    * The collected in-bracket window is bounded by `windowBudget` values
-    * per column, NOT by a fraction of n: ε adapts as budget/(5n) (the
-    * window spans ~5εn ranks), and once ε would need to drop below the
-    * GK-sketch floor (1e-5 — beyond that the sketch itself gets expensive),
-    * the plan switches to iterative re-bracketing: count the window,
-    * re-sketch INSIDE it at the rank the quantile needs, repeat until it
-    * fits, then collect. Each round shrinks the window ~40× (5e-3-ε sketch
-    * over the bracket), so even 10¹²-row columns converge in 2–3 rounds.
+    * The collected in-bracket window spans ~5εn ranks (ε = 1e-3), bounded
+    * by `windowBudget` values per column: when even that window would
+    * overflow the budget (n ≳ 400·budget — multi-hundred-million-row
+    * columns at the default), the plan switches to iterative re-bracketing:
+    * count the window, re-sketch INSIDE it at the rank the quantile needs,
+    * repeat until it fits, then collect. Each round shrinks the window, so
+    * even 10¹²-row columns converge in a few rounds.
     */
   def exactQuantilesMulti(df: DataFrame, cols: Seq[String], p: Double): Map[String, Double] =
     exactQuantilesMultiStats(df, cols, p, DefaultQuantileWindowBudget)._1
@@ -92,14 +97,37 @@ object Cleaning {
       cols: Seq[String],
       p: Double,
       windowBudget: Long): (Map[String, Double], Map[String, Long]) = {
+    val (q, w, _) = exactQuantilesMultiFused(df, cols, p, windowBudget, Nil)
+    (q, w)
+  }
+
+  /** Fused variant: `extraAggs` are evaluated in the SAME first-job
+    * aggregate as the counts and sketch brackets and returned in the Row —
+    * callers like p5_describe ride their moments on the quantile scan, so
+    * a full describe is two table scans total. `extraAggs` must reference
+    * only the cast-to-double projections of `cols` (aliases must not
+    * collide with the column names themselves or a `__qb_` prefix).
+    */
+  private[graft] def exactQuantilesMultiFused(
+      df: DataFrame,
+      cols: Seq[String],
+      p: Double,
+      windowBudget: Long,
+      extraAggs: Seq[Column]): (Map[String, Double], Map[String, Long],
+        org.apache.spark.sql.Row) = {
     val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    val cntRow = d.agg(count(col(cols.head)).as(cols.head),
-      cols.tail.map(c => count(col(c)).as(c)): _*).head()
+    // Job 1: counts + caller extras only — codegen'd (percentile_approx
+    // would force the whole aggregate into interpreted ObjectHashAggregate,
+    // slowing the fused moments; it gets its own job only when needed).
+    val firstAggs: Seq[Column] = cols.map(c => count(col(c)).as(c)) ++ extraAggs
+    val cntRow = d.agg(firstAggs.head, firstAggs.tail: _*).head()
     val ns = cols.map(c => c -> cntRow.getAs[Long](c)).toMap
     val present = cols.filter(ns(_) > 0)
-    if (present.isEmpty) return (Map.empty, Map.empty)
+    if (present.isEmpty) return (Map.empty, Map.empty, cntRow)
 
-    if (present.map(ns).max <= 200000) {
+    if (present.map(ns).max <= windowBudget) {
+      // every column fits the driver budget outright: collect-and-sort, no
+      // sketch pass at all (the budget is the documented driver bound)
       val listRow = d.agg(
         sort_array(collect_list(col(present.head))).as(present.head),
         present.tail.map(c => sort_array(collect_list(col(c))).as(c)): _*).head()
@@ -107,21 +135,26 @@ object Cleaning {
         val sorted = listRow.getSeq[Double](listRow.fieldIndex(c))
         c -> interp(ns(c), p, i => sorted(i.toInt))
       }.toMap
-      (out, present.map(c => c -> ns(c)).toMap)
+      (out, present.map(c => c -> ns(c)).toMap, cntRow)
     } else {
-      // ε trades sketch cost against window size: ~5εn values are collected
-      // per column. Adaptive: small enough that the window fits the budget,
-      // floored at the sketch's practical limit, capped at 5e-3.
-      val nMax = present.map(ns).max
-      val eps = math.max(math.min(5e-3, windowBudget.toDouble / (5.0 * nMax)), 1e-5)
+      // ε trades sketch cost against window size; 1e-3 keeps the bracket
+      // aggregate cheap while the window (~5εn) fits the default budget to
+      // n ≈ 4e8 rows per column
+      val eps = 1e-3
       val pl = math.max(0.0, p - 2 * eps)
       val ph = math.min(1.0, p + 2 * eps)
-      val brackets = present.zip(
-        d.stat.approxQuantile(present.toArray, Array(pl, ph), eps / 2))
-        .map { case (c, arr) => c -> (arr(0), arr(1)) }.toMap
+      val sketchAggs = present.map(c =>
+        percentile_approx(col(c), array(lit(pl), lit(ph)), lit((2 / eps).toInt))
+          .as(s"__qb_$c"))
+      val skRow = d.agg(sketchAggs.head, sketchAggs.tail: _*).head()
+      val nMax = present.map(ns).max
+      val brackets = present.map { c =>
+        val arr = skRow.getSeq[Double](skRow.fieldIndex(s"__qb_$c"))
+        c -> (arr(0), arr(1))
+      }.toMap
 
       if (5.0 * eps * nMax <= 2.0 * windowBudget) {
-        // predicted windows fit: the fused single-pass path (3 jobs total)
+        // predicted windows fit: the fused two-job path
         val aggs = present.flatMap { c =>
           val (a, b) = brackets(c)
           Seq(
@@ -143,16 +176,16 @@ object Cleaning {
             (c -> interp(ns(c), p, pick), c -> win.length.toLong)
           }
         }
-        (picked.map(_._1).toMap, picked.map(_._2).toMap)
+        (picked.map(_._1).toMap, picked.map(_._2).toMap, cntRow)
       } else {
-        // n so large that even ε=1e-5 overflows the budget (n ≳ 2·10¹⁰ at
-        // the default budget): per-column iterative re-bracketing. Extra
-        // jobs only on this path, never at ordinary scale.
+        // n so large that even the ε=2e-4 window overflows the budget
+        // (n ≳ 2000·budget): per-column iterative re-bracketing. Extra jobs
+        // only on this path, never at ordinary scale.
         val picked = present.map { c =>
           val (v, w) = refineAndPick(d, c, ns(c), p, brackets(c), windowBudget)
           (c -> v, c -> w)
         }
-        (picked.map(_._1).toMap, picked.map(_._2).toMap)
+        (picked.map(_._1).toMap, picked.map(_._2).toMap, cntRow)
       }
     }
   }

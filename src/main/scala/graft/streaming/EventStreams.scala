@@ -27,15 +27,31 @@ object EventStreams {
   /** Tumbling-window counts/sums per event type with a watermark: the
     * canonical streaming agg. State is bounded by (watermark horizon ×
     * event types).
+    *
+    * `exactScale = Some(s)` switches the value total to scaled-long exact
+    * accumulation (floor(v*s+0.5) summed as BIGINT, divided once) — the
+    * engine's `lsum` construction: associative, so the total is independent
+    * of micro-batch arrival order AND bit-identical to the batch twin
+    * (`Queries.e1HourlyTotals`), which StreamingSpec proves. The default
+    * double sum is fine for dashboards; use the exact path when stream and
+    * batch outputs must reconcile exactly.
     */
   def windowedTotals(events: DataFrame,
-      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      exactScale: Option[Double] = None): DataFrame = {
+    val total = exactScale match {
+      case Some(s) =>
+        (sum(floor(col("value") * lit(s) + lit(0.5))).cast("double") / lit(s))
+          .as("total_value")
+      case None => sum(col("value")).as("total_value")
+    }
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), total)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+  }
 
   /** Custom per-user session state via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of event-time inactivity. Within each batch

@@ -151,6 +151,41 @@ class StreamingSpec extends AnyFunSuite {
       "streaming closed sessions must reproduce the batch w3 sessionization")
   }
 
+  test("streaming windowed totals == batch e1_hourly_totals once the watermark closes") {
+    // One sentinel event 10 days past the last real event pushes the
+    // watermark beyond every real window's end, so Append emits EXACTLY the
+    // real hourly windows (the sentinel's own window stays open and
+    // unemitted). With exactScale the totals are scaled-long exact —
+    // associative, so micro-batch order can't perturb them — making the
+    // streaming output bit-identical to the oracle-green batch e1 rollup:
+    // the windowed-agg twin of the sessionize≡w3 tie below.
+    val batch = eventsBatch
+    val colsInOrder = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000)
+    import spark.implicits._
+    val sentinel = Seq(EventStreams.Event(999999999L, sentinelTs, 1L,
+      "sentinel", 0.0, "{}")).toDF().select(colsInOrder.map(col): _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_e1").toString
+    batch.select(colsInOrder.map(col): _*).unionByName(sentinel)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val streamed = spark.readStream.schema(schema).parquet(tmp)
+    val agg = EventStreams.windowedTotals(streamed, "1 hour", "2 hours",
+      exactScale = Some(1e6))
+    val q = EventStreams.runToMemory(agg, "win_e1_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("win_e1_out")
+      .select(col("window_start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val e1 = Queries.e1HourlyTotals(spark, SparkTestSession.sfDir)
+    assert(stream.where(col("event_type") === "sentinel").count() == 0,
+      "the sentinel's own window must stay open and unemitted")
+    assert(stream.exceptAll(e1).count() == 0 && e1.exceptAll(stream).count() == 0,
+      "closed streaming windows must reproduce the batch hourly rollup bit-for-bit")
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
