@@ -78,6 +78,12 @@ object OracleSql {
     s"""list_distinct(list_transform(
        |    list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]),
        |    x -> x[1] || ' ' || x[2] || ' ' || x[3]))""".stripMargin
+  // distinct word 5-gram set (dc1's decontamination shingle twin)
+  private val fivegramSetSql: String =
+    s"""list_distinct(list_transform(
+       |    list_zip(toks[1:len(toks)-4], toks[2:len(toks)-3], toks[3:len(toks)-2],
+       |             toks[4:len(toks)-1], toks[5:len(toks)]),
+       |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5]))""".stripMargin
 
   val sql: Map[String, String] = Map(
     // -------------------------------------------------------- profiling
@@ -639,6 +645,61 @@ object OracleSql {
          |SELECT doc_id, lang, n_tokens, quality FROM exact
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
          |ORDER BY doc_id""".stripMargin,
+
+    // distinct word 5-gram twin of WordShingles(text, 5): every slice is
+    // exactly len(toks)-4 elements (clamped at 0), so list_zip never pads
+    "dc1_decontaminate" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL SELECT doc_id + 2000000, text FROM bench),
+         |bt AS (SELECT doc_id AS bench_id, $fivegramSetSql AS gs
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM bench)),
+         |bg AS (SELECT bench_id, unnest(gs) AS ngram FROM bt),
+         |ct AS (SELECT doc_id, $fivegramSetSql AS gs
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM corpus)),
+         |cg AS (SELECT doc_id, unnest(gs) AS ngram FROM ct)
+         |SELECT doc_id, count(DISTINCT ngram) AS n_shared_ngrams,
+         |  count(DISTINCT bench_id) AS n_bench_docs
+         |FROM cg JOIN bg USING (ngram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // first 32 bits of md5(doc_id-as-string) rebuilt digit-by-digit (the
+    // d2/d3 hex2u pattern, 8 chars -> fits BIGINT exactly), mod 100
+    "sp1_hash_split" -> {
+      val hex8 = (0 until 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(h,${j + 1},1)) - 1) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT lang, n_chars,
+         |    ($hex8) % 100 AS bucket
+         |  FROM (SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents))
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+
+    "t7_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSplit) AS tk FROM documents),
+         |pt AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |    count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_cnt
+         |  FROM pt GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_toks,
+         |    round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+         |      AS dup_token_ratio,
+         |    round(CAST(top_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+         |      AS top_token_frac
+         |  FROM agg)
+         |SELECT doc_id, n_toks, dup_token_ratio, top_token_frac,
+         |  (top_token_frac > 0.2 OR dup_token_ratio > 0.5) AS repetitive
+         |FROM m""".stripMargin,
+
+    // the sketch gate: the oracle pins the exact count and expects the
+    // engine's HLL estimate to land within the disclosed ±5% envelope
+    "p11_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+        |  TRUE AS approx_within_5pct FROM orders""".stripMargin,
 
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

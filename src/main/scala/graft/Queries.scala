@@ -596,6 +596,52 @@ object Queries {
       .orderBy(col("doc_freq").desc, col("bigram"))
       .limit(20)
 
+  /** T7: repetition / duplication quality metrics (Gopher-style filters):
+    * per document, the duplicate-token ratio (1 − distinct/total) and the
+    * most-frequent-token fraction, plus the boolean gate a pipeline would
+    * filter on. Two-level aggregation — tokens partial-aggregate map-side
+    * into (doc, token) counts, then one (doc) rollup — so the shuffle
+    * carries distinct (doc, token) pairs, not raw token occurrences; no
+    * driver participation at any corpus size.
+    */
+  def t7Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val perTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_toks").cast("double"), 6).as("dup_token_ratio"),
+        round(col("top_cnt").cast("double") /
+          col("n_toks").cast("double"), 6).as("top_token_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("dup_token_ratio") > 0.5)
+  }
+
+  /** P11: approximate distinct count with a folded exactness gate (the
+    * s2/s3 recall-gate pattern applied to sketches): HyperLogLog++
+    * (`approx_count_distinct`, rsd 2%) runs beside the exact distinct and
+    * the output carries the exact count plus a boolean asserting the sketch
+    * landed within ±5%. The oracle expects TRUE, so a sketch regression
+    * flips the driver hash red. At 100 TB the HLL side is the one a
+    * pipeline keeps: constant memory per partition, single merge, no
+    * distinct shuffle.
+    */
+  def p11ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.agg(
+      countDistinct(col("o_custkey")).as("exact_custkeys"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("__approx"))
+      .select(col("exact_custkeys"),
+        (abs(col("__approx").cast("double") -
+          col("exact_custkeys").cast("double")) <=
+          col("exact_custkeys").cast("double") * lit(0.05))
+          .as("approx_within_5pct"))
+  }
+
   // ======================================================================
   // Dedup / similarity (north-star)
   // ======================================================================
@@ -884,10 +930,61 @@ object Queries {
     */
   def cp1CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // materializeResult: the whole pipeline runs ONE upstream scan and the
+    // driver's single downstream action reads the cache (which the harness
+    // clears between queries; library callers own it per the Config doc).
     val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
-      graft.plans.CorpusPipeline.Config(audit = false))
+      graft.plans.CorpusPipeline.Config(audit = false, materializeResult = true))
     cleaned.select(col("doc_id"), col("lang"),
       col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+  }
+
+  /** DC1: benchmark decontamination — flag corpus documents sharing any
+    * word 5-gram with a held-out benchmark set (the C4/GPT-3 n-gram-overlap
+    * decontamination stage). Benchmark = `doc_id % 97 == 0`; the fixture
+    * also plants leaked copies of every benchmark text back into the corpus
+    * under shifted ids, so the contaminated set is provably non-empty and
+    * the oracle checks both planted and organic overlaps.
+    *
+    * Scale shape: the benchmark side (eval suites — MBs against a 100 TB
+    * corpus) is exploded to distinct (ngram, bench_id) pairs and BROADCAST;
+    * the corpus side is a map-only explode feeding a partial-aggregated
+    * groupBy(doc_id). The corpus is never shuffled against itself and the
+    * join carries no skew (an ngram repeated across the corpus fans out
+    * only against the tiny benchmark side).
+    */
+  def dc1Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      .unionAll(bench.withColumn("doc_id", col("doc_id") + lit(2000000L)))
+    val benchGrams = bench.select(col("doc_id").as("bench_id"),
+      explode(TextFunctions.shingles(col("text"), 5)).as("ngram"))
+    val corpusGrams = corpus.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), 5)).as("ngram"))
+    corpusGrams.join(broadcast(benchGrams), Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ngram")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SP1: deterministic train/val/test splitting by portable content hash —
+    * the assignment every training pipeline needs to be reproducible across
+    * engines, reruns, and corpus growth (a doc's split never changes when
+    * other docs are added). Bucket = first 32 bits of md5(doc_id) mod 100;
+    * 80/10/10. Map-only assignment (no shuffle until the audit rollup);
+    * the oracle rebuilds the identical buckets from DuckDB's md5.
+    */
+  def sp1HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    docs.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
   }
 
   /** The fold of the old separate recall-gate queries into the topk entries:
@@ -969,6 +1066,10 @@ object Queries {
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "d6_skew_guard" -> (d6SkewGuard _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
+    "dc1_decontaminate" -> (dc1Decontaminate _),
+    "sp1_hash_split" -> (sp1HashSplit _),
+    "t7_repetition" -> (t7Repetition _),
+    "p11_approx_distinct" -> (p11ApproxDistinct _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),

@@ -63,13 +63,20 @@ object Dedup {
       carryCols: Seq[String],
       maxBucket: Int,
       repFactor: Int): DataFrame = {
-    val w = Window.partitionBy(bucketCols.map(col): _*)
-    val marked = blocked
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+    // Oversized-bucket detection via aggregate + anti/semi join, NOT a
+    // window over the full frame: a window would shuffle AND sort every
+    // (band, bucket) partition just to mark populations, while the
+    // oversized list is tiny by construction (≤ rows/maxBucket entries,
+    // usually zero) — AQE broadcasts it and the common no-skew path costs
+    // one map-side-combined count, no sort, no extra shuffle of `blocked`.
+    val oversized = blocked
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(bucketCols.map(col): _*)
     val joinOn = bucketCols.map(c => col(s"l.$c") === col(s"r.$c"))
 
-    val small = marked.where(col("__n") <= maxBucket)
+    val small = blocked.join(oversized, bucketCols, "left_anti")
     val smallPairs = small.as("l")
       .join(small.as("r"),
         joinOn.foldLeft(col(s"l.$idCol") < col(s"r.$idCol"))(_ && _))
@@ -77,7 +84,11 @@ object Dedup {
         carryCols.flatMap(c =>
           Seq(col(s"l.$c").as(s"${c}_a"), col(s"r.$c").as(s"${c}_b"))): _*)
 
-    val big = marked.where(col("__n") > maxBucket)
+    // row_number ranks only the big subset (the rare skew path), not the
+    // whole frame
+    val big = blocked.join(oversized, bucketCols, "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))))
     val reps = big.where(col("__rn") <= repFactor)
     val la = col(s"l.$idCol") < col(s"r.$idCol")
     val bigPairs = big.as("l")
@@ -201,14 +212,21 @@ object Dedup {
       repFactor: Int = DefaultRepFactor): (DataFrame, SkewAudit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig"))
+
+    // The shingle sets are the ONE projection of `df`: persisted first, so
+    // the input (and everything upstream of it — in a pipeline, gates and
+    // exact dedup) is scanned exactly once. Signatures, banding, and the
+    // verify join all derive from this cached frame. (At cluster scale this
+    // is the standard "materialize the shingles" step; MEMORY_AND_DISK
+    // spills instead of OOMing.)
+    val sets = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleSize).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sigs = sets
+      .select(col("sid").as("id"), signatureFromShingles(col("sset"), numHashes).as("sig"))
 
     // Both sides of the candidate self-join read `banded`; persist it so the
-    // scan + shingling + signature pipeline runs once, not twice. (At
-    // cluster scale this is the standard "materialize the signatures"
-    // step; MEMORY_AND_DISK spills instead of OOMing.)
+    // signature hashing runs once, not twice.
     val banded = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -223,10 +241,6 @@ object Dedup {
     val candidates = boundedBucketPairs(banded, "id", Seq("band", "bucket"),
         Nil, maxBucket, repFactor)
       .distinct()
-
-    // joined twice (id_a side + id_b side): shingle once, reuse
-    val sets = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleSize).as("sset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = candidates
       .join(sets.as("sa"), col("id_a") === col("sa.sid"))
       .join(sets.as("sb"), col("id_b") === col("sb.sid"))

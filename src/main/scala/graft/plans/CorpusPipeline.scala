@@ -30,7 +30,13 @@ object CorpusPipeline {
       bands: Int = 16,
       shingleSize: Int = 3,
       maxBucket: Int = Dedup.DefaultMaxBucket,
-      audit: Boolean = true)
+      audit: Boolean = true,
+      // Materialize (persist + count) the cleaned corpus before returning,
+      // so the whole pipeline runs exactly one upstream scan and downstream
+      // actions read the cache. [[Dedup.minhashLsh]]'s contract: the CALLER
+      // owns the returned cache and should unpersist it when done. Default
+      // false = lazy result that re-derives gates+dedup per action.
+      materializeResult: Boolean = false)
 
   final case class Stats(
       input: Long,
@@ -66,8 +72,15 @@ object CorpusPipeline {
       if (cfg.langs.isEmpty) gated0 else gated0.where(col("lang").isin(cfg.langs: _*))
     val nGated = n(gated)
 
-    // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor
+    // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor.
+    // Persisted for the DURATION of the run: near-dedup below materializes
+    // one projection of it and the drop set, and without the cache each of
+    // those would re-run the scan + gates + dedup shuffle. Released before
+    // returning — the returned corpus is lazy and re-derives this stage on
+    // each downstream action (callers doing several actions should persist
+    // the result themselves).
     val exact = Dedup.exactDedup(gated, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = n(exact)
 
     // 3. near-dedup: LSH-bucketed candidate pairs, exact-Jaccard verified;
@@ -90,8 +103,15 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dropIds.count()
     pairs.unpersist(blocking = false)
-    val deduped = exact.join(dropIds, exact(idCol) === col("__drop_id"), "left_anti")
+    val deduped0 = exact.join(dropIds, exact(idCol) === col("__drop_id"), "left_anti")
+    val deduped =
+      if (cfg.materializeResult) {
+        val out = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        out
+      } else deduped0
     val nFinal = n(deduped)
+    exact.unpersist(blocking = false)
 
     (deduped, Stats(nInput, nGated, nExact, nFinal))
   }
