@@ -679,6 +679,20 @@ object OracleSql {
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
 
+    // md5 hex strings order identically in both engines (lowercase, binary
+    // collation); quota is pure integer math, so the selected id set is
+    // bit-identical
+    "sp2_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |rk AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
+        |      AS sample_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM r)
+        |SELECT lang, doc_id, sample_rank FROM rk
+        |WHERE sample_rank <= (n + 9) // 10
+        |ORDER BY lang, sample_rank""".stripMargin,
+
     "t7_repetition" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSplit) AS tk FROM documents),
          |pt AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),
@@ -692,7 +706,7 @@ object OracleSql {
          |      AS top_token_frac
          |  FROM agg)
          |SELECT doc_id, n_toks, dup_token_ratio, top_token_frac,
-         |  (top_token_frac > 0.2 OR dup_token_ratio > 0.5) AS repetitive
+         |  (top_token_frac > 0.3 OR dup_token_ratio > 0.5) AS repetitive
          |FROM m""".stripMargin,
 
     // the sketch gate: the oracle pins the exact count and expects the

@@ -618,7 +618,7 @@ object Queries {
         round(col("top_cnt").cast("double") /
           col("n_toks").cast("double"), 6).as("top_token_frac"))
       .withColumn("repetitive",
-        col("top_token_frac") > 0.2 || col("dup_token_ratio") > 0.5)
+        col("top_token_frac") > 0.3 || col("dup_token_ratio") > 0.5)
   }
 
   /** P11: approximate distinct count with a folded exactness gate (the
@@ -987,6 +987,34 @@ object Queries {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** SP2: exact-quota stratified sampling — per language, keep exactly
+    * ⌈n/10⌉ documents, chosen by md5 rank (deterministic, engine-portable,
+    * and stable under reruns). The within-stratum rank is a window sort
+    * keyed by the content hash; the quota is pure integer math
+    * ((n+9) div 10), so both engines select the identical id set.
+    *
+    * Scale note: exact quotas inherently rank within each stratum — the
+    * window shuffles by language, and a dominant stratum ('en' is most of
+    * a real crawl) concentrates on few partitions. That is the disclosed
+    * price of EXACT quotas; when ~10% suffices, the map-only hash-threshold
+    * assignment (the [[sp1HashSplit]] construction, no shuffle at all) is
+    * the 100 TB path. Range-partitioning the sort key (Spark does this for
+    * window sorts per partition spec) bounds per-task memory either way.
+    */
+  def sp2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val h = md5(col("doc_id").cast("string"))
+    val byLang = Window.partitionBy(col("lang"))
+    val rank = row_number().over(byLang.orderBy(h, col("doc_id")))
+    docs.select(col("lang"), col("doc_id"), h.as("__h"))
+      .withColumn("sample_rank", rank.cast("long"))
+      .withColumn("__quota",
+        floor((count(lit(1)).over(byLang) + lit(9L)) / lit(10L)).cast("long"))
+      .where(col("sample_rank") <= col("__quota"))
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   /** The fold of the old separate recall-gate queries into the topk entries:
     * ONE pass over the approximate results (left join against the tiny
     * memoized exact set, then a per-query aggregate — `approx` is never
@@ -1068,6 +1096,7 @@ object Queries {
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "sp1_hash_split" -> (sp1HashSplit _),
+    "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "t7_repetition" -> (t7Repetition _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-5 training-pipeline operators: decontamination,
+  * deterministic splitting, repetition metrics, sketch gate. The oracle
+  * hash-checks their full outputs; these specs pin the *invariants* a
+  * refactor must preserve.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  test("dc1: every planted leaked benchmark copy with >=5 tokens is flagged") {
+    val docs = Queries.t(spark, dir, "documents")
+    // planted copies carry ids benchId + 2000000; a copy shares ALL its
+    // 5-grams with its source, so any copy with at least one 5-gram
+    // (>= 5 tokens) must appear in the contaminated set
+    val out = Queries.dc1Decontaminate(spark, dir)
+    val flagged = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+      .collect().filter(_.getInt(1) >= 5).map(_.getLong(0) + 2000000L).toSet
+    assert(expected.nonEmpty, "fixture must plant at least one leak")
+    assert(expected.subsetOf(flagged),
+      s"missed planted leaks: ${(expected -- flagged).take(5)}")
+  }
+
+  test("dc1: a leaked copy's shared-ngram count equals its source's 5-gram count") {
+    val docs = Queries.t(spark, dir, "documents")
+    val srcGrams = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.shingles(col("text"), 5)).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Queries.dc1Decontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    srcGrams.filter(_._2 > 0).foreach { case (id, ng) =>
+      val copyId = id + 2000000L
+      assert(out.contains(copyId) && out(copyId) >= ng,
+        s"copy $copyId shares >= $ng ngrams with its source, saw ${out.get(copyId)}")
+    }
+  }
+
+  test("sp1: split assignment is total, deterministic, and ~80/10/10") {
+    val out = Queries.sp1HashSplit(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Queries.t(spark, dir, "documents").count()
+    assert(total == nDocs, "every document lands in exactly one split")
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform; 500 docs give ~80/10/10 with slack
+    assert(bySplit("train") > nDocs * 7 / 10 && bySplit("train") < nDocs * 9 / 10)
+    // determinism: a second run is bit-identical
+    val again = Queries.sp1HashSplit(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("t7: metrics match hand-computed values on a tiny frame") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t7").toString
+    Seq(
+      (1L, "a a a a b", "en", "s", 9L),
+      (2L, "one two three four", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Queries.t7Repetition(spark, tmp)
+      .orderBy("doc_id").collect()
+    // doc 1: 5 tokens, 2 distinct, top 'a' x4 -> dup 0.6, top 0.8, repetitive
+    assert(out(0).getAs[Long]("n_toks") == 5L)
+    assert(out(0).getAs[Double]("dup_token_ratio") == 0.6)
+    assert(out(0).getAs[Double]("top_token_frac") == 0.8)
+    assert(out(0).getAs[Boolean]("repetitive"))
+    // doc 2: all distinct -> dup 0.0, top 0.25, clean
+    assert(out(1).getAs[Double]("dup_token_ratio") == 0.0)
+    assert(out(1).getAs[Double]("top_token_frac") == 0.25)
+    assert(!out(1).getAs[Boolean]("repetitive"))
+  }
+
+  test("sp2: exact per-stratum quotas, deterministic selection") {
+    val docs = Queries.t(spark, dir, "documents")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Queries.sp2StratifiedSample(spark, dir).collect()
+    val kept = out.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(kept.getOrElse(lang, 0L) == (n + 9) / 10,
+        s"stratum $lang: expected ceil($n/10), got ${kept.get(lang)}")
+    }
+    val again = Queries.sp2StratifiedSample(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("p11: HLL estimate is within the gated 5% of the exact count") {
+    val r = Queries.p11ApproxDistinct(spark, dir).head()
+    assert(r.getAs[Boolean]("approx_within_5pct"),
+      s"sketch drifted beyond 5% of ${r.getAs[Long]("exact_custkeys")}")
+  }
+}
