@@ -663,6 +663,23 @@ object OracleSql {
          |FROM cg JOIN bg USING (ngram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // dc2's bloom prefilter + exact verify is result-identical to dc1 by
+    // construction (FPs are removed by the exact join) — same oracle.
+    "dc2_decontaminate_bloom" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL SELECT doc_id + 2000000, text FROM bench),
+         |bt AS (SELECT doc_id AS bench_id, $fivegramSetSql AS gs
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM bench)),
+         |bg AS (SELECT bench_id, unnest(gs) AS ngram FROM bt),
+         |ct AS (SELECT doc_id, $fivegramSetSql AS gs
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM corpus)),
+         |cg AS (SELECT doc_id, unnest(gs) AS ngram FROM ct)
+         |SELECT doc_id, count(DISTINCT ngram) AS n_shared_ngrams,
+         |  count(DISTINCT bench_id) AS n_bench_docs
+         |FROM cg JOIN bg USING (ngram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // first 32 bits of md5(doc_id-as-string) rebuilt digit-by-digit (the
     // d2/d3 hex2u pattern, 8 chars -> fits BIGINT exactly), mod 100
     "sp1_hash_split" -> {

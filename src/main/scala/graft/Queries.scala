@@ -969,6 +969,52 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** DC2: decontamination with a broadcast Bloom prefilter — the variant of
+    * [[dc1Decontaminate]] for when even the benchmark's exploded 5-gram set
+    * is too large to broadcast exactly (full eval-suite unions at 100 TB
+    * corpus scale). A Bloom sketch of the benchmark grams (xxhash64-keyed,
+    * ~1.2 bytes/item at 1% fpp — MBs where the exact string set is GBs) is
+    * built in one aggregate, shipped as a literal, and applied MAP-SIDE to
+    * the corpus gram stream; only the surviving ~fpp fraction pays the
+    * exact join that removes Bloom false positives, so the result is
+    * IDENTICAL to dc1 (the oracle is dc1's, verbatim). This is precisely
+    * the shape of Spark's own runtime bloom-filter join pruning
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]),
+    * surfaced as an explicit operator the pipeline author controls.
+    *
+    * Scale shape: corpus side stays map-only through explode + bloom
+    * filter; at this SF AQE broadcasts the FP-removal join, at scale it
+    * degrades gracefully to a shuffle of the tiny prefiltered remnant —
+    * never of the corpus gram stream itself.
+    */
+  def dc2DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => asCol, expression => asExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      .unionAll(bench.withColumn("doc_id", col("doc_id") + lit(2000000L)))
+    val benchGrams = bench.select(col("doc_id").as("bench_id"),
+      explode(TextFunctions.shingles(col("text"), 5)).as("ngram"))
+    val corpusGrams = corpus.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), 5)).as("ngram"))
+    // Build the sketch (distributed aggregate; the only driver traffic is
+    // the finished ~1 MB bitmap, i.e. exactly the broadcast payload).
+    val bloomAgg = asCol(new BloomFilterAggregate(
+      asExpr(xxhash64(col("ngram"))),
+      Literal(1000000L), Literal(8L * 1000000L)).toAggregateExpression())
+    val bloomBytes = benchGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = asCol(new BloomFilterMightContain(
+      Literal(bloomBytes), asExpr(xxhash64(col("ngram")))))
+    corpusGrams.where(mightContain)
+      .join(benchGrams, Seq("ngram")) // exact verify: kills bloom FPs
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ngram")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SP1: deterministic train/val/test splitting by portable content hash —
     * the assignment every training pipeline needs to be reproducible across
     * engines, reruns, and corpus growth (a doc's split never changes when
@@ -1095,6 +1141,7 @@ object Queries {
     "d6_skew_guard" -> (d6SkewGuard _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
+    "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "t7_repetition" -> (t7Repetition _),
