@@ -710,6 +710,21 @@ object OracleSql {
         |WHERE sample_rank <= (n + 9) // 10
         |ORDER BY lang, sample_rank""".stripMargin,
 
+    // The chunked two-level prefix sum is exactly a plain global running
+    // sum; the oracle replays it with one window + floor-div bucketing.
+    "sq1_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before FROM d)
+        |SELECT CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t7_repetition" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSplit) AS tk FROM documents),
          |pt AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, Similarity}
+import graft.operators.{Cleaning, Dedup, SequencePack, Similarity}
 import graft.functions.TextFunctions
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -1061,6 +1061,23 @@ object Queries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** SQ1: pack the corpus into fixed 2048-token training sequences and emit
+    * the per-sequence manifest. The global running token count is computed
+    * by [[graft.operators.SequencePack]]'s two-level distributed prefix sum
+    * (per-chunk totals → tiny offset window → within-chunk windows), NOT a
+    * corpus-wide unpartitioned window — the difference between a plan that
+    * dies at one task and one whose largest window holds `chunkWidth` rows.
+    * The oracle replays the identical greedy policy as DuckDB's plain
+    * windowed running sum, proving the chunked decomposition exact.
+    */
+  def sq1SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    SequencePack.packManifest(docs, "doc_id", "tok",
+        budget = 2048L, chunkWidth = 1024L)
+      .orderBy(col("seq_id"))
+  }
+
   /** The fold of the old separate recall-gate queries into the topk entries:
     * ONE pass over the approximate results (left join against the tiny
     * memoized exact set, then a per-query aggregate — `approx` is never
@@ -1144,6 +1161,7 @@ object Queries {
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
+    "sq1_sequence_pack" -> (sq1SequencePack _),
     "t7_repetition" -> (t7Repetition _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),

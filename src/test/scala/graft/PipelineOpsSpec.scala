@@ -99,4 +99,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("approx_within_5pct"),
       s"sketch drifted beyond 5% of ${r.getAs[Long]("exact_custkeys")}")
   }
+
+  test("sq1: chunked prefix sum equals the naive global window, any chunk width") {
+    import graft.operators.SequencePack
+    import org.apache.spark.sql.expressions.Window
+    val docs = Queries.t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val wAll = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naiveAssign = docs
+      .withColumn("__b", coalesce(sum(col("tok")).over(wAll), lit(0L)))
+      .selectExpr("doc_id", "__b div 2048L AS seq_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (width <- Seq(7L, 64L, 1024L, 1000000L)) {
+      val got = SequencePack.packAssignments(docs, "doc_id", "tok", 2048L, width)
+        .select("doc_id", "seq_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naiveAssign, s"chunkWidth=$width diverges from global window")
+    }
+  }
+
+  test("sq1: manifest conserves docs and tokens; budget crossed only at doc granularity") {
+    val docs = Queries.t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val totals = docs.agg(count(lit(1)), sum(col("tok"))).head()
+    val m = Queries.sq1SequencePack(spark, dir)
+    val mt = m.agg(sum(col("n_docs")), sum(col("seq_tokens"))).head()
+    assert(mt.getLong(0) == totals.getLong(0) && mt.getLong(1) == totals.getLong(1))
+    // every sequence but possibly the last starts because the previous one
+    // reached the budget: prior cumulative tokens >= 2048 * seq_id
+    val rows = m.orderBy(col("seq_id")).collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(cum >= 2048L * r.getAs[Long]("seq_id") || r.getAs[Long]("seq_id") == 0L,
+        s"gap before seq ${r.getAs[Long]("seq_id")}")
+      cum += r.getAs[Long]("seq_tokens")
+    }
+  }
 }
