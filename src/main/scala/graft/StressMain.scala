@@ -52,8 +52,8 @@ object StressMain {
       "s1_knn_bruteforce", "s2_lsh_topk", "s3_ivf_topk", "mm1_image_meta",
       "mm2_frames", "mm3_media_embed", "e3_centroids", "p10_group_insight",
       "d6_skew_guard", "cp1_corpus_pipeline", "dc1_decontaminate",
-      "sp1_hash_split", "sp2_stratified_sample", "t7_repetition",
-      "p11_approx_distinct")
+      "dc2_decontaminate_bloom", "sp1_hash_split", "sp2_stratified_sample",
+      "sq1_sequence_pack", "t7_repetition", "p11_approx_distinct")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
