@@ -710,6 +710,16 @@ object OracleSql {
         |WHERE sample_rank <= (n + 9) // 10
         |ORDER BY lang, sample_rank""".stripMargin,
 
+    // The hash-prefix-chunked rank equals a global row_number over the md5
+    // order because the chunk key is the hash's own leading byte (fixed
+    // -length lowercase hex: lexicographic == numeric-prefix order).
+    "sp3_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY shuffle_rank""".stripMargin,
+
     // The chunked two-level prefix sum is exactly a plain global running
     // sum; the oracle replays it with one window + floor-div bucketing.
     "sq1_sequence_pack" ->

@@ -1061,6 +1061,37 @@ object Queries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** SP3: deterministic global training-order shuffle — every epoch loader
+    * needs the corpus in a pseudo-random but REPRODUCIBLE order (same order
+    * on rerun, different order per seed, no RNG state to coordinate across
+    * 1000 executors). Order key = md5(seed ‖ doc_id): a keyed hash is a
+    * fixed function, so the permutation is pure data — Spark range-partitions
+    * the sort (sampled split points, each task sorts its range; no single
+    * task ever holds the corpus) and DuckDB replays it exactly. Emits the
+    * shuffled rank via a two-level prefix count (the [[SequencePack]]
+    * construction over hash-prefix chunks), NOT a global row_number window —
+    * same reproducibility, no one-task bottleneck.
+    */
+  def sp3ShuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val h = md5(concat(lit("epoch7:"), col("doc_id").cast("string")))
+    // chunk = first byte of the hash: 256 even buckets, order-aligned with
+    // the hash sort order because the chunk key is the hash's own prefix
+    val withH = docs.select(col("doc_id"), h.as("__h"))
+      .withColumn("__chunk", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val counts = withH.groupBy(col("__chunk")).agg(count(lit(1)).as("__n"))
+    val wChunks = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wChunks), lit(0L)))
+      .select(col("__chunk"), col("__off"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col("__h"), col("doc_id"))
+    withH.join(broadcast(offsets), "__chunk")
+      .withColumn("shuffle_rank", col("__off") + row_number().over(wIn).cast("long"))
+      .select(col("doc_id"), col("shuffle_rank"))
+      .orderBy(col("shuffle_rank"))
+  }
+
   /** SQ1: pack the corpus into fixed 2048-token training sequences and emit
     * the per-sequence manifest. The global running token count is computed
     * by [[graft.operators.SequencePack]]'s two-level distributed prefix sum
@@ -1161,6 +1192,7 @@ object Queries {
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
+    "sp3_shuffle_order" -> (sp3ShuffleOrder _),
     "sq1_sequence_pack" -> (sq1SequencePack _),
     "t7_repetition" -> (t7Repetition _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),

@@ -100,6 +100,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"sketch drifted beyond 5% of ${r.getAs[Long]("exact_custkeys")}")
   }
 
+  test("dc2: bloom-prefiltered result is row-identical to dc1's exact join") {
+    val exact = Queries.dc1Decontaminate(spark, dir).collect().map(_.toSeq).toSet
+    val bloom = Queries.dc2DecontaminateBloom(spark, dir).collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && bloom == exact,
+      s"bloom variant diverged: only-dc1=${(exact -- bloom).take(3)} only-dc2=${(bloom -- exact).take(3)}")
+  }
+
+  test("sp3: shuffle order is a permutation, reproducible, and != id order") {
+    val out = Queries.sp3ShuffleOrder(spark, dir).collect()
+    val n = out.length
+    assert(out.map(_.getLong(1)).toSet == (1L to n).toSet, "ranks must be 1..n")
+    val again = Queries.sp3ShuffleOrder(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq, "must be reproducible")
+    val idOrder = out.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(!idOrder.zip(idOrder.drop(1)).forall { case (a, b) => a < b },
+      "hash order must actually permute the id order")
+  }
+
   test("sq1: chunked prefix sum equals the naive global window, any chunk width") {
     import graft.operators.SequencePack
     import org.apache.spark.sql.expressions.Window
