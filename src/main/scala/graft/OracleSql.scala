@@ -710,6 +710,21 @@ object OracleSql {
         |WHERE sample_rank <= (n + 9) // 10
         |ORDER BY lang, sample_rank""".stripMargin,
 
+    // T div n + indicator(rank <= T mod n) replicated per stratum: per-lang
+    // copy totals hit max-stratum-size exactly; rank = sp2's md5 rank.
+    "mix1_balance_upsample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |rk AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM r),
+        |t AS (SELECT max(n) AS t
+        |  FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT lang, doc_id,
+        |  CAST(t // n + CASE WHEN rnk <= t % n THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_copies
+        |FROM rk, t ORDER BY lang, doc_id""".stripMargin,
+
     // The hash-prefix-chunked rank equals a global row_number over the md5
     // order because the chunk key is the hash's own leading byte (fixed
     // -length lowercase hex: lexicographic == numeric-prefix order).

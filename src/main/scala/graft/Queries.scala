@@ -1061,6 +1061,39 @@ object Queries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** MIX1: deterministic domain-mixing (balance-upsample) — replicate every
+    * language stratum to exactly the largest stratum's size, the data-mixing
+    * step that reweights a crawl before training. Per-doc copy count =
+    * T div n + (rank ≤ T mod n ? 1 : 0) with T = max stratum size, n = own
+    * stratum size, rank = the doc's md5 rank within its stratum (the
+    * [[sp2StratifiedSample]] rank — deterministic and engine-portable), so
+    * per-lang totals hit T EXACTLY and a rerun replicates the same docs.
+    * Downstream, the loader materializes copies with a posexplode of
+    * `sequence(1, n_copies)` — map-only; this query emits the assignment,
+    * which is the part worth hash-checking.
+    *
+    * Scale shape: one by-lang window (same disclosed skew economics as sp2:
+    * exact quotas rank within the stratum; the map-only hash-threshold
+    * variant is the approximation at 100 TB), one tiny per-lang count
+    * aggregate whose max broadcasts back via a 1-row cross join.
+    */
+  def mix1BalanceUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val h = md5(col("doc_id").cast("string"))
+    val byLang = Window.partitionBy(col("lang"))
+    val base = docs.select(col("lang"), col("doc_id"), h.as("__h"))
+      .withColumn("__rank", row_number().over(byLang.orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byLang))
+    val tmax = docs.groupBy(col("lang")).agg(count(lit(1)).as("__nl"))
+      .agg(max(col("__nl")).as("__t"))
+    base.crossJoin(broadcast(tmax))
+      .withColumn("n_copies",
+        expr("__t div __n") +
+          when(col("__rank") <= col("__t") % col("__n"), 1L).otherwise(0L))
+      .select(col("lang"), col("doc_id"), col("n_copies"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** SP3: deterministic global training-order shuffle — every epoch loader
     * needs the corpus in a pseudo-random but REPRODUCIBLE order (same order
     * on rerun, different order per seed, no RNG state to coordinate across
@@ -1192,6 +1225,7 @@ object Queries {
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
+    "mix1_balance_upsample" -> (mix1BalanceUpsample _),
     "sp3_shuffle_order" -> (sp3ShuffleOrder _),
     "sq1_sequence_pack" -> (sq1SequencePack _),
     "t7_repetition" -> (t7Repetition _),

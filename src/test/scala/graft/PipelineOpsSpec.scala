@@ -119,6 +119,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       "hash order must actually permute the id order")
   }
 
+  test("mix1: every stratum's copies total exactly the largest stratum's size") {
+    val out = Queries.mix1BalanceUpsample(spark, dir)
+    val perLang = out.groupBy(col("lang"))
+      .agg(sum(col("n_copies")).as("tot"), count(lit(1)).as("n"))
+      .collect()
+    val t = perLang.map(_.getAs[Long]("n")).max
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("tot") == t,
+        s"lang ${r.getString(0)}: copies ${r.getAs[Long]("tot")} != target $t")
+    }
+    assert(out.agg(min(col("n_copies"))).head().getLong(0) >= 1L,
+      "every doc must survive mixing at least once")
+  }
+
   test("sq1: chunked prefix sum equals the naive global window, any chunk width") {
     import graft.operators.SequencePack
     import org.apache.spark.sql.expressions.Window
