@@ -53,7 +53,8 @@ object StressMain {
       "mm2_frames", "mm3_media_embed", "e3_centroids", "p10_group_insight",
       "d6_skew_guard", "cp1_corpus_pipeline", "dc1_decontaminate",
       "dc2_decontaminate_bloom", "sp1_hash_split", "sp2_stratified_sample",
-      "sq1_sequence_pack", "t7_repetition", "p11_approx_distinct")
+      "sp3_shuffle_order", "sq1_sequence_pack", "mix1_balance_upsample",
+      "t7_repetition", "p11_approx_distinct")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
