@@ -128,6 +128,35 @@ class PropertySpec extends AnyFunSuite {
     assert(kernel(0) == "und") // null in, "und" out — never null
   }
 
+  test("sequence packing: chunked == naive on adversarial id/token shapes") {
+    import graft.operators.SequencePack
+    import org.apache.spark.sql.expressions.Window
+    // sparse ids (empty chunks), zero-token docs, docs many times the
+    // budget, singleton and empty corpora
+    val docsGen: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 30).flatMap { n =>
+        Gen.listOfN(n, for {
+          id <- Gen.choose(0L, 100000L)
+          tok <- Gen.oneOf(Gen.const(0L), Gen.choose(1L, 50L), Gen.choose(5000L, 20000L))
+        } yield (id, tok))
+      }.map(_.distinctBy(_._1))
+    forAllSampled(docsGen, n = 10) { rows =>
+      val df = rows.toDF("doc_id", "tok")
+      val wAll = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val naive = df
+        .withColumn("__b", coalesce(sum(col("tok")).over(wAll), lit(0L)))
+        .selectExpr("doc_id", "__b div 2048L AS seq_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (width <- Seq(1L, 13L, 4096L)) {
+        val got = SequencePack.packAssignments(df, "doc_id", "tok", 2048L, width)
+          .select("doc_id", "seq_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == naive, s"n=${rows.size} width=$width")
+      }
+    }
+  }
+
   test("shingle kernel == split/transform semantics incl. whitespace edges") {
     val textGen = Gen.listOf(Gen.oneOf("ab", "cd", "ef", " ", "  ", "\t")).map(_.mkString(" "))
     forAllSampled(textGen, n = 20) { text =>
