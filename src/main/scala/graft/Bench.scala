@@ -40,14 +40,18 @@ object Bench {
     }.toMap
     val passes = Seq(onePass(), onePass())
     val results = names.map { case (n, _) => n -> passes.map(_(n)).min }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query values rounded to ms and the headline fields placed LAST:
+    // the harness keeps only the final ~2000 chars of output, so with a
+    // large registry the front of this line can be truncated — the total
+    // must live at the tail end to always survive that window.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // pass_totals: each full pass's wall total (pass 1 includes first-call
     // JIT/classloading) so round-over-round comparisons can be made
     // like-for-like against either single-pass or min-of-N methodology.
-    val passTotals = passes.map(_.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"pass_totals":$passTotals,"queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = passes.map(p => f"${p.values.sum}%.3f").mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"sf":"$sfDir","passes":${passes.size},"pass_totals":$passTotals,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
