@@ -750,6 +750,116 @@ object OracleSql {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // planted-PII fixture rebuilt verbatim; patterns interpolated from the
+    // SAME Scala vals the Spark query compiles (Java-regex/RE2 common subset)
+    "pii1_redact" -> {
+      val em = graft.operators.TextPipeline.EmailPattern
+      val ph = graft.operators.TextPipeline.PhonePattern
+      val ip = graft.operators.TextPipeline.Ipv4Pattern
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         |  AS pii FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+         |    AS redacted,
+         |  CAST(len(regexp_extract_all(pii, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii, '$ip')) AS BIGINT) AS n_ips
+         |FROM p""".stripMargin
+    },
+
+    // fixed 10-token "lines" sliced exactly like TextPipeline.tokenLines;
+    // dup = line occurs in >= 2 distinct docs of the planted-dup fixture
+    "ld1_dup_lines" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM all_docs),
+        |l AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)+9)//10),
+        |        i -> array_to_string(toks[i*10+1:i*10+10], ' '))) AS line FROM t),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY line),
+        |d AS (SELECT l.doc_id, count(*) AS n_lines,
+        |        sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |      FROM l JOIN f USING (line) GROUP BY l.doc_id),
+        |m AS (SELECT doc_id, n_lines,
+        |        round(CAST(n_dup AS DOUBLE)/CAST(n_lines AS DOUBLE), 6) AS dup_line_frac
+        |      FROM d)
+        |SELECT doc_id, n_lines, dup_line_frac,
+        |  dup_line_frac > 0.3 AS line_dup_flag FROM m""".stripMargin,
+
+    // parallel unnest zips (w1, "w1 w2") exactly like the Spark arrays_zip;
+    // each p is ONE exact-integer IEEE division, the mean is an exact long
+    // sum of floor(p*1e9+0.5) — bit-portable without log arithmetic
+    "lm1_bigram_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(toks[1:len(toks)-1]) AS w1,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM t),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |q AS (SELECT b.doc_id,
+        |        CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)
+        |          * 1000000000.0 + 0.5) AS BIGINT) AS q
+        |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0 AS lm_score
+        |FROM q GROUP BY doc_id""".stripMargin,
+
+    // 64-token windows every 48 tokens; md5 over the space-joined slice —
+    // list slicing clamps at the tail in both engines
+    "ch1_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |             len(string_split_regex(trim(text), '\s+')) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, (n+47)//48)) AS BIGINT) AS chunk_idx,
+        |  CAST(unnest(list_transform(range(0, (n+47)//48), k -> least(64, n - k*48)))
+        |    AS BIGINT) AS n_chunk_tokens,
+        |  unnest(list_transform(range(0, (n+47)//48),
+        |    k -> md5(array_to_string(toks[k*48+1:k*48+64], ' ')))) AS chunk_fp
+        |FROM t""".stripMargin,
+
+    // fingerprint = t4's hash-green md5 twin; the planted resubmissions'
+    // fps exist in the index, so every one must vanish through the anti-join
+    "nd1_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents),
+        |existing AS (SELECT fp FROM fp WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 3000000, fp FROM fp WHERE doc_id % 10 <> 0 AND doc_id < 30)
+        |SELECT min(doc_id) AS doc_id, fp FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM existing)
+        |GROUP BY fp""".stripMargin,
+
+    // planted-URL fixture; domain = first capture of the shared host
+    // pattern, '' -> NULL for no-URL docs (kept by the blocklist filter)
+    "url1_domain_filter" -> {
+      val pat = graft.operators.TextPipeline.UrlHostPattern
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 2 = 0 THEN ' http://site' || CAST(doc_id % 13 AS VARCHAR)
+         |       || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, nullif(regexp_extract(text, '$pat', 1), '') AS domain FROM p)
+         |SELECT doc_id, domain FROM d
+         |WHERE domain IS NULL OR domain NOT IN ('site0.example.com', 'site7.example.com')""".stripMargin
+    },
+
+    // the per-stratum chunked prefix sum equals a plain per-lang running
+    // sum over (md5, doc_id) order — the sp3/sq1 equivalence per stratum
+    "mix2_token_budget" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    md5('mix2:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before FROM d)
+        |SELECT lang, doc_id, n_tokens, cum_before FROM c
+        |WHERE cum_before < 2000""".stripMargin,
+
     "t7_repetition" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSplit) AS tk FROM documents),
          |pt AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY doc_id, tk),

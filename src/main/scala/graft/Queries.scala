@@ -1163,6 +1163,99 @@ object Queries {
   }
 
   // ======================================================================
+  // Round-6 corpus-prep operators ([[graft.operators.TextPipeline]])
+  // ======================================================================
+
+  /** PII1: PII redaction (C4-style scrubbing) — the synthetic corpus has no
+    * PII, so the fixture plants deterministic emails / phone numbers / IPv4
+    * addresses derived from doc_id (built identically in the oracle), then
+    * redacts and counts them. Map-only, fully codegen'd regex kernels.
+    */
+  def pii1Redact(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), idStr, lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call 555-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+    val (ne, np, ni) = graft.operators.TextPipeline.piiCounts(col("__pii"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("__pii"))
+      .select(col("doc_id"),
+        graft.operators.TextPipeline.redactPii(col("__pii")).as("redacted"),
+        ne.cast("long").as("n_emails"), np.cast("long").as("n_phones"),
+        ni.cast("long").as("n_ips"))
+  }
+
+  /** LD1: duplicated-line fraction over the planted-dup fixture (every line
+    * of docs 0–49 occurs in the planted copy, so the metric is provably
+    * non-degenerate; organic cross-doc line collisions add on top).
+    */
+  def ld1DupLines(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.dupLineStats(
+      docsWithPlantedDups(s, dir), "doc_id", "text")
+
+  /** LM1: corpus-trained Laplace-smoothed bigram-LM mean probability per
+    * doc — the in-engine stand-in for a KenLM-perplexity quality filter.
+    */
+  def lm1BigramScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.bigramLmScore(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  /** CH1: sliding-window context chunking (64-token windows, stride 48). */
+  def ch1Chunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.slidingChunks(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  /** ND1: incremental dedup — a new crawl batch (docs with doc_id % 10 == 0,
+    * plus 30 planted resubmissions of already-indexed docs under shifted
+    * ids) deduped against the existing corpus's fingerprint index by
+    * anti-join; the planted resubmissions MUST all be dropped, and
+    * within-batch exact dups collapse to the min id.
+    */
+  def nd1IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .unionAll(existing.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+    val index = graft.operators.TextPipeline.fingerprints(existing, "doc_id", "text")
+    graft.operators.TextPipeline.incrementalDedup(batch, "doc_id", "text", index)
+  }
+
+  /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
+    * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
+    * blocklisted; odd docs carry no URL and pass with a null domain.
+    */
+  def url1DomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" http://site"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), idStr)).otherwise(lit("")))
+    val docs = t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+    graft.operators.TextPipeline.domainFilter(docs, "text",
+        Seq("site0.example.com", "site7.example.com"))
+      .select(col("doc_id"), col("domain"))
+  }
+
+  /** MIX2: per-language token-budget selection in reproducible hash order
+    * (the mixture-quota trim), running sum via the per-stratum two-level
+    * chunked prefix decomposition — the oracle replays it as a plain
+    * per-lang window, proving the decomposition exact.
+    */
+  def mix2TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.TextPipeline.tokenBudgetSelect(
+      docs, "lang", "doc_id", "n_tokens", budget = 2000L)
+  }
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -1229,6 +1322,13 @@ object Queries {
     "sp3_shuffle_order" -> (sp3ShuffleOrder _),
     "sq1_sequence_pack" -> (sq1SequencePack _),
     "t7_repetition" -> (t7Repetition _),
+    "pii1_redact" -> (pii1Redact _),
+    "ld1_dup_lines" -> (ld1DupLines _),
+    "lm1_bigram_score" -> (lm1BigramScore _),
+    "ch1_chunks" -> (ch1Chunks _),
+    "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
+    "url1_domain_filter" -> (url1DomainFilter _),
+    "mix2_token_budget" -> (mix2TokenBudget _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),

@@ -54,7 +54,9 @@ object StressMain {
       "d6_skew_guard", "cp1_corpus_pipeline", "dc1_decontaminate",
       "dc2_decontaminate_bloom", "sp1_hash_split", "sp2_stratified_sample",
       "sp3_shuffle_order", "sq1_sequence_pack", "mix1_balance_upsample",
-      "t7_repetition", "p11_approx_distinct")
+      "t7_repetition", "p11_approx_distinct", "pii1_redact", "ld1_dup_lines",
+      "lm1_bigram_score", "ch1_chunks", "nd1_incremental_dedup",
+      "url1_domain_filter", "mix2_token_budget")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Round-6 training-corpus pipeline operators: PII redaction, duplicated-line
+  * quality metrics, corpus-trained bigram-LM scoring, sliding-window context
+  * chunking, incremental (delta-vs-index) dedup, and per-stratum token-budget
+  * selection. All are built from `org.apache.spark.sql.functions` (codegen'd,
+  * no UDFs), and every shape is chosen for the 100 TB case: map-only where
+  * possible, partial-aggregated shuffles where not, and never an
+  * unpartitioned window or driver-side loop over corpus-sized data.
+  *
+  * (The reference pipeline stops at per-doc stats — tool_call_agent.py:131-141
+  * — these are the corpus-prep stages a production pretraining pipeline adds
+  * on top; cf. C4/Gopher/RefinedWeb, arXiv:2112.11446 §A, arXiv:2306.01116.)
+  */
+object TextPipeline {
+
+  // ---------------------------------------------------------------------
+  // PII redaction (C4-style scrubbing)
+  // ---------------------------------------------------------------------
+
+  /** Email / US-phone / IPv4 patterns, written in the common subset of Java
+    * regex and RE2 so the DuckDB oracle replays them verbatim.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact PII in `text`: emails, then IPv4 addresses, then phone numbers
+    * (email first — its character class overlaps the dotted/digit patterns;
+    * the later patterns cannot match inside the placeholders). Map-only and
+    * fully codegen'd: three `regexp_replace` over one projection, so a
+    * 100 TB scan stays a single WholeStageCodegen stage with column pruning
+    * at the reader.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Pattern, "<IP>")
+    regexp_replace(i, PhonePattern, "<PHONE>")
+  }
+
+  /** Per-row PII hit counts on the ORIGINAL text (the audit trail a
+    * compliance pipeline keeps next to the redaction).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailPattern)),
+      regexp_count(text, lit(PhonePattern)),
+      regexp_count(text, lit(Ipv4Pattern)))
+
+  // ---------------------------------------------------------------------
+  // URL / domain filtering (C4-style source blocklist)
+  // ---------------------------------------------------------------------
+
+  /** First URL host in `text`, or null when the document carries no URL.
+    * Pattern again in the Java-regex/RE2 common subset.
+    */
+  val UrlHostPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def extractDomain(text: Column): Column =
+    nullif(regexp_extract(text, UrlHostPattern, 1), lit(""))
+
+  /** C4's source filter: drop documents whose URL domain is blocklisted;
+    * documents without a URL pass through. Map-only for a literal
+    * blocklist (the common case — blocklists are KBs); for a blocklist
+    * TABLE, anti-join `docs` against it on the domain column instead (AQE
+    * broadcasts the small side).
+    */
+  def domainFilter(docs: DataFrame, textCol: String,
+                   blocklist: Seq[String]): DataFrame = {
+    val d = extractDomain(col(textCol))
+    docs.withColumn("domain", d)
+      .where(col("domain").isNull || !col("domain").isin(blocklist.map(lit): _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // Duplicated-line fraction (RefinedWeb / Gopher repetition filter)
+  // ---------------------------------------------------------------------
+
+  /** Split `text` into fixed `width`-token "lines" (deterministic chunking —
+    * the synthetic corpus has no newlines; real corpora would split on
+    * `\n`). Returns the array-of-lines column.
+    */
+  def tokenLines(text: Column, width: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val nLines = ((size(toks) + lit(width - 1)) / lit(width)).cast("int")
+    transform(sequence(lit(0), nLines - lit(1)),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+  }
+
+  /** Per-document duplicated-line statistics: the fraction of a doc's lines
+    * that also occur in at least one OTHER document (RefinedWeb's
+    * "duplicated lines" metric, arXiv:2306.01116 §4.2, applied corpus-wide
+    * rather than per-page).
+    *
+    * Shape at scale: map-only explode → one partial-aggregated groupBy(line)
+    * for cross-doc frequencies → join back on `line` (co-partitioned with
+    * the groupBy, so Catalyst reuses the exchange) → one groupBy(doc). The
+    * corpus is shuffled on the line hash, never self-joined; a boilerplate
+    * line shared by millions of docs is ONE aggregate row fanned back by
+    * the join, not a quadratic pair set.
+    */
+  def dupLineStats(docs: DataFrame, idCol: String, textCol: String,
+                   lineWidth: Int = 10, gate: Double = 0.3): DataFrame = {
+    val id = col(idCol)
+    val lines = docs.select(id,
+        explode(tokenLines(col(textCol), lineWidth)).as("__line"))
+    val freq = lines.groupBy(col("__line"))
+      .agg(count_distinct(id).as("__ndocs"))
+    lines.join(freq, "__line")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(id, col("n_lines"),
+        round(col("n_dup_lines").cast("double") /
+          col("n_lines").cast("double"), 6).as("dup_line_frac"))
+      .withColumn("line_dup_flag", col("dup_line_frac") > gate)
+  }
+
+  // ---------------------------------------------------------------------
+  // Corpus-trained bigram LM quality score
+  // ---------------------------------------------------------------------
+
+  /** Laplace-smoothed bigram-LM score per document, trained on the corpus
+    * itself (the KenLM-perplexity quality filter of CCNet/RedPajama reduced
+    * to an in-engine bigram model): for every adjacent token pair, p =
+    * (C(w1 w2) + 1) / (C(w1 ·) + V); the doc score is the mean p.
+    *
+    * Portability: each p is one IEEE division of exact integers (correctly
+    * rounded, so bit-identical in any engine); the MEAN is made
+    * order-independent by quantizing p to an integer q = floor(p·1e9 + 0.5)
+    * and summing exact longs (the lsum trick) — an arithmetic mean rather
+    * than the classic log-perplexity because `ln` is NOT bit-portable
+    * across libm implementations while integer sums are.
+    *
+    * Shape at scale: ONE scan of the text column — the token-array
+    * projection is persisted first (the minhashLsh shingle-materialization
+    * pattern) and both the model build and the scoring stream derive from
+    * it; the head counts C(w1 ·) are an aggregate OF the bigram counts
+    * (distinct-bigram-sized input, not the raw stream); V (vocab size) is a
+    * 1-row broadcast. The corpus never self-joins, and the scoring join is
+    * co-partitioned with the model's own groupBy exchange.
+    *
+    * EXECUTION CONTRACT (not lazy — the minhashLsh contract): runs eagerly,
+    * releases the token-projection cache before returning, and returns the
+    * per-doc result CACHED; the caller owns the returned frame's lifecycle
+    * and should `.unpersist()` it when done.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toksDf = docs.select(id, split(trim(col(textCol)), "\\s+").as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (w1, "w1 w2") pairs; tokens contain no whitespace by construction of
+    // the split, so the joined-string bigram key is collision-free
+    val z = arrays_zip(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1))
+    val bg = toksDf
+      .select(id, explode(z).as("__z"))
+      .select(id, col("__z").getField("0").as("__w1"),
+        concat(col("__z").getField("0"), lit(" "),
+          col("__z").getField("1")).as("__bg"))
+    val c2 = bg.groupBy(col("__w1"), col("__bg")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = toksDf.select(explode(col("__toks")).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    val p = (col("__c2") + lit(1L)).cast("double") /
+      (col("__c1") + col("__v")).cast("double")
+    val result = bg.drop("__w1")
+      .join(c2, "__bg")
+      .join(c1, "__w1")
+      .crossJoin(broadcast(vocab))
+      .select(id, floor(p * lit(1e9) + lit(0.5)).cast("long").as("__q"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .select(id, col("n_bigrams"),
+        (col("__sq").cast("double") / col("n_bigrams").cast("double") /
+          lit(1e9)).as("lm_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    toksDf.unpersist()
+    result
+  }
+
+  // ---------------------------------------------------------------------
+  // Sliding-window context chunking
+  // ---------------------------------------------------------------------
+
+  /** Split each document into `window`-token chunks every `stride` tokens
+    * (the context-window chunking step before tokenized training shards;
+    * overlap = window − stride keeps boundary context). Pure map-only
+    * explode: output size is bounded by n/stride chunks per doc, no shuffle,
+    * no state — the one corpus-prep stage that is embarrassingly parallel
+    * and should stay that way.
+    *
+    * Emits (id, chunk_idx, n_chunk_tokens, chunk_fp) where chunk_fp is the
+    * md5 of the chunk's space-joined tokens (the downstream shard key).
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window stride=$stride")
+    val id = col(idCol)
+    val toksDf = docs.select(id, split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // k = 0 .. ceil(n/stride)-1: every token is covered, the final (short)
+    // chunk keeps the tail
+    val nChunks = ((col("__n") + lit(stride - 1)) / lit(stride)).cast("int")
+    val chunk = transform(sequence(lit(0), nChunks - lit(1)), k =>
+      struct(
+        k.cast("long").as("chunk_idx"),
+        least(lit(window), col("__n") - k * stride).cast("long")
+          .as("n_chunk_tokens"),
+        md5(encode(concat_ws(" ", slice(col("__toks"), k * stride + 1, lit(window))),
+          "utf-8")).as("chunk_fp")))
+    toksDf.select(id, explode(chunk).as("__c"))
+      .select(id, col("__c.chunk_idx"), col("__c.n_chunk_tokens"),
+        col("__c.chunk_fp"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental (delta-vs-index) exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Dedup a NEW batch of documents against an existing corpus fingerprint
+    * index without ever rescanning the corpus text: anti-join the batch's
+    * normalized-content fingerprints against the index, then keep the
+    * min-id survivor per fingerprint within the batch itself.
+    *
+    * This is how exact dedup actually runs in production: the 100 TB corpus
+    * is fingerprinted ONCE into an index table; each incremental crawl
+    * batch (GBs against TBs) pays one anti-join — AQE broadcasts the batch
+    * side when small, and the index side is pre-bucketed by `fp` in a real
+    * deployment so the join is exchange-free on the big side.
+    *
+    * `index` needs only an `fp` column (fingerprints, e.g. from a previous
+    * [[fingerprints]] run); returns the surviving (id, fp) rows of `batch`.
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+                       index: DataFrame): DataFrame = {
+    val fps = fingerprints(batch, idCol, textCol)
+    fps.join(index.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
+  /** (id, fp) projection — the corpus fingerprint index builder. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+
+  // ---------------------------------------------------------------------
+  // Per-stratum token-budget selection
+  // ---------------------------------------------------------------------
+
+  /** Select documents per stratum (e.g. language) in reproducible hash
+    * order until a token budget is reached — the domain-mixture trimming
+    * step that fits each source into its sampling quota (cf. The Pile /
+    * DoReMi mixture weights turned into hard token budgets).
+    *
+    * Keeps a doc iff the running token count BEFORE it is under `budget`
+    * (so the budget is exceeded by at most one doc, and the selection is a
+    * prefix of the hash order — stable under corpus growth).
+    *
+    * Scale shape: a plain `Window.partitionBy(stratum).orderBy(hash)` puts
+    * an entire stratum in ONE task — with 5 languages over 100 TB that is
+    * a 20 TB task. Instead the running sum is the sp3/sq1 two-level
+    * decomposition *within each stratum*: the chunk key is the hash's own
+    * leading hex byte (256 even, order-aligned sub-chunks per stratum), so
+    * per-(stratum, chunk) totals + one tiny offset window + bounded
+    * within-chunk windows replay the exact per-stratum prefix sum.
+    */
+  def tokenBudgetSelect(docs: DataFrame, stratumCol: String, idCol: String,
+                        tokCol: String, budget: Long,
+                        saltPrefix: String = "mix2:"): DataFrame = {
+    val id = col(idCol)
+    val h = md5(concat(lit(saltPrefix), id.cast("string")))
+    val withH = docs.select(col(stratumCol), id, col(tokCol), h.as("__h"))
+      .withColumn("__chunk", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val totals = withH.groupBy(col(stratumCol), col("__chunk"))
+      .agg(sum(col(tokCol)).as("__ctot"))
+    // ≤256 rows per stratum — the one unpartitioned-by-chunk window, by design
+    val wChunks = Window.partitionBy(col(stratumCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__ctot")).over(wChunks), lit(0L)))
+      .select(col(stratumCol), col("__chunk"), col("__off"))
+    val wIn = Window.partitionBy(col(stratumCol), col("__chunk"))
+      .orderBy(col("__h"), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH.join(broadcast(offsets), Seq(stratumCol, "__chunk"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col(tokCol)).over(wIn), lit(0L)))
+      .where(col("cum_before") < budget)
+      .select(col(stratumCol), id, col(tokCol), col("cum_before"))
+  }
+}

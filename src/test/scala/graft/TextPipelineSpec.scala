@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextPipeline
+
+/** Round-6 corpus-prep operators: PII redaction, duplicated-line stats,
+  * bigram-LM scoring, sliding chunks, incremental dedup, token budgets.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("redactPii scrubs emails, phones and IPs and is idempotent") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@sub.example.org or call 555-1234 from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co and ip 192.168.1.255")).toDF("id", "text")
+    val once = df.select(col("id"), TextPipeline.redactPii(col("text")).as("r"))
+    val rows = once.orderBy("id").as[(Long, String)].collect()
+    assert(rows(0)._2 == "mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert(rows(1)._2 == "no pii here at all")
+    assert(rows(2)._2 == "two mails <EMAIL> <EMAIL> and ip <IP>")
+    val twice = once.select(col("id"), TextPipeline.redactPii(col("r")).as("r"))
+    assert(twice.orderBy("id").as[(Long, String)].collect().toSeq ==
+      rows.toSeq)
+    val (ne, np, ni) = TextPipeline.piiCounts(col("text"))
+    val counts = df.select(col("id"), ne.as("e"), np.as("p"), ni.as("i"))
+      .orderBy("id").as[(Long, Int, Int, Int)].collect()
+    assert(counts.toSeq == Seq((1L, 1, 1, 1), (2L, 0, 0, 0), (3L, 2, 0, 1)))
+  }
+
+  test("domainFilter drops blocklisted domains, keeps url-less docs") {
+    val df = Seq(
+      (1L, "visit http://spam.example.com/x now"),
+      (2L, "see https://good.example.org/page"),
+      (3L, "no url at all")).toDF("doc_id", "text")
+    val out = TextPipeline.domainFilter(df, "text", Seq("spam.example.com"))
+      .select("doc_id", "domain").as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, Some("good.example.org")), (3L, None)))
+  }
+
+  test("tokenLines partitions the token sequence exactly") {
+    val df = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val lines = df.select(TextPipeline.tokenLines(col("text"), 10).as("ls"))
+      .as[Seq[String]].head()
+    assert(lines.size == 3)
+    assert(lines.flatMap(_.split(" ")) == (1 to 25).map(i => s"w$i"))
+    assert(lines(2) == (21 to 25).map(i => s"w$i").mkString(" "))
+  }
+
+  test("dupLineStats flags cross-doc duplicate lines only") {
+    // docs 1 and 2 share their first 10-token line; doc 3 is unique
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextPipeline.dupLineStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac", "line_dup_flag")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0.5, true), (2L, 2L, 0.5, true), (3L, 2L, 0.0, false)))
+  }
+
+  test("bigramLmScore matches a hand-computed Laplace bigram model") {
+    // corpus: "a b a b" and "a b c"; bigrams: (a b)x3, (b a)x1, (b c)x1
+    // heads: a->3, b->2; vocab V=3
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextPipeline.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_score").as[(Long, Long, Double)].collect()
+    def q(c2: Long, c1: Long): Long =
+      math.floor((c2 + 1).toDouble / (c1 + 3).toDouble * 1e9 + 0.5).toLong
+    // doc1: p(a b)=4/6 twice, p(b a)=2/5 once
+    val d1 = (2 * q(3, 3) + q(1, 2)).toDouble / 3.0 / 1e9
+    // doc2: p(a b)=4/6, p(b c)=2/5
+    val d2 = (q(3, 3) + q(1, 2)).toDouble / 2.0 / 1e9
+    assert(out.toSeq == Seq((1L, 3L, d1), (2L, 2L, d2)))
+  }
+
+  test("slidingChunks covers every token with bounded overlap") {
+    for (n <- Seq(1, 47, 48, 64, 65, 100, 200)) {
+      val df = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+      val out = TextPipeline.slidingChunks(df, "doc_id", "text", window = 64, stride = 48)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "n_chunk_tokens").as[(Long, Long)].collect()
+      assert(out.length == (n + 47) / 48, s"n=$n")
+      out.zipWithIndex.foreach { case ((k, sz), i) =>
+        assert(k == i)
+        assert(sz == math.min(64, n - i * 48), s"n=$n k=$k")
+      }
+      // windows at stride 48 cover [0, n): last start + its size >= n
+      val (lastK, lastSz) = out.last
+      assert(lastK * 48 + lastSz == n)
+    }
+  }
+
+  test("incrementalDedup drops indexed fps and collapses within-batch dups") {
+    val existing = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "Alpha, beta!"),      // same fingerprint as doc 10 -> dropped
+      (21L, "fresh content one"), // survives
+      (22L, "fresh content one"), // within-batch dup of 21 -> collapsed
+      (23L, "fresh content two")  // survives
+    ).toDF("doc_id", "text")
+    val index = TextPipeline.fingerprints(existing, "doc_id", "text")
+    val out = TextPipeline.incrementalDedup(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(21L, 23L))
+  }
+
+  test("tokenBudgetSelect equals the plain per-stratum window running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = SparkTestSession.spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val budget = 1500L
+    val chunked = TextPipeline.tokenBudgetSelect(docs, "lang", "doc_id", "tok", budget)
+      .select("lang", "doc_id", "tok", "cum_before")
+    val h = md5(concat(lit("mix2:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = docs
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .where(col("cum_before") < budget)
+      .select("lang", "doc_id", "tok", "cum_before")
+    assert(chunked.exceptAll(plain).isEmpty && plain.exceptAll(chunked).isEmpty)
+    // every stratum's selection is within one doc of the budget
+    val maxPer = chunked.groupBy("lang").agg(max(col("cum_before")).as("m"))
+      .as[(String, Long)].collect()
+    assert(maxPer.nonEmpty && maxPer.forall(_._2 < budget))
+  }
+}
