@@ -54,5 +54,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_langid", "marker-profile language id of a text ('und' if unknown/null)") {
       args => LangIdExpr(args(0))
     }
+
+    // Column-composition kernels surfaced to SQL through the Column<->
+    // Expression bridge (the composition is itself codegen'd built-ins, so
+    // SQL callers lose nothing vs the Scala API).
+    import org.apache.spark.sql.GraftSqlBridge.{column, expressionEager}
+    register("graft_redact_pii", "scrub emails/phones/IPv4 from a text") {
+      args => expressionEager(graft.operators.TextPipeline.redactPii(column(args(0))))
+    }
+    register("graft_extract_domain", "first URL host in a text, NULL if none") {
+      args => expressionEager(graft.operators.TextPipeline.extractDomain(column(args(0))))
+    }
+    register("graft_fingerprint", "normalized-content md5 fingerprint of a text") {
+      args => expressionEager(TextFunctions.fingerprint(column(args(0))))
+    }
+    register("graft_token_count", "whitespace token count of a text") {
+      args => expressionEager(TextFunctions.tokenCount(column(args(0))))
+    }
   }
 }

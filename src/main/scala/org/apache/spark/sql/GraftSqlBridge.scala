@@ -10,4 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode -> Expression conversion. [[expression]] returns a
+    * LAZY `ColumnNodeExpression` wrapper, which the analyzer only unwraps
+    * at Dataset API boundaries — inside a function-registry builder it
+    * survives to codegen and dies Unevaluable. This converts immediately,
+    * yielding a plain (possibly Unresolved*) Catalyst tree the analyzer
+    * handles like any parsed SQL.
+    */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Apply an extension's function registrations onto an EXISTING session
+    * (the same `registerFunctions` path `withExtensions` runs at session
+    * build) — for callers that cannot control session creation order.
+    */
+  def registerFunctionExtensions(spark: SparkSession,
+      f: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

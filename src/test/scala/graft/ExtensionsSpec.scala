@@ -1,19 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-surface test for the GraftExtensions function registry. */
 class ExtensionsSpec extends AnyFunSuite {
 
   test("custom kernels callable from spark.sql") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // Apply the extension's function registrations onto the SHARED test
+    // session (the same `registerFunctions` path `withExtensions` runs at
+    // session build) — a `builder().withExtensions(...).getOrCreate()` here
+    // would silently NO-OP whenever another suite already created the
+    // session, making the suite pass/fail on suite ordering.
+    val spark = SparkTestSession.spark
+    org.apache.spark.sql.GraftSqlBridge.registerFunctionExtensions(
+      spark, new GraftExtensions)
     try {
       val r = spark.sql(
         """SELECT
@@ -36,6 +37,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(6) >= 0 && r.getLong(6) < 16)
       assert(r.getString(7) == "en")
       assert(r.getString(8) == "und") // null text identifies as "und"
+      val r2 = spark.sql(
+        """SELECT
+          |  graft_redact_pii('mail a@b.co or 10.1.2.3 or 555-1234') AS red,
+          |  graft_extract_domain('see https://x.example.org/p') AS dom,
+          |  graft_extract_domain('no url') AS dom_null,
+          |  graft_fingerprint('A b, C!') = graft_fingerprint('abc') AS fp_eq,
+          |  graft_token_count(' a  b c ') AS ntok
+          |""".stripMargin).head()
+      assert(r2.getString(0) == "mail <EMAIL> or <IP> or <PHONE>")
+      assert(r2.getString(1) == "x.example.org")
+      assert(r2.isNullAt(2))
+      assert(r2.getBoolean(3))
+      assert(r2.getInt(4) == 3)
     } finally {
       // leave the shared session intact for other suites
     }

@@ -112,6 +112,51 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(21L, 23L))
   }
 
+  test("incrementalDedup against a BUCKETED index keeps the index side exchange-free") {
+    // The 100 TB shape: the corpus fingerprint index is pre-bucketed on fp,
+    // so the anti-join shuffles ONLY the (small) new batch into the index's
+    // bucketing — the index is never moved. Broadcast is disabled to model
+    // an index far past the broadcast ceiling.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for the walk below
+    try {
+      val corpus = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      graft.sources.Bucketing.writeBucketed(
+        TextPipeline.fingerprints(corpus, "doc_id", "text").select("fp"),
+        "nd_fp_index", "fp", 8, Some("fp"))
+      val batch = corpus.select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .unionAll(Seq((9000001L, "genuinely new content one"),
+          (9000002L, "genuinely new content two")).toDF("doc_id", "text"))
+      val out = TextPipeline.incrementalDedup(
+        batch, "doc_id", "text", spark.table("nd_fp_index"))
+      // no shuffle may sit ABOVE the bucketed index scan (batch-side
+      // shuffles are fine — that side is the small one by construction)
+      val plan = out.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val shufflesOverIndex = plan.collect {
+        case e: ShuffleExchangeExec if e.exists {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table == "nd_fp_index")
+          case _ => false
+        } => e
+      }
+      assert(shufflesOverIndex.isEmpty,
+        s"index side got shuffled:\n$plan")
+      assert(plan.exists { case _: ShuffleExchangeExec => true; case _ => false },
+        "sanity: the batch side should shuffle into the index's bucketing")
+      // all 40 resubmissions drop; only the two genuinely-new docs survive
+      assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(9000001L, 9000002L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nd_fp_index")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("tokenBudgetSelect equals the plain per-stratum window running sum") {
     import org.apache.spark.sql.expressions.Window
     val docs = SparkTestSession.spark.read
