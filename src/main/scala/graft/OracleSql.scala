@@ -576,6 +576,33 @@ object OracleSql {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // the distributed min-label fixed point == the recursive reachability
+    // closure's per-node minimum — components are partition-order-free
+    "d7_neardup_components" ->
+      s"""WITH RECURSIVE all_docs AS (SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id < 50),
+         |s AS (SELECT doc_id, lang, source,
+         |  list_distinct($tokSplit) AS sset FROM all_docs),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN CAST(len(a.sset) + len(b.sset) AS DOUBLE)
+         |              - CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) > 0
+         |      THEN CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |           / (CAST(len(a.sset) + len(b.sset) AS DOUBLE)
+         |              - CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM s a JOIN s b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM u
+         |  UNION
+         |  SELECT u.src, reach.r FROM u JOIN reach ON u.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+         |SELECT comp.id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin,
+
     "d5_embedding_neardup" ->
       s"""SELECT id_a, id_b, cosine FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

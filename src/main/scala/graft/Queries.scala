@@ -919,6 +919,23 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** D7: near-dup clustering by CONNECTED COMPONENTS over the exact
+    * unigram-Jaccard pair graph (planted fixture; (lang, source) blocks) —
+    * the clustering that closes greedy keep-first's gap: a family chained
+    * a~b~c keeps exactly one doc (the component-minimum), even where (a,c)
+    * never paired directly. Labels converge by distributed min-label
+    * propagation ([[Dedup.connectedComponents]]); the oracle replays the
+    * SAME fixed point as a DuckDB recursive-CTE reachability closure, so
+    * hash equality proves the iterative distributed algorithm exact.
+    */
+  def d7NeardupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docsWithPlantedDups(s, dir), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 1, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component").select(col("id"), col("component"), col("csize"))
+  }
+
   /** CP1: the flagship end-to-end corpus preparation — quality/token gates →
     * exact fingerprint dedup → MinHash-LSH near-dedup, i.e.
     * [[graft.plans.CorpusPipeline.run]] with its default config — checked
@@ -1313,6 +1330,7 @@ object Queries {
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "d6_skew_guard" -> (d6SkewGuard _),
+    "d7_neardup_components" -> (d7NeardupComponents _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),

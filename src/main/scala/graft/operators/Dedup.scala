@@ -290,6 +290,69 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------ components
+  /** Connected components over an undirected near-dup pair list — the
+    * clustering step that closes greedy keep-first's semantic gap (a chain
+    * a~b~c where (a,c) never paired directly keeps one doc PER EDGE
+    * overlap, not one per family; components keep exactly one).
+    *
+    * Algorithm: iterative min-label propagation — every node repeatedly
+    * takes the minimum label among itself and its neighbors until a fixed
+    * point; converges to the component-minimum id in O(diameter)
+    * synchronized rounds (the simple special case of Kiveris et al.'s
+    * large-star/small-star; near-dup families are dense, so diameters are
+    * small in practice). Each round is one edge⋈label join + one groupBy —
+    * all distributed, nothing driver-side but the loop control and a
+    * one-row convergence probe.
+    *
+    * Determinism: labels are ids, min is associative — the result is the
+    * same whatever the partitioning, which is what lets a recursive-CTE
+    * oracle replay it. If `maxIter` rounds pass without a fixed point the
+    * call FAILS LOUDLY rather than returning partial labels (raise the cap
+    * for graphs with genuinely long thin chains).
+    *
+    * EXECUTION CONTRACT (not lazy — the minhashLsh contract): runs eagerly;
+    * intermediates are released; the returned (id, component) frame is
+    * cached and the caller owns its lifecycle. Nodes outside any edge are
+    * not emitted (singletons are their own component by definition).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(mad)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(mad)
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("__nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("__nmin"), labels("label")))
+            .as("label"))
+        .persist(mad)
+      next.count()
+      // one-row probe: any label still shrinking?
+      converged = labels.as("o").join(next.as("n"), "id")
+        .where(col("o.label") =!= col("n.label")).limit(1).count() == 0L
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    und.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds the cap); raise maxIter")
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash (Charikar '02): per distinct token t with hash h(t),
     * bit i of the signature is the sign of Σ_t (h(t) bit i ? +1 : -1).

@@ -111,6 +111,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(pairs == (0L until 20L).map(i => (i, i + 1000000L)).toSet)
   }
 
+  test("connectedComponents: chains, stars, isolated pairs; loud non-convergence") {
+    // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21: min-label must flow the
+    // whole chain even though (1,4) never pair directly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+    val got = comp.as[(Long, Long)].collect().toMap
+    comp.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a 6-hop chain cannot converge in 2 rounds: must fail loudly, not
+    // return partial labels
+    val chain = (1L to 7L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
   test("hot-bucket guard: template family collapses to min id, sub-quadratic candidates") {
     // 500 near-identical variants, cap 50 → every band's hot bucket is
     // oversized and MUST go through representative verification
