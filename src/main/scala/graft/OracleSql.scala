@@ -905,6 +905,13 @@ object OracleSql {
 
     // the sketch gate: the oracle pins the exact count and expects the
     // engine's HLL estimate to land within the disclosed ±5% envelope
+    // the sketch gate again: the engine's KLL sketch must rank within the
+    // disclosed ±1% envelope; the oracle pins the gates TRUE
+    "p12_approx_quantile_gate" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS pct, TRUE AS rank_ok
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), TRUE
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), TRUE ORDER BY pct""".stripMargin,
+
     "p11_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
         |  TRUE AS approx_within_5pct FROM orders""".stripMargin,

@@ -642,6 +642,34 @@ object Queries {
           .as("approx_within_5pct"))
   }
 
+  /** P12: approximate-quantile sketch with a folded exactness gate — the
+    * p11 pattern applied to percentiles. `percentile_approx` (KLL-style
+    * sketch: constant memory per partition, one merge — the quantile a
+    * 100 TB profile actually computes; p5's exact path is the budget-bounded
+    * verifier) runs beside an EXACT distributed rank check: each sketched
+    * value's true rank (one broadcast of the 3 sketch rows against the
+    * column, counted exactly) must land within ±1% of the target rank.
+    * The oracle pins every gate TRUE, so a sketch regression flips the
+    * driver hash red.
+    */
+  def p12ApproxQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val pcts = Seq(0.5, 0.9, 0.99)
+    val appr = li.agg(
+      percentile_approx(col("x"), array(pcts.map(lit): _*), lit(10000)).as("vs"),
+      count(lit(1)).as("n"))
+    val sketch = appr.select(posexplode(col("vs")).as(Seq("i", "v")), col("n"))
+    li.join(broadcast(sketch))
+      .groupBy(col("i"), col("v"), col("n"))
+      .agg(sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("rank"))
+      .select(
+        element_at(array(pcts.map(lit): _*), col("i") + 1).as("pct"),
+        (abs(col("rank").cast("double") -
+          element_at(array(pcts.map(lit): _*), col("i") + 1) * col("n").cast("double"))
+          <= col("n").cast("double") * lit(0.01)).as("rank_ok"))
+      .orderBy(col("pct"))
+  }
+
   // ======================================================================
   // Dedup / similarity (north-star)
   // ======================================================================
@@ -1348,6 +1376,7 @@ object Queries {
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
+    "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),
