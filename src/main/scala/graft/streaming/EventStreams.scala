@@ -134,6 +134,28 @@ object EventStreams {
     events.join(d, on, "left")
   }
 
+  /** Streaming incremental dedup — the streaming face of
+    * [[graft.operators.TextPipeline.incrementalDedup]]: each micro-batch's
+    * documents are fingerprinted (map-only), dropped when the fingerprint
+    * already exists in the static corpus index (stream-static anti-join —
+    * NO stream-side state; the static side is re-read per batch and should
+    * be a bucketed/broadcastable index table), then first-wins deduped
+    * against fingerprints seen earlier in the stream (`dropDuplicates`
+    * state — bound it by adding an ingest-time watermark column at scale,
+    * as [[dedupStream]] does for events).
+    *
+    * Survivor policy differs from the batch operator BY DESIGN: a stream
+    * cannot know a later smaller id is coming, so it keeps the FIRST
+    * arrival per fingerprint, not the min id. The surviving fingerprint
+    * SET is identical (StreamingSpec proves it against the batch twin);
+    * only which duplicate represents the set can differ.
+    */
+  def incrementalDedupStream(docs: DataFrame, textCol: String,
+      index: DataFrame): DataFrame =
+    docs.withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .join(index.select(col("fp")), Seq("fp"), "left_anti")
+      .dropDuplicates(Seq("fp"))
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */

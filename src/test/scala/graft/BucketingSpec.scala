@@ -37,4 +37,26 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("partitionBy write + predicate -> partition-pruned scan") {
+    // The layout decision that matters most at 100 TB: a corpus written
+    // partitionBy(lang) turns every per-language query into a directory
+    // prune — the scan must carry the predicate as a PartitionFilter and
+    // touch only that partition's files, not filter rows post-read.
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val q = spark.read.parquet(tmp).where(org.apache.spark.sql.functions.col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"predicate did not become a partition filter: ${scan.partitionFilters}")
+    // pruning actually happened: only the lang=en directory's files are read
+    val selected = scan.selectedPartitions.toPartitionArray
+    assert(scan.relation.location.inputFiles.length > selected.length)
+    assert(selected.forall(f => f.urlEncodedPath.contains("lang=en") ||
+      f.urlEncodedPath.contains("lang%3Den")), selected.map(_.urlEncodedPath).take(3).mkString(","))
+    assert(q.count() == docs.where(docs("lang") === "en").count())
+  }
 }

@@ -186,6 +186,32 @@ class StreamingSpec extends AnyFunSuite {
       "closed streaming windows must reproduce the batch hourly rollup bit-for-bit")
   }
 
+  test("streaming incremental dedup == batch surviving fingerprint set") {
+    import spark.implicits._
+    import graft.operators.TextPipeline
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .unionAll(existing.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + lit(3000000L)))
+    val index = TextPipeline.fingerprints(existing, "doc_id", "text")
+    // stream the batch from a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(batch.schema).parquet(tmp)
+    val out = EventStreams.incrementalDedupStream(streamed, "text", index)
+    val q = EventStreams.runToMemory(out, "nd_stream_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val streamFps = spark.table("nd_stream_out").select("fp")
+      .as[String].collect().toSet
+    val batchFps = TextPipeline.incrementalDedup(batch, "doc_id", "text", index)
+      .select("fp").as[String].collect().toSet
+    assert(streamFps == batchFps)
+    assert(streamFps.nonEmpty)
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
