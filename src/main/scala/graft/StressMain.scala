@@ -83,6 +83,27 @@ object StressMain {
     pairs.unpersist(blocking = false)
     println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
       f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
+
+    // Near-dup clustering at the SCALE path: connected components over the
+    // LSH pair graph of the full stressed corpus (the registry's
+    // d7_neardup_components generates edges by blocked exact all-pairs — the
+    // quadratic LABELED BASELINE, same role as d4/d5 — so its stress row
+    // grows ~n²/blocks; this row is the shape a 100 TB run uses: LSH edges
+    // (bucketed, skew-guarded) + min-label components, both ~linear).
+    val t1 = System.nanoTime()
+    val docsAll = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val withDups = docsAll.unionAll(docsAll.where(col("doc_id") % 1000 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000000L))
+    val lshPairs = graft.operators.Dedup.minhashLsh(
+      withDups, "doc_id", "text", threshold = 0.9)
+    val comps = graft.operators.Dedup.connectedComponents(lshPairs, "id_a", "id_b")
+    val nNodes = comps.count()
+    val nComp = comps.select("component").distinct().count()
+    comps.unpersist(blocking = false)
+    lshPairs.unpersist(blocking = false)
+    println(f"[stress] cc_over_lsh_pairs     ${(System.nanoTime() - t1) / 1e9}%8.2f s " +
+      f"(nodes=$nNodes, components=$nComp)")
     spark.stop()
   }
 }

@@ -324,7 +324,15 @@ object Dedup {
       .persist(mad)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(mad)
-    labels.count()
+    // Convergence witness: labels only ever DECREASE under min-propagation,
+    // so the exact (decimal — overflow-proof at any id scale) label total
+    // is strictly decreasing until the fixed point; an unchanged total IS
+    // convergence. One cache-local aggregate per round — no join probe.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels) // also materializes the persist
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -335,10 +343,9 @@ object Dedup {
           least(labels("label"), coalesce(col("__nmin"), labels("label")))
             .as("label"))
         .persist(mad)
-      next.count()
-      // one-row probe: any label still shrinking?
-      converged = labels.as("o").join(next.as("n"), "id")
-        .where(col("o.label") =!= col("n.label")).limit(1).count() == 0L
+      val nextSum = labelSum(next) // materializes next, then reads its cache
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
