@@ -319,11 +319,24 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the caller's edge list ONCE (it is often an expensive
+    // pair-generation plan); every derived frame below reads this cache.
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst")).persist(mad)
+    e.count() // materialize BEFORE deriving: und's three scans of `e` would
+              // otherwise race on the cold cache and recompute the (often
+              // expensive) pair plan up to 3x within one job
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    // Undirected adjacency + one static SELF-LOOP per node: the loop carries
+    // the node's own label through the neighbor-min aggregate, so each round
+    // is ONE join + ONE groupBy — no second join to merge self labels back.
+    val und = e
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist(mad)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(mad)
+    und.count()
+    e.unpersist(blocking = false)
+    var labels = nodes.withColumn("label", col("id")).persist(mad)
     // Convergence witness: labels only ever DECREASE under min-propagation,
     // so the exact (decimal — overflow-proof at any id scale) label total
     // is strictly decreasing until the fixed point; an unchanged total IS
@@ -336,12 +349,11 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("__nmin"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("__nmin"), labels("label")))
-            .as("label"))
+      // self-loops make every node its own src, so this covers all nodes
+      // and the min already includes the node's own current label
+      val next = und.join(labels, und("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
         .persist(mad)
       val nextSum = labelSum(next) // materializes next, then reads its cache
       converged = nextSum.compareTo(prevSum) == 0
