@@ -905,6 +905,28 @@ object OracleSql {
 
     // the sketch gate: the oracle pins the exact count and expects the
     // engine's HLL estimate to land within the disclosed ±5% envelope
+    "p13_histogram" ->
+      """SELECT CAST(CAST(floor(l_extendedprice/5000.0) AS BIGINT)*5000 AS DOUBLE)
+        |    AS bin_lo, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rational idf (tf*N/df, no log) - every score is one exact-integer
+    // IEEE division; (score DESC, term) makes the per-doc top-3 unique
+    "tt1_top_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |    CAST(tf*n AS DOUBLE)/CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score FROM r
+        |WHERE rnk <= 3""".stripMargin,
+
     // the sketch gate again: the engine's KLL sketch must rank within the
     // disclosed ±1% envelope; the oracle pins the gates TRUE
     "p12_approx_quantile_gate" ->

@@ -642,6 +642,47 @@ object Queries {
           .as("approx_within_5pct"))
   }
 
+  /** P13: fixed-bin numeric histogram — the profiling staple a DESCRIBE
+    * doesn't give: distribution shape. One map-side-combined aggregate over
+    * floor(x / width); bins with no rows are absent (sparse output), bin
+    * edges are exact integer math so the result is partition-independent.
+    */
+  def p13Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select((col("bin") * 5000L).cast("double").as("bin_lo"), col("n_rows"))
+      .orderBy(col("bin_lo"))
+
+  /** TT1: per-document distinctive terms — tf·idf with a RATIONAL idf
+    * (tf × N / df) instead of the classic log: rankings stay
+    * df-monotone and every score is one exact-integer IEEE division, so
+    * the result is bit-portable (`ln` is not, see lm1). Top 3 terms per
+    * doc by (score desc, term asc) — keyword extraction over the corpus.
+    *
+    * Shape: (doc, term) tf counts and term df counts are two partial-
+    * aggregated shuffles over the same exploded stream; the df side joins
+    * back on the term key (co-partitioned with its own groupBy); N is a
+    * 1-row broadcast; the top-3 is a per-doc window over ≤ distinct-terms
+    * rows. The corpus never self-joins.
+    */
+  def tt1TopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val score = (col("tf") * col("n")).cast("double") / col("df").cast("double")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), score.as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("score"))
+  }
+
   /** P12: approximate-quantile sketch with a folded exactness gate — the
     * p11 pattern applied to percentiles. `percentile_approx` (KLL-style
     * sketch: constant memory per partition, one merge — the quantile a
@@ -1377,6 +1418,8 @@ object Queries {
     "mix2_token_budget" -> (mix2TokenBudget _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
+    "p13_histogram" -> (p13Histogram _),
+    "tt1_top_terms" -> (tt1TopTerms _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),

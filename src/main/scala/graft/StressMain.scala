@@ -57,7 +57,7 @@ object StressMain {
       "t7_repetition", "p11_approx_distinct", "pii1_redact", "ld1_dup_lines",
       "lm1_bigram_score", "ch1_chunks", "nd1_incremental_dedup",
       "url1_domain_filter", "mix2_token_budget", "d7_neardup_components",
-      "p12_approx_quantile_gate")
+      "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms")
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
