@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** How verified near-dup PAIRS become a drop set.
+    *
+    *  - [[KeepFirst]] (default, the classic policy): drop `id_b` of every
+    *    pair. Cheap — no extra pass — but over-drops transitively: in a
+    *    chain 5~6, 1~6, doc 5's only near-dup (6) is itself dropped, yet 5
+    *    is dropped anyway IF it ever appears as an `id_b`, and kept if not —
+    *    the survivor set depends on pair orientation, not cluster shape.
+    *  - [[Components]]: cluster pairs into connected components
+    *    ([[Dedup.connectedComponents]]) and keep exactly the component-
+    *    minimum id — one survivor per near-dup FAMILY, independent of how
+    *    the family was discovered. Costs O(diameter) extra distributed
+    *    rounds over the (pair-bounded) edge list.
+    */
+  sealed trait NearDupPolicy
+  case object KeepFirst extends NearDupPolicy
+  case object Components extends NearDupPolicy
+
   final case class Config(
       minTokens: Long = 5,
       maxTokens: Long = 100000,
@@ -36,7 +53,8 @@ object CorpusPipeline {
       // actions read the cache. [[Dedup.minhashLsh]]'s contract: the CALLER
       // owns the returned cache and should unpersist it when done. Default
       // false = lazy result that re-derives gates+dedup per action.
-      materializeResult: Boolean = false)
+      materializeResult: Boolean = false,
+      nearDupPolicy: NearDupPolicy = KeepFirst)
 
   final case class Stats(
       input: Long,
@@ -99,9 +117,20 @@ object CorpusPipeline {
     // dropIds itself stays cached: the returned lazy corpus re-reads it on
     // every downstream action, and it is bounded by the near-dup count, not
     // the corpus size.
-    val dropIds = pairs.select(col("id_b").as("__drop_id")).distinct()
+    val (dropIds0, compCache) = cfg.nearDupPolicy match {
+      case KeepFirst =>
+        (pairs.select(col("id_b").as("__drop_id")).distinct(), None)
+      case Components =>
+        // one survivor (the component min) per near-dup family; everything
+        // else in the family drops — orientation-independent
+        val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        (comp.where(col("id") =!= col("component"))
+          .select(col("id").as("__drop_id")), Some(comp))
+    }
+    val dropIds = dropIds0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dropIds.count()
+    compCache.foreach(_.unpersist(blocking = false))
     pairs.unpersist(blocking = false)
     val deduped0 = exact.join(dropIds, exact(idCol) === col("__drop_id"), "left_anti")
     val deduped =

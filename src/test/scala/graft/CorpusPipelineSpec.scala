@@ -63,6 +63,25 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Components policy keeps one survivor per family where KeepFirst is orientation-dependent") {
+    // chain: 5~6 and 1~6 are near-dups (trigram J ≈ 0.902 ≥ 0.9), 1~5 is
+    // not (J ≈ 0.81). KeepFirst drops only id_b sides -> {6} -> keeps BOTH
+    // 1 and 5 although they belong to one family via 6; Components keeps
+    // exactly the family minimum.
+    val base = (0 until 60).map(i => f"w$i%02d")
+    val docs = Seq(
+      (1L, (Seq("x1", "x2", "x3") ++ base.drop(3)).mkString(" ")),
+      (5L, (base.take(57) ++ Seq("y1", "y2", "y3")).mkString(" ")),
+      (6L, base.mkString(" ")),
+      (9L, (0 until 60).map(i => f"z$i%02d").mkString(" "))).toDF("doc_id", "text")
+    def survivors(p: CorpusPipeline.NearDupPolicy): Set[Long] =
+      CorpusPipeline.run(docs, "doc_id", "text",
+        CorpusPipeline.Config(audit = false, nearDupPolicy = p))._1
+        .select("doc_id").as[Long].collect().toSet
+    assert(survivors(CorpusPipeline.KeepFirst) == Set(1L, 5L, 9L))
+    assert(survivors(CorpusPipeline.Components) == Set(1L, 9L))
+  }
+
   test("audit=false keeps the pipeline lazy (no counts)") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text")).limit(50)
