@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format breadth: the engine's tables round-trip through every
+  * columnar/row format the Spark distribution ships (parquet, ORC, JSON
+  * lines, CSV) without loss. JSON and CSV are read back with the explicit
+  * schema — schema inference is a convenience, not part of the round-trip
+  * contract (CSV carries no types at all).
+  */
+class FormatRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType), StructField("n_chars", LongType)))
+
+  test("parquet / orc / json / csv round-trips preserve rows exactly") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+
+    def assertSame(got: org.apache.spark.sql.DataFrame, fmt: String): Unit = {
+      assert(got.schema == schema, s"$fmt schema drifted: ${got.schema}")
+      assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty,
+        s"$fmt round-trip lost or mutated rows")
+    }
+
+    Seq("parquet", "orc").foreach { fmt =>
+      docs.write.mode("overwrite").format(fmt).save(s"$base/$fmt")
+      assertSame(spark.read.format(fmt).load(s"$base/$fmt"), fmt)
+    }
+    docs.write.mode("overwrite").json(s"$base/json")
+    assertSame(spark.read.schema(schema).json(s"$base/json"), "json")
+    // CSV: quote/escape defaults must survive arbitrary text content
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    assertSame(
+      spark.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+      "csv")
+  }
+}
