@@ -335,7 +335,6 @@ object Dedup {
       .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist(mad)
     und.count()
-    e.unpersist(blocking = false)
     var labels = nodes.withColumn("label", col("id")).persist(mad)
     // Convergence witness: labels only ever DECREASE under min-propagation,
     // so the exact (decimal — overflow-proof at any id scale) label total
@@ -346,6 +345,8 @@ object Dedup {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels) // also materializes the persist
+    // only now is nothing left that re-reads `e` (labels derives from it)
+    e.unpersist(blocking = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
