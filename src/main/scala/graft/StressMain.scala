@@ -56,8 +56,11 @@ object StressMain {
       "sp3_shuffle_order", "sq1_sequence_pack", "mix1_balance_upsample",
       "t7_repetition", "p11_approx_distinct", "pii1_redact", "ld1_dup_lines",
       "lm1_bigram_score", "ch1_chunks", "nd1_incremental_dedup",
-      "url1_domain_filter", "mix2_token_budget", "d7_neardup_components",
+      "url1_domain_filter", "mix2_token_budget",
       "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms")
+    // d7_neardup_components is excluded like d4/d5: its edge generation is
+    // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
+    // its scale path is measured by the cc_over_lsh_pairs row below.
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
