@@ -905,6 +905,20 @@ object OracleSql {
 
     // the sketch gate: the oracle pins the exact count and expects the
     // engine's HLL estimate to land within the disclosed ±5% envelope
+    // per-row quality + dup-ratio twins rolled up with the lsum mean
+    "cq1_corpus_report" ->
+      s"""WITH d AS (SELECT lang, source,
+         |    $qualitySql AS q,
+         |    round(1.0 - CAST(len(list_distinct($tokSplit)) AS DOUBLE)
+         |      / CAST(len($tokSplit) AS DOUBLE), 6) AS dup_ratio
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  ${lmean("q")} AS avg_quality,
+         |  ${lmean("dup_ratio")} AS avg_dup_ratio,
+         |  CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low_quality
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "p13_histogram" ->
       """SELECT CAST(CAST(floor(l_extendedprice/5000.0) AS BIGINT)*5000 AS DOUBLE)
         |    AS bin_lo, count(*) AS n_rows

@@ -683,6 +683,30 @@ object Queries {
         col("score"))
   }
 
+  /** CQ1: per-source corpus health report — the one-stop rollup a pipeline
+    * owner reads before changing mixture weights: per (lang, source)
+    * stratum, doc count, exact mean quality, exact mean duplicate-token
+    * ratio, and the low-quality count. ONE narrow map pass (quality and
+    * dup ratio both come from the per-row token array — no explode, no
+    * per-token shuffle) into one map-side-combined groupBy; means use the
+    * lsum quantized-long trick so the rollup is bit-portable.
+    */
+  def cq1CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("lang"), col("source"),
+        TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("q"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6).as("dup_ratio"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        lmean(col("q")).as("avg_quality"),
+        lmean(col("dup_ratio")).as("avg_dup_ratio"),
+        sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** P12: approximate-quantile sketch with a folded exactness gate — the
     * p11 pattern applied to percentiles. `percentile_approx` (KLL-style
     * sketch: constant memory per partition, one merge — the quantile a
@@ -1419,6 +1443,7 @@ object Queries {
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
     "p13_histogram" -> (p13Histogram _),
+    "cq1_corpus_report" -> (cq1CorpusReport _),
     "tt1_top_terms" -> (tt1TopTerms _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),

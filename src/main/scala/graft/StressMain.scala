@@ -57,7 +57,8 @@ object StressMain {
       "t7_repetition", "p11_approx_distinct", "pii1_redact", "ld1_dup_lines",
       "lm1_bigram_score", "ch1_chunks", "nd1_incremental_dedup",
       "url1_domain_filter", "mix2_token_budget",
-      "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms")
+      "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms",
+      "cq1_corpus_report")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path is measured by the cc_over_lsh_pairs row below.

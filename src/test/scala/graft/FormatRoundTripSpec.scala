@@ -40,4 +40,24 @@ class FormatRoundTripSpec extends AnyFunSuite {
       spark.read.schema(schema).option("header", "true").csv(s"$base/csv"),
       "csv")
   }
+
+  test("versioned parquet sink: lineage grows, never overwrites, latest resolves") {
+    import graft.sources.Versioned
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    val orig = s"$base/corpus.parquet"
+    docs.write.parquet(orig)
+    val v1 = Versioned.writeVersioned(docs.where(col("doc_id") % 2 === 0), orig)
+    assert(v1 == s"$base/corpus_clean.parquet")
+    val v2 = Versioned.writeVersioned(
+      docs.where(col("doc_id") % 4 === 0), Versioned.latestVersion(orig))
+    assert(v2 == s"$base/corpus_clean_clean.parquet")
+    assert(Versioned.latestVersion(orig) == v2)
+    // never-overwrite: writing the same version again must FAIL loudly
+    intercept[Exception] { Versioned.writeVersioned(docs, orig) }
+    // and each lineage member still reads back exactly
+    assert(spark.read.parquet(v2).count() == docs.where(col("doc_id") % 4 === 0).count())
+    assert(spark.read.parquet(v1).count() == docs.where(col("doc_id") % 2 === 0).count())
+  }
 }
