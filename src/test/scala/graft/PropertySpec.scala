@@ -30,6 +30,76 @@ class PropertySpec extends AnyFunSuite {
         .foreach(body)
     }
 
+  test("slidingChunks covers every token exactly once per stride step, any (n, window, stride)") {
+    import graft.operators.TextPipeline
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      window <- Gen.choose(1, 80)
+      stride <- Gen.choose(1, window)
+    } yield (n, window, stride)
+    forAllSampled(gen, n = 6) { case (n, window, stride) =>
+      val df = Seq((1L, (1 to n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+      val out = TextPipeline.slidingChunks(df, "doc_id", "text", window, stride)
+        .orderBy("chunk_idx").select("chunk_idx", "n_chunk_tokens")
+        .as[(Long, Long)].collect()
+      // chunk count, per-chunk size, and tail coverage hold for ANY shape
+      assert(out.length == (n + stride - 1) / stride, s"n=$n w=$window s=$stride")
+      out.zipWithIndex.foreach { case ((k, sz), i) =>
+        assert(k == i && sz == math.min(window, n - i * stride).toLong,
+          s"n=$n w=$window s=$stride k=$k")
+      }
+      val (lastK, lastSz) = out.last
+      assert(lastK * stride + lastSz == n)
+    }
+  }
+
+  test("tokenLines concatenation reconstructs the token stream for any width") {
+    import graft.operators.TextPipeline
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      width <- Gen.choose(1, 30)
+    } yield (n, width)
+    forAllSampled(gen, n = 6) { case (n, width) =>
+      val toks = (1 to n).map(i => s"w$i")
+      val df = Seq(toks.mkString(" ")).toDF("text")
+      val lines = df.select(TextPipeline.tokenLines(col("text"), width).as("ls"))
+        .as[Seq[String]].head()
+      assert(lines.flatMap(_.split(" ")) == toks, s"n=$n width=$width")
+      assert(lines.forall(_.split(" ").length <= width))
+      assert(lines.dropRight(1).forall(_.split(" ").length == width))
+    }
+  }
+
+  test("tokenBudgetSelect emits a prefix of the hash order with cum_before under budget") {
+    import graft.operators.TextPipeline
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      budget <- Gen.choose(1L, 400L)
+    } yield (n, budget)
+    forAllSampled(gen, n = 5) { case (n, budget) =>
+      val docs = (0 until n).map(i => (if (i % 2 == 0) "a" else "b", i.toLong,
+        (i % 7 + 1).toLong)).toDF("lang", "doc_id", "tok")
+      val out = TextPipeline.tokenBudgetSelect(docs, "lang", "doc_id", "tok", budget)
+        .select("lang", "doc_id", "cum_before")
+        .as[(String, Long, Long)].collect()
+      assert(out.forall(_._3 < budget))
+      // prefix property: selected ids per stratum == the first k in md5 order
+      val byLang = (0 until n).groupBy(i => if (i % 2 == 0) "a" else "b")
+      byLang.foreach { case (lang, ids) =>
+        def h(i: Int) = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(s"mix2:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        val order = ids.sortBy(i => (h(i), i.toLong))
+        var cum = 0L
+        val expect = order.takeWhile { i =>
+          val keep = cum < budget; cum += (i % 7 + 1); keep }.map(_.toLong).toSet
+        assert(out.filter(_._1 == lang).map(_._2).toSet == expect,
+          s"n=$n budget=$budget lang=$lang")
+      }
+    }
+  }
+
   test("imputation never changes non-null cells and never adds rows") {
     forAllSampled(rowsGen) { rows =>
       val df = rows.toDF("id", "v")
