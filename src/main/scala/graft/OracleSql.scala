@@ -903,8 +903,6 @@ object OracleSql {
          |  (top_token_frac > 0.3 OR dup_token_ratio > 0.5) AS repetitive
          |FROM m""".stripMargin,
 
-    // the sketch gate: the oracle pins the exact count and expects the
-    // engine's HLL estimate to land within the disclosed ±5% envelope
     // per-row quality + dup-ratio twins rolled up with the lsum mean
     "cq1_corpus_report" ->
       s"""WITH d AS (SELECT lang, source,
@@ -948,6 +946,8 @@ object OracleSql {
         |UNION ALL SELECT CAST(0.9 AS DOUBLE), TRUE
         |UNION ALL SELECT CAST(0.99 AS DOUBLE), TRUE ORDER BY pct""".stripMargin,
 
+    // the sketch gate: the oracle pins the exact count and expects the
+    // engine's HLL estimate to land within the disclosed ±5% envelope
     "p11_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
         |  TRUE AS approx_within_5pct FROM orders""".stripMargin,

@@ -46,6 +46,13 @@ object TextPipeline {
 
   /** Per-row PII hit counts on the ORIGINAL text (the audit trail a
     * compliance pipeline keeps next to the redaction).
+    *
+    * Overlap semantics: counts are per-pattern matches against the raw
+    * text, NOT redactions performed — an IPv4 embedded in an email domain
+    * (`a@10.1.2.3.com`) increments `n_ips` although [[redactPii]] consumes
+    * it as part of `<EMAIL>`. Audit counts can therefore exceed the number
+    * of placeholder substitutions; pipelines needing count == redactions
+    * should count each pattern on the progressively-redacted text instead.
     */
   def piiCounts(text: Column): (Column, Column, Column) =
     (regexp_count(text, lit(EmailPattern)),

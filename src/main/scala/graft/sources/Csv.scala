@@ -58,12 +58,26 @@ object Csv {
   /** S4: resolve the newest version in a lineage (`x.csv`, `x_clean.csv`,
     * `x_clean_clean.csv`, …) — the reference's "always reload the DataFrame
     * from the latest clean CSV" (`tool_call_agent.py:140`).
+    *
+    * Existence is resolved through the Hadoop FileSystem for the path's
+    * scheme, so lineages on `hdfs://`/`s3a://` resolve the same way local
+    * ones do (bare paths go to the configured default FS, matching where
+    * Spark would have written them).
     */
   def latestVersion(inputPath: String, suffix: String = "clean"): String = {
     var cur = inputPath
     var next = versionedPath(cur, suffix)
-    while (new java.io.File(next).exists()) { cur = next; next = versionedPath(cur, suffix) }
+    while (exists(next)) { cur = next; next = versionedPath(cur, suffix) }
     cur
+  }
+
+  /** Scheme-aware existence probe (Hadoop FileSystem API). */
+  private[sources] def exists(path: String): Boolean = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).exists(p)
   }
 
   /** S3: write a cleaned frame beside its input, never overwriting. */

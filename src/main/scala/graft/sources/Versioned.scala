@@ -29,7 +29,10 @@ object Versioned {
   }
 
   /** Newest existing member of the lineage (`x.parquet`,
-    * `x_clean.parquet`, `x_clean_clean.parquet`, …).
+    * `x_clean.parquet`, `x_clean_clean.parquet`, …). Existence is probed
+    * via the Hadoop FileSystem for the path's scheme, so any URI
+    * [[writeVersioned]] can write (local, `hdfs://`, `s3a://`) resolves
+    * consistently.
     */
   def latestVersion(inputPath: String, suffix: String = "clean"): String =
     Csv.latestVersion(inputPath, suffix)
