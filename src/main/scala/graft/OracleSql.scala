@@ -85,6 +85,38 @@ object OracleSql {
        |             toks[4:len(toks)-1], toks[5:len(toks)]),
        |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5]))""".stripMargin
 
+  // -- BPE replay (tok1/mix2b/sq1b twins of functions.BpeVocab) -------------
+  // The kernel runs lowest-rank-first greedy merging; over a valid table
+  // (every merge's components are single code points or outputs of STRICTLY
+  // earlier merges — enforced by BpeVocab.Table) that equals applying merges
+  // in ascending rank order, each exhaustively: a merge's pair can never be
+  // re-created by a later merge, because the later merge's output token is
+  // new. One exhaustive application over the separator-wrapped token string
+  // is TWO non-overlapping replace() passes: a matched occurrence consumes
+  // the separator the next ADJACENT occurrence needs, but missed occurrences
+  // are never adjacent to each other, so the second pass catches every
+  // leftover. The tokenizer is therefore 2·M nested replaces in rank order,
+  // generated from the SAME committed Fixture the Spark kernel evaluates.
+  private val bpeSep = "\u001f" // unit separator: absent from any corpus text
+  private def bpeEsc(s: String) = s.replace("'", "''")
+  private val bpeApplySql: String =
+    graft.functions.BpeVocab.Fixture.foldLeft("s") { case (acc, (a, b)) =>
+      val pat = s"'$bpeSep${bpeEsc(a)}$bpeSep${bpeEsc(b)}$bpeSep'"
+      val rep = s"'$bpeSep${bpeEsc(a)}${bpeEsc(b)}$bpeSep'"
+      s"replace(replace($acc,$pat,$rep),$pat,$rep)"
+    }
+  // per-DISTINCT-word BPE token counts over `documents` (the word list is
+  // tiny next to the corpus); join back on the word stream to denominate
+  // any metric in BPE tokens
+  private val bpeCntCtes: String =
+    s"""bpew AS (SELECT DISTINCT unnest($tokSplit) AS w FROM documents),
+       |bpes AS (SELECT w,
+       |  '$bpeSep' || array_to_string(string_split(w,''), '$bpeSep') || '$bpeSep' AS s
+       |  FROM bpew),
+       |bpec AS (SELECT w, CASE WHEN w = '' THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(len(s) - len(replace(s, '$bpeSep', '')) - 1 AS BIGINT) END AS bpe_n
+       |  FROM (SELECT w, $bpeApplySql AS s FROM bpes))""".stripMargin
+
   val sql: Map[String, String] = Map(
     // -------------------------------------------------------- profiling
     "p2_shape" ->
@@ -886,6 +918,46 @@ object OracleSql {
         |      AS cum_before FROM d)
         |SELECT lang, doc_id, n_tokens, cum_before FROM c
         |WHERE cum_before < 2000""".stripMargin,
+
+    // whitespace vs BPE counts; the BPE side is the nested-replace replay
+    // of the committed merge table per distinct word, joined back
+    "tok1_bpe_count" ->
+      s"""WITH $bpeCntCtes,
+         |d AS (SELECT doc_id, unnest($tokSplit) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(bpe_n) AS BIGINT) AS n_bpe_tokens
+         |FROM d JOIN bpec USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mix2's per-stratum running-sum selection, denominated in the BPE
+    // replay's counts (salt mix2b:, budget 4000)
+    "mix2b_token_budget_bpe" ->
+      s"""WITH $bpeCntCtes,
+         |d AS (SELECT lang, doc_id, unnest($tokSplit) AS w FROM documents),
+         |dn AS (SELECT lang, doc_id, CAST(sum(bpe_n) AS BIGINT) AS n_tokens,
+         |    md5('mix2b:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM d JOIN bpec USING (w) GROUP BY lang, doc_id),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before FROM dn)
+         |SELECT lang, doc_id, n_tokens, cum_before FROM c
+         |WHERE cum_before < 4000""".stripMargin,
+
+    // sq1's greedy packing, denominated in the BPE replay's counts
+    "sq1b_sequence_pack_bpe" ->
+      s"""WITH $bpeCntCtes,
+         |d AS (SELECT doc_id, unnest($tokSplit) AS w FROM documents),
+         |dn AS (SELECT doc_id, CAST(sum(bpe_n) AS BIGINT) AS tok
+         |  FROM d JOIN bpec USING (w) GROUP BY doc_id),
+         |c AS (SELECT doc_id, tok,
+         |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before FROM dn)
+         |SELECT CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSplit) AS tk FROM documents),

@@ -1365,6 +1365,43 @@ object Queries {
       docs, "lang", "doc_id", "n_tokens", budget = 2000L)
   }
 
+  /** TOK1: whitespace vs TRUE subword (BPE) token counts per document — the
+    * unit conversion every training pipeline needs before budgets/packing
+    * mean anything (the committed 48-merge fixture splits this corpus at
+    * ~2.3 BPE tokens per whitespace token). The oracle replays the SAME
+    * merge table as 2·M nested `replace` passes over separator-wrapped
+    * words (see OracleSql's bpeApplySql proof sketch), so hash equality
+    * proves the Catalyst kernel token-for-token.
+    */
+  def tok1BpeCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** MIX2b: [[mix2TokenBudget]] denominated in BPE tokens — the form a real
+    * mixture quota takes (budgets are tokenizer tokens, not whitespace
+    * counts). Same per-stratum chunked prefix decomposition; distinct salt
+    * so the selection order is independent of mix2's.
+    */
+  def mix2bTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_tokens"))
+    graft.operators.TextPipeline.tokenBudgetSelect(
+      docs, "lang", "doc_id", "n_tokens", budget = 4000L, saltPrefix = "mix2b:")
+  }
+
+  /** SQ1b: [[sq1SequencePack]] denominated in BPE tokens — sequence packing
+    * in the unit the trainer actually consumes.
+    */
+  def sq1bSequencePackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("tok"))
+    SequencePack.packManifest(docs, "doc_id", "tok",
+        budget = 2048L, chunkWidth = 1024L)
+      .orderBy(col("seq_id"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1440,6 +1477,9 @@ object Queries {
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
+    "tok1_bpe_count" -> (tok1BpeCount _),
+    "mix2b_token_budget_bpe" -> (mix2bTokenBudgetBpe _),
+    "sq1b_sequence_pack_bpe" -> (sq1bSequencePackBpe _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
     "p13_histogram" -> (p13Histogram _),

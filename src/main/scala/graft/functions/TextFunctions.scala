@@ -16,9 +16,25 @@ object TextFunctions {
 
   /** BPE-ish subword count: words + digits + punctuation counted separately,
     * approximating a byte-pair tokenizer's granularity without a vocab.
+    * For real merge-table tokenization use [[bpeTokenCount]].
     */
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** TRUE subword (BPE) token count under a merge table — the unit training
+    * pipelines budget, pack, and mix in (whitespace counts drift 1.3–1.5×
+    * vs BPE on English, far worse on CJK). Backed by the one-pass
+    * [[BpeTokenCount]] kernel; the table defaults to the committed
+    * [[BpeVocab.Fixture]].
+    */
+  def bpeTokenCount(text: Column,
+      merges: Seq[(String, String)] = BpeVocab.Fixture): Column =
+    BpeVocab.bpeTokenCount(text, merges)
+
+  /** Full BPE token stream of a document (see [[BpeTokens]]). */
+  def bpeTokens(text: Column,
+      merges: Seq[(String, String)] = BpeVocab.Fixture): Column =
+    BpeVocab.bpeTokens(text, merges)
 
   /** Distinct-token ratio — low values indicate repetitive/boilerplate text. */
   def distinctTokenRatio(text: Column): Column = {
