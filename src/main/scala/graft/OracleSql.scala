@@ -635,6 +635,33 @@ object OracleSql {
          |sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
          |SELECT comp.id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin,
 
+    // the scale-path twin of d7: edges from the bucketed LSH plan must
+    // equal exact all-pairs trigram Jaccard >= 0.9 (the d2b equivalence),
+    // and the distributed min-label fixed point must equal the recursive
+    // reachability closure — one hash proves the whole composition
+    "d7b_components_over_lsh" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |t AS (SELECT doc_id, $tokSplit AS toks FROM all_docs),
+         |s AS (SELECT doc_id, $trigramSetSql AS sh FROM t),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM u
+         |  UNION
+         |  SELECT u.src, reach.r FROM u JOIN reach ON u.dst = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+         |SELECT comp.id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin,
+
     "d5_embedding_neardup" ->
       s"""SELECT id_a, id_b, cosine FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

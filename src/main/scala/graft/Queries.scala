@@ -1029,6 +1029,30 @@ object Queries {
     comp.join(sizes, "component").select(col("id"), col("component"), col("csize"))
   }
 
+  /** D7b: near-dup clustering at the SCALE path — connected components over
+    * skew-guarded MinHash-LSH pairs (d2b's banding: 16 bands × 8 rows,
+    * verified 0 misses at the 0.9 threshold on this corpus at every SF)
+    * instead of [[d7NeardupComponents]]'s labeled quadratic exact-all-pairs
+    * edge generation. The oracle rebuilds the edge set as exact all-pairs
+    * trigram Jaccard ≥ 0.9 (the d2b equivalence) and closes it with the
+    * same recursive-CTE reachability, so hash equality proves BOTH that the
+    * bucketed edge generation recovers every qualifying edge AND that the
+    * distributed min-label clustering reaches the exact fixed point. This
+    * is the composition a 100 TB near-dedup actually runs: every stage
+    * (shingle, band, bucket join, verify, propagate) is shuffle-bounded
+    * and hot-bucket-guarded; nothing is quadratic in the corpus.
+    */
+  def d7bComponentsOverLsh(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithPlantedDups(s, dir), "doc_id", "text",
+      threshold = 0.9, numHashes = 128, bands = 16, shingleSize = 3)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    // connectedComponents has materialized its own edge copy; the LSH pair
+    // cache (caller-owned per the minhashLsh contract) can go now.
+    pairs.unpersist(blocking = false)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component").select(col("id"), col("component"), col("csize"))
+  }
+
   /** CP1: the flagship end-to-end corpus preparation — quality/token gates →
     * exact fingerprint dedup → MinHash-LSH near-dedup, i.e.
     * [[graft.plans.CorpusPipeline.run]] with its default config — checked
@@ -1461,6 +1485,7 @@ object Queries {
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "d6_skew_guard" -> (d6SkewGuard _),
     "d7_neardup_components" -> (d7NeardupComponents _),
+    "d7b_components_over_lsh" -> (d7bComponentsOverLsh _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),

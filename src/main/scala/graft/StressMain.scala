@@ -58,10 +58,12 @@ object StressMain {
       "lm1_bigram_score", "ch1_chunks", "nd1_incremental_dedup",
       "url1_domain_filter", "mix2_token_budget",
       "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms",
-      "cq1_corpus_report")
+      "cq1_corpus_report", "tok1_bpe_count", "mix2b_token_budget_bpe",
+      "sq1b_sequence_pack_bpe", "d7b_components_over_lsh")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
-    // its scale path is measured by the cc_over_lsh_pairs row below.
+    // its scale path IS the registry's d7b_components_over_lsh above
+    // (skew-guarded LSH edges + min-label components, both ~linear).
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -88,26 +90,6 @@ object StressMain {
     println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
       f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
 
-    // Near-dup clustering at the SCALE path: connected components over the
-    // LSH pair graph of the full stressed corpus (the registry's
-    // d7_neardup_components generates edges by blocked exact all-pairs — the
-    // quadratic LABELED BASELINE, same role as d4/d5 — so its stress row
-    // grows ~n²/blocks; this row is the shape a 100 TB run uses: LSH edges
-    // (bucketed, skew-guarded) + min-label components, both ~linear).
-    val t1 = System.nanoTime()
-    val docsAll = spark.read.parquet(s"$outDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val withDups = docsAll.unionAll(docsAll.where(col("doc_id") % 1000 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000000L))
-    val lshPairs = graft.operators.Dedup.minhashLsh(
-      withDups, "doc_id", "text", threshold = 0.9)
-    val comps = graft.operators.Dedup.connectedComponents(lshPairs, "id_a", "id_b")
-    val nNodes = comps.count()
-    val nComp = comps.select("component").distinct().count()
-    comps.unpersist(blocking = false)
-    lshPairs.unpersist(blocking = false)
-    println(f"[stress] cc_over_lsh_pairs     ${(System.nanoTime() - t1) / 1e9}%8.2f s " +
-      f"(nodes=$nNodes, components=$nComp)")
     spark.stop()
   }
 }
