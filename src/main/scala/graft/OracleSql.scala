@@ -920,6 +920,36 @@ object OracleSql {
         |WHERE fp NOT IN (SELECT fp FROM existing)
         |GROUP BY fp""".stripMargin,
 
+    // exact replay of incremental NEAR-dedup survival: a batch doc is
+    // dropped iff exact trigram jaccard >= 0.9 with any indexed doc, or
+    // with a smaller-id batch doc (greedy keep-first). Equality with the
+    // engine's guarded index-probe plan proves full candidate recall.
+    "nd2_incremental_neardup" ->
+      s"""WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || ' ' || text FROM existing
+         |  WHERE doc_id < 60 AND len(string_split_regex(trim(text), '\\s+')) >= 30),
+         |es AS (SELECT doc_id, $trigramSetSql AS sh
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM existing)),
+         |bs AS (SELECT doc_id, $trigramSetSql AS sh
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM batch)),
+         |dropx AS (SELECT DISTINCT b.doc_id FROM bs b JOIN es e ON
+         |  CASE WHEN len(b.sh) + len(e.sh) - len(list_intersect(b.sh, e.sh)) > 0
+         |    THEN CAST(len(list_intersect(b.sh, e.sh)) AS DOUBLE)
+         |         / (len(b.sh) + len(e.sh) - len(list_intersect(b.sh, e.sh)))
+         |    ELSE 0.0 END >= 0.9),
+         |dropb AS (SELECT DISTINCT b2.doc_id FROM bs b1 JOIN bs b2 ON
+         |  b1.doc_id < b2.doc_id AND
+         |  CASE WHEN len(b1.sh) + len(b2.sh) - len(list_intersect(b1.sh, b2.sh)) > 0
+         |    THEN CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE)
+         |         / (len(b1.sh) + len(b2.sh) - len(list_intersect(b1.sh, b2.sh)))
+         |    ELSE 0.0 END >= 0.9)
+         |SELECT doc_id FROM batch
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropb)
+         |ORDER BY doc_id""".stripMargin,
+
     // planted-URL fixture; domain = first capture of the shared host
     // pattern, '' -> NULL for no-URL docs (kept by the blocklist filter)
     "url1_domain_filter" -> {

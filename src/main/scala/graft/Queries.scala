@@ -1361,6 +1361,39 @@ object Queries {
     graft.operators.TextPipeline.incrementalDedup(batch, "doc_id", "text", index)
   }
 
+  /** ND2: incremental NEAR-dedup — the rolling-crawl shape nd1 covers only
+    * for exact dups: the corpus's MinHash band/bucket index is built ONCE
+    * ([[Dedup.buildLshIndex]]); a new batch probes it per bucket (skew
+    * guard on the index side), verifies Jaccard against only the colliding
+    * index docs, and near-dedups within itself — corpus text is never
+    * rescanned. Fixture plants doubled-text near-dups (text ‖ ' ' ‖ text:
+    * trigram j = n/(n+2) ≥ 0.93 for the ≥30-word docs selected — NOT exact
+    * dups, so nd1's fingerprint path can't catch them) of indexed docs
+    * under shifted ids. Emits the surviving batch ids; the oracle replays
+    * survival with exact all-pairs trigram Jaccard on both relations
+    * (batch×index, batch×batch keep-first), so hash equality proves the
+    * guarded probe plan recovers every qualifying match.
+    */
+  def nd2IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val planted = existing
+      .where(col("doc_id") < 60 &&
+        size(split(trim(col("text")), "\\s+")) >= 30)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val batch = docs.where(col("doc_id") % 10 === 0).unionAll(planted)
+    val index = Dedup.buildLshIndex(existing, "doc_id", "text",
+      numHashes = 128, bands = 16, shingleSize = 3)
+    val matches = Dedup.incrementalNearDup(batch, "doc_id", "text", index,
+      threshold = 0.9)
+    index.close()
+    batch.select(col("doc_id"))
+      .join(matches.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
     * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
     * blocklisted; odd docs carry no URL and pass with a null domain.
@@ -1500,6 +1533,7 @@ object Queries {
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
+    "nd2_incremental_neardup" -> (nd2IncrementalNearDup _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),

@@ -59,7 +59,8 @@ object StressMain {
       "url1_domain_filter", "mix2_token_budget",
       "p12_approx_quantile_gate", "p13_histogram", "tt1_top_terms",
       "cq1_corpus_report", "tok1_bpe_count", "mix2b_token_budget_bpe",
-      "sq1b_sequence_pack_bpe", "d7b_components_over_lsh")
+      "sq1b_sequence_pack_bpe", "d7b_components_over_lsh",
+      "nd2_incremental_neardup")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
@@ -90,6 +91,27 @@ object StressMain {
     println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
       f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
 
+    // Incremental near-dup at scale: the index build pays the one-time
+    // corpus scan; the BATCH probe must cost ~batch size, independent of
+    // corpus text volume — compare the probe row across factors (the build
+    // row grows with the corpus, the probe row must not).
+    val t2 = System.nanoTime()
+    val corpusDocs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ndIndex = graft.operators.Dedup.buildLshIndex(corpusDocs, "doc_id",
+      "text", numHashes = 128, bands = 16, shingleSize = 3)
+    val tBuild = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val ndBatch = corpusDocs.where(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 500000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val ndM = graft.operators.Dedup.incrementalNearDup(ndBatch, "doc_id",
+      "text", ndIndex, threshold = 0.9)
+    val nCaught = ndM.select("batch_id").distinct().count()
+    val tProbe = (System.nanoTime() - t3) / 1e9
+    ndM.unpersist(blocking = false); ndIndex.close()
+    println(f"[stress] nd2_index_build       $tBuild%8.2f s")
+    println(f"[stress] nd2_batch_probe       $tProbe%8.2f s (near-dups caught=$nCaught)")
     spark.stop()
   }
 }

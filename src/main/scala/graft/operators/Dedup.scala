@@ -266,6 +266,163 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.ArrayJaccard.jaccardSim(a, b)
 
+  // --------------------------------------------- incremental near-dup
+  /** Persisted MinHash band/bucket index over a corpus — the structure a
+    * rolling crawl probes so each new batch near-dedups WITHOUT rescanning
+    * corpus text ([[incrementalNearDup]]; the near-dup analogue of nd1's
+    * fingerprint index). Two frames: `banded` (id, band, bucket) is the
+    * probe surface, `sets` (sid, sset) carries the shingle sets candidate
+    * verification needs. Caller-owned handle (the [[graft.operators
+    * .Similarity.IvfIndex]] contract): both frames are persisted and
+    * materialized at build; `close()` releases them. In a real deployment
+    * both frames live as bucketed tables (write once per index refresh,
+    * bucketed by (band, bucket) and by sid — probe joins arrive
+    * exchange-free); this handle is the in-session form.
+    */
+  final case class LshIndex private[operators] (
+      sets: DataFrame,
+      banded: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int) {
+    def close(): Unit = {
+      sets.unpersist(blocking = false)
+      banded.unpersist(blocking = false)
+    }
+  }
+
+  /** Build the [[LshIndex]]: one scan of the corpus text → shingle sets →
+    * signatures → banded buckets (identical parameters later batches must
+    * use, recorded on the handle).
+    */
+  def buildLshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3): LshIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = numHashes / bands
+    val sets = df.select(col(idCol).as("sid"),
+        shingles(col(textCol), shingleSize).as("sset"))
+      .persist(mad)
+    val banded = sets
+      .select(col("sid").as("id"),
+        signatureFromShingles(col("sset"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows)
+              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(mad)
+    banded.count()
+    LshIndex(sets, banded, numHashes, bands, shingleSize)
+  }
+
+  /** Candidate (batch_id, index_id) pairs from probing a banded index, with
+    * the hot-bucket guard on the INDEX side: a (band, bucket) holding more
+    * than `maxBucket` index members — the template-family failure mode —
+    * pairs each probe row with only the bucket's `repFactor` smallest-id
+    * index members, so probe cost is O(probe·repFactor) per oversized
+    * bucket instead of O(probe·bucketSize). Same guarded contract as
+    * [[boundedBucketPairs]]: greedy keep-first still collapses a
+    * homogeneous family onto its smallest index ids.
+    */
+  private[graft] def boundedProbeCandidates(
+      probe: DataFrame,
+      index: DataFrame,
+      maxBucket: Int,
+      repFactor: Int): DataFrame = {
+    val bucketCols = Seq("band", "bucket")
+    val oversized = index.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(bucketCols.map(col): _*)
+    val small = index.join(oversized, bucketCols, "left_anti")
+    val smallC = probe.as("p").join(small.as("i"), bucketCols)
+      .select(col("p.id").as("batch_id"), col("i.id").as("index_id"))
+    val reps = index.join(oversized, bucketCols, "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col("id"))))
+      .where(col("__rn") <= repFactor)
+    val bigC = probe.as("p").join(reps.as("i"), bucketCols)
+      .select(col("p.id").as("batch_id"), col("i.id").as("index_id"))
+    smallC.unionAll(bigC).distinct()
+  }
+
+  /** Near-dedup a NEW batch against a persisted [[LshIndex]] plus itself —
+    * the rolling-crawl shape: corpus text is never rescanned; batch cost
+    * depends on batch size and collision counts only.
+    *
+    * Output: one row per verified near-dup relation that would DROP a batch
+    * doc under greedy keep-first — (batch_id, match_id, jaccard,
+    * match_in_index). Batch-vs-index matches keep the index doc
+    * (match_in_index = true); within-batch pairs keep the smaller id
+    * (batch_id is the larger). Survivors = batch ids absent from
+    * `batch_id`; a production loop then appends the survivors' signatures
+    * to the index.
+    *
+    * EXECUTION CONTRACT (the minhashLsh contract): runs eagerly, releases
+    * its batch-side caches, returns the (small) match set cached —
+    * caller-owned lifecycle.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: LshIndex,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rows = index.numHashes / index.bands
+    val bSets = batch.select(col(idCol).as("sid"),
+        shingles(col(textCol), index.shingleSize).as("sset"))
+      .persist(mad)
+    val bBanded = bSets
+      .select(col("sid").as("id"),
+        signatureFromShingles(col("sset"), index.numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until index.bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows)
+              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(mad)
+
+    // batch -> index: guarded probe join, verify against only colliders
+    val idxMatches = boundedProbeCandidates(bBanded, index.banded,
+        maxBucket, repFactor)
+      .join(bSets.as("sa"), col("batch_id") === col("sa.sid"))
+      .join(index.sets.as("sb"), col("index_id") === col("sb.sid"))
+      .select(col("batch_id"), col("index_id").as("match_id"),
+        jaccard(col("sa.sset"), col("sb.sset")).as("jaccard"),
+        lit(true).as("match_in_index"))
+      .where(col("jaccard") >= threshold)
+
+    // within-batch: the standard guarded self-join; larger id is dropped
+    val batchMatches = boundedBucketPairs(bBanded, "id", Seq("band", "bucket"),
+        Nil, maxBucket, repFactor)
+      .distinct()
+      .join(bSets.as("sa"), col("id_a") === col("sa.sid"))
+      .join(bSets.as("sb"), col("id_b") === col("sb.sid"))
+      .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
+        jaccard(col("sa.sset"), col("sb.sset")).as("jaccard"),
+        lit(false).as("match_in_index"))
+      .where(col("jaccard") >= threshold)
+
+    val out = idxMatches.unionAll(batchMatches).persist(mad)
+    out.count()
+    bBanded.unpersist(blocking = false)
+    bSets.unpersist(blocking = false)
+    out
+  }
+
   // ------------------------------------------------------------ n-gram Jaccard
   /** Brute-force n-gram Jaccard near-dup within explicit blocking groups
     * (e.g. same language+source). The blocking keys keep the self-join
