@@ -1169,30 +1169,61 @@ object Queries {
 
   /** SP2: exact-quota stratified sampling — per language, keep exactly
     * ⌈n/10⌉ documents, chosen by md5 rank (deterministic, engine-portable,
-    * and stable under reruns). The within-stratum rank is a window sort
-    * keyed by the content hash; the quota is pure integer math
+    * and stable under reruns). The quota is pure integer math
     * ((n+9) div 10), so both engines select the identical id set.
     *
-    * Scale note: exact quotas inherently rank within each stratum — the
-    * window shuffles by language, and a dominant stratum ('en' is most of
-    * a real crawl) concentrates on few partitions. That is the disclosed
-    * price of EXACT quotas; when ~10% suffices, the map-only hash-threshold
+    * Scale shape: the per-stratum md5 rank is the two-level chunked prefix
+    * decomposition ([[stratumChunkRank]] — the mix2/tokenBudgetSelect
+    * construction): a plain `Window.partitionBy(lang).orderBy(h)` puts an
+    * entire stratum in ONE task ('en' is most of a real crawl — a 20 TB
+    * task at 100 TB), while the chunked form's largest full-row window
+    * holds one (stratum, hash-prefix) chunk (~1/256 of the stratum) and
+    * the only stratum-wide windows run over the ≤256-row chunk-total
+    * frames. Quotas come from the same tiny totals, broadcast back. When
+    * ~10% suffices without exact quotas, the map-only hash-threshold
     * assignment (the [[sp1HashSplit]] construction, no shuffle at all) is
-    * the 100 TB path. Range-partitioning the sort key (Spark does this for
-    * window sorts per partition spec) bounds per-task memory either way.
+    * the cheaper 100 TB path.
     */
   def sp2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val h = md5(col("doc_id").cast("string"))
-    val byLang = Window.partitionBy(col("lang"))
-    val rank = row_number().over(byLang.orderBy(h, col("doc_id")))
-    docs.select(col("lang"), col("doc_id"), h.as("__h"))
-      .withColumn("sample_rank", rank.cast("long"))
-      .withColumn("__quota",
-        floor((count(lit(1)).over(byLang) + lit(9L)) / lit(10L)).cast("long"))
+    val (ranked, counts) = stratumChunkRank(docs, "lang", "doc_id")
+    val quotas = counts.groupBy(col("lang")).agg(sum(col("__cn")).as("__tot"))
+      .select(col("lang"),
+        floor((col("__tot") + lit(9L)) / lit(10L)).cast("long").as("__quota"))
+    ranked.withColumnRenamed("__rank", "sample_rank")
+      .join(broadcast(quotas), Seq("lang"))
       .where(col("sample_rank") <= col("__quota"))
       .select(col("lang"), col("doc_id"), col("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  /** Per-stratum md5 rank by the two-level chunked prefix decomposition:
+    * chunk = the hash's own leading hex byte (order-aligned, 256 even
+    * sub-chunks per stratum), per-(stratum, chunk) counts → per-stratum
+    * offset window over ≤256 rows → within-chunk `row_number` + offset.
+    * Returns (ranked: stratumCol, idCol, __rank; counts: stratumCol,
+    * __chunk, __cn) — `counts` is the tiny totals frame callers derive
+    * stratum sizes from without a second pass.
+    */
+  private def stratumChunkRank(docs: DataFrame, stratumCol: String,
+                               idCol: String): (DataFrame, DataFrame) = {
+    val h = md5(col(idCol).cast("string"))
+    val withH = docs.select(col(stratumCol), col(idCol), h.as("__h"))
+      .withColumn("__chunk",
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val counts = withH.groupBy(col(stratumCol), col("__chunk"))
+      .agg(count(lit(1)).as("__cn"))
+    val wChunks = Window.partitionBy(col(stratumCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wChunks), lit(0L)))
+      .select(col(stratumCol), col("__chunk"), col("__off"))
+    val wIn = Window.partitionBy(col(stratumCol), col("__chunk"))
+      .orderBy(col("__h"), col(idCol))
+    val ranked = withH.join(broadcast(offsets), Seq(stratumCol, "__chunk"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn).cast("long"))
+      .select(col(stratumCol), col(idCol), col("__rank"))
+    (ranked, counts)
   }
 
   /** MIX1: deterministic domain-mixing (balance-upsample) — replicate every
@@ -1206,20 +1237,17 @@ object Queries {
     * `sequence(1, n_copies)` — map-only; this query emits the assignment,
     * which is the part worth hash-checking.
     *
-    * Scale shape: one by-lang window (same disclosed skew economics as sp2:
-    * exact quotas rank within the stratum; the map-only hash-threshold
-    * variant is the approximation at 100 TB), one tiny per-lang count
-    * aggregate whose max broadcasts back via a 1-row cross join.
+    * Scale shape: the per-stratum rank is [[stratumChunkRank]]'s two-level
+    * chunked prefix decomposition (no whole-stratum window task); stratum
+    * sizes and their max come from the same ≤256-rows-per-stratum totals
+    * frame, broadcast back (the max via a 1-row cross join).
     */
   def mix1BalanceUpsample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val h = md5(col("doc_id").cast("string"))
-    val byLang = Window.partitionBy(col("lang"))
-    val base = docs.select(col("lang"), col("doc_id"), h.as("__h"))
-      .withColumn("__rank", row_number().over(byLang.orderBy(col("__h"), col("doc_id"))).cast("long"))
-      .withColumn("__n", count(lit(1)).over(byLang))
-    val tmax = docs.groupBy(col("lang")).agg(count(lit(1)).as("__nl"))
-      .agg(max(col("__nl")).as("__t"))
+    val (ranked, counts) = stratumChunkRank(docs, "lang", "doc_id")
+    val sizes = counts.groupBy(col("lang")).agg(sum(col("__cn")).as("__n"))
+    val tmax = sizes.agg(max(col("__n")).as("__t"))
+    val base = ranked.join(broadcast(sizes), Seq("lang"))
     base.crossJoin(broadcast(tmax))
       .withColumn("n_copies",
         expr("__t div __n") +
