@@ -1046,6 +1046,16 @@ object OracleSql {
          |    AS n_low_quality
          |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // learned-gate invariant (the d6/s2 pattern): the in-engine ridge
+    // classifier must reproduce the planted "contains 'dup'" labeling
+    // exactly — training/scoring regressions flip the hash red
+    "qc1_quality_classifier" ->
+      """SELECT doc_id,
+        |  list_contains(string_split_regex(trim(text), '\s+'), 'dup') AS pred_bad,
+        |  list_contains(string_split_regex(trim(text), '\s+'), 'dup') AS label_bad,
+        |  TRUE AS correct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "p13_histogram" ->
       """SELECT CAST(CAST(floor(l_extendedprice/5000.0) AS BIGINT)*5000 AS DOUBLE)
         |    AS bin_lo, count(*) AS n_rows

@@ -1487,6 +1487,36 @@ object Queries {
       .orderBy(col("seq_id"))
   }
 
+  /** QC1: learned quality gate — ridge least squares over hashed
+    * unigram-PRESENCE features ([[graft.operators.QualityClassifier]]),
+    * trained in-engine on a planted labeling (docs containing the token
+    * "dup" are "bad"; its md5 bucket is collision-free among this corpus's
+    * vocabulary, so a zero-residual separator exists and the learned
+    * predictions sit at ~1.0 / ~1e-10 — margin ~1.0 around the 0.5
+    * threshold). The oracle pins the invariant (d6/s2 pattern): the trained
+    * classifier must reproduce the planted labels EXACTLY, so any training
+    * or scoring regression flips the driver hash red. Weights themselves
+    * are ulp-level partition-dependent and deliberately not emitted.
+    */
+  def qc1QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val labeled = docs.withColumn("y",
+      array_contains(split(trim(col("text")), "\\s+"), "dup").cast("double"))
+    // train (2 aggregates) + score (1) all read this one projection
+    val feats = QualityClassifier.featurize(labeled, "doc_id", "text", dim = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = QualityClassifier.trainRidge(feats,
+      labeled.select(col("doc_id"), col("y")), "doc_id", dim = 64)
+    QualityClassifier.score(feats, model, "doc_id")
+      .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      .select(col("doc_id"),
+        (col("score") >= model.threshold).as("pred_bad"),
+        (col("y") === 1.0).as("label_bad"))
+      .withColumn("correct", col("pred_bad") === col("label_bad"))
+      .orderBy(col("doc_id"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1562,6 +1592,7 @@ object Queries {
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
     "nd2_incremental_neardup" -> (nd2IncrementalNearDup _),
+    "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),

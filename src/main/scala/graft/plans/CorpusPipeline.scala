@@ -54,7 +54,12 @@ object CorpusPipeline {
       // owns the returned cache and should unpersist it when done. Default
       // false = lazy result that re-derives gates+dedup per action.
       materializeResult: Boolean = false,
-      nearDupPolicy: NearDupPolicy = KeepFirst)
+      nearDupPolicy: NearDupPolicy = KeepFirst,
+      // Optional LEARNED quality gate (see [[graft.operators
+      // .QualityClassifier]]): docs whose badness score reaches the model
+      // threshold are dropped after the heuristic gates. None (default)
+      // keeps the pipeline's historical behavior.
+      classifier: Option[graft.operators.QualityClassifier.Model] = None)
 
   final case class Stats(
       input: Long,
@@ -86,8 +91,15 @@ object CorpusPipeline {
     val gated0 = withMeta.where(
       col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("quality") >= cfg.minQuality)
-    val gated =
+    val gated1 =
       if (cfg.langs.isEmpty) gated0 else gated0.where(col("lang").isin(cfg.langs: _*))
+    // 1b. learned gate (optional): featurize + broadcast-weights scoring —
+    // one extra groupBy(id) + anti-join, still upstream of any dedup shuffle
+    val gated = cfg.classifier match {
+      case Some(m) =>
+        graft.operators.QualityClassifier.gate(gated1, idCol, textCol, m)
+      case None => gated1
+    }
     val nGated = n(gated)
 
     // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor.

@@ -156,6 +156,39 @@ object EventStreams {
       .join(index.select(col("fp")), Seq("fp"), "left_anti")
       .dropDuplicates(Seq("fp"))
 
+  /** Streaming incremental NEAR-dedup — the streaming face of
+    * [[graft.operators.Dedup.incrementalNearDup]]: each micro-batch runs
+    * the full batch operator against the static [[graft.operators.Dedup
+    * .LshIndex]] (guarded bucket probe + Jaccard verify + within-batch
+    * keep-first) and `onBatch` receives the batch's SURVIVORS. foreachBatch
+    * is the right seam here, not a streaming join: near-dedup needs a
+    * bucket self-join plus candidate verification — shapes append-mode
+    * streaming joins cannot express without unbounded state — and per-batch
+    * execution is exactly how a rolling crawl consumes the index anyway.
+    *
+    * Cross-batch near-dups are caught against the INDEX only; catching
+    * near-dups between two stream batches is the index-refresh loop's job
+    * (append survivors' signatures to the index out-of-band). StreamingSpec
+    * proves single-batch equivalence with the batch operator and the
+    * index-match guarantee across batches.
+    */
+  def incrementalNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      index: graft.operators.Dedup.LshIndex, threshold: Double = 0.9)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val m = graft.operators.Dedup.incrementalNearDup(
+          batch, idCol, textCol, index, threshold)
+        val survivors = batch.join(
+          m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        onBatch(survivors)
+        m.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */

@@ -212,6 +212,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamFps.nonEmpty)
   }
 
+  test("streaming incremental NEAR-dedup == batch nd2 survivors (one micro-batch)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+      .unionAll(existing
+        .where(col("doc_id") < 60 &&
+          size(split(trim(col("text")), "\\s+")) >= 30)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+    val index = Dedup.buildLshIndex(existing, "doc_id", "text",
+      numHashes = 128, bands = 16, shingleSize = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nd2_stream").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    val streamed = spark.readStream.schema(batch.schema).parquet(tmp)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = EventStreams.incrementalNearDupStream(
+      streamed, "doc_id", "text", index, threshold = 0.9) { survivors =>
+        got ++= survivors.select("doc_id").as[Long].collect()
+      }
+    q.awaitTermination()
+    val m = Dedup.incrementalNearDup(batch, "doc_id", "text", index, 0.9)
+    val want = batch.join(m.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    m.unpersist(); index.close()
+    assert(got.toSet == want)
+    // every planted near-dup resubmission (id >= 3000000) was dropped
+    assert(!got.exists(_ >= 3000000L) && want.nonEmpty)
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
