@@ -103,6 +103,17 @@ class BpeSpec extends AnyFunSuite {
     BpeVocab.tableFor(Seq(("a", "b"), ("ab", "c")))
   }
 
+  test("in-engine trainer reproduces the committed fixture from the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = BpeVocab.train(docs, "text", numMerges = 48)
+    assert(trained == BpeVocab.Fixture)
+  }
+
+  test("empty merge table tokenizes to code points") {
+    val t0 = BpeVocab.tableFor(Nil)
+    assert(BpeVocab.tokenizeWord(t0, "abc").toSeq == Seq("a", "b", "c"))
+  }
+
   test("corpus BPE/ws ratio is non-degenerate under the fixture") {
     val dir = "/root/testdata/sf0.001"
     val df = spark.read.parquet(s"$dir/documents.parquet")
