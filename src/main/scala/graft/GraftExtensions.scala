@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_langid", "marker-profile language id of a text ('und' if unknown/null)") {
       args => LangIdExpr(args(0))
     }
+    register("graft_bpe_count", "true-BPE subword token count under the committed merge fixture") {
+      args => BpeTokenCount(args(0), BpeVocab.Fixture)
+    }
+    register("graft_bpe_tokens", "BPE subword token stream under the committed merge fixture") {
+      args => BpeTokens(args(0), BpeVocab.Fixture)
+    }
 
     // Column-composition kernels surfaced to SQL through the Column<->
     // Expression bridge (the composition is itself codegen'd built-ins, so

@@ -50,6 +50,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r2.isNullAt(2))
       assert(r2.getBoolean(3))
       assert(r2.getInt(4) == 3)
+      val r3 = spark.sql(
+        """SELECT
+          |  graft_bpe_count('window customer scan') AS nbpe,
+          |  graft_bpe_tokens('customer') AS btoks
+          |""".stripMargin).head()
+      assert(r3.getLong(0) == 7L) // window=1, customer=5, scan=1
+      assert(r3.getSeq[String](1).mkString == "customer")
     } finally {
       // leave the shared session intact for other suites
     }
