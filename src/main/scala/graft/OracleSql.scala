@@ -1153,6 +1153,25 @@ object OracleSql {
 
     "s3_ivf_topk" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // exact replay of the int8 codes: same max-abs scale, same
+    // left-associated floor(v / amax * 127 + 0.5) on the double-widened
+    // float — integer outputs, so the compare is exact, not ulp-tolerant
+    "qz1_embedding_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax,
+        |    generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN amax > 0
+        |    THEN CAST(floor(CAST(v AS DOUBLE) / amax * 127.0 + 0.5) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS q
+        |FROM x ORDER BY vec_id, dim""".stripMargin,
+
+    // quantization-recall invariant (the s2/s3 gate pattern)
+    "s4_quant_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
 }

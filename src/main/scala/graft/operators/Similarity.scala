@@ -261,4 +261,34 @@ object Similarity {
     val (assigned, cents) = ivfIndex(corpus, idCol, vecCol, nClusters, iterations)
     IvfIndex(assigned, cents, nProbe)
   }
+
+  // ------------------------------------------------------ int8 quantization
+  /** Int8-quantize float embeddings with a per-vector max-abs scale — the
+    * scalar-quantization memory lever of IVF-SQ systems (4× smaller than
+    * float32; relative per-component error ≤ 1/254). Map-only: output
+    * (idCol, amax, q: array<long> in [-127, 127]). Every step is a
+    * left-associated exact IEEE op (`floor(v / amax * 127 + 0.5)` on the
+    * float widened to double), so an independent engine replays the
+    * quantized codes bit-for-bit — qz1's oracle does.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val amax = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    df.select(col(idCol), amax.as("amax"), col(vecCol).as("__v"))
+      .select(col(idCol), col("amax"),
+        transform(col("__v"), v =>
+          when(col("amax") > 0,
+            floor(v.cast("double") / col("amax") * lit(127.0) + lit(0.5))
+              .cast("long"))
+            .otherwise(lit(0L))).as("q"))
+  }
+
+  /** Reconstruct float vectors from [[quantizeInt8]] output
+    * (`q / 127 * amax`) — the form ANN kernels consume; feeding these to
+    * [[bruteForceTopK]]/[[lshTopK]] measures end-to-end quantization
+    * recall (the s4 gate).
+    */
+  def dequantizeInt8(qdf: DataFrame, idCol: String, outCol: String = "vec"): DataFrame =
+    qdf.select(col(idCol),
+      transform(col("q"), q =>
+        (q.cast("double") / lit(127.0) * col("amax")).cast("float")).as(outCol))
 }
