@@ -468,6 +468,10 @@ object Dedup {
     * call FAILS LOUDLY rather than returning partial labels (raise the cap
     * for graphs with genuinely long thin chains).
     *
+    * (Chaining several propagation rounds into one job between probes was
+    * measured and REJECTED: the deeper self-join trees re-plan slower than
+    * the per-round actions they save, at every scale tried.)
+    *
     * EXECUTION CONTRACT (not lazy — the minhashLsh contract): runs eagerly;
     * intermediates are released; the returned (id, component) frame is
     * cached and the caller owns its lifecycle. Nodes outside any edge are
@@ -487,11 +491,13 @@ object Dedup {
     // Undirected adjacency + one static SELF-LOOP per node: the loop carries
     // the node's own label through the neighbor-min aggregate, so each round
     // is ONE join + ONE groupBy — no second join to merge self labels back.
+    // Persist is LAZY here (first round's job materializes it): all three
+    // union branches read the already-materialized `e` cache, so there is
+    // no recompute race to guard and no reason to pay a separate action.
     val und = e
       .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .unionAll(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist(mad)
-    und.count()
     var labels = nodes.withColumn("label", col("id")).persist(mad)
     // Convergence witness: labels only ever DECREASE under min-propagation,
     // so the exact (decimal — overflow-proof at any id scale) label total
@@ -502,8 +508,6 @@ object Dedup {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels) // also materializes the persist
-    // only now is nothing left that re-reads `e` (labels derives from it)
-    e.unpersist(blocking = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -514,6 +518,11 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
         .persist(mad)
       val nextSum = labelSum(next) // materializes next, then reads its cache
+      // Round 1's job is what materializes `und` (off the still-warm `e`
+      // cache); only once that has happened is `e` safe to release —
+      // dropping it earlier would force the first round to recompute the
+      // caller's pair-generation plan for each union branch of `und`.
+      if (iter == 0) e.unpersist(blocking = false)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist(blocking = false)
