@@ -687,6 +687,23 @@ object OracleSql {
          |  FROM fx a JOIN fx b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup proof: the drop set replayed as exact all-pairs cosine
+    // >= 0.99 over the same planted fixture — equality shows the engine's
+    // cluster-local verify recovers every qualifying pair (co-clustering
+    // recall 100%) and drops exactly the larger id of each
+    "d8_semdedup" ->
+      s"""WITH fx AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT b.vec_id AS id FROM fx a JOIN fx b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99)
+         |SELECT vec_id AS id, vec_id IN (SELECT id FROM p) AS dropped
+         |FROM fx ORDER BY id""".stripMargin,
+
     // closed-form invariant for the adversarial skew-guard fixture (see
     // Queries.d6SkewGuard): the 5000-variant template family is synthetic
     // and SF-independent, pairwise trigram Jaccard 58/60 >= 0.9, so greedy
@@ -859,6 +876,23 @@ object OracleSql {
 
     // fixed 10-token "lines" sliced exactly like TextPipeline.tokenLines;
     // dup = line occurs in >= 2 distinct docs of the planted-dup fixture
+    // overlapping k-token spans, duplicated = total multiplicity >= 2
+    // (within-doc repeats count, unlike ld1's cross-doc line sharing);
+    // integer counts + one exact IEEE division keep the hash portable
+    "sd1_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 6
+        |         THEN list_transform(range(1, len(toks) - 6 + 2),
+        |                i -> array_to_string(toks[i:i+5], ' '))
+        |         ELSE [] END) AS span FROM t),
+        |f AS (SELECT span, count(*) AS n_occ FROM sp GROUP BY span),
+        |d AS (SELECT sp.doc_id, count(*) AS n_spans,
+        |        CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |      FROM sp JOIN f USING (span) GROUP BY sp.doc_id)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  round(CAST(n_dup_spans AS DOUBLE)/CAST(n_spans AS DOUBLE), 6) AS dup_span_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "ld1_dup_lines" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),

@@ -835,6 +835,27 @@ object Queries {
       threshold = 0.99, lshBits = 12, tables = 4)
   }
 
+  /** D8: SemDeDup — semantic dedup by k-means-cluster-then-verify
+    * ([[Dedup.semDeDup]]) over the d5b planted fixture (50 near-identical
+    * vectors at ids +1e6, cosine ≈ 1−1e−7 to their originals; background
+    * pairs top out at cosine ≈ 0.6 at every SF). The oracle replays the
+    * drop set EXACTLY — all-pairs unrolled-sum cosine ≥ 0.99, drop the
+    * larger id of every pair — so hash equality proves the cluster-local
+    * plan loses no qualifying pair (every near-dup family co-clusters)
+    * while never joining all-pairs.
+    */
+  def d8Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    Dedup.semDeDup(e.unionAll(planted), "vec_id", "embedding",
+        threshold = 0.99, nClusters = 16, iterations = 3)
+      .orderBy(col("id"))
+  }
+
   /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
   def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1361,6 +1382,17 @@ object Queries {
     graft.operators.TextPipeline.dupLineStats(
       docsWithPlantedDups(s, dir), "doc_id", "text")
 
+  /** SD1: duplicated k-token SPAN metrics (the exact-substring-dedup
+    * signal of Lee et al. 2022) over the NATURAL corpus — no planting
+    * needed: the generator's segment reuse yields real duplicated 6-grams
+    * at every SF (~9% of positions). Integer counts plus one exact
+    * rational division → hash-portable.
+    */
+  def sd1DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.dupSpanStats(
+      t(s, dir, "documents"), "doc_id", "text", k = 6)
+      .orderBy(col("doc_id"))
+
   /** LM1: corpus-trained Laplace-smoothed bigram-LM mean probability per
     * doc — the in-engine stand-in for a KenLM-perplexity quality filter.
     */
@@ -1606,6 +1638,7 @@ object Queries {
     "d6_skew_guard" -> (d6SkewGuard _),
     "d7_neardup_components" -> (d7NeardupComponents _),
     "d7b_components_over_lsh" -> (d7bComponentsOverLsh _),
+    "d8_semdedup" -> (d8Semdedup _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
@@ -1617,6 +1650,7 @@ object Queries {
     "t7_repetition" -> (t7Repetition _),
     "pii1_redact" -> (pii1Redact _),
     "ld1_dup_lines" -> (ld1DupLines _),
+    "sd1_dup_spans" -> (sd1DupSpans _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

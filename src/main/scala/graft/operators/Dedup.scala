@@ -624,4 +624,83 @@ object Dedup {
           .otherwise(lit(null).cast("double")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // ----------------------------------------------------------- SemDeDup
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means-cluster the unit-normalized embeddings, then
+    * verify exact cosine only WITHIN clusters and greedily drop the larger
+    * id of every pair at/above `threshold`. Catches semantically redundant
+    * documents whose text never collides in any lexical bucket
+    * (paraphrases, re-encodes, template rewrites) — the curation stage the
+    * SemDeDup paper runs after lexical dedup.
+    *
+    * Spark shape: the clustering IS the partitioner. Unit-normalize (norm
+    * once per row) → coarse k-means ([[Similarity.ivfIndex]]: deterministic
+    * lowest-id init, fixed Lloyd iterations, broadcast-assign) → the verify
+    * self-join is cluster-local through the same hot-bucket guard as the
+    * LSH family ([[boundedBucketPairs]] with the cluster as the bucket) →
+    * exact cosine on the ORIGINAL float vectors (codegen'd
+    * [[graft.functions.VecExpressions.fdot]]), so keep/drop decisions are
+    * bit-identical to an exact all-pairs engine on every recovered pair.
+    * Never corpus-quadratic: candidate volume is Σ cluster², bounded by
+    * the guard; hold per-cluster populations flat as data grows by scaling
+    * `nClusters` ∝ corpus size (the paper used 50k clusters at LAION-440M
+    * scale).
+    *
+    * Output: (id, dropped) — one row per input id; `dropped = true` iff
+    * some smaller-id same-cluster vector has cosine ≥ `threshold` with it.
+    *
+    * EXECUTION CONTRACT (the [[minhashLsh]] contract): eager — the k-means
+    * rounds run now; intermediates are released; the returned frame is
+    * cached and the caller owns its lifecycle.
+    */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.99,
+      nClusters: Int = 16,
+      iterations: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame = {
+    import graft.functions.VecExpressions.{fdot, fnorm}
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Unit-normalize for the CLUSTERING only (cosine geometry is magnitude-
+    // free, and near-dup pairs that differ in scale must still co-cluster).
+    // Norm lands in its own select first: Catalyst has no let-binding, so
+    // inlining fnorm into the lambda would re-walk the vector per element.
+    val unit = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .select(col("id"), transform(col("vec"), v =>
+        when(col("nrm") > 0, v.cast("double") / col("nrm"))
+          .otherwise(lit(0.0))).as("unit"))
+    val (assigned, cents) =
+      Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
+    // Each id sits in exactly ONE cluster (unlike multi-table LSH), so the
+    // guarded pair stream is already duplicate-free — no distinct needed.
+    val blocked = assigned.select(col("neighbor_id").as("id"), col("cluster"))
+    val candidates = boundedBucketPairs(blocked, "id", Seq("cluster"), Nil,
+      maxBucket, repFactor)
+    val sides = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      fnorm(col(vecCol)).as("nrm"))
+    val denom = col("sa.nrm") * col("sb.nrm")
+    val drops = candidates
+      .join(sides.as("sa"), col("id_a") === col("sa.id"))
+      .join(sides.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_b").as("id"),
+        when(denom > 0, fdot(col("sa.vec"), col("sb.vec")) / denom)
+          .otherwise(lit(null).cast("double")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("__d", lit(true))
+    val out = df.select(col(idCol).as("id"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__d"), lit(false)).as("dropped"))
+      .persist(mad)
+    out.count()
+    assigned.unpersist(blocking = false)
+    cents.unpersist(blocking = false)
+    out
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Dedup.semDeDup]] — cluster-then-verify semantic dedup (SemDeDup,
+  * Abbas et al. 2023): planted near-identicals must be dropped through the
+  * cluster-local plan exactly as an all-pairs engine would drop them, the
+  * hot-cluster guard must keep homogeneous families collapsing to their
+  * minimum id, and clustering must be magnitude-invariant (cosine
+  * geometry), so scaled copies still co-cluster.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("drops planted near-identicals, keeps the rest, one row per id") {
+    import spark.implicits._
+    // 40 well-separated directions in 8-dim (pairwise cosine <= ~0.94) +
+    // 10 jittered copies at ids +1000 (cosine ~0.9999999 to the original)
+    val base = (0 until 40).map { i =>
+      val a = new Array[Float](8)
+      a(i % 8) = 1f
+      a((i / 8) % 8) = 0.3f + 0.01f * i
+      (i.toLong, a)
+    }
+    val dups = base.take(10).map { case (id, a) =>
+      val b = a.clone(); b(0) = b(0) * 1.0005f; (id + 1000L, b)
+    }
+    val out = Dedup.semDeDup((base ++ dups).toDF("id", "vec"), "id", "vec",
+      threshold = 0.99, nClusters = 8, iterations = 2)
+    val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.size == 50)
+    dups.foreach { case (id, _) => assert(flags(id), s"planted dup $id kept") }
+    base.foreach { case (id, _) => assert(!flags(id), s"original $id dropped") }
+    out.unpersist()
+  }
+
+  test("hot-cluster guard: oversized homogeneous family still collapses to min id") {
+    import spark.implicits._
+    // 20 near-identical vectors forced into ONE cluster (nClusters = 1 —
+    // with k seeded INSIDE a tight family the family may legitimately
+    // split across near-identical centroids, each half keeping its own
+    // min) of 20 > maxBucket 4: the guard's representative verification
+    // must still pair every member with a smaller-id rep, so greedy
+    // keep-first drops all but id 0
+    val fam = (0 until 20).map { i =>
+      val a = Array(1f, 0.5f, 0.25f, 0.125f)
+      a(1) = a(1) * (1f + i.toFloat * 1e-6f)
+      (i.toLong, a)
+    }
+    val out = Dedup.semDeDup(fam.toDF("id", "vec"), "id", "vec",
+      threshold = 0.99, nClusters = 1, iterations = 1,
+      maxBucket = 4, repFactor = 3)
+    val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!flags(0L), "minimum id must survive")
+    (1 until 20).foreach { i => assert(flags(i.toLong), s"id $i kept") }
+    out.unpersist()
+  }
+
+  test("magnitude-invariant: a 3x-scaled copy co-clusters and is dropped") {
+    import spark.implicits._
+    val v = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val rows = Seq(
+      (0L, v),
+      (1L, v.map(_ * 3f)),            // cosine exactly 1, L2-far from v
+      (2L, Array(1f, -1f, 0f, 0f)),   // orthogonal bystander
+      (3L, Array(0f, 0f, 1f, -1f)))
+    val out = Dedup.semDeDup(rows.toDF("id", "vec"), "id", "vec",
+      threshold = 0.99, nClusters = 2, iterations = 2)
+    val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!flags(0L) && flags(1L), "scaled copy must be the dropped one")
+    assert(!flags(2L) && !flags(3L))
+    out.unpersist()
+  }
+}
