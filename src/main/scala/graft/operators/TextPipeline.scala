@@ -128,6 +128,44 @@ object TextPipeline {
       .withColumn("line_dup_flag", col("dup_line_frac") > gate)
   }
 
+  /** Per-document duplicated-SPAN statistics — the shuffle-bounded
+    * fixed-width variant of exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every OVERLAPPING `k`-token window is a span; a
+    * span occurring ≥ 2 times ANYWHERE in the corpus (any document,
+    * including the same one twice) is duplicated; each doc reports its
+    * duplicated-position count and fraction.
+    *
+    * Distinct from [[dupLineStats]]: lines are non-overlapping chunks
+    * counting cross-DOC sharing only; spans are overlapping windows
+    * counting total occurrence multiplicity — the repeated-substring
+    * signal suffix arrays give single-node engines, recovered here with
+    * one explode + one span-keyed partial-aggregated groupBy + one join
+    * back co-partitioned with that groupBy's exchange + one groupBy(doc).
+    * No suffix sort, no self-join: a boilerplate span shared by millions
+    * of docs is ONE aggregate row fanned back by the join.
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 6): DataFrame = {
+    val id = col(idCol)
+    val nPos = size(col("__toks")) - lit(k - 1)
+    // sequence(1, n) REVERSES for n < 1 (auto step -1) — short docs must
+    // hit the empty-array branch, not emit phantom spans
+    val spans = docs.select(id, split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(id, explode(
+        when(nPos >= 1, transform(sequence(lit(1), nPos),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as("__span"))
+    val freq = spans.groupBy(col("__span")).agg(count(lit(1)).as("__nocc"))
+    spans.join(freq, "__span")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nocc") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(id, col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_span_frac"))
+  }
+
   // ---------------------------------------------------------------------
   // Corpus-trained bigram LM quality score
   // ---------------------------------------------------------------------

@@ -65,6 +65,29 @@ class TextPipelineSpec extends AnyFunSuite {
       (1L, 2L, 0.5, true), (2L, 2L, 0.5, true), (3L, 2L, 0.0, false)))
   }
 
+  test("dupSpanStats counts overlapping duplicated windows, incl. within-doc repeats") {
+    // doc 1 repeats its own 6-gram (positions 1 and 7 both start
+    // "r1..r6"); doc 2 shares doc 1's repeated 6-gram once; doc 3 is
+    // unique; doc 4 is SHORTER than one span and must vanish, not blow up
+    val rep = (1 to 6).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, rep + " " + rep),                                  // 7 spans, all dup
+      (2L, rep + " " + (1 to 6).map(i => s"b$i").mkString(" ")), // span 1 dup
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextPipeline.dupSpanStats(df, "doc_id", "text", k = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1: 12 toks -> 7 spans; positions 1 and 7 are both "r1..r6"
+    // (3 occurrences corpus-wide with doc 2's first span); the straddling
+    // windows pos 2-6 are each unique
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 7L && m(1L)._3 == 2L)
+    assert(m(2L)._2 == 7L && m(2L)._3 == 1L)
+    assert(m(3L)._2 == 7L && m(3L)._3 == 0L && m(3L)._4 == 0.0)
+  }
+
   test("bigramLmScore matches a hand-computed Laplace bigram model") {
     // corpus: "a b a b" and "a b c"; bigrams: (a b)x3, (b a)x1, (b c)x1
     // heads: a->3, b->2; vocab V=3
