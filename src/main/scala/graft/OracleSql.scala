@@ -876,6 +876,27 @@ object OracleSql {
 
     // fixed 10-token "lines" sliced exactly like TextPipeline.tokenLines;
     // dup = line occurs in >= 2 distinct docs of the planted-dup fixture
+    // duplicate-line rewrite: the window pair (count, row_number) replays
+    // the engine's (count, min(doc,pos)) aggregate — keep iff unique or
+    // canonical first occurrence; planted copies must reassemble to ''
+    "lr1_dedup_rewrite" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM all_docs),
+        |l0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)+9)//10),
+        |        i -> {'pos': i, 'line': array_to_string(toks[i*10+1:i*10+10], ' ')})) AS u FROM t),
+        |l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM l0),
+        |w AS (SELECT doc_id, pos, line,
+        |        count(*) OVER (PARTITION BY line) AS n,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM l),
+        |k AS (SELECT doc_id, pos, line, (n = 1 OR rn = 1) AS keep FROM w)
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // overlapping k-token spans, duplicated = total multiplicity >= 2
     // (within-doc repeats count, unlike ld1's cross-doc line sharing);
     // integer counts + one exact IEEE division keep the hash portable

@@ -1382,6 +1382,18 @@ object Queries {
     graft.operators.TextPipeline.dupLineStats(
       docsWithPlantedDups(s, dir), "doc_id", "text")
 
+  /** LR1: corpus-wide duplicate-line REWRITE over the planted-dup fixture
+    * — every duplicated line survives only at its minimum-(doc, pos)
+    * occurrence, so the 50 planted whole-doc copies must come back with
+    * EMPTY text (their originals own every line) and organic cross-doc
+    * line shares collapse to the first owner. String/integer output only
+    * → hash-portable.
+    */
+  def lr1DedupRewrite(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.dedupLinesRewrite(
+      docsWithPlantedDups(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** SD1: duplicated k-token SPAN metrics (the exact-substring-dedup
     * signal of Lee et al. 2022) over the NATURAL corpus — no planting
     * needed: the generator's segment reuse yields real duplicated 6-grams
@@ -1651,6 +1663,7 @@ object Queries {
     "pii1_redact" -> (pii1Redact _),
     "ld1_dup_lines" -> (ld1DupLines _),
     "sd1_dup_spans" -> (sd1DupSpans _),
+    "lr1_dedup_rewrite" -> (lr1DedupRewrite _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

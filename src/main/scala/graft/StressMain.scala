@@ -61,7 +61,8 @@ object StressMain {
       "cq1_corpus_report", "tok1_bpe_count", "mix2b_token_budget_bpe",
       "sq1b_sequence_pack_bpe", "d7b_components_over_lsh",
       "nd2_incremental_neardup", "qc1_quality_classifier",
-      "qz1_embedding_quantize", "s4_quant_topk")
+      "qz1_embedding_quantize", "s4_quant_topk", "d8_semdedup",
+      "sd1_dup_spans", "lr1_dedup_rewrite")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -128,6 +128,41 @@ object TextPipeline {
       .withColumn("line_dup_flag", col("dup_line_frac") > gate)
   }
 
+  /** Corpus-wide duplicate-line REWRITE (C4's "discard all but one of any
+    * three-sentence span occurring more than once", arXiv:1910.10683 §2.2,
+    * applied to token-lines): every line occurring ≥ 2 times in the corpus
+    * is removed EVERYWHERE except its canonical — minimum (doc, position)
+    * — occurrence, and each document's text is reassembled from its kept
+    * lines in order. The canonical owner is a pure min, so the rewrite is
+    * deterministic and partition-order-free.
+    *
+    * Shape at scale: the [[dupLineStats]] skeleton — explode + ONE
+    * line-keyed partial-aggregated groupBy carrying (count, min(doc,pos))
+    * + join back co-partitioned with that aggregate's exchange + one
+    * groupBy(doc) to reassemble. The reassembly collect_list is
+    * per-DOCUMENT (bounded by doc length), never corpus-wide; no window
+    * over the full line stream (an aggregate needs no per-partition sort).
+    */
+  def dedupLinesRewrite(docs: DataFrame, idCol: String, textCol: String,
+                        lineWidth: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(tokenLines(col(textCol), lineWidth)).as(Seq("__pos", "__line")))
+    val freq = lines.groupBy(col("__line")).agg(
+      count(lit(1)).as("__n"),
+      min(struct(id.as("d"), col("__pos").as("p"))).as("__c"))
+    val keep = col("__n") === 1 ||
+      (col("__c.d") === id && col("__c.p") === col("__pos"))
+    lines.join(freq, "__line")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(keep, struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as("clean_text"))
+      .select(id, col("clean_text"), col("n_lines"), col("n_removed"))
+  }
+
   /** Per-document duplicated-SPAN statistics — the shuffle-bounded
     * fixed-width variant of exact substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",

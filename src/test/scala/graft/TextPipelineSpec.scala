@@ -65,6 +65,24 @@ class TextPipelineSpec extends AnyFunSuite {
       (1L, 2L, 0.5, true), (2L, 2L, 0.5, true), (3L, 2L, 0.0, false)))
   }
 
+  test("dedupLinesRewrite keeps only the canonical occurrence of duplicated lines") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val aTail = (1 to 10).map(i => s"a$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + aTail),  // owns the canonical copy of `shared`
+      (2L, shared + " " + shared), // both copies lose to doc 1's pos 0
+      (3L, aTail)                  // tail line canonical in doc 1 (pos 1)
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.dedupLinesRewrite(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, shared + " " + aTail, 2L, 0L),
+      (2L, "", 2L, 2L),
+      (3L, "", 1L, 1L)))
+  }
+
   test("dupSpanStats counts overlapping duplicated windows, incl. within-doc repeats") {
     // doc 1 repeats its own 6-gram (positions 1 and 7 both start
     // "r1..r6"); doc 2 shares doc 1's repeated 6-gram once; doc 3 is
