@@ -150,8 +150,13 @@ object Similarity {
       vecCol: String,
       nClusters: Int = 16,
       iterations: Int = 3): (DataFrame, DataFrame) = {
+    // The point set feeds EVERY Lloyd iteration plus the final assign —
+    // cache it once instead of re-scanning (and re-projecting) the corpus
+    // per iteration; released below once the final assignment is
+    // materialized (not before: `assigned` derives from it).
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), _.cast("double")).as("nvec"))
+        transform(col(vecCol), _.cast("double")).as("nvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Deterministic init: the nClusters lowest-id vectors, renumbered 0..k-1
     // in id order. The init set is tiny (≤ nClusters rows) so it is collected
     // and rebuilt driver-side — no global Window over the cluster ids.
@@ -174,6 +179,8 @@ object Similarity {
     val assigned = assign(vecs, cents)
       .withColumn("nnorm", graft.functions.VecExpressions.fnorm(col("nvec")))
       .persist()
+    assigned.count() // materialize BEFORE dropping the point cache it reads
+    vecs.unpersist(blocking = false)
     (assigned, cents)
   }
 
