@@ -238,4 +238,97 @@ class PropertySpec extends AnyFunSuite {
       assert(kernel == composable, s"text=${text.map(_.toInt)}")
     }
   }
+
+  // small-vocab corpus generator: dense enough that duplicated lines/spans
+  // genuinely occur on arbitrary samples
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.choose(1, 15).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(3, 25).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    }
+
+  test("dedupLinesRewrite conserves exactly one occurrence of every distinct line") {
+    import graft.operators.TextPipeline
+    forAllSampled(corpusGen, n = 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = TextPipeline.dedupLinesRewrite(df, "doc_id", "text", lineWidth = 4)
+        .select("doc_id", "clean_text", "n_lines", "n_removed")
+        .as[(Long, String, Long, Long)].collect()
+      // local replay of the line split
+      val lines = docs.flatMap { case (_, t) =>
+        t.trim.split("\\s+").grouped(4).map(_.mkString(" ")).toList }
+      assert(out.map(_._3).sum == lines.size.toLong)
+      // kept lines across the corpus = exactly one survivor per distinct line
+      assert(out.map(r => r._3 - r._4).sum == lines.distinct.size.toLong)
+      // each doc's clean_text is a subsequence of its own original lines
+      val orig = docs.toMap
+      out.foreach { case (id, clean, _, _) =>
+        if (clean.nonEmpty) {
+          val mine = orig(id).trim.split("\\s+").grouped(4).map(_.mkString(" ")).toList
+          val kept = new java.util.ArrayList[String]()
+          var rest = mine
+          clean.split(" ").grouped(4).map(_.mkString(" ")).foreach { l =>
+            val i = rest.indexOf(l); assert(i >= 0, s"line '$l' not in doc $id")
+            rest = rest.drop(i + 1); kept.add(l)
+          }
+        }
+      }
+    }
+  }
+
+  test("dupSpanStats == local replay on arbitrary small-vocab corpora") {
+    import graft.operators.TextPipeline
+    forAllSampled(corpusGen, n = 6) { docs =>
+      val k = 3
+      val df = docs.toDF("doc_id", "text")
+      val out = TextPipeline.dupSpanStats(df, "doc_id", "text", k)
+        .select("doc_id", "n_spans", "n_dup_spans")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val spans = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toList.sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")).toList }
+      val freq = spans.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.size }
+      spans.foreach { case (id, ss) =>
+        if (ss.isEmpty) assert(!out.contains(id))
+        else {
+          val (n, d) = out(id)
+          assert(n == ss.size.toLong)
+          assert(d == ss.count(s => freq(s) >= 2).toLong, s"doc $id")
+        }
+      }
+    }
+  }
+
+  test("semDeDup: sound drops always; complete vs exact greedy when k = 1") {
+    import graft.operators.Dedup
+    val vecGen: Gen[List[(Long, Array[Float])]] =
+      Gen.choose(2, 12).flatMap { n =>
+        Gen.listOfN(n, Gen.listOfN(4, Gen.oneOf(-1f, 0f, 1f, 2f)))
+          .map(_.zipWithIndex.collect {
+            case (v, i) if v.exists(_ != 0f) => (i.toLong, v.toArray) })
+      }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb > 0) dot / (na * nb) else Double.NaN
+    }
+    val tau = 0.95
+    forAllSampled(vecGen, n = 6) { vecs =>
+      if (vecs.nonEmpty) {
+        val out = Dedup.semDeDup(vecs.toDF("id", "vec"), "id", "vec",
+          threshold = tau, nClusters = 1, iterations = 1)
+        val flags = out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        out.unpersist()
+        val m = vecs.toMap
+        vecs.foreach { case (id, v) =>
+          val hasPartner = vecs.exists { case (j, w) => j < id && cos(w, v) >= tau + 1e-9 }
+          val noPartner = !vecs.exists { case (j, w) => j < id && cos(w, v) >= tau - 1e-9 }
+          if (flags(id)) assert(!noPartner, s"unsound drop of $id")
+          else assert(!hasPartner, s"k=1 missed a qualifying pair for $id (${m(id).toList})")
+        }
+      }
+    }
+  }
 }
