@@ -930,6 +930,36 @@ object OracleSql {
         |SELECT doc_id, n_lines, dup_line_frac,
         |  dup_line_frac > 0.3 AS line_dup_flag FROM m""".stripMargin,
 
+    // Moore-Lewis selection: TWO lm1-style Laplace models (target = en
+    // docs, raw = whole corpus) over ONE bigram stream; unseen target
+    // bigrams/heads coalesce to 0; the flag compares exact integer sums —
+    // no floating point reaches the output at all
+    "ds1_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |        string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, tgt,
+        |        unnest(toks[1:len(toks)-1]) AS w1,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM t),
+        |tc2 AS (SELECT bg, count(*) AS c2 FROM b WHERE tgt GROUP BY bg),
+        |tc1 AS (SELECT w1, count(*) AS c1 FROM b WHERE tgt GROUP BY w1),
+        |tv AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t WHERE tgt)),
+        |rc2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        |rc1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |rv AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |q AS (SELECT b.doc_id,
+        |        CAST(floor(CAST(coalesce(tc2.c2, 0) + 1 AS DOUBLE)
+        |          / CAST(coalesce(tc1.c1, 0) + tv.v AS DOUBLE)
+        |          * 1000000000.0 + 0.5) AS BIGINT) AS qt,
+        |        CAST(floor(CAST(rc2.c2 + 1 AS DOUBLE) / CAST(rc1.c1 + rv.v AS DOUBLE)
+        |          * 1000000000.0 + 0.5) AS BIGINT) AS qr
+        |      FROM b LEFT JOIN tc2 USING (bg) LEFT JOIN tc1 USING (w1)
+        |        JOIN rc2 USING (bg) JOIN rc1 USING (w1), tv, rv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(qt) AS BIGINT) AS q_target, CAST(sum(qr) AS BIGINT) AS q_raw,
+        |  sum(qt) > sum(qr) AS selected
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // parallel unnest zips (w1, "w1 w2") exactly like the Spark arrays_zip;
     // each p is ONE exact-integer IEEE division, the mean is an exact long
     // sum of floor(p*1e9+0.5) — bit-portable without log arithmetic

@@ -1412,6 +1412,18 @@ object Queries {
     graft.operators.TextPipeline.bigramLmScore(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** DS1: Moore–Lewis / DSIR-style domain selection — every document
+    * scored under the lang='en' target bigram model and the raw-corpus
+    * model; selected iff the quantized target sum strictly beats the raw
+    * sum. Output is all-integer (two quantized-long sums + the flag), so
+    * the hash is portable by construction.
+    */
+  def ds1DsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.dsirSelect(
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
+      "doc_id", "text", col("lang") === lit("en"))
+      .orderBy(col("doc_id"))
+
   /** CH1: sliding-window context chunking (64-token windows, stride 48). */
   def ch1Chunks(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextPipeline.slidingChunks(
@@ -1664,6 +1676,7 @@ object Queries {
     "ld1_dup_lines" -> (ld1DupLines _),
     "sd1_dup_spans" -> (sd1DupSpans _),
     "lr1_dedup_rewrite" -> (lr1DedupRewrite _),
+    "ds1_dsir_select" -> (ds1DsirSelect _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

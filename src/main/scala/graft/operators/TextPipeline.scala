@@ -201,6 +201,83 @@ object TextPipeline {
           col("n_spans").cast("double"), 6).as("dup_span_frac"))
   }
 
+  /** Domain data selection by contrastive bigram models — the Moore–Lewis
+    * cross-entropy-difference criterion (ACL 2010) that DSIR (Xie et al.
+    * 2023, arXiv:2302.03169) scales up with hashed n-gram importance
+    * weights: score every document under a TARGET-domain Laplace bigram
+    * model and under the RAW-corpus model; documents whose target score
+    * beats their raw score are the in-domain selection.
+    *
+    * Portability: both models use [[bigramLmScore]]'s quantized-long
+    * arithmetic (each p is one correctly-rounded IEEE division of exact
+    * integers, quantized to floor(p·1e9+0.5) and summed as longs), and the
+    * selection flag compares the two integer sums directly — the output
+    * carries NO floating point at all, so any engine replays it
+    * bit-for-bit. Unseen bigrams/heads under the target model coalesce to
+    * count 0 (Laplace keeps p positive).
+    *
+    * Shape at scale: ONE cached bigram projection of the corpus feeds the
+    * target counts (filtered), the raw counts, and the scoring stream; the
+    * count tables join back co-partitioned with their own groupBy
+    * exchanges; both vocab sizes are 1-row broadcasts. Nothing self-joins.
+    *
+    * EXECUTION CONTRACT (the minhashLsh contract): eager; intermediates
+    * released; the returned frame is cached and caller-owned.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toksDf = docs.select(col(idCol).as("__id"), targetPred.as("__tgt"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .persist(mad)
+    val z = arrays_zip(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1))
+    val b = toksDf
+      .select(col("__id"), col("__tgt"), explode(z).as("__z"))
+      .select(col("__id"), col("__tgt"), col("__z").getField("0").as("__w1"),
+        concat(col("__z").getField("0"), lit(" "),
+          col("__z").getField("1")).as("__bg"))
+      .persist(mad)
+    def model(stream: DataFrame): (DataFrame, DataFrame) = {
+      val c2 = stream.groupBy(col("__w1"), col("__bg"))
+        .agg(count(lit(1)).as("__c2"))
+      val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+      (c2.select(col("__bg"), col("__c2")), c1) // bg determines w1 (prefix)
+    }
+    val (tc2, tc1) = model(b.where(col("__tgt")))
+    val (rc2, rc1) = model(b)
+    def vocabOf(df: DataFrame, name: String): DataFrame =
+      df.select(explode(col("__toks")).as("__tok"))
+        .agg(count_distinct(col("__tok")).as(name))
+    val tv = vocabOf(toksDf.where(col("__tgt")), "__tv")
+    val rv = vocabOf(toksDf, "__rv")
+    val pT = (coalesce(col("__tc2"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__tc1"), lit(0L)) + col("__tv")).cast("double")
+    val pR = (col("__rc2") + lit(1L)).cast("double") /
+      (col("__rc1") + col("__rv")).cast("double")
+    val result = b.drop("__tgt")
+      .join(tc2.withColumnRenamed("__c2", "__tc2"), Seq("__bg"), "left")
+      .join(tc1.withColumnRenamed("__c1", "__tc1"), Seq("__w1"), "left")
+      .join(rc2.withColumnRenamed("__c2", "__rc2"), Seq("__bg"))
+      .join(rc1.withColumnRenamed("__c1", "__rc1"), Seq("__w1"))
+      .crossJoin(broadcast(tv)).crossJoin(broadcast(rv))
+      .select(col("__id"),
+        floor(pT * lit(1e9) + lit(0.5)).cast("long").as("__qt"),
+        floor(pR * lit(1e9) + lit(0.5)).cast("long").as("__qr"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__qt")).as("q_target"), sum(col("__qr")).as("q_raw"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("q_target"), col("q_raw"),
+        (col("q_target") > col("q_raw")).as("selected"))
+      .persist(mad)
+    result.count()
+    b.unpersist(blocking = false)
+    toksDf.unpersist(blocking = false)
+    result
+  }
+
   // ---------------------------------------------------------------------
   // Corpus-trained bigram LM quality score
   // ---------------------------------------------------------------------

@@ -106,6 +106,46 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(m(3L)._2 == 7L && m(3L)._3 == 0L && m(3L)._4 == 0.0)
   }
 
+  test("dsirSelect == local two-model replay incl. unseen target bigrams") {
+    val docs = Seq(
+      (1L, "a b a b c", "en"),
+      (2L, "a b x y", "de"),  // "x y" and head "x" unseen in target
+      (3L, "q r q r", "de"))  // fully unseen in target
+    val out = TextPipeline.dsirSelect(docs.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+
+    // local replay with the same IEEE arithmetic
+    def bigrams(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toList
+    val all = docs.flatMap { case (id, t, _) => bigrams(t).map(id -> _) }
+    val tgtB = docs.filter(_._3 == "en").flatMap { case (_, t, _) => bigrams(t) }
+    val tc2 = tgtB.groupBy(identity).map { case (k, v) => k -> v.size }
+    val tc1 = tgtB.groupBy(_.split(" ").head).map { case (k, v) => k -> v.size }
+    val rb = all.map(_._2)
+    val rc2 = rb.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rc1 = rb.groupBy(_.split(" ").head).map { case (k, v) => k -> v.size }
+    val tvv = docs.filter(_._3 == "en").flatMap(_._2.split(" ")).distinct.size
+    val rvv = docs.flatMap(_._2.split(" ")).distinct.size
+    def q(c2: Int, c1: Int, v: Int): Long =
+      math.floor((c2 + 1).toDouble / (c1 + v).toDouble * 1e9 + 0.5).toLong
+    val expect = all.groupBy(_._1).map { case (id, bs) =>
+      val qt = bs.map { case (_, bg) =>
+        q(tc2.getOrElse(bg, 0), tc1.getOrElse(bg.split(" ").head, 0), tvv) }.sum
+      val qr = bs.map { case (_, bg) =>
+        q(rc2(bg), rc1(bg.split(" ").head), rvv) }.sum
+      id -> (bs.size.toLong, qt, qr, qt > qr)
+    }
+    assert(out.length == 3)
+    out.foreach { case (id, n, qt, qr, sel) =>
+      assert(expect(id) == ((n, qt, qr, sel)), s"doc $id")
+    }
+    // the en doc must self-select (doc 3's flag is fixture-dependent: a
+    // 3-token target vocab gives unseen bigrams a HIGH Laplace floor 1/V,
+    // which is exactly why real selections train on large target sets)
+    assert(out.find(_._1 == 1L).get._5)
+  }
+
   test("bigramLmScore matches a hand-computed Laplace bigram model") {
     // corpus: "a b a b" and "a b c"; bigrams: (a b)x3, (b a)x1, (b c)x1
     // heads: a->3, b->2; vocab V=3
