@@ -876,6 +876,32 @@ object OracleSql {
 
     // fixed 10-token "lines" sliced exactly like TextPipeline.tokenLines;
     // dup = line occurs in >= 2 distinct docs of the planted-dup fixture
+    // whole-pipeline twin of cp2: the lr1 rewrite (NATURAL corpus, no
+    // planted union), gates recomputed on the rewritten text, md5 min-id
+    // dedup — one hash proves the composition end to end
+    "cp2_rewrite_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |l0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)+9)//10),
+         |        i -> {'pos': i, 'line': array_to_string(toks[i*10+1:i*10+10], ' ')})) AS u FROM t),
+         |l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM l0),
+         |w AS (SELECT doc_id, pos, line,
+         |        count(*) OVER (PARTITION BY line) AS n,
+         |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |      FROM l),
+         |k AS (SELECT doc_id, pos, line, (n = 1 OR rn = 1) AS keep FROM w),
+         |rw AS (SELECT doc_id,
+         |        coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text
+         |      FROM k GROUP BY doc_id),
+         |meta AS (SELECT doc_id, text, $qualitySql AS quality, $nTokensSql AS n_tokens FROM rw),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |fp AS (SELECT doc_id, quality, n_tokens,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM gated)
+         |SELECT doc_id, n_tokens, quality FROM fp
+         |WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+         |ORDER BY doc_id""".stripMargin,
+
     // duplicate-line rewrite: the window pair (count, row_number) replays
     // the engine's (count, min(doc,pos)) aggregate — keep iff unique or
     // canonical first occurrence; planted copies must reassemble to ''
@@ -1070,6 +1096,19 @@ object OracleSql {
          |  CAST(sum(bpe_n) AS BIGINT) AS n_bpe_tokens
          |FROM d JOIN bpec USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-(lang, source) tokenizer fertility from the same replay; the
+    // fertility is one exact rational division of the two long sums
+    "tok2_bpe_fertility" ->
+      s"""WITH $bpeCntCtes,
+         |d AS (SELECT lang, source, unnest($tokSplit) AS w FROM documents),
+         |nd AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source),
+         |tok AS (SELECT lang, source, count(*) AS n_ws_tokens,
+         |    CAST(sum(bpe_n) AS BIGINT) AS n_bpe_tokens
+         |  FROM d JOIN bpec USING (w) GROUP BY lang, source)
+         |SELECT lang, source, n_docs, n_ws_tokens, n_bpe_tokens,
+         |  round(CAST(n_bpe_tokens AS DOUBLE)/CAST(n_ws_tokens AS DOUBLE), 6) AS fertility
+         |FROM nd JOIN tok USING (lang, source) ORDER BY lang, source""".stripMargin,
 
     // mix2's per-stratum running-sum selection, denominated in the BPE
     // replay's counts (salt mix2b:, budget 4000)

@@ -1094,6 +1094,33 @@ object Queries {
       col("n_tokens").cast("long").as("n_tokens"), col("quality"))
   }
 
+  /** CP2: end-to-end REWRITE pipeline — corpus-wide duplicate-line rewrite
+    * → quality/token gates recomputed on the REWRITTEN text → exact
+    * fingerprint dedup — checked WHOLE against an oracle replaying every
+    * stage (lr1's window-pair rewrite, the t2/t5 gate formulas, d1's md5
+    * min-id dedup). cp1 proved the classic gate→dedup→near-dedup
+    * composition; this row proves the rewrite composes the same way,
+    * including docs whose text collapses to empty (gated out by n_tokens)
+    * or becomes identical to another doc after line removal (caught by
+    * the exact dedup stage).
+    */
+  def cp2RewritePipeline(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.operators.TextPipeline.dedupLinesRewrite(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val meta = cleaned.select(col("doc_id"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val gated = meta
+      .where(col("n_tokens").between(5, 100000) && col("quality") >= 0.3)
+    val fp = gated.withColumn("__f", TextFunctions.fingerprint(col("text")))
+    val keep = fp.groupBy(col("__f")).agg(min(col("doc_id")).as("doc_id"))
+    fp.join(keep, Seq("__f", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DC1: benchmark decontamination — flag corpus documents sharing any
     * word 5-gram with a held-out benchmark set (the C4/GPT-3 n-gram-overlap
     * decontamination stage). Benchmark = `doc_id % 97 == 0`; the fixture
@@ -1520,6 +1547,25 @@ object Queries {
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** TOK2: per-(lang, source) BPE fertility — subword tokens per
+    * whitespace word, the tokenizer-efficiency report a multilingual
+    * corpus audit runs (high fertility strata burn training budget).
+    * Spark side is ONE map-side-combined aggregate over the codegen'd BPE
+    * kernel (no explode); the oracle re-derives both counts from the
+    * nested-replace merge replay per distinct word. Fertility is one
+    * exact rational division, round(·,6) — portable.
+    */
+  def tok2BpeFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(TextFunctions.bpeTokenCount(col("text"))).as("n_bpe_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_ws_tokens"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang"), col("source"))
+
   /** MIX2b: [[mix2TokenBudget]] denominated in BPE tokens — the form a real
     * mixture quota takes (budgets are tokenizer tokens, not whitespace
     * counts). Same per-stratum chunked prefix decomposition; distinct salt
@@ -1677,6 +1723,7 @@ object Queries {
     "sd1_dup_spans" -> (sd1DupSpans _),
     "lr1_dedup_rewrite" -> (lr1DedupRewrite _),
     "ds1_dsir_select" -> (ds1DsirSelect _),
+    "cp2_rewrite_pipeline" -> (cp2RewritePipeline _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
@@ -1685,6 +1732,7 @@ object Queries {
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),
+    "tok2_bpe_fertility" -> (tok2BpeFertility _),
     "mix2b_token_budget_bpe" -> (mix2bTokenBudgetBpe _),
     "sq1b_sequence_pack_bpe" -> (sq1bSequencePackBpe _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),

@@ -62,7 +62,8 @@ object StressMain {
       "sq1b_sequence_pack_bpe", "d7b_components_over_lsh",
       "nd2_incremental_neardup", "qc1_quality_classifier",
       "qz1_embedding_quantize", "s4_quant_topk", "d8_semdedup",
-      "sd1_dup_spans", "lr1_dedup_rewrite", "ds1_dsir_select")
+      "sd1_dup_spans", "lr1_dedup_rewrite", "ds1_dsir_select",
+      "tok2_bpe_fertility", "cp2_rewrite_pipeline")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
