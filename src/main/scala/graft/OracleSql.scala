@@ -38,6 +38,15 @@ object OracleSql {
   private def cosSql(a: String, b: String): String =
     s"CASE WHEN ${normSql(a)} * ${normSql(b)} > 0 THEN (${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)}) ELSE NULL END"
 
+  // rp1's sign rows (twin of Similarity.rpSigns / signProject fold order):
+  // the ±1.0 coefficients are emitted as literals so the oracle SQL stays
+  // self-contained; the sum is the same left-associated 64-term chain
+  private lazy val rpSignRows = graft.operators.Similarity.rpSigns(16, 64)
+  private def rpProjSql(vec: String, k: Int): String =
+    rpSignRows(k).zipWithIndex.map { case (s, j) =>
+      s"($s)*CAST($vec[${j + 1}] AS DOUBLE)"
+    }.mkString(" + ")
+
   private val tokSplit = """string_split_regex(trim(text), '\s+')"""
 
   // -- shared text-metric fragments (twins of TextFunctions) ---------------
@@ -1295,6 +1304,81 @@ object OracleSql {
 
     // quantization-recall invariant (the s2/s3 gate pattern)
     "s4_quant_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // α=0.5 temperature mixture: sqrt is IEEE-correctly-rounded (the one
+    // portable libm call), then quantized to BIGINT — floor share +
+    // largest-remainder top-up are pure integer arithmetic, so the
+    // allocation replays exactly and sums to the 100000 budget
+    "mix3_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS stratum_size
+        |      FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs, stratum_size,
+        |        CAST(floor(sqrt(CAST(stratum_size AS DOUBLE))*1000000.0 + 0.5) AS BIGINT) AS q_weight
+        |      FROM c),
+        |s AS (SELECT CAST(sum(q_weight) AS BIGINT) AS tot FROM q),
+        |a AS (SELECT source, n_docs, stratum_size, q_weight,
+        |        CAST((100000 * q_weight) // s.tot AS BIGINT) AS base,
+        |        CAST((100000 * q_weight) % s.tot AS BIGINT) AS rem
+        |      FROM q, s),
+        |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM a)
+        |SELECT source, n_docs, stratum_size, q_weight,
+        |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, l ORDER BY source""".stripMargin,
+
+    // CCNet head/middle/tail: the lm1 score replay + plain ntile(3) — the
+    // engine's chunked-rank + closed-form bucket must coincide exactly
+    "ccn1_quality_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(toks[1:len(toks)-1]) AS w1,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM t),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |q AS (SELECT b.doc_id,
+        |        CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)
+        |          * 1000000000.0 + 0.5) AS BIGINT) AS q
+        |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0 AS lm_score
+        |  FROM q GROUP BY doc_id)
+        |SELECT doc_id, lm_score,
+        |  CASE ntile(3) OVER (ORDER BY lm_score DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // semantic decontamination: exact all-pairs cosine replay over the
+    // planted fixture — equality proves the broadcast map-side scan flags
+    // exactly the contaminated set (only the 20 plants reach 0.99)
+    "dc3_semantic_decontaminate" ->
+      s"""WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM embeddings WHERE vec_id < 20)
+         |SELECT c.vec_id AS contaminated_id, min(b.vec_id) AS matched_bench_id,
+         |  count(*) AS n_matches
+         |FROM corpus c JOIN bench b ON ${cosSql("c.embedding", "b.embedding")} >= 0.99
+         |GROUP BY c.vec_id ORDER BY contaminated_id""".stripMargin,
+
+    // JL sign projection: the ±1 coefficients are the md5-derived constants
+    // both sides share; each projected value is the identical
+    // left-associated 64-term double sum, so the dump is bit-exact
+    "rp1_random_projection" ->
+      s"""SELECT vec_id,
+         |  CAST(unnest([${(0 until 16).mkString(", ")}]) AS BIGINT) AS dim,
+         |  unnest([${(0 until 16).map(k => rpProjSql("embedding", k)).mkString(",\n    ")}]) AS proj
+         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, dim""".stripMargin,
+
+    // projection-preserves-neighbors invariant (the s2/s3 gate pattern)
+    "s5_rp_topk" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )

@@ -1648,6 +1648,101 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** MIX3: temperature-resampled domain mixture (α = 0.5) — allocate a
+    * 100k-unit sampling budget across the `source` domains proportional to
+    * √(total chars), the multilingual-LM resampling that flattens domain
+    * imbalance ([[graft.operators.TextPipeline.temperatureMixture]]).
+    * All-integer output (quantized √ weight, largest-remainder allocation),
+    * so the oracle replay is exact by construction.
+    */
+  def mix3TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.temperatureMixture(
+        t(s, dir, "documents"), "source", col("n_chars"), budget = 100000L)
+      .orderBy(col("source"))
+
+  /** CCN1: CCNet-style head/middle/tail quality tiers — every scored doc
+    * assigned its equal-size tercile by corpus-trained bigram-LM score
+    * ([[graft.operators.TextPipeline.qualityBuckets]]). Bucket semantics
+    * are exactly `ntile(3) OVER (ORDER BY lm_score DESC, doc_id)` (the
+    * oracle's form); the engine computes the same assignment through the
+    * chunked-rank decomposition instead of a one-task global window.
+    */
+  def ccn1QualityBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.qualityBuckets(
+        t(s, dir, "documents"), "doc_id", "text", nBuckets = 3)
+      .orderBy(col("doc_id"))
+
+  /** DC3: SEMANTIC decontamination — the embedding-space sibling of dc1/dc2
+    * that catches paraphrased benchmark leakage n-gram overlap misses.
+    * Fixture: benchmark = vec_id < 20; corpus = the rest ∪ near-identical
+    * copies of the benchmark (ids +1e6, element 1 scaled by 1.001f — the
+    * d5b planting). The report must contain EXACTLY the 20 planted rows
+    * (background cosine tops out ≈0.6 at every SF), each matched back to
+    * its benchmark source; the oracle replays all-pairs exact cosine.
+    */
+  def dc3SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val bench = e.where(col("vec_id") < 20)
+    val planted = bench
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = e.where(col("vec_id") >= 20).unionAll(planted)
+    Similarity.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+        threshold = 0.99)
+      .select(col("vec_id").as("contaminated_id"), col("matched_bench_id"),
+        col("n_matches"))
+      .orderBy(col("contaminated_id"))
+  }
+
+  /** RP1: Johnson–Lindenstrauss sign projection — embeddings 0–49 projected
+    * from 64-d onto 16 deterministic ±1 sign vectors
+    * ([[Similarity.signProject]]; signs follow md5("rp:k:j"), shared with
+    * the oracle as literal coefficients). Each projected value is a
+    * left-associated 64-term double fold, so the dump is bit-exact across
+    * engines — the hash check proves the projection kernel itself, while
+    * [[s5RpTopK]] proves it preserves neighbors.
+    */
+  def rp1RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.signProject(
+        t(s, dir, "embeddings").where(col("vec_id") < 50)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", outDims = 16)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("proj"))
+      .orderBy(col("vec_id"), col("dim"))
+
+  /** S5: projection-filtered ANN recall gate — [[Similarity.rpTopK]]
+    * (projected-space top-50 candidates → exact re-rank to top-10) over a
+    * planted ground truth: 10 near-identical neighbors per query (ids
+    * 2e6+q·100+m, element m+1 scaled by 1.001f, cosine ≈ 1−1e−7). The gate
+    * requires ≥ 9 of the exact top-10 recovered per query (measured 10/10
+    * at every SF) — JL projection must preserve near-duplicate neighbors,
+    * which is precisely what the filter-then-refine path is for. Exact
+    * top-10 is computed in-engine on the same fixture; the oracle pins the
+    * gate TRUE (s2/s3 pattern).
+    */
+  def s5RpTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 5)
+    val planted = queries
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(10))).as("__m"))
+      .select((lit(2000000L) + col("vec_id") * 100L + col("__m")).as("vec_id"),
+        concat(
+          slice(col("embedding"), lit(1), col("__m")),
+          array((element_at(col("embedding"), col("__m") + 1) * lit(1.001f))
+            .cast("float")),
+          slice(col("embedding"), col("__m") + 2, lit(64))).as("embedding"))
+    val fixture = e.unionAll(planted)
+    val exact = Similarity.bruteForceTopK(fixture, queries, "vec_id", "embedding", k = 10)
+    val approx = Similarity.rpTopK(fixture, queries, "vec_id", "embedding",
+      k = 10, candidates = 50, outDims = 16)
+    annGate(exact, approx, minHits = 9, k = 10)
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -1748,6 +1843,11 @@ object Queries {
     "e3_centroids" -> (e3Centroids _),
     "mm1_image_meta" -> (mm1ImageMeta _),
     "mm2_frames" -> (mm2Frames _),
-    "mm3_media_embed" -> (mm3MediaEmbed _)
+    "mm3_media_embed" -> (mm3MediaEmbed _),
+    "mix3_temperature_mix" -> (mix3TemperatureMix _),
+    "ccn1_quality_buckets" -> (ccn1QualityBuckets _),
+    "dc3_semantic_decontaminate" -> (dc3SemanticDecontaminate _),
+    "rp1_random_projection" -> (rp1RandomProjection _),
+    "s5_rp_topk" -> (s5RpTopK _)
   )
 }

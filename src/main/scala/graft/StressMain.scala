@@ -63,7 +63,9 @@ object StressMain {
       "nd2_incremental_neardup", "qc1_quality_classifier",
       "qz1_embedding_quantize", "s4_quant_topk", "d8_semdedup",
       "sd1_dup_spans", "lr1_dedup_rewrite", "ds1_dsir_select",
-      "tok2_bpe_fertility", "cp2_rewrite_pipeline")
+      "tok2_bpe_fertility", "cp2_rewrite_pipeline",
+      "mix3_temperature_mix", "ccn1_quality_buckets",
+      "dc3_semantic_decontaminate", "rp1_random_projection", "s5_rp_topk")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

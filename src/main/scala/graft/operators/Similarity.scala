@@ -298,4 +298,113 @@ object Similarity {
     qdf.select(col(idCol),
       transform(col("q"), q =>
         (q.cast("double") / lit(127.0) * col("amax")).cast("float")).as(outCol))
+
+  // ------------------------------------------------- semantic decontamination
+  /** Embedding-level benchmark decontamination: report every corpus vector
+    * whose cosine to ANY benchmark vector reaches `threshold` — the
+    * semantic sibling of the n-gram decontamination (dc1/dc2) that catches
+    * paraphrased benchmark leakage exact n-grams miss.
+    *
+    * Output: (idCol, matched_bench_id = smallest matching benchmark id,
+    * n_matches). Scale shape: eval suites are small (10⁴–10⁶ vectors) while
+    * the corpus is the 100 TB side, so the benchmark is `broadcast` and the
+    * whole check is one map-side scan of the corpus — no shuffle, no
+    * corpus-side index. The pair loop is the codegen'd [[fdot]]/[[fnorm]]
+    * kernel with per-row (not per-pair) norms.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+      fnorm(col(vecCol)).as("__bnorm")))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cvec"),
+      fnorm(col(vecCol)).as("__cnorm"))
+    c.join(b, fastCosine(col("__cvec"), col("__cnorm"), col("__bvec"), col("__bnorm"))
+        >= threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("__bid")).as("matched_bench_id"), count(lit(1)).as("n_matches"))
+  }
+
+  /** The filtering companion of [[semanticDecontaminate]]: corpus rows NOT
+    * flagged (left-anti join on the report's id — report rows are already
+    * distinct per id, so this is a bounded-size anti side).
+    */
+  def semanticDecontaminated(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    corpus.join(semanticDecontaminate(corpus, bench, idCol, vecCol, threshold)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+
+  // --------------------------------------------- random sign projection (JL)
+  /** Deterministic ±1 sign matrix for [[signProject]]: sign(k, j) follows
+    * the first hex digit of md5("salt:k:j") — a fixed public function, so
+    * every engine (and the DuckDB oracle) derives the identical matrix with
+    * no RNG state to ship. Achlioptas-style database-friendly
+    * Johnson–Lindenstrauss: E[p·q] preserves inner products at 1/√outDims
+    * distortion without a dense Gaussian matrix.
+    */
+  def rpSigns(outDims: Int, inDims: Int, salt: String = "rp"): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, inDims) { (k, j) =>
+      val h = md.digest(s"$salt:$k:$j".getBytes("UTF-8"))
+      md.reset()
+      // first hex digit < '8' ⇔ top bit of the first byte is 0
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Project `vecCol` (length `inDims`) onto `outDims` sign vectors:
+    * out[k] = Σⱼ sign(k,j)·v[j], built as a left-associated column fold so
+    * the doubles are bit-identical across engines (the rp1 oracle replays
+    * them exactly). Map-only and codegen'd — the dimensionality-reduction
+    * step that makes a 100 TB ANN candidate scan 4× cheaper in bandwidth
+    * and FLOPs before the exact re-rank.
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int = 16, inDims: Int = 64, salt: String = "rp",
+      outCol: String = "proj"): DataFrame = {
+    val signs = rpSigns(outDims, inDims, salt)
+    val proj = array(signs.map { row =>
+      row.zipWithIndex.map { case (s, j) =>
+        lit(s) * element_at(col(vecCol), j + 1).cast("double")
+      }.reduceLeft(_ + _)
+    }.toIndexedSeq: _*)
+    df.select(col(idCol), proj.as(outCol))
+  }
+
+  /** Approximate top-k via sign projection + exact re-rank: rank the corpus
+    * by cosine in the `outDims`-d projected space, keep the top `candidates`
+    * per query, then re-rank just those with exact full-dimension cosine.
+    * The projected pass reads outDims/inDims of the bytes; the exact pass
+    * touches only `candidates` rows per query — the classic
+    * filter-then-refine ANN shape.
+    */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, candidates: Int = 50,
+      outDims: Int = 16, inDims: Int = 64, salt: String = "rp"): DataFrame = {
+    val pc = signProject(corpus, idCol, vecCol, outDims, inDims, salt)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("proj", "__nproj")
+    val pq = broadcast(signProject(queries, idCol, vecCol, outDims, inDims, salt)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed("proj", "__qproj")
+      .withColumn("__qpnorm", fnorm(col("__qproj"))))
+    val scored = pc.withColumn("__npnorm", fnorm(col("__nproj")))
+      .join(pq, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("__qproj"), col("__qpnorm"), col("__nproj"), col("__npnorm"))
+          .as("__pcos"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pcos").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("__crank", row_number().over(wCand))
+      .where(col("__crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nvec"),
+      fnorm(col(vecCol)).as("__nnorm"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      fnorm(col(vecCol)).as("__qnorm")))
+    val exact = cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("__qvec"), col("__qnorm"), col("__nvec"), col("__nnorm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

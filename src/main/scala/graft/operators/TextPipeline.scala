@@ -455,4 +455,96 @@ object TextPipeline {
       .where(col("cum_before") < budget)
       .select(col(stratumCol), id, col(tokCol), col("cum_before"))
   }
+
+  // ---------------------------------------------------------------------
+  // Temperature-resampled domain mixture (α = 0.5)
+  // ---------------------------------------------------------------------
+
+  /** Allocate a sampling `budget` across domains proportional to
+    * size^α with α = 0.5 — the multilingual/multi-domain temperature
+    * resampling that upweights small domains relative to raw proportions
+    * (α=1 is natural sampling, α=0 uniform; √size is the standard middle).
+    *
+    * Determinism/portability: √ is the ONE libm function IEEE 754 requires
+    * correctly rounded, so `sqrt(size)` is bit-identical everywhere; it is
+    * then quantized to a BIGINT weight (floor(√s·10⁶+0.5)) and every later
+    * step — proportional floor share `budget·w div Σw`, largest-remainder
+    * top-up ordered (remainder DESC, stratum ASC) — is exact integer
+    * arithmetic. Allocations sum to exactly `budget` and replay bit-for-bit
+    * in any engine.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus to one
+    * row per domain; everything after runs on that tiny frame (domains
+    * number in the hundreds), so the windows are trivially small. Weighing
+    * by a SIZE column (chars/tokens) rather than doc count is the common
+    * production choice; pass `lit(1L)` as `sizeCol` for doc-count weights.
+    */
+  def temperatureMixture(docs: DataFrame, stratumCol: String,
+      sizeCol: Column, budget: Long): DataFrame = {
+    val sizes = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("stratum_size"))
+      .withColumn("q_weight",
+        floor(sqrt(col("stratum_size").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val tot = sizes.agg(sum(col("q_weight")).as("__tot"))
+    val shares = sizes.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"(${budget}L * q_weight) div __tot"))
+      .withColumn("__rem", (lit(budget) * col("q_weight")) % col("__tot"))
+    val leftover = shares.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val wRem = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+    shares.withColumn("__rk", row_number().over(wRem))
+      .crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("n_docs"), col("stratum_size"),
+        col("q_weight"), col("alloc"))
+  }
+
+  // ---------------------------------------------------------------------
+  // CCNet-style quality buckets (head / middle / tail)
+  // ---------------------------------------------------------------------
+
+  /** Partition the scored corpus into `nBuckets` equal-size quality tiers by
+    * [[bigramLmScore]] — CCNet's head/middle/tail split (best-scoring third
+    * kept, middle optionally, tail dropped), with the corpus-trained LM
+    * standing in for CCNet's wiki-trained KenLM.
+    *
+    * Bucket semantics are EXACTLY SQL `ntile(nBuckets) OVER (ORDER BY
+    * lm_score DESC, id)`, but computed without the single-task global
+    * window: the global rank comes from a two-level decomposition (chunk =
+    * the score quantized to 10⁻⁵ — monotone in score, so chunk order aligns
+    * with score order; per-chunk counts → one tiny offset window → bounded
+    * within-chunk `row_number`), then `bucket = (rank−1)·n_buckets div n + 1`
+    * — the closed form of ntile's first-buckets-get-the-remainder fill
+    * (property-tested against ntile in TextPipelineSpec).
+    */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .select(id, col("lm_score"))
+      .withColumn("__chunk", floor(col("lm_score") * lit(1e5)).cast("long"))
+    val counts = scored.groupBy(col("__chunk")).agg(count(lit(1)).as("__cn"))
+    // score DESC ⇒ chunk DESC: the offset window runs over the quantized
+    // score buckets (≲10⁵ rows whatever the corpus size), not the corpus
+    val wChunks = Window.orderBy(col("__chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wChunks), lit(0L)))
+      .select(col("__chunk"), col("__off"))
+    val n = scored.agg(count(lit(1)).as("__n"))
+    val wIn = Window.partitionBy(col("__chunk"))
+      .orderBy(col("lm_score").desc, id.asc)
+    val labels = (1 to nBuckets).map {
+      case 1 => "head"
+      case b if b == nBuckets => "tail"
+      case _ => "middle"
+    }
+    scored.join(broadcast(offsets), Seq("__chunk"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("__b", expr(s"((__rank - 1) * $nBuckets) div __n") + lit(1L))
+      .select(id, col("lm_score"),
+        element_at(array(labels.map(lit): _*), col("__b").cast("int")).as("bucket"))
+  }
 }

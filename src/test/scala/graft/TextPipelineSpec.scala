@@ -260,4 +260,55 @@ class TextPipelineSpec extends AnyFunSuite {
       .as[(String, Long)].collect()
     assert(maxPer.nonEmpty && maxPer.forall(_._2 < budget))
   }
+
+  test("temperatureMixture sums to the budget and flattens toward small domains") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val budget = 100000L
+    val mix = TextPipeline.temperatureMixture(docs, "lang", col("n_chars"), budget)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(mix.map(_._5).sum == budget, "allocations must sum exactly to the budget")
+    assert(mix.forall(_._5 >= 0))
+    // α=0.5 flattening: the smallest stratum's allocation share strictly
+    // exceeds its raw size share; the largest stratum's falls below it
+    val totSize = mix.map(_._3).sum.toDouble
+    val small = mix.minBy(_._3)
+    val large = mix.maxBy(_._3)
+    assert(small._3 < large._3, "fixture sanity: strata must differ in size")
+    assert(small._5.toDouble / budget > small._3 / totSize)
+    assert(large._5.toDouble / budget < large._3 / totSize)
+    // a domain with a larger weight never allocates more than one unit
+    // below a smaller-weighted one (floor share + single remainder unit)
+    val byW = mix.sortBy(_._4)
+    byW.sliding(2).foreach {
+      case Array(lo, hi) => assert(hi._5 >= lo._5 - 1)
+      case _ =>
+    }
+  }
+
+  test("qualityBuckets equals ntile over (lm_score DESC, id) at any corpus size") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val got = TextPipeline.qualityBuckets(docs, "doc_id", "text", nBuckets = 3)
+    // reference: the single-window ntile formulation on the same scores
+    val scored = TextPipeline.bigramLmScore(docs, "doc_id", "text")
+    val w = Window.orderBy(col("lm_score").desc, col("doc_id").asc)
+    val ref = scored.select(col("doc_id"), col("lm_score"),
+      element_at(array(lit("head"), lit("middle"), lit("tail")),
+        ntile(3).over(w)).as("bucket"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // tiers are equal-size to within one doc
+    val sizes = got.groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // head really is the best-scoring tier
+    val minHead = got.where(col("bucket") === "head")
+      .agg(min(col("lm_score"))).as[Double].head()
+    val maxTail = got.where(col("bucket") === "tail")
+      .agg(max(col("lm_score"))).as[Double].head()
+    assert(minHead >= maxTail)
+  }
 }
