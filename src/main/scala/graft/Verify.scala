@@ -22,8 +22,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Eagerly-persisted operator outputs (d7, lm1, cp1) are caller-owned;
-      // this harness runs 82 of them in one session, so release everything
-      // between queries (memoized frames recompute transparently).
+      // this harness runs the whole registry in one session, so release
+      // everything between queries (memoized frames recompute transparently).
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

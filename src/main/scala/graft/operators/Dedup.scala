@@ -395,9 +395,13 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
       .persist(mad)
 
-    // batch -> index: guarded probe join, verify against only colliders
+    // batch -> index: guarded probe join, verify against only colliders.
+    // A doc id present in BOTH relations (a re-crawl re-submitting a known
+    // id) would pair with itself at jaccard 1.0 and read as "dropped" —
+    // excluded here so resubmission is a no-op, not a phantom near-dup.
     val idxMatches = boundedProbeCandidates(bBanded, index.banded,
         maxBucket, repFactor)
+      .where(col("batch_id") =!= col("index_id"))
       .join(bSets.as("sa"), col("batch_id") === col("sa.sid"))
       .join(index.sets.as("sb"), col("index_id") === col("sb.sid"))
       .select(col("batch_id"), col("index_id").as("match_id"),

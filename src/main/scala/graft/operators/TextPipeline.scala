@@ -201,6 +201,73 @@ object TextPipeline {
           col("n_spans").cast("double"), 6).as("dup_span_frac"))
   }
 
+  /** Corpus-wide duplicated-SPAN REWRITE — the actual Lee-et-al. removal
+    * ("remove all but one occurrence of any duplicated substring",
+    * arXiv:2107.06499 §4) over [[dupSpanStats]]'s overlapping fixed-width
+    * spans: every k-token span occurring ≥ 2 times ANYWHERE in the corpus
+    * keeps only its canonical minimum-(doc, pos) occurrence; every OTHER
+    * occurrence marks its k token positions, and a token is dropped iff
+    * covered by AT LEAST ONE marked window (interval-union overlap
+    * resolution — a pure predicate per position, so the rewrite is
+    * deterministic and partition-order-free; no greedy scan state). The
+    * canonical occurrence itself survives unless a DIFFERENT duplicated
+    * span's non-canonical window covers its tokens. `clean_text` is the
+    * surviving tokens in order; a whole-document duplicate reassembles to
+    * ''. Fixed-width note: the k−1 tokens after a duplicated region's last
+    * full window sit only in straddling (unique) spans and survive — the
+    * documented approximation of windowed vs suffix-array substring dedup.
+    *
+    * Shape at scale: the [[dupSpanStats]] skeleton (explode + ONE
+    * span-keyed partial-aggregated groupBy carrying (count, min(doc,pos))
+    * + join back co-partitioned with that exchange), then the removal set
+    * explodes k positions per NON-CANONICAL occurrence only — volume ∝
+    * duplicated text, not corpus — and survivors come from one
+    * (doc, pos)-keyed anti-join (multiplicity-tolerant, so no distinct
+    * shuffle on the removal set). Reassembly collect_list is per-DOCUMENT,
+    * bounded by doc length; no window over the token stream, no self-join,
+    * no suffix sort. The reference is silent here (pandas stats only,
+    * `tool_call_agent.py:131-141`); [[dedupLinesRewrite]] is the
+    * non-overlapping-chunk variant.
+    */
+  def dedupSpansRewrite(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 6): DataFrame = {
+    val id = col(idCol)
+    val toksDf = docs.select(id, split(trim(col(textCol)), "\\s+").as("__toks"))
+    val nPos = size(col("__toks")) - lit(k - 1)
+    // sequence(1, n) REVERSES for n < 1 — short docs must hit the
+    // empty-array branch (same guard as dupSpanStats)
+    val spans = toksDf.select(id, explode(
+        when(nPos >= 1, transform(sequence(lit(1), nPos),
+          i => struct(i.as("__pos"),
+            concat_ws(" ", slice(col("__toks"), i, lit(k))).as("__span"))))
+          .otherwise(array().cast("array<struct<__pos:int,__span:string>>")))
+        .as("__s"))
+      .select(id, col("__s.__pos").as("__pos"), col("__s.__span").as("__span"))
+    val freq = spans.groupBy(col("__span")).agg(
+      count(lit(1)).as("__n"),
+      min(struct(id.as("d"), col("__pos").as("p"))).as("__c"))
+    val rmPos = spans.join(freq, "__span")
+      .where(col("__n") >= 2 &&
+        !(col("__c.d") === id && col("__c.p") === col("__pos")))
+      .select(id.as("__rid"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__rm"))
+    val toks = toksDf
+      .select(id, posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .select(id, (col("__p0") + 1).as("__tpos"), col("__tok"))
+    val kept = toks.join(rmPos,
+      id === col("__rid") && col("__tpos") === col("__rm"), "left_anti")
+    val reasm = kept.groupBy(id).agg(
+      count(lit(1)).as("__nkept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+        s => s.getField("__tok"))).as("clean_text"))
+    toksDf.select(id, size(col("__toks")).cast("long").as("n_tokens"))
+      .join(reasm, Seq(idCol), "left")
+      .select(id, coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nkept"), lit(0L))).as("n_removed"))
+  }
+
   /** Domain data selection by contrastive bigram models — the Moore–Lewis
     * cross-entropy-difference criterion (ACL 2010) that DSIR (Xie et al.
     * 2023, arXiv:2302.03169) scales up with hashed n-gram importance
@@ -487,9 +554,16 @@ object TextPipeline {
         floor(sqrt(col("stratum_size").cast("double")) * lit(1e6) + lit(0.5))
           .cast("long"))
     val tot = sizes.agg(sum(col("q_weight")).as("__tot"))
+    // budget·q_weight can reach ~1e13·budget (q_weight ≈ √bytes·1e6 at
+    // 100 TB), far past Long range — widen to DECIMAL(38,0) for the product
+    // so shares stay exact instead of silently wrapping in non-ANSI mode.
+    // `div` (IntegralDivide) returns BIGINT for decimal operands, and the
+    // remainder is < Σq_weight, so both results fit back in longs.
     val shares = sizes.crossJoin(broadcast(tot))
-      .withColumn("__base", expr(s"(${budget}L * q_weight) div __tot"))
-      .withColumn("__rem", (lit(budget) * col("q_weight")) % col("__tot"))
+      .withColumn("__prod",
+        lit(budget).cast("decimal(38,0)") * col("q_weight").cast("decimal(38,0)"))
+      .withColumn("__base", expr("__prod div __tot"))
+      .withColumn("__rem", (col("__prod") % col("__tot")).cast("long"))
     val leftover = shares.agg((lit(budget) - sum(col("__base"))).as("__left"))
     val wRem = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
     shares.withColumn("__rk", row_number().over(wRem))
