@@ -932,6 +932,51 @@ object OracleSql {
         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // duplicated-span REWRITE: the lr1 window pair (count, row_number)
+    // replays the engine's (count, min(doc,pos)) canonical-owner aggregate
+    // over OVERLAPPING spans; coverage = cross join with the 0..k-1 offset
+    // range replays the engine's per-occurrence position explode; a token
+    // survives iff no non-canonical duplicated window covers it
+    "sr1_span_rewrite" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 4000000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ')
+        |      || ' uqa' || CAST(doc_id AS VARCHAR) || ' uqb' || CAST(doc_id AS VARCHAR)
+        |      || ' uqc' || CAST(doc_id AS VARCHAR) || ' uqd' || CAST(doc_id AS VARCHAR)
+        |      || ' uqe' || CAST(doc_id AS VARCHAR) || ' uqf' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  WHERE doc_id < 60 AND len(string_split_regex(trim(text), '\s+')) >= 20),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM all_docs),
+        |sp0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 6
+        |        THEN list_transform(range(1, len(toks) - 6 + 2),
+        |          i -> {'pos': i, 'span': array_to_string(toks[i:i+5], ' ')})
+        |        ELSE [] END) AS u FROM t),
+        |s2 AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM sp0),
+        |w AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY span) AS n,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |      FROM s2),
+        |rm AS (SELECT DISTINCT doc_id, pos + off AS tpos
+        |       FROM w CROSS JOIN range(0, 6) o(off)
+        |       WHERE n >= 2 AND rn > 1),
+        |tok AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM
+        |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+        |           i -> {'tpos': i, 'tok': toks[i]})) AS u FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+        |         LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.tpos = rm.tpos
+        |         WHERE rm.doc_id IS NULL),
+        |re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |              count(*) AS nkept
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(re.clean_text, '') AS clean_text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) - coalesce(re.nkept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN re USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     // overlapping k-token spans, duplicated = total multiplicity >= 2
     // (within-doc repeats count, unlike ld1's cross-doc line sharing);
     // integer counts + one exact IEEE division keep the hash portable

@@ -1432,6 +1432,33 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text", k = 6)
       .orderBy(col("doc_id"))
 
+  /** SR1: duplicated-SPAN REWRITE — the actual Lee-et-al. removal (all but
+    * the canonical minimum-(doc,pos) occurrence of every duplicated 6-token
+    * span erased, interval-union overlap resolution) over a planted
+    * fixture: 50 whole-document copies (ids +2M) that must reassemble to
+    * '', and the ≥20-token docs under id 60 re-planted (ids +4M) as their
+    * first 12 tokens plus a unique 6-token tail — the shared prefix is
+    * removed up to the last full window and the tail plus the k−1 boundary
+    * tokens survive. Organic duplicated 6-grams rewrite on top. The oracle
+    * replays the (count, min(doc,pos)) canonical aggregate as lr1's
+    * window pair (count, row_number) plus an explicit coverage join, so
+    * hash equality proves the overlap resolution exact.
+    */
+  def sr1SpanRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val whole = docs.where(col("doc_id") < 50)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val tail = concat_ws(" ", Seq("a", "b", "c", "d", "e", "f").map(c =>
+      concat(lit(s"uq$c"), col("doc_id").cast("string"))): _*)
+    val part = docs.where(col("doc_id") < 60 && size(toks) >= 20)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(concat_ws(" ", slice(toks, 1, 12)), lit(" "), tail).as("text"))
+    graft.operators.TextPipeline.dedupSpansRewrite(
+      docs.unionAll(whole).unionAll(part), "doc_id", "text", k = 6)
+      .orderBy(col("doc_id"))
+  }
+
   /** LM1: corpus-trained Laplace-smoothed bigram-LM mean probability per
     * doc — the in-engine stand-in for a KenLM-perplexity quality filter.
     */
@@ -1816,6 +1843,7 @@ object Queries {
     "pii1_redact" -> (pii1Redact _),
     "ld1_dup_lines" -> (ld1DupLines _),
     "sd1_dup_spans" -> (sd1DupSpans _),
+    "sr1_span_rewrite" -> (sr1SpanRewrite _),
     "lr1_dedup_rewrite" -> (lr1DedupRewrite _),
     "ds1_dsir_select" -> (ds1DsirSelect _),
     "cp2_rewrite_pipeline" -> (cp2RewritePipeline _),

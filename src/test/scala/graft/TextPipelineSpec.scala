@@ -106,6 +106,44 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(m(3L)._2 == 7L && m(3L)._3 == 0L && m(3L)._4 == 0.0)
   }
 
+  test("dedupSpansRewrite erases non-canonical spans with interval-union overlap") {
+    val words = (1 to 14).map(i => s"w$i").mkString(" ")
+    val rep = (1 to 7).map(i => s"r$i").mkString(" ")
+    val tail = "t1 t2 t3"
+    val df = Seq(
+      (1L, words),                 // canonical owner of every shared span
+      (2L, words),                 // whole-doc copy -> must reassemble to ''
+      (3L, rep + " " + rep),       // internal repeat: exactly one copy survives
+      (4L, "too short"),           // < k tokens: no spans, untouched
+      (5L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique, untouched
+      (6L, (1 to 8).map(i => s"w$i").mkString(" ") + " " + tail) // partial overlap
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.dedupSpansRewrite(df, "doc_id", "text", k = 6)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(out.length == 6)
+    // canonical occurrences survive; the whole-doc copy is fully erased
+    assert(m(1L) == ((1L, words, 14L, 0L)))
+    assert(m(2L) == ((2L, "", 14L, 14L)))
+    // internal repeat: non-canonical windows at pos 8 (r1..r6) and 9
+    // (r2..r7) union to positions 8-14 -> one clean copy remains
+    assert(m(3L) == ((3L, rep, 14L, 7L)))
+    assert(m(4L) == ((4L, "too short", 2L, 0L)))
+    assert(m(5L)._4 == 0L && m(5L)._2 == m(5L)._2)
+    // partial overlap: prefix windows pos 1-3 are duplicated (doc 1 owns
+    // them), covering tokens 1-8; the straddling windows are unique, so
+    // the tail survives exactly
+    assert(m(6L) == ((6L, tail, 11L, 8L)))
+    // stats consistency: zero-removal docs are byte-identical, and kept
+    // token counts reconcile with n_tokens - n_removed
+    out.foreach { case (_, ct, nt, nr) =>
+      val kept = if (ct.isEmpty) 0 else ct.split(" ").length
+      assert(kept == nt - nr)
+    }
+  }
+
   test("dsirSelect == local two-model replay incl. unseen target bigrams") {
     val docs = Seq(
       (1L, "a b a b c", "en"),
