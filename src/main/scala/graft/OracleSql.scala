@@ -1115,6 +1115,37 @@ object OracleSql {
          |  AND doc_id NOT IN (SELECT doc_id FROM dropb)
          |ORDER BY doc_id""".stripMargin,
 
+    // incremental SEMANTIC dedup survival replayed as exact all-pairs
+    // cosine over both relations (batch x index, batch x batch keep-first)
+    // — equality proves nearest-centroid assignment + cluster-local verify
+    // recovers every qualifying pair (same demanding pin as d8: holds
+    // because cos >= 0.99 pairs co-assign under the current geometry)
+    "nd3_incremental_semdedup" ->
+      s"""WITH existing AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |b0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM b0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM existing WHERE vec_id < 50
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM b0 WHERE vec_id < 60),
+         |dropx AS (SELECT DISTINCT b.vec_id FROM batch b JOIN existing e
+         |  ON b.vec_id <> e.vec_id
+         |  AND ${cosSql("b.embedding", "e.embedding")} >= 0.99),
+         |dropb AS (SELECT DISTINCT b2.vec_id FROM batch b1 JOIN batch b2
+         |  ON b1.vec_id < b2.vec_id
+         |  AND ${cosSql("b1.embedding", "b2.embedding")} >= 0.99)
+         |SELECT vec_id FROM batch
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropx)
+         |  AND vec_id NOT IN (SELECT vec_id FROM dropb)
+         |ORDER BY vec_id""".stripMargin,
+
     // planted-URL fixture; domain = first capture of the shared host
     // pattern, '' -> NULL for no-URL docs (kept by the blocklist filter)
     "url1_domain_filter" -> {

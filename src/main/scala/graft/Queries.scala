@@ -1532,6 +1532,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** ND3: incremental SEMANTIC near-dup — a new embedding batch probed
+    * against a persisted SemDeDup index (built on the vec_id % 10 != 0
+    * corpus, never re-clustered or rescanned). Fixture plants scaled
+    * paraphrases (first component ·1.001 — cosine ≈ 1 with the source):
+    * ids +1M perturb INDEXED sources (must fall to the batch-vs-index
+    * relation) and ids +2M perturb BATCH sources (must fall to the
+    * within-batch keep-first relation). Emits surviving batch ids; the
+    * oracle replays survival as exact all-pairs cosine over both
+    * relations, so hash equality proves the nearest-centroid assignment
+    * plus cluster-local verify recovers every qualifying pair. (Like d8,
+    * the pin holds because every cos ≥ 0.99 pair co-assigns under the
+    * current geometry — a future geometry change can break the hash
+    * without SemDeDup being "wrong"; see the d8 oracle note.)
+    */
+  def nd3IncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val existing = e.where(col("vec_id") % 10 =!= 0)
+    def perturb(src: DataFrame, offset: Long) = src
+      .select((col("vec_id") + offset).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val b0 = e.where(col("vec_id") % 10 === 0)
+    val batch = b0
+      .unionAll(perturb(existing.where(col("vec_id") < 50), 1000000L))
+      .unionAll(perturb(b0.where(col("vec_id") < 60), 2000000L))
+    val index = Dedup.buildSemIndex(existing, "vec_id", "embedding",
+      nClusters = 16, iterations = 3)
+    val matches = Dedup.incrementalSemDedup(batch, "vec_id", "embedding",
+      index, threshold = 0.99)
+    index.close()
+    batch.select(col("vec_id"))
+      .join(matches.select(col("batch_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
     * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
     * blocklisted; odd docs carry no URL and pass with a null domain.
@@ -1851,6 +1888,7 @@ object Queries {
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
     "nd2_incremental_neardup" -> (nd2IncrementalNearDup _),
+    "nd3_incremental_semdedup" -> (nd3IncrementalSemDedup _),
     "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),

@@ -707,4 +707,131 @@ object Dedup {
     cents.unpersist(blocking = false)
     out
   }
+
+  /** A persisted SemDeDup index — the semantic twin of [[LshIndex]] for the
+    * rolling-crawl shape: the k-means geometry (centroid table, tiny and
+    * broadcastable) plus the assigned members with their ORIGINAL float
+    * vectors and norms. Batches probe it via [[incrementalSemDedup]]
+    * without ever re-clustering or rescanning the corpus. Caller-owned:
+    * `close()` releases the cached frames.
+    */
+  final case class SemIndex private[operators] (
+      centroids: DataFrame,
+      members: DataFrame,
+      nClusters: Int) {
+    def close(): Unit = {
+      centroids.unpersist(blocking = false)
+      members.unpersist(blocking = false)
+    }
+  }
+
+  /** Build the [[SemIndex]]: unit-normalize (the [[semDeDup]] geometry),
+    * deterministic k-means via [[Similarity.ivfIndex]], then record each
+    * member's cluster alongside its original vector — one corpus scan plus
+    * the fixed Lloyd rounds; nothing here depends on future batches.
+    */
+  def buildSemIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      iterations: Int = 3): SemIndex = {
+    import graft.functions.VecExpressions.fnorm
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val unit = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .select(col("id"), transform(col("vec"), v =>
+        when(col("nrm") > 0, v.cast("double") / col("nrm"))
+          .otherwise(lit(0.0))).as("unit"))
+    val (assigned, cents) =
+      Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
+    val members = df
+      .select(col(idCol).as("sid"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .join(assigned.select(col("neighbor_id").as("sid"), col("cluster")),
+        Seq("sid"))
+      .persist(mad)
+    members.count()
+    assigned.unpersist(blocking = false)
+    SemIndex(cents, members, nClusters)
+  }
+
+  /** Semantic near-dedup of a NEW batch against a persisted [[SemIndex]]
+    * plus itself — SemDeDup for the rolling crawl: the corpus is never
+    * re-clustered or rescanned; batch cost depends on batch size and the
+    * populations of the clusters it lands in only.
+    *
+    * Each batch vector unit-normalizes and assigns to its nearest INDEX
+    * centroid (the same argmin rule the build used), then verifies exact
+    * cosine cluster-locally: against index members through the hot-bucket
+    * guard on the index side ([[boundedProbeCandidates]] with the cluster
+    * as the bucket), and within-batch through [[boundedBucketPairs]].
+    * Output mirrors [[incrementalNearDup]]: one row per relation that
+    * drops a batch doc under greedy keep-first — (batch_id, match_id,
+    * cosine, match_in_index); batch-vs-index keeps the index doc, within-
+    * batch keeps the smaller id. Equal ids in batch and index pair are
+    * excluded (resubmission is a no-op, not a phantom drop).
+    *
+    * EXECUTION CONTRACT (the [[minhashLsh]] contract): eager; batch-side
+    * caches released; the (small) match set returned cached, caller-owned.
+    */
+  def incrementalSemDedup(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: SemIndex,
+      threshold: Double = 0.99,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame = {
+    import graft.functions.VecExpressions.{fdot, fnorm}
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val unit = batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .select(col("neighbor_id"), transform(col("vec"), v =>
+        when(col("nrm") > 0, v.cast("double") / col("nrm"))
+          .otherwise(lit(0.0))).as("nvec"))
+    val bSides = batch
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .join(Similarity.assign(unit, index.centroids)
+          .select(col("neighbor_id").as("id"), col("cluster")),
+        Seq("id"))
+      .persist(mad)
+
+    val denom = col("sa.nrm") * col("sb.nrm")
+    def cosine = when(denom > 0, fdot(col("sa.vec"), col("sb.vec")) / denom)
+      .otherwise(lit(null).cast("double"))
+
+    // batch -> index: guarded cluster-local probe (band pinned to 0 — the
+    // cluster IS the bucket; one "table", unlike banded LSH)
+    val idxMatches = boundedProbeCandidates(
+        bSides.select(col("id"), lit(0).as("band"), col("cluster").as("bucket")),
+        index.members.select(col("sid").as("id"), lit(0).as("band"),
+          col("cluster").as("bucket")),
+        maxBucket, repFactor)
+      .where(col("batch_id") =!= col("index_id"))
+      .join(bSides.as("sa"), col("batch_id") === col("sa.id"))
+      .join(index.members.as("sb"), col("index_id") === col("sb.sid"))
+      .select(col("batch_id"), col("index_id").as("match_id"),
+        cosine.as("cosine"), lit(true).as("match_in_index"))
+      .where(col("cosine") >= threshold)
+
+    // within-batch: one cluster per id, so the guarded pair stream is
+    // already duplicate-free; larger id drops
+    val batchMatches = boundedBucketPairs(
+        bSides.select(col("id"), col("cluster")), "id", Seq("cluster"), Nil,
+        maxBucket, repFactor)
+      .join(bSides.as("sa"), col("id_a") === col("sa.id"))
+      .join(bSides.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
+        cosine.as("cosine"), lit(false).as("match_in_index"))
+      .where(col("cosine") >= threshold)
+
+    val out = idxMatches.unionAll(batchMatches).persist(mad)
+    out.count()
+    bSides.unpersist(blocking = false)
+    out
+  }
 }

@@ -128,7 +128,7 @@ object Similarity {
   /** Nearest-cluster assignment of every vector against a (small, broadcast)
     * centroid table: explode per centroid, keep the argmin distance per id.
     */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .select(col("neighbor_id"), col("nvec"), col("cluster"),
         graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))

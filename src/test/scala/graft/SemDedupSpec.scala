@@ -57,6 +57,56 @@ class SemDedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("incrementalSemDedup: batch paraphrases caught vs index and within batch") {
+    import spark.implicits._
+    // corpus: 30 well-separated directions; index built once on it
+    val corpus = (0 until 30).map { i =>
+      val a = new Array[Float](8)
+      a(i % 8) = 1f
+      a((i / 8) % 8) = 0.3f + 0.02f * i
+      (i.toLong, a)
+    }
+    val index = Dedup.buildSemIndex(corpus.toDF("id", "vec"), "id", "vec",
+      nClusters = 4, iterations = 2)
+    // batch: 5 fresh directions (kept), 5 paraphrases of INDEXED vectors
+    // (dropped vs index), 2 paraphrases of the fresh batch vectors
+    // (dropped within batch, keep-first), and one resubmitted known id
+    // (equal id in batch and index -> must NOT self-pair)
+    val fresh = (0 until 5).map { i =>
+      val a = new Array[Float](8)
+      a(7 - i % 8) = 1f; a(i % 4) = -0.4f - 0.05f * i
+      (100L + i, a)
+    }
+    val vsIndex = corpus.take(5).map { case (id, a) =>
+      val b = a.clone(); b(0) = b(0) * 1.0005f; (200L + id, b)
+    }
+    val inBatch = fresh.take(2).map { case (id, a) =>
+      val b = a.clone(); b(1) = b(1) * 1.0005f; (300L + id, b)
+    }
+    val resub = Seq((7L, corpus(7)._2))
+    val batch = (fresh ++ vsIndex ++ inBatch ++ resub).toDF("id", "vec")
+    val out = Dedup.incrementalSemDedup(batch, "id", "vec", index,
+      threshold = 0.99)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    vsIndex.foreach { case (id, _) =>
+      assert(rows.exists(m => m._1 == id && m._3),
+        s"paraphrase $id not caught against index")
+    }
+    inBatch.foreach { case (id, _) =>
+      assert(rows.exists(m => m._1 == id && !m._3),
+        s"in-batch paraphrase $id not caught")
+    }
+    // the resubmitted id is near its indexed twin BY IDENTITY only — the
+    // equal-id pair is excluded, and no other vector is near it
+    assert(!rows.exists(_._1 == 7L), "resubmitted id must not self-pair")
+    fresh.foreach { case (id, _) =>
+      assert(!rows.exists(_._1 == id), s"fresh vector $id wrongly dropped")
+    }
+    out.unpersist()
+    index.close()
+  }
+
   test("magnitude-invariant: a 3x-scaled copy co-clusters and is dropped") {
     import spark.implicits._
     val v = Array(0.5f, 0.5f, 0.5f, 0.5f)
