@@ -289,6 +289,50 @@ object Dedup {
       sets.unpersist(blocking = false)
       banded.unpersist(blocking = false)
     }
+
+    /** Fold a batch's signatures into the index — the refresh step of the
+      * rolling-crawl loop ("append survivors to the index"), previously
+      * left to the caller. One scan of the BATCH text only (shingle →
+      * signature → band); the existing index is unioned, never recomputed.
+      * Returns a NEW handle owning the refreshed caches; the superseded
+      * handle's blocks are released once the new frames materialize, so
+      * `index = index.append(...)` is the intended usage. The in-memory
+      * union chain suits a bounded in-session refresh loop (a streaming
+      * query's foreachBatch); a durable deployment checkpoints sets/banded
+      * to a table between sessions instead.
+      */
+    def append(batch: DataFrame, idCol: String, textCol: String): LshIndex = {
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nSets = batch.select(col(idCol).as("sid"),
+        shingles(col(textCol), shingleSize).as("sset"))
+      val sets2 = sets.unionAll(nSets).persist(mad)
+      val banded2 = banded.unionAll(bandedFromSets(nSets, numHashes, bands))
+        .persist(mad)
+      banded2.count()
+      sets2.count()
+      sets.unpersist(blocking = false)
+      banded.unpersist(blocking = false)
+      LshIndex(sets2, banded2, numHashes, bands, shingleSize)
+    }
+  }
+
+  /** Banded bucket rows of a shingle-set frame (sid, sset) — the shared
+    * signature→band step of [[buildLshIndex]], [[LshIndex.append]] and
+    * [[incrementalNearDup]]'s batch side.
+    */
+  private[operators] def bandedFromSets(
+      sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sets
+      .select(col("sid").as("id"),
+        signatureFromShingles(col("sset"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows)
+              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
   }
 
   /** Build the [[LshIndex]]: one scan of the corpus text → shingle sets →
@@ -304,21 +348,10 @@ object Dedup {
       shingleSize: Int = 3): LshIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = numHashes / bands
     val sets = df.select(col(idCol).as("sid"),
         shingles(col(textCol), shingleSize).as("sset"))
       .persist(mad)
-    val banded = sets
-      .select(col("sid").as("id"),
-        signatureFromShingles(col("sset"), numHashes).as("sig"))
-      .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rows until (b + 1) * rows)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-      .persist(mad)
+    val banded = bandedFromSets(sets, numHashes, bands).persist(mad)
     banded.count()
     LshIndex(sets, banded, numHashes, bands, shingleSize)
   }
@@ -379,20 +412,10 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       repFactor: Int = DefaultRepFactor): DataFrame = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rows = index.numHashes / index.bands
     val bSets = batch.select(col(idCol).as("sid"),
         shingles(col(textCol), index.shingleSize).as("sset"))
       .persist(mad)
-    val bBanded = bSets
-      .select(col("sid").as("id"),
-        signatureFromShingles(col("sset"), index.numHashes).as("sig"))
-      .select(col("id"),
-        explode(array((0 until index.bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rows until (b + 1) * rows)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val bBanded = bandedFromSets(bSets, index.numHashes, index.bands)
       .persist(mad)
 
     // batch -> index: guarded probe join, verify against only colliders.

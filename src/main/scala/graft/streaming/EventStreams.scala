@@ -166,11 +166,12 @@ object EventStreams {
     * streaming joins cannot express without unbounded state — and per-batch
     * execution is exactly how a rolling crawl consumes the index anyway.
     *
-    * Cross-batch near-dups are caught against the INDEX only; catching
-    * near-dups between two stream batches is the index-refresh loop's job
-    * (append survivors' signatures to the index out-of-band). StreamingSpec
-    * proves single-batch equivalence with the batch operator and the
-    * index-match guarantee across batches.
+    * Cross-batch near-dups are caught against the INDEX only — this
+    * static-index variant never refreshes, so two near-dup docs arriving
+    * in DIFFERENT batches both survive. When the stream should dedup
+    * against everything it has already admitted, use
+    * [[incrementalNearDupStreamWithRefresh]], which appends each batch's
+    * survivors to the index before the next batch runs.
     */
   def incrementalNearDupStream(docs: DataFrame, idCol: String, textCol: String,
       index: graft.operators.Dedup.LshIndex, threshold: Double = 0.9)(
@@ -184,6 +185,46 @@ object EventStreams {
         val survivors = batch.join(
           m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
         onBatch(survivors)
+        m.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
+  /** Mutable handle for the streaming index-refresh loop: foreachBatch
+    * swaps in the appended index after each micro-batch (micro-batches run
+    * serially, so the swap is race-free; volatile makes the final handle
+    * visible to the caller's thread after the query terminates). The
+    * caller owns whatever index the ref holds — close it when done.
+    */
+  final class LshIndexRef(@volatile var index: graft.operators.Dedup.LshIndex)
+
+  /** [[incrementalNearDupStream]] plus the in-engine index-refresh loop:
+    * after each micro-batch's survivors are emitted, their signatures are
+    * appended to the index ([[graft.operators.Dedup.LshIndex.append]] —
+    * one scan of the batch text, the corpus side untouched), so a
+    * near-dup arriving in a LATER batch is caught against an EARLIER
+    * batch's survivor, not just against the original corpus. Dropped docs
+    * are NOT appended — greedy keep-first semantics: the index only ever
+    * holds admitted representatives. StreamingSpec proves the two-batch
+    * cross-batch catch.
+    */
+  def incrementalNearDupStreamWithRefresh(
+      docs: DataFrame, idCol: String, textCol: String,
+      indexRef: LshIndexRef, threshold: Double = 0.9)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    // Default (processing-time) trigger, not AvailableNow: the refresh
+    // loop's point is to keep serving batches as the crawl produces them;
+    // the caller stops the query.
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = indexRef.index
+        val m = graft.operators.Dedup.incrementalNearDup(
+          batch, idCol, textCol, idx, threshold)
+        val survivors = batch.join(
+          m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        onBatch(survivors)
+        indexRef.index = idx.append(survivors, idCol, textCol)
         m.unpersist(blocking = false)
         ()
       }

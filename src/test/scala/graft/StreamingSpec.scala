@@ -245,6 +245,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_ >= 3000000L) && want.nonEmpty)
   }
 
+  test("two-batch NEAR-dedup with refresh: batch 2 caught against batch 1's survivor") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // index knows only doc 1
+    val index0 = Dedup.buildLshIndex(Seq((1L, words("a", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 128, bands = 16, shingleSize = 3)
+    val ref = new EventStreams.LshIndexRef(index0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = EventStreams.incrementalNearDupStreamWithRefresh(
+      ms.toDF.toDF("doc_id", "text"), "doc_id", "text", ref, threshold = 0.9) {
+        s => perBatch += s.select("doc_id").as[Long].collect().toSet
+      }
+    // batch 1: a NOVEL doc (not in the index) — must survive and be
+    // appended to the index by the refresh loop
+    val novel = words("b", 40)
+    ms.addData((100L, novel))
+    q.processAllAvailable()
+    assert(perBatch.last == Set(100L))
+    // batch 2: a near-dup of batch 1's survivor (one extra token, trigram
+    // jaccard 38/39), a near-dup of the ORIGINAL index doc, and a fresh doc
+    ms.addData((200L, novel + " extra"),
+      (201L, words("a", 40) + " tail"),
+      (300L, words("c", 40)))
+    q.processAllAvailable()
+    q.stop()
+    // 200 is caught ONLY IF the index refreshed with doc 100 — the
+    // static-index variant would have let it through; 201 proves the
+    // original corpus signatures still probe after the append
+    assert(perBatch.last == Set(300L))
+    ref.index.close()
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
