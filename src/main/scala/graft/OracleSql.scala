@@ -699,8 +699,33 @@ object OracleSql {
     // SemDeDup proof: the drop set replayed as exact all-pairs cosine
     // >= 0.99 over the same planted fixture — equality shows the engine's
     // cluster-local verify recovers every qualifying pair (co-clustering
-    // recall 100%) and drops exactly the larger id of each
+    // recall 100%) and drops exactly the larger id of each.
+    // COUPLING NOTE: this pin holds because every cos >= 0.99 pair
+    // CO-CLUSTERS under the current geometry (nClusters/iterations/init
+    // and the fixture's wide margins — near-dup pairs are essentially
+    // colinear). A future geometry change can break the hash WITHOUT
+    // SemDeDup being wrong in the paper's sense; diagnose such a break as
+    // a recall question (which pair stopped co-clustering), not a
+    // correctness bug. PropertySpec pins the geometry-free invariants
+    // (soundness: every drop has a qualifying pair; single-cluster
+    // completeness). Same note applies to d8b and nd3.
     "d8_semdedup" ->
+      s"""WITH fx AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT b.vec_id AS id FROM fx a JOIN fx b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99)
+         |SELECT vec_id AS id, vec_id IN (SELECT id FROM p) AS dropped
+         |FROM fx ORDER BY id""".stripMargin,
+
+    // d8 under the AUTO cluster geometry — same exact all-pairs pin (the
+    // drop set is geometry-independent as long as recall stays 100%), so
+    // a green row proves autoClusters keeps co-clustering recall intact
+    "d8b_semdedup_auto" ->
       s"""WITH fx AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL

@@ -856,6 +856,25 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** D8B: SemDeDup under the AUTO cluster geometry ([[Dedup.autoClusters]]
+    * — nClusters ∝ corpus/targetClusterSize, the paper's scale rule as the
+    * default) over the same planted fixture as d8. The oracle is the same
+    * exact all-pairs drop-set pin, so the row proves the auto geometry
+    * keeps 100% co-clustering recall while per-cluster populations stay
+    * flat (the d8 pinned-16 row remains as the guard-stress geometry).
+    */
+  def d8bSemdedupAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    Dedup.semDeDupAuto(e.unionAll(planted), "vec_id", "embedding",
+        threshold = 0.99, targetClusterSize = 128, iterations = 3)
+      .orderBy(col("id"))
+  }
+
   /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
   def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1868,6 +1887,7 @@ object Queries {
     "d7_neardup_components" -> (d7NeardupComponents _),
     "d7b_components_over_lsh" -> (d7bComponentsOverLsh _),
     "d8_semdedup" -> (d8Semdedup _),
+    "d8b_semdedup_auto" -> (d8bSemdedupAuto _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),

@@ -731,6 +731,36 @@ object Dedup {
     out
   }
 
+  /** The SemDeDup paper geometry as a formula: clusters scale WITH the
+    * corpus so per-cluster populations stay flat (Abbas et al. ran 50k
+    * clusters at LAION-440M — ~9k vectors per cluster; we default tighter
+    * because verify is exact cosine, quadratic per cluster). Guarded
+    * verify volume is then Σ cluster² ≈ n·targetClusterSize — linear in
+    * n — and the hot-bucket guard sits idle on natural data instead of
+    * being the thing holding the plan up.
+    */
+  def autoClusters(n: Long, targetClusterSize: Int = 128): Int =
+    math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
+      .min(Int.MaxValue).toInt
+
+  /** [[semDeDup]] with the cluster count derived from the corpus size
+    * ([[autoClusters]]) — the production default; the fixed-`nClusters`
+    * overload remains for pinned-geometry experiments and the guard-stress
+    * fixtures. Costs one extra `count()` of the input.
+    */
+  def semDeDupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.99,
+      targetClusterSize: Int = 128,
+      iterations: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      repFactor: Int = DefaultRepFactor): DataFrame =
+    semDeDup(df, idCol, vecCol, threshold,
+      autoClusters(df.count(), targetClusterSize), iterations,
+      maxBucket, repFactor)
+
   /** A persisted SemDeDup index — the semantic twin of [[LshIndex]] for the
     * rolling-crawl shape: the k-means geometry (centroid table, tiny and
     * broadcastable) plus the assigned members with their ORIGINAL float

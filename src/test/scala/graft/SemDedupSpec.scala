@@ -57,6 +57,15 @@ class SemDedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("autoClusters: floors at 16, scales linearly with corpus size") {
+    assert(Dedup.autoClusters(0) == 16)
+    assert(Dedup.autoClusters(2048) == 16)   // 2048/128 = exactly the floor
+    assert(Dedup.autoClusters(2049) == 17)   // first size past the floor
+    assert(Dedup.autoClusters(1280000) == 10000)
+    // the paper's LAION-440M geometry (~9k per cluster -> ~50k clusters)
+    assert(Dedup.autoClusters(440000000L, 9000) == 48889)
+  }
+
   test("incrementalSemDedup: batch paraphrases caught vs index and within batch") {
     import spark.implicits._
     // corpus: 30 well-separated directions; index built once on it
