@@ -783,6 +783,79 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
          |ORDER BY doc_id""".stripMargin,
 
+    // the SELECTIVE pipeline replayed stage by stage: gates (t2/t3
+    // formulas) -> CCNet terciles trained on the GATED corpus (ccn1
+    // machinery, keep ntile <= 2) -> DSIR two-model comparison trained on
+    // the TIER-KEPT corpus (ds1 machinery) -> d1 min-id dedup -> exact
+    // all-pairs trigram keep-first. One hash proves both the stage
+    // results and that each model saw exactly the prior stage's output
+    "cp3_selective_pipeline" ->
+      s"""WITH sc0 AS (SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $nTokensSql AS n_tokens,
+         |  $langScoreCols
+         |  FROM documents),
+         |meta AS (SELECT doc_id, text, quality, n_tokens,
+         |    $langPredSql AS lang
+         |  FROM sc0),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |t AS (SELECT doc_id, $tokSplit AS toks FROM gated),
+         |b AS (SELECT doc_id,
+         |        unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |      FROM t),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+         |q AS (SELECT b.doc_id,
+         |        CAST(floor(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)
+         |          * 1000000000.0 + 0.5) AS BIGINT) AS q
+         |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1), v),
+         |lmsc AS (SELECT doc_id,
+         |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000000.0 AS lm_score
+         |  FROM q GROUP BY doc_id),
+         |tier AS (SELECT doc_id,
+         |    ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS tb FROM lmsc),
+         |kept AS (SELECT g.* FROM gated g JOIN tier USING (doc_id) WHERE tb <= 2),
+         |kt AS (SELECT doc_id, lang = 'en' AS tgt, $tokSplit AS toks FROM kept),
+         |kb AS (SELECT doc_id, tgt,
+         |        unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |      FROM kt),
+         |tc2 AS (SELECT bg, count(*) AS c2 FROM kb WHERE tgt GROUP BY bg),
+         |tc1 AS (SELECT w1, count(*) AS c1 FROM kb WHERE tgt GROUP BY w1),
+         |tv AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM kt WHERE tgt)),
+         |rc2 AS (SELECT bg, count(*) AS c2 FROM kb GROUP BY bg),
+         |rc1 AS (SELECT w1, count(*) AS c1 FROM kb GROUP BY w1),
+         |rv AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM kt)),
+         |dq AS (SELECT kb.doc_id,
+         |        CAST(floor(CAST(coalesce(tc2.c2, 0) + 1 AS DOUBLE)
+         |          / CAST(coalesce(tc1.c1, 0) + tv.v AS DOUBLE)
+         |          * 1000000000.0 + 0.5) AS BIGINT) AS qt,
+         |        CAST(floor(CAST(rc2.c2 + 1 AS DOUBLE) / CAST(rc1.c1 + rv.v AS DOUBLE)
+         |          * 1000000000.0 + 0.5) AS BIGINT) AS qr
+         |      FROM kb LEFT JOIN tc2 USING (bg) LEFT JOIN tc1 USING (w1)
+         |        JOIN rc2 USING (bg) JOIN rc1 USING (w1), tv, rv),
+         |dsel AS (SELECT doc_id FROM dq GROUP BY doc_id HAVING sum(qt) > sum(qr)),
+         |seld AS (SELECT k.* FROM kept k JOIN dsel USING (doc_id)),
+         |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM seld),
+         |exact AS (SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |sh AS (SELECT doc_id, $trigramSetSql AS sh
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, n_tokens, quality FROM exact
+         |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
+         |ORDER BY doc_id""".stripMargin,
+
     // distinct word 5-gram twin of WordShingles(text, 5): every slice is
     // exactly len(toks)-4 elements (clamped at 0), so list_zip never pads
     "dc1_decontaminate" ->

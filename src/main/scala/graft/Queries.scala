@@ -1140,6 +1140,29 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CP3: the SELECTIVE end-to-end pipeline — heuristic gates → CCNet
+    * LM-tier keep (head+middle terciles of the corpus-trained bigram LM)
+    * → DSIR selection (target = engine-detected lang 'en') → exact dedup
+    * → LSH near-dedup — i.e. [[graft.plans.CorpusPipeline.run]] with the
+    * round-7 quality/selection stages wired in as config. The oracle
+    * replays every stage exactly (t2/t3 gate formulas, ccn1's ntile
+    * machinery over the GATED corpus, ds1's two-model integer comparison
+    * over the TIER-KEPT corpus, d1 min-id dedup, exact all-pairs trigram
+    * keep-first), so one hash proves the staged composition — including
+    * that each model trains on exactly the corpus the previous stage
+    * admitted, not on the raw input.
+    */
+  def cp3SelectivePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false, materializeResult = true,
+        lmKeepTiers = Seq("head", "middle"),
+        dsirTarget = Some(col("lang") === "en")))
+    cleaned.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DC1: benchmark decontamination — flag corpus documents sharing any
     * word 5-gram with a held-out benchmark set (the C4/GPT-3 n-gram-overlap
     * decontamination stage). Benchmark = `doc_id % 97 == 0`; the fixture
@@ -1889,6 +1912,7 @@ object Queries {
     "d8_semdedup" -> (d8Semdedup _),
     "d8b_semdedup_auto" -> (d8bSemdedupAuto _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
+    "cp3_selective_pipeline" -> (cp3SelectivePipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),
     "dc2_decontaminate_bloom" -> (dc2DecontaminateBloom _),
     "sp1_hash_split" -> (sp1HashSplit _),

@@ -59,7 +59,18 @@ object CorpusPipeline {
       // .QualityClassifier]]): docs whose badness score reaches the model
       // threshold are dropped after the heuristic gates. None (default)
       // keeps the pipeline's historical behavior.
-      classifier: Option[graft.operators.QualityClassifier.Model] = None)
+      classifier: Option[graft.operators.QualityClassifier.Model] = None,
+      // CCNet-style LM-tier gate ([[graft.operators.TextPipeline
+      // .qualityBuckets]]): train the corpus bigram LM on the gated docs,
+      // split into 3 equal tiers, keep only these labels — CCNet keeps
+      // "head", optionally "middle" (arXiv:1911.00359 §4.4). Nil = off.
+      lmKeepTiers: Seq[String] = Nil,
+      // Moore–Lewis / DSIR domain selection ([[graft.operators
+      // .TextPipeline.dsirSelect]]): keep docs whose target-domain bigram
+      // model beats the raw-corpus model; the predicate marks the
+      // in-domain seed over the pipeline's metadata columns (e.g.
+      // col("lang") === "en" — `lang` exists by this stage). None = off.
+      dsirTarget: Option[org.apache.spark.sql.Column] = None)
 
   final case class Stats(
       input: Long,
@@ -95,10 +106,55 @@ object CorpusPipeline {
       if (cfg.langs.isEmpty) gated0 else gated0.where(col("lang").isin(cfg.langs: _*))
     // 1b. learned gate (optional): featurize + broadcast-weights scoring —
     // one extra groupBy(id) + anti-join, still upstream of any dedup shuffle
-    val gated = cfg.classifier match {
+    val gated2 = cfg.classifier match {
       case Some(m) =>
         graft.operators.QualityClassifier.gate(gated1, idCol, textCol, m)
       case None => gated1
+    }
+    // The selection stages below each consume their input SEVERAL times
+    // (train a model on it, then semi-join the keep set back against it —
+    // and the model internals fan out further). Caching is NOT enough:
+    // cache substitution happens after analysis, so the pre-substitution
+    // plan tree still doubles per reuse and the driver dies in
+    // explainString/analysis long before a task runs (observed at 500
+    // docs). localCheckpoint is the iterative-algorithm fix — it
+    // materializes the stage and TRUNCATES lineage to a LogicalRDD, so
+    // every downstream plan is bounded by one stage's depth. Trade-off:
+    // truncated stages cannot recompute from source on block loss; a
+    // long-lived cluster deployment would use reliable checkpoint(). The
+    // checkpointed blocks live exactly as long as the returned frame
+    // references them (GC-cleaned; cacheManager-based clearCache leaves
+    // them alone, which is what the lazy result needs).
+    val stageCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
+    // 1c. CCNet LM-tier gate (optional): corpus-trained bigram terciles
+    // over the gated docs; keep the configured labels. The LM projection
+    // shuffles bigram counts, never the corpus; the keep set comes back as
+    // one semi-join on the id.
+    val gated3 =
+      if (cfg.lmKeepTiers.isEmpty) gated2
+      else {
+        val in = pinned(gated2)
+        in.join(
+          graft.operators.TextPipeline
+            .qualityBuckets(in, idCol, textCol, nBuckets = 3)
+            .where(col("bucket").isin(cfg.lmKeepTiers: _*))
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
+    // 1d. DSIR selection (optional): two contrastive bigram models over
+    // ONE projection of the tier-kept corpus (dsirSelect is eager and
+    // returns a caller-owned cache — released with the stage caches;
+    // recompute after release re-runs from the checkpointed input).
+    val gated = cfg.dsirTarget match {
+      case Some(pred) =>
+        val in = pinned(gated3)
+        val sel = graft.operators.TextPipeline
+          .dsirSelect(in, idCol, textCol, pred)
+        stageCaches += sel
+        in.join(sel.where(col("selected")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+      case None => gated3
     }
     val nGated = n(gated)
 
@@ -153,6 +209,7 @@ object CorpusPipeline {
       } else deduped0
     val nFinal = n(deduped)
     exact.unpersist(blocking = false)
+    stageCaches.foreach(_.unpersist(blocking = false))
 
     (deduped, Stats(nInput, nGated, nExact, nFinal))
   }

@@ -82,6 +82,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(survivors(CorpusPipeline.Components) == Set(1L, 9L))
   }
 
+  test("lmKeepTiers and dsirTarget stages subset the corpus like their operators") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (base, sBase) = CorpusPipeline.run(docs, "doc_id", "text")
+    val (out, s) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(
+        lmKeepTiers = Seq("head", "middle"),
+        dsirTarget = Some(col("lang") === "en")))
+    // each stage can only shrink the corpus, and terciles keep <= 2/3
+    assert(s.afterGates < sBase.afterGates)
+    assert(s.afterGates <= (sBase.afterGates * 2 + 2) / 3)
+    assert(s.afterNearDedup > 0)
+    // exact content is pinned by the cp3 oracle row; here pin structure:
+    // every selective survivor also survived the base pipeline's heuristic
+    // gates (tier/dsir only subset the gated corpus, never widen it)
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    val baseGated = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+      .where(col("n_tokens").between(5, 100000) && col("quality") >= 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds.nonEmpty && outIds.subsetOf(baseGated))
+    // dsir stage really engaged: a terciles-only run keeps strictly more
+    val (_, s2) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(lmKeepTiers = Seq("head", "middle")))
+    assert(s.afterGates < s2.afterGates)
+    assert(base.select("doc_id").count() > 0)
+  }
+
   test("audit=false keeps the pipeline lazy (no counts)") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text")).limit(50)
