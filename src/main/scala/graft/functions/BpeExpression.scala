@@ -153,11 +153,31 @@ object BpeVocab {
     toks
   }
 
+  /** Tokenize one word, NFC-normalizing first so canonically-equivalent
+    * inputs ("café" composed U+00E9 vs decomposed e+U+0301) produce the
+    * SAME token stream — without this, mixed-form corpora split their
+    * merge statistics across visually identical words and fertility
+    * (tok2) over-counts. `isNormalized` is a cheap prefix check that
+    * short-circuits for ASCII/NFC text (the common case — and the whole
+    * oracle corpus), so committed hashes are unaffected. The memo is
+    * keyed on the RAW word: normalization is deterministic, so both forms
+    * memoize to the same array.
+    *
+    * Unsegmented scripts (CJK): whitespace splitting yields one long
+    * "word"; the seed is its code points, so with no applicable merges
+    * the count degrades to code points — the code-point-fallback analog
+    * of byte-level BPE's byte fallback. Train merges on the script
+    * (BpeVocab.train is script-agnostic) to bring fertility down; the
+    * bounded memo keeps repeated long words compute-only.
+    */
   def tokenizeWord(t: Table, word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
     val hit = t.memo.get(word)
     if (hit != null) return hit
-    val res = tokenizeUncached(t, word)
+    val nfc =
+      if (java.text.Normalizer.isNormalized(word, java.text.Normalizer.Form.NFC)) word
+      else java.text.Normalizer.normalize(word, java.text.Normalizer.Form.NFC)
+    val res = tokenizeUncached(t, nfc)
     if (t.memo.size < t.memoCap) t.memo.put(word, res)
     res
   }

@@ -109,6 +109,45 @@ class BpeSpec extends AnyFunSuite {
     assert(trained == BpeVocab.Fixture)
   }
 
+  test("NFC: composed and decomposed forms tokenize identically") {
+    val empty = BpeVocab.tableFor(Nil)
+    val composed = "café"          // é as U+00E9
+    val decomposed = "café"       // e + combining acute
+    assert(composed != decomposed)      // genuinely different code units
+    val a = BpeVocab.tokenizeWord(empty, composed).toSeq
+    val b = BpeVocab.tokenizeWord(empty, decomposed).toSeq
+    assert(a == b && a.size == 4, s"a=$a b=$b") // c a f é — not 5
+    // merges land on the NORMALIZED stream: a merge written in composed
+    // form fires on decomposed input too
+    val t2 = BpeVocab.tableFor(Seq(("f", "é")))
+    assert(BpeVocab.tokenizeWord(t2, decomposed).toSeq == Seq("c", "a", "fé"))
+    // count expression sees the same equivalence end to end
+    val df = Seq((1L, s"$composed $decomposed")).toDF("id", "text")
+    val n = df.select(BpeVocab.bpeTokenCount(col("text"), Nil).as("n"))
+      .as[Long].head()
+    assert(n == 8)
+  }
+
+  test("CJK / unsegmented scripts: code-point fallback, merges reduce fertility") {
+    val empty = BpeVocab.tableFor(Nil)
+    val cjk = "日本語テキスト" // 日本語テキスト
+    // no whitespace -> one word; empty table -> one token per code point
+    assert(BpeVocab.tokenizeWord(empty, cjk).length == 7)
+    // an astral-plane char (surrogate pair) is ONE code point, not two
+    val astral = "a😀b" // a 😀 b
+    assert(BpeVocab.tokenizeWord(empty, astral).toSeq ==
+      Seq("a", "😀", "b"))
+    // a trained CJK merge fires like any other
+    val t = BpeVocab.tableFor(Seq(("日", "本")))
+    val toks = BpeVocab.tokenizeWord(t, cjk)
+    assert(toks.length == 6 && toks(0) == "日本")
+    // mixed-script doc: whitespace words tokenize independently
+    val df = Seq((1L, s"hello $cjk world")).toDF("id", "text")
+    val n = df.select(BpeVocab.bpeTokenCount(col("text"), Nil).as("n"))
+      .as[Long].head()
+    assert(n == 5L + 7L + 5L)
+  }
+
   test("empty merge table tokenizes to code points") {
     val t0 = BpeVocab.tableFor(Nil)
     assert(BpeVocab.tokenizeWord(t0, "abc").toSeq == Seq("a", "b", "c"))
