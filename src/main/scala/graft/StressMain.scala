@@ -65,12 +65,18 @@ object StressMain {
       "sd1_dup_spans", "lr1_dedup_rewrite", "ds1_dsir_select",
       "tok2_bpe_fertility", "cp2_rewrite_pipeline",
       "mix3_temperature_mix", "ccn1_quality_buckets",
-      "dc3_semantic_decontaminate", "rp1_random_projection", "s5_rp_topk")
+      "dc3_semantic_decontaminate", "rp1_random_projection", "s5_rp_topk",
+      "sr1_span_rewrite", "nd3_incremental_semdedup", "d8b_semdedup_auto",
+      "cp3_selective_pipeline")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
     // (skew-guarded LSH edges + min-label components, both ~linear).
-    headline.foreach { name =>
+    // SPARK_GRAFT_STRESS_TAIL_ONLY skips the headline sweep and runs just
+    // the special fixtures below (guard family, nd2/nd3 build-vs-probe) —
+    // the per-query sweep is already covered by TimeMain runs.
+    val tailOnly = sys.env.contains("SPARK_GRAFT_STRESS_TAIL_ONLY")
+    (if (tailOnly) Seq.empty[String] else headline).foreach { name =>
       val t0 = System.nanoTime()
       try {
         Queries.registry(name)(spark, outDir).write.format("noop").mode("overwrite").save()
@@ -117,6 +123,35 @@ object StressMain {
     ndM.unpersist(blocking = false); ndIndex.close()
     println(f"[stress] nd2_index_build       $tBuild%8.2f s")
     println(f"[stress] nd2_batch_probe       $tProbe%8.2f s (near-dups caught=$nCaught)")
+
+    // Incremental SEMANTIC dedup at scale — same contract as the nd2 rows:
+    // the SemIndex build pays the k-means rounds over the corpus (grows
+    // with data); the batch assign+verify row must track batch size and
+    // landed-cluster populations only. Auto geometry keeps clusters flat,
+    // so the guard should stay idle at any factor.
+    val t4 = System.nanoTime()
+    val vecs = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val semK = graft.operators.Dedup.autoClusters(vecs.count())
+    val semIndex = graft.operators.Dedup.buildSemIndex(vecs, "vec_id",
+      "embedding", nClusters = semK, iterations = 3)
+    val tSemBuild = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val semBatch = vecs.where(col("vec_id") % 1000 === 0)
+      .select((col("vec_id") + 500000000L).as("vec_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.array(
+            (org.apache.spark.sql.functions.element_at(col("embedding"), 1)
+              * lit(1.001f)).cast("float")),
+          org.apache.spark.sql.functions.slice(col("embedding"), 2, 63))
+          .as("embedding"))
+    val semM = graft.operators.Dedup.incrementalSemDedup(semBatch, "vec_id",
+      "embedding", semIndex, threshold = 0.99)
+    val semCaught = semM.select("batch_id").distinct().count()
+    val tSemProbe = (System.nanoTime() - t5) / 1e9
+    semM.unpersist(blocking = false); semIndex.close()
+    println(f"[stress] nd3_semindex_build    $tSemBuild%8.2f s (k=$semK)")
+    println(f"[stress] nd3_batch_probe       $tSemProbe%8.2f s (near-dups caught=$semCaught)")
     spark.stop()
   }
 }
