@@ -722,6 +722,22 @@ object OracleSql {
          |SELECT vec_id AS id, vec_id IN (SELECT id FROM p) AS dropped
          |FROM fx ORDER BY id""".stripMargin,
 
+    // d8 auto geometry + hierarchical assignment — same exact all-pairs
+    // pin: green iff routing via coarse groups still co-clusters every
+    // cos >= 0.99 pair (the recall question the two-level route raises)
+    "d8c_semdedup_hier" ->
+      s"""WITH fx AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM embeddings WHERE vec_id < 50),
+         |p AS (SELECT b.vec_id AS id FROM fx a JOIN fx b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.99)
+         |SELECT vec_id AS id, vec_id IN (SELECT id FROM p) AS dropped
+         |FROM fx ORDER BY id""".stripMargin,
+
     // d8 under the AUTO cluster geometry — same exact all-pairs pin (the
     // drop set is geometry-independent as long as recall stays 100%), so
     // a green row proves autoClusters keeps co-clustering recall intact

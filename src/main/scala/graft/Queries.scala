@@ -875,6 +875,28 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** D8C: SemDeDup under the auto geometry with TWO-LEVEL assignment
+    * (route via ~√k coarse groups, exact argmin over nProbe probed
+    * groups' fine centroids — [[graft.operators.Similarity
+    * .ivfIndexHier]]): the build-cost lever that keeps the auto
+    * geometry's Lloyd rounds ~n·√k instead of n·k. Same exact all-pairs
+    * drop-set oracle as d8/d8b — a green hash proves the hierarchical
+    * route loses no qualifying pair at this corpus (assignment shifts at
+    * coarse boundaries only matter when a near-dup PAIR splits).
+    */
+  def d8cSemdedupHier(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = e.where(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    Dedup.semDeDupAuto(e.unionAll(planted), "vec_id", "embedding",
+        threshold = 0.99, targetClusterSize = 128, iterations = 3,
+        hierNProbe = 4)
+      .orderBy(col("id"))
+  }
+
   /** S1: exact brute-force top-10 cosine neighbors for query vectors 0-4. */
   def s1KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1911,6 +1933,7 @@ object Queries {
     "d7b_components_over_lsh" -> (d7bComponentsOverLsh _),
     "d8_semdedup" -> (d8Semdedup _),
     "d8b_semdedup_auto" -> (d8bSemdedupAuto _),
+    "d8c_semdedup_hier" -> (d8cSemdedupHier _),
     "cp1_corpus_pipeline" -> (cp1CorpusPipeline _),
     "cp3_selective_pipeline" -> (cp3SelectivePipeline _),
     "dc1_decontaminate" -> (dc1Decontaminate _),

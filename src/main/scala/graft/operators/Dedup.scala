@@ -689,7 +689,12 @@ object Dedup {
       nClusters: Int = 16,
       iterations: Int = 3,
       maxBucket: Int = DefaultMaxBucket,
-      repFactor: Int = DefaultRepFactor): DataFrame = {
+      repFactor: Int = DefaultRepFactor,
+      // > 0 switches every assignment pass to the two-level route
+      // ([[Similarity.ivfIndexHier]]) with this many coarse probes — the
+      // build-cost lever when nClusters scales with the corpus. 0 = flat
+      // exact argmin (the d8/d8b geometry).
+      hierNProbe: Int = 0): DataFrame = {
     import graft.functions.VecExpressions.{fdot, fnorm}
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Unit-normalize for the CLUSTERING only (cosine geometry is magnitude-
@@ -703,7 +708,10 @@ object Dedup {
         when(col("nrm") > 0, v.cast("double") / col("nrm"))
           .otherwise(lit(0.0))).as("unit"))
     val (assigned, cents) =
-      Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
+      if (hierNProbe > 0)
+        Similarity.ivfIndexHier(unit, "id", "unit", nClusters, iterations,
+          hierNProbe)
+      else Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
     // Each id sits in exactly ONE cluster (unlike multi-table LSH), so the
     // guarded pair stream is already duplicate-free — no distinct needed.
     val blocked = assigned.select(col("neighbor_id").as("id"), col("cluster"))
@@ -756,10 +764,11 @@ object Dedup {
       targetClusterSize: Int = 128,
       iterations: Int = 3,
       maxBucket: Int = DefaultMaxBucket,
-      repFactor: Int = DefaultRepFactor): DataFrame =
+      repFactor: Int = DefaultRepFactor,
+      hierNProbe: Int = 0): DataFrame =
     semDeDup(df, idCol, vecCol, threshold,
       autoClusters(df.count(), targetClusterSize), iterations,
-      maxBucket, repFactor)
+      maxBucket, repFactor, hierNProbe)
 
   /** A persisted SemDeDup index — the semantic twin of [[LshIndex]] for the
     * rolling-crawl shape: the k-means geometry (centroid table, tiny and

@@ -128,7 +128,7 @@ object Similarity {
   /** Nearest-cluster assignment of every vector against a (small, broadcast)
     * centroid table: explode per centroid, keep the argmin distance per id.
     */
-  private[operators] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .select(col("neighbor_id"), col("nvec"), col("cluster"),
         graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
@@ -136,6 +136,70 @@ object Similarity {
       .agg(
         min_by(struct(col("cluster"), col("nvec")), struct(col("d2"), col("cluster"))).as("m"))
       .select(col("neighbor_id"), col("m.cluster").as("cluster"), col("m.nvec").as("nvec"))
+
+  /** Two-level nearest-centroid assignment — bounds the n·k cost of flat
+    * argmin when the cluster count scales with the corpus: coarse-cluster
+    * the CENTROID TABLE itself (~√k coarse groups; one k·√k k-means over k
+    * rows), route each vector MAP-ONLY to its `nProbe` nearest coarse
+    * groups (the coarse table rides in the plan as a ~√k-entry literal
+    * array — no crossJoin, no shuffle for routing), then exact argmin over
+    * only the routed groups' fine centroids: the fine join is keyed on the
+    * coarse group, so per-vector work is ~nProbe·√k and the argmin
+    * aggregate map-side-combines back to one row per vector. Deterministic
+    * throughout (deterministic inner k-means, distance-then-id tie
+    * ordering). Approximate at coarse-group boundaries: a vector whose
+    * true nearest fine centroid sits in an unprobed group lands in its
+    * best PROBED group — for SemDeDup this only matters when a near-dup
+    * pair splits across final clusters, which the exact all-pairs oracle
+    * pin (d8c) measures end to end. Falls back to flat [[assign]] when k
+    * is too small for two levels to pay.
+    */
+  private[graft] def assignHierarchical(
+      vecs: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val k = cents.count()
+    val coarseK = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    if (k <= 64 || coarseK.toLong * nProbe >= k) return assign(vecs, cents)
+    // inner k-means over the k centroid rows (fine cluster id doubles as
+    // the row id — deterministic lowest-id init like the outer build)
+    val (f2cRaw, coarseRaw) = ivfIndex(
+      cents.select(col("cluster").as("neighbor_id"), col("centroid")),
+      "neighbor_id", "centroid", nClusters = coarseK, iterations = 2)
+    // fine-cluster -> coarse-group map: k tiny rows; localCheckpoint so
+    // each outer Lloyd round's plan stays bounded (the cp3 lesson: plan
+    // trees, not just recompute, are what stack across iterations)
+    val f2c = f2cRaw
+      .select(col("neighbor_id").as("cluster"), col("cluster").as("__cg"))
+      .localCheckpoint()
+    val coarseRows = coarseRaw.select(col("cluster"), col("centroid"))
+      .collect()
+    f2cRaw.unpersist(blocking = false)
+    coarseRaw.unpersist(blocking = false)
+    val coarseLit = array(coarseRows.map { r =>
+      struct(typedLit(r.getSeq[Double](1)).as("cent"),
+        lit(r.getInt(0)).as("cg"))
+    }: _*)
+    // map-only routing: distances to every coarse centroid in one
+    // projection, sort by (d2, cg), take the nProbe nearest groups
+    val dists = transform(coarseLit, c => struct(
+      graft.functions.VecExpressions.fdistSq(col("nvec"), c.getField("cent"))
+        .as("d2"),
+      c.getField("cg").as("cg")))
+    val routed = vecs.select(col("neighbor_id"), col("nvec"),
+        explode(slice(array_sort(dists), 1, nProbe)).as("r"))
+      .select(col("neighbor_id"), col("nvec"), col("r.cg").as("__cg"))
+    // exact argmin over the routed groups' fine centroids only; each fine
+    // cluster belongs to exactly one group, so the pair stream carries no
+    // duplicates and min_by needs no distinct
+    val fine = cents.join(f2c, Seq("cluster"))
+    routed.join(fine, Seq("__cg"))
+      .select(col("neighbor_id"), col("nvec"), col("cluster"),
+        graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
+      .groupBy(col("neighbor_id"))
+      .agg(min_by(struct(col("cluster"), col("nvec")),
+        struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("neighbor_id"), col("m.cluster").as("cluster"),
+        col("m.nvec").as("nvec"))
+  }
 
   /** Build an IVF index: Lloyd's k-means with deterministic init (the
     * `nClusters` lowest-id vectors) and a fixed iteration count — each
@@ -149,7 +213,36 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nClusters: Int = 16,
-      iterations: Int = 3): (DataFrame, DataFrame) = {
+      iterations: Int = 3): (DataFrame, DataFrame) =
+    ivfIndexCore(corpus, idCol, vecCol, nClusters, iterations, assign)
+
+  /** [[ivfIndex]] with TWO-LEVEL (hierarchical) assignment in every Lloyd
+    * round and the final pass — the build-cost lever for cluster counts
+    * that scale with the corpus ([[Dedup.autoClusters]]): flat argmin is
+    * n·k work per round, and with k = n/targetClusterSize that grows
+    * ~n²/target; the hierarchical route costs ~n·(1+nProbe)·√k
+    * ([[assignHierarchical]]). Assignment is approximate at coarse-group
+    * boundaries — for SemDeDup that only matters when a near-dup PAIR
+    * splits across groups, which d8c's exact all-pairs oracle pin
+    * measures directly.
+    */
+  def ivfIndexHier(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      iterations: Int = 3,
+      nProbe: Int = 4): (DataFrame, DataFrame) =
+    ivfIndexCore(corpus, idCol, vecCol, nClusters, iterations,
+      (v, c) => assignHierarchical(v, c, nProbe))
+
+  private def ivfIndexCore(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      iterations: Int,
+      assignFn: (DataFrame, DataFrame) => DataFrame): (DataFrame, DataFrame) = {
     // The point set feeds EVERY Lloyd iteration plus the final assign —
     // cache it once instead of re-scanning (and re-projecting) the corpus
     // per iteration; released below once the final assignment is
@@ -168,7 +261,7 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     var cents = init.toSeq.toDF("cluster", "centroid")
     (1 to iterations).foreach { _ =>
-      val assigned = assign(vecs, cents)
+      val assigned = assignFn(vecs, cents)
       val prev = cents
       cents = centroids(assigned, "cluster", "nvec")
         .select(col("cluster").cast("int").as("cluster"), col("centroid"))
@@ -176,7 +269,7 @@ object Similarity {
       cents.count() // materialize: cut the lineage so iterations don't stack
       prev.unpersist(blocking = false) // release the superseded iteration's blocks
     }
-    val assigned = assign(vecs, cents)
+    val assigned = assignFn(vecs, cents)
       .withColumn("nnorm", graft.functions.VecExpressions.fnorm(col("nvec")))
       .persist()
     assigned.count() // materialize BEFORE dropping the point cache it reads

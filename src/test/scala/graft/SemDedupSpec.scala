@@ -66,6 +66,41 @@ class SemDedupSpec extends AnyFunSuite {
     assert(Dedup.autoClusters(440000000L, 9000) == 48889)
   }
 
+  test("assignHierarchical == flat assign on separated clusters (k > 64)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 100 well-separated centroids in 32-dim; vectors jittered 0.01 around
+    // them, so the true argmin is unambiguous and the vector's own group
+    // is always its nearest coarse group — the two-level route must agree
+    // with flat argmin exactly
+    val dim = 32
+    val cents = (0 until 100).map { c =>
+      val a = new Array[Double](dim)
+      a(c % dim) = 10.0 + (c / dim)
+      a((c * 7) % dim) += 5.0
+      (c, a.toSeq)
+    }
+    val centsDf = cents.toDF("cluster", "centroid")
+    val vecs = (0 until 300).map { i =>
+      val a = cents(i % 100)._2.toArray.clone()
+      a(i % dim) += 0.01 * ((i % 5) - 2)
+      (i.toLong, a.toSeq)
+    }.toDF("neighbor_id", "nvec")
+    val flat = Similarity.assign(vecs, centsDf)
+      .select("neighbor_id", "cluster").as[(Long, Int)].collect().toMap
+    val hier = Similarity.assignHierarchical(vecs, centsDf, nProbe = 4)
+      .select("neighbor_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(hier == flat)
+    assert(flat.values.toSet.size > 50, "fixture must genuinely span clusters")
+    // small k falls back to flat assign (two levels can't pay)
+    val small = centsDf.where(org.apache.spark.sql.functions.col("cluster") < 8)
+    val fb = Similarity.assignHierarchical(vecs, small, nProbe = 4)
+      .select("neighbor_id", "cluster").as[(Long, Int)].collect().toMap
+    val fbFlat = Similarity.assign(vecs, small)
+      .select("neighbor_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(fb == fbFlat)
+  }
+
   test("incrementalSemDedup: batch paraphrases caught vs index and within batch") {
     import spark.implicits._
     // corpus: 30 well-separated directions; index built once on it
