@@ -785,6 +785,36 @@ object Dedup {
       centroids.unpersist(blocking = false)
       members.unpersist(blocking = false)
     }
+
+    /** Fold a batch into the index — the semantic twin of
+      * [[LshIndex.append]]: each batch vector unit-normalizes and joins
+      * the cluster of its nearest EXISTING centroid (the geometry is
+      * frozen at build time — appends never re-cluster, so append cost is
+      * batch-sized and assignments of prior members never shift; rebuild
+      * when drift warrants, exactly like a production ANN index). Returns
+      * a new handle owning refreshed caches; the superseded handle's
+      * member blocks are released once the union materializes.
+      */
+    def append(batch: DataFrame, idCol: String, vecCol: String): SemIndex = {
+      import graft.functions.VecExpressions.fnorm
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val unit = batch
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+          fnorm(col(vecCol)).as("nrm"))
+        .select(col("neighbor_id"), transform(col("vec"), v =>
+          when(col("nrm") > 0, v.cast("double") / col("nrm"))
+            .otherwise(lit(0.0))).as("nvec"))
+      val nMembers = batch
+        .select(col(idCol).as("sid"), col(vecCol).as("vec"),
+          fnorm(col(vecCol)).as("nrm"))
+        .join(Similarity.assign(unit, centroids)
+            .select(col("neighbor_id").as("sid"), col("cluster")),
+          Seq("sid"))
+      val members2 = members.unionAll(nMembers).persist(mad)
+      members2.count()
+      members.unpersist(blocking = false)
+      SemIndex(centroids, members2, nClusters)
+    }
   }
 
   /** Build the [[SemIndex]]: unit-normalize (the [[semDeDup]] geometry),

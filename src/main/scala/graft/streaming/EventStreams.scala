@@ -230,6 +230,41 @@ object EventStreams {
       }
       .start()
 
+  /** Mutable handle for the SEMANTIC index-refresh loop — the
+    * [[LshIndexRef]] twin for [[graft.operators.Dedup.SemIndex]].
+    */
+  final class SemIndexRef(@volatile var index: graft.operators.Dedup.SemIndex)
+
+  /** Streaming SemDeDup with the in-engine refresh loop: each micro-batch
+    * runs [[graft.operators.Dedup.incrementalSemDedup]] against the
+    * current index, `onBatch` receives the survivors, and the survivors'
+    * vectors are appended to the index ([[graft.operators.Dedup.SemIndex
+    * .append]] — batch-sized work; the centroid geometry is frozen, so
+    * prior members never move) before the next batch runs. A paraphrase
+    * arriving in a later batch is therefore caught against an earlier
+    * batch's admitted representative, not just the original corpus —
+    * greedy keep-first across the whole stream. Same foreachBatch seam and
+    * caller-stops contract as [[incrementalNearDupStreamWithRefresh]].
+    */
+  def incrementalSemDedupStreamWithRefresh(
+      docs: DataFrame, idCol: String, vecCol: String,
+      indexRef: SemIndexRef, threshold: Double = 0.99)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = indexRef.index
+        val m = graft.operators.Dedup.incrementalSemDedup(
+          batch, idCol, vecCol, idx, threshold)
+        val survivors = batch.join(
+          m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        onBatch(survivors)
+        indexRef.index = idx.append(survivors, idCol, vecCol)
+        m.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */

@@ -281,6 +281,46 @@ class StreamingSpec extends AnyFunSuite {
     ref.index.close()
   }
 
+  test("two-batch SEMANTIC dedup with refresh: paraphrase caught across batches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def dir(i: Int, boost: Float = 1f): Seq[Float] = {
+      val a = new Array[Float](8)
+      a(i % 8) = boost
+      a((i / 8 + 3) % 8) = 0.3f + 0.02f * i
+      a.toSeq
+    }
+    val index0 = Dedup.buildSemIndex(
+      (0 until 10).map(i => (i.toLong, dir(i))).toDF("id", "vec"),
+      "id", "vec", nClusters = 4, iterations = 2)
+    val ref = new EventStreams.SemIndexRef(index0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = EventStreams.incrementalSemDedupStreamWithRefresh(
+      ms.toDF.toDF("id", "vec"), "id", "vec", ref, threshold = 0.99) {
+        s => perBatch += s.select("id").as[Long].collect().toSet
+      }
+    // batch 1: a novel direction — survives and refreshes the index
+    val novel = { val a = new Array[Float](8); a(5) = -1f; a(1) = 0.9f; a.toSeq }
+    ms.addData((100L, novel))
+    q.processAllAvailable()
+    assert(perBatch.last == Set(100L))
+    // batch 2: a scaled paraphrase of batch 1's survivor (cosine 1 — only
+    // caught if the refresh appended doc 100), a paraphrase of an ORIGINAL
+    // index doc, and a fresh direction
+    val fresh = { val a = new Array[Float](8); a(6) = -1f; a(0) = -0.7f; a.toSeq }
+    ms.addData(
+      (200L, novel.map(_ * 2f)),
+      (201L, dir(3, boost = 1.0005f)),
+      (300L, fresh))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.last == Set(300L))
+    ref.index.close()
+  }
+
   test("sessionize across two batches: open session absorbs the later batch, emits once") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
