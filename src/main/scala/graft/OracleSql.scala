@@ -1025,6 +1025,44 @@ object OracleSql {
          |WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
          |ORDER BY doc_id""".stripMargin,
 
+    // whole-pipeline twin of cp2 for the SPAN rewrite: sr1's coverage
+    // machinery on the NATURAL corpus (no plants), gates recomputed on
+    // the rewritten text, md5 min-id dedup — one hash for the composition
+    "cp4_span_rewrite_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, $tokSplit AS toks FROM documents),
+         |sp0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 6
+         |        THEN list_transform(range(1, len(toks) - 6 + 2),
+         |          i -> {'pos': i, 'span': array_to_string(toks[i:i+5], ' ')})
+         |        ELSE [] END) AS u FROM t),
+         |s2 AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM sp0),
+         |w AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY span) AS n,
+         |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |      FROM s2),
+         |rm AS (SELECT DISTINCT doc_id, pos + off AS tpos
+         |       FROM w CROSS JOIN range(0, 6) o(off)
+         |       WHERE n >= 2 AND rn > 1),
+         |tok AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM
+         |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+         |           i -> {'tpos': i, 'tok': toks[i]})) AS u FROM t)),
+         |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+         |         LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.tpos = rm.tpos
+         |         WHERE rm.doc_id IS NULL),
+         |rw AS (SELECT t.doc_id,
+         |         coalesce(re.clean_text, '') AS text
+         |       FROM t LEFT JOIN (
+         |         SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+         |         FROM kept GROUP BY doc_id) re USING (doc_id)),
+         |meta AS (SELECT doc_id, text, $qualitySql AS quality, $nTokensSql AS n_tokens FROM rw),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |fp AS (SELECT doc_id, quality, n_tokens,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM gated)
+         |SELECT doc_id, n_tokens, quality FROM fp
+         |WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+         |ORDER BY doc_id""".stripMargin,
+
     // duplicate-line rewrite: the window pair (count, row_number) replays
     // the engine's (count, min(doc,pos)) aggregate — keep iff unique or
     // canonical first occurrence; planted copies must reassemble to ''
@@ -1045,6 +1083,39 @@ object OracleSql {
         |  count(*) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher heuristic gates: every ratio one exact-integer IEEE division
+    // ('...' counted by length-difference div 3 — no regex backslashes);
+    // gates compare the UNROUNDED quotients on both sides; planted
+    // '#'-spam (ids +5M) must fail the symbol gate
+    "t8_gopher_gates" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 5000000, text || ' ' || repeat('# ', 19) || '#'
+         |  FROM documents WHERE doc_id < 40),
+         |t AS (SELECT doc_id, text, $tokSplit AS toks FROM all_docs),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(array_to_string(toks, '')) AS BIGINT) AS n_chars,
+         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |      + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(list_contains(toks, 'the') AS BIGINT) + CAST(list_contains(toks, 'be') AS BIGINT)
+         |      + CAST(list_contains(toks, 'to') AS BIGINT) + CAST(list_contains(toks, 'of') AS BIGINT)
+         |      + CAST(list_contains(toks, 'and') AS BIGINT) + CAST(list_contains(toks, 'that') AS BIGINT)
+         |      + CAST(list_contains(toks, 'have') AS BIGINT) + CAST(list_contains(toks, 'with') AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+         |  round(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+         |  round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+         |  n_stopwords,
+         |  (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |   AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+         |   AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+         |   AND n_stopwords >= 1) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // duplicated-span REWRITE: the lr1 window pair (count, row_number)
     // replays the engine's (count, min(doc,pos)) canonical-owner aggregate

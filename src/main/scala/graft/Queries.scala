@@ -1185,6 +1185,31 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CP4: end-to-end SPAN-rewrite pipeline — the Lee-et-al. duplicated-
+    * span removal over the NATURAL corpus (organic duplicated 6-grams
+    * only, no planting) → quality/token gates recomputed on the rewritten
+    * text → exact fingerprint dedup. cp2 proved the line-rewrite composes;
+    * this row proves the overlapping-span rewrite composes the same way —
+    * including docs whose surviving text shifts gate outcomes and docs
+    * made identical by the removal (caught downstream by dedup).
+    */
+  def cp4SpanRewritePipeline(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.operators.TextPipeline.dedupSpansRewrite(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 6)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val meta = cleaned.select(col("doc_id"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val gated = meta
+      .where(col("n_tokens").between(5, 100000) && col("quality") >= 0.3)
+    val fp = gated.withColumn("__f", TextFunctions.fingerprint(col("text")))
+    val keep = fp.groupBy(col("__f")).agg(min(col("doc_id")).as("doc_id"))
+    fp.join(keep, Seq("__f", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DC1: benchmark decontamination — flag corpus documents sharing any
     * word 5-gram with a held-out benchmark set (the C4/GPT-3 n-gram-overlap
     * decontamination stage). Benchmark = `doc_id % 97 == 0`; the fixture
@@ -1520,6 +1545,26 @@ object Queries {
         concat(concat_ws(" ", slice(toks, 1, 12)), lit(" "), tail).as("text"))
     graft.operators.TextPipeline.dedupSpansRewrite(
       docs.unionAll(whole).unionAll(part), "doc_id", "text", k = 6)
+      .orderBy(col("doc_id"))
+  }
+
+  /** T8: Gopher heuristic quality gates (mean word length, symbol-to-word
+    * ratio, alphabetic-word fraction, stopword containment) with a planted
+    * '#'-spam fixture (20 hash marks appended to docs 0–39 under ids +5M —
+    * must fail the symbol gate) on top of the natural corpus.
+    * `minStopwords = 1` here: the synthetic vocabulary carries at most one
+    * of the canonical eight function words per doc, so Gopher's ≥ 2 would
+    * degenerate to keep-nothing; at 1 the stopword axis genuinely splits
+    * the corpus (~78% pass). All ratios are exact-integer IEEE divisions.
+    */
+  def t8GopherGates(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          concat_ws(" ", (0 until 20).map(_ => lit("#")): _*)).as("text"))
+    graft.operators.TextPipeline.gopherGates(
+      docs.unionAll(planted), "doc_id", "text", minStopwords = 1)
       .orderBy(col("doc_id"))
   }
 
@@ -1944,6 +1989,7 @@ object Queries {
     "sp3_shuffle_order" -> (sp3ShuffleOrder _),
     "sq1_sequence_pack" -> (sq1SequencePack _),
     "t7_repetition" -> (t7Repetition _),
+    "t8_gopher_gates" -> (t8GopherGates _),
     "pii1_redact" -> (pii1Redact _),
     "ld1_dup_lines" -> (ld1DupLines _),
     "sd1_dup_spans" -> (sd1DupSpans _),
@@ -1951,6 +1997,7 @@ object Queries {
     "lr1_dedup_rewrite" -> (lr1DedupRewrite _),
     "ds1_dsir_select" -> (ds1DsirSelect _),
     "cp2_rewrite_pipeline" -> (cp2RewritePipeline _),
+    "cp4_span_rewrite_pipeline" -> (cp4SpanRewritePipeline _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

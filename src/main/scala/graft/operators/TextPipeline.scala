@@ -268,6 +268,47 @@ object TextPipeline {
         (col("n_tokens") - coalesce(col("__nkept"), lit(0L))).as("n_removed"))
   }
 
+  /** Gopher-style repetition-free document quality gates (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — the heuristic family alongside [[t7]]'s
+    * repetition gates): mean word length within [3, 10] characters,
+    * symbol-to-word ratio ('#' and '…' spam) at most 0.1, at least 80% of
+    * words containing an alphabetic character, and at least
+    * `minStopwords` of the canonical eight function words (the, be, to,
+    * of, and, that, have, with) present — Gopher requires 2; corpora with
+    * constrained vocabularies pass 1.
+    *
+    * Portability: every ratio is ONE IEEE division of exact integer
+    * counts ('…' counted via length-difference division, no regex
+    * backtracking; rounded copies are for reporting — the gates compare
+    * the unrounded quotients identically in any engine). Map-only: one
+    * narrow projection, no shuffle, no explode — the whole gate family
+    * fuses into the scan.
+    */
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String,
+                  minStopwords: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val df = docs.select(id, col(textCol).as("__t"),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    val nWords = size(col("__toks")).cast("long")
+    val nChars = length(array_join(col("__toks"), "")).cast("long")
+    val nSymbols = (length(col("__t")) - length(translate(col("__t"), "#", "")))
+      .cast("long") +
+      expr("CAST((length(__t) - length(replace(__t, '...'))) div 3 AS BIGINT)")
+    val nAlpha = size(filter(col("__toks"), w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nSw = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => array_contains(col("__toks"), s).cast("long")).reduce(_ + _)
+    val mwl = nChars.cast("double") / nWords.cast("double")
+    val symr = nSymbols.cast("double") / nWords.cast("double")
+    val alpf = nAlpha.cast("double") / nWords.cast("double")
+    df.select(id, nWords.as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(symr, 6).as("symbol_ratio"),
+      round(alpf, 6).as("alpha_frac"),
+      nSw.as("n_stopwords"),
+      (mwl.between(3.0, 10.0) && symr <= 0.1 && alpf >= 0.8 &&
+        nSw >= minStopwords).as("keep"))
+  }
+
   /** Domain data selection by contrastive bigram models — the Moore–Lewis
     * cross-entropy-difference criterion (ACL 2010) that DSIR (Xie et al.
     * 2023, arXiv:2302.03169) scales up with hashed n-gram importance

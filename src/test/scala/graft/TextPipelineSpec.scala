@@ -106,6 +106,29 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(m(3L)._2 == 7L && m(3L)._3 == 0L && m(3L)._4 == 0.0)
   }
 
+  test("gopherGates: hand-computed ratios and threshold semantics") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and slept"),   // 8 words, all gates pass
+      (2L, "## ### #... x1 y2"),                  // fails length+symbol+alpha
+      (3L, "a bb cc dd ee the of"),               // mwl 2.0 -> fails length only
+      (4L, "supercalifragilistic expialidocious the of"), // mwl 9.75 passes
+      (5L, "the something otherwords here now")   // exactly ONE stopword
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.gopherGates(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Long, Boolean)].collect()
+    assert(out(0) == ((1L, 8L, 3.125, 0.0, 1.0, 2L, true)))
+    assert(out(1) == ((2L, 5L, 2.6, 1.4, 0.4, 0L, false)))
+    assert(out(2)._3 == 2.0 && !out(2)._7 && out(2)._6 == 2L)
+    assert(out(3) == ((4L, 4L, 9.75, 0.0, 1.0, 2L, true)))
+    // Gopher default needs >= 2 stopwords; the relaxed corpus contract
+    // (minStopwords = 1) admits doc 5
+    assert(out(4)._6 == 1L && !out(4)._7)
+    val relaxed = TextPipeline.gopherGates(df, "doc_id", "text", minStopwords = 1)
+      .orderBy("doc_id").select("keep").as[Boolean].collect()
+    assert(relaxed.toSeq == Seq(true, false, false, true, true))
+  }
+
   test("dedupSpansRewrite erases non-canonical spans with interval-union overlap") {
     val words = (1 to 14).map(i => s"w$i").mkString(" ")
     val rep = (1 to 7).map(i => s"r$i").mkString(" ")
