@@ -1572,6 +1572,57 @@ object OracleSql {
     // portable libm call), then quantized to BIGINT — floor share +
     // largest-remainder top-up are pure integer arithmetic, so the
     // allocation replays exactly and sums to the 100000 budget
+    // repeat-cap water-fill: sort by cap/weight, prefix/suffix windows,
+    // HUGEINT cross-product cap test, mix3's floor + largest-remainder on
+    // the uncapped remainder — budget is the corpus's own token total
+    "mix4_repeat_cap" ->
+      """WITH d AS (SELECT lang || '/' || source AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS stratum_size
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n_docs, stratum_size,
+        |    CAST(floor(sqrt(CAST(stratum_size AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_weight,
+        |    CAST(2 * stratum_size AS BIGINT) AS cap
+        |  FROM d),
+        |tt AS (SELECT CAST(sum(stratum_size) AS BIGINT) AS b FROM w),
+        |s AS (SELECT w.*, tt.b, CAST(cap AS DOUBLE) / CAST(q_weight AS DOUBLE) AS r
+        |  FROM w, tt),
+        |o AS (SELECT *,
+        |    CAST(coalesce(SUM(cap) OVER (ORDER BY r, stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_before,
+        |    CAST(SUM(q_weight) OVER (ORDER BY r, stratum
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS w_from
+        |  FROM s),
+        |bt AS (SELECT *,
+        |    (CAST(cap AS HUGEINT) * CAST(w_from AS HUGEINT)
+        |      <= (CAST(b AS HUGEINT) - CAST(c_before AS HUGEINT)) * CAST(q_weight AS HUGEINT))
+        |      AS ok FROM o),
+        |p AS (SELECT *,
+        |    CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) OVER (ORDER BY r, stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bad_upto
+        |  FROM bt),
+        |f AS (SELECT *, (ok AND bad_upto = 0) AS capped FROM p),
+        |agg AS (SELECT CAST(coalesce(sum(cap) FILTER (WHERE capped), 0) AS BIGINT) AS ck,
+        |    CAST(coalesce(sum(q_weight) FILTER (WHERE NOT capped), 0) AS BIGINT) AS wr FROM f),
+        |sh AS (SELECT f.*, agg.ck, agg.wr,
+        |    CASE WHEN f.capped THEN CAST(f.cap AS HUGEINT)
+        |      ELSE (CAST(f.b AS HUGEINT) - CAST(agg.ck AS HUGEINT))
+        |        * CAST(f.q_weight AS HUGEINT) // CAST(agg.wr AS HUGEINT) END AS base,
+        |    CASE WHEN f.capped THEN CAST(0 AS HUGEINT)
+        |      ELSE (CAST(f.b AS HUGEINT) - CAST(agg.ck AS HUGEINT))
+        |        * CAST(f.q_weight AS HUGEINT) % CAST(agg.wr AS HUGEINT) END AS remv
+        |  FROM f, agg),
+        |lt AS (SELECT CAST(max(b) AS HUGEINT) - max(ck)
+        |    - CAST(coalesce(sum(base) FILTER (WHERE NOT capped), 0) AS HUGEINT) AS leftv
+        |  FROM sh),
+        |rk AS (SELECT *, CASE WHEN capped THEN NULL
+        |    ELSE row_number() OVER (PARTITION BY capped ORDER BY remv DESC, stratum) END AS rnk
+        |  FROM sh)
+        |SELECT stratum, n_docs, stratum_size, q_weight, cap, capped,
+        |  CAST(base + CASE WHEN NOT capped AND rnk <= (SELECT leftv FROM lt)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk ORDER BY stratum""".stripMargin,
+
     "mix3_temperature_mix" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |        CAST(sum(n_chars) AS BIGINT) AS stratum_size

@@ -1548,6 +1548,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** MIX4: temperature mixture under the data-constrained-scaling repeat
+    * cap (≤ 2 epochs per (lang, source) domain here, budget = the
+    * corpus's own token count) — exact closed-form water-fill, all
+    * integer outputs. The oracle replays the sort + prefix/suffix windows
+    * + cross-product cap test + largest-remainder top-up in HUGEINT, so
+    * hash equality proves the allocation exact: small domains cap (√size
+    * shares overweight them), big domains absorb the remainder, and
+    * allocations sum to exactly the budget.
+    */
+  def mix4RepeatCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(concat(col("lang"), lit("/"), col("source")).as("stratum"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.TextPipeline.repeatCapMixture(
+        docs, "stratum", col("n_tokens"), maxEpochs = 2)
+      .orderBy(col("stratum"))
+  }
+
   /** T8: Gopher heuristic quality gates (mean word length, symbol-to-word
     * ratio, alphabetic-word fraction, stopword containment) with a planted
     * '#'-spam fixture (20 hash marks appended to docs 0–39 under ids +5M —
@@ -2025,6 +2043,7 @@ object Queries {
     "mm2_frames" -> (mm2Frames _),
     "mm3_media_embed" -> (mm3MediaEmbed _),
     "mix3_temperature_mix" -> (mix3TemperatureMix _),
+    "mix4_repeat_cap" -> (mix4RepeatCap _),
     "ccn1_quality_buckets" -> (ccn1QualityBuckets _),
     "dc3_semantic_decontaminate" -> (dc3SemanticDecontaminate _),
     "rp1_random_projection" -> (rp1RandomProjection _),

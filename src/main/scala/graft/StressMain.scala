@@ -68,7 +68,7 @@ object StressMain {
       "dc3_semantic_decontaminate", "rp1_random_projection", "s5_rp_topk",
       "sr1_span_rewrite", "nd3_incremental_semdedup", "d8b_semdedup_auto",
       "d8c_semdedup_hier", "cp3_selective_pipeline", "t8_gopher_gates",
-      "cp4_span_rewrite_pipeline")
+      "cp4_span_rewrite_pipeline", "mix4_repeat_cap")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -615,6 +615,74 @@ object TextPipeline {
         col("q_weight"), col("alloc"))
   }
 
+  /** Temperature mixture with a MAX-EPOCHS cap — the data-constrained-
+    * scaling allocator (Muennighoff et al. 2023, arXiv:2305.16264: repeat
+    * data at most ~4 epochs; D4 practice): each domain's ideal share is
+    * proportional to [[temperatureMixture]]'s √size weight, but no domain
+    * may be allocated more than `maxEpochs`·size tokens. The exact
+    * water-fill has a CLOSED FORM — no iteration: sort domains by
+    * cap/weight ratio ascending; a domain is capped iff
+    * cap·W_suffix ≤ (B − C_prefix)·w (all integer cross-products in
+    * DECIMAL(38,0) — exact at 100 TB weights); the uncapped remainder is
+    * distributed by the mix3 floor-share + largest-remainder rule, so
+    * allocations sum to EXACTLY the budget whenever budget ≤ Σcap (beyond
+    * that everything caps and the shortfall is visible as Σalloc < B).
+    * `budget < 0` means "the corpus's own token count" — reallocate one
+    * epoch's worth across domains under the temperature, never repeating
+    * any domain past `maxEpochs`.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus to a
+    * per-domain frame; every window after that runs on that tiny frame
+    * (domains number in the hundreds). Deterministic: ratio ties break on
+    * the stratum, remainder ties likewise.
+    */
+  def repeatCapMixture(docs: DataFrame, stratumCol: String, sizeCol: Column,
+      maxEpochs: Int = 4, budget: Long = -1L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sizes = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("stratum_size"))
+      .withColumn("q_weight",
+        floor(sqrt(col("stratum_size").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("cap", (lit(maxEpochs.toLong) * col("stratum_size")).cast("long"))
+    val tot = sizes.agg(sum(col("stratum_size")).cast("long").as("__tot"))
+    val wOrd = Window.orderBy(col("r"), col(stratumCol))
+    val s = sizes.crossJoin(broadcast(tot))
+      .withColumn("__b",
+        when(lit(budget) >= 0, lit(budget)).otherwise(col("__tot")).cast("long"))
+      .withColumn("r", col("cap").cast("double") / col("q_weight").cast("double"))
+      .withColumn("c_before", coalesce(sum(col("cap"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_from", sum(col("q_weight"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("ok", col("cap").cast(dec) * col("w_from").cast(dec) <=
+        (col("__b").cast(dec) - col("c_before").cast(dec)) * col("q_weight").cast(dec))
+      .withColumn("bad_upto", sum(when(col("ok"), 0L).otherwise(1L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("capped", col("ok") && col("bad_upto") === 0L)
+    val agg = s.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("__ck"),
+      coalesce(sum(when(!col("capped"), col("q_weight"))), lit(0L)).as("__wr"))
+    val sh = s.crossJoin(broadcast(agg))
+      .withColumn("__remt", col("__b").cast(dec) - col("__ck").cast(dec))
+      .withColumn("base", when(col("capped"), col("cap"))
+        .otherwise(expr(
+          "(__remt * CAST(q_weight AS decimal(38,0))) div CAST(__wr AS decimal(38,0))")))
+      .withColumn("remv", when(col("capped"), lit(0L))
+        .otherwise(((col("__remt") * col("q_weight").cast(dec)) %
+          col("__wr").cast(dec)).cast("long")))
+    val lt = sh.agg((max(col("__b")) - max(col("__ck")) -
+      coalesce(sum(when(!col("capped"), col("base"))), lit(0L))).as("__left"))
+    val wRk = Window.partitionBy(col("capped"))
+      .orderBy(col("remv").desc, col(stratumCol))
+    sh.crossJoin(broadcast(lt))
+      .withColumn("__rk", row_number().over(wRk))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)))
+      .select(col(stratumCol), col("n_docs"), col("stratum_size"),
+        col("q_weight"), col("cap"), col("capped"), col("alloc"))
+  }
+
   // ---------------------------------------------------------------------
   // CCNet-style quality buckets (head / middle / tail)
   // ---------------------------------------------------------------------

@@ -106,6 +106,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(m(3L)._2 == 7L && m(3L)._3 == 0L && m(3L)._4 == 0.0)
   }
 
+  test("repeatCapMixture: caps bind, budget exact, degenerates to mix3") {
+    // three domains: tiny (will cap under the temperature), medium, large
+    def doc(st: String, words: Int, n: Int) =
+      (0 until n).map(i => (st, (1 to words).map(j => s"w$j").mkString(" ")))
+    val df = (doc("a", 10, 2) ++ doc("b", 40, 10) ++ doc("c", 50, 40))
+      .toDF("stratum", "text")
+      .select(col("stratum"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+    // sizes: a=20, b=400, c=2000; budget=self=2420; maxEpochs=2
+    val out = TextPipeline.repeatCapMixture(df, "stratum", col("n_tokens"),
+        maxEpochs = 2)
+      .orderBy("stratum")
+      .select("stratum", "stratum_size", "cap", "capped", "alloc")
+      .as[(String, Long, Long, Boolean, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._2).sum == 2420L)
+    assert(out.map(_._5).sum == 2420L, "allocations must sum to the budget")
+    out.foreach { r => assert(r._5 <= r._3, s"alloc over cap: $r") }
+    // √size shares: a's ideal ≈ 2420·√20/(√20+√400+√2000) ≈ 157 > cap 40
+    assert(m("a")._4 && m("a")._5 == 40L, "tiny domain must cap at 2 epochs")
+    assert(!m("c")._4, "large domain absorbs the remainder uncapped")
+    // with a cap that can never bind, the allocation IS mix3's
+    val noCap = TextPipeline.repeatCapMixture(df, "stratum", col("n_tokens"),
+        maxEpochs = 1000000, budget = 1000L)
+      .orderBy("stratum").select("stratum", "alloc")
+      .as[(String, Long)].collect().toMap
+    val mix3 = TextPipeline.temperatureMixture(df, "stratum",
+        col("n_tokens"), budget = 1000L)
+      .orderBy("stratum").select("stratum", "alloc")
+      .as[(String, Long)].collect().toMap
+    assert(noCap == mix3)
+  }
+
   test("gopherGates: hand-computed ratios and threshold semantics") {
     val df = Seq(
       (1L, "the cat sat on the mat and slept"),   // 8 words, all gates pass
