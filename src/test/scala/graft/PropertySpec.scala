@@ -300,6 +300,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpansRewrite == local interval-union replay on arbitrary corpora") {
+    import graft.operators.TextPipeline
+    forAllSampled(corpusGen, n = 6) { docs =>
+      val k = 3
+      val out = TextPipeline.dedupSpansRewrite(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toVector }.toMap
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, List[(Long, Int)]].withDefaultValue(Nil)
+      docs.foreach { case (id, _) =>
+        val tk = toks(id)
+        (0 to tk.size - k).foreach { i =>
+          val s = tk.slice(i, i + k).mkString(" ")
+          occ(s) = occ(s) :+ ((id, i + 1))
+        }
+      }
+      val rm = scala.collection.mutable.Set.empty[(Long, Int)]
+      occ.values.foreach { os =>
+        if (os.size >= 2) {
+          val canon = os.min
+          os.filterNot(_ == canon).foreach { case (d, p) =>
+            (p until p + k).foreach(j => rm += ((d, j)))
+          }
+        }
+      }
+      docs.foreach { case (id, _) =>
+        val tk = toks(id)
+        val keep = tk.zipWithIndex.collect { case (w, i) if !rm((id, i + 1)) => w }
+        val (ct, nt, nr) = out(id)
+        assert(nt == tk.size.toLong && nr == (tk.size - keep.size).toLong, s"doc $id")
+        assert(ct == keep.mkString(" "), s"doc $id")
+      }
+    }
+  }
+
+  test("repeatCapMixture == BigInt water-fill replay on arbitrary domain shapes") {
+    import graft.operators.TextPipeline
+    val gen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, Gen.choose(1, 500)))
+    forAllSampled(gen, n = 8) { sizes0 =>
+      val sizes = sizes0.zipWithIndex.map { case (s, i) => (f"s$i%02d", s.toLong) }
+      val budget = sizes.map(_._2).sum
+      val out = TextPipeline.repeatCapMixture(sizes.toDF("stratum", "n_tokens"),
+          "stratum", col("n_tokens"), maxEpochs = 2)
+        .select("stratum", "q_weight", "cap", "capped", "alloc")
+        .as[(String, Long, Long, Boolean, Long)].collect().sortBy(_._1)
+      // exact replay of the closed-form water-fill (engine weights, BigInt)
+      val sorted = out.map(r => (r._1, r._2, r._3))
+        .sortBy { case (st, w, cap) => (cap.toDouble / w.toDouble, st) }
+      var idx = 0
+      var ck = BigInt(0)
+      var stop = false
+      val cappedSet = scala.collection.mutable.Set.empty[String]
+      while (idx < sorted.length && !stop) {
+        val wSuf = sorted.drop(idx).map(d => BigInt(d._2)).sum
+        val d = sorted(idx)
+        if (BigInt(d._3) * wSuf <= (BigInt(budget) - ck) * BigInt(d._2)) {
+          cappedSet += d._1; ck += d._3; idx += 1
+        } else stop = true
+      }
+      val un = sorted.drop(idx)
+      val wr = un.map(d => BigInt(d._2)).sum
+      val rem = BigInt(budget) - ck
+      val base = un.map(d => d._1 -> rem * d._2 / wr).toMap
+      val left = (rem - base.values.sum).toInt
+      val topped = un.sortBy(d => (-(rem * d._2 % wr), d._1))
+        .take(left).map(_._1).toSet
+      out.foreach { case (st, _, cap, cpd, alloc) =>
+        assert(cpd == cappedSet(st), s"$st capped flag")
+        val want = if (cpd) BigInt(cap) else base(st) + (if (topped(st)) 1 else 0)
+        assert(BigInt(alloc) == want && alloc <= cap, s"$st alloc")
+      }
+      // maxEpochs = 2 with the self budget: Σcap = 2·B, so the fill is
+      // always satisfiable and allocations must sum exactly
+      assert(out.map(_._5).sum == budget)
+    }
+  }
+
   test("semDeDup: sound drops always; complete vs exact greedy when k = 1") {
     import graft.operators.Dedup
     val vecGen: Gen[List[(Long, Array[Float])]] =
