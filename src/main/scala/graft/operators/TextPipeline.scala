@@ -589,11 +589,17 @@ object TextPipeline {
     */
   def temperatureMixture(docs: DataFrame, stratumCol: String,
       sizeCol: Column, budget: Long): DataFrame = {
+    // The per-domain frame feeds THREE consumers (the total, the shares,
+    // the leftover) — localCheckpoint materializes the corpus groupBy
+    // once, so the corpus is scanned once, not once per consumer; the
+    // frame is domain-count-sized (hundreds of rows), so the checkpoint
+    // is free and its blocks live only as long as the returned plan.
     val sizes = docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("stratum_size"))
       .withColumn("q_weight",
         floor(sqrt(col("stratum_size").cast("double")) * lit(1e6) + lit(0.5))
           .cast("long"))
+      .localCheckpoint()
     val tot = sizes.agg(sum(col("q_weight")).as("__tot"))
     // budget·q_weight can reach ~1e13·budget (q_weight ≈ √bytes·1e6 at
     // 100 TB), far past Long range — widen to DECIMAL(38,0) for the product
@@ -639,12 +645,16 @@ object TextPipeline {
   def repeatCapMixture(docs: DataFrame, stratumCol: String, sizeCol: Column,
       maxEpochs: Int = 4, budget: Long = -1L): DataFrame = {
     val dec = "decimal(38,0)"
+    // localCheckpoint: one corpus scan feeds all downstream consumers of
+    // the per-domain frame (total, water-fill windows, remainder agg) —
+    // same rationale as temperatureMixture
     val sizes = docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("stratum_size"))
       .withColumn("q_weight",
         floor(sqrt(col("stratum_size").cast("double")) * lit(1e6) + lit(0.5))
           .cast("long"))
       .withColumn("cap", (lit(maxEpochs.toLong) * col("stratum_size")).cast("long"))
+      .localCheckpoint()
     val tot = sizes.agg(sum(col("stratum_size")).cast("long").as("__tot"))
     val wOrd = Window.orderBy(col("r"), col(stratumCol))
     val s = sizes.crossJoin(broadcast(tot))
