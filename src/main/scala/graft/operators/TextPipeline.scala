@@ -228,11 +228,19 @@ object TextPipeline {
     * no suffix sort. The reference is silent here (pandas stats only,
     * `tool_call_agent.py:131-141`); [[dedupLinesRewrite]] is the
     * non-overlapping-chunk variant.
+    *
+    * EXECUTION CONTRACT (the [[Dedup.minhashLsh]] contract): eager — the
+    * token projection feeds FOUR consumers (span stream twice, the token
+    * stream, the per-doc stats), so it is cached and the corpus parquet
+    * is scanned ONCE; the result is materialized, the projection cache
+    * released, and the returned (cached) frame is caller-owned.
     */
   def dedupSpansRewrite(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 6): DataFrame = {
     val id = col(idCol)
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toksDf = docs.select(id, split(trim(col(textCol)), "\\s+").as("__toks"))
+      .persist(mad)
     val nPos = size(col("__toks")) - lit(k - 1)
     // sequence(1, n) REVERSES for n < 1 — short docs must hit the
     // empty-array branch (same guard as dupSpanStats)
@@ -261,11 +269,16 @@ object TextPipeline {
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
         s => s.getField("__tok"))).as("clean_text"))
-    toksDf.select(id, size(col("__toks")).cast("long").as("n_tokens"))
+    val out = toksDf
+      .select(id, size(col("__toks")).cast("long").as("n_tokens"))
       .join(reasm, Seq(idCol), "left")
       .select(id, coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("__nkept"), lit(0L))).as("n_removed"))
+      .persist(mad)
+    out.count()
+    toksDf.unpersist(blocking = false)
+    out
   }
 
   /** Gopher-style repetition-free document quality gates (Rae et al. 2021,
