@@ -24,13 +24,24 @@ import graft.functions.TextFunctions
 object Queries {
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-      // read nanos as long and floor to microsecond precision.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(s, s"$dir/$name.parquet")
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts has shipped both as parquet TIMESTAMP(NANOS) — which Spark's
+    * reader only admits as a long — and as TIMESTAMP(MICROS) isAdjustedToUTC
+    * =false, which Spark 4 reads natively as TIMESTAMP_NTZ. Normalize both
+    * to a session-zone TIMESTAMP so every downstream operator sees one type;
+    * the session zone is pinned UTC, so the NTZ cast is value-identity.
+    */
+  private[graft] def loadEvents(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   private def ts(v: String): Column = lit(java.sql.Timestamp.valueOf(v))
 

@@ -29,9 +29,7 @@ class ProfilerPipelineSpec extends AnyFunSuite {
   }
 
   test("profile of timestamp/JSON-bearing events table") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Queries.loadEvents(spark, s"${SparkTestSession.sfDir}/events.parquet")
     val p = Profiler(ev)
     assert(p.rowCount == 1000)
     assert(p.columns.exists { case (n, t) => n == "ts" && t == "timestamp" })

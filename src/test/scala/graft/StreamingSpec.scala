@@ -11,11 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def eventsBatch = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsBatch =
+    Queries.loadEvents(spark, s"${SparkTestSession.sfDir}/events.parquet")
 
   test("windowed totals: streaming result == batch rollup") {
     val batch = eventsBatch
