@@ -690,10 +690,12 @@ object Dedup {
       iterations: Int = 3,
       maxBucket: Int = DefaultMaxBucket,
       repFactor: Int = DefaultRepFactor,
-      // > 0 switches every assignment pass to the two-level route
+      // > 0 forces every assignment pass onto the two-level route
       // ([[Similarity.ivfIndexHier]]) with this many coarse probes — the
-      // build-cost lever when nClusters scales with the corpus. 0 = flat
-      // exact argmin (the d8/d8b geometry).
+      // build-cost lever when nClusters scales with the corpus. 0 = auto:
+      // flat exact argmin below [[Similarity.HierCrossoverK]] (the d8/d8b
+      // geometry at every tested SF), hierarchical with 4 probes above it
+      // (the auto-geometry corpus-scaled cluster counts).
       hierNProbe: Int = 0): DataFrame = {
     import graft.functions.VecExpressions.{fdot, fnorm}
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -708,9 +710,9 @@ object Dedup {
         when(col("nrm") > 0, v.cast("double") / col("nrm"))
           .otherwise(lit(0.0))).as("unit"))
     val (assigned, cents) =
-      if (hierNProbe > 0)
+      if (hierNProbe > 0 || nClusters > Similarity.HierCrossoverK)
         Similarity.ivfIndexHier(unit, "id", "unit", nClusters, iterations,
-          hierNProbe)
+          math.max(hierNProbe, 4))
       else Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
     // Each id sits in exactly ONE cluster (unlike multi-table LSH), so the
     // guarded pair stream is already duplicate-free — no distinct needed.
@@ -780,10 +782,18 @@ object Dedup {
   final case class SemIndex private[operators] (
       centroids: DataFrame,
       members: DataFrame,
-      nClusters: Int) {
+      nClusters: Int,
+      // The prebuilt two-level routing geometry when the cluster count is
+      // above [[Similarity.HierCrossoverK]] (auto geometry at scale) — the
+      // index owns it so probes and appends route map-only instead of
+      // re-deriving the inner k-means per batch (a fixed ~10 s tax the
+      // 100× stress exposed) or broadcasting a corpus-scaled centroid
+      // table into a flat argmin.
+      private[operators] val routing: Option[Similarity.CoarseRouting]) {
     def close(): Unit = {
       centroids.unpersist(blocking = false)
       members.unpersist(blocking = false)
+      routing.foreach(_.close())
     }
 
     /** Fold a batch into the index — the semantic twin of
@@ -807,20 +817,37 @@ object Dedup {
       val nMembers = batch
         .select(col(idCol).as("sid"), col(vecCol).as("vec"),
           fnorm(col(vecCol)).as("nrm"))
-        .join(Similarity.assign(unit, centroids)
+        .join(assignToIndex(unit, centroids, routing)
             .select(col("neighbor_id").as("sid"), col("cluster")),
           Seq("sid"))
       val members2 = members.unionAll(nMembers).persist(mad)
       members2.count()
       members.unpersist(blocking = false)
-      SemIndex(centroids, members2, nClusters)
+      SemIndex(centroids, members2, nClusters, routing)
     }
   }
 
+  /** Nearest-index-centroid assignment at whatever route the index's
+    * geometry warrants: the prebuilt two-level routing when the index
+    * carries one (cluster count above [[Similarity.HierCrossoverK]] — a
+    * broadcast of a corpus-scaled centroid table would not fit, and flat
+    * argmin is n·k work), flat broadcast argmin otherwise. Probes and
+    * appends share the build's route so batch assignments reproduce what
+    * the build would have assigned.
+    */
+  private def assignToIndex(unit: DataFrame, centroids: DataFrame,
+      routing: Option[Similarity.CoarseRouting]): DataFrame =
+    routing match {
+      case Some(r) => Similarity.assignRouted(unit, centroids, r, nProbe = 4)
+      case None    => Similarity.assign(unit, centroids)
+    }
+
   /** Build the [[SemIndex]]: unit-normalize (the [[semDeDup]] geometry),
-    * deterministic k-means via [[Similarity.ivfIndex]], then record each
-    * member's cluster alongside its original vector — one corpus scan plus
-    * the fixed Lloyd rounds; nothing here depends on future batches.
+    * deterministic k-means — flat [[Similarity.ivfIndex]] below the
+    * [[Similarity.HierCrossoverK]] crossover, two-level
+    * [[Similarity.ivfIndexHier]] above it — then record each member's
+    * cluster alongside its original vector: one corpus scan plus the fixed
+    * Lloyd rounds; nothing here depends on future batches.
     */
   def buildSemIndex(
       df: DataFrame,
@@ -837,7 +864,10 @@ object Dedup {
         when(col("nrm") > 0, v.cast("double") / col("nrm"))
           .otherwise(lit(0.0))).as("unit"))
     val (assigned, cents) =
-      Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
+      if (nClusters > Similarity.HierCrossoverK)
+        Similarity.ivfIndexHier(unit, "id", "unit", nClusters, iterations,
+          nProbe = 4)
+      else Similarity.ivfIndex(unit, "id", "unit", nClusters, iterations)
     val members = df
       .select(col(idCol).as("sid"), col(vecCol).as("vec"),
         fnorm(col(vecCol)).as("nrm"))
@@ -846,7 +876,14 @@ object Dedup {
       .persist(mad)
     members.count()
     assigned.unpersist(blocking = false)
-    SemIndex(cents, members, nClusters)
+    // Precompute the probe-time routing once, only at the geometry where
+    // the build itself routed (consistency: probes must reproduce the
+    // build's assignment rule, so below the crossover they stay flat).
+    val routing =
+      if (nClusters > Similarity.HierCrossoverK)
+        Similarity.buildCoarseRouting(cents, nProbe = 4)
+      else None
+    SemIndex(cents, members, nClusters, routing)
   }
 
   /** Semantic near-dedup of a NEW batch against a persisted [[SemIndex]]
@@ -887,7 +924,7 @@ object Dedup {
     val bSides = batch
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         fnorm(col(vecCol)).as("nrm"))
-      .join(Similarity.assign(unit, index.centroids)
+      .join(assignToIndex(unit, index.centroids, index.routing)
           .select(col("neighbor_id").as("id"), col("cluster")),
         Seq("id"))
       .persist(mad)

@@ -155,12 +155,34 @@ object Similarity {
     * is too small for two levels to pay.
     */
   private[graft] def assignHierarchical(
-      vecs: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+      vecs: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    buildCoarseRouting(cents, nProbe) match {
+      case None          => assign(vecs, cents)
+      case Some(routing) => assignRouted(vecs, cents, routing, nProbe)
+    }
+
+  /** The two-level route's precomputed geometry: the ~√k coarse centroids
+    * (tiny, rides in plans as a literal array) and the fine-cluster →
+    * coarse-group map (k tiny rows, checkpointed). Built once per centroid
+    * table — an index that is probed many times stores this alongside its
+    * centroids ([[Dedup.SemIndex]]) instead of re-deriving the inner
+    * k-means per probe batch.
+    */
+  private[graft] final case class CoarseRouting(
+      coarse: Array[(Int, Seq[Double])], f2c: DataFrame) {
+    def close(): Unit = f2c.unpersist(blocking = false)
+  }
+
+  /** Derive [[CoarseRouting]] for a centroid table, or None when k is too
+    * small for two levels to pay (the flat-argmin regime). The inner
+    * k-means runs over the k centroid ROWS (fine cluster id doubles as the
+    * row id — deterministic lowest-id init like the outer build).
+    */
+  private[graft] def buildCoarseRouting(
+      cents: DataFrame, nProbe: Int): Option[CoarseRouting] = {
     val k = cents.count()
     val coarseK = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    if (k <= 64 || coarseK.toLong * nProbe >= k) return assign(vecs, cents)
-    // inner k-means over the k centroid rows (fine cluster id doubles as
-    // the row id — deterministic lowest-id init like the outer build)
+    if (k <= 64 || coarseK.toLong * nProbe >= k) return None
     val (f2cRaw, coarseRaw) = ivfIndex(
       cents.select(col("cluster").as("neighbor_id"), col("centroid")),
       "neighbor_id", "centroid", nClusters = coarseK, iterations = 2)
@@ -172,12 +194,26 @@ object Similarity {
       .localCheckpoint()
     val coarseRows = coarseRaw.select(col("cluster"), col("centroid"))
       .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
     f2cRaw.unpersist(blocking = false)
     coarseRaw.unpersist(blocking = false)
-    val coarseLit = array(coarseRows.map { r =>
-      struct(typedLit(r.getSeq[Double](1)).as("cent"),
-        lit(r.getInt(0)).as("cg"))
-    }: _*)
+    Some(CoarseRouting(coarseRows, f2c))
+  }
+
+  /** Two-level assignment against a prebuilt [[CoarseRouting]]: map-only
+    * routing to the nProbe nearest coarse groups (the coarse table rides
+    * in the plan as a ~√k-entry literal array — no crossJoin, no shuffle
+    * for routing), then exact argmin over only the routed groups' fine
+    * centroids (~nProbe·√k per vector; the aggregate map-side-combines
+    * back to one row per vector). Deterministic; approximate only at
+    * coarse-group boundaries — see [[assignHierarchical]]'s contract.
+    */
+  private[graft] def assignRouted(
+      vecs: DataFrame, cents: DataFrame, routing: CoarseRouting,
+      nProbe: Int): DataFrame = {
+    val coarseLit = array(routing.coarse.map { case (cg, cent) =>
+      struct(typedLit(cent).as("cent"), lit(cg).as("cg"))
+    }.toIndexedSeq: _*)
     // map-only routing: distances to every coarse centroid in one
     // projection, sort by (d2, cg), take the nProbe nearest groups
     val dists = transform(coarseLit, c => struct(
@@ -190,7 +226,7 @@ object Similarity {
     // exact argmin over the routed groups' fine centroids only; each fine
     // cluster belongs to exactly one group, so the pair stream carries no
     // duplicates and min_by needs no distinct
-    val fine = cents.join(f2c, Seq("cluster"))
+    val fine = cents.join(routing.f2c, Seq("cluster"))
     routed.join(fine, Seq("__cg"))
       .select(col("neighbor_id"), col("nvec"), col("cluster"),
         graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
@@ -236,6 +272,46 @@ object Similarity {
     ivfIndexCore(corpus, idCol, vecCol, nClusters, iterations,
       (v, c) => assignHierarchical(v, c, nProbe))
 
+  /** The flat-vs-hierarchical assignment crossover: below this cluster
+    * count the flat broadcast argmin wins (two-level routing has a fixed
+    * inner-k-means cost); above it the ~n·√k hier route wins and keeps
+    * winning as k grows with the corpus (PERF.md: measured near k≈160 at
+    * the 100× stress geometry). [[Dedup]]'s auto-geometry entry points use
+    * this to pick the build path.
+    */
+  private[graft] val HierCrossoverK = 160
+
+  /** The k lowest-id rows of `vecs`, renumbered 0..k-1 in id order, as a
+    * (cluster, centroid) frame — the deterministic k-means init, derived
+    * IN-ENGINE by the chunked-rank decomposition (per-chunk counts → tiny
+    * running-offset window → within-chunk row_number): under auto geometry
+    * k grows with the corpus (~n/128), so a driver-side
+    * `limit(k).collect()` would haul a corpus-proportional multi-GB init
+    * through the driver. Chunk = id >> 16 (order-aligned; arithmetic shift
+    * floors negatives correctly), so the offset window runs over
+    * ~idRange/65536 tiny count rows and each within-chunk window holds at
+    * most 65536 rows — no corpus-sized single task anywhere. Membership
+    * and numbering are identical to the collect form (same k smallest ids,
+    * same id order), so downstream hashes do not move.
+    */
+  private def initCentroids(vecs: DataFrame, nClusters: Int): DataFrame = {
+    val withChunk = vecs.select(col("neighbor_id"), col("nvec"),
+      shiftright(col("neighbor_id").cast("long"), 16).as("__chunk"))
+    val counts = withChunk.groupBy(col("__chunk")).agg(count(lit(1)).as("__n"))
+    val wC = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wC), lit(0L)))
+      .where(col("__off") < nClusters) // only chunks reaching into the k smallest
+      .select(col("__chunk"), col("__off"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col("neighbor_id"))
+    withChunk.join(broadcast(offsets), Seq("__chunk"))
+      .withColumn("__rk", row_number().over(wIn) + col("__off"))
+      .where(col("__rk") <= nClusters)
+      .select((col("__rk") - 1).cast("int").as("cluster"),
+        col("nvec").as("centroid"))
+  }
+
   private def ivfIndexCore(
       corpus: DataFrame,
       idCol: String,
@@ -251,15 +327,24 @@ object Similarity {
         transform(col(vecCol), _.cast("double")).as("nvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Deterministic init: the nClusters lowest-id vectors, renumbered 0..k-1
-    // in id order. The init set is tiny (≤ nClusters rows) so it is collected
-    // and rebuilt driver-side — no global Window over the cluster ids.
+    // in id order — in-engine (no corpus-proportional driver collect); the
+    // non-numeric-id fallback keeps the old tiny-k collect path for callers
+    // whose ids don't shift (every registry/production id is integral).
     val spark = corpus.sparkSession
     import spark.implicits._
-    val init = vecs.orderBy(col("neighbor_id")).limit(nClusters)
-      .select(col("nvec")).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0)) }
-    var cents = init.toSeq.toDF("cluster", "centroid")
+    val idIsIntegral = vecs.schema("neighbor_id").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    var cents =
+      if (idIsIntegral) initCentroids(vecs, nClusters)
+      else vecs.orderBy(col("neighbor_id")).limit(nClusters)
+        .select(col("nvec")).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        .toSeq.toDF("cluster", "centroid")
+    cents = cents.persist()
+    cents.count() // materialize: every Lloyd round re-reads the init
     (1 to iterations).foreach { _ =>
       val assigned = assignFn(vecs, cents)
       val prev = cents
