@@ -126,7 +126,7 @@ object OracleSql {
        |    ELSE CAST(len(s) - len(replace(s, '$bpeSep', '')) - 1 AS BIGINT) END AS bpe_n
        |  FROM (SELECT w, $bpeApplySql AS s FROM bpes))""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val sql0: Map[String, String] = Map(
     // -------------------------------------------------------- profiling
     "p2_shape" ->
       """SELECT * FROM (
@@ -1694,4 +1694,12 @@ object OracleSql {
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
+
+  // The reloaded-index rows assert a save/load round-trip is invisible:
+  // the engine probes an index persisted to parquet and loaded back in a
+  // fresh handle, and the result must hash-match the SAME oracle replay
+  // the in-session rows pin — so the oracle SQL is shared by reference.
+  val sql: Map[String, String] = sql0 ++ Map(
+    "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
+    "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"))
 }

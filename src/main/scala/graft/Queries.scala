@@ -1707,6 +1707,72 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** ND2R: the nd2 rolling-crawl probe against a RELOADED index — build
+    * the MinHash index, [[Dedup.LshIndex.save]] it to a fresh parquet
+    * lineage, drop the in-memory handle, [[Dedup.loadLshIndex]], and only
+    * then probe. Same fixture and oracle as nd2: hash equality proves the
+    * durable round-trip is invisible — the persisted index answers every
+    * probe exactly as the in-session one did (the cross-SESSION contract a
+    * rolling crawl actually needs; nd2 alone only proves the in-JVM form).
+    */
+  def nd2rReloadedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val planted = existing
+      .where(col("doc_id") < 60 &&
+        size(split(trim(col("text")), "\\s+")) >= 30)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val batch = docs.where(col("doc_id") % 10 === 0).unionAll(planted)
+    val built = Dedup.buildLshIndex(existing, "doc_id", "text",
+      numHashes = 128, bands = 16, shingleSize = 3)
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString
+    built.save(lineage)
+    built.close()
+    val index = Dedup.loadLshIndex(s, lineage)
+    val matches = Dedup.incrementalNearDup(batch, "doc_id", "text", index,
+      threshold = 0.9)
+    index.close()
+    batch.select(col("doc_id"))
+      .join(matches.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** ND3R: the nd3 semantic probe against a RELOADED [[Dedup.SemIndex]] —
+    * save/load between build and probe (centroids + members round-trip
+    * through parquet; the probe routing re-derives deterministically from
+    * the stored centroids). Same fixture and oracle as nd3.
+    */
+  def nd3rReloadedSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val existing = e.where(col("vec_id") % 10 =!= 0)
+    def perturb(src: DataFrame, offset: Long) = src
+      .select((col("vec_id") + offset).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val b0 = e.where(col("vec_id") % 10 === 0)
+    val batch = b0
+      .unionAll(perturb(existing.where(col("vec_id") < 50), 1000000L))
+      .unionAll(perturb(b0.where(col("vec_id") < 60), 2000000L))
+    val built = Dedup.buildSemIndex(existing, "vec_id", "embedding",
+      nClusters = 16, iterations = 3)
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_semidx").toString
+    built.save(lineage)
+    built.close()
+    val index = Dedup.loadSemIndex(s, lineage)
+    val matches = Dedup.incrementalSemDedup(batch, "vec_id", "embedding",
+      index, threshold = 0.99)
+    index.close()
+    batch.select(col("vec_id"))
+      .join(matches.select(col("batch_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
     * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
     * blocklisted; odd docs carry no URL and pass with a null domain.
@@ -2032,6 +2098,8 @@ object Queries {
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),
     "nd2_incremental_neardup" -> (nd2IncrementalNearDup _),
     "nd3_incremental_semdedup" -> (nd3IncrementalSemDedup _),
+    "nd2r_reloaded_neardup" -> (nd2rReloadedNearDup _),
+    "nd3r_reloaded_semdedup" -> (nd3rReloadedSemDedup _),
     "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),

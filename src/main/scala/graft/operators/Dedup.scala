@@ -314,6 +314,52 @@ object Dedup {
       banded.unpersist(blocking = false)
       LshIndex(sets2, banded2, numHashes, bands, shingleSize)
     }
+
+    /** Persist this index durably: write `sets` and `banded` as parquet
+      * under the next `epoch=N` of `path` plus a tiny JSON sidecar with
+      * the signature geometry — the cross-SESSION form of the handle (a
+      * rolling crawl is a cross-session workload; an in-memory index dies
+      * with the JVM and costs a full corpus re-scan to rebuild). The
+      * sidecar is written LAST, so a torn save (crash mid-write) leaves an
+      * epoch [[Dedup.loadLshIndex]] skips; epochs are never overwritten
+      * (the [[graft.sources.Versioned]] discipline — refresh loops write a
+      * new epoch per checkpoint). A metastore deployment would bucketBy
+      * (band, bucket) / sid into tables instead for exchange-free probe
+      * joins; plain parquet keeps the layout portable. Returns the epoch
+      * dir written.
+      */
+    def save(path: String): String = {
+      val dir = IndexStore.nextEpochDir(sets.sparkSession, path)
+      sets.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/sets")
+      banded.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/banded")
+      IndexStore.writeSidecar(sets.sparkSession, dir,
+        s"""{"kind":"lsh","numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize}""")
+      dir
+    }
+  }
+
+  /** Reload the newest complete epoch of a [[LshIndex.save]] lineage:
+    * frames are persisted and materialized exactly like [[buildLshIndex]]
+    * leaves them, so probes against a reloaded index reproduce the
+    * in-session index bit-for-bit.
+    */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): LshIndex = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = IndexStore.latestEpochDir(spark, path)
+    val meta = IndexStore.readSidecar(spark, dir)
+    require(IndexStore.jsonString(meta, "kind") == "lsh",
+      s"$dir is not an LshIndex lineage")
+    val sets = spark.read.parquet(s"$dir/sets").persist(mad)
+    val banded = spark.read.parquet(s"$dir/banded").persist(mad)
+    banded.count()
+    sets.count()
+    LshIndex(sets, banded,
+      IndexStore.jsonInt(meta, "numHashes"),
+      IndexStore.jsonInt(meta, "bands"),
+      IndexStore.jsonInt(meta, "shingleSize"))
   }
 
   /** Banded bucket rows of a shingle-set frame (sid, sset) — the shared
@@ -825,6 +871,51 @@ object Dedup {
       members.unpersist(blocking = false)
       SemIndex(centroids, members2, nClusters, routing)
     }
+
+    /** Persist this index durably: centroid and member frames as parquet
+      * under the next `epoch=N` of `path` plus the geometry sidecar — the
+      * cross-session form ([[LshIndex.save]]'s contract: append-only
+      * epochs, sidecar last, so loads only ever see complete epochs). The
+      * two-level routing is NOT stored: it derives deterministically from
+      * the centroid table, so [[Dedup.loadSemIndex]] rebuilds an identical
+      * one — geometry parameters travel, derived structures don't.
+      */
+    def save(path: String): String = {
+      val dir = IndexStore.nextEpochDir(centroids.sparkSession, path)
+      centroids.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/centroids")
+      members.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/members")
+      IndexStore.writeSidecar(centroids.sparkSession, dir,
+        s"""{"kind":"sem","nClusters":$nClusters}""")
+      dir
+    }
+  }
+
+  /** Reload the newest complete epoch of a [[SemIndex.save]] lineage.
+    * Frames come back persisted and materialized exactly as
+    * [[buildSemIndex]] leaves them, and the probe routing is re-derived
+    * from the stored centroids (deterministic — same inner k-means, same
+    * init rule — so a reloaded index assigns every batch vector to the
+    * same cluster the in-session index would).
+    */
+  def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SemIndex = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = IndexStore.latestEpochDir(spark, path)
+    val meta = IndexStore.readSidecar(spark, dir)
+    require(IndexStore.jsonString(meta, "kind") == "sem",
+      s"$dir is not a SemIndex lineage")
+    val nClusters = IndexStore.jsonInt(meta, "nClusters")
+    val cents = spark.read.parquet(s"$dir/centroids").persist()
+    val members = spark.read.parquet(s"$dir/members").persist(mad)
+    members.count()
+    cents.count()
+    val routing =
+      if (nClusters > Similarity.HierCrossoverK)
+        Similarity.buildCoarseRouting(cents, nProbe = 4)
+      else None
+    SemIndex(cents, members, nClusters, routing)
   }
 
   /** Nearest-index-centroid assignment at whatever route the index's
