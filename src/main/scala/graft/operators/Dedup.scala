@@ -296,20 +296,37 @@ object Dedup {
       * signature → band); the existing index is unioned, never recomputed.
       * Returns a NEW handle owning the refreshed caches; the superseded
       * handle's blocks are released once the new frames materialize, so
-      * `index = index.append(...)` is the intended usage. The in-memory
-      * union chain suits a bounded in-session refresh loop (a streaming
-      * query's foreachBatch); a durable deployment checkpoints sets/banded
-      * to a table between sessions instead.
+      * `index = index.append(...)` is the intended usage. With
+      * `checkpointTo` set, the batch's signatures ALSO land as a delta
+      * epoch of that lineage before the in-memory union — batch-sized
+      * I/O per refresh — so a crashed/restarted consumer resumes from
+      * [[Dedup.loadLshIndex]] with nothing lost.
       */
-    def append(batch: DataFrame, idCol: String, textCol: String): LshIndex = {
+    def append(batch: DataFrame, idCol: String, textCol: String,
+        checkpointTo: Option[String] = None): LshIndex = {
       val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val nSets = batch.select(col(idCol).as("sid"),
-        shingles(col(textCol), shingleSize).as("sset"))
-      val sets2 = sets.unionAll(nSets).persist(mad)
-      val banded2 = banded.unionAll(bandedFromSets(nSets, numHashes, bands))
+          shingles(col(textCol), shingleSize).as("sset"))
         .persist(mad)
+      val nBanded = bandedFromSets(nSets, numHashes, bands)
+      // Durable refresh: the DELTA (this batch's signatures only) lands as
+      // the next epoch of the lineage — batch-sized I/O per refresh, never
+      // a full-index rewrite; [[Dedup.loadLshIndex]] replays snapshot +
+      // deltas, so a restarted stream resumes from everything checkpointed.
+      checkpointTo.foreach { path =>
+        val dir = IndexStore.nextEpochDir(sets.sparkSession, path)
+        nSets.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$dir/sets")
+        nBanded.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$dir/banded")
+        IndexStore.writeSidecar(sets.sparkSession, dir,
+          s"""{"kind":"lsh","delta":true,"numHashes":$numHashes,"bands":$bands,"shingleSize":$shingleSize}""")
+      }
+      val sets2 = sets.unionAll(nSets).persist(mad)
+      val banded2 = banded.unionAll(nBanded).persist(mad)
       banded2.count()
       sets2.count()
+      nSets.unpersist(blocking = false)
       sets.unpersist(blocking = false)
       banded.unpersist(blocking = false)
       LshIndex(sets2, banded2, numHashes, bands, shingleSize)
@@ -340,20 +357,21 @@ object Dedup {
     }
   }
 
-  /** Reload the newest complete epoch of a [[LshIndex.save]] lineage:
-    * frames are persisted and materialized exactly like [[buildLshIndex]]
+  /** Reload an [[LshIndex.save]] lineage: the newest complete FULL
+    * snapshot unioned with every complete DELTA epoch after it (the
+    * refresh-loop log — [[LshIndex.append]] with `checkpointTo`). Frames
+    * come back persisted and materialized exactly like [[buildLshIndex]]
     * leaves them, so probes against a reloaded index reproduce the
     * in-session index bit-for-bit.
     */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): LshIndex = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val dir = IndexStore.latestEpochDir(spark, path)
-    val meta = IndexStore.readSidecar(spark, dir)
-    require(IndexStore.jsonString(meta, "kind") == "lsh",
-      s"$dir is not an LshIndex lineage")
-    val sets = spark.read.parquet(s"$dir/sets").persist(mad)
-    val banded = spark.read.parquet(s"$dir/banded").persist(mad)
+    val (dirs, meta) = IndexStore.snapshotAndDeltas(spark, path, "lsh")
+    val sets = dirs.map(d => spark.read.parquet(s"$d/sets"))
+      .reduce(_ unionAll _).persist(mad)
+    val banded = dirs.map(d => spark.read.parquet(s"$d/banded"))
+      .reduce(_ unionAll _).persist(mad)
     banded.count()
     sets.count()
     LshIndex(sets, banded,
@@ -851,7 +869,8 @@ object Dedup {
       * a new handle owning refreshed caches; the superseded handle's
       * member blocks are released once the union materializes.
       */
-    def append(batch: DataFrame, idCol: String, vecCol: String): SemIndex = {
+    def append(batch: DataFrame, idCol: String, vecCol: String,
+        checkpointTo: Option[String] = None): SemIndex = {
       import graft.functions.VecExpressions.fnorm
       val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val unit = batch
@@ -866,8 +885,20 @@ object Dedup {
         .join(assignToIndex(unit, centroids, routing)
             .select(col("neighbor_id").as("sid"), col("cluster")),
           Seq("sid"))
+        .persist(mad)
+      // Durable refresh: the batch's assigned members land as a DELTA
+      // epoch — the geometry is frozen at build, so deltas carry members
+      // only (no centroid rewrite) and refresh I/O stays batch-sized.
+      checkpointTo.foreach { path =>
+        val dir = IndexStore.nextEpochDir(centroids.sparkSession, path)
+        nMembers.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$dir/members")
+        IndexStore.writeSidecar(centroids.sparkSession, dir,
+          s"""{"kind":"sem","delta":true,"nClusters":$nClusters}""")
+      }
       val members2 = members.unionAll(nMembers).persist(mad)
       members2.count()
+      nMembers.unpersist(blocking = false)
       members.unpersist(blocking = false)
       SemIndex(centroids, members2, nClusters, routing)
     }
@@ -902,13 +933,13 @@ object Dedup {
   def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): SemIndex = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val dir = IndexStore.latestEpochDir(spark, path)
-    val meta = IndexStore.readSidecar(spark, dir)
-    require(IndexStore.jsonString(meta, "kind") == "sem",
-      s"$dir is not a SemIndex lineage")
+    val (dirs, meta) = IndexStore.snapshotAndDeltas(spark, path, "sem")
     val nClusters = IndexStore.jsonInt(meta, "nClusters")
-    val cents = spark.read.parquet(s"$dir/centroids").persist()
-    val members = spark.read.parquet(s"$dir/members").persist(mad)
+    // centroids live only in the snapshot (frozen geometry — deltas carry
+    // members only); members replay snapshot + deltas
+    val cents = spark.read.parquet(s"${dirs.head}/centroids").persist()
+    val members = dirs.map(d => spark.read.parquet(s"$d/members"))
+      .reduce(_ unionAll _).persist(mad)
     members.count()
     cents.count()
     val routing =

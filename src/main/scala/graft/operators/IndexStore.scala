@@ -47,6 +47,44 @@ private[operators] object IndexStore {
     s"$path/epoch=${done.max}"
   }
 
+  /** All complete epochs (number, sidecar json) in ascending order — the
+    * snapshot+delta log form: a lineage refreshed by a streaming loop
+    * holds a full snapshot plus per-batch delta epochs after it, and a
+    * loader replays the newest snapshot then every later delta.
+    */
+  def completeEpochs(spark: SparkSession, path: String): Seq[(Long, String)] = {
+    val (f, base) = fs(spark, path)
+    epochs(f, base).sorted
+      .filter(n => f.exists(new Path(s"$path/epoch=$n/$Sidecar")))
+      .map(n => (n, readSidecar(spark, s"$path/epoch=$n")))
+  }
+
+  /** `true` when the sidecar marks a delta epoch (absent field = full
+    * snapshot, the pre-delta sidecar shape).
+    */
+  def isDelta(json: String): Boolean =
+    "\"delta\"\\s*:\\s*true".r.findFirstIn(json).isDefined
+
+  /** The epoch dirs a load must replay — the newest complete FULL
+    * snapshot, then every complete delta after it, in order — plus the
+    * snapshot's sidecar (the geometry of record; all epochs of a lineage
+    * share it). Validates the lineage kind.
+    */
+  def snapshotAndDeltas(spark: SparkSession, path: String,
+      kind: String): (Seq[String], String) = {
+    val done = completeEpochs(spark, path)
+    done.foreach { case (n, meta) =>
+      require(jsonString(meta, "kind") == kind,
+        s"$path/epoch=$n is not a '$kind' lineage epoch") }
+    val fulls = done.filterNot { case (_, meta) => isDelta(meta) }
+    require(fulls.nonEmpty, s"no complete full snapshot under $path")
+    val (fullN, fullMeta) = fulls.last
+    val dirs = s"$path/epoch=$fullN" +:
+      done.collect { case (n, meta) if n > fullN && isDelta(meta) =>
+        s"$path/epoch=$n" }
+    (dirs, fullMeta)
+  }
+
   def writeSidecar(spark: SparkSession, epochDir: String, json: String): Unit = {
     val (f, _) = fs(spark, epochDir)
     val out = f.create(new Path(s"$epochDir/$Sidecar"), false)

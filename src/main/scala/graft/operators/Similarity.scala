@@ -343,8 +343,13 @@ object Similarity {
         .select(col("nvec")).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
         .toSeq.toDF("cluster", "centroid")
-    cents = cents.persist()
-    cents.count() // materialize: every Lloyd round re-reads the init
+    // Eager localCheckpoint, not persist: every Lloyd round's plan EMBEDS
+    // the init's plan, and the in-engine derivation is a real subtree
+    // (windows + join over the corpus) where the old local-relation init
+    // was a leaf — without truncation the iteration plans stack it
+    // multiplicatively (the cp3 lesson; an un-truncated run OOMed in AQE's
+    // explainString before touching any data).
+    cents = cents.localCheckpoint()
     (1 to iterations).foreach { _ =>
       val assigned = assignFn(vecs, cents)
       val prev = cents

@@ -210,7 +210,14 @@ object EventStreams {
     */
   def incrementalNearDupStreamWithRefresh(
       docs: DataFrame, idCol: String, textCol: String,
-      indexRef: LshIndexRef, threshold: Double = 0.9)(
+      indexRef: LshIndexRef, threshold: Double = 0.9,
+      // A lineage path makes the refresh DURABLE: each batch's survivors
+      // are checkpointed as a delta epoch inside foreachBatch (batch-sized
+      // I/O), so a restarted stream rebuilds its ref from
+      // [[graft.operators.Dedup.loadLshIndex]] and resumes with every
+      // prior batch's admissions intact — the index no longer dies with
+      // the session. None = in-session refresh only (the prior behavior).
+      checkpointTo: Option[String] = None)(
       onBatch: DataFrame => Unit): StreamingQuery =
     // Default (processing-time) trigger, not AvailableNow: the refresh
     // loop's point is to keep serving batches as the crawl produces them;
@@ -224,7 +231,7 @@ object EventStreams {
         val survivors = batch.join(
           m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
         onBatch(survivors)
-        indexRef.index = idx.append(survivors, idCol, textCol)
+        indexRef.index = idx.append(survivors, idCol, textCol, checkpointTo)
         m.unpersist(blocking = false)
         ()
       }
@@ -248,7 +255,12 @@ object EventStreams {
     */
   def incrementalSemDedupStreamWithRefresh(
       docs: DataFrame, idCol: String, vecCol: String,
-      indexRef: SemIndexRef, threshold: Double = 0.99)(
+      indexRef: SemIndexRef, threshold: Double = 0.99,
+      // Same durable-refresh contract as
+      // [[incrementalNearDupStreamWithRefresh]]: delta epochs of admitted
+      // members per batch; restart resumes via
+      // [[graft.operators.Dedup.loadSemIndex]].
+      checkpointTo: Option[String] = None)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -259,7 +271,7 @@ object EventStreams {
         val survivors = batch.join(
           m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
         onBatch(survivors)
-        indexRef.index = idx.append(survivors, idCol, vecCol)
+        indexRef.index = idx.append(survivors, idCol, vecCol, checkpointTo)
         m.unpersist(blocking = false)
         ()
       }

@@ -278,6 +278,107 @@ class StreamingSpec extends AnyFunSuite {
     ref.index.close()
   }
 
+  test("durable NEAR-dedup refresh: killed stream restarts from the lineage") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_ndur").toString
+    // corpus index (knows doc 1 only) checkpointed as the full snapshot
+    val built = Dedup.buildLshIndex(Seq((1L, words("a", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 128, bands = 16, shingleSize = 3)
+    built.save(lineage)
+    built.close()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+
+    // session 1: admit a novel doc; its delta epoch lands inside
+    // foreachBatch; then the query dies and every in-memory handle goes
+    val ref1 = new EventStreams.LshIndexRef(Dedup.loadLshIndex(spark, lineage))
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.incrementalNearDupStreamWithRefresh(
+      ms1.toDF.toDF("doc_id", "text"), "doc_id", "text", ref1,
+      threshold = 0.9, checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("doc_id").as[Long].collect().toSet
+      }
+    val novel = words("b", 40)
+    ms1.addData((100L, novel))
+    q1.processAllAvailable()
+    q1.stop()
+    ref1.index.close() // the "JVM died" line: nothing in memory survives
+    assert(perBatch.last == Set(100L))
+
+    // session 2: a FRESH ref reloaded from the lineage — batch 2's
+    // near-dup of doc 100 is caught only if session 1's delta persisted;
+    // the near-dup of original doc 1 proves the snapshot still probes
+    val ref2 = new EventStreams.LshIndexRef(Dedup.loadLshIndex(spark, lineage))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalNearDupStreamWithRefresh(
+      ms2.toDF.toDF("doc_id", "text"), "doc_id", "text", ref2,
+      threshold = 0.9, checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("doc_id").as[Long].collect().toSet
+      }
+    ms2.addData((200L, novel + " extra"),
+      (201L, words("a", 40) + " tail"),
+      (300L, words("c", 40)))
+    q2.processAllAvailable()
+    q2.stop()
+    ref2.index.close()
+    assert(perBatch.last == Set(300L))
+  }
+
+  test("durable SEMANTIC refresh: killed stream restarts from the lineage") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def dir(i: Int): Seq[Float] = {
+      val a = new Array[Float](8)
+      a(i % 8) = 1f
+      a((i / 8 + 3) % 8) = 0.3f + 0.02f * i
+      a.toSeq
+    }
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_semdur").toString
+    val built = Dedup.buildSemIndex(
+      (0 until 10).map(i => (i.toLong, dir(i))).toDF("id", "vec"),
+      "id", "vec", nClusters = 4, iterations = 2)
+    built.save(lineage)
+    built.close()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+
+    val ref1 = new EventStreams.SemIndexRef(Dedup.loadSemIndex(spark, lineage))
+    val ms1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = EventStreams.incrementalSemDedupStreamWithRefresh(
+      ms1.toDF.toDF("id", "vec"), "id", "vec", ref1,
+      threshold = 0.99, checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("id").as[Long].collect().toSet
+      }
+    val novel = { val a = new Array[Float](8); a(5) = -1f; a(1) = 0.9f; a.toSeq }
+    ms1.addData((100L, novel))
+    q1.processAllAvailable()
+    q1.stop()
+    ref1.index.close()
+    assert(perBatch.last == Set(100L))
+
+    // restart: the scaled paraphrase of doc 100 (cosine 1) is caught only
+    // through the persisted delta epoch
+    val ref2 = new EventStreams.SemIndexRef(Dedup.loadSemIndex(spark, lineage))
+    val ms2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreams.incrementalSemDedupStreamWithRefresh(
+      ms2.toDF.toDF("id", "vec"), "id", "vec", ref2,
+      threshold = 0.99, checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("id").as[Long].collect().toSet
+      }
+    val fresh = { val a = new Array[Float](8); a(6) = -1f; a(0) = -0.7f; a.toSeq }
+    ms2.addData((200L, novel.map(_ * 2f)), (300L, fresh))
+    q2.processAllAvailable()
+    q2.stop()
+    ref2.index.close()
+    assert(perBatch.last == Set(300L))
+  }
+
   test("two-batch SEMANTIC dedup with refresh: paraphrase caught across batches") {
     import spark.implicits._
     import graft.operators.Dedup
