@@ -126,6 +126,71 @@ object OracleSql {
        |    ELSE CAST(len(s) - len(replace(s, '$bpeSep', '')) - 1 AS BIGINT) END AS bpe_n
        |  FROM (SELECT w, $bpeApplySql AS s FROM bpes))""".stripMargin
 
+  // cp5's staged chain, shared by the cp5/cp5b twins: gates (t2/t3
+  // formulas) -> duplicated-span rewrite over the GATED corpus (sr1's
+  // window machinery) -> metadata recomputed on the rewritten text +
+  // gates re-applied (including lang) -> md5 min-id exact dedup -> exact
+  // all-pairs trigram keep-first near-dedup -> survivor set `fin`.
+  private def cp5ChainSql: String =
+    s"""WITH sc AS (SELECT doc_id, text,
+       |    $qualitySql AS quality,
+       |    $nTokensSql AS n_tokens,
+       |  $langScoreCols
+       |  FROM documents),
+       |meta AS (SELECT doc_id, text, quality, n_tokens,
+       |    $langPredSql AS lang
+       |  FROM sc),
+       |gated AS (SELECT doc_id, text FROM meta
+       |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+       |t AS (SELECT doc_id, $tokSplit AS toks FROM gated),
+       |sp0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 6
+       |        THEN list_transform(range(1, len(toks) - 6 + 2),
+       |          i -> {'pos': i, 'span': array_to_string(toks[i:i+5], ' ')})
+       |        ELSE [] END) AS u FROM t),
+       |s2 AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM sp0),
+       |w AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY span) AS n,
+       |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       |      FROM s2),
+       |rm AS (SELECT DISTINCT doc_id, pos + off AS tpos
+       |       FROM w CROSS JOIN range(0, 6) o(off)
+       |       WHERE n >= 2 AND rn > 1),
+       |tok AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM
+       |        (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+       |           i -> {'tpos': i, 'tok': toks[i]})) AS u FROM t)),
+       |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+       |         LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.tpos = rm.tpos
+       |         WHERE rm.doc_id IS NULL),
+       |rw AS (SELECT t.doc_id, coalesce(re.clean_text, '') AS text
+       |       FROM t LEFT JOIN (
+       |         SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+       |         FROM kept GROUP BY doc_id) re USING (doc_id)),
+       |sc2 AS (SELECT doc_id, text,
+       |    $qualitySql AS quality,
+       |    $nTokensSql AS n_tokens,
+       |  $langScoreCols
+       |  FROM rw),
+       |meta2 AS (SELECT doc_id, text, quality, n_tokens,
+       |    $langPredSql AS lang
+       |  FROM sc2),
+       |gated2 AS (SELECT * FROM meta2
+       |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+       |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+       |  FROM gated2),
+       |exact AS (SELECT * FROM fp
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+       |shx AS (SELECT doc_id, $trigramSetSql AS sh
+       |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+       |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      ELSE 0.0 END AS j
+       |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id),
+       |fin AS (SELECT doc_id, lang, n_tokens, quality FROM exact
+       |  WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9))""".stripMargin
+
   private val sql0: Map[String, String] = Map(
     // -------------------------------------------------------- profiling
     "p2_shape" ->
@@ -1062,6 +1127,61 @@ object OracleSql {
          |SELECT doc_id, n_tokens, quality FROM fp
          |WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
          |ORDER BY doc_id""".stripMargin,
+
+    // the cp5 chain's corpus: config-driven span rewrite + recomputed
+    // metadata + dedup stages, survivor set ordered by id
+    "cp5_full_pipeline" ->
+      (cp5ChainSql +
+        "\nSELECT doc_id, lang, n_tokens, quality FROM fin ORDER BY doc_id"),
+
+    // the repeat-cap water-fill (mix4's closed form, HUGEINT-exact) over
+    // the cp5 chain's survivor set, stratified by the recomputed lang and
+    // sized by the rewritten n_tokens
+    "cp5b_pipeline_mixture" ->
+      (cp5ChainSql + """,
+        |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS stratum_size FROM fin GROUP BY lang),
+        |w2 AS (SELECT lang, n_docs, stratum_size,
+        |    CAST(floor(sqrt(CAST(stratum_size AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_weight,
+        |    CAST(4 * stratum_size AS BIGINT) AS cap FROM d),
+        |tt AS (SELECT CAST(sum(stratum_size) AS BIGINT) AS b FROM w2),
+        |s3 AS (SELECT w2.*, tt.b, CAST(cap AS DOUBLE) / CAST(q_weight AS DOUBLE) AS r
+        |  FROM w2, tt),
+        |o2 AS (SELECT *,
+        |    CAST(coalesce(SUM(cap) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_before,
+        |    CAST(SUM(q_weight) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS w_from
+        |  FROM s3),
+        |bt AS (SELECT *,
+        |    (CAST(cap AS HUGEINT) * CAST(w_from AS HUGEINT)
+        |      <= (CAST(b AS HUGEINT) - CAST(c_before AS HUGEINT)) * CAST(q_weight AS HUGEINT))
+        |      AS ok FROM o2),
+        |p2 AS (SELECT *,
+        |    CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) OVER (ORDER BY r, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bad_upto
+        |  FROM bt),
+        |f2 AS (SELECT *, (ok AND bad_upto = 0) AS capped FROM p2),
+        |agg AS (SELECT CAST(coalesce(sum(cap) FILTER (WHERE capped), 0) AS BIGINT) AS ck,
+        |    CAST(coalesce(sum(q_weight) FILTER (WHERE NOT capped), 0) AS BIGINT) AS wr FROM f2),
+        |sh2 AS (SELECT f2.*, agg.ck, agg.wr,
+        |    CASE WHEN f2.capped THEN CAST(f2.cap AS HUGEINT)
+        |      ELSE (CAST(f2.b AS HUGEINT) - CAST(agg.ck AS HUGEINT))
+        |        * CAST(f2.q_weight AS HUGEINT) // CAST(agg.wr AS HUGEINT) END AS base,
+        |    CASE WHEN f2.capped THEN CAST(0 AS HUGEINT)
+        |      ELSE (CAST(f2.b AS HUGEINT) - CAST(agg.ck AS HUGEINT))
+        |        * CAST(f2.q_weight AS HUGEINT) % CAST(agg.wr AS HUGEINT) END AS remv
+        |  FROM f2, agg),
+        |lt AS (SELECT CAST(max(b) AS HUGEINT) - max(ck)
+        |    - CAST(coalesce(sum(base) FILTER (WHERE NOT capped), 0) AS HUGEINT) AS leftv
+        |  FROM sh2),
+        |rk AS (SELECT *, CASE WHEN capped THEN NULL
+        |    ELSE row_number() OVER (PARTITION BY capped ORDER BY remv DESC, lang) END AS rnk
+        |  FROM sh2)
+        |SELECT lang, n_docs, stratum_size, q_weight, cap, capped,
+        |  CAST(base + CASE WHEN NOT capped AND rnk <= (SELECT leftv FROM lt)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk ORDER BY lang""".stripMargin),
 
     // duplicate-line rewrite: the window pair (count, row_number) replays
     // the engine's (count, min(doc,pos)) aggregate — keep iff unique or

@@ -1221,6 +1221,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CP5: the FULL composition with the span rewrite wired in as pipeline
+    * CONFIG (`spanRewriteK`) — heuristic gates → Lee-et-al. duplicated-
+    * span rewrite on the GATED corpus → metadata (lang/n_tokens/quality)
+    * recomputed on the rewritten text + gates re-applied → exact dedup →
+    * LSH near-dedup. cp4 proved the rewrite composes when hand-chained;
+    * this row proves [[graft.plans.CorpusPipeline]]'s config stage drives
+    * the same composition end to end, including the near-dedup stage over
+    * REWRITTEN text (the oracle replays it as exact all-pairs trigram
+    * keep-first, so the hash also pins full LSH recall post-rewrite).
+    */
+  def cp5FullPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false, materializeResult = true,
+        spanRewriteK = Some(6)))
+    cleaned.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CP5B: the repeat-cap mixture REPORT hook ([[graft.plans
+    * .CorpusPipeline.Config.repeatCapEpochs]]) — the Muennighoff
+    * water-fill allocation (mix4's closed form) computed over cp5's FINAL
+    * corpus, stratified by the pipeline's recomputed `lang` and sized by
+    * the rewritten `n_tokens`. The oracle replays the whole upstream
+    * chain and then the allocation, so one hash pins that the report saw
+    * exactly the corpus the pipeline admitted.
+    */
+  def cp5bPipelineMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (_, stats) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false, materializeResult = true,
+        spanRewriteK = Some(6), repeatCapEpochs = Some(4)))
+    stats.mixture.get.orderBy(col("lang"))
+  }
+
   /** DC1: benchmark decontamination — flag corpus documents sharing any
     * word 5-gram with a held-out benchmark set (the C4/GPT-3 n-gram-overlap
     * decontamination stage). Benchmark = `doc_id % 97 == 0`; the fixture
@@ -2093,6 +2129,8 @@ object Queries {
     "ds1_dsir_select" -> (ds1DsirSelect _),
     "cp2_rewrite_pipeline" -> (cp2RewritePipeline _),
     "cp4_span_rewrite_pipeline" -> (cp4SpanRewritePipeline _),
+    "cp5_full_pipeline" -> (cp5FullPipeline _),
+    "cp5b_pipeline_mixture" -> (cp5bPipelineMixture _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

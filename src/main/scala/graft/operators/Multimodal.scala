@@ -65,6 +65,78 @@ object Multimodal {
     }
   }
 
+  /** ======== REAL pure-JVM codec (seam proof) ========
+    * Genuine decoding for the formats the JDK itself ships codecs for —
+    * PNG/GIF/BMP via `javax.imageio`, WAV/AIFF PCM via
+    * `javax.sound.sampled` — no external library. Proves the [[MediaCodec]]
+    * seam with real decode work end-to-end through the same Spark plumbing
+    * ([[imageMetadata]]/[[sampleFrames]]/[[embedMedia]]); [[StubCodecs]]
+    * stays the DEFAULT because the registry oracles must reproduce every
+    * value in engine-independent SQL, which real pixel decoding cannot.
+    *
+    *  - `decodeImageDims`: actual decoded raster dimensions.
+    *  - `frameCount`: audio payloads report their PCM frame length (the
+    *    natural "frames" of a 1-D medium); image payloads are 1 frame.
+    *  - `embed`: an L2-normalized luminance histogram of the DECODED
+    *    pixels (or of PCM bytes for audio) — same contract as the stub
+    *    (identical payloads ⇒ identical vectors), real decode underneath.
+    */
+  object JvmCodecs extends MediaCodec {
+    private def readImage(data: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+
+    private def audioFrames(data: Array[Byte]): Option[Int] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try Some(math.min(in.getFrameLength, Int.MaxValue.toLong).toInt)
+        finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+
+    def decodeImageDims(data: Array[Byte]): (Int, Int) = {
+      val img = readImage(data)
+      if (img != null) (img.getWidth, img.getHeight)
+      else {
+        // audio has no raster; (0, 0) keeps mixed-media frames flowing
+        // through [[sampleFrames]] without a per-mime branch upstream
+        require(audioFrames(data).isDefined,
+          "payload not decodable by javax.imageio or javax.sound.sampled")
+        (0, 0)
+      }
+    }
+
+    def frameCount(data: Array[Byte]): Int =
+      audioFrames(data).getOrElse {
+        require(readImage(data) != null, "payload neither audio nor image")
+        1 // still image
+      }
+
+    def embed(data: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      val img = readImage(data)
+      if (img != null) {
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            v(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        // audio (or other binary): histogram the raw PCM byte stream
+        data.foreach(b => v((b & 0xff) * dim / 256) += 1f)
+      }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      if (n > 0) v.map(_ / n) else v
+    }
+  }
+
   /** Wrap an id+binary DataFrame into the canonical media schema. */
   def asMedia(df: DataFrame, idCol: String, binCol: String, mime: String): Dataset[MediaRow] = {
     val spark = df.sparkSession

@@ -70,13 +70,32 @@ object CorpusPipeline {
       // model beats the raw-corpus model; the predicate marks the
       // in-domain seed over the pipeline's metadata columns (e.g.
       // col("lang") === "en" — `lang` exists by this stage). None = off.
-      dsirTarget: Option[org.apache.spark.sql.Column] = None)
+      dsirTarget: Option[org.apache.spark.sql.Column] = None,
+      // Lee-et-al. duplicated-SPAN rewrite ([[graft.operators.TextPipeline
+      // .dedupSpansRewrite]]), Some(k) = the span width: runs on the GATED
+      // corpus (junk drops before paying the span shuffle), replaces the
+      // text with the rewritten form, recomputes (lang, n_tokens, quality)
+      // on it and re-applies the heuristic gates — a doc whose surviving
+      // text falls under minTokens (e.g. a whole-document duplicate
+      // rewritten to '') drops here. Downstream dedup stages then see the
+      // REWRITTEN text. None = off.
+      spanRewriteK: Option[Int] = None,
+      // Muennighoff repeat-cap mixture REPORT ([[graft.operators
+      // .TextPipeline.repeatCapMixture]]), Some(maxEpochs): after dedup,
+      // the data-constrained allocation over the FINAL corpus (stratified
+      // by lang, sized by n_tokens) lands on [[Stats.mixture]]. A report,
+      // not a filter — the corpus returns unchanged. Lazy like the corpus:
+      // derived from the returned frame, so set materializeResult when the
+      // report will be acted on separately. None = off.
+      repeatCapEpochs: Option[Int] = None)
 
   final case class Stats(
       input: Long,
       afterGates: Long,
       afterExactDedup: Long,
-      afterNearDedup: Long)
+      afterNearDedup: Long,
+      // the repeat-cap allocation table when Config.repeatCapEpochs is set
+      mixture: Option[DataFrame] = None)
 
   /** Run the pipeline. Returns the cleaned corpus — original columns plus
     * (lang, n_tokens, quality) — and per-stage counts (-1s when
@@ -158,6 +177,29 @@ object CorpusPipeline {
     }
     val nGated = n(gated)
 
+    // 1e. duplicated-span rewrite (optional): corpus-wide span removal on
+    // the gated docs, metadata recomputed on the rewritten text, heuristic
+    // gates re-applied. The rewrite is eager and caller-owned (the
+    // minhashLsh contract) — released with the stage caches; non-text
+    // columns rejoin on the id (the rewrite emits only id + clean_text).
+    val gatedR = cfg.spanRewriteK match {
+      case Some(k) =>
+        val in = pinned(gated)
+        val rw = graft.operators.TextPipeline
+          .dedupSpansRewrite(in, idCol, textCol, k)
+        stageCaches += rw
+        val re = in.drop(textCol, "lang", "n_tokens", "quality")
+          .join(rw.select(col(idCol), col("clean_text").as(textCol)),
+            Seq(idCol))
+          .withColumn("lang", TextFunctions.langId(col(textCol)))
+          .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+          .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+          .where(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+            col("quality") >= cfg.minQuality)
+        if (cfg.langs.isEmpty) re else re.where(col("lang").isin(cfg.langs: _*))
+      case None => gated
+    }
+
     // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor.
     // Persisted for the DURATION of the run: near-dedup below materializes
     // one projection of it and the drop set, and without the cache each of
@@ -165,7 +207,7 @@ object CorpusPipeline {
     // returning — the returned corpus is lazy and re-derives this stage on
     // each downstream action (callers doing several actions should persist
     // the result themselves).
-    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    val exact = Dedup.exactDedup(gatedR, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = n(exact)
 
@@ -211,6 +253,14 @@ object CorpusPipeline {
     exact.unpersist(blocking = false)
     stageCaches.foreach(_.unpersist(blocking = false))
 
-    (deduped, Stats(nInput, nGated, nExact, nFinal))
+    // 4. repeat-cap mixture report (optional): the allocation table over
+    // the final corpus — one groupBy(lang) plus tiny windowed water-fill,
+    // all bounded by the domain count, not the corpus.
+    val mixture = cfg.repeatCapEpochs.map { epochs =>
+      graft.operators.TextPipeline.repeatCapMixture(
+        deduped, "lang", col("n_tokens"), maxEpochs = epochs)
+    }
+
+    (deduped, Stats(nInput, nGated, nExact, nFinal, mixture))
   }
 }
