@@ -1821,5 +1821,6 @@ object OracleSql {
   // the in-session rows pin — so the oracle SQL is shared by reference.
   val sql: Map[String, String] = sql0 ++ Map(
     "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
-    "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"))
+    "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),
+    "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"))
 }

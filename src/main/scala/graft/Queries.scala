@@ -1851,6 +1851,24 @@ object Queries {
       TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** TOK1R: tok1 driven by a RELOADED merge table — save the committed
+    * fixture as a [[graft.operators.BpeStore]] lineage, load it back, and
+    * tokenize with the loaded list (nd2r/nd3r's pattern for the third
+    * session-spanning artifact, the tokenizer). The oracle is tok1's
+    * verbatim, so hash equality proves the parquet round-trip preserves
+    * merge ORDER and content token-for-token.
+    */
+  def tok1rReloadedBpe(s: SparkSession, dir: String): DataFrame = {
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_bpe").toString
+    graft.operators.BpeStore.save(s, graft.functions.BpeVocab.Fixture, lineage)
+    val merges = graft.operators.BpeStore.load(s, lineage)
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TOK2: per-(lang, source) BPE fertility — subword tokens per
     * whitespace word, the tokenizer-efficiency report a multilingual
     * corpus audit runs (high fertility strata burn training budget).
@@ -2142,6 +2160,7 @@ object Queries {
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),
+    "tok1r_reloaded_bpe" -> (tok1rReloadedBpe _),
     "tok2_bpe_fertility" -> (tok2BpeFertility _),
     "mix2b_token_budget_bpe" -> (mix2bTokenBudgetBpe _),
     "sq1b_sequence_pack_bpe" -> (sq1bSequencePackBpe _),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Codegen'd dense-vector kernels over `array<float>` / `array<double>`.
   *
@@ -142,6 +142,107 @@ case class FloatVecDistSq(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+/** argmin over a centroid BLOCK: for one vector and an
+  * `array<struct<cluster:int, centroid:array<double>>>` block, returns
+  * `struct<d2:double, cluster:int>` — the squared-L2-nearest entry, ties
+  * broken by lowest cluster id. One row carries the whole block loop, so an
+  * assignment join streams n rows instead of n·k (the "matrix kernel"
+  * shape): the block rides the join once per row and the k·dim flops run in
+  * a fused primitive loop inside whole-stage codegen. Distance arithmetic
+  * is the exact [[FloatVecDistSq]] fold and the (d2, cluster) comparator
+  * matches `min_by(…, struct(d2, cluster))` double ordering on the
+  * non-negative, non-NaN distances k-means produces — so replacing the
+  * exploded min_by with this kernel moves no hashes. Empty block → null.
+  */
+case class FloatVecBlockArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  private lazy val vFloat = VecKernels.isFloat(left.dataType)
+  private lazy val cFloat = right.dataType match {
+    case ArrayType(StructType(fields), _) =>
+      fields(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val block = b.asInstanceOf[ArrayData]
+    val m = block.numElements()
+    if (m == 0) return null
+    var bestD = Double.NaN
+    var bestC = 0
+    var j = 0
+    while (j < m) {
+      val entry = block.getStruct(j, 2)
+      val c = entry.getInt(0)
+      val cent = entry.getArray(1)
+      val n = math.min(vec.numElements(), cent.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = VecKernels.get(vec, i, vFloat) - VecKernels.get(cent, i, cFloat)
+        acc += d * d
+        i += 1
+      }
+      if (j == 0 || acc < bestD || (acc == bestD && c < bestC)) {
+        bestD = acc; bestC = c
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val entry = ctx.freshName("entry")
+      val cent = ctx.freshName("cent")
+      val c = ctx.freshName("c")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $m = $b.numElements();
+         |if ($m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bestD = Double.NaN;
+         |  int $bestC = 0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $entry = $b.getStruct($j, 2);
+         |    int $c = $entry.getInt(0);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $entry.getArray(1);
+         |    int $n = java.lang.Math.min($a.numElements(), $cent.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = ${VecKernels.accessor(a, i, vFloat)} - ${VecKernels.accessor(cent, i, cFloat)};
+         |      $acc += $d * $d;
+         |    }
+         |    if ($j == 0 || $acc < $bestD || ($acc == $bestD && $c < $bestC)) {
+         |      $bestD = $acc; $bestC = $c;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$bestD, $bestC});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   /** Column wrappers (Spark 4: Column wraps a ColumnNode, not an Expression). */
   def fdot(a: Column, b: Column): Column =
@@ -152,4 +253,7 @@ object VecExpressions {
   def fdistSq(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       FloatVecDistSq(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def fblockArgmin(vec: Column, block: Column): Column =
+    GraftSqlBridge.column(
+      FloatVecBlockArgmin(GraftSqlBridge.expression(vec), GraftSqlBridge.expression(block)))
 }

@@ -126,16 +126,24 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
   /** Nearest-cluster assignment of every vector against a (small, broadcast)
-    * centroid table: explode per centroid, keep the argmin distance per id.
+    * centroid table — the matrix-kernel shape: the whole centroid table is
+    * aggregated into ONE block row that rides a broadcast crossJoin, and a
+    * codegen'd block-argmin kernel ([[graft.functions.FloatVecBlockArgmin]])
+    * finds the nearest centroid inside a fused primitive loop. The pair
+    * stream is n rows (not n·k) and the old per-id argmin SHUFFLE disappears
+    * entirely — assignment is now map-only. Same distances, same
+    * (d2, cluster) tie ordering → identical assignments to the exploded
+    * min_by form (hash-pinned by d8/d8b/d8c/nd3).
     */
-  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"), col("nvec"), col("cluster"),
-        graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
-      .groupBy(col("neighbor_id"))
-      .agg(
-        min_by(struct(col("cluster"), col("nvec")), struct(col("d2"), col("cluster"))).as("m"))
-      .select(col("neighbor_id"), col("m.cluster").as("cluster"), col("m.nvec").as("nvec"))
+  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val block = cents.agg(collect_list(
+      struct(col("cluster").cast("int").as("cluster"), col("centroid"))).as("__block"))
+    vecs.crossJoin(broadcast(block))
+      .select(col("neighbor_id"),
+        graft.functions.VecExpressions.fblockArgmin(col("nvec"), col("__block"))
+          .getField("cluster").as("cluster"),
+        col("nvec"))
+  }
 
   /** Two-level nearest-centroid assignment — bounds the n·k cost of flat
     * argmin when the cluster count scales with the corpus: coarse-cluster
@@ -223,13 +231,22 @@ object Similarity {
     val routed = vecs.select(col("neighbor_id"), col("nvec"),
         explode(slice(array_sort(dists), 1, nProbe)).as("r"))
       .select(col("neighbor_id"), col("nvec"), col("r.cg").as("__cg"))
-    // exact argmin over the routed groups' fine centroids only; each fine
-    // cluster belongs to exactly one group, so the pair stream carries no
-    // duplicates and min_by needs no distinct
-    val fine = cents.join(routing.f2c, Seq("cluster"))
-    routed.join(fine, Seq("__cg"))
-      .select(col("neighbor_id"), col("nvec"), col("cluster"),
-        graft.functions.VecExpressions.fdistSq(col("nvec"), col("centroid")).as("d2"))
+    // exact argmin over the routed groups' fine centroids only, in the
+    // matrix-kernel shape: each coarse group's ~√k fine centroids are
+    // aggregated into one BLOCK row, so the joined stream is n·nProbe rows
+    // (not n·nProbe·√k) and the per-row block-argmin kernel does the √k·dim
+    // flops in a fused codegen loop. Each fine cluster belongs to exactly
+    // one group, so blocks partition the centroids and the cross-group
+    // min_by (d2, cluster) ordering reproduces the global argmin exactly.
+    val fineBlocks = cents.join(routing.f2c, Seq("cluster"))
+      .groupBy(col("__cg"))
+      .agg(collect_list(
+        struct(col("cluster").cast("int").as("cluster"), col("centroid"))).as("__block"))
+    routed.join(fineBlocks, Seq("__cg"))
+      .select(col("neighbor_id"), col("nvec"),
+        graft.functions.VecExpressions.fblockArgmin(col("nvec"), col("__block")).as("m"))
+      .select(col("neighbor_id"), col("nvec"),
+        col("m.d2").as("d2"), col("m.cluster").as("cluster"))
       .groupBy(col("neighbor_id"))
       .agg(min_by(struct(col("cluster"), col("nvec")),
         struct(col("d2"), col("cluster"))).as("m"))
