@@ -364,7 +364,7 @@ object TextPipeline {
       val c2 = stream.groupBy(col("__w1"), col("__bg"))
         .agg(count(lit(1)).as("__c2"))
       val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
-      (c2.select(col("__bg"), col("__c2")), c1) // bg determines w1 (prefix)
+      (c2, c1) // bg determines w1 (its prefix) — c2 is distinct by __bg
     }
     val (tc2, tc1) = model(b.where(col("__tgt")))
     val (rc2, rc1) = model(b)
@@ -377,15 +377,24 @@ object TextPipeline {
       (coalesce(col("__tc1"), lit(0L)) + col("__tv")).cast("double")
     val pR = (col("__rc2") + lit(1L)).cast("double") /
       (col("__rc1") + col("__rv")).cast("double")
-    val result = b.drop("__tgt")
-      .join(tc2.withColumnRenamed("__c2", "__tc2"), Seq("__bg"), "left")
-      .join(tc1.withColumnRenamed("__c1", "__tc1"), Seq("__w1"), "left")
-      .join(rc2.withColumnRenamed("__c2", "__rc2"), Seq("__bg"))
+    // Fuse the four model lookups into ONE per-bigram score table before
+    // the corpus-sized stream sees any of them: every join below is
+    // vocabulary-sized (distinct bigrams / distinct first-words), the
+    // quantized per-bigram scores are precomputed once per DISTINCT
+    // bigram, and the occurrence stream `b` — the only corpus-sized frame
+    // — pays exactly one hash join instead of four shuffle joins. Values
+    // are unchanged (same counts, same smoothing, same quantization), so
+    // the oracle replay and hashes do not move.
+    val lut = rc2.withColumnRenamed("__c2", "__rc2")
+      .join(tc2.select(col("__bg"), col("__c2").as("__tc2")), Seq("__bg"), "left")
       .join(rc1.withColumnRenamed("__c1", "__rc1"), Seq("__w1"))
+      .join(tc1.withColumnRenamed("__c1", "__tc1"), Seq("__w1"), "left")
       .crossJoin(broadcast(tv)).crossJoin(broadcast(rv))
-      .select(col("__id"),
+      .select(col("__bg"),
         floor(pT * lit(1e9) + lit(0.5)).cast("long").as("__qt"),
         floor(pR * lit(1e9) + lit(0.5)).cast("long").as("__qr"))
+    val result = b.select(col("__id"), col("__bg"))
+      .join(lut, Seq("__bg"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__qt")).as("q_target"), sum(col("__qr")).as("q_raw"))
