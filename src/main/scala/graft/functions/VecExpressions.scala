@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Codegen'd dense-vector kernels over `array<float>` / `array<double>`.
   *
@@ -243,6 +243,129 @@ case class FloatVecBlockArgmin(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Threshold-cosine scan over a benchmark BLOCK: for one corpus vector and
+  * an `array<struct<bid:long, bvec:array<float|double>, bnorm:double>>`
+  * block, returns `struct<matched_bench_id:long, n_matches:long>` over the
+  * entries whose cosine reaches `threshold` — or null when none does. The
+  * arithmetic is exactly the fastCosine contract: norm = the
+  * [[FloatVecNorm]] fold over the corpus vector (once per ROW), cosine =
+  * [[FloatVecDot]] fold / (cnorm·bnorm) guarded by denom > 0, match on
+  * `>= threshold` — so a decontamination scan that previously needed a
+  * broadcast nested-loop join (n·|bench| rows) plus a groupBy becomes ONE
+  * map-only projection with identical values and hashes.
+  */
+case class FloatVecBlockCosineMatch(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("matched_bench_id", LongType, nullable = false),
+    StructField("n_matches", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  private lazy val vFloat = VecKernels.isFloat(left.dataType)
+  private lazy val bFloat = right.dataType match {
+    case ArrayType(StructType(fields), _) =>
+      fields(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val block = b.asInstanceOf[ArrayData]
+    val nv = vec.numElements()
+    var cn = 0.0
+    var i = 0
+    while (i < nv) { val v = VecKernels.get(vec, i, vFloat); cn += v * v; i += 1 }
+    val cnorm = math.sqrt(cn)
+    var minBid = Long.MaxValue
+    var nMatch = 0L
+    var j = 0
+    val m = block.numElements()
+    while (j < m) {
+      val entry = block.getStruct(j, 3)
+      val denom = cnorm * entry.getDouble(2)
+      if (denom > 0) {
+        val bvec = entry.getArray(1)
+        val n = math.min(nv, bvec.numElements())
+        var acc = 0.0
+        var k = 0
+        while (k < n) {
+          acc += VecKernels.get(vec, k, vFloat) * VecKernels.get(bvec, k, bFloat)
+          k += 1
+        }
+        if (acc / denom >= threshold) {
+          nMatch += 1L
+          val bid = entry.getLong(0)
+          if (bid < minBid) minBid = bid
+        }
+      }
+      j += 1
+    }
+    if (nMatch == 0L) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](minBid, nMatch))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nv = ctx.freshName("nv")
+      val cn = ctx.freshName("cn")
+      val cnorm = ctx.freshName("cnorm")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val entry = ctx.freshName("entry")
+      val denom = ctx.freshName("denom")
+      val bvec = ctx.freshName("bvec")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val minBid = ctx.freshName("minBid")
+      val nMatch = ctx.freshName("nMatch")
+      val bid = ctx.freshName("bid")
+      s"""
+         |int $nv = $a.numElements();
+         |double $cn = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $v = ${VecKernels.accessor(a, i, vFloat)};
+         |  $cn += $v * $v;
+         |}
+         |double $cnorm = java.lang.Math.sqrt($cn);
+         |long $minBid = Long.MAX_VALUE;
+         |long $nMatch = 0L;
+         |int $m = $b.numElements();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $entry = $b.getStruct($j, 3);
+         |  double $denom = $cnorm * $entry.getDouble(2);
+         |  if ($denom > 0) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $bvec = $entry.getArray(1);
+         |    int $n = java.lang.Math.min($nv, $bvec.numElements());
+         |    double $acc = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $acc += ${VecKernels.accessor(a, k, vFloat)} * ${VecKernels.accessor(bvec, k, bFloat)};
+         |    }
+         |    if ($acc / $denom >= $threshold) {
+         |      $nMatch += 1L;
+         |      long $bid = $entry.getLong(0);
+         |      if ($bid < $minBid) $minBid = $bid;
+         |    }
+         |  }
+         |}
+         |if ($nMatch == 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{$minBid, $nMatch});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   /** Column wrappers (Spark 4: Column wraps a ColumnNode, not an Expression). */
   def fdot(a: Column, b: Column): Column =
@@ -256,4 +379,8 @@ object VecExpressions {
   def fblockArgmin(vec: Column, block: Column): Column =
     GraftSqlBridge.column(
       FloatVecBlockArgmin(GraftSqlBridge.expression(vec), GraftSqlBridge.expression(block)))
+  def fblockCosineMatch(vec: Column, block: Column, threshold: Double): Column =
+    GraftSqlBridge.column(
+      FloatVecBlockCosineMatch(GraftSqlBridge.expression(vec),
+        GraftSqlBridge.expression(block), threshold))
 }

@@ -514,14 +514,24 @@ object Similarity {
     */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val b = broadcast(bench.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
-      fnorm(col(vecCol)).as("__bnorm")))
-    val c = corpus.select(col(idCol), col(vecCol).as("__cvec"),
-      fnorm(col(vecCol)).as("__cnorm"))
-    c.join(b, fastCosine(col("__cvec"), col("__cnorm"), col("__bvec"), col("__bnorm"))
-        >= threshold)
-      .groupBy(col(idCol))
-      .agg(min(col("__bid")).as("matched_bench_id"), count(lit(1)).as("n_matches"))
+    // The benchmark rides as ONE block row (id, vec, norm per entry) and a
+    // codegen'd threshold-cosine scan ([[graft.functions
+    // .FloatVecBlockCosineMatch]]) counts matches + tracks the min matching
+    // id per corpus row — the whole check is now a map-only projection:
+    // no n·|bench| nested-loop pair stream, no groupBy shuffle. Arithmetic
+    // is the fastCosine contract verbatim (per-row norm fold, denom > 0
+    // guard, >= threshold), so the dc3 oracle hashes are unchanged.
+    val block = broadcast(bench.agg(collect_list(struct(
+      col(idCol).cast("long").as("bid"), col(vecCol).as("bvec"),
+      fnorm(col(vecCol)).as("bnorm"))).as("__block")))
+    corpus.select(col(idCol), col(vecCol).as("__cvec"))
+      .crossJoin(block)
+      .select(col(idCol),
+        graft.functions.VecExpressions
+          .fblockCosineMatch(col("__cvec"), col("__block"), threshold).as("m"))
+      .where(col("m").isNotNull)
+      .select(col(idCol), col("m.matched_bench_id").as("matched_bench_id"),
+        col("m.n_matches").as("n_matches"))
   }
 
   /** The filtering companion of [[semanticDecontaminate]]: corpus rows NOT

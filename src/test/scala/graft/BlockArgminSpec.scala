@@ -42,6 +42,32 @@ class BlockArgminSpec extends AnyFunSuite {
     assert(viaKernel.size == 200)
   }
 
+  test("block cosine-match == nested-loop join + groupBy formulation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 8
+    val corpus = (0L until 300L).map(i => (i, randVec(rng, dim)))
+      .toDF("vec_id", "embedding")
+    val bench = (9000L until 9040L).map(i => (i, randVec(rng, dim)))
+      .toDF("vec_id", "embedding")
+    // permissive threshold so matches actually occur on random data
+    val viaKernel = Similarity.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d > 0) Some(a.zip(b).map { case (x, y) => x * y }.sum / d) else None
+    }
+    val bRows = bench.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val expected = corpus.collect().flatMap { r =>
+      val hits = bRows.filter { case (_, bv) =>
+        cos(r.getSeq[Double](1), bv).exists(_ >= 0.5) }
+      if (hits.isEmpty) None
+      else Some((r.getLong(0), hits.map(_._1).min, hits.length.toLong))
+    }.toSet
+    assert(viaKernel.nonEmpty && viaKernel == expected)
+  }
+
   test("ties break to the lowest cluster id, matching struct ordering") {
     import spark.implicits._
     // two identical centroids -> equal d2; the kernel must pick cluster 1
