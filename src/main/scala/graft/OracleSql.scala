@@ -1451,6 +1451,45 @@ object OracleSql {
          |  AND vec_id NOT IN (SELECT vec_id FROM dropb)
          |ORDER BY vec_id""".stripMargin,
 
+    // nd4: the full SemIndex lifecycle (build -> append blob -> compact ->
+    // probe) pinned to the d8-style exact all-pairs replay — green iff the
+    // compacted (split) geometry loses no planted-near-copy recall. The
+    // blob jitter is keyed by the ORIGINAL id (1 + 0.0001*vec_id in DOUBLE,
+    // result cast FLOAT) so both engines derive bit-identical vectors.
+    "nd4_compacted_semdedup" ->
+      s"""WITH existing AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 1),
+         |blob AS (
+         |  SELECT vec_id + 3000000 AS vec_id,
+         |    list_concat([CAST(CAST(a[1] AS DOUBLE) *
+         |      (CAST(1.0 AS DOUBLE) + CAST(0.0001 AS DOUBLE) * CAST(vec_id AS DOUBLE)) AS FLOAT)],
+         |      a[2:64]) AS embedding
+         |  FROM existing, anchor WHERE vec_id % 2 = 0),
+         |idx AS (SELECT * FROM existing UNION ALL SELECT * FROM blob),
+         |b0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM b0
+         |  UNION ALL
+         |  SELECT vec_id + 5000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM existing WHERE vec_id < 50
+         |  UNION ALL
+         |  SELECT vec_id + 3000000,
+         |    list_concat([CAST(embedding[1] * CAST(1.001 AS FLOAT) AS FLOAT)],
+         |      embedding[2:64])
+         |  FROM blob WHERE vec_id < 3000100),
+         |dropx AS (SELECT DISTINCT b.vec_id FROM batch b JOIN idx e
+         |  ON b.vec_id <> e.vec_id
+         |  AND ${cosSql("b.embedding", "e.embedding")} >= 0.99),
+         |dropb AS (SELECT DISTINCT b2.vec_id FROM batch b1 JOIN batch b2
+         |  ON b1.vec_id < b2.vec_id
+         |  AND ${cosSql("b1.embedding", "b2.embedding")} >= 0.99)
+         |SELECT vec_id FROM batch
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropx)
+         |  AND vec_id NOT IN (SELECT vec_id FROM dropb)
+         |ORDER BY vec_id""".stripMargin,
+
     // planted-URL fixture; domain = first capture of the shared host
     // pattern, '' -> NULL for no-URL docs (kept by the blocklist filter)
     "url1_domain_filter" -> {

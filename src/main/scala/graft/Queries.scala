@@ -1809,6 +1809,56 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** ND4: the nd3 probe against an APPENDED-then-COMPACTED
+    * [[Dedup.SemIndex]] — the full index lifecycle in one row: build on the
+    * existing corpus, append a region-concentrated blob (jittered copies of
+    * one anchor vector, half the existing ids), `compact` the now-oversized
+    * cluster(s) (cluster-local 2-means split, fresh sub-cluster ids), then
+    * probe a batch holding fresh vectors plus planted near-copies of BOTH
+    * pre-append members and appended blob members. The oracle is the d8
+    * trick: an exact all-pairs replay of the match semantics, so the row is
+    * green iff the split geometry still routes every planted near-copy into
+    * a sub-cluster containing a ≥-threshold twin — the recall question
+    * compaction raises, measured end to end.
+    */
+  def nd4CompactedSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val existing = e.where(col("vec_id") % 10 =!= 0)
+    val anchor = existing.where(col("vec_id") === 1)
+      .select(col("embedding").as("__a"))
+    // blob: every even existing id re-embedded as a coord-1-jittered copy
+    // of the anchor (jitter keyed by the ORIGINAL id so both engines derive
+    // identical floats), ids offset into 3000000+
+    val blob = existing.where(col("vec_id") % 2 === 0)
+      .crossJoin(broadcast(anchor))
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        concat(
+          array((element_at(col("__a"), 1).cast("double") *
+            (lit(1.0) + lit(0.0001) * col("vec_id").cast("double")))
+            .cast("float")),
+          slice(col("__a"), 2, 63)).as("embedding"))
+    def perturb(src: DataFrame, offset: Long) = src
+      .select((col("vec_id") + offset).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * lit(1.001f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val b0 = e.where(col("vec_id") % 10 === 0)
+    val batch = b0
+      .unionAll(perturb(existing.where(col("vec_id") < 50), 5000000L))
+      .unionAll(perturb(blob.where(col("vec_id") < 3000100L), 3000000L))
+    val built = Dedup.buildSemIndex(existing, "vec_id", "embedding",
+      nClusters = 16, iterations = 3)
+    val appended = built.append(blob, "vec_id", "embedding")
+    val index = appended.compact(maxFactor = 1.5)
+    val matches = Dedup.incrementalSemDedup(batch, "vec_id", "embedding",
+      index, threshold = 0.99)
+    index.close()
+    batch.select(col("vec_id"))
+      .join(matches.select(col("batch_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
     * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
     * blocklisted; odd docs carry no URL and pass with a null domain.
@@ -2156,6 +2206,7 @@ object Queries {
     "nd3_incremental_semdedup" -> (nd3IncrementalSemDedup _),
     "nd2r_reloaded_neardup" -> (nd2rReloadedNearDup _),
     "nd3r_reloaded_semdedup" -> (nd3rReloadedSemDedup _),
+    "nd4_compacted_semdedup" -> (nd4CompactedSemDedup _),
     "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),

@@ -903,6 +903,126 @@ object Dedup {
       SemIndex(centroids, members2, nClusters, routing)
     }
 
+    /** Cluster-local geometry maintenance for a long-lived index. Appends
+      * freeze the geometry, so a rolling crawl concentrated in one
+      * embedding region piles members into a few clusters — and every
+      * future probe landing there pays a verify loop quadratic in the hot
+      * cluster's population (the guard caps the blowup but recall-losing
+      * truncation is the wrong steady state for an index). `compact`
+      * splits each cluster whose population exceeds `maxFactor` × the
+      * index-wide mean by running a deterministic 2-means over ONLY that
+      * cluster's members — cluster-LOCAL work: no global re-cluster, no
+      * full-corpus Lloyd rounds, cost ∝ oversized populations only. The
+      * split halves take fresh cluster ids appended after `nClusters`;
+      * untouched clusters keep their ids, members, and centroids
+      * bit-identically.
+      *
+      * Determinism & probe consistency: init = the cluster's two
+      * lowest-id members; assignment runs the same block-argmin kernel as
+      * every other route; the STORED sub-centroids are the ones the final
+      * member assignment was computed against (the [[Similarity
+      * .ivfIndex]] discipline), so a probe vector identical to a member
+      * routes to that member's side exactly. Split boundaries can in
+      * principle separate a near-dup pair — the same approximation d8c
+      * accepts at coarse-group boundaries; nd4's exact all-pairs oracle
+      * pin measures it end to end.
+      *
+      * Returns a new handle (the [[append]] ownership contract: the
+      * superseded handle's caches are released). Geometry CHANGES here, so
+      * a durable lineage needs a fresh FULL [[save]] after compaction —
+      * member deltas cannot express a centroid rewrite.
+      */
+    def compact(maxFactor: Double = 4.0, iterations: Int = 2): SemIndex = {
+      val spark = centroids.sparkSession
+      import graft.functions.VecExpressions.fblockArgmin
+      // per-cluster populations: ≤ nClusters rows — geometry-bounded
+      val sizes = members.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n")).collect()
+      val totalN = sizes.map(_.getLong(1)).sum
+      val mean = totalN.toDouble / math.max(1, nClusters)
+      val oversized = sizes.filter(_.getLong(1) > mean * maxFactor)
+        .map(_.getInt(0)).sorted
+      if (oversized.isEmpty) return this
+      val isOver = col("cluster").isin(oversized.map(_.asInstanceOf[Any]): _*)
+      // fresh ids for side-1 halves, appended after the existing id space
+      import spark.implicits._
+      val newIds = broadcast(oversized.zipWithIndex
+        .map { case (c, i) => (c, nClusters + i) }.toSeq
+        .toDF("cluster", "__newId"))
+      // localCheckpoint, not persist: every structure below embeds this
+      // frame's plan (the blocks twice per round, the final relabel once),
+      // and `members` itself can carry an arbitrarily deep build+append
+      // lineage — truncation (the cp3 lesson) keeps each round's plan
+      // bounded where a cache would let AQE's explainString alone OOM.
+      val big = members.where(isOver)
+        .select(col("sid"), col("cluster"),
+          transform(col("vec"), v =>
+            when(col("nrm") > 0, v.cast("double") / col("nrm"))
+              .otherwise(lit(0.0))).as("unit"))
+        .localCheckpoint()
+      // (cluster, side) sub-centroid assignment via the per-cluster block
+      // kernel: blocks carry ≤ 2 entries, the joined stream is one row per
+      // big member, map-side only
+      def assignSides(subC: DataFrame): DataFrame = {
+        val blocks = broadcast(subC.groupBy(col("cluster"))
+          .agg(collect_list(struct(col("side").cast("int").as("cluster"),
+            col("centroid"))).as("__block")))
+        big.join(blocks, Seq("cluster"))
+          .select(col("sid"), col("cluster"), col("unit"),
+            fblockArgmin(col("unit"), col("__block"))
+              .getField("cluster").as("side"))
+      }
+      def recompute(assigned: DataFrame): DataFrame = assigned
+        .select(col("cluster"), col("side"),
+          posexplode(col("unit")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("side"), col("dim"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("cluster"), col("side"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+        .select(col("cluster"), col("side"),
+          transform(col("pairs"), p => p.getField("mv")).as("centroid"))
+      // deterministic init: each oversized cluster's two lowest-id members
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("sid"))
+      var sub = big.withColumn("__rn", row_number().over(wIn))
+        .where(col("__rn") <= 2)
+        .select(col("cluster"), (col("__rn") - 1).cast("int").as("side"),
+          col("unit").as("centroid"))
+        .localCheckpoint()
+      (1 to iterations).foreach { _ =>
+        // eager localCheckpoint: truncate per round or the rounds stack
+        sub = recompute(assignSides(sub)).localCheckpoint()
+      }
+      // final labels computed against the STORED geometry (see contract)
+      val finalSides = assignSides(sub).select(col("sid"), col("side"))
+      val relabel = when(col("side") === 0, col("cluster"))
+        .otherwise(col("__newId")).as("cluster")
+      // localCheckpoint both result frames: the new handle's plans must not
+      // re-embed the superseded lineage (probes explain these trees on
+      // every batch)
+      val members2 = members.where(!isOver)
+        .select(col("sid"), col("vec"), col("nrm"), col("cluster"))
+        .unionAll(members.where(isOver)
+          .join(finalSides, Seq("sid"))
+          .join(newIds, Seq("cluster"))
+          .select(col("sid"), col("vec"), col("nrm"), relabel))
+        .localCheckpoint()
+      val cents2 = centroids.where(!isOver)
+        .select(col("cluster"), col("centroid"))
+        .unionAll(sub.join(newIds, Seq("cluster"))
+          .select(relabel, col("centroid")))
+        .localCheckpoint()
+      val k2 = cents2.count().toInt // a side can come back empty
+      members.unpersist(blocking = false)
+      centroids.unpersist(blocking = false)
+      routing.foreach(_.close())
+      val routing2 =
+        if (k2 > Similarity.HierCrossoverK)
+          Similarity.buildCoarseRouting(cents2, nProbe = 4)
+        else None
+      SemIndex(cents2, members2, k2, routing2)
+    }
+
     /** Persist this index durably: centroid and member frames as parquet
       * under the next `epoch=N` of `path` plus the geometry sidecar — the
       * cross-session form ([[LshIndex.save]]'s contract: append-only
