@@ -54,6 +54,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_langid", "marker-profile language id of a text ('und' if unknown/null)") {
       args => LangIdExpr(args(0))
     }
+    register("graft_vec_distsq", "squared L2 distance of two float vectors") {
+      args => FloatVecDistSq(args(0), args(1))
+    }
+    register("graft_block_argmin",
+      "(vec, array<struct<cluster,centroid>>) -> struct(d2, cluster) of the nearest centroid") {
+      args => FloatVecBlockArgmin(args(0), args(1))
+    }
+    register("graft_block_cosine_match",
+      "(vec, array<struct<bid,bvec,bnorm>>, threshold) -> struct(matched_bench_id, n_matches) or NULL") {
+      args => FloatVecBlockCosineMatch(args(0), args(1), args(2) match {
+        // SQL `0.99` parses as a Decimal literal, not Double — accept any
+        // numeric literal form
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case Literal(v: Number, _) => v.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"threshold must be a numeric literal, got $other")
+      })
+    }
     register("graft_bpe_count", "true-BPE subword token count under the committed merge fixture") {
       args => BpeTokenCount(args(0), BpeVocab.Fixture)
     }

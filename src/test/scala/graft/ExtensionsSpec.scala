@@ -57,6 +57,26 @@ class ExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).head()
       assert(r3.getLong(0) == 7L) // window=1, customer=5, scan=1
       assert(r3.getSeq[String](1).mkString == "customer")
+      val r4 = spark.sql(
+        """SELECT
+          |  graft_vec_distsq(array(cast(1.0 as float), cast(2.0 as float)),
+          |                   array(cast(4.0 as float), cast(6.0 as float))) AS d2,
+          |  graft_block_argmin(array(cast(0.0 as double), cast(0.9 as double)),
+          |    array(struct(7, array(cast(1.0 as double), cast(0.0 as double))),
+          |          struct(3, array(cast(0.0 as double), cast(1.0 as double))))) AS am,
+          |  graft_block_cosine_match(array(cast(1.0 as float), cast(0.0 as float)),
+          |    array(struct(cast(11 as bigint),
+          |                 array(cast(1.0 as float), cast(0.0 as float)),
+          |                 cast(1.0 as double))), 0.99) AS cm,
+          |  graft_block_cosine_match(array(cast(0.0 as float), cast(1.0 as float)),
+          |    array(struct(cast(11 as bigint),
+          |                 array(cast(1.0 as float), cast(0.0 as float)),
+          |                 cast(1.0 as double))), 0.99) AS cm_null
+          |""".stripMargin).head()
+      assert(r4.getDouble(0) == 25.0)
+      assert(r4.getStruct(1).getInt(1) == 3) // nearer centroid wins
+      assert(r4.getStruct(2).getLong(0) == 11L && r4.getStruct(2).getLong(1) == 1L)
+      assert(r4.isNullAt(3)) // below threshold -> NULL
     } finally {
       // leave the shared session intact for other suites
     }
