@@ -260,18 +260,35 @@ object EventStreams {
       // [[incrementalNearDupStreamWithRefresh]]: delta epochs of admitted
       // members per batch; restart resumes via
       // [[graft.operators.Dedup.loadSemIndex]].
-      checkpointTo: Option[String] = None)(
+      checkpointTo: Option[String] = None,
+      // > 0 = run [[graft.operators.Dedup.SemIndex.compact]] every N
+      // micro-batches (a crawl concentrated in one embedding region is
+      // exactly the streaming workload that skews a frozen geometry). A
+      // compaction that actually split writes a fresh FULL snapshot to the
+      // lineage — geometry changed, so member deltas can no longer
+      // describe it; later batches resume delta-epoch appends on top of
+      // the new snapshot. 0 = never (the prior behavior).
+      compactEvery: Int = 0,
+      compactFactor: Double = 4.0)(
       onBatch: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val idx = indexRef.index
         val m = graft.operators.Dedup.incrementalSemDedup(
           batch, idCol, vecCol, idx, threshold)
         val survivors = batch.join(
           m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
         onBatch(survivors)
-        indexRef.index = idx.append(survivors, idCol, vecCol, checkpointTo)
+        var next = idx.append(survivors, idCol, vecCol, checkpointTo)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val compacted = next.compact(compactFactor)
+          if (compacted ne next) {
+            checkpointTo.foreach(compacted.save)
+            next = compacted
+          }
+        }
+        indexRef.index = next
         m.unpersist(blocking = false)
         ()
       }

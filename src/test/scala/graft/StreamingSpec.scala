@@ -379,6 +379,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(perBatch.last == Set(300L))
   }
 
+  test("streaming auto-compact: a concentrated crawl splits the hot " +
+      "cluster and the full snapshot survives restart") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def base(i: Int): Seq[Float] = {
+      val a = new Array[Float](8)
+      a((i % 4) * 2) = 1f
+      a(1) = 0.01f * i
+      a.toSeq
+    }
+    // tight fan around axis 6 in the (6,7) plane: adjacent cos ~0.9998 —
+    // below the 0.9999 threshold, so every member admits, but the whole
+    // fan lands in one cluster and skews it
+    def fan(j: Int): Seq[Float] = {
+      val a = new Array[Float](8)
+      a(6) = math.cos(j * 0.02).toFloat
+      a(7) = math.sin(j * 0.02).toFloat
+      a.toSeq
+    }
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_semcompact").toString
+    val built = Dedup.buildSemIndex(
+      (0 until 40).map(i => (i.toLong, base(i))).toDF("id", "vec"),
+      "id", "vec", nClusters = 4, iterations = 2)
+    built.save(lineage)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = new EventStreams.SemIndexRef(built)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.incrementalSemDedupStreamWithRefresh(
+      ms.toDF.toDF("id", "vec"), "id", "vec", ref,
+      threshold = 0.9999, checkpointTo = Some(lineage),
+      compactEvery = 1, compactFactor = 1.5) { _ => () }
+    ms.addData((0 until 30).map(j => (1000L + j, fan(j))): _*)
+    q.processAllAvailable()
+    ms.addData((30 until 60).map(j => (1000L + j, fan(j))): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(ref.index.nClusters > 4) // the hot cluster split mid-stream
+    val kLive = ref.index.nClusters
+    ref.index.close()
+    // restart: the compacted geometry is the lineage's newest full
+    // snapshot; a scaled twin of an admitted fan member is caught
+    val reloaded = Dedup.loadSemIndex(spark, lineage)
+    assert(reloaded.nClusters == kLive)
+    val twin = Seq((9000L, fan(25).map(_ * 2f))).toDF("id", "vec")
+    val m = Dedup.incrementalSemDedup(twin, "id", "vec", reloaded,
+      threshold = 0.9999)
+    assert(m.select("batch_id").distinct().count() == 1)
+    m.unpersist(blocking = false)
+    reloaded.close()
+  }
+
   test("two-batch SEMANTIC dedup with refresh: paraphrase caught across batches") {
     import spark.implicits._
     import graft.operators.Dedup
