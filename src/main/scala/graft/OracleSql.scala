@@ -864,6 +864,47 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
          |ORDER BY doc_id""".stripMargin,
 
+    // cp1 with the dc1 decontamination stage spliced between the gates and
+    // the dedups: bench = the %97 subset of the RAW corpus; any gated doc
+    // sharing a distinct word 5-gram with it drops before fingerprinting,
+    // so the dedup stages provably saw the decontaminated corpus
+    "cp6_decontaminated_pipeline" ->
+      s"""WITH sc AS (SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $nTokensSql AS n_tokens,
+         |  $langScoreCols
+         |  FROM documents),
+         |meta AS (SELECT doc_id, text, quality, n_tokens,
+         |    $langPredSql AS lang
+         |  FROM sc),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |bt AS (SELECT $fivegramSetSql AS gs
+         |  FROM (SELECT $tokSplit AS toks FROM documents WHERE doc_id % 97 = 0)),
+         |bg AS (SELECT DISTINCT unnest(gs) AS ngram FROM bt),
+         |ct AS (SELECT doc_id, $fivegramSetSql AS gs
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM gated)),
+         |cg AS (SELECT doc_id, unnest(gs) AS ngram FROM ct),
+         |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (ngram)),
+         |decon AS (SELECT * FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM decon),
+         |exact AS (SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |sh AS (SELECT doc_id, $trigramSetSql AS sh
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         |      THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      ELSE 0.0 END AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_id, lang, n_tokens, quality FROM exact
+         |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
+         |ORDER BY doc_id""".stripMargin,
+
     // the SELECTIVE pipeline replayed stage by stage: gates (t2/t3
     // formulas) -> CCNet terciles trained on the GATED corpus (ccn1
     // machinery, keep ntile <= 2) -> DSIR two-model comparison trained on

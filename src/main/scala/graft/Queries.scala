@@ -1146,6 +1146,26 @@ object Queries {
       col("n_tokens").cast("long").as("n_tokens"), col("quality"))
   }
 
+  /** CP6: the pipeline with the BENCHMARK-DECONTAMINATION stage wired in —
+    * gates → dc1-style 5-gram eval-leakage drop (against the %97 bench
+    * subset of the raw corpus) → exact dedup → near-dedup, one whole-
+    * composition hash. Ordered before dedup on purpose: a contaminated doc
+    * must never survive as a dedup family's representative (dropping it
+    * after keep-first dedup would also delete the family's only survivor).
+    * The oracle replays every stage, so the hash proves the stage SAW the
+    * gated corpus and the dedup saw the decontaminated one.
+    */
+  def cp6DecontaminatedPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false, materializeResult = true,
+        decontaminateBench = Some(bench)))
+    cleaned.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CP2: end-to-end REWRITE pipeline — corpus-wide duplicate-line rewrite
     * → quality/token gates recomputed on the REWRITTEN text → exact
     * fingerprint dedup — checked WHOLE against an oracle replaying every
@@ -2199,6 +2219,7 @@ object Queries {
     "cp4_span_rewrite_pipeline" -> (cp4SpanRewritePipeline _),
     "cp5_full_pipeline" -> (cp5FullPipeline _),
     "cp5b_pipeline_mixture" -> (cp5bPipelineMixture _),
+    "cp6_decontaminated_pipeline" -> (cp6DecontaminatedPipeline _),
     "lm1_bigram_score" -> (lm1BigramScore _),
     "ch1_chunks" -> (ch1Chunks _),
     "nd1_incremental_dedup" -> (nd1IncrementalDedup _),

@@ -85,6 +85,34 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Benchmark n-gram decontamination (the dc1 semantics as a reusable op)
+  // ---------------------------------------------------------------------
+
+  /** Ids of corpus docs sharing at least `minShared` distinct word
+    * `n`-grams with ANY benchmark doc — the GPT-3-style eval-leakage
+    * filter (dc1's semantics factored out for pipeline composition). The
+    * bench side collapses to its DISTINCT gram set and broadcasts (eval
+    * suites are small against a 100 TB corpus); the corpus gram stream is
+    * map-only explode + broadcast-join, and only matching grams reach the
+    * per-doc count. For bench gram sets too big to broadcast exactly, the
+    * dc2 Bloom-prefilter shape applies — this operator is the exact path.
+    */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5,
+      minShared: Long = 1L): DataFrame = {
+    val bg = bench
+      .select(explode(TextFunctions.shingles(col(benchTextCol), n)).as("__ngram"))
+      .distinct()
+    docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__ngram"))
+      .join(broadcast(bg), Seq("__ngram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__ngram")).as("__shared"))
+      .where(col("__shared") >= minShared)
+      .select(col(idCol))
+  }
+
+  // ---------------------------------------------------------------------
   // Duplicated-line fraction (RefinedWeb / Gopher repetition filter)
   // ---------------------------------------------------------------------
 

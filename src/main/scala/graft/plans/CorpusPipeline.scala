@@ -80,6 +80,16 @@ object CorpusPipeline {
       // rewritten to '') drops here. Downstream dedup stages then see the
       // REWRITTEN text. None = off.
       spanRewriteK: Option[Int] = None,
+      // Benchmark n-gram decontamination ([[graft.operators.TextPipeline
+      // .contaminatedIds]] — the dc1/GPT-3 eval-leakage filter as a
+      // pipeline stage): drop any gated doc sharing >=
+      // `decontaminateMinShared` distinct `decontaminateNgram`-gram with
+      // this frame (must carry the pipeline's textCol). Runs AFTER the
+      // gates/rewrite and BEFORE dedup — a contaminated doc must never
+      // survive as a dedup family's representative. None = off.
+      decontaminateBench: Option[DataFrame] = None,
+      decontaminateNgram: Int = 5,
+      decontaminateMinShared: Long = 1L,
       // Muennighoff repeat-cap mixture REPORT ([[graft.operators
       // .TextPipeline.repeatCapMixture]]), Some(maxEpochs): after dedup,
       // the data-constrained allocation over the FINAL corpus (stratified
@@ -200,6 +210,21 @@ object CorpusPipeline {
       case None => gated
     }
 
+    // 1f. benchmark decontamination (optional): the bench gram set is
+    // bench-sized and broadcasts; the corpus side is one map-only gram
+    // explode + broadcast join feeding a per-doc count — ordered BEFORE
+    // dedup so a contaminated doc can never be the surviving
+    // representative of a family whose other members were clean.
+    val gatedC = cfg.decontaminateBench match {
+      case Some(bench) =>
+        val in = pinned(gatedR)
+        in.join(graft.operators.TextPipeline.contaminatedIds(
+            in, idCol, textCol, bench, textCol,
+            cfg.decontaminateNgram, cfg.decontaminateMinShared),
+          Seq(idCol), "left_anti")
+      case None => gatedR
+    }
+
     // 2. exact dedup: one fingerprint shuffle, deterministic min-id survivor.
     // Persisted for the DURATION of the run: near-dedup below materializes
     // one projection of it and the drop set, and without the cache each of
@@ -207,7 +232,7 @@ object CorpusPipeline {
     // returning — the returned corpus is lazy and re-derives this stage on
     // each downstream action (callers doing several actions should persist
     // the result themselves).
-    val exact = Dedup.exactDedup(gatedR, idCol, textCol)
+    val exact = Dedup.exactDedup(gatedC, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = n(exact)
 

@@ -36,6 +36,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.where(col("n_tokens") < 5).count() == 0)
   }
 
+  test("decontamination stage drops gram-sharing docs before dedup, " +
+      "so clean family members survive their contaminated representative") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // bench doc 7; plant an exact copy of doc 7 at a HIGHER id — with
+    // decontamination after dedup the copy would die twice (id 7 survives
+    // dedup, then drops as contaminated, family extinct); ordered before
+    // dedup, 7 drops first and the copy also shares the grams -> both gone.
+    // Plant a clean near-family (8 + copy) to show dedup still runs after.
+    val bench = docs.where(col("doc_id") === 7)
+    val fixture = docs
+      .unionAll(docs.where(col("doc_id") === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(docs.where(col("doc_id") === 8)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+    val (out, _) = CorpusPipeline.run(fixture, "doc_id", "text",
+      CorpusPipeline.Config(audit = false,
+        decontaminateBench = Some(bench)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(7L))        // contaminated original gone
+    assert(!ids.contains(1000007L))  // its copy shares the grams — gone too
+    assert(ids.contains(8L))         // clean family: min id survives dedup
+    assert(!ids.contains(1000009L))  // its exact copy dropped by dedup
+  }
+
   test("near-dup anti-join is not force-broadcast: AQE decides, oversized drop sets survive") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
       .select(col("doc_id"), col("text"))
