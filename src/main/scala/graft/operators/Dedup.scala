@@ -364,6 +364,23 @@ object Dedup {
     * leaves them, so probes against a reloaded index reproduce the
     * in-session index bit-for-bit.
     */
+  /** Garbage-collect a durable lineage ([[LshIndex.save]],
+    * [[SemIndex.save]], [[BpeStore.save]] — any epoch+sidecar store):
+    * delete every epoch the corresponding load no longer replays, i.e.
+    * everything before the newest complete full snapshot. Loads before and
+    * after see identical data; run after a fresh full save (a compaction,
+    * a periodic re-snapshot) so a long-lived rolling-crawl lineage stays
+    * bounded by one snapshot plus its deltas instead of growing forever.
+    * Returns the deleted epoch dirs.
+    */
+  def vacuumLineage(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val done = IndexStore.completeEpochs(spark, path)
+    require(done.nonEmpty, s"no complete epoch under $path")
+    IndexStore.vacuum(spark, path,
+      IndexStore.jsonString(done.last._2, "kind"))
+  }
+
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): LshIndex = {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -85,6 +85,29 @@ private[operators] object IndexStore {
     (dirs, fullMeta)
   }
 
+  /** Delete every epoch a load no longer replays: anything BEFORE the
+    * newest complete FULL snapshot (superseded snapshots, their deltas,
+    * and torn epochs the sidecar discipline already hides). The newest
+    * snapshot and every complete delta after it — exactly the
+    * [[snapshotAndDeltas]] replay set — survive untouched, so a load
+    * before and after vacuum sees identical data. Returns the deleted
+    * epoch dirs. Run after a fresh full [[save]] (a compaction, a
+    * periodic re-snapshot) to stop a long-lived lineage growing without
+    * bound; single-writer semantics assumed, like every other write here.
+    */
+  def vacuum(spark: SparkSession, path: String, kind: String): Seq[String] = {
+    val (dirs, _) = snapshotAndDeltas(spark, path, kind)
+    val keep = dirs.map(d => d.stripPrefix(s"$path/")
+      .stripPrefix("epoch=").toLong).toSet
+    val (f, base) = fs(spark, path)
+    val doomed = epochs(f, base).filterNot(keep).sorted
+    doomed.map { n =>
+      val dir = s"$path/epoch=$n"
+      f.delete(new Path(dir), true)
+      dir
+    }
+  }
+
   def writeSidecar(spark: SparkSession, epochDir: String, json: String): Unit = {
     val (f, _) = fs(spark, epochDir)
     val out = f.create(new Path(s"$epochDir/$Sidecar"), false)

@@ -68,6 +68,39 @@ class IndexPersistenceSpec extends AnyFunSuite {
     (i, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) + 1).toFloat))
   }.toDF("vec_id", "vec")
 
+  test("vacuumLineage keeps exactly the load's replay set") {
+    val lineage = tmp("lsh_vac")
+    // epoch 0: full; epoch 1: delta (append w/ checkpoint); epoch 2: torn;
+    // epoch 3: fresh full; epoch 4: delta after it
+    val b0 = Dedup.buildLshIndex(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3)
+    b0.save(lineage)
+    val extra = Seq((50L, "some new admitted survivor text for the delta"))
+      .toDF("doc_id", "text")
+    val b1 = b0.append(extra, "doc_id", "text", Some(lineage))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(lineage, "epoch=2", "sets")) // torn
+    val b2 = b1.append(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", None)
+    b2.save(lineage) // epoch 3: full snapshot of everything so far
+    val b3 = b2.append(
+      Seq((60L, "another later survivor for the post-snapshot delta"))
+        .toDF("doc_id", "text"), "doc_id", "text", Some(lineage))
+    b3.close()
+    val expected = Dedup.loadLshIndex(spark, lineage)
+    val expectedSets = expected.sets.select("sid").as[Long].collect().toSet
+    expected.close()
+
+    val deleted = Dedup.vacuumLineage(spark, lineage)
+    assert(deleted.map(_.split("epoch=").last.toLong).toSet == Set(0L, 1L, 2L))
+    val after = Dedup.loadLshIndex(spark, lineage)
+    assert(after.sets.select("sid").as[Long].collect().toSet == expectedSets)
+    assert(expectedSets.contains(60L) && expectedSets.contains(50L))
+    after.close()
+    // idempotent: nothing left to delete
+    assert(Dedup.vacuumLineage(spark, lineage).isEmpty)
+  }
+
   test("SemIndex save/load round-trip: reloaded probe matches in-session") {
     val corpus = vecs(1L to 40L)
     val built = Dedup.buildSemIndex(corpus, "vec_id", "vec",
