@@ -1749,6 +1749,12 @@ object OracleSql {
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
+    // two-level IVF probe: same recall-gate contract as s3 (the lists are
+    // engine-private; the invariant is the checkable surface)
+    "s3b_ivf_topk_hier" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
     // exact replay of the int8 codes: same max-abs scale, same
     // left-associated floor(v / amax * 127 + 0.5) on the double-widened
     // float — integer outputs, so the compare is exact, not ulp-tolerant

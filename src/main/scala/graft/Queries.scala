@@ -972,6 +972,39 @@ object Queries {
     annGate(s1Cached(s, dir), approx, minHits = 6, k = 10)
   }
 
+  // Hierarchical-IVF memo for s3b: the two-level index (assigned corpus,
+  // fine centroids, coarse routing) is query-independent — build once per
+  // dir like [[ivfCached]]; the routing rides the handle so probes route
+  // map-only (the SemIndex discipline).
+  private val s3bCache = scala.collection.mutable.Map
+    .empty[String, (DataFrame, DataFrame, Similarity.CoarseRouting)]
+  private def s3bCached(s: SparkSession, dir: String) =
+    s3bCache.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (assigned, cents) = Similarity.ivfIndexHier(e, "vec_id", "embedding",
+        nClusters = 80, iterations = 2, nProbe = 4)
+      (assigned, cents, Similarity.buildCoarseRouting(cents, nProbe = 4).get)
+    })
+
+  /** S3B: approximate top-k through the TWO-LEVEL IVF probe
+    * ([[Similarity.ivfTopKHier]]) — the query-side scale path for
+    * corpus-scaled cluster counts, where the flat route's |Q|·k crossJoin
+    * and corpus-scaled centroid broadcast stop working. Same recall-gate
+    * contract as s2/s3: approximate lists are engine-private, so the
+    * oracle pins the invariant (≥5 of the exact top-10 recovered, full k
+    * returned) — the two-level route must survive BOTH its
+    * approximations (coarse-group routing of queries AND of the
+    * assignment that built the index) with recall intact.
+    */
+  def s3bIvfTopKHier(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (assigned, cents, routing) = s3bCached(s, dir)
+    val approx = Similarity.ivfTopKHier(assigned, cents, routing,
+      e.where(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nProbe = 12, coarseProbe = 6)
+    annGate(s1Cached(s, dir), approx, minHits = 5, k = 10)
+  }
+
   /** E3: per-label embedding centroids via decimal-exact element means.
     * Long form `(label, dim, m)` — dim 1-based to match SQL
     * `generate_subscripts`; the array re-assembly lives in
@@ -2244,6 +2277,7 @@ object Queries {
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
     "s2_lsh_topk" -> (s2LshTopK _),
     "s3_ivf_topk" -> (s3IvfTopK _),
+    "s3b_ivf_topk_hier" -> (s3bIvfTopKHier _),
     "qz1_embedding_quantize" -> (qz1EmbeddingQuantize _),
     "s4_quant_topk" -> (s4QuantTopK _),
     "e3_centroids" -> (e3Centroids _),

@@ -417,6 +417,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** [[ivfTopK]] with two-level QUERY routing — the probe-side twin of
+    * [[assignRouted]] for corpus-scaled cluster counts. The flat route
+    * crossJoins every query against the whole k-row broadcast centroid
+    * table (|Q|·k routing rows, and a corpus-scaled broadcast once k grows
+    * ∝ corpus under auto geometry); here each query routes MAP-ONLY to its
+    * `coarseProbe` nearest coarse groups via the routing's ~√k-entry
+    * literal array, the fine top-`nProbe` window runs over only the routed
+    * groups' ~coarseProbe·√k fine centroids, and scoring proceeds
+    * cluster-locally exactly as in [[ivfTopK]]. Approximate at coarse
+    * boundaries (the d8c/assignRouted contract): a fine cluster inside an
+    * unprobed group cannot be selected — the s3b recall gate measures that
+    * effect against the exact brute-force baseline end to end.
+    */
+  def ivfTopKHier(
+      assignedCorpus: DataFrame,
+      cents: DataFrame,
+      routing: CoarseRouting,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4,
+      coarseProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qvec"))
+    val coarseLit = array(routing.coarse.map { case (cg, cent) =>
+      struct(typedLit(cent).as("cent"), lit(cg).as("cg"))
+    }.toIndexedSeq: _*)
+    val dists = transform(coarseLit, c => struct(
+      graft.functions.VecExpressions.fdistSq(col("qvec"), c.getField("cent"))
+        .as("d2"),
+      c.getField("cg").as("cg")))
+    val routedQ = q.select(col("query_id"), col("qvec"),
+        explode(slice(array_sort(dists), 1, coarseProbe)).as("r"))
+      .select(col("query_id"), col("qvec"), col("r.cg").as("__cg"))
+    val fine = cents.join(routing.f2c, Seq("cluster"))
+    val sel = routedQ.join(fine, Seq("__cg"))
+      .select(col("query_id"), col("qvec"), col("cluster"),
+        graft.functions.VecExpressions.fdistSq(col("qvec"), col("centroid")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cluster"))
+    val scored = broadcast(sel.withColumn("qnorm",
+        graft.functions.VecExpressions.fnorm(col("qvec"))))
+      .join(assignedCorpus, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("qvec"), col("qnorm"), col("nvec"), col("nnorm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   // ------------------------------------------------- caller-owned handles
   /** An ANN index a library caller builds once, probes many times, and
     * releases explicitly — the cached corpus structures are owned by the
