@@ -977,13 +977,12 @@ object Queries {
   // dir like [[ivfCached]]; the routing rides the handle so probes route
   // map-only (the SemIndex discipline).
   private val s3bCache = scala.collection.mutable.Map
-    .empty[String, (DataFrame, DataFrame, Similarity.CoarseRouting)]
+    .empty[String, Similarity.HierIvfIndex]
   private def s3bCached(s: SparkSession, dir: String) =
     s3bCache.getOrElseUpdate(dir, {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val (assigned, cents) = Similarity.ivfIndexHier(e, "vec_id", "embedding",
-        nClusters = 80, iterations = 2, nProbe = 4)
-      (assigned, cents, Similarity.buildCoarseRouting(cents, nProbe = 4).get)
+      Similarity.buildHierIvfIndex(e, "vec_id", "embedding",
+        nClusters = 80, iterations = 2, nProbe = 12, coarseProbe = 6)
     })
 
   /** S3B: approximate top-k through the TWO-LEVEL IVF probe
@@ -998,10 +997,8 @@ object Queries {
     */
   def s3bIvfTopKHier(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val (assigned, cents, routing) = s3bCached(s, dir)
-    val approx = Similarity.ivfTopKHier(assigned, cents, routing,
-      e.where(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nProbe = 12, coarseProbe = 6)
+    val approx = s3bCached(s, dir)
+      .topK(e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     annGate(s1Cached(s, dir), approx, minHits = 5, k = 10)
   }
 

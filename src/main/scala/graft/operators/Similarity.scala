@@ -523,6 +523,43 @@ object Similarity {
     IvfIndex(assigned, cents, nProbe)
   }
 
+  /** Two-level IVF index for corpus-scaled cluster counts: hierarchical
+    * assignment in the build ([[ivfIndexHier]]) AND in every probe
+    * ([[ivfTopKHier]]) — neither side ever broadcasts the corpus-scaled
+    * centroid table or streams |rows|·k routing pairs. The coarse routing
+    * is built once and owned by the handle (the [[graft.operators.Dedup
+    * .SemIndex]] discipline).
+    */
+  final case class HierIvfIndex private[Similarity] (
+      assigned: DataFrame, cents: DataFrame, routing: CoarseRouting,
+      nProbe: Int, coarseProbe: Int) extends AnnIndex {
+    def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int = 10): DataFrame =
+      ivfTopKHier(assigned, cents, routing, queries, idCol, vecCol,
+        k, nProbe, coarseProbe)
+    override def close(): Unit = {
+      assigned.unpersist(blocking = false)
+      cents.unpersist(blocking = false)
+      routing.close()
+    }
+  }
+
+  def buildHierIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, iterations: Int = 3, nProbe: Int = 8,
+      coarseProbe: Int = 4,
+      // the BUILD's assignment coarse-probe width — its own knob because
+      // widening the QUERY route should not silently re-shape the index
+      assignProbe: Int = 4): HierIvfIndex = {
+    require(nClusters > 64,
+      s"two-level geometry needs nClusters > 64 (got $nClusters); " +
+        "use buildIvfIndex below the crossover")
+    val (assigned, cents) =
+      ivfIndexHier(corpus, idCol, vecCol, nClusters, iterations, assignProbe)
+    val routing = buildCoarseRouting(cents, coarseProbe).getOrElse(
+      throw new IllegalStateException(
+        s"coarse routing degenerate for nClusters=$nClusters"))
+    HierIvfIndex(assigned, cents, routing, nProbe, coarseProbe)
+  }
+
   // ------------------------------------------------------ int8 quantization
   /** Int8-quantize float embeddings with a per-vector max-abs scale — the
     * scalar-quantization memory lever of IVF-SQ systems (4× smaller than
