@@ -68,7 +68,11 @@ object StressMain {
       "dc3_semantic_decontaminate", "rp1_random_projection", "s5_rp_topk",
       "sr1_span_rewrite", "nd3_incremental_semdedup", "d8b_semdedup_auto",
       "d8c_semdedup_hier", "cp3_selective_pipeline", "t8_gopher_gates",
-      "cp4_span_rewrite_pipeline", "mix4_repeat_cap")
+      "cp4_span_rewrite_pipeline", "mix4_repeat_cap",
+      "cp5_full_pipeline", "cp5b_pipeline_mixture",
+      "cp6_decontaminated_pipeline", "nd2r_reloaded_neardup",
+      "nd3r_reloaded_semdedup", "nd4_compacted_semdedup",
+      "tok1r_reloaded_bpe", "s3b_ivf_topk_hier")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
@@ -86,6 +90,12 @@ object StressMain {
         case e: Throwable =>
           println(f"[stress] $name%-22s FAILED: ${e.getMessage.take(120)}")
       }
+      // Release eager operators' caller-owned caches between queries (the
+      // Bench/TimeMain discipline) — 80+ stress queries of accumulated
+      // persisted frames otherwise exhaust the heap before the auto-
+      // geometry rows run (observed: d8b OOM at 100× in a shared sweep
+      // JVM while passing standalone).
+      spark.sharedState.cacheManager.clearCache()
     }
 
     // Adversarial hot-bucket family at 10× the registry fixture: 50k
