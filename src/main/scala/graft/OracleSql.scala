@@ -1898,7 +1898,16 @@ object OracleSql {
     // projection-preserves-neighbors invariant (the s2/s3 gate pattern)
     "s5_rp_topk" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // fj1: the oracle is the brute-force O(n^2) definition the blocked
+    // Spark plan must reproduce EXACTLY — deletion-neighborhood blocking is
+    // lossless for ed<=k, so any missing pair is a bug, not tuning
+    "fj1_fuzzy_join" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, SequencePack, Similarity}
+import graft.operators.{Cleaning, Dedup, FuzzyJoin, SequencePack, Similarity}
 import graft.functions.TextFunctions
 
 /** The driver-facing query registry: one entry per implemented operator
@@ -763,6 +763,20 @@ object Queries {
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docsWithPlantedDups(s, dir), "doc_id", "text")
       .select(col("keep_id"), col("group_size"))
+
+  /** FJ1: edit-distance fuzzy self-join (entity resolution) over customer
+    * names through the LOSSLESS deletion-neighborhood blocking
+    * ([[graft.operators.FuzzyJoin]]). The oracle replays the brute-force
+    * O(n^2) `levenshtein` definition, so hash equality proves the blocked
+    * plan recovers EVERY ed<=1 pair — recall 1.0 by construction, unlike
+    * the probabilistic d2/d3 families — while Spark-side candidates stay
+    * bucket-local (one shuffle on the variant key, hot buckets guarded).
+    */
+  def fj1FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.fuzzySelfJoin(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxDist = 1)
+      .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
+        col("dist").cast("long").as("dist"))
 
   /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
     * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
@@ -2286,6 +2300,7 @@ object Queries {
     "ccn1_quality_buckets" -> (ccn1QualityBuckets _),
     "dc3_semantic_decontaminate" -> (dc3SemanticDecontaminate _),
     "rp1_random_projection" -> (rp1RandomProjection _),
-    "s5_rp_topk" -> (s5RpTopK _)
+    "s5_rp_topk" -> (s5RpTopK _),
+    "fj1_fuzzy_join" -> (fj1FuzzyJoin _)
   )
 }
