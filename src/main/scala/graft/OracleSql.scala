@@ -1907,7 +1907,70 @@ object OracleSql {
       """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // dq1: each rule re-stated as its set-theoretic definition; exact
+    // integer counts so the hash compare is trivially stable
+    "dq1_rule_audit" ->
+      """SELECT 'orders_date_not_null' AS rule_name, 'orders' AS tbl,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+        |  count(*) AS checked FROM orders
+        |UNION ALL
+        |SELECT 'orders_price_range', 'orders',
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0.0 OR o_totalprice > 1e9) THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'orders_status_enum', 'orders',
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM orders
+        |UNION ALL
+        |SELECT 'orders_key_unique', 'orders',
+        |  count(*) - count(DISTINCT o_orderkey), count(*)
+        |FROM orders WHERE o_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', 'orders',
+        |  CAST(COALESCE(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)
+        |FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+        |  ON c.o_custkey = p.c_custkey
+        |UNION ALL
+        |SELECT 'customer_name_format', 'customer',
+        |  CAST(COALESCE(SUM(CASE WHEN c_name IS NOT NULL
+        |    AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM customer
+        |UNION ALL
+        |SELECT 'customer_acctbal_nonneg', 'customer',
+        |  CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NOT NULL
+        |    AND (c_acctbal < 0.0 OR c_acctbal > 1e12) THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_qty_range', 'lineitem',
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', 'lineitem',
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique', 'lineitem',
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*)
+        |FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', 'lineitem',
+        |  CAST(COALESCE(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT), count(*)
+        |FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+        |  ON c.l_orderkey = p.o_orderkey
+        |UNION ALL
+        |SELECT 'events_type_enum', 'events',
+        |  CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
+        |    AND event_type NOT IN ('click','signup','error','view','purchase')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  count(*) FROM events""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

@@ -778,6 +778,41 @@ object Queries {
       .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
         col("dist").cast("long").as("dist"))
 
+  /** DQ1: declarative data-quality audit ([[graft.operators.DataQuality]])
+    * — 12 rules over four tables (not-null, range, regex, enum, single and
+    * composite uniqueness, two FK integrity checks) compiled to one fused
+    * scan per table plus one distinct/anti-join per key rule. The fixture
+    * catches real violations (122 negative `c_acctbal` rows) and pins
+    * exact zeros everywhere else.
+    */
+  def dq1RuleAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val tables = Map(
+      "orders" -> t(s, dir, "orders"),
+      "customer" -> t(s, dir, "customer"),
+      "lineitem" -> t(s, dir, "lineitem"),
+      "events" -> t(s, dir, "events"))
+    graft.operators.DataQuality.audit(tables, Seq(
+      NotNull("orders_date_not_null", "orders", "o_orderdate"),
+      InRange("orders_price_range", "orders", "o_totalprice", 0.0, 1e9),
+      InSet("orders_status_enum", "orders", "o_orderstatus",
+        Seq("O", "F", "P")),
+      Unique("orders_key_unique", "orders", Seq("o_orderkey")),
+      RefIntegrity("orders_custkey_fk", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      Matches("customer_name_format", "customer", "c_name",
+        "^Customer#[0-9]{9}$"),
+      InRange("customer_acctbal_nonneg", "customer", "c_acctbal", 0.0, 1e12),
+      InRange("lineitem_qty_range", "lineitem", "l_quantity", 1.0, 50.0),
+      InRange("lineitem_discount_range", "lineitem", "l_discount", 0.0, 0.1),
+      Unique("lineitem_pk_unique", "lineitem",
+        Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("lineitem_orderkey_fk", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      InSet("events_type_enum", "events", "event_type",
+        Seq("click", "signup", "error", "view", "purchase"))))
+  }
+
   /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
     * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
     * .hashUtf8]]): DuckDB rebuilds every 128-hash signature (splitmix64
@@ -2301,6 +2336,7 @@ object Queries {
     "dc3_semantic_decontaminate" -> (dc3SemanticDecontaminate _),
     "rp1_random_projection" -> (rp1RandomProjection _),
     "s5_rp_topk" -> (s5RpTopK _),
-    "fj1_fuzzy_join" -> (fj1FuzzyJoin _)
+    "fj1_fuzzy_join" -> (fj1FuzzyJoin _),
+    "dq1_rule_audit" -> (dq1RuleAudit _)
   )
 }
