@@ -1970,7 +1970,57 @@ object OracleSql {
         |  CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
         |    AND event_type NOT IN ('click','signup','error','view','purchase')
         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
-        |  count(*) FROM events""".stripMargin
+        |  count(*) FROM events""".stripMargin,
+
+    // drift1/drift2: same per-bin evidence contract as the Spark side —
+    // exact counts, one IEEE division per share, rational divergence term
+    // (no ln, no eps; see Drift.scala)
+    "drift1_numeric" ->
+      """WITH a AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bin
+        |           FROM orders WHERE o_totalprice IS NOT NULL
+        |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |     b AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bin
+        |           FROM orders WHERE o_totalprice IS NOT NULL
+        |             AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |     ac AS (SELECT bin, count(*) AS cnt_a FROM a GROUP BY bin),
+        |     bc AS (SELECT bin, count(*) AS cnt_b FROM b GROUP BY bin),
+        |     bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+        |     f AS (SELECT bins.bin, CAST(COALESCE(ac.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |                  CAST(COALESCE(bc.cnt_b, 0) AS BIGINT) AS cnt_b
+        |           FROM bins LEFT JOIN ac ON bins.bin = ac.bin
+        |                     LEFT JOIN bc ON bins.bin = bc.bin),
+        |     t AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM f),
+        |     sh AS (SELECT f.bin, f.cnt_a, f.cnt_b,
+        |            CASE WHEN t.ta > 0 THEN CAST(f.cnt_a AS DOUBLE) / t.ta ELSE 0.0 END AS share_a,
+        |            CASE WHEN t.tb > 0 THEN CAST(f.cnt_b AS DOUBLE) / t.tb ELSE 0.0 END AS share_b
+        |            FROM f CROSS JOIN t)
+        |SELECT bin, cnt_a, cnt_b, share_a, share_b,
+        |  CASE WHEN share_a + share_b > 0
+        |    THEN ((share_a - share_b) * (share_a - share_b)) / (share_a + share_b)
+        |    ELSE 0.0 END AS divergence
+        |FROM sh""".stripMargin,
+
+    "drift2_categorical" ->
+      """WITH a AS (SELECT o_orderpriority AS value, count(*) AS cnt_a FROM orders
+        |           WHERE o_orderpriority IS NOT NULL
+        |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |     b AS (SELECT o_orderpriority AS value, count(*) AS cnt_b FROM orders
+        |           WHERE o_orderpriority IS NOT NULL
+        |             AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |     f AS (SELECT COALESCE(a.value, b.value) AS value,
+        |                  CAST(COALESCE(a.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |                  CAST(COALESCE(b.cnt_b, 0) AS BIGINT) AS cnt_b
+        |           FROM a FULL OUTER JOIN b ON a.value = b.value),
+        |     t AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM f),
+        |     sh AS (SELECT f.value, f.cnt_a, f.cnt_b,
+        |            CASE WHEN t.ta > 0 THEN CAST(f.cnt_a AS DOUBLE) / t.ta ELSE 0.0 END AS share_a,
+        |            CASE WHEN t.tb > 0 THEN CAST(f.cnt_b AS DOUBLE) / t.tb ELSE 0.0 END AS share_b
+        |            FROM f CROSS JOIN t)
+        |SELECT value, cnt_a, cnt_b, share_a, share_b,
+        |  CASE WHEN share_a + share_b > 0
+        |    THEN ((share_a - share_b) * (share_a - share_b)) / (share_a + share_b)
+        |    ELSE 0.0 END AS divergence
+        |FROM sh""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

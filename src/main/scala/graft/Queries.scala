@@ -813,6 +813,34 @@ object Queries {
         Seq("click", "signup", "error", "view", "purchase"))))
   }
 
+  // drift rows: snapshot A = pre-1998 orders, snapshot B = the rest — a
+  // fixed, semantically meaningful split both engines restate verbatim
+  private val driftCut = "1998-01-01 00:00:00"
+
+  /** DRIFT1: numeric distribution drift ([[graft.operators.Drift]]) of
+    * `o_totalprice` across the 1998 boundary — long-form per-bin evidence
+    * (exact counts, IEEE-exact shares, rational divergence term; see the
+    * Drift scaladoc for why PSI's ln stays out of the oracle contract).
+    */
+  def drift1Numeric(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.operators.Drift.numericDrift(
+      o.where(col("o_orderdate") < ts(driftCut)),
+      o.where(col("o_orderdate") >= ts(driftCut)),
+      "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
+  }
+
+  /** DRIFT2: categorical drift of `o_orderpriority` across the same
+    * boundary — one row per category seen in either snapshot.
+    */
+  def drift2Categorical(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.operators.Drift.categoricalDrift(
+      o.where(col("o_orderdate") < ts(driftCut)),
+      o.where(col("o_orderdate") >= ts(driftCut)),
+      "o_orderpriority")
+  }
+
   /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
     * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
     * .hashUtf8]]): DuckDB rebuilds every 128-hash signature (splitmix64
@@ -2337,6 +2365,8 @@ object Queries {
     "rp1_random_projection" -> (rp1RandomProjection _),
     "s5_rp_topk" -> (s5RpTopK _),
     "fj1_fuzzy_join" -> (fj1FuzzyJoin _),
-    "dq1_rule_audit" -> (dq1RuleAudit _)
+    "dq1_rule_audit" -> (dq1RuleAudit _),
+    "drift1_numeric" -> (drift1Numeric _),
+    "drift2_categorical" -> (drift2Categorical _)
   )
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two dataset snapshots — the check a
+  * rolling training-data pipeline runs before trusting a new crawl batch
+  * against the corpus it was tuned on.
+  *
+  * The contract is LONG-FORM per-bin evidence, not a single opaque score:
+  * `(bin, cnt_a, cnt_b, share_a, share_b, divergence)` — exact integer
+  * counts, shares as one IEEE division, and a RATIONAL per-bin divergence
+  * term (triangular discrimination, `(pA-pB)^2 / (pA+pB)`) that needs no
+  * epsilon smoothing and no transcendental, so it is bit-reproducible
+  * across engines (the tt1 ratio-over-log convention). The classic PSI
+  * (which needs ln and eps) is provided as a driver-side convenience over
+  * the same frame for human consumption.
+  *
+  * Scale shape: one map-side-combined `groupBy(bin)` scan per snapshot —
+  * the only shuffle is nBins rows wide — then a full-outer join of two
+  * tiny per-bin frames and a broadcast of two 1-row totals. Works
+  * unchanged whether a snapshot is 1 MB or 10 TB; nothing is proportional
+  * to rows except the scans.
+  */
+object Drift {
+
+  /** Fixed-width numeric binning: `clamp(floor((v - lo) / width), 0, n-1)`
+    * — under/overflow lands in the edge bins, so a fixed spec stays total
+    * as the data moves (the point of drift detection).
+    */
+  def binOf(v: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    require(nBins > 0 && hi > lo, s"bad bin spec [$lo, $hi) x $nBins")
+    val w = (hi - lo) / nBins
+    least(greatest(floor((v - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+  }
+
+  private def binnedCounts(df: DataFrame, column: String, bin: Column): DataFrame =
+    df.where(col(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1L)).as("cnt"))
+
+  /** Per-bin drift evidence between snapshots `a` and `b` on a numeric
+    * column. Every bin in [0, nBins) is present (zero-filled), plus the
+    * exact shares and the rational divergence term; nulls are excluded on
+    * both sides.
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, column: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val bins = (0L until nBins.toLong).toDF("bin")
+    val ca = binnedCounts(a, column, binOf(col(column), lo, hi, nBins))
+    val cb = binnedCounts(b, column, binOf(col(column), lo, hi, nBins))
+    drift(bins.join(broadcast(ca), Seq("bin"), "left")
+      .withColumnRenamed("cnt", "cnt_a")
+      .join(broadcast(cb), Seq("bin"), "left")
+      .withColumnRenamed("cnt", "cnt_b"))
+  }
+
+  /** Categorical drift: one row per category value observed in either
+    * snapshot (nulls excluded), same evidence columns keyed by `value`.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+    val ca = a.where(col(column).isNotNull)
+      .groupBy(col(column).as("value")).agg(count(lit(1L)).as("cnt_a"))
+    val cb = b.where(col(column).isNotNull)
+      .groupBy(col(column).as("value")).agg(count(lit(1L)).as("cnt_b"))
+    drift(ca.join(cb, Seq("value"), "full_outer"))
+  }
+
+  private def drift(joined: DataFrame): DataFrame = {
+    val filled = joined
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L)))
+    // totals as 1-row broadcast aggregates, not window functions — a
+    // window would ship every bin row through one partition for nothing
+    val totals = filled.agg(sum(col("cnt_a")).as("__ta"),
+      sum(col("cnt_b")).as("__tb"))
+    filled.crossJoin(broadcast(totals))
+      .withColumn("share_a",
+        when(col("__ta") > 0, col("cnt_a").cast("double") / col("__ta"))
+          .otherwise(lit(0.0)))
+      .withColumn("share_b",
+        when(col("__tb") > 0, col("cnt_b").cast("double") / col("__tb"))
+          .otherwise(lit(0.0)))
+      .withColumn("divergence",
+        when(col("share_a") + col("share_b") > 0,
+          (col("share_a") - col("share_b")) * (col("share_a") - col("share_b"))
+            / (col("share_a") + col("share_b")))
+          .otherwise(lit(0.0)))
+      .drop("__ta", "__tb")
+  }
+
+  /** Classic PSI over a drift frame — ln-based, eps-smoothed, so
+    * analysis-side only (not oracle-reproducible across engines; see the
+    * class doc). Collects nBins rows.
+    */
+  def psi(driftFrame: DataFrame, eps: Double = 1e-6): Double =
+    driftFrame.select("share_a", "share_b").collect().iterator.map { r =>
+      val pa = math.max(r.getDouble(0), eps)
+      val pb = math.max(r.getDouble(1), eps)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Drift
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Drift]] — per-bin drift evidence and the PSI convenience. */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("binOf clamps underflow, overflow and the exact upper edge") {
+    import spark.implicits._
+    val rows = Seq(-5.0, 0.0, 9.99, 10.0, 55.0, 100.0, 1e9).toDF("v")
+      .select(Drift.binOf(col("v"), 0.0, 100.0, 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 0L, 0L, 1L, 5L, 9L, 9L))
+  }
+
+  test("numericDrift zero-fills bins, shares sum to 1, nulls excluded") {
+    import spark.implicits._
+    val a = Seq(Some(5.0), Some(15.0), Some(15.0), None).toDF("v")
+    val b = Seq(Some(95.0)).toDF("v")
+    val out = Drift.numericDrift(a, b, "v", 0.0, 100.0, 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    val byBin = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(byBin(0L) == ((1L, 0L, 1.0 / 3, 0.0)))
+    assert(byBin(1L)._1 == 2L)
+    assert(byBin(9L) == ((0L, 1L, 0.0, 1.0)))
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
+
+  test("identical snapshots: zero divergence everywhere, PSI ~ 0") {
+    import spark.implicits._
+    val a = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val d = Drift.numericDrift(a, a, "v", 0.0, 100.0, 10)
+    assert(d.agg(sum(abs(col("divergence")))).collect()(0).getDouble(0) == 0.0)
+    assert(math.abs(Drift.psi(d)) < 1e-12)
+  }
+
+  test("a shifted snapshot scores strictly higher than a jittered one") {
+    import spark.implicits._
+    val base = Seq.tabulate(200)(i => (i % 100).toDouble).toDF("v")
+    val jitter = Seq.tabulate(200)(i => ((i + 1) % 100).toDouble).toDF("v")
+    val shifted = Seq.tabulate(200)(i => (i % 100) / 2.0 + 50.0).toDF("v")
+    val small = Drift.psi(Drift.numericDrift(base, jitter, "v", 0.0, 100.0, 10))
+    val big = Drift.psi(Drift.numericDrift(base, shifted, "v", 0.0, 100.0, 10))
+    assert(big > small + 0.1, s"psi shifted=$big jitter=$small")
+  }
+
+  test("categoricalDrift covers categories unique to either side") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("y", "z").toDF("c")
+    val m = Drift.categoricalDrift(a, b, "c").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map("x" -> ((2L, 0L)), "y" -> ((1L, 1L)), "z" -> ((0L, 1L))))
+  }
+}
