@@ -2020,7 +2020,31 @@ object OracleSql {
         |  CASE WHEN share_a + share_b > 0
         |    THEN ((share_a - share_b) * (share_a - share_b)) / (share_a + share_b)
         |    ELSE 0.0 END AS divergence
-        |FROM sh""".stripMargin
+        |FROM sh""".stripMargin,
+
+    // scd1: run detection (row 1 or value change) -> running run id ->
+    // run compaction -> interval chaining; the (ts, event_id) tie-break
+    // pins total order, so both engines build identical runs
+    "scd1_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs0 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM flagged),
+        |runs AS (
+        |  SELECT user_id, CAST(run AS BIGINT) AS run,
+        |         MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+        |         count(*) AS n_events
+        |  FROM runs0 GROUP BY user_id, run)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        |  n_events
+        |FROM runs""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

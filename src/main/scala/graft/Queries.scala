@@ -841,6 +841,15 @@ object Queries {
       "o_orderpriority")
   }
 
+  /** SCD1: change-data-capture compaction ([[graft.operators
+    * .ChangeCapture]]) — the events stream collapsed into SCD2 validity
+    * intervals of `event_type` per user, `(ts, event_id)`-ordered,
+    * half-open, open-ended current run. Key-local windows only.
+    */
+  def scd1History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangeCapture.scd2(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+
   /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
     * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
     * .hashUtf8]]): DuckDB rebuilds every 128-hash signature (splitmix64
@@ -2367,6 +2376,7 @@ object Queries {
     "fj1_fuzzy_join" -> (fj1FuzzyJoin _),
     "dq1_rule_audit" -> (dq1RuleAudit _),
     "drift1_numeric" -> (drift1Numeric _),
-    "drift2_categorical" -> (drift2Categorical _)
+    "drift2_categorical" -> (drift2Categorical _),
+    "scd1_history" -> (scd1History _)
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.ChangeCapture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ChangeCapture.scd2]] — run compaction into validity intervals. */
+class ChangeCaptureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("runs compact, intervals chain half-open, last run stays open") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", t("2024-01-01 00:00:00"), 1L),
+      (1L, "a", t("2024-01-02 00:00:00"), 2L),
+      (1L, "b", t("2024-01-03 00:00:00"), 3L),
+      (1L, "a", t("2024-01-04 00:00:00"), 4L), // back to a = NEW run
+      (2L, "x", t("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "v", "ts", "id")
+    val out = ChangeCapture.scd2(df, "k", "v", "ts", "id")
+      .orderBy("k", "valid_from").collect()
+    val rows = out.map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "a", t("2024-01-01 00:00:00"), Some(t("2024-01-03 00:00:00")), 2L),
+      (1L, "b", t("2024-01-03 00:00:00"), Some(t("2024-01-04 00:00:00")), 1L),
+      (1L, "a", t("2024-01-04 00:00:00"), None, 1L),
+      (2L, "x", t("2024-01-01 00:00:00"), None, 1L)))
+  }
+
+  test("equal timestamps break ties on the tie column; null is a state") {
+    import spark.implicits._
+    val ts0 = t("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, Option("a"), ts0, 2L),
+      (1L, Option.empty[String], ts0, 1L), // first by tie-break
+      (1L, Option.empty[String], ts0, 3L)  // run continues: null == null
+    ).toDF("k", "v", "ts", "id")
+    val out = ChangeCapture.scd2(df, "k", "v", "ts", "id")
+      .orderBy("valid_from", "n_events").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(4)))
+    // order: null(id1) -> a(id2) -> null(id3): three runs of 1 each...
+    // ids 1,2,3 sort as null, a, null -> runs (null,1), (a,1), (null,1)
+    assert(out.toSeq == Seq((None, 1L), (Some("a"), 1L), (None, 1L)))
+  }
+
+  test("asOf returns each key's value at an instant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", t("2024-01-01 00:00:00"), 1L),
+      (1L, "b", t("2024-01-05 00:00:00"), 2L),
+      (2L, "x", t("2024-01-04 00:00:00"), 3L)
+    ).toDF("k", "v", "ts", "id")
+    val hist = ChangeCapture.scd2(df, "k", "v", "ts", "id")
+    val got = ChangeCapture.asOf(hist, lit(t("2024-01-04 12:00:00")))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "x"))
+    // before key 2 existed
+    val earlier = ChangeCapture.asOf(hist, lit(t("2024-01-02 00:00:00")))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(earlier == Map(1L -> "a"))
+  }
+
+  test("no global window: every exchange is hash-partitioned on the key") {
+    import spark.implicits._
+    val df = Seq((1L, "a", t("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
+    val plan = ChangeCapture.scd2(df, "k", "v", "ts", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"found a global exchange:\n$plan")
+  }
+}
