@@ -2044,7 +2044,31 @@ object OracleSql {
         |SELECT user_id, event_type, valid_from,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
         |  n_events
-        |FROM runs""".stripMargin
+        |FROM runs""".stripMargin,
+
+    // bm25: rational-idf Okapi BM25 (k1=1.2, b=0.75), arithmetic mirrored
+    // op-for-op; per-doc totals via the 6dp quantized exact sum
+    "bm25_topk" ->
+      """WITH lens AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |per AS (SELECT tf.doc_id,
+        |    ((n - df + 0.5) / (df + 0.5)) *
+        |    ((CAST(tf AS DOUBLE) * 2.2) /
+        |     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+        |  FROM tf JOIN dft USING (term)
+        |       JOIN lens ON tf.doc_id = lens.doc_id, stats)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS score
+        |FROM per GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

@@ -694,6 +694,15 @@ object Queries {
         col("score"))
   }
 
+  /** BM25: ranked retrieval over documents for a fixed 3-term query
+    * ([[graft.operators.Search.bm25TopK]]) — inverted-index-shaped plan
+    * (only query-term postings shuffle), rational-idf scoring with exact
+    * quantized per-doc sums, deterministic (score desc, doc_id) top-20.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "join", "window"), topK = 20)
+
   /** CQ1: per-source corpus health report — the one-stop rollup a pipeline
     * owner reads before changing mixture weights: per (lang, source)
     * stratum, doc count, exact mean quality, exact mean duplicate-token
@@ -2377,6 +2386,7 @@ object Queries {
     "dq1_rule_audit" -> (dq1RuleAudit _),
     "drift1_numeric" -> (drift1Numeric _),
     "drift2_categorical" -> (drift2Categorical _),
-    "scd1_history" -> (scd1History _)
+    "scd1_history" -> (scd1History _),
+    "bm25_topk" -> (bm25TopDocs _)
   )
 }
