@@ -2068,7 +2068,13 @@ object OracleSql {
         |  CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |    / 1000000.0 AS score
         |FROM per GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the s2/s3 recall-gate pattern: PQ's ADC shortlist + exact re-rank
+    // must keep ≥8/10 recall with the full k returned
+    "s6_pq_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

@@ -708,4 +708,154 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ------------------------------------------------- product quantization
+  /** Trained product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space split into `m` subspaces of `subDim` dims, each with its own
+    * `ks`-entry k-means codebook. A 64-dim float vector compresses to m
+    * one-byte codes — 32× — and query scoring becomes table lookups
+    * (ADC: asymmetric distance computation) instead of float dot products.
+    */
+  final case class PqModel private[Similarity] (
+      m: Int, subDim: Int, ks: Int,
+      codebook: DataFrame /* (sub, cluster, centroid) */) {
+    def close(): Unit = codebook.unpersist(blocking = false)
+  }
+
+  /** `(id, sub, svec)` — each vector exploded into its m subvectors,
+    * element type widened to double. Map-only.
+    */
+  private def pqSubVectors(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+      posexplode(array((0 until m).map(j =>
+        transform(slice(col(vecCol), j * subDim + 1, subDim),
+          _.cast("double"))): _*)).as(Seq("sub", "svec")))
+
+  /** One block row per subspace: the codebook sorted by cluster id, in the
+    * [[graft.functions.FloatVecBlockArgmin]] layout.
+    */
+  private def pqBlocks(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(
+        col("cluster").cast("int").as("cluster"), col("centroid")))).as("block"))
+
+  /** Nearest-codeword assignment of every subvector — the m-way analogue of
+    * [[assign]]: the per-subspace block rides a broadcast join on `sub`
+    * and the codegen'd squared-L2 block argmin picks the code map-only.
+    */
+  private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(pqBlocks(codebook)), "sub")
+      .select(col(sv.columns.head), col("sub"), col("svec"),
+        graft.functions.VecExpressions.fblockArgmin(col("svec"), col("block"))
+          .getField("cluster").as("cluster"))
+
+  /** Train PQ codebooks by per-subspace Lloyd iterations. Deterministic
+    * init: the subvectors of the `ks` lowest-id vectors (a CONSTANT-size
+    * `limit(ks)` collect — ks is 16-256 regardless of corpus size, so this
+    * is corpus-independent, unlike the auto-geometry init this engine
+    * distributes). Assignment is the block-argmin kernel; new codewords
+    * are per-(sub, cluster) means through the one exact [[centroids]]
+    * aggregation (subspaces share the shuffle via a combined key). Empty
+    * codewords die (standard Lloyd); codes stay consistent because the
+    * codebook frame is the single source of truth.
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iterations: Int = 2,
+      inDims: Int = 64): PqModel = {
+    require(inDims % m == 0, s"inDims $inDims not divisible by m $m")
+    val subDim = inDims / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sv = pqSubVectors(corpus, idCol, vecCol, "neighbor_id", m, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seed = corpus.orderBy(col(idCol)).limit(ks)
+      .select(transform(col(vecCol), _.cast("double")).as("v")).collect()
+      .map(_.getSeq[Double](0))
+    var book = seed.zipWithIndex.flatMap { case (v, i) =>
+      (0 until m).map(j => (j, i, v.slice(j * subDim, (j + 1) * subDim)))
+    }.toSeq.toDF("sub", "cluster", "centroid")
+
+    (1 to iterations).foreach { _ =>
+      val assigned = pqAssign(sv, book)
+        .withColumn("__sc", col("sub") * lit(ks) + col("cluster"))
+      book = centroids(assigned, "__sc", "svec")
+        .select((col("cluster") / ks).cast("int").as("sub"),
+          pmod(col("cluster"), lit(ks)).cast("int").as("cluster"),
+          col("centroid"))
+        // tiny (≤ m·ks rows): truncate lineage so rounds don't stack plans
+        .localCheckpoint()
+    }
+    val out = book.persist()
+    out.count()
+    sv.unpersist(blocking = false)
+    PqModel(m, subDim, ks, out)
+  }
+
+  /** Encode the corpus: `(neighbor_id, codes array<int>)`, codes ordered by
+    * subspace. One pass through the block-argmin kernel, one id-keyed
+    * aggregation.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    pqAssign(
+      pqSubVectors(corpus, idCol, vecCol, "neighbor_id", model.m, model.subDim),
+      model.codebook)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cluster")))),
+        s => s.getField("cluster")).as("codes"))
+
+  /** PQ approximate top-k with exact re-rank: per-query ADC tables (inner
+    * product of each query subvector with each codeword — |Q|·m·ks tiny
+    * rows, broadcast as per-query lookup maps), a map-only scan scoring
+    * every encoded vector with m table lookups, a WindowGroupLimit
+    * shortlist, then exact cosine re-rank of `shortlist` candidates per
+    * query. The corpus side reads CODES (m bytes equivalent), not vectors
+    * — the memory-bandwidth lever that makes a 100 TB scan tractable —
+    * and touches float vectors only for shortlist·|Q| rows.
+    */
+  def pqTopK(corpus: DataFrame, codes: DataFrame, model: PqModel,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, shortlist: Int = 50): DataFrame = {
+    // per-query ADC lookup map: (sub*ks + cluster) -> <q_sub, codeword>
+    val qsub = pqSubVectors(queries, idCol, vecCol, "query_id",
+      model.m, model.subDim)
+    val qtables = qsub.join(broadcast(model.codebook), "sub")
+      .select(col("query_id"),
+        (col("sub") * lit(model.ks) + col("cluster")).as("idx"),
+        fdot(col("svec"), col("centroid")).as("ip"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("ip"))))
+        .as("qmap"))
+
+    // ADC scan: approximate inner product = Σ_j qmap[j·ks + code_j]
+    val scored = codes.crossJoin(broadcast(qtables))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("qmap"),
+            j * lit(model.ks) + element_at(col("codes"), j + lit(1))))
+          .as("__adc"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("__crank", row_number().over(wCand))
+      .where(col("__crank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank on the shortlist only
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__nvec"), fnorm(col(vecCol)).as("__nnorm"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"), fnorm(col(vecCol)).as("__qnorm")))
+    val exact = cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("__qvec"), col("__qnorm"), col("__nvec"), col("__nnorm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }
