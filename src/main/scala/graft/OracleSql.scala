@@ -2074,7 +2074,24 @@ object OracleSql {
     // must keep ≥8/10 recall with the full k returned
     "s6_pq_topk" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // c11b: nearest-dictionary-entry repair, ties by (distance, value) —
+    // the correlated ORDER BY ... LIMIT 1 restates array_min over structs
+    "c11b_fuzzy_canon" ->
+      """WITH d AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN substr(c_mktsegment, 2)
+        |       WHEN c_custkey % 5 = 1 THEN
+        |         concat(substr(c_mktsegment, 1, 1), 'x', substr(c_mktsegment, 3))
+        |       WHEN c_custkey % 5 = 2 THEN concat('z', c_mktsegment)
+        |       ELSE c_mktsegment END AS dirty
+        |  FROM customer)
+        |SELECT c_custkey, dirty,
+        |  COALESCE((SELECT v FROM (VALUES ('AUTOMOBILE'), ('BUILDING'),
+        |      ('FURNITURE'), ('HOUSEHOLD'), ('MACHINERY')) t(v)
+        |    WHERE levenshtein(dirty, v) <= 1
+        |    ORDER BY levenshtein(dirty, v), v LIMIT 1), dirty) AS canonical
+        |FROM d""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

@@ -822,6 +822,29 @@ object Queries {
         Seq("click", "signup", "error", "view", "purchase"))))
   }
 
+  /** C11B: dictionary-only fuzzy canonicalization ([[Cleaning
+    * .fuzzyCanonicalize]]) — typos nobody enumerated snap to the nearest
+    * canonical form within 1 edit, map-only. The fixture plants a
+    * deterministic deletion / substitution / insertion on 3 of every 5
+    * segment values (the pii1 planted-fixture pattern) and the oracle
+    * replays the same nearest-entry rule with a correlated min-distance
+    * lookup.
+    */
+  def c11bFuzzyCanon(s: SparkSession, dir: String): DataFrame = {
+    val seg = col("c_mktsegment")
+    val dirty =
+      when(pmod(col("c_custkey"), lit(5)) === 0, substring(seg, 2, 64))
+        .when(pmod(col("c_custkey"), lit(5)) === 1,
+          concat(substring(seg, 1, 1), lit("x"), substring(seg, 3, 64)))
+        .when(pmod(col("c_custkey"), lit(5)) === 2, concat(lit("z"), seg))
+        .otherwise(seg)
+    val df = t(s, dir, "customer")
+      .select(col("c_custkey"), dirty.as("dirty"),
+        dirty.as("canonical"))
+    Cleaning.fuzzyCanonicalize("canonical", Seq("AUTOMOBILE", "BUILDING",
+      "FURNITURE", "HOUSEHOLD", "MACHINERY"), maxDist = 1)(df)
+  }
+
   // drift rows: snapshot A = pre-1998 orders, snapshot B = the rest — a
   // fixed, semantically meaningful split both engines restate verbatim
   private val driftCut = "1998-01-01 00:00:00"
@@ -2422,6 +2445,7 @@ object Queries {
     "drift2_categorical" -> (drift2Categorical _),
     "scd1_history" -> (scd1History _),
     "bm25_topk" -> (bm25TopDocs _),
-    "s6_pq_topk" -> (s6PqTopK _)
+    "s6_pq_topk" -> (s6PqTopK _),
+    "c11b_fuzzy_canon" -> (c11bFuzzyCanon _)
   )
 }

@@ -72,7 +72,13 @@ object StressMain {
       "cp5_full_pipeline", "cp5b_pipeline_mixture",
       "cp6_decontaminated_pipeline", "nd2r_reloaded_neardup",
       "nd3r_reloaded_semdedup", "nd4_compacted_semdedup",
-      "tok1r_reloaded_bpe", "s3b_ivf_topk_hier")
+      "tok1r_reloaded_bpe", "s3b_ivf_topk_hier",
+      // round-10 rows: dq1/drift*/scd1/bm25 read the replicated fact
+      // tables (orders/lineitem/events/documents); s6 reads embeddings.
+      // fj1 reads the UNreplicated customer dim — its scale fixture is the
+      // dedicated fuzzy_join_Nx section below instead.
+      "dq1_rule_audit", "drift1_numeric", "drift2_categorical",
+      "scd1_history", "bm25_topk", "s6_pq_topk")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
@@ -80,8 +86,15 @@ object StressMain {
     // SPARK_GRAFT_STRESS_TAIL_ONLY skips the headline sweep and runs just
     // the special fixtures below (guard family, nd2/nd3 build-vs-probe) —
     // the per-query sweep is already covered by TimeMain runs.
+    // SPARK_GRAFT_STRESS_ONLY=a,b,c restricts the headline sweep to a
+    // subset (the iteration loop for newly-added rows).
     val tailOnly = sys.env.contains("SPARK_GRAFT_STRESS_TAIL_ONLY")
-    (if (tailOnly) Seq.empty[String] else headline).foreach { name =>
+    val onlySet = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").toSet)
+    val sweep =
+      if (tailOnly) Seq.empty[String]
+      else onlySet.fold(headline)(s => headline.filter(s.contains))
+    sweep.foreach { name =>
       val t0 = System.nanoTime()
       try {
         Queries.registry(name)(spark, outDir).write.format("noop").mode("overwrite").save()
@@ -112,6 +125,21 @@ object StressMain {
     pairs.unpersist(blocking = false)
     println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
       f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
+
+    // Fuzzy join at factor×15k strings (the registry fixture's customer
+    // table does not replicate — dims keep their keys — so the scale
+    // fixture is synthetic 9-digit names). Lossless deletion-neighborhood
+    // blocking: candidate volume tracks true-match volume (each number has
+    // ~9·digits in-range ed-1 neighbors), never n².
+    val tFj = System.nanoTime()
+    val fjN = factor * 15000
+    val fjDf = spark.range(0, fjN.toLong)
+      .select(col("id"), concat(lit("Customer#"),
+        lpad(col("id").cast("string"), 9, "0")).as("name"))
+    val fjPairs = graft.operators.FuzzyJoin.fuzzySelfJoin(
+      fjDf, "id", "name", maxDist = 1).count()
+    println(f"[stress] fuzzy_join_${fjN / 1000}%dk      ${(System.nanoTime() - tFj) / 1e9}%8.2f s " +
+      f"(pairs=$fjPairs)")
 
     // Incremental near-dup at scale: the index build pays the one-time
     // corpus scan; the BATCH probe must cost ~batch size, independent of

@@ -455,6 +455,32 @@ object Cleaning {
       .drop("variant", "canonical")
   }
 
+  /** C11 without a variant list: canonicalize against the DICTIONARY ONLY,
+    * snapping any value within `maxDist` edits of a canonical form to it —
+    * the cleaning op for typos nobody enumerated. Nearest entry wins; ties
+    * break to the lexicographically smallest (array_min over
+    * (distance, value) structs). Values with no entry within range pass
+    * through unchanged.
+    *
+    * Fully MAP-ONLY: the dictionary rides the plan as a literal array and
+    * each row runs |dict| codegen'd `levenshtein` calls — no join, no
+    * shuffle, no explode. Right for the canonical-map regime (tens to
+    * hundreds of entries); for dictionary-vs-corpus matching at larger
+    * sizes use [[FuzzyJoin.fuzzyJoin]], whose deletion-neighborhood
+    * blocking keeps both sides bucket-local.
+    */
+  def fuzzyCanonicalize(c: String, dict: Seq[String], maxDist: Int = 1)(
+      df: DataFrame): DataFrame = {
+    require(dict.nonEmpty, "empty dictionary")
+    val entries = array(dict.distinct.sorted.map(lit): _*)
+    val best = array_min(filter(
+      transform(entries, d => struct(levenshtein(col(c), d).as("d"), d.as("v"))),
+      s => s.getField("d") <= maxDist))
+    df.withColumn(c,
+      when(col(c).isNotNull && best.isNotNull, best.getField("v"))
+        .otherwise(col(c)))
+  }
+
   // ---------------------------------------------------------------- C12
   /** C12: categorical -> boolean canonicalization (`Y/Yes/N/No/blank`). */
   def booleanize(

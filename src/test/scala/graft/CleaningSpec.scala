@@ -132,6 +132,27 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 52000.5 && out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("fuzzyCanonicalize: nearest entry within k, ties lexicographic, " +
+    "out-of-range and null pass through") {
+    val dict = Seq("Engineer", "Manager", "Analyst", "Enginees")
+    val df = Seq(Option("Enginer"), Option("Managr"), Option("Engineer"),
+      Option("Plumber"), Option("Engineez"), None).toDF("role")
+    val out = Cleaning.fuzzyCanonicalize("role", dict, maxDist = 1)(df)
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    // "Enginer" is 1 edit from BOTH "Engineer" and "Enginees" (and from
+    // "Enginee"-less entries nothing else) -> smallest distance ties break
+    // to "Engineer" (lexicographically first)
+    assert(out == Seq("Engineer", "Manager", "Engineer", "Plumber",
+      "Engineer", null))
+  }
+
+  test("fuzzyCanonicalize is map-only: no exchange in the plan") {
+    val df = Seq("Enginer").toDF("role")
+    val plan = Cleaning.fuzzyCanonicalize("role", Seq("Engineer"))(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("parseDates: format parse + future flag (C13)") {
     val df = Seq("05/08/2023", "12/31/2099").toDF("Date Joined")
     val out = Cleaning.parseDates("Date Joined", "MM/dd/yyyy",
