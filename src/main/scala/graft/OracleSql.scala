@@ -2101,5 +2101,6 @@ object OracleSql {
   val sql: Map[String, String] = sql0 ++ Map(
     "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
     "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),
-    "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"))
+    "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"),
+    "s6r_reloaded_pq" -> sql0("s6_pq_topk"))
 }

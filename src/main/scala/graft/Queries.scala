@@ -822,6 +822,28 @@ object Queries {
         Seq("click", "signup", "error", "view", "purchase"))))
   }
 
+  /** S6R: the PQ model's save/load round-trip must be invisible — train,
+    * persist the codebook lineage, reload into a fresh handle, encode and
+    * query THROUGH THE RELOADED MODEL, and still pass the identical s6
+    * recall gate (the nd2r/nd3r/tok1r durable-artifact contract).
+    */
+  def s6rReloadedPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (model, _) = s6Cached(s, dir)
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString
+    model.save(lineage)
+    val reloaded = Similarity.loadPqModel(s, lineage)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", reloaded)
+    val approx = Similarity.pqTopK(e, codes, reloaded,
+      e.where(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, shortlist = 200)
+    val out = annGate(s1Cached(s, dir), approx, minHits = 8, k = 10)
+    out.persist(); out.count()
+    reloaded.close()
+    out
+  }
+
   /** C11B: dictionary-only fuzzy canonicalization ([[Cleaning
     * .fuzzyCanonicalize]]) — typos nobody enumerated snap to the nearest
     * canonical form within 1 edit, map-only. The fixture plants a
@@ -2446,6 +2468,7 @@ object Queries {
     "scd1_history" -> (scd1History _),
     "bm25_topk" -> (bm25TopDocs _),
     "s6_pq_topk" -> (s6PqTopK _),
-    "c11b_fuzzy_canon" -> (c11bFuzzyCanon _)
+    "c11b_fuzzy_canon" -> (c11bFuzzyCanon _),
+    "s6r_reloaded_pq" -> (s6rReloadedPq _)
   )
 }

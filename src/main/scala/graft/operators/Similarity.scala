@@ -721,6 +721,37 @@ object Similarity {
       m: Int, subDim: Int, ks: Int,
       codebook: DataFrame /* (sub, cluster, centroid) */) {
     def close(): Unit = codebook.unpersist(blocking = false)
+
+    /** Persist to the durable-index lineage layout ([[graft.operators
+      * .IndexStore]]: `path/epoch=N/` + sidecar written last, append-only)
+      * — the codebook is the whole model (codes are corpus data the caller
+      * stores like any table), geometry travels in the sidecar. A trained
+      * PQ model is a session-spanning artifact exactly like the
+      * LshIndex/SemIndex/BPE stores: every crawl batch must encode with
+      * the SAME codewords or its codes are meaningless against the
+      * existing corpus.
+      */
+    def save(path: String): String = {
+      val dir = IndexStore.nextEpochDir(codebook.sparkSession, path)
+      codebook.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/codebook")
+      IndexStore.writeSidecar(codebook.sparkSession, dir,
+        s"""{"kind":"pq","m":$m,"subDim":$subDim,"ks":$ks}""")
+      dir
+    }
+  }
+
+  /** Reload the newest complete epoch of a [[PqModel.save]] lineage —
+    * codebook persisted and materialized as [[trainPq]] leaves it, so
+    * encode/query paths behave identically to the in-session model.
+    */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    val (dirs, meta) = IndexStore.snapshotAndDeltas(spark, path, "pq")
+    val book = spark.read.parquet(s"${dirs.head}/codebook").persist()
+    book.count()
+    PqModel(IndexStore.jsonInt(meta, "m"), IndexStore.jsonInt(meta, "subDim"),
+      IndexStore.jsonInt(meta, "ks"), book)
   }
 
   /** `(id, sub, svec)` — each vector exploded into its m subvectors,

@@ -124,4 +124,30 @@ class IndexPersistenceSpec extends AnyFunSuite {
     loaded.close()
     assert(inSession.nonEmpty && (inSession sameElements reloaded))
   }
+
+  test("PqModel save/load: reloaded codebook and codes are identical") {
+    import graft.operators.Similarity
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 8 + d) * 10).toFloat))
+    }.toDF("id", "vec")
+    val model = Similarity.trainPq(vecs, "id", "vec",
+      m = 2, ks = 4, iterations = 2, inDims = 8)
+    val lineage = tmp("graft_pq")
+    model.save(lineage)
+    val loaded = Similarity.loadPqModel(spark, lineage)
+    assert((loaded.m, loaded.subDim, loaded.ks) == ((2, 4, 4)))
+    def book(m: Similarity.PqModel) =
+      m.codebook.orderBy("sub", "cluster").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    assert(book(model) == book(loaded))
+    def codes(m: Similarity.PqModel) =
+      Similarity.pqEncode(vecs, "id", "vec", m).orderBy("neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(codes(model) == codes(loaded))
+    // second save appends an epoch; load still resolves the newest
+    model.save(lineage)
+    val again = Similarity.loadPqModel(spark, lineage)
+    assert(book(again) == book(model))
+    model.close(); loaded.close(); again.close()
+  }
 }
