@@ -237,6 +237,28 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming distribution-drift monitor: every micro-batch's categorical
+    * distribution on `column` is compared against a FIXED reference
+    * snapshot through [[graft.operators.Drift.categoricalDrift]] —
+    * `onBatch` receives `(batchId, evidence frame)` with per-category
+    * counts, shares, and the rational divergence term, the alerting seam
+    * a crawl pipeline uses to notice a source/language-mix shift BEFORE
+    * admitting a batch to the corpus. The reference side is batch-scope
+    * static (tiny per-category counts recomputed per micro-batch against
+    * a cached snapshot frame); state never accumulates in the stream.
+    */
+  def driftMonitorStream(docs: DataFrame, column: String,
+      reference: DataFrame)(
+      onBatch: (Long, DataFrame) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(id,
+          graft.operators.Drift.categoricalDrift(reference, batch, column))
+        ()
+      }
+      .start()
+
   /** Mutable handle for the SEMANTIC index-refresh loop — the
     * [[LshIndexRef]] twin for [[graft.operators.Dedup.SemIndex]].
     */

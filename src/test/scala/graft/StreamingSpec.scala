@@ -507,4 +507,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("nEvents") == 2L)
     assert(rows(0).getAs[Double]("totalValue") == 3.0)
   }
+
+  test("driftMonitorStream: per-batch divergence against a fixed reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // reference mix: 50/50 x,y
+    val reference = (Seq.fill(50)("x") ++ Seq.fill(50)("y")).toDF("src")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = EventStreams.driftMonitorStream(
+      ms.toDF.toDF("src"), "src", reference) { (id, ev) =>
+        val d = ev.agg(org.apache.spark.sql.functions.sum("divergence"))
+          .collect()(0).getDouble(0)
+        perBatch += ((id, d))
+      }
+    // batch 0 matches the reference mix; batch 1 is all-z (novel category)
+    ms.addData(Seq.fill(10)("x") ++ Seq.fill(10)("y"): _*)
+    q.processAllAvailable()
+    ms.addData(Seq.fill(20)("z"): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.size == 2)
+    val (inDist, shifted) = (perBatch(0)._2, perBatch(1)._2)
+    assert(inDist == 0.0, s"matching batch scored $inDist")
+    // total divergence of disjoint supports = sum over x,y,z of p^2/p = 2
+    assert(math.abs(shifted - 2.0) < 1e-12, s"disjoint batch scored $shifted")
+  }
 }
