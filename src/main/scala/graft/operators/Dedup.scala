@@ -875,6 +875,9 @@ object Dedup {
       centroids.unpersist(blocking = false)
       members.unpersist(blocking = false)
       routing.foreach(_.close())
+      // the build's init localCheckpoint rides in these plans outside the
+      // cacheManager; release it now that nothing recomputes from it
+      Similarity.releaseEmbeddedCheckpoints(centroids, members)
     }
 
     /** Fold a batch into the index — the semantic twin of

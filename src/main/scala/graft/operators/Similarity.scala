@@ -514,8 +514,21 @@ object Similarity {
     override def close(): Unit = {
       assigned.unpersist(blocking = false)
       cents.unpersist(blocking = false)
+      // the build's init localCheckpoint rides in these plans and sits
+      // OUTSIDE the cacheManager — release it deterministically now that
+      // nothing can recompute from it (mid-build it must stay: an evicted
+      // persisted frame recomputes THROUGH the truncated lineage)
+      releaseEmbeddedCheckpoints(assigned, cents)
     }
   }
+
+  /** Unpersist every localCheckpoint RDD embedded in the given frames'
+    * plans — close()-time hygiene for handles whose build used plan
+    * truncation (see [[org.apache.spark.sql.GraftSqlBridge
+    * .unpersistLocalCheckpoint]]).
+    */
+  private[operators] def releaseEmbeddedCheckpoints(frames: DataFrame*): Unit =
+    frames.foreach(org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint)
 
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, iterations: Int = 3, nProbe: Int = 4): IvfIndex = {
@@ -540,6 +553,7 @@ object Similarity {
       assigned.unpersist(blocking = false)
       cents.unpersist(blocking = false)
       routing.close()
+      releaseEmbeddedCheckpoints(assigned, cents)
     }
   }
 
@@ -720,7 +734,10 @@ object Similarity {
   final case class PqModel private[Similarity] (
       m: Int, subDim: Int, ks: Int,
       codebook: DataFrame /* (sub, cluster, centroid) */) {
-    def close(): Unit = codebook.unpersist(blocking = false)
+    def close(): Unit = {
+      codebook.unpersist(blocking = false)
+      releaseEmbeddedCheckpoints(codebook)
+    }
 
     /** Persist to the durable-index lineage layout ([[graft.operators
       * .IndexStore]]: `path/epoch=N/` + sidecar written last, append-only)
@@ -812,12 +829,16 @@ object Similarity {
     (1 to iterations).foreach { _ =>
       val assigned = pqAssign(sv, book)
         .withColumn("__sc", col("sub") * lit(ks) + col("cluster"))
+      val prev = book
       book = centroids(assigned, "__sc", "svec")
         .select((col("cluster") / ks).cast("int").as("sub"),
           pmod(col("cluster"), lit(ks)).cast("int").as("cluster"),
           col("centroid"))
         // tiny (≤ m·ks rows): truncate lineage so rounds don't stack plans
         .localCheckpoint()
+      // the EAGER checkpoint above no longer references prev's plan, so
+      // the superseded round's checkpoint RDD can release immediately
+      releaseEmbeddedCheckpoints(prev)
     }
     val out = book.persist()
     out.count()

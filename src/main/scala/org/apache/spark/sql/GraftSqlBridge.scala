@@ -21,6 +21,22 @@ object GraftSqlBridge {
   def expressionEager(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Release the cached RDD behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` goes through the cacheManager, which never
+    * registered a local checkpoint — the checkpoint RDD sits directly in
+    * `sc.persistentRdds` until the ContextCleaner happens to GC it, which
+    * a long-lived driver (or a leak-counting spec) cannot rely on. A
+    * superseded checkpoint (a k-means iteration's previous centroids)
+    * should release deterministically; this unpersists the underlying
+    * `LogicalRDD`'s RDD, and is a no-op for any other plan shape.
+    */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Apply an extension's function registrations onto an EXISTING session
     * (the same `registerFunctions` path `withExtensions` runs at session
     * build) — for callers that cannot control session creation order.
