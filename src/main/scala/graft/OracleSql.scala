@@ -2102,5 +2102,6 @@ object OracleSql {
     "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
     "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),
     "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"),
-    "s6r_reloaded_pq" -> sql0("s6_pq_topk"))
+    "s6r_reloaded_pq" -> sql0("s6_pq_topk"),
+    "bm25b_indexed" -> sql0("bm25_topk"))
 }

@@ -703,6 +703,35 @@ object Queries {
     graft.operators.Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
       Seq("spark", "join", "window"), topK = 20)
 
+  // bm25b memo: the inverted index is query-independent — build once per
+  // dir (two corpus scans), like the ANN index memos
+  private val bm25Cache = scala.collection.mutable.Map
+    .empty[String, graft.operators.Search.TermIndex]
+  private def bm25Cached(s: SparkSession, dir: String) =
+    bm25Cache.getOrElseUpdate(dir, graft.operators.Search.buildTermIndex(
+      t(s, dir, "documents"), "doc_id", "text"))
+
+  /** BM25B: the same query THROUGH a durable inverted index — build the
+    * postings/lengths index once, save it to an epoch lineage, reload
+    * into a fresh handle, and answer from posting lists only (no token
+    * explode, no corpus scan at query time). Bit-equal scoring to
+    * [[bm25TopDocs]], so the oracle is shared — hash equality proves the
+    * index path AND its save/load round-trip change nothing.
+    */
+  def bm25bIndexed(s: SparkSession, dir: String): DataFrame = {
+    val built = bm25Cached(s, dir)
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_bm25").toString
+    built.save(lineage)
+    val reloaded = graft.operators.Search.loadTermIndex(s, lineage)
+    val out = graft.operators.Search.bm25TopKIndexed(reloaded,
+        Seq("spark", "join", "window"), topK = 20)
+      .select(col("id").as("doc_id"), col("score"))
+    out.persist(); out.count()
+    reloaded.close()
+    out
+  }
+
   /** CQ1: per-source corpus health report — the one-stop rollup a pipeline
     * owner reads before changing mixture weights: per (lang, source)
     * stratum, doc count, exact mean quality, exact mean duplicate-token
@@ -2469,6 +2498,7 @@ object Queries {
     "bm25_topk" -> (bm25TopDocs _),
     "s6_pq_topk" -> (s6PqTopK _),
     "c11b_fuzzy_canon" -> (c11bFuzzyCanon _),
-    "s6r_reloaded_pq" -> (s6rReloadedPq _)
+    "s6r_reloaded_pq" -> (s6rReloadedPq _),
+    "bm25b_indexed" -> (bm25bIndexed _)
   )
 }

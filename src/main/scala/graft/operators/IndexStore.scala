@@ -130,6 +130,12 @@ private[operators] object IndexStore {
       .getOrElse(throw new IllegalArgumentException(
         s"sidecar missing int field '$key': $json"))
 
+  def jsonLong(json: String, key: String): Long =
+    ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"sidecar missing long field '$key': $json"))
+
   def jsonString(json: String, key: String): String =
     ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
       .map(_.group(1))

@@ -66,6 +66,35 @@ class SearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("indexed path: bit-equal to the direct computation") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "text")
+    val direct = Search.bm25TopK(df, "id", "text",
+      Seq("spark", "beam"), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val index = Search.buildTermIndex(df, "id", "text")
+    val indexed = Search.bm25TopKIndexed(index, Seq("spark", "beam"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == direct)
+    index.close()
+  }
+
+  test("index save/load round-trip answers identically") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "text")
+    val built = Search.buildTermIndex(df, "id", "text")
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_bm25").toString
+    built.save(lineage)
+    val loaded = Search.loadTermIndex(spark, lineage)
+    assert((loaded.n, loaded.sumDl) == ((built.n, built.sumDl)))
+    def ask(ix: Search.TermIndex) =
+      Search.bm25TopKIndexed(ix, Seq("spark", "storm"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ask(loaded) == ask(built))
+    built.close(); loaded.close()
+  }
+
   test("plan: token explode is filtered to the query vocabulary pre-shuffle") {
     import spark.implicits._
     val plan = Search.bm25TopK(corpus.toDF("id", "text"), "id", "text",
