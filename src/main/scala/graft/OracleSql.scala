@@ -2076,6 +2076,33 @@ object OracleSql {
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
+    // fn1: stage i = first qualifying event strictly after stage i-1's
+    // reach time; users per stage are scalar subqueries over the chain
+    "fn1_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |     s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |            JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |            WHERE e.event_type = 'click' GROUP BY 1),
+        |     s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |            JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |            WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    // coh1: ISO-Monday week truncation both sides; offset = exact
+    // day-difference // 7 (weeks are aligned, so it divides exactly)
+    "coh1_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+        |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', CAST(date_trunc('week', f.first_ts) AS DATE),
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     // c11b: nearest-dictionary-entry repair, ties by (distance, value) —
     // the correlated ORDER BY ... LIMIT 1 restates array_min over structs
     "c11b_fuzzy_canon" ->

@@ -924,6 +924,23 @@ object Queries {
       "o_orderpriority")
   }
 
+  /** FN1: strictly-ordered first-touch funnel ([[graft.operators.Funnel
+    * .funnel]]) — view → click → purchase over the events stream; each
+    * stage is a per-user aggregate joined against the previous stage's
+    * (shrinking) reach frame.
+    */
+  def fn1Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(t(s, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  /** COH1: weekly cohort retention ([[graft.operators.Funnel
+    * .cohortRetention]]) — distinct active users per (first-event week,
+    * week offset); ISO-Monday truncation in the pinned UTC session zone.
+    */
+  def coh1Cohorts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(t(s, dir, "events"),
+      "user_id", "ts")
+
   /** SCD1: change-data-capture compaction ([[graft.operators
     * .ChangeCapture]]) — the events stream collapsed into SCD2 validity
     * intervals of `event_type` per user, `(ts, event_id)`-ordered,
@@ -2499,6 +2516,8 @@ object Queries {
     "s6_pq_topk" -> (s6PqTopK _),
     "c11b_fuzzy_canon" -> (c11bFuzzyCanon _),
     "s6r_reloaded_pq" -> (s6rReloadedPq _),
-    "bm25b_indexed" -> (bm25bIndexed _)
+    "bm25b_indexed" -> (bm25bIndexed _),
+    "fn1_funnel" -> (fn1Funnel _),
+    "coh1_cohorts" -> (coh1Cohorts _)
   )
 }
