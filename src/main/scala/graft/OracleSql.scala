@@ -30,6 +30,33 @@ object OracleSql {
   private def lstd(x: String) =
     s"sqrt((${dsumSq(x)} - ${lsum(x)}*${lsum(x)}/count($x)) / (count($x) - 1))"
 
+  // -- per-column drift block (twin of Drift.numericDriftMulti) ------------
+  // one column's zero-filled per-bin evidence between the two l_shipdate
+  // halves of lineitem; the row's oracle UNION ALLs one block per spec
+  private def driftColSql(c: String, lo: Double, hi: Double, n: Int): String = {
+    val w = (hi - lo) / n
+    s"""SELECT '$c' AS col_name, bins.bin,
+       |  CAST(COALESCE(ac.cnt_a, 0) AS BIGINT) AS cnt_a,
+       |  CAST(COALESCE(bc.cnt_b, 0) AS BIGINT) AS cnt_b,
+       |  CASE WHEN t.ta > 0 THEN CAST(COALESCE(ac.cnt_a, 0) AS DOUBLE) / t.ta ELSE 0.0 END AS share_a,
+       |  CASE WHEN t.tb > 0 THEN CAST(COALESCE(bc.cnt_b, 0) AS DOUBLE) / t.tb ELSE 0.0 END AS share_b
+       |FROM (SELECT unnest(generate_series(0, ${n - 1})) AS bin) bins
+       |LEFT JOIN (SELECT LEAST(GREATEST(CAST(floor(($c - $lo) / $w) AS BIGINT), 0), ${n - 1}) AS bin,
+       |             count(*) AS cnt_a
+       |           FROM lineitem WHERE $c IS NOT NULL
+       |             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) ac
+       |  ON bins.bin = ac.bin
+       |LEFT JOIN (SELECT LEAST(GREATEST(CAST(floor(($c - $lo) / $w) AS BIGINT), 0), ${n - 1}) AS bin,
+       |             count(*) AS cnt_b
+       |           FROM lineitem WHERE $c IS NOT NULL
+       |             AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) bc
+       |  ON bins.bin = bc.bin
+       |CROSS JOIN (SELECT
+       |    SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS ta,
+       |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS tb
+       |  FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
+  }
+
   // -- unrolled 64-dim vector math (twin of VectorFunctions fold order) ----
   private def dotSql(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
@@ -2102,6 +2129,21 @@ object OracleSql {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // drift3: one generated block per column spec, unioned, divergence on
+    // top — values must equal the fused single-scan Spark plan exactly
+    "drift3_multi" -> {
+      val blocks = Seq(
+        ("l_quantity", 1.0, 51.0, 10),
+        ("l_extendedprice", 0.0, 100000.0, 20),
+        ("l_discount", 0.0, 0.1, 5))
+        .map((driftColSql _).tupled).mkString("\nUNION ALL\n")
+      s"""SELECT col_name, bin, cnt_a, cnt_b, share_a, share_b,
+         |  CASE WHEN share_a + share_b > 0
+         |    THEN ((share_a - share_b) * (share_a - share_b)) / (share_a + share_b)
+         |    ELSE 0.0 END AS divergence
+         |FROM ($blocks)""".stripMargin
+    },
 
     // c11b: nearest-dictionary-entry repair, ties by (distance, value) —
     // the correlated ORDER BY ... LIMIT 1 restates array_min over structs

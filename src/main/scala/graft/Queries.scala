@@ -941,6 +941,23 @@ object Queries {
     graft.operators.Funnel.cohortRetention(t(s, dir, "events"),
       "user_id", "ts")
 
+  /** DRIFT3: multi-column drift in ONE scan per snapshot ([[graft
+    * .operators.Drift.numericDriftMulti]]) — three lineitem measures
+    * across the 1998 ship-date boundary; at scale this is one table scan
+    * for a whole drift report instead of one per column.
+    */
+  def drift3Multi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift.ColSpec
+    val li = t(s, dir, "lineitem")
+    graft.operators.Drift.numericDriftMulti(
+      li.where(col("l_shipdate") < ts(driftCut)),
+      li.where(col("l_shipdate") >= ts(driftCut)),
+      Seq(ColSpec("l_quantity", 1.0, 51.0, 10),
+        ColSpec("l_extendedprice", 0.0, 100000.0, 20),
+        ColSpec("l_discount", 0.0, 0.1, 5)))
+      .withColumnRenamed("column", "col_name")
+  }
+
   /** SCD1: change-data-capture compaction ([[graft.operators
     * .ChangeCapture]]) — the events stream collapsed into SCD2 validity
     * intervals of `event_type` per user, `(ts, event_id)`-ordered,
@@ -2518,6 +2535,7 @@ object Queries {
     "s6r_reloaded_pq" -> (s6rReloadedPq _),
     "bm25b_indexed" -> (bm25bIndexed _),
     "fn1_funnel" -> (fn1Funnel _),
-    "coh1_cohorts" -> (coh1Cohorts _)
+    "coh1_cohorts" -> (coh1Cohorts _),
+    "drift3_multi" -> (drift3Multi _)
   )
 }

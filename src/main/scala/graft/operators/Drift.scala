@@ -57,21 +57,93 @@ object Drift {
       .withColumnRenamed("cnt", "cnt_b"))
   }
 
+  /** One numeric column's drift spec for [[numericDriftMulti]]. */
+  final case class ColSpec(column: String, lo: Double, hi: Double, nBins: Int)
+
+  /** Multi-column drift in ONE scan per snapshot: every row emits its
+    * (column, bin) pair for all D specs (map-only explode), one shuffle
+    * keyed (column, bin) counts them, and the per-column share/divergence
+    * math runs on the tiny bins frame. At 100 TB this is the difference
+    * between D full-table scans and one — a drift report over a whole
+    * wide table costs what a single-column check costs. Output =
+    * [[numericDrift]]'s evidence columns plus `column`, zero-filled per
+    * column; nulls excluded per column independently.
+    */
+  def numericDriftMulti(a: DataFrame, b: DataFrame,
+      specs: Seq[ColSpec]): DataFrame = {
+    require(specs.nonEmpty, "no columns")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def binned(df: DataFrame, cntName: String): DataFrame = df
+      .select(explode(array(specs.map { sp =>
+        struct(lit(sp.column).as("column"),
+          when(col(sp.column).isNotNull,
+            binOf(col(sp.column), sp.lo, sp.hi, sp.nBins)).as("bin"))
+      }: _*)).as("s"))
+      .where(col("s.bin").isNotNull)
+      .groupBy(col("s.column").as("column"), col("s.bin").as("bin"))
+      .agg(count(lit(1L)).as(cntName))
+    val bins = specs.flatMap(sp => (0L until sp.nBins.toLong)
+      .map(sp.column -> _)).toDF("column", "bin")
+    // ≤ Σ nBins rows — localize so the per-column totals below don't
+    // re-run the snapshot scans (see [[localized]])
+    val filled = localized(bins
+      .join(broadcast(binned(a, "cnt_a")), Seq("column", "bin"), "left")
+      .join(broadcast(binned(b, "cnt_b")), Seq("column", "bin"), "left")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L))),
+      maxRows = specs.map(_.nBins).sum)
+    val totals = filled.groupBy(col("column"))
+      .agg(sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"))
+    filled.join(broadcast(totals), "column")
+      .withColumn("share_a",
+        when(col("__ta") > 0, col("cnt_a").cast("double") / col("__ta"))
+          .otherwise(lit(0.0)))
+      .withColumn("share_b",
+        when(col("__tb") > 0, col("cnt_b").cast("double") / col("__tb"))
+          .otherwise(lit(0.0)))
+      .withColumn("divergence",
+        when(col("share_a") + col("share_b") > 0,
+          (col("share_a") - col("share_b")) * (col("share_a") - col("share_b"))
+            / (col("share_a") + col("share_b")))
+          .otherwise(lit(0.0)))
+      .drop("__ta", "__tb")
+  }
+
   /** Categorical drift: one row per category value observed in either
     * snapshot (nulls excluded), same evidence columns keyed by `value`.
+    * `maxCategories` bounds the driver-side evidence materialization
+    * (drift over a >10k-category column is the wrong tool anyway) — a
+    * loud error beats a silent multi-GB collect.
     */
-  def categoricalDrift(a: DataFrame, b: DataFrame, column: String): DataFrame = {
+  def categoricalDrift(a: DataFrame, b: DataFrame, column: String,
+      maxCategories: Int = 10000): DataFrame = {
     val ca = a.where(col(column).isNotNull)
       .groupBy(col(column).as("value")).agg(count(lit(1L)).as("cnt_a"))
     val cb = b.where(col(column).isNotNull)
       .groupBy(col(column).as("value")).agg(count(lit(1L)).as("cnt_b"))
-    drift(ca.join(cb, Seq("value"), "full_outer"))
+    drift(ca.join(cb, Seq("value"), "full_outer"), maxCategories)
   }
 
-  private def drift(joined: DataFrame): DataFrame = {
-    val filled = joined
+  /** Materialize a (bounded, tiny by construction) evidence frame to a
+    * LocalRelation: the share/divergence math references the counts
+    * TWICE (once for totals, once per row), and left lazy that would
+    * recompute the snapshot scans once per reference — localizing pins
+    * exactly one scan per snapshot and makes everything downstream free.
+    */
+  private def localized(df: DataFrame, maxRows: Int): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"drift evidence exceeded $maxRows rows; bound the key space " +
+        "(this operator materializes per-bin/per-category counts)")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  private def drift(joined: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val filled = localized(joined
       .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
-      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L))), maxRows)
     // totals as 1-row broadcast aggregates, not window functions — a
     // window would ship every bin row through one partition for nothing
     val totals = filled.agg(sum(col("cnt_a")).as("__ta"),

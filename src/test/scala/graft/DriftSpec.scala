@@ -50,6 +50,29 @@ class DriftSpec extends AnyFunSuite {
     assert(big > small + 0.1, s"psi shifted=$big jitter=$small")
   }
 
+  test("numericDriftMulti == per-column numericDrift, in one scan per side") {
+    import spark.implicits._
+    import graft.operators.Drift.ColSpec
+    val a = Seq((1.0, 10.0), (2.0, 20.0), (9.0, 90.0)).toDF("x", "y")
+    val b = Seq((5.0, 50.0), (6.0, 60.0)).toDF("x", "y")
+    val multi = Drift.numericDriftMulti(a, b,
+      Seq(ColSpec("x", 0.0, 10.0, 5), ColSpec("y", 0.0, 100.0, 4)))
+    val got = multi.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    for ((c, lo, hi, n) <- Seq(("x", 0.0, 10.0, 5), ("y", 0.0, 100.0, 4))) {
+      val single = Drift.numericDrift(a, b, c, lo, hi, n).collect()
+        .map(r => (c, r.getLong(0)) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      single.foreach { case (k, v) => assert(got(k) == v, s"$k") }
+    }
+    // the evidence frame was localized: the output plan must not embed
+    // the snapshot subtrees at all (their columns x/y would appear) —
+    // the one scan per side happened at materialization time
+    val plan = multi.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("x#") && !plan.contains("y#"), plan)
+  }
+
   test("categoricalDrift covers categories unique to either side") {
     import spark.implicits._
     val a = Seq("x", "x", "y").toDF("c")
