@@ -122,6 +122,39 @@ object ReportRenderer {
   }
 }
 
+/** Data-quality assertions as a pipeline stage: run a [[graft.operators
+  * .DataQuality]] rule set against the in-flight frame and FAIL FAST
+  * (the reference's A10 posture — surface the error, keep the last good
+  * frame) when violations exceed the budget. A clean run passes the frame
+  * through untouched, so the gate composes anywhere between cleaning
+  * stages; the per-rule counts land in the thrown message and therefore
+  * in the audit log's error field.
+  */
+object QualityGate {
+  def stage(name: String, rules: Seq[graft.operators.DataQuality.Rule],
+      maxViolations: Long = 0L): Stage = {
+    val tables = rules.map(_.table).distinct
+    require(tables.size == 1,
+      s"a pipeline gate checks the one in-flight frame; rules name $tables")
+    Stage(name, s"quality gate: ${rules.size} rules, budget $maxViolations",
+      df => {
+        val counts = graft.operators.DataQuality
+          .audit(Map(tables.head -> df), rules)
+          .collect() // one row per rule — bounded by the rule list
+          .map(r => (r.getString(0), r.getLong(2)))
+        val total = counts.map(_._2).sum
+        if (total > maxViolations) {
+          val detail = counts.filter(_._2 > 0)
+            .map { case (r, v) => s"$r=$v" }.mkString(", ")
+          throw new IllegalStateException(
+            s"quality gate '$name': $total violations > budget " +
+              s"$maxViolations ($detail)")
+        }
+        df
+      })
+  }
+}
+
 /** S6: audit-log sink — JSON-lines per pipeline stage, the engine's
   * replacement for the reference's `final_messages.log`
   * (`tool_call_agent.py:188-202`).

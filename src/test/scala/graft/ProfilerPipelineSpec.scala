@@ -120,4 +120,25 @@ class ProfilerPipelineSpec extends AnyFunSuite {
     assert(p1 eq p2)
     graft.profile.Profiler.invalidate("k1")
   }
+
+  test("QualityGate stage: clean frame passes through, violations fail fast") {
+    import graft.operators.DataQuality.{InRange, NotNull}
+    val df = Seq((1L, Option(5.0)), (2L, Option(7.0))).toDF("id", "v")
+    val gate = graft.plans.QualityGate.stage("vals_ok", Seq(
+      NotNull("v_nn", "t", "v"), InRange("v_range", "t", "v", 0.0, 10.0)))
+    val p = new Pipeline(Seq(gate))
+    assert(p.run(df).collect().length == 2)
+    assert(p.auditLog.head.ok)
+
+    val dirty = Seq((1L, Option(5.0)), (2L, Option.empty[Double]),
+      (3L, Option(99.0))).toDF("id", "v")
+    val p2 = new Pipeline(Seq(gate))
+    val e = intercept[IllegalStateException] { p2.run(dirty) }
+    assert(e.getMessage.contains("v_nn=1") && e.getMessage.contains("v_range=1"))
+    assert(!p2.auditLog.head.ok)
+    // budget admits bounded dirt
+    val lenient = new Pipeline(Seq(graft.plans.QualityGate.stage("ok2",
+      Seq(NotNull("v_nn", "t", "v")), maxViolations = 1)))
+    assert(lenient.run(dirty).collect().length == 3)
+  }
 }
