@@ -2172,5 +2172,7 @@ object OracleSql {
     "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),
     "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"),
     "s6r_reloaded_pq" -> sql0("s6_pq_topk"),
-    "bm25b_indexed" -> sql0("bm25_topk"))
+    "bm25b_indexed" -> sql0("bm25_topk"),
+    // incremental merge must equal the full recompaction bit-for-bit
+    "scd1b_incremental_history" -> sql0("scd1_history"))
 }

@@ -967,6 +967,23 @@ object Queries {
     graft.operators.ChangeCapture.scd2(
       t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
 
+  /** SCD1B: INCREMENTAL SCD2 — compact the first 15 days of events into a
+    * history, then fold the rest in through [[graft.operators
+    * .ChangeCapture.scd2Merge]] (batch-sized work, untouched keys pass by
+    * reference). Shares scd1's oracle: hash equality proves
+    * `merge(scd2(first), second) == scd2(everything)` exactly — boundary
+    * runs with unchanged values merge with summed counts, changed values
+    * close the open run at the batch's first observation.
+    */
+  def scd1bIncrementalHistory(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ts("2024-01-16 00:00:00")
+    val hist = graft.operators.ChangeCapture.scd2(
+      ev.where(col("ts") < cut), "user_id", "event_type", "ts", "event_id")
+    graft.operators.ChangeCapture.scd2Merge(hist,
+      ev.where(col("ts") >= cut), "user_id", "event_type", "ts", "event_id")
+  }
+
   /** D2: MinHash-LSH near-dup pairs — ORACLE-CHECKED since the base hash
     * went portable (MD5 first-8-bytes, [[graft.functions.MinHashSig
     * .hashUtf8]]): DuckDB rebuilds every 128-hash signature (splitmix64
@@ -2536,6 +2553,7 @@ object Queries {
     "bm25b_indexed" -> (bm25bIndexed _),
     "fn1_funnel" -> (fn1Funnel _),
     "coh1_cohorts" -> (coh1Cohorts _),
-    "drift3_multi" -> (drift3Multi _)
+    "drift3_multi" -> (drift3Multi _),
+    "scd1b_incremental_history" -> (scd1bIncrementalHistory _)
   )
 }

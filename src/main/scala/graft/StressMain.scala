@@ -80,7 +80,7 @@ object StressMain {
       "dq1_rule_audit", "drift1_numeric", "drift2_categorical",
       "scd1_history", "bm25_topk", "s6_pq_topk",
       "drift3_multi", "fn1_funnel", "coh1_cohorts", "bm25b_indexed",
-      "c11b_fuzzy_canon", "s6r_reloaded_pq")
+      "c11b_fuzzy_canon", "s6r_reloaded_pq", "scd1b_incremental_history")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -63,4 +63,78 @@ object ChangeCapture {
   def asOf(scd2Frame: DataFrame, at: Column): DataFrame =
     scd2Frame.where(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
+
+  /** Incremental SCD2: fold a NEW batch of observations into an existing
+    * [[scd2]] history WITHOUT replaying the events that built it — the
+    * incremental-index pattern (nd1/nd2/nd3) applied to CDC. Work is
+    * batch-sized: the batch compacts alone, then only the TOUCHED keys'
+    * open runs join against it; closed history rows and untouched keys
+    * pass through by reference.
+    *
+    * Contract: every batch observation for a key must be strictly later
+    * than that key's open-run `valid_from` (in-order arrival — a crawl
+    * /CDC log read forward). Late events need a replay of the affected
+    * keys; this operator REJECTS them loudly rather than silently
+    * mis-chaining intervals. Given in-order batches,
+    * `scd2Merge(scd2(first), second) == scd2(first ∪ second)` exactly —
+    * boundary runs with unchanged values merge (counts sum), changed
+    * values close the open run at the batch run's start.
+    */
+  def scd2Merge(history: DataFrame, batch: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val batchRuns = scd2(batch, keyCol, valueCol, tsCol, tieCol)
+      .withColumnRenamed("valid_from", "__bfrom")
+      .withColumnRenamed("valid_to", "__bto")
+      .withColumnRenamed("n_events", "__bn")
+      .withColumnRenamed(valueCol, "__bval")
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("__bfrom"))
+    val firstRuns = batchRuns.withColumn("__rn", row_number().over(wB))
+
+    val open = history.where(col("valid_to").isNull)
+    val closed = history.where(col("valid_to").isNotNull)
+
+    // loud in-order check: any batch observation at or before a key's
+    // open-run start means a late event — bounded aggregate, one row
+    val late = batchRuns.join(open, Seq(keyCol), "inner")
+      .where(col("__bfrom") <= col("valid_from"))
+      .limit(1).collect()
+    require(late.isEmpty,
+      s"scd2Merge: late events for key ${late.headOption.map(_.get(0))} — " +
+        "batch observations must be strictly after the open run's start")
+
+    // each touched key's FIRST batch run decides the boundary: same value
+    // -> the open run ABSORBS it (counts sum, and the open run takes the
+    // absorbed run's end — null only if the batch had no later run);
+    // changed value -> the open run closes at the batch run's start
+    val tsType = history.schema("valid_from").dataType
+    val first = firstRuns.where(col("__rn") === 1)
+      .select(col(keyCol), col("__bval").as("__fval"),
+        col("__bfrom").as("__ffrom"), col("__bto").as("__fto"),
+        col("__bn").as("__fn"))
+    val mergedOpen = open.join(first, Seq(keyCol), "left")
+      .select(
+        col(keyCol), col(valueCol), col("valid_from"),
+        when(col("__ffrom").isNull, lit(null).cast(tsType)) // untouched key
+          .when(col(valueCol) <=> col("__fval"), col("__fto")) // absorbed
+          .otherwise(col("__ffrom")) // closed by a changed value
+          .as("valid_to"),
+        (col("n_events") + when(col(valueCol) <=> col("__fval"),
+          coalesce(col("__fn"), lit(0L))).otherwise(lit(0L))).as("n_events"))
+
+    // batch runs that survive as their own rows: everything except a
+    // first run absorbed into a same-value open run
+    val openVals = open.select(col(keyCol), col(valueCol).as("__oval"),
+      lit(true).as("__hasOpen"))
+    val keptRuns = firstRuns.join(openVals, Seq(keyCol), "left")
+      .where(!(col("__rn") === 1 && coalesce(col("__hasOpen"), lit(false)) &&
+        (col("__bval") <=> col("__oval"))))
+      .select(col(keyCol), col("__bval").as(valueCol),
+        col("__bfrom").as("valid_from"), col("__bto").as("valid_to"),
+        col("__bn").as("n_events"))
+
+    closed.select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .unionAll(mergedOpen)
+      .unionAll(keptRuns)
+  }
 }

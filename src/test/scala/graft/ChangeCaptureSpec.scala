@@ -65,6 +65,48 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(earlier == Map(1L -> "a"))
   }
 
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+      .sortBy(x => (x._1, x._3.getTime)).toSeq
+
+  test("scd2Merge == full recompaction: absorb, close, new keys, multi-run batches") {
+    import spark.implicits._
+    val all = Seq(
+      // key 1: run continues across the boundary (absorb + later change)
+      (1L, "a", t("2024-01-01 00:00:00"), 1L),
+      (1L, "a", t("2024-01-03 00:00:00"), 2L), // batch: same value -> absorb
+      (1L, "b", t("2024-01-04 00:00:00"), 3L), // then a change
+      // key 2: value changes exactly at the boundary
+      (2L, "x", t("2024-01-01 00:00:00"), 4L),
+      (2L, "y", t("2024-01-03 12:00:00"), 5L),
+      // key 3: exists only in history
+      (3L, "h", t("2024-01-01 00:00:00"), 6L),
+      // key 4: exists only in the batch, two runs
+      (4L, "n", t("2024-01-03 00:00:00"), 7L),
+      (4L, "m", t("2024-01-05 00:00:00"), 8L)
+    ).toDF("k", "v", "ts", "id")
+    val cut = t("2024-01-02 00:00:00")
+    val hist = ChangeCapture.scd2(all.where($"ts" < cut), "k", "v", "ts", "id")
+    val merged = ChangeCapture.scd2Merge(hist,
+      all.where($"ts" >= cut), "k", "v", "ts", "id")
+    val full = ChangeCapture.scd2(all, "k", "v", "ts", "id")
+    assert(canon(merged) == canon(full))
+  }
+
+  test("scd2Merge rejects late events loudly") {
+    import spark.implicits._
+    val hist = ChangeCapture.scd2(
+      Seq((1L, "a", t("2024-01-05 00:00:00"), 1L)).toDF("k", "v", "ts", "id"),
+      "k", "v", "ts", "id")
+    val late = Seq((1L, "b", t("2024-01-01 00:00:00"), 2L))
+      .toDF("k", "v", "ts", "id")
+    val e = intercept[IllegalArgumentException] {
+      ChangeCapture.scd2Merge(hist, late, "k", "v", "ts", "id")
+    }
+    assert(e.getMessage.contains("late events"))
+  }
+
   test("no global window: every exchange is hash-partitioned on the key") {
     import spark.implicits._
     val df = Seq((1L, "a", t("2024-01-01 00:00:00"), 1L)).toDF("k", "v", "ts", "id")
