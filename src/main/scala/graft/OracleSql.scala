@@ -453,6 +453,16 @@ object OracleSql {
          |WHERE abs(o_totalprice - sx/n) <= 3 * sqrt((sxx - sx*sx/n)/(n - 1))
          |ORDER BY o_orderkey""".stripMargin,
 
+    // c6b: median/MAD fence — quantile_cont twins the bracket-and-refine
+    // exact quantiles bit-for-bit (the c1/c7 convention); null values pass
+    "c6b_mad_filter" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        |d AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad FROM events, m)
+        |SELECT event_id, value FROM events, m, d
+        |WHERE value IS NULL OR d.mad = 0.0
+        |   OR abs(value - m.med) <= 3.0 * (1.4826 * d.mad)
+        |ORDER BY event_id""".stripMargin,
+
     "c7_outlier_to_null" ->
       s"""WITH s AS (SELECT ${lsum("value")} AS sx, ${dsumSq("value")} AS sxx,
          |  count(value) AS n FROM events),
@@ -1488,6 +1498,34 @@ object OracleSql {
          |  AND doc_id NOT IN (SELECT doc_id FROM dropb)
          |ORDER BY doc_id""".stripMargin,
 
+    // nd5: incremental fuzzy-dedup survival replayed with brute-force
+    // levenshtein over both relations (batch x index, batch x batch
+    // keep-first) — equality proves the hashed deletion-variant blocking
+    // recovers every qualifying match
+    "nd5_incremental_fuzzy" ->
+      """WITH names AS (SELECT c_custkey AS rec_id,
+        |    c_name || '/' || CAST(c_custkey AS VARCHAR)
+        |           || '/' || CAST(c_custkey AS VARCHAR) AS name
+        |  FROM customer),
+        |ex AS (SELECT * FROM names WHERE rec_id % 10 <> 0),
+        |b0 AS (SELECT * FROM names WHERE rec_id % 10 = 0),
+        |batch AS (
+        |  SELECT rec_id, name FROM b0
+        |  UNION ALL
+        |  SELECT rec_id + 1000000, substr(name, 1, 1) || substr(name, 3)
+        |  FROM ex WHERE rec_id < 100
+        |  UNION ALL
+        |  SELECT rec_id + 2000000, substr(name, 1, 2) || 'x' || substr(name, 4)
+        |  FROM b0 WHERE rec_id < 120),
+        |dropx AS (SELECT DISTINCT b.rec_id FROM batch b JOIN ex i
+        |  ON levenshtein(b.name, i.name) <= 1),
+        |dropb AS (SELECT DISTINCT b2.rec_id FROM batch b1 JOIN batch b2
+        |  ON b1.rec_id < b2.rec_id AND levenshtein(b1.name, b2.name) <= 1)
+        |SELECT rec_id FROM batch
+        |WHERE rec_id NOT IN (SELECT rec_id FROM dropx)
+        |  AND rec_id NOT IN (SELECT rec_id FROM dropb)
+        |ORDER BY rec_id""".stripMargin,
+
     // incremental SEMANTIC dedup survival replayed as exact all-pairs
     // cosine over both relations (batch x index, batch x batch keep-first)
     // — equality proves nearest-centroid assignment + cluster-local verify
@@ -1681,6 +1719,45 @@ object OracleSql {
       """SELECT CAST(CAST(floor(l_extendedprice/5000.0) AS BIGINT)*5000 AS DOUBLE)
         |    AS bin_lo, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // prof1: the oracle computes every statistic DIRECTLY from the whole
+    // table with the lmean/lstd twins — equality with Spark's merged
+    // batch profiles proves incremental profiling is exact
+    "prof1_merged_describe" -> {
+      val blocks = Queries.CorrCols.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  ${lmean(c)} AS mean, ${lstd(c)} AS std,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+    },
+
+    // p14: the fused one-scan Pearson matrix — integer sums replay in
+    // HUGEINT (exact, order-independent like Spark's DECIMAL(38,0)), then
+    // the same fixed double formula per pair; 6dp quantized
+    "p14_corr_matrix" -> {
+      val cols = Queries.CorrCols
+      def q(c: String) = s"CAST(floor(($c)*1000000.0 + 0.5) AS HUGEINT)"
+      val sums = cols.map(c => s"CAST(SUM(${q(c)}) AS DOUBLE) AS s_$c")
+      val prods = for { i <- cols.indices; j <- i until cols.length } yield
+        s"CAST(SUM(${q(cols(i))} * ${q(cols(j))}) AS DOUBLE) AS p_${cols(i)}_${cols(j)}"
+      def corr(x: String, y: String) = {
+        def f(c: String) = s"((n * p_${c}_$c) - (s_$c * s_$c))"
+        s"floor((((n * p_${x}_$y) - (s_$x * s_$y)) / (sqrt(${f(x)}) * sqrt(${f(y)}))) " +
+          "* 1000000.0 + 0.5) / 1000000.0"
+      }
+      val rows = for { i <- cols.indices; j <- (i + 1) until cols.length } yield
+        s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y,
+           |  CAST(n AS BIGINT) AS n_rows, ${corr(cols(i), cols(j))} AS corr FROM a""".stripMargin
+      s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  ${(sums ++ prods).mkString(",\n  ")}
+         |FROM lineitem)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY col_x, col_y""".stripMargin
+    },
 
     // rational idf (tf*N/df, no log) - every score is one exact-integer
     // IEEE division; (score DESC, term) makes the per-doc top-3 unique
@@ -1936,6 +2013,37 @@ object OracleSql {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
+    // er1: brute-force O(n²) edit-distance edges + recursive reachability
+    // — equality with the Spark plan proves the deletion-neighborhood
+    // blocking lossless AND the min-label propagation's exact fixed point
+    "er1_entity_resolution" ->
+      """WITH RECURSIVE b AS (SELECT c_custkey,
+        |    c_name || '/' || CAST(c_custkey AS VARCHAR)
+        |           || '/' || CAST(c_custkey AS VARCHAR) AS nm
+        |  FROM customer WHERE c_custkey <= 2000),
+        |recs AS (
+        |  SELECT c_custkey * 4 AS rec_id, nm AS name FROM b
+        |  UNION ALL
+        |  SELECT c_custkey * 4 + 1, substr(nm, 1, 1) || substr(nm, 3) FROM b
+        |  UNION ALL
+        |  SELECT c_custkey * 4 + 2,
+        |    substr(nm, 1, 2) || 'x' || substr(nm, 4) FROM b),
+        |e AS (SELECT a.rec_id AS src, bb.rec_id AS dst
+        |  FROM recs a JOIN recs bb ON a.rec_id < bb.rec_id
+        |  WHERE levenshtein(a.name, bb.name) <= 1),
+        |u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM u
+        |  UNION
+        |  SELECT u.src, reach.r FROM u JOIN reach ON u.dst = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |lab AS (SELECT recs.rec_id, recs.name,
+        |    COALESCE(comp.component, recs.rec_id) AS entity_id
+        |  FROM recs LEFT JOIN comp ON recs.rec_id = comp.id),
+        |sz AS (SELECT entity_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.rec_id, lab.name, lab.entity_id, sz.cluster_size
+        |FROM lab JOIN sz USING (entity_id)""".stripMargin,
+
     // dq1: each rule re-stated as its set-theoretic definition; exact
     // integer counts so the hash compare is trivially stable
     "dq1_rule_audit" ->
@@ -2103,6 +2211,11 @@ object OracleSql {
       """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
+    // IVF routing × PQ distances: both approximations gated at once
+    "s7_ivfpq_topk" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS k_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
     // fn1: stage i = first qualifying event strictly after stage i-1's
     // reach time; users per stage are scalar subqueries over the chain
     "fn1_funnel" ->
@@ -2169,6 +2282,7 @@ object OracleSql {
   // the in-session rows pin — so the oracle SQL is shared by reference.
   val sql: Map[String, String] = sql0 ++ Map(
     "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
+    "nd5r_reloaded_fuzzy" -> sql0("nd5_incremental_fuzzy"),
     "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),
     "tok1r_reloaded_bpe" -> sql0("tok1_bpe_count"),
     "s6r_reloaded_pq" -> sql0("s6_pq_topk"),

@@ -470,6 +470,16 @@ object Queries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** C6B: robust outlier filter on events.value — median/MAD fence
+    * ([[Cleaning.robustOutlierFilter]]): the cut C6 cannot make when the
+    * contamination is wild enough to drag μ/σ themselves. Exact medians
+    * via the bounded bracket-and-refine path, so the fence is
+    * engine-independent and the row replays in quantile_cont SQL.
+    */
+  def c6bMadFilter(s: SparkSession, dir: String): DataFrame =
+    Cleaning.robustOutlierFilter(Seq("value"))(t(s, dir, "events"))
+      .select(col("event_id"), col("value"))
+
   /** C7: two-phase — beyond-3σ event values to null, then median-impute. */
   def c7OutlierToNull(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
@@ -665,6 +675,78 @@ object Queries {
       .select((col("bin") * 5000L).cast("double").as("bin_lo"), col("n_rows"))
       .orderBy(col("bin_lo"))
 
+  /** The measure columns p14's correlation matrix covers, in output order.
+    * Shared with [[OracleSql]] so the generated per-pair SQL blocks stay in
+    * lock-step with the Spark aggregate.
+    */
+  private[graft] val CorrCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** P14: pairwise Pearson correlation matrix over lineitem's numeric
+    * measures — the EDA step after describe/histogram: which measures move
+    * together. ONE fused scan: every sum, sum-of-squares and cross-product
+    * for all C(4,2) pairs partial-aggregates map-side in a single
+    * Aggregate (15 exact-integer accumulators), then the 6 correlations
+    * unfold from the 1-row result — adding columns widens the row, never
+    * adds a scan, and nothing shuffles but 15 numbers per partition.
+    *
+    * Exactness: each measure is 6dp-quantized to an integer
+    * (floor(x·1e6 + 0.5), the dsumSq convention) and all sums/products
+    * accumulate in DECIMAL(38,0) — associative, shuffle-order-independent,
+    * bit-identical in DuckDB's HUGEINT. The scale factors cancel in the
+    * correlation ratio. The exact integer sums then cast to double once
+    * and r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) is a
+    * fixed sequence of correctly-rounded IEEE ops, quantized to 6dp.
+    * Magnitude bound (documented like lsum's): q ≤ 1.2e11 for the price
+    * column, so Σq² ≤ 1.44e22·n — DECIMAL(38,0) holds to n ≈ 7e15 rows.
+    */
+  def p14CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = CorrCols
+    def q(c: String): Column =
+      floor(col(c) * lit(1e6) + lit(0.5)).cast("decimal(19,0)")
+    val sums = cols.map(c => sum(q(c).cast("decimal(38,0)"))
+      .cast("double").as(s"s_$c"))
+    val prods = for { i <- cols.indices; j <- i until cols.length } yield
+      sum((q(cols(i)) * q(cols(j))).cast("decimal(38,0)"))
+        .cast("double").as(s"p_${cols(i)}_${cols(j)}")
+    val aggd = t(s, dir, "lineitem")
+      .agg(count(lit(1)).cast("double").as("n"), (sums ++ prods): _*)
+    def corrOf(x: String, y: String): Column = {
+      val num = (col("n") * col(s"p_${x}_$y")) - (col(s"s_$x") * col(s"s_$y"))
+      def f(c: String) = (col("n") * col(s"p_${c}_$c")) -
+        (col(s"s_$c") * col(s"s_$c"))
+      floor(num / (sqrt(f(x)) * sqrt(f(y))) * lit(1e6) + lit(0.5)) / lit(1e6)
+    }
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length } yield
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        corrOf(cols(i), cols(j)).as("corr"))
+    aggd.select(col("n").cast("long").as("n_rows"),
+        explode(array(pairs.toIndexedSeq: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("n_rows"), col("p.corr").as("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** PROF1: MERGEABLE profiling — lineitem's measures profiled as two
+    * disjoint batches (l_orderkey parity) whose sufficient statistics are
+    * merged ([[graft.profile.Profiler.sufficientStats]]/`mergeStats`),
+    * then finalized. The oracle computes the stats DIRECTLY from the
+    * whole table — hash equality proves batch-wise profiling is exact,
+    * i.e. a 100 TB corpus can be profiled incrementally as batches land
+    * (one fused scan each, profiles merged as 7-number rows) and never
+    * rescanned. The scd1b/nd*-style invariance row for the P-family.
+    */
+  def prof1MergedDescribe(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.Profiler
+    val li = t(s, dir, "lineitem")
+    val parts = Seq(
+      li.where(col("l_orderkey") % 2 === 0),
+      li.where(col("l_orderkey") % 2 === 1))
+      .map(d => Profiler.sufficientStats(d, CorrCols))
+    Profiler.describeFromStats(Profiler.mergeStats(parts))
+      .orderBy(col("col_name"))
+  }
+
   /** TT1: per-document distinctive terms — tf·idf with a RATIONAL idf
     * (tf × N / df) instead of the classic log: rankings stay
     * df-monotone and every score is one exact-integer IEEE division, so
@@ -815,6 +897,35 @@ object Queries {
         maxDist = 1)
       .select(col("id_a").as("a_key"), col("id_b").as("b_key"),
         col("dist").cast("long").as("dist"))
+
+  /** ER1: entity resolution end to end ([[FuzzyJoin.resolveEntities]]) —
+    * fuzzy pairs → transitive closure → canonical (min-id) entity per
+    * cluster. Fixture: each customer (key ≤ 2000; the cap bounds the
+    * oracle's quadratic replay, the Spark path is the unbounded scale
+    * plan) yields three records — a base name and two planted 1-edit
+    * typos (delete 2nd char / substitute 3rd with 'x'). The key is
+    * suffixed into the name TWICE so distinct customers sit ≥ 2 edits
+    * apart even after one typo: every cluster is exactly {base, typo1,
+    * typo2}, and typo1~typo2 (2 edits apart, linked only via the base)
+    * proves the closure actually merges transitively. The oracle replays
+    * brute-force O(n²) levenshtein edges + recursive-CTE reachability —
+    * hash equality proves lossless blocking AND the exact fixed point.
+    */
+  def er1EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").where(col("c_custkey") <= 2000)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("/"), col("c_custkey").cast("string"),
+          lit("/"), col("c_custkey").cast("string")).as("nm"))
+    val recs = base.select((col("c_custkey") * 4).as("rec_id"), col("nm").as("name"))
+      .unionAll(base.select((col("c_custkey") * 4 + 1).as("rec_id"),
+        concat(col("nm").substr(lit(1), lit(1)),
+          col("nm").substr(lit(3), length(col("nm")))).as("name")))
+      .unionAll(base.select((col("c_custkey") * 4 + 2).as("rec_id"),
+        concat(col("nm").substr(lit(1), lit(2)), lit("x"),
+          col("nm").substr(lit(4), length(col("nm")))).as("name")))
+    FuzzyJoin.resolveEntities(recs, "rec_id", "name", maxDist = 1)
+      .select(col("rec_id"), col("name"), col("entity_id"), col("cluster_size"))
+  }
 
   /** DQ1: declarative data-quality audit ([[graft.operators.DataQuality]])
     * — 12 rules over four tables (not-null, range, regex, enum, single and
@@ -2129,6 +2240,74 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** The nd5 fixture: er1-style distinctive record names (key suffixed
+    * twice so distinct customers sit ≥ 2 edits apart even after one typo),
+    * split into an indexed corpus (key % 10 ≠ 0) and a crawl batch — the
+    * % 10 == 0 names plus planted 1-edit typos of INDEXED names (+1M ids,
+    * must fall to the batch-vs-index relation) and of BATCH names (+2M
+    * ids, must fall to within-batch keep-first).
+    */
+  private def fuzzyCrawlFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val names = t(s, dir, "customer")
+      .select(col("c_custkey").as("rec_id"),
+        concat(col("c_name"), lit("/"), col("c_custkey").cast("string"),
+          lit("/"), col("c_custkey").cast("string")).as("name"))
+    val existing = names.where(col("rec_id") % 10 =!= 0)
+    val b0 = names.where(col("rec_id") % 10 === 0)
+    val delTypo = existing.where(col("rec_id") < 100)
+      .select((col("rec_id") + 1000000L).as("rec_id"),
+        concat(col("name").substr(lit(1), lit(1)),
+          col("name").substr(lit(3), length(col("name")))).as("name"))
+    val subTypo = b0.where(col("rec_id") < 120)
+      .select((col("rec_id") + 2000000L).as("rec_id"),
+        concat(col("name").substr(lit(1), lit(2)), lit("x"),
+          col("name").substr(lit(4), length(col("name")))).as("name"))
+    (existing, b0.unionAll(delTypo).unionAll(subTypo))
+  }
+
+  /** ND5: incremental FUZZY dedup — the rolling-crawl probe for
+    * typo-level string variation ([[FuzzyJoin.incrementalFuzzyDedup]]),
+    * completing the index family (nd1 exact, nd2 lexical, nd3 semantic):
+    * the deletion-variant bucket index is built ONCE over the corpus
+    * names; a batch probes bucket-locally (index-side hot-bucket guard),
+    * verifies exact levenshtein against colliders only, and fuzzy-dedups
+    * within itself. Emits surviving batch ids; the oracle replays
+    * survival with brute-force O(batch·index) levenshtein, so hash
+    * equality proves the hashed deletion-neighborhood blocking recovers
+    * every qualifying match end to end.
+    */
+  def nd5IncrementalFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val (existing, batch) = fuzzyCrawlFixture(s, dir)
+    val index = FuzzyJoin.buildFuzzyIndex(existing, "rec_id", "name")
+    val matches = FuzzyJoin.incrementalFuzzyDedup(batch, "rec_id", "name", index)
+    index.close()
+    batch.select(col("rec_id"))
+      .join(matches.select(col("batch_id").as("rec_id")).distinct(),
+        Seq("rec_id"), "left_anti")
+      .orderBy(col("rec_id"))
+  }
+
+  /** ND5R: the nd5 probe against a RELOADED [[FuzzyJoin.FuzzyIndex]] —
+    * save the lineage, drop the in-memory handle, reload, then probe
+    * (the nd2r/nd3r cross-session contract). Same fixture and oracle as
+    * nd5: hash equality proves the durable round-trip is invisible.
+    */
+  def nd5rReloadedFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val (existing, batch) = fuzzyCrawlFixture(s, dir)
+    val built = FuzzyJoin.buildFuzzyIndex(existing, "rec_id", "name")
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_fuzzyidx").toString
+    built.save(lineage)
+    built.close()
+    val index = FuzzyJoin.loadFuzzyIndex(s, lineage)
+    val matches = FuzzyJoin.incrementalFuzzyDedup(batch, "rec_id", "name", index)
+    index.close()
+    batch.select(col("rec_id"))
+      .join(matches.select(col("batch_id").as("rec_id")).distinct(),
+        Seq("rec_id"), "left_anti")
+      .orderBy(col("rec_id"))
+  }
+
   /** URL1: URL-domain blocklist filter (C4's source filter) — URLs planted
     * on even doc_ids ("http://site{id%13}.example.com/p/{id}"), two domains
     * blocklisted; odd docs carry no URL and pass with a null domain.
@@ -2419,6 +2598,25 @@ object Queries {
     annGate(s1Cached(s, dir), approx, minHits = 8, k = 10)
   }
 
+  /** S7: IVF+PQ composite ANN ([[Similarity.ivfPqTopK]]) — coarse routing
+    * bounds which vectors are touched, PQ codes bound the cost per touched
+    * vector; the FAISS-IVFADC serving shape for billion-vector corpora.
+    * Both approximations (unprobed clusters AND quantized distances) must
+    * survive the same recall-gate contract as s3/s6: ≥8 of the exact
+    * top-10 recovered and full k returned per query (measured 10/10 at
+    * sf0.001/0.01/0.1 with nProbe=6 of 16 clusters, 200-candidate
+    * re-rank). Index and codebooks come from the same per-dir memos the
+    * flat rows probe, so the row isolates the composite QUERY path.
+    */
+  def s7IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (model, codes) = s6Cached(s, dir)
+    val approx = Similarity.ivfPqTopK(ivfCached(s, dir), codes, model,
+      e.where(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nProbe = 6, shortlist = 200)
+    annGate(s1Cached(s, dir), approx, minHits = 8, k = 10)
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -2454,6 +2652,7 @@ object Queries {
     "c4_impute_derived" -> (c4ImputeDerived _),
     "c5_drop_nulls" -> (c5DropNulls _),
     "c6_zscore_filter" -> (c6ZscoreFilter _),
+    "c6b_mad_filter" -> (c6bMadFilter _),
     "c7_outlier_to_null" -> (c7OutlierToNull _),
     "c8_percentile_cap" -> (c8PercentileCap _),
     "c9_dedup_keyed" -> (c9DedupKeyed _),
@@ -2512,6 +2711,8 @@ object Queries {
     "nd2r_reloaded_neardup" -> (nd2rReloadedNearDup _),
     "nd3r_reloaded_semdedup" -> (nd3rReloadedSemDedup _),
     "nd4_compacted_semdedup" -> (nd4CompactedSemDedup _),
+    "nd5_incremental_fuzzy" -> (nd5IncrementalFuzzy _),
+    "nd5r_reloaded_fuzzy" -> (nd5rReloadedFuzzy _),
     "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
     "mix2_token_budget" -> (mix2TokenBudget _),
@@ -2523,6 +2724,8 @@ object Queries {
     "p11_approx_distinct" -> (p11ApproxDistinct _),
     "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
     "p13_histogram" -> (p13Histogram _),
+    "p14_corr_matrix" -> (p14CorrMatrix _),
+    "prof1_merged_describe" -> (prof1MergedDescribe _),
     "cq1_corpus_report" -> (cq1CorpusReport _),
     "tt1_top_terms" -> (tt1TopTerms _),
     "s1_knn_bruteforce" -> (s1KnnBruteForce _),
@@ -2542,12 +2745,14 @@ object Queries {
     "rp1_random_projection" -> (rp1RandomProjection _),
     "s5_rp_topk" -> (s5RpTopK _),
     "fj1_fuzzy_join" -> (fj1FuzzyJoin _),
+    "er1_entity_resolution" -> (er1EntityResolution _),
     "dq1_rule_audit" -> (dq1RuleAudit _),
     "drift1_numeric" -> (drift1Numeric _),
     "drift2_categorical" -> (drift2Categorical _),
     "scd1_history" -> (scd1History _),
     "bm25_topk" -> (bm25TopDocs _),
     "s6_pq_topk" -> (s6PqTopK _),
+    "s7_ivfpq_topk" -> (s7IvfPqTopK _),
     "c11b_fuzzy_canon" -> (c11bFuzzyCanon _),
     "s6r_reloaded_pq" -> (s6rReloadedPq _),
     "bm25b_indexed" -> (bm25bIndexed _),

@@ -375,6 +375,41 @@ object Cleaning {
     def ===(x: Double): Column = lit(s == x)
   }
 
+  // --------------------------------------------------------------- C6b
+  /** C6b: ROBUST outlier filter — median/MAD in place of C6's mean/σ.
+    * A 3σ cut is computed FROM the outliers it is trying to remove (one
+    * 1e9 sentinel drags the mean past every legitimate row); the median
+    * and the median-absolute-deviation have a 50% breakdown point, so the
+    * fence survives arbitrarily wild contamination. `k`·1.4826·MAD is the
+    * σ-consistent fence (1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ under
+    * normality), so k=3 matches C6's nominal strictness on clean data.
+    *
+    * Null cells pass (the C6 pandas convention); a zero MAD (≥50% of the
+    * column at one value) disables the fence for that column rather than
+    * dropping every non-modal row.
+    *
+    * Scale shape: two [[exactQuantilesMulti]] rounds (medians of all
+    * listed columns fused in one pass, then MADs of all deviation columns
+    * in a second) — 4 bounded jobs total for ANY column count, each
+    * driver-safe under the quantile window budget; the filter itself is
+    * one map-only predicate.
+    */
+  def robustOutlierFilter(cols: Seq[String], k: Double = 3.0)(df: DataFrame): DataFrame = {
+    val meds = exactQuantilesMulti(df, cols, 0.5)
+    val present = cols.filter(meds.contains)
+    if (present.isEmpty) return df
+    val devFrame = df.select(present.map(c =>
+      abs(col(c) - lit(meds(c))).as(s"__dev_$c")): _*)
+    val mads = exactQuantilesMulti(devFrame, present.map(c => s"__dev_$c"), 0.5)
+    val keep = present.flatMap { c =>
+      mads.get(s"__dev_$c").collect { case mad if mad != 0.0 =>
+        col(c).isNull ||
+          abs(col(c) - lit(meds(c))) <= lit(k) * (lit(1.4826) * lit(mad))
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    df.where(keep)
+  }
+
   // ---------------------------------------------------------------- C7
   /** C7: two-phase variant — outliers beyond `z`σ become null, then the
     * caller imputes (`stash/dirty_hr_report.txt:15`).

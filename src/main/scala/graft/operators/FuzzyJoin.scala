@@ -113,6 +113,215 @@ object FuzzyJoin {
     (verified, audit)
   }
 
+  /** Entity resolution end to end: fuzzy pairs → connected components →
+    * canonical representative. Pairwise edit-distance matching alone
+    * under-merges (a chain a~b~c where (a,c) is 2 edits apart is ONE
+    * entity but never pairs directly); closing the match graph assigns
+    * every transitively-connected record the same entity id — the
+    * min record id in its cluster, i.e. a deterministic canonical
+    * survivor (the [[Dedup]] min-id convention).
+    *
+    * Output: one row per input record, `(idCol, strCol, entity_id,
+    * cluster_size)`; unmatched records are their own entity of size 1.
+    *
+    * Scale shape: edges via the lossless deletion-neighborhood blocking
+    * (never all-pairs, hot-bucket-guarded), clustering via the
+    * O(diameter)-round distributed min-label propagation
+    * ([[Dedup.connectedComponents]]) — match-graph diameters are small
+    * (typo clusters are stars around a base form), so rounds stay low.
+    */
+  def resolveEntities(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val pairs = fuzzySelfJoin(df, idCol, strCol, maxDist)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = df.select(col(idCol), col(strCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(strCol),
+        coalesce(col("component"), col(idCol)).as("entity_id"))
+    val sizes = labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "entity_id")
+      .select(col(idCol), col(strCol), col("entity_id"), col("cluster_size"))
+  }
+
+  // ---------------------------------------------------- incremental index
+  /** Deletion-variant index for INCREMENTAL fuzzy dedup — the
+    * edit-distance member of the rolling-crawl index family
+    * ([[Dedup.LshIndex]] lexical, [[Dedup.SemIndex]] semantic,
+    * fingerprints exact): short near-identical strings (titles, names,
+    * normalized URLs) that a crawl re-submits with typo-level variation.
+    * The index stores each string's ≤`maxDist`-deletion variants as
+    * hashed buckets; blocking stays LOSSLESS under hashing (equal
+    * variants hash equally — collisions only ADD candidates, and the
+    * exact levenshtein verify drops them), while the stored key is a
+    * fixed 8 bytes regardless of string length.
+    *
+    * Cost model (100 TB lens): probing a batch touches only buckets the
+    * batch's own variants hash into — batch·(len+1) lookups against a
+    * bucket-local join, never a scan of the indexed corpus; the
+    * hot-bucket guard caps template-family buckets at `repFactor`
+    * representatives. Durability follows the house epoch+sidecar lineage:
+    * [[FuzzyIndex.save]] snapshots, [[FuzzyIndex.append]] with
+    * `checkpointTo` logs batch-sized deltas, [[loadFuzzyIndex]] replays
+    * snapshot+deltas, [[Dedup.vacuumLineage]] bounds the log.
+    */
+  final case class FuzzyIndex private[operators] (
+      strs: DataFrame,      // (sid, str)
+      variants: DataFrame,  // (id, band, bucket) — band fixed 0
+      maxDist: Int) {
+    def close(): Unit = {
+      strs.unpersist(blocking = false)
+      variants.unpersist(blocking = false)
+    }
+
+    /** Fold a batch into the index ([[Dedup.LshIndex.append]] contract):
+      * one scan of the BATCH strings; the existing index is unioned,
+      * never recomputed; with `checkpointTo`, the delta also lands as the
+      * lineage's next epoch first. Returns a new handle owning the
+      * refreshed caches — `index = index.append(...)` is the usage.
+      */
+    def append(batch: DataFrame, idCol: String, strCol: String,
+        checkpointTo: Option[String] = None): FuzzyIndex = {
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val nStrs = batch.select(col(idCol).as("sid"), col(strCol).as("str"))
+        .persist(mad)
+      val nVar = variantBuckets(batch, idCol, strCol, maxDist)
+      checkpointTo.foreach { path =>
+        val dir = IndexStore.nextEpochDir(strs.sparkSession, path)
+        nStrs.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$dir/strs")
+        nVar.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+          .parquet(s"$dir/variants")
+        IndexStore.writeSidecar(strs.sparkSession, dir,
+          s"""{"kind":"fuzzy","delta":true,"maxDist":$maxDist}""")
+      }
+      val strs2 = strs.unionAll(nStrs).persist(mad)
+      val var2 = variants.unionAll(nVar).persist(mad)
+      var2.count()
+      strs2.count()
+      nStrs.unpersist(blocking = false)
+      strs.unpersist(blocking = false)
+      variants.unpersist(blocking = false)
+      FuzzyIndex(strs2, var2, maxDist)
+    }
+
+    /** Persist durably under the next `epoch=N` of `path` (sidecar last,
+      * so a torn save is skipped on load; epochs never overwritten — the
+      * [[Dedup.LshIndex.save]] discipline). Returns the epoch dir.
+      */
+    def save(path: String): String = {
+      val dir = IndexStore.nextEpochDir(strs.sparkSession, path)
+      strs.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/strs")
+      variants.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$dir/variants")
+      IndexStore.writeSidecar(strs.sparkSession, dir,
+        s"""{"kind":"fuzzy","maxDist":$maxDist}""")
+      dir
+    }
+  }
+
+  /** (id, band=0, bucket=hash(variant)) rows — the shared blocking step of
+    * [[buildFuzzyIndex]], [[FuzzyIndex.append]] and
+    * [[incrementalFuzzyDedup]]'s batch side.
+    */
+  private def variantBuckets(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(deletionVariants(col(strCol), maxDist)).as("__v"))
+      .select(col("id"), lit(0).as("band"), xxhash64(col("__v")).as("bucket"))
+
+  def buildFuzzyIndex(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): FuzzyIndex = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val strs = df.select(col(idCol).as("sid"), col(strCol).as("str"))
+      .persist(mad)
+    val variants = variantBuckets(df, idCol, strCol, maxDist).persist(mad)
+    variants.count()
+    strs.count()
+    FuzzyIndex(strs, variants, maxDist)
+  }
+
+  /** Reload a [[FuzzyIndex.save]] lineage: newest complete snapshot +
+    * all later complete deltas, persisted and materialized exactly as
+    * [[buildFuzzyIndex]] leaves them — probes against a reloaded index
+    * reproduce the in-session index bit-for-bit.
+    */
+  def loadFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): FuzzyIndex = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (dirs, meta) = IndexStore.snapshotAndDeltas(spark, path, "fuzzy")
+    val strs = dirs.map(d => spark.read.parquet(s"$d/strs"))
+      .reduce(_ unionAll _).persist(mad)
+    val variants = dirs.map(d => spark.read.parquet(s"$d/variants"))
+      .reduce(_ unionAll _).persist(mad)
+    variants.count()
+    strs.count()
+    FuzzyIndex(strs, variants, IndexStore.jsonInt(meta, "maxDist"))
+  }
+
+  /** Fuzzy-dedup a NEW batch against a persisted [[FuzzyIndex]] plus
+    * itself — the [[Dedup.incrementalNearDup]] contract, edit-distance
+    * edition: indexed strings are never rescanned; batch cost tracks
+    * batch size and bucket collisions only. Output: one row per verified
+    * relation that would DROP a batch row under greedy keep-first —
+    * `(batch_id, match_id, dist, match_in_index)`; batch-vs-index keeps
+    * the index row, within-batch keeps the smaller id (batch_id is the
+    * larger). A resubmitted known id pairs only with OTHER rows (self
+    * pairs excluded), so resubmission is a drop against the index copy,
+    * not a phantom self-match. Runs eagerly; batch caches released; the
+    * (small) match set returns cached, caller-owned.
+    */
+  def incrementalFuzzyDedup(
+      batch: DataFrame,
+      idCol: String,
+      strCol: String,
+      index: FuzzyIndex,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      repFactor: Int = Dedup.DefaultRepFactor): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bStrs = batch.select(col(idCol).as("sid"), col(strCol).as("str"))
+      .persist(mad)
+    val bVar = variantBuckets(batch, idCol, strCol, index.maxDist)
+      .persist(mad)
+
+    // batch -> index: guarded bucket probe, exact verify on colliders only
+    val idxMatches = Dedup.boundedProbeCandidates(bVar, index.variants,
+        maxBucket, repFactor)
+      .where(col("batch_id") =!= col("index_id"))
+      .join(bStrs.as("sa"), col("batch_id") === col("sa.sid"))
+      .join(index.strs.as("sb"), col("index_id") === col("sb.sid"))
+      .select(col("batch_id"), col("index_id").as("match_id"),
+        levenshtein(col("sa.str"), col("sb.str")).as("dist"),
+        lit(true).as("match_in_index"))
+      .where(col("dist") <= index.maxDist)
+
+    // within-batch: guarded self-join over the same buckets; larger id drops
+    val blocked = batch.select(col(idCol), col(strCol))
+      .withColumn("__v", explode(deletionVariants(col(strCol), index.maxDist)))
+      .select(col(idCol), col(strCol), lit(0).as("band"),
+        xxhash64(col("__v")).as("bucket"))
+    val batchMatches = Dedup.boundedBucketPairs(blocked, idCol,
+        bucketCols = Seq("band", "bucket"), carryCols = Seq(strCol),
+        maxBucket = maxBucket, repFactor = repFactor)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col(s"${strCol}_a")).as("str_a"),
+        first(col(s"${strCol}_b")).as("str_b"))
+      .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
+        levenshtein(col("str_a"), col("str_b")).as("dist"),
+        lit(false).as("match_in_index"))
+      .where(col("dist") <= index.maxDist)
+
+    val out = idxMatches.unionAll(batchMatches).persist(mad)
+    out.count()
+    bVar.unpersist(blocking = false)
+    bStrs.unpersist(blocking = false)
+    out
+  }
+
   /** Two-table variant: rows of `left` matched to rows of `right` within
     * `maxDist` edits, `(left_id, right_id, left_str, right_str, dist)`.
     * Same lossless blocking; the bucket join keys left-variants against

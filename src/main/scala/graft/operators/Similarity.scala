@@ -910,4 +910,95 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** IVF+PQ composite ANN — the FAISS IVFADC shape and the true
+    * billion-vector serving path: coarse k-means routing bounds WHICH
+    * vectors are touched (~nProbe/nClusters of the corpus per query, the
+    * [[ivfTopK]] property), PQ codes bound the COST PER VECTOR touched
+    * (m byte-lookups against a broadcast ADC table instead of a d-term
+    * float dot, the [[pqTopK]] property). [[pqTopK]] alone still scans
+    * every code; [[ivfTopK]] alone still pays full-width vectors inside
+    * probed clusters — composed, per-query work is
+    * ~(n·nProbe/nClusters)·m lookups plus an exact re-rank on the
+    * `shortlist` survivors, and the corpus-side state is 16×-compressed
+    * codes plus one cluster id per vector.
+    *
+    * Join shape: the query side collapses to a broadcast-sized
+    * (query, probed-cluster, ADC-map) table — |Q|·nProbe rows — so the
+    * code scan is ONE broadcast-hash join keyed on the code's
+    * pre-computed cluster id: map-only, no shuffle of the corpus, AQE
+    * untouched. The exact re-rank reads full vectors for
+    * |Q|·shortlist ids via the index's own cached assignment (no second
+    * corpus scan). Recall is gated end to end by the s7 registry row
+    * (both approximations — unprobed clusters AND quantized distances —
+    * must survive against the exact baseline).
+    */
+  def ivfPqTopK(
+      ivf: IvfIndex,
+      codes: DataFrame,
+      model: PqModel,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    // per-query ADC lookup map, exactly as in pqTopK (codebook "cluster"
+    // here is the PQ codeword id, not the IVF cluster)
+    val qsub = pqSubVectors(queries, idCol, vecCol, "query_id",
+      model.m, model.subDim)
+    val qtables = qsub.join(broadcast(model.codebook), "sub")
+      .select(col("query_id"),
+        (col("sub") * lit(model.ks) + col("cluster")).as("idx"),
+        fdot(col("svec"), col("centroid")).as("ip"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("ip"))))
+        .as("qmap"))
+
+    // coarse routing: nProbe nearest IVF centroids per query (ivfTopK's
+    // routing), then fold each query's ADC map onto its routed rows — the
+    // broadcast query side of the cluster-local code scan
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qvec"))
+    val routed = q.crossJoin(broadcast(ivf.cents))
+      .select(col("query_id"), col("qvec"), col("cluster"),
+        graft.functions.VecExpressions.fdistSq(col("qvec"), col("centroid"))
+          .as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cluster"))))
+      .where(col("rk") <= nProbe)
+      .select(col("query_id"), col("cluster"))
+    val routedMaps = routed.join(qtables, "query_id")
+
+    // cluster-local ADC scan: codes carry their IVF cluster id from the
+    // index's cached assignment; only codes in probed clusters are scored
+    val codesClustered = codes.join(
+      ivf.assigned.select(col("neighbor_id"), col("cluster")), "neighbor_id")
+    val scored = codesClustered.join(broadcast(routedMaps), Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("qmap"),
+            j * lit(model.ks) + element_at(col("codes"), j + lit(1))))
+          .as("__adc"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("__crank", row_number().over(wCand))
+      .where(col("__crank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank on the shortlist, reading full vectors from the
+    // index's own cache (nvec/nnorm ride the assignment)
+    val qv = broadcast(q.withColumn("qnorm", fnorm(col("qvec"))))
+    val exact = cand
+      .join(ivf.assigned.select(col("neighbor_id"), col("nvec"), col("nnorm")),
+        "neighbor_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("qvec"), col("qnorm"), col("nvec"), col("nnorm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

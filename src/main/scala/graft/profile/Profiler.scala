@@ -121,6 +121,76 @@ object Profiler {
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Double), Profile]
 
+  // ----------------------------------------------- mergeable profiles
+  /** Per-column SUFFICIENT statistics in long form — `(col_name, n,
+    * n_null, qsum, qsumsq, mn, mx)` with the house exact-integer sums
+    * (6dp-quantized BIGINT qsum, DECIMAL(38,0) qsumsq): every field is
+    * associative, so profiles of disjoint batches MERGE by plain
+    * add/min/max ([[mergeStats]]) into the whole-corpus profile
+    * bit-for-bit. This is how 100 TB gets profiled: batch-by-batch as
+    * data lands (or per partition / per day), one fused map-side-combined
+    * scan each, never a corpus rescan — the profile equivalent of the
+    * nd*-family rolling indexes. One aggregate job per call; all listed
+    * columns ride the same scan.
+    *
+    * qsum carries lsum's loud-overflow guard (valid to Σ|x|·1e6 ≤ 9.2e18
+    * per batch; merge totals inherit the same bound — switch to dsum
+    * fields past ~1e9 money rows per column).
+    */
+  def sufficientStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "sufficientStats needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val q = floor(col(c).cast("double") * lit(1e6) + lit(0.5))
+      val s = try_sum(q.cast("long"))
+      val guarded = when(s.isNull && count(col(c)) > 0,
+          raise_error(lit(s"sufficientStats overflow on $c: use dsum fields")))
+        .otherwise(s)
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        coalesce(guarded, lit(0L)).as(s"__s_$c"),
+        coalesce(sum((q.cast("decimal(19,0)") * q.cast("decimal(19,0)"))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as(s"__ss_$c"),
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"__n_$c").as("n"), col(s"__nn_$c").as("n_null"),
+          col(s"__s_$c").as("qsum"), col(s"__ss_$c").as("qsumsq"),
+          col(s"__mn_$c").as("mn"), col(s"__mx_$c").as("mx"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n"), col("p.n_null"),
+        col("p.qsum"), col("p.qsumsq"), col("p.mn"), col("p.mx"))
+  }
+
+  /** Merge [[sufficientStats]] frames from disjoint batches: one tiny
+    * groupBy over (batches × columns) rows — exact by associativity.
+    */
+  def mergeStats(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeStats needs at least one part")
+    parts.reduce(_ unionAll _)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+        sum(col("qsum")).as("qsum"),
+        sum(col("qsumsq")).cast("decimal(38,0)").as("qsumsq"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+  }
+
+  /** Final statistics from (merged) sufficient stats — the exact same
+    * IEEE sequence as the one-shot lmean/lstd helpers, so a merged
+    * profile is bit-identical to a direct whole-corpus computation.
+    */
+  def describeFromStats(stats: DataFrame): DataFrame = {
+    val lsumD = col("qsum").cast("double") / lit(1e6)
+    val dsumSqD = col("qsumsq").cast("double") / lit(1e12)
+    stats.select(col("col_name"), col("n"), col("n_null"),
+      (lsumD / col("n")).as("mean"),
+      sqrt((dsumSqD - lsumD * lsumD / col("n")) / (col("n") - lit(1)))
+        .as("std"),
+      col("mn").as("min_val"), col("mx").as("max_val"))
+  }
+
   def cached(df: DataFrame, key: String, percentileError: Double = 0.0): Profile =
     cache.getOrElseUpdate((key, percentileError), apply(df, percentileError))
 

@@ -160,4 +160,34 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(0).getAs[java.sql.Date](0).toString == "2023-05-08")
     assert(!out(0).getBoolean(1) && out(1).getBoolean(1))
   }
+
+  test("robustOutlierFilter survives contamination that breaks the 3σ cut") {
+    // 9 clean values 1..9 plus a 1e9 sentinel: one point's z-score is
+    // bounded by (n−1)/√n ≈ 2.85 < 3 at n=10, so a single wild outlier
+    // MASKS itself from the 3σ cut it inflates. The MAD fence is built
+    // from medians the sentinel cannot move (fence ≈ 11), so it drops
+    // exactly the sentinel and keeps every clean row.
+    val rows = (1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
+      (10L, Some(1e9)) :+ (11L, Option.empty[Double])
+    val df = rows.toDF("id", "v")
+    val mad = Cleaning.robustOutlierFilter(Seq("v"))(df)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!mad.contains(10L), "MAD fence must drop the 1e9 sentinel")
+    assert(mad.contains(11L), "null cells pass the fence")
+    assert((1 to 9).forall(i => mad.contains(i.toLong)),
+      "clean rows must survive the robust fence")
+    val sigma = Cleaning.zscoreFilter(Seq("v"))(df)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sigma.contains(10L),
+      "fixture check: the 3σ cut is masked by its own outlier")
+  }
+
+  test("robustOutlierFilter: zero MAD disables the fence for that column") {
+    // 9 of 12 rows at one value → MAD = 0; a hard fence would drop every
+    // non-modal row, so the operator must keep all instead
+    val rows = (1L to 9L).map(i => (i, 5.0)) ++
+      Seq((10L, 1.0), (11L, 9.0), (12L, 500.0))
+    val out = Cleaning.robustOutlierFilter(Seq("v"))(rows.toDF("id", "v"))
+    assert(out.count() == 12)
+  }
 }

@@ -122,4 +122,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // distinct for a string with unique chars
     assert(v.size == 11)
   }
+
+  test("resolveEntities: transitive merge, min-id canonical, singletons") {
+    import spark.implicits._
+    // chain: "north" ~ "nrth" (del) ~ "nrtx" (sub) — ends are 2 edits
+    // apart, so only the CLOSURE puts all three in one entity; plus an
+    // exact-dup pair and an unmatched singleton
+    val rows = Seq(
+      5L -> "north", 9L -> "nrth", 7L -> "nrtx",
+      2L -> "south", 3L -> "south",
+      11L -> "isolated-row")
+    val got = FuzzyJoin.resolveEntities(rows.toDF("id", "s"), "id", "s", maxDist = 1)
+      .select("id", "entity_id", "cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (5L, 5L, 3L), (9L, 5L, 3L), (7L, 5L, 3L),
+      (2L, 2L, 2L), (3L, 2L, 2L),
+      (11L, 11L, 1L)))
+  }
 }

@@ -89,4 +89,41 @@ class PqSpec extends AnyFunSuite {
       Similarity.trainPq(fixture, "id", "vec", m = 3, ks = 4, inDims = 8)
     }
   }
+
+  test("ivfPqTopK: full-probe full-shortlist equals brute force") {
+    val model = Similarity.trainPq(fixture, "id", "vec",
+      m = 4, ks = 8, iterations = 2, inDims = 8)
+    val codes = Similarity.pqEncode(fixture, "id", "vec", model)
+    val ivf = Similarity.buildIvfIndex(fixture, "id", "vec",
+      nClusters = 4, iterations = 2)
+    val q = fixture.where(col("id") < 3)
+    // probing every cluster with a corpus-wide shortlist removes both
+    // approximations -> the composite must BE brute force
+    val got = Similarity.ivfPqTopK(ivf, codes, model, q, "id", "vec",
+        k = 5, nProbe = 4, shortlist = 100)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(fixture, q, "id", "vec", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    ivf.close(); model.close()
+  }
+
+  test("ivfPqTopK: bounded probe still finds planted exact duplicates") {
+    val model = Similarity.trainPq(fixture, "id", "vec",
+      m = 4, ks = 8, iterations = 2, inDims = 8)
+    val codes = Similarity.pqEncode(fixture, "id", "vec", model)
+    val ivf = Similarity.buildIvfIndex(fixture, "id", "vec",
+      nClusters = 4, iterations = 2)
+    val q = fixture.where(col("id") < 5)
+    // a query's exact duplicate shares its vector, hence its cluster —
+    // the nearest probed cluster always contains it
+    val top1 = Similarity.ivfPqTopK(ivf, codes, model, q, "id", "vec",
+        k = 1, nProbe = 2, shortlist = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(top1(i) == i + 1000L,
+      s"query $i: expected its exact duplicate, got ${top1(i)}"))
+    ivf.close(); model.close()
+  }
 }

@@ -141,4 +141,32 @@ class ProfilerPipelineSpec extends AnyFunSuite {
       Seq(NotNull("v_nn", "t", "v")), maxViolations = 1)))
     assert(lenient.run(dirty).collect().length == 3)
   }
+
+  test("mergeable profiles: 3-way batch merge is bit-identical to direct") {
+    // nulls and negatives included — n_null must survive the merge and
+    // floor-quantization must agree on negative values
+    val rows = (1 to 90).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i * 1.25 - 20.0))
+    }
+    val df = rows.toDF("k", "v")
+    val parts = Seq(df.where($"k" % 3 === 0), df.where($"k" % 3 === 1),
+      df.where($"k" % 3 === 2)).map(d => Profiler.sufficientStats(d, Seq("v")))
+    val merged = Profiler.describeFromStats(Profiler.mergeStats(parts))
+      .collect().head
+    val direct = Profiler.describeFromStats(
+      Profiler.sufficientStats(df, Seq("v"))).collect().head
+    assert(merged == direct) // Row equality: every field bit-identical
+    assert(merged.getLong(1) == 78 && merged.getLong(2) == 12) // n, n_null
+  }
+
+  test("mergeable profiles: an all-null batch merges as a no-op") {
+    val a = Seq((1L, Some(2.0)), (2L, Some(4.0))).toDF("k", "v")
+    val b = Seq((3L, Option.empty[Double])).toDF("k", "v")
+    val m = Profiler.describeFromStats(Profiler.mergeStats(
+      Seq(Profiler.sufficientStats(a, Seq("v")),
+        Profiler.sufficientStats(b, Seq("v"))))).collect().head
+    assert(m.getLong(1) == 2 && m.getLong(2) == 1)
+    assert(m.getDouble(3) == 3.0) // mean unaffected by the null-only batch
+    assert(m.getDouble(5) == 2.0 && m.getDouble(6) == 4.0)
+  }
 }
