@@ -80,7 +80,12 @@ object StressMain {
       "dq1_rule_audit", "drift1_numeric", "drift2_categorical",
       "scd1_history", "bm25_topk", "s6_pq_topk",
       "drift3_multi", "fn1_funnel", "coh1_cohorts", "bm25b_indexed",
-      "c11b_fuzzy_canon", "s6r_reloaded_pq", "scd1b_incremental_history")
+      "c11b_fuzzy_canon", "s6r_reloaded_pq", "scd1b_incremental_history",
+      // round-10 session-3 rows: p14/prof1/c6b read replicated lineitem/
+      // events; s7 reads embeddings. er1/nd5* read the unreplicated
+      // customer dim — their scale fixture is nd5_index_build/probe below.
+      "p14_corr_matrix", "prof1_merged_describe", "c6b_mad_filter",
+      "s7_ivfpq_topk")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
@@ -164,6 +169,29 @@ object StressMain {
     ndM.unpersist(blocking = false); ndIndex.close()
     println(f"[stress] nd2_index_build       $tBuild%8.2f s")
     println(f"[stress] nd2_batch_probe       $tProbe%8.2f s (near-dups caught=$nCaught)")
+
+    // Incremental FUZZY dedup at scale (nd5): deletion-variant index over
+    // factor×15k synthetic 9-digit names (each name has ~10 bucket-mates
+    // per digit position — realistic collision volume), probed by a
+    // ~n/1000 batch of 1-edit typos. The build row pays the one-time
+    // variant explode over the corpus; the probe row must track batch
+    // size and bucket populations only, independent of corpus size.
+    val t6 = System.nanoTime()
+    val fzIndex = graft.operators.FuzzyJoin.buildFuzzyIndex(
+      fjDf, "id", "name")
+    val tFzBuild = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    val fzBatch = fjDf.where(col("id") % 1000 === 0)
+      .select((col("id") + 500000000L).as("id"),
+        concat(col("name").substr(lit(1), lit(1)),
+          col("name").substr(lit(3), length(col("name")))).as("name"))
+    val fzM = graft.operators.FuzzyJoin.incrementalFuzzyDedup(
+      fzBatch, "id", "name", fzIndex)
+    val fzCaught = fzM.select("batch_id").distinct().count()
+    val tFzProbe = (System.nanoTime() - t7) / 1e9
+    fzM.unpersist(blocking = false); fzIndex.close()
+    println(f"[stress] nd5_index_build       $tFzBuild%8.2f s")
+    println(f"[stress] nd5_batch_probe       $tFzProbe%8.2f s (fuzzy dups caught=$fzCaught)")
 
     // Incremental SEMANTIC dedup at scale — same contract as the nd2 rows:
     // the SemIndex build pays the k-means rounds over the corpus (grows

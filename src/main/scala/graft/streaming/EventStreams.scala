@@ -237,6 +237,44 @@ object EventStreams {
       }
       .start()
 
+  /** Mutable handle for the FUZZY index-refresh loop — the [[LshIndexRef]]
+    * twin for [[graft.operators.FuzzyJoin.FuzzyIndex]].
+    */
+  final class FuzzyIndexRef(
+    @volatile var index: graft.operators.FuzzyJoin.FuzzyIndex)
+
+  /** Streaming incremental FUZZY dedup with the in-engine refresh loop —
+    * the edit-distance member of the refresh family (near-dup lexical,
+    * SemDeDup semantic): each micro-batch runs [[graft.operators.FuzzyJoin
+    * .incrementalFuzzyDedup]] against the current deletion-variant index,
+    * `onBatch` receives the survivors, and the survivors are appended
+    * (batch-sized variant explode; indexed strings untouched) before the
+    * next batch runs — a typo variant arriving later is caught against an
+    * earlier batch's admitted string. Same durable-refresh contract:
+    * with `checkpointTo`, each batch's admissions land as a delta epoch
+    * and a restarted stream resumes from
+    * [[graft.operators.FuzzyJoin.loadFuzzyIndex]].
+    */
+  def incrementalFuzzyDedupStreamWithRefresh(
+      docs: DataFrame, idCol: String, strCol: String,
+      indexRef: FuzzyIndexRef,
+      checkpointTo: Option[String] = None)(
+      onBatch: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = indexRef.index
+        val m = graft.operators.FuzzyJoin.incrementalFuzzyDedup(
+          batch, idCol, strCol, idx)
+        val survivors = batch.join(
+          m.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        onBatch(survivors)
+        indexRef.index = idx.append(survivors, idCol, strCol, checkpointTo)
+        m.unpersist(blocking = false)
+        ()
+      }
+      .start()
+
   /** Streaming distribution-drift monitor: every micro-batch's categorical
     * distribution on `column` is compared against a FIXED reference
     * snapshot through [[graft.operators.Drift.categoricalDrift]] —

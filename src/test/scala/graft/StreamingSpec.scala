@@ -534,4 +534,52 @@ class StreamingSpec extends AnyFunSuite {
     // total divergence of disjoint supports = sum over x,y,z of p^2/p = 2
     assert(math.abs(shifted - 2.0) < 1e-12, s"disjoint batch scored $shifted")
   }
+
+  test("durable FUZZY refresh: cross-batch catch survives a killed stream") {
+    import spark.implicits._
+    import graft.operators.FuzzyJoin
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lineage = java.nio.file.Files
+      .createTempDirectory("graft_fzdur").toString
+    val built = FuzzyJoin.buildFuzzyIndex(
+      Seq((1L, "watermark-state")).toDF("id", "s"), "id", "s")
+    built.save(lineage)
+    built.close()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+
+    // session 1: a novel title survives; its delta epoch lands in-batch;
+    // then the stream dies and every in-memory handle is closed
+    val ref1 = new EventStreams.FuzzyIndexRef(
+      FuzzyJoin.loadFuzzyIndex(spark, lineage))
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.incrementalFuzzyDedupStreamWithRefresh(
+      ms1.toDF.toDF("id", "s"), "id", "s", ref1,
+      checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("id").as[Long].collect().toSet
+      }
+    ms1.addData((100L, "brand-new-title"))
+    q1.processAllAvailable()
+    q1.stop()
+    ref1.index.close()
+    assert(perBatch.last == Set(100L))
+
+    // session 2: fresh ref from the lineage — the typo of doc 100 is
+    // caught only if session 1's delta persisted; the typo of original
+    // doc 1 proves the snapshot still probes; the novel doc survives
+    val ref2 = new EventStreams.FuzzyIndexRef(
+      FuzzyJoin.loadFuzzyIndex(spark, lineage))
+    val ms2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalFuzzyDedupStreamWithRefresh(
+      ms2.toDF.toDF("id", "s"), "id", "s", ref2,
+      checkpointTo = Some(lineage)) {
+        s => perBatch += s.select("id").as[Long].collect().toSet
+      }
+    ms2.addData((200L, "brand-new-titl"),
+      (201L, "watermark-statee"), (300L, "unrelated-name"))
+    q2.processAllAvailable()
+    q2.stop()
+    ref2.index.close()
+    assert(perBatch.last == Set(300L))
+  }
 }
