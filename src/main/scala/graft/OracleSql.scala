@@ -1609,6 +1609,156 @@ object OracleSql {
          |WHERE domain IS NULL OR domain NOT IN ('site0.example.com', 'site7.example.com')""".stripMargin
     },
 
+    // url2/url3: the messy-URL fixture restated verbatim, then the
+    // canonicalization replayed step-for-step with DuckDB's regex/list
+    // twins of the Spark expressions (same RE2-safe shared patterns)
+    "url2_canonicalize" -> {
+      val pat = graft.operators.TextPipeline.UrlPartsPattern
+      val trk = graft.operators.TextPipeline.TrackingParamPattern
+      s"""WITH p AS (SELECT doc_id,
+         |  'HTTP://Site' || CAST((doc_id // 2) % 13 AS VARCHAR) || '.Example.COM' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+         |  '/Art/' || CAST(doc_id // 2 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1#top'
+         |       ELSE '?a=1&utm_campaign=z&b=2' END AS url
+         |  FROM documents),
+         |x AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '$pat', 1)) AS scheme,
+         |  lower(regexp_extract(url, '$pat', 2)) AS auth,
+         |  regexp_extract(url, '$pat', 3) AS path0,
+         |  regexp_extract(url, '$pat', 4) AS q0 FROM p),
+         |n AS (SELECT doc_id, url, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+         |       ELSE auth END AS host,
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |    t -> t <> '' AND NOT regexp_matches(t, '$trk'))), '&') AS qs
+         |  FROM x)
+         |SELECT doc_id, url,
+         |  CASE WHEN scheme = '' THEN url
+         |       ELSE scheme || '://' || host || path ||
+         |            CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canonical_url
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+
+    "url3_canonical_dedup" -> {
+      val pat = graft.operators.TextPipeline.UrlPartsPattern
+      val trk = graft.operators.TextPipeline.TrackingParamPattern
+      s"""WITH p AS (SELECT doc_id,
+         |  'HTTP://Site' || CAST((doc_id // 2) % 13 AS VARCHAR) || '.Example.COM' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+         |  '/Art/' || CAST(doc_id // 2 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1#top'
+         |       ELSE '?a=1&utm_campaign=z&b=2' END AS url
+         |  FROM documents),
+         |x AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '$pat', 1)) AS scheme,
+         |  lower(regexp_extract(url, '$pat', 2)) AS auth,
+         |  regexp_extract(url, '$pat', 3) AS path0,
+         |  regexp_extract(url, '$pat', 4) AS q0 FROM p),
+         |n AS (SELECT doc_id, url, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+         |       ELSE auth END AS host,
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+         |    t -> t <> '' AND NOT regexp_matches(t, '$trk'))), '&') AS qs
+         |  FROM x),
+         |canon AS (SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN url
+         |       ELSE scheme || '://' || host || path ||
+         |            CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canonical_url
+         |  FROM n)
+         |SELECT min(doc_id) AS doc_id, canonical_url, count(*) AS n_dups
+         |FROM canon GROUP BY canonical_url ORDER BY doc_id""".stripMargin
+    },
+
+    // ks1: drift1's binned counts extended with exact-integer cumulative
+    // sums; each CDF is one IEEE division, the gap one subtraction — no
+    // quantization needed (see Drift.ksDrift scaladoc)
+    "ks1_drift" ->
+      """WITH a AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bin
+        |           FROM orders WHERE o_totalprice IS NOT NULL
+        |             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |     b AS (SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bin
+        |           FROM orders WHERE o_totalprice IS NOT NULL
+        |             AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |     ac AS (SELECT bin, count(*) AS cnt_a FROM a GROUP BY bin),
+        |     bc AS (SELECT bin, count(*) AS cnt_b FROM b GROUP BY bin),
+        |     bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+        |     f AS (SELECT bins.bin, CAST(COALESCE(ac.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |                  CAST(COALESCE(bc.cnt_b, 0) AS BIGINT) AS cnt_b
+        |           FROM bins LEFT JOIN ac ON bins.bin = ac.bin
+        |                     LEFT JOIN bc ON bins.bin = bc.bin),
+        |     t AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM f),
+        |     cum AS (SELECT bin, cnt_a, cnt_b,
+        |             SUM(cnt_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+        |             SUM(cnt_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+        |             FROM f),
+        |     sh AS (SELECT c.bin, c.cnt_a, c.cnt_b,
+        |            CASE WHEN t.ta > 0 THEN CAST(c.ca AS DOUBLE) / t.ta ELSE 0.0 END AS cdf_a,
+        |            CASE WHEN t.tb > 0 THEN CAST(c.cb AS DOUBLE) / t.tb ELSE 0.0 END AS cdf_b
+        |            FROM cum c CROSS JOIN t)
+        |SELECT bin, cnt_a, cnt_b, cdf_a, cdf_b, abs(cdf_a - cdf_b) AS gap
+        |FROM sh ORDER BY bin""".stripMargin,
+
+    // assoc1/assoc1b: the chi-square grid replayed with HUGEINT exact
+    // numerators/denominators (the Spark side's DECIMAL(38,0)), one
+    // double cast each, identical IEEE finish, 6dp quantization
+    "assoc1_chi2" ->
+      """WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS val_a,
+        |    CAST(o_orderstatus AS VARCHAR) AS val_b, count(*) AS obs
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT val_a, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT val_b, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        |f AS (SELECT rt.val_a, ct.val_b, CAST(COALESCE(c.obs, 0) AS BIGINT) AS obs,
+        |    rt.row_tot, ct.col_tot, tt.n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells c ON rt.val_a = c.val_a AND ct.val_b = c.val_b
+        |  CROSS JOIN tt),
+        |m AS (SELECT val_a, val_b, obs,
+        |    CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS exp_raw,
+        |    CAST(CAST(n AS HUGEINT) * obs - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) AS num_d,
+        |    CAST(CAST(n AS HUGEINT) * row_tot * col_tot AS DOUBLE) AS den_d
+        |  FROM f)
+        |SELECT val_a, val_b, obs,
+        |  floor(exp_raw * 1e6 + 0.5) / 1e6 AS expected,
+        |  floor(num_d * num_d / den_d * 1e6 + 0.5) / 1e6 AS contrib
+        |FROM m ORDER BY val_a, val_b""".stripMargin,
+
+    "assoc1b_cramers" ->
+      """WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS val_a,
+        |    CAST(o_orderstatus AS VARCHAR) AS val_b, count(*) AS obs
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT val_a, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT val_b, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+        |f AS (SELECT rt.val_a, ct.val_b, CAST(COALESCE(c.obs, 0) AS BIGINT) AS obs,
+        |    rt.row_tot, ct.col_tot, tt.n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells c ON rt.val_a = c.val_a AND ct.val_b = c.val_b
+        |  CROSS JOIN tt),
+        |m AS (SELECT val_a, val_b, obs,
+        |    CAST(CAST(n AS HUGEINT) * obs - CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) AS num_d,
+        |    CAST(CAST(n AS HUGEINT) * row_tot * col_tot AS DOUBLE) AS den_d
+        |  FROM f),
+        |g AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT val_a) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT val_b) AS BIGINT) AS c,
+        |    SUM(CAST(floor(num_d * num_d / den_d * 1e6 + 0.5) AS HUGEINT)) AS chi2i
+        |  FROM m)
+        |SELECT n_rows, (r - 1) * (c - 1) AS dof,
+        |  CAST(chi2i AS DOUBLE) / 1e6 AS chi2,
+        |  CASE WHEN (r - 1) * (c - 1) > 0
+        |    THEN floor(sqrt((CAST(chi2i AS DOUBLE) / 1e6) /
+        |         (CAST(n_rows AS DOUBLE) * LEAST(r - 1, c - 1))) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS cramers_v
+        |FROM g""".stripMargin,
+
     // the per-stratum chunked prefix sum equals a plain per-lang running
     // sum over (md5, doc_id) order — the sp3/sq1 equivalence per stratum
     "mix2_token_budget" ->

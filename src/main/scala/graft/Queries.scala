@@ -2324,6 +2324,81 @@ object Queries {
       .select(col("doc_id"), col("domain"))
   }
 
+  /** The url2/url3 fixture: a deterministically MESSY URL per document —
+    * uppercase scheme/host, default port on every third doc, a fragment
+    * and a tracking param on even docs, shuffled param order on odd docs.
+    * Consecutive (2m, 2m+1) pairs differ in raw form but share one
+    * canonical URL, so canonicalization provably merges them. Shared
+    * verbatim with the DuckDB oracle.
+    */
+  private def messyUrl: Column = {
+    val m = floor(col("doc_id") / 2).cast("long")
+    concat(
+      lit("HTTP://Site"), (m % 13).cast("string"), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/Art/"), m.cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1#top"))
+        .otherwise(lit("?a=1&utm_campaign=z&b=2")))
+  }
+
+  /** URL2: URL canonicalization ([[graft.operators.TextPipeline
+    * .canonicalizeUrl]]) — map-only normalization of scheme/host case,
+    * default ports, fragments, tracking params and query-param order; the
+    * step before any URL-keyed crawl dedup.
+    */
+  def url2Canonicalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url"))
+      .withColumn("canonical_url",
+        graft.operators.TextPipeline.canonicalizeUrl(col("url")))
+      .orderBy(col("doc_id"))
+
+  /** URL3: canonical-URL dedup — group by the canonical form, keep the
+    * min-doc_id survivor with its duplicate count (the d1 exact-dedup
+    * shape keyed on url2's canonical string: one map-side-combined
+    * shuffle on the canonical key). The fixture plants one canonical per
+    * (2m, 2m+1) pair, so exactly the even/odd twins merge.
+    */
+  def url3CanonicalDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), messyUrl.as("url"))
+      .select(col("doc_id"),
+        graft.operators.TextPipeline.canonicalizeUrl(col("url"))
+          .as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1L)).as("n_dups"))
+      .select(col("doc_id"), col("canonical_url"), col("n_dups"))
+      .orderBy(col("doc_id"))
+
+  /** KS1: two-sample Kolmogorov–Smirnov drift evidence ([[graft.operators
+    * .Drift.ksDrift]]) over drift1's exact snapshots and binning — the
+    * classic CDF-gap statistic alongside drift1's per-bin divergence, at
+    * the same one-scan-per-snapshot cost (see the ksDrift scaladoc for
+    * why binned, not globally sorted).
+    */
+  def ks1Drift(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.operators.Drift.ksDrift(
+      o.where(col("o_orderdate") < ts(driftCut)),
+      o.where(col("o_orderdate") >= ts(driftCut)),
+      "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
+  }
+
+  /** ASSOC1: chi-square association evidence ([[graft.operators
+    * .Association.chiSquareCells]]) between order priority and order
+    * status — the full observed grid with exact counts, expected counts
+    * and 6dp per-cell terms; p14's categorical counterpart.
+    */
+  def assoc1Chi2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.chiSquareCells(
+      t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  /** ASSOC1B: the 1-row chi-square summary ([[graft.operators.Association
+    * .chiSquareStat]]) — n, degrees of freedom, the exact-integer-summed
+    * statistic and Cramér's V over the same single scan.
+    */
+  def assoc1bCramers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.chiSquareStat(
+      t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
   /** MIX2: per-language token-budget selection in reproducible hash order
     * (the mixture-quota trim), running sum via the per-stratum two-level
     * chunked prefix decomposition — the oracle replays it as a plain
@@ -2715,6 +2790,11 @@ object Queries {
     "nd5r_reloaded_fuzzy" -> (nd5rReloadedFuzzy _),
     "qc1_quality_classifier" -> (qc1QualityClassifier _),
     "url1_domain_filter" -> (url1DomainFilter _),
+    "url2_canonicalize" -> (url2Canonicalize _),
+    "url3_canonical_dedup" -> (url3CanonicalDedup _),
+    "ks1_drift" -> (ks1Drift _),
+    "assoc1_chi2" -> (assoc1Chi2 _),
+    "assoc1b_cramers" -> (assoc1bCramers _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),
     "tok1r_reloaded_bpe" -> (tok1rReloadedBpe _),

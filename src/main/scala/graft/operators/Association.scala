@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical–categorical association: Pearson's chi-square test of
+  * independence plus Cramér's V — the EDA step after value counts: are two
+  * categorical columns related, and how strongly. (The numeric twin is
+  * p14's correlation matrix.) Reference behavior class: the agent's
+  * "insight" asks over grouped categoricals (agent_data_wrangler
+  * tool_call_agent.py's free-form analysis step); the statistic itself is
+  * public-textbook.
+  *
+  * Contract mirrors [[Drift]]: LONG-FORM per-cell evidence — every
+  * (val_a, val_b) combination in the observed category grid, including
+  * absent pairs at obs = 0 (chi-square is defined over the full grid) —
+  * not a single opaque score; the 1-row summary is a second view over the
+  * same frame.
+  *
+  * Scale shape: ONE map-side-combined `groupBy(a, b)` scan of the input;
+  * the shuffle is r·c cells wide. The grid, marginals and all statistic
+  * math run on the localized cell frame (bounded by `maxCells`, loud
+  * error beyond — association over a >10k-cell grid is the wrong tool).
+  * Nothing downstream of the scan is proportional to rows.
+  *
+  * Determinism: cells and marginals are exact integers; the cell term
+  * `(obs − exp)² / exp` is algebraically `(n·obs − rT·cT)² / (n·rT·cT)`,
+  * whose numerator/denominator are computed EXACTLY in DECIMAL(38,0)
+  * (DuckDB: HUGEINT), cast to double once, and finished with two IEEE ops
+  * — then 6dp-quantized. Chi-square is the sum of the QUANTIZED per-cell
+  * terms accumulated as exact integers (the p14 convention), so the total
+  * is associative and shuffle-order-independent. Magnitude bound: with
+  * n ≤ 1e12 rows and obs ≤ n, n·obs ≤ 1e24 — DECIMAL(38,0) holds to
+  * n ≈ 1e19; the double cast of the squared numerator (≤ 1e48) is far
+  * inside double range.
+  */
+object Association {
+
+  private def localized(df: DataFrame, maxRows: Int): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"association evidence exceeded $maxRows cells; bound the category " +
+        "space (this operator materializes the full r x c grid)")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** The zero-filled grid with marginals and exact cell terms attached —
+    * shared by [[chiSquareCells]] and [[chiSquareStat]]. Columns: val_a,
+    * val_b, obs, row_tot, col_tot, n, __exp_raw, __contrib_raw. One input
+    * scan; everything else is on the local cell frame.
+    */
+  private def grid(df: DataFrame, colA: String, colB: String,
+      maxCells: Int): DataFrame = {
+    val cells = localized(
+      df.where(col(colA).isNotNull && col(colB).isNotNull)
+        .groupBy(col(colA).cast("string").as("val_a"),
+          col(colB).cast("string").as("val_b"))
+        .agg(count(lit(1L)).as("obs")), maxCells)
+    val rowTot = cells.groupBy(col("val_a"))
+      .agg(sum(col("obs")).as("row_tot"))
+    val colTot = cells.groupBy(col("val_b"))
+      .agg(sum(col("obs")).as("col_tot"))
+    val totals = cells.agg(sum(col("obs")).as("n"))
+    val num = dec(col("n")) * dec(col("obs")) -
+      dec(col("row_tot")) * dec(col("col_tot"))
+    val den = dec(col("n")) * dec(col("row_tot")) * dec(col("col_tot"))
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("val_a", "val_b"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("__exp_raw",
+        col("row_tot").cast("double") * col("col_tot").cast("double") /
+          col("n").cast("double"))
+      .withColumn("__contrib_raw",
+        num.cast("double") * num.cast("double") / den.cast("double"))
+  }
+
+  /** Per-cell chi-square evidence for `colA` x `colB` (nulls excluded on
+    * either side): `(val_a, val_b, obs, expected, contrib)` over the FULL
+    * observed-category grid, expected counts and `(obs−exp)²/exp` terms
+    * 6dp-quantized, ordered by (val_a, val_b).
+    */
+  def chiSquareCells(df: DataFrame, colA: String, colB: String,
+      maxCells: Int = 10000): DataFrame =
+    grid(df, colA, colB, maxCells)
+      .select(col("val_a"), col("val_b"), col("obs"),
+        q6(col("__exp_raw")).as("expected"),
+        q6(col("__contrib_raw")).as("contrib"))
+      .orderBy(col("val_a"), col("val_b"))
+
+  /** 1-row summary: `(n_rows, dof, chi2, cramers_v)`. `chi2` is the exact
+    * integer sum of the 6dp-quantized cell terms (order-independent);
+    * `cramers_v = sqrt(chi2 / (n · min(r−1, c−1)))`, 6dp-quantized, 0 when
+    * either column has a single category (dof = 0).
+    */
+  def chiSquareStat(df: DataFrame, colA: String, colB: String,
+      maxCells: Int = 10000): DataFrame = {
+    val g = grid(df, colA, colB, maxCells)
+      .withColumn("__c6",
+        floor(col("__contrib_raw") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)"))
+    g.agg(
+        sum(col("obs")).as("n_rows"),
+        countDistinct(col("val_a")).as("__r"),
+        countDistinct(col("val_b")).as("__c"),
+        sum(col("__c6")).as("__chi2i"))
+      .withColumn("dof", (col("__r") - 1) * (col("__c") - 1))
+      .withColumn("chi2", col("__chi2i").cast("double") / lit(1e6))
+      .withColumn("cramers_v",
+        when(col("dof") > 0, q6(sqrt(col("chi2") /
+          (col("n_rows").cast("double") *
+            least(col("__r") - 1, col("__c") - 1).cast("double")))))
+          .otherwise(lit(0.0)))
+      .select(col("n_rows"), col("dof"), col("chi2"), col("cramers_v"))
+  }
+}

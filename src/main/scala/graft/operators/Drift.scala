@@ -125,6 +125,61 @@ object Drift {
     drift(ca.join(cb, Seq("value"), "full_outer"), maxCategories)
   }
 
+  /** Two-sample Kolmogorov–Smirnov evidence between snapshots `a` and `b`
+    * on a numeric column, over the same fixed binning as [[numericDrift]]:
+    * per-bin `(bin, cnt_a, cnt_b, cdf_a, cdf_b, gap)` where `gap =
+    * |cdf_a − cdf_b|` and the KS statistic is `max(gap)` (see [[ks]]).
+    *
+    * Binned KS, deliberately: the exact statistic needs a global sort of
+    * both snapshots — at 100 TB that is a full-data total-order shuffle
+    * for one scalar. Binning keeps the cost at one map-side-combined scan
+    * per snapshot and bounds the error by the largest single bin's share
+    * (the CDFs are exact AT bin boundaries; refine nBins, not the plan).
+    * Determinism: cumulative counts are exact integers accumulated over
+    * the localized ≤nBins evidence frame, each CDF is one IEEE division,
+    * and the gap is one subtraction — bit-identical across engines with
+    * no quantization step. The single-partition window below runs over
+    * the ≤nBins LOCAL rows, never over data.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, column: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = a.sparkSession
+    import spark.implicits._
+    val bins = (0L until nBins.toLong).toDF("bin")
+    val ca = binnedCounts(a, column, binOf(col(column), lo, hi, nBins))
+    val cb = binnedCounts(b, column, binOf(col(column), lo, hi, nBins))
+    val filled = localized(bins.join(broadcast(ca), Seq("bin"), "left")
+      .withColumnRenamed("cnt", "cnt_a")
+      .join(broadcast(cb), Seq("bin"), "left")
+      .withColumnRenamed("cnt", "cnt_b")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L))), nBins)
+    val totals = filled.agg(sum(col("cnt_a")).as("__ta"),
+      sum(col("cnt_b")).as("__tb"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("__ca", sum(col("cnt_a")).over(w))
+      .withColumn("__cb", sum(col("cnt_b")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("cdf_a",
+        when(col("__ta") > 0, col("__ca").cast("double") / col("__ta"))
+          .otherwise(lit(0.0)))
+      .withColumn("cdf_b",
+        when(col("__tb") > 0, col("__cb").cast("double") / col("__tb"))
+          .otherwise(lit(0.0)))
+      .withColumn("gap", abs(col("cdf_a") - col("cdf_b")))
+      .drop("__ta", "__tb", "__ca", "__cb")
+      .orderBy(col("bin"))
+  }
+
+  /** KS statistic over a [[ksDrift]] frame — max per-bin CDF gap.
+    * Collects nBins rows (driver-side convenience, like [[psi]]).
+    */
+  def ks(ksFrame: DataFrame): Double =
+    ksFrame.agg(max(col("gap"))).collect()(0).getDouble(0)
+
   /** Materialize a (bounded, tiny by construction) evidence frame to a
     * LocalRelation: the share/divergence math references the counts
     * TWICE (once for totals, once per row), and left lazy that would

@@ -71,6 +71,47 @@ object TextPipeline {
   def extractDomain(text: Column): Column =
     nullif(regexp_extract(text, UrlHostPattern, 1), lit(""))
 
+  /** URL part extraction pattern shared with the DuckDB oracle: scheme,
+    * authority, path, query (fragment falls out — no group reaches '#').
+    * RE2-safe (no backrefs/lookaround), so Java regex and DuckDB agree.
+    */
+  val UrlPartsPattern: String =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?"
+
+  /** Query parameters stripped by [[canonicalizeUrl]] — tracking noise
+    * that fragments crawl dedup (same page, millions of distinct URLs).
+    */
+  val TrackingParamPattern: String = "^(utm_[a-z]+|fbclid|gclid)="
+
+  /** Canonicalize a URL for crawl-level dedup (the WET/CC-style URL
+    * normalizer): lowercase scheme+host, drop the fragment, drop the
+    * scheme's default port (:80 http / :443 https), drop tracking
+    * parameters, SORT the surviving query parameters (param order is
+    * transport noise), empty path → "/". Path case is preserved (paths
+    * are case-sensitive). Non-URL strings pass through unchanged.
+    *
+    * Map-only — pure string/array expressions, whole-stage-codegen'd, no
+    * UDF; every step (regexp_extract / filter / array_sort / array_join)
+    * has an identically-behaved DuckDB twin, so canonical equality is
+    * oracle-checkable cross-engine.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, UrlPartsPattern, 1))
+    val auth = lower(regexp_extract(u, UrlPartsPattern, 2))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path0 = regexp_extract(u, UrlPartsPattern, 3)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q0 = regexp_extract(u, UrlPartsPattern, 4)
+    val params = filter(split(q0, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val qs = array_join(array_sort(params), "&")
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** C4's source filter: drop documents whose URL domain is blocklisted;
     * documents without a URL pass through. Map-only for a literal
     * blocklist (the common case — blocklists are KBs); for a blocklist

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Association
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Association]] — chi-square cells/summary: exact zero under
+  * independence, V = 1 under perfect association, grid zero-fill, null
+  * exclusion, degenerate dof.
+  */
+class AssociationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    rows.toDF("a", "b")
+  }
+
+  test("independent columns: every obs equals expected, chi2 = 0, V = 0") {
+    // marginals a: x=4, y=2; b: u=3, v=3; every exp = rowTot*colTot/6 = obs
+    val d = df(Seq(("x", "u"), ("x", "u"), ("x", "v"), ("x", "v"),
+      ("y", "u"), ("y", "v")))
+    val cells = Association.chiSquareCells(d, "a", "b").collect()
+    assert(cells.length == 4)
+    cells.foreach { r =>
+      assert(r.getLong(2).toDouble == r.getDouble(3), r.toString)
+      assert(r.getDouble(4) == 0.0, r.toString)
+    }
+    val st = Association.chiSquareStat(d, "a", "b").collect()(0)
+    assert(st.getLong(0) == 6L && st.getLong(1) == 1L)
+    assert(st.getDouble(2) == 0.0 && st.getDouble(3) == 0.0)
+  }
+
+  test("perfect 2x2 association: chi2 = n, Cramér's V = 1") {
+    val d = df(Seq(("x", "u"), ("x", "u"), ("x", "u"),
+      ("y", "v"), ("y", "v"), ("y", "v")))
+    val st = Association.chiSquareStat(d, "a", "b").collect()(0)
+    assert(st.getLong(0) == 6L && st.getLong(1) == 1L)
+    assert(math.abs(st.getDouble(2) - 6.0) < 1e-6)
+    assert(st.getDouble(3) == 1.0)
+  }
+
+  test("grid is zero-filled: absent (val_a, val_b) pairs appear at obs 0") {
+    val d = df(Seq(("x", "u"), ("y", "v")))
+    val cells = Association.chiSquareCells(d, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(cells.size == 4)
+    assert(cells(("x", "v")) == 0L && cells(("y", "u")) == 0L)
+    assert(cells(("x", "u")) == 1L && cells(("y", "v")) == 1L)
+  }
+
+  test("nulls on either side are excluded from the grid and n") {
+    import spark.implicits._
+    val d = Seq((Some("x"), Some("u")), (Some("x"), None),
+      (None, Some("u")), (None, None)).toDF("a", "b")
+    val st = Association.chiSquareStat(d, "a", "b").collect()(0)
+    assert(st.getLong(0) == 1L)
+  }
+
+  test("single-category column: dof = 0, V pinned to 0") {
+    val d = df(Seq(("x", "u"), ("x", "v"), ("x", "u")))
+    val st = Association.chiSquareStat(d, "a", "b").collect()(0)
+    assert(st.getLong(1) == 0L && st.getDouble(3) == 0.0)
+    assert(st.getDouble(2) == 0.0)
+  }
+
+  test("chi2 equals the sum of quantized per-cell contribs (2x3 by hand)") {
+    // obs: (x,u)=2 (x,v)=1 (x,w)=0 / (y,u)=0 (y,v)=1 (y,w)=2
+    val d = df(Seq(("x", "u"), ("x", "u"), ("x", "v"),
+      ("y", "v"), ("y", "w"), ("y", "w")))
+    val cells = Association.chiSquareCells(d, "a", "b").collect()
+    val byCell = cells.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val st = Association.chiSquareStat(d, "a", "b").collect()(0)
+    assert(st.getLong(1) == 2L)
+    assert(math.abs(byCell.values.sum - st.getDouble(2)) < 1e-9)
+    // exp(x,u) = 3*2/6 = 1 -> contrib (2-1)^2/1 = 1
+    assert(byCell(("x", "u")) == 1.0)
+    assert(byCell(("x", "w")) == 1.0) // (0-1)^2/1
+  }
+}

@@ -81,4 +81,39 @@ class DriftSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(m == Map("x" -> ((2L, 0L)), "y" -> ((1L, 1L)), "z" -> ((0L, 1L))))
   }
+
+  test("ksDrift: exact CDF gaps by hand, KS = max gap") {
+    import spark.implicits._
+    val a = Seq(Some(5.0), Some(15.0), Some(15.0), None).toDF("v")
+    val b = Seq(Some(95.0)).toDF("v")
+    val out = Drift.ksDrift(a, b, "v", 0.0, 100.0, 10).collect()
+    assert(out.length == 10)
+    val byBin = out.map(r => r.getLong(0) ->
+      ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(byBin(0L) == ((1.0 / 3, 0.0, 1.0 / 3)))
+    assert(byBin(1L) == ((1.0, 0.0, 1.0)))
+    assert(byBin(8L) == ((1.0, 0.0, 1.0)))
+    assert(byBin(9L) == ((1.0, 1.0, 0.0)))
+    assert(Drift.ks(Drift.ksDrift(a, b, "v", 0.0, 100.0, 10)) == 1.0)
+  }
+
+  test("ksDrift: identical snapshots give zero gap everywhere") {
+    import spark.implicits._
+    val a = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val f = Drift.ksDrift(a, a, "v", 0.0, 100.0, 10)
+    assert(f.agg(sum(abs(col("gap")))).collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("ksDrift: shift scores higher than jitter, CDFs end at 1") {
+    import spark.implicits._
+    val base = Seq.tabulate(200)(i => (i % 100).toDouble).toDF("v")
+    val jitter = Seq.tabulate(200)(i => ((i + 1) % 100).toDouble).toDF("v")
+    val shifted = Seq.tabulate(200)(i => (i % 100) / 2.0 + 50.0).toDF("v")
+    val ksJ = Drift.ks(Drift.ksDrift(base, jitter, "v", 0.0, 100.0, 10))
+    val ksS = Drift.ks(Drift.ksDrift(base, shifted, "v", 0.0, 100.0, 10))
+    assert(ksS > ksJ + 0.2, s"ks shifted=$ksS jitter=$ksJ")
+    val last = Drift.ksDrift(base, shifted, "v", 0.0, 100.0, 10)
+      .orderBy(col("bin").desc).limit(1).collect()(0)
+    assert(last.getDouble(3) == 1.0 && last.getDouble(4) == 1.0)
+  }
 }

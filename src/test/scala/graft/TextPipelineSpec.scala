@@ -406,4 +406,36 @@ class TextPipelineSpec extends AnyFunSuite {
       .agg(max(col("lm_score"))).as[Double].head()
     assert(minHead >= maxTail)
   }
+
+  test("canonicalizeUrl: case, ports, fragments, tracking, param order") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/Path/X?b=2&utm_source=f&a=1#frag",
+        "http://example.com/Path/X?a=1&b=2"),
+      ("https://Host.COM:443", "https://host.com/"),
+      ("https://host.com:8080/p", "https://host.com:8080/p"),
+      ("http://h/p?utm_source=x&fbclid=y&gclid=z", "http://h/p"),
+      ("http://h/p?z=1&y=2&z=0", "http://h/p?y=2&z=0&z=1"),
+      ("ftp://Mixed.Case/file", "ftp://mixed.case/file"),
+      ("not a url at all", "not a url at all"),
+      ("http://h#only-fragment", "http://h/"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextPipeline.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
+  test("canonical equality merges raw-distinct crawl URLs") {
+    import spark.implicits._
+    val raw = Seq(
+      "HTTP://site.com:80/a?b=2&utm_source=feed&a=1#top",
+      "http://Site.com/a?a=1&utm_campaign=z&b=2",
+      "http://site.com/other")
+    val canon = raw.toDF("u")
+      .select(TextPipeline.canonicalizeUrl(col("u")).as("c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(canon == Map("http://site.com/a?a=1&b=2" -> 2L,
+      "http://site.com/other" -> 1L))
+  }
 }
