@@ -1759,6 +1759,237 @@ object OracleSql {
         |    ELSE 0.0 END AS cramers_v
         |FROM g""".stripMargin,
 
+    // ts1: step = second-truncated epoch floored to the day; last-in-step
+    // by (sec, event_id) DESC mirrors Spark's max(struct) tie-break; the
+    // per-key grid + IGNORE NULLS running last replays the forward fill
+    "ts1_resample" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s AS (SELECT user_id, event_id, value, sec,
+        |    (sec // 86400) * 86400 AS step FROM e),
+        |obs AS (SELECT user_id, step, value FROM (
+        |    SELECT user_id, step, value,
+        |      row_number() OVER (PARTITION BY user_id, step
+        |        ORDER BY sec DESC, event_id DESC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |span AS (SELECT user_id, min(step) AS lo, max(step) AS hi
+        |         FROM s GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS step
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.step, o.value AS obs_value
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.step = o.step)
+        |SELECT user_id, make_timestamp(step * 1000000) AS step_start,
+        |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY step ROWS UNBOUNDED PRECEDING) AS value,
+        |  obs_value IS NOT NULL AS observed
+        |FROM j""".stripMargin,
+
+    // an1: trailing 20-row window stats from exact integer sums (BIGINT /
+    // HUGEINT — frame evaluation order cannot matter), one IEEE z finish
+    // in Spark's exact operation order, 6dp quantization
+    "an1_rolling_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q FROM events),
+        |w AS (SELECT event_id, user_id, q,
+        |    COUNT(*) OVER win AS n,
+        |    SUM(q) OVER win AS sm,
+        |    CAST(SUM(CAST(q AS HUGEINT) * q) OVER win AS DOUBLE) AS ss
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_id, user_id, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sm AS DOUBLE) AS sd,
+        |    CAST(q AS DOUBLE) AS qd, ss,
+        |    CAST(n AS DOUBLE) * ss - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS varnum
+        |  FROM w),
+        |z AS (SELECT event_id, user_id,
+        |    CASE WHEN n >= 2 AND varnum > 0
+        |      THEN floor((qd * nd - sd) /
+        |             (nd * sqrt(varnum / (nd * (nd - 1.0)))) * 1e6 + 0.5) / 1e6
+        |      ELSE 0.0 END AS z
+        |  FROM m)
+        |SELECT event_id, user_id, z, abs(z) > 3.0 AS is_anomaly FROM z""".stripMargin,
+
+    // reg1: five HUGEINT-exact sufficient sums per group (the Spark
+    // side's DECIMAL(38,0)), closed-form OLS finish in the identical
+    // IEEE op order, 6dp quantization
+    "reg1_groupwise_trend" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(floor(CAST(floor(epoch(o_orderdate)) AS BIGINT) / 86400.0) AS BIGINT) AS x_day,
+        |    CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT) AS qy
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x_day AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x_day AS HUGEINT) * x_day) AS DOUBLE) AS sxx,
+        |    CAST(SUM(qy) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x_day AS HUGEINT) * qy) AS DOUBLE) AS sxy,
+        |    CAST(SUM(qy * qy) AS DOUBLE) AS syy
+        |  FROM o GROUP BY 1),
+        |m AS (SELECT o_orderpriority, n, CAST(n AS DOUBLE) AS nd, sx, sy,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num
+        |  FROM g)
+        |SELECT o_orderpriority, n AS n_rows,
+        |  CASE WHEN n >= 2 AND den > 0
+        |    THEN floor((num / den / 1e6) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS slope,
+        |  CASE WHEN n >= 2 AND den > 0
+        |    THEN floor(((sy / 1e6 - (num / den / 1e6) * sx) / nd) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS intercept,
+        |  CASE WHEN n >= 2 AND den > 0 AND deny > 0
+        |    THEN floor((num * num / (den * deny)) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS r2
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    // te1: smoothed target encoding replayed with HUGEINT-exact category
+    // sums; the global mean and the shrink are the identical IEEE
+    // sequence, 6dp quantization
+    "te1_target_encode" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |    SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS qs,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT SUM(qs) AS gqs, SUM(n) AS gn FROM s),
+        |e AS (SELECT s.o_orderpriority,
+        |    floor(((CAST(s.qs AS DOUBLE) / 1e6 + 10.0 *
+        |      ((CAST(g.gqs AS DOUBLE) / 1e6) / CAST(g.gn AS DOUBLE))) /
+        |      (CAST(s.n AS DOUBLE) + 10.0)) * 1e6 + 0.5) / 1e6 AS o_orderpriority_te
+        |  FROM s CROSS JOIN g)
+        |SELECT o.o_orderkey, o.o_orderpriority, e.o_orderpriority_te
+        |FROM orders o JOIN e USING (o_orderpriority)""".stripMargin,
+
+    // fe1: quantile_cont fences (bit-compatible with the Spark helper —
+    // see exactQuantilesDistributed's scaladoc), map-only comparison sum
+    "fe1_quantile_bin" ->
+      """WITH f AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.5) AS q2,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL ELSE
+        |    CAST(l_extendedprice > f.q1 AS BIGINT) +
+        |    CAST(l_extendedprice > f.q2 AS BIGINT) +
+        |    CAST(l_extendedprice > f.q3 AS BIGINT) END AS l_extendedprice_bin
+        |FROM lineitem CROSS JOIN f""".stripMargin,
+
+    // sc1: exact min/max broadcast, identical IEEE scale expression
+    "sc1_minmax_scale" ->
+      """WITH s AS (SELECT min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+        |    min(l_tax) AS mn2, max(l_tax) AS mx2 FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_tax,
+        |  CASE WHEN l_quantity IS NULL THEN NULL
+        |       WHEN mx1 - mn1 > 0
+        |         THEN floor((l_quantity - mn1) / (mx1 - mn1) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS l_quantity_scaled,
+        |  CASE WHEN l_tax IS NULL THEN NULL
+        |       WHEN mx2 - mn2 > 0
+        |         THEN floor((l_tax - mn2) / (mx2 - mn2) * 1e6 + 0.5) / 1e6
+        |       ELSE 0.0 END AS l_tax_scaled
+        |FROM lineitem CROSS JOIN s""".stripMargin,
+
+    // tm1: key-local lag -> pair counts -> row-normalized shares; one
+    // IEEE division per pair on exact counts
+    "tm1_transitions" ->
+      """WITH p AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS frm
+        |  FROM events),
+        |c AS (SELECT frm AS from_state, event_type AS to_state,
+        |    CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE frm IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, SUM(n_trans) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n_trans,
+        |  CAST(c.n_trans AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // pr1: all 5 integer-PageRank hops unrolled — BIGINT mass, floor
+    // division per edge, one double damping multiply per node per hop in
+    // Spark's exact op order; ranks are bit-equal by construction
+    "pr1_pagerank" -> {
+      def hop(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.node,
+           |  CAST(floor((1.0 - 0.85) * 1000000000000.0 / par.n) AS BIGINT)
+           |  + CAST(floor(0.85 * CAST(COALESCE(sm.m, 0) AS DOUBLE)) AS BIGINT) AS rank
+           |  FROM nodes CROSS JOIN par LEFT JOIN (
+           |    SELECT e.dst, SUM(r.rank // d.outdeg) AS m
+           |    FROM edges e JOIN $prev r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) sm ON nodes.node = sm.dst)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 2000000000 AS dst FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey + 2000000000 AS src, l_suppkey AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst AS node FROM edges),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+         |par AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(floor(1000000000000.0 / par.n) AS BIGINT) AS rank
+         |       FROM nodes CROSS JOIN par),
+         |${hop("r0", "i1")},
+         |${hop("i1", "i2")},
+         |${hop("i2", "i3")},
+         |${hop("i3", "i4")},
+         |${hop("i4", "i5")}
+         |SELECT node, rank FROM i5 ORDER BY node""".stripMargin
+    },
+
+    // ij1: sessions (w3 pattern) x SCD2 runs (scd1 pattern) as half-open
+    // epoch-second intervals; DuckDB joins them with the plain overlap
+    // predicate — proving the bucketed first-shared-bucket emission is
+    // exactly the overlap relation, with no duplicates and no misses
+    "ij1_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, sec,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id FROM f),
+        |sess AS (SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |    MIN(sec) AS s_start, MAX(sec) + 1 AS s_end
+        |  FROM sid GROUP BY user_id, sess_id),
+        |cap AS (SELECT user_id, MAX(sec) + 1 AS cp FROM e GROUP BY 1),
+        |flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs0 AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM flagged),
+        |runs AS (
+        |  SELECT user_id, CAST(run AS BIGINT) AS run,
+        |         MIN(event_type) AS event_type, MIN(ts) AS valid_from
+        |  FROM runs0 GROUP BY user_id, run),
+        |hist AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+        |  FROM runs),
+        |rr AS (SELECT h.user_id, h.event_type,
+        |    CAST(floor(epoch(h.valid_from)) AS BIGINT) AS r_start,
+        |    COALESCE(CAST(floor(epoch(h.valid_to)) AS BIGINT), cap.cp) AS r_end
+        |  FROM hist h JOIN cap ON h.user_id = cap.user_id)
+        |SELECT s.user_id, s.sess_id, s.s_start, s.s_end, rr.event_type,
+        |  rr.r_start, rr.r_end,
+        |  LEAST(s.s_end, rr.r_end) - GREATEST(s.s_start, rr.r_start) AS overlap_secs
+        |FROM sess s JOIN rr ON s.user_id = rr.user_id
+        |  AND s.s_start < rr.r_end AND rr.r_start < s.s_end""".stripMargin,
+
+    // oh1: the pinned category dictionary as indicator CASEs
+    "oh1_onehot" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS prio_1_urgent,
+        |  CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS BIGINT) AS prio_2_high,
+        |  CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS BIGINT) AS prio_3_medium,
+        |  CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS BIGINT) AS prio_4_not_specified,
+        |  CAST(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS BIGINT) AS prio_5_low
+        |FROM orders""".stripMargin,
+
     // the per-stratum chunked prefix sum equals a plain per-lang running
     // sum over (md5, doc_id) order — the sp3/sq1 equivalence per stratum
     "mix2_token_budget" ->

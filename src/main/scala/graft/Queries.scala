@@ -2399,6 +2399,146 @@ object Queries {
     graft.operators.Association.chiSquareStat(
       t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
 
+  /** TS1: daily resample + forward fill ([[graft.operators.TimeSeries
+    * .resample]]) of each user's event values — the irregular→regular
+    * grid step before windowed features; grid size is keys × days,
+    * independent of event volume.
+    */
+  def ts1Resample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.resample(
+      t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), col("value")),
+      "user_id", "ts", "event_id", "value", stepSeconds = 86400L)
+
+  /** AN1: trailing-window z-score anomaly flags ([[graft.operators
+    * .TimeSeries.rollingAnomaly]]) per user over the event stream —
+    * key-local windows, integer-exact window sums, 6dp-quantized scores.
+    */
+  def an1RollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.rollingAnomaly(
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"), col("value")),
+      "user_id", "ts", "event_id", "value", windowRows = 20,
+      threshold = 3.0)
+      .select(col("event_id"), col("user_id"), col("z"), col("is_anomaly"))
+
+  /** REG1: group-wise OLS trend ([[graft.operators.Association
+    * .linearTrend]]) — slope/intercept/r² of order value over epoch-day
+    * per priority class, from one scan of exact sufficient sums.
+    */
+  def reg1GroupwiseTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.linearTrend(
+      t(s, dir, "orders").withColumn("x_day",
+        floor(col("o_orderdate").cast("timestamp").cast("long") /
+          lit(86400.0)).cast("long")),
+      "o_orderpriority", "x_day", "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
+  /** OH1: dictionary one-hot encoding ([[graft.operators.Cleaning
+    * .oneHot]]) of order priority — map-only indicator columns from a
+    * pinned category dictionary.
+    */
+  def oh1OneHot(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cleaning.oneHot("o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      "prio")(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")))
+
+  /** TE1: smoothed mean target encoding ([[graft.operators.Features
+    * .targetEncode]]) of priority against order value — one scan for the
+    * per-category exact sums, encoding broadcast back map-only.
+    */
+  def te1TargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.targetEncode(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice")),
+      "o_orderpriority", "o_totalprice", smoothing = 10.0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderpriority_te"))
+
+  /** FE1: exact-quantile discretization ([[graft.operators.Features
+    * .quantileBin]]) — quartile buckets of extended price; fences from
+    * the bounded exact-quantile machinery, assignment map-only.
+    */
+  def fe1QuantileBin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.quantileBin(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")),
+      "l_extendedprice")
+
+  /** SC1: min-max scaling ([[graft.operators.Features.minMaxScale]]) of
+    * two lineitem measures — one 1-row aggregate broadcast over a
+    * map-only projection.
+    */
+  def sc1MinmaxScale(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.minMaxScale(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_tax")),
+      Seq("l_quantity", "l_tax"))
+
+  /** TM1: first-order Markov transition matrix ([[graft.operators
+    * .Features.transitionMatrix]]) of each user's event-type sequence —
+    * key-local lag, one states²-wide count shuffle, localized share math.
+    */
+  def tm1Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.transitionMatrix(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id")),
+      "user_id", "event_type", "ts", "event_id")
+
+  /** PR1: integer-exact PageRank ([[graft.operators.Graph.pageRank]])
+    * over the supplier↔part co-occurrence graph from lineitem (both edge
+    * directions, deduped) — 5 iterations of join+aggregate with BIGINT
+    * mass, bit-reproducible across engines (the oracle replays all 5
+    * hops in unrolled SQL). Part nodes are offset by 2e9 to share the id
+    * space.
+    */
+  def pr1Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      (col("l_partkey") + lit(2000000000L)).as("__p"))
+    val edges = li.select(col("l_suppkey").as("src"), col("__p").as("dst"))
+      .union(li.select(col("__p").as("src"), col("l_suppkey").as("dst")))
+      .distinct()
+    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(col("node"))
+  }
+
+  /** IJ1: bucketed interval-overlap join ([[graft.operators.IntervalJoin
+    * .overlapJoin]]) — each user's 30-minute-gap sessions joined to the
+    * SCD2 event-type runs they overlap (both interval sets derived from
+    * the same stream, half-open epoch-second bounds; open runs capped at
+    * the user's last event + 1). Daily buckets; exactly-once emission via
+    * the first-shared-bucket rule, no dedup shuffle.
+    */
+  def ij1IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("sec", col("ts").cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("sec")).as("s_start"), (max(col("sec")) + 1).as("s_end"))
+    val lastSec = ev.groupBy(col("user_id"))
+      .agg((max(col("sec")) + 1).as("__cap"))
+    val runs = graft.operators.ChangeCapture.scd2(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+      .join(lastSec, Seq("user_id"))
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").cast("long").as("r_start"),
+        coalesce(col("valid_to").cast("long"), col("__cap")).as("r_end"))
+    graft.operators.IntervalJoin.overlapJoin(sess, runs, "user_id",
+        "s_start", "s_end", "r_start", "r_end", bucketSeconds = 86400L)
+      .select(col("user_id"), col("sess_id"), col("s_start"), col("s_end"),
+        col("event_type"), col("r_start"), col("r_end"),
+        (least(col("s_end"), col("r_end")) -
+          greatest(col("s_start"), col("r_start"))).as("overlap_secs"))
+  }
+
   /** MIX2: per-language token-budget selection in reproducible hash order
     * (the mixture-quota trim), running sum via the per-stratum two-level
     * chunked prefix decomposition — the oracle replays it as a plain
@@ -2795,6 +2935,16 @@ object Queries {
     "ks1_drift" -> (ks1Drift _),
     "assoc1_chi2" -> (assoc1Chi2 _),
     "assoc1b_cramers" -> (assoc1bCramers _),
+    "ts1_resample" -> (ts1Resample _),
+    "an1_rolling_anomaly" -> (an1RollingAnomaly _),
+    "reg1_groupwise_trend" -> (reg1GroupwiseTrend _),
+    "oh1_onehot" -> (oh1OneHot _),
+    "te1_target_encode" -> (te1TargetEncode _),
+    "fe1_quantile_bin" -> (fe1QuantileBin _),
+    "sc1_minmax_scale" -> (sc1MinmaxScale _),
+    "tm1_transitions" -> (tm1Transitions _),
+    "pr1_pagerank" -> (pr1Pagerank _),
+    "ij1_interval_join" -> (ij1IntervalJoin _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),
     "tok1r_reloaded_bpe" -> (tok1rReloadedBpe _),

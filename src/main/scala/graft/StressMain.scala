@@ -85,7 +85,23 @@ object StressMain {
       // events; s7 reads embeddings. er1/nd5* read the unreplicated
       // customer dim — their scale fixture is nd5_index_build/probe below.
       "p14_corr_matrix", "prof1_merged_describe", "c6b_mad_filter",
-      "s7_ivfpq_topk")
+      "s7_ivfpq_topk",
+      // session-4 rows: assoc1*/ks1 read replicated orders; url2/url3 read
+      // replicated documents (map-only canonicalization + one key shuffle)
+      "assoc1_chi2", "assoc1b_cramers", "ks1_drift",
+      "url2_canonicalize", "url3_canonical_dedup",
+      // ts1/an1 read replicated events (grid ∝ keys × days; windows
+      // key-local); reg1/oh1 read replicated orders
+      "ts1_resample", "an1_rolling_anomaly", "reg1_groupwise_trend",
+      "oh1_onehot",
+      // feature tier: te1/oh1-style broadcast-back projections over
+      // replicated orders/lineitem; tm1 reads replicated events
+      "te1_target_encode", "fe1_quantile_bin", "sc1_minmax_scale",
+      "tm1_transitions",
+      // pr1: 100x lineitem scan deduped to the same 21k-node graph — the
+      // distinct is the scale cost, iterations are size-of-graph; ij1:
+      // sessions x runs both grow with replicated events on fixed keys
+      "pr1_pagerank", "ij1_interval_join")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

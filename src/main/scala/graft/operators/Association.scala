@@ -92,6 +92,50 @@ object Association {
         q6(col("__contrib_raw")).as("contrib"))
       .orderBy(col("val_a"), col("val_b"))
 
+  /** Group-wise ordinary-least-squares trend: per group, the slope /
+    * intercept / r² of `yCol` regressed on integer `xCol` — "is spend
+    * rising per priority class", the numeric-vs-numeric insight next to
+    * [[chiSquareCells]] (cat-cat) and p14's correlation (global pairs).
+    *
+    * ONE map-side-combined `groupBy(group)` scan accumulating the five
+    * sufficient sums (n, Σx, Σx², Σy, Σxy, Σy²) — y 6dp-quantized, all
+    * sums EXACT in DECIMAL(38,0) (x must already be an integer column,
+    * e.g. epoch days), so partial aggregation order is irrelevant. The
+    * closed-form finish is a fixed IEEE sequence per group, 6dp-quantized
+    * (the p14 discipline). Degenerate groups (n < 2 or zero x-variance)
+    * return slope = intercept = r2 = 0. Magnitude bound: |x| ≤ 1e6,
+    * |y| ≤ 1e12 holds to ~1e14 rows per group in DECIMAL(38,0).
+    */
+  def linearTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val qy = floor(col(yCol) * lit(1e6) + lit(0.5)).cast("decimal(19,0)")
+    val x = col(xCol).cast("decimal(19,0)")
+    val g = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(x.cast("decimal(38,0)")).cast("double").as("__sx"),
+        sum((x * x).cast("decimal(38,0)")).cast("double").as("__sxx"),
+        sum(qy.cast("decimal(38,0)")).cast("double").as("__sy"),
+        sum((x * qy).cast("decimal(38,0)")).cast("double").as("__sxy"),
+        sum((qy * qy).cast("decimal(38,0)")).cast("double").as("__syy"))
+    val nD = col("__n").cast("double")
+    val den = nD * col("__sxx") - col("__sx") * col("__sx")
+    val denY = nD * col("__syy") - col("__sy") * col("__sy")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val slopeRaw = num / den / lit(1e6)
+    val interceptRaw = (col("__sy") / lit(1e6) - slopeRaw * col("__sx")) / nD
+    val r2Raw = num * num / (den * denY)
+    g.withColumn("slope",
+        when(col("__n") >= 2 && den > 0, q6(slopeRaw)).otherwise(lit(0.0)))
+      .withColumn("intercept",
+        when(col("__n") >= 2 && den > 0, q6(interceptRaw)).otherwise(lit(0.0)))
+      .withColumn("r2",
+        when(col("__n") >= 2 && den > 0 && denY > 0, q6(r2Raw))
+          .otherwise(lit(0.0)))
+      .select(col(groupCol), col("__n").as("n_rows"), col("slope"),
+        col("intercept"), col("r2"))
+  }
+
   /** 1-row summary: `(n_rows, dof, chi2, cramers_v)`. `chi2` is the exact
     * integer sum of the 6dp-quantized cell terms (order-independent);
     * `cramers_v = sqrt(chi2 / (n · min(r−1, c−1)))`, 6dp-quantized, 0 when

@@ -553,4 +553,22 @@ object Cleaning {
 
   def castNumeric(cols: Seq[String])(df: DataFrame): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+
+  // ---------------------------------------------------------------- C16
+  /** C16: dictionary one-hot encoding — one 0/1 LONG indicator column per
+    * listed category (`<prefix>_<sanitized category>`), the model-prep
+    * step after categorical cleanup. Map-only (a row of `when`s, codegen'd,
+    * no shuffle); the EXPLICIT dictionary is the scale design: deriving it
+    * would be a distinct-scan, and training pipelines pin feature columns
+    * anyway (a drifting category set silently reshapes the matrix). Values
+    * outside the dictionary (and nulls) encode as all-zeros.
+    */
+  def oneHot(c: String, categories: Seq[String], prefix: String)(
+      df: DataFrame): DataFrame =
+    categories.foldLeft(df) { (d, cat) =>
+      val name = s"${prefix}_" +
+        cat.toLowerCase.replaceAll("[^a-z0-9]+", "_").stripSuffix("_")
+      d.withColumn(name,
+        when(col(c) === lit(cat), lit(1L)).otherwise(lit(0L)))
+    }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over an edge table — PageRank as iterated
+  * join+aggregate, the companion to Dedup's min-label connected
+  * components. No graph library: each iteration is one `edges ⋈ ranks`
+  * shuffle keyed by source plus one `groupBy(dst)` mass sum, which is
+  * exactly how a 1000-executor cluster wants it (rank state co-partitions
+  * with the edge list's join keys; nothing driver-side grows with the
+  * graph).
+  *
+  * Determinism (the registry discipline): rank mass is carried as LONG
+  * integer units of `1/scale` — per-edge contributions use exact integer
+  * floor division `rank div outdeg`, the incoming-mass sum is a BIGINT
+  * sum (shuffle-order-independent), and the damping step is ONE double
+  * multiply of an exact integer, floored back to integer units. Both
+  * engines run the identical op sequence, so ranks are bit-equal after
+  * any number of iterations. The floor losses make total mass shrink
+  * slightly per hop (standard integer-PageRank behavior, ~outdeg·1
+  * units per node per hop) — rankings are unaffected and the result is
+  * exactly reproducible, which a float PageRank across engines is not.
+  *
+  * Dangling nodes (outdeg = 0) simply drop their mass — the common
+  * simplification; add self-loops upstream if mass conservation matters.
+  *
+  * Lineage: ranks are `localCheckpoint`ed each iteration — without it
+  * the plan doubles per hop (the CorpusPipeline analyzed-plan-explosion
+  * fix); the previous iteration's checkpoint is released as soon as the
+  * next materializes.
+  */
+object Graph {
+
+  /** PageRank over `(srcCol, dstCol)` edges (pre-dedup them if edge
+    * multiplicity should not weight the walk). Returns `(node, rank)`
+    * with `rank` in integer `1/scale` units.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    // edge list with outdeg attached, materialized once for the loop
+    val edgesDeg = e.join(deg, Seq("__src")).localCheckpoint(true)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = math.floor((1.0 - damping) * scale.toDouble / n).toLong
+    val r0 = math.floor(scale.toDouble / n).toLong
+    var ranks = nodes.withColumn("rank", lit(r0)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val sums = edgesDeg
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst"), expr("rank div __outdeg").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__m"))
+      val next = nodes
+        .join(sums.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          floor(lit(damping) * coalesce(col("__m"), lit(0L)).cast("double"))
+            .cast("long")).as("rank"))
+        .localCheckpoint(true)
+      ranks.rdd.unpersist(false)
+      ranks = next
+    }
+    edgesDeg.rdd.unpersist(false)
+    nodes.rdd.unpersist(false)
+    ranks
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization and monitoring over an event stream: resample
+  * an irregular series onto a fixed grid with forward fill, and flag
+  * anomalies against a trailing window — the standard prep before any
+  * windowed feature extraction or seasonal model, and the reference's
+  * "analyze this time column" ask class done scale-first.
+  *
+  * Scale shape: everything is KEY-LOCAL. The grid is `keys × grid steps`
+  * (independent of event volume — 100× more events per key do not grow
+  * the grid), built from a per-key min/max aggregate and a map-only
+  * `sequence` explode; the per-step last observation is one map-side-
+  * combined aggregate; forward fill and trailing stats are windows
+  * partitioned BY KEY — no global ordering anywhere. At 100 TB the only
+  * full-data costs are the initial scans and one shuffle keyed
+  * (key, step).
+  */
+object TimeSeries {
+
+  /** Resample an irregular per-key series onto a fixed `stepSeconds` grid
+    * spanning each key's own [first, last] observation (so every key's
+    * first grid row is observed and forward fill is total). Output:
+    * `(key, step_start, value, observed)` — `value` is the LAST
+    * observation in the step, carried forward through empty steps
+    * verbatim (no arithmetic, so doubles hash bit-identically);
+    * `observed` marks real steps. Ties inside a step break by
+    * `(tsCol, tieCol)` descending — `tieCol` must make the order total
+    * (an event id).
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, stepSeconds: Long): DataFrame = {
+    val step = (col(tsCol).cast("long") / lit(stepSeconds)).cast("long") *
+      lit(stepSeconds)
+    val stepped = df.select(col(keyCol), col(tsCol), col(tieCol),
+      col(valueCol), step.as("__step"))
+    // last observation per (key, step): max over the (ts, tie, value)
+    // struct — (ts, tie) is a total order, value just rides along
+    val obs = stepped
+      .groupBy(col(keyCol), col("__step"))
+      .agg(max(struct(col(tsCol).cast("long"), col(tieCol),
+        col(valueCol))).as("__m"))
+      .select(col(keyCol), col("__step"),
+        col(s"__m.$valueCol").as("__obs_value"))
+    val grid = stepped
+      .groupBy(col(keyCol))
+      .agg(min(col("__step")).as("__lo"), max(col("__step")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        lit(stepSeconds))).as("__step"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "__step"), "left")
+      .withColumn("value",
+        last(col("__obs_value"), ignoreNulls = true).over(w))
+      .withColumn("observed", col("__obs_value").isNotNull)
+      .select(col(keyCol), timestamp_seconds(col("__step")).as("step_start"),
+        col("value"), col("observed"))
+  }
+
+  /** Trailing-window z-score anomaly flags per key: each row scored
+    * against the sample mean/stddev of the previous `windowRows`
+    * observations INCLUDING itself, ordered by `(tsCol, tieCol)` within
+    * the key. Output adds `(z, is_anomaly)`; rows whose window has < 2
+    * points or zero variance get z = 0.
+    *
+    * Determinism: values are 6dp-quantized to exact integers; the window
+    * sum and sum-of-squares accumulate as BIGINT / DECIMAL(38,0) (both
+    * exact, so sliding-frame evaluation order is irrelevant — DuckDB's
+    * segment-tree and Spark's running frames agree bit-for-bit), and the
+    * z finish is a fixed IEEE sequence, 6dp-quantized. Magnitude bound:
+    * |value| ≤ 2e12 keeps q² inside DECIMAL(38,0) for any window size
+    * ≤ 1e13.
+    */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, windowRows: Int = 20,
+      threshold: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(windowRows - 1).toLong, Window.currentRow)
+    val q = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long")
+    val qq = (q.cast("decimal(19,0)") * q.cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    val base = df
+      .withColumn("__q", q)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__q")).over(w))
+      .withColumn("__ss", sum(qq).over(w).cast("double"))
+    // sample variance in q-units²: (n·Σq² − (Σq)²) / (n·(n−1)); z is
+    // scale-free so the 1e6 cancels
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val qD = col("__q").cast("double")
+    val varNum = nD * col("__ss") - sD * sD
+    val z = (qD * nD - sD) /
+      (nD * sqrt(varNum / (nD * (nD - lit(1.0)))))
+    base
+      .withColumn("z",
+        when(col("__n") >= 2 && varNum > 0,
+          floor(z * lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+      .drop("__q", "__n", "__s", "__ss")
+  }
+}

@@ -79,4 +79,39 @@ class AssociationSpec extends AnyFunSuite {
     assert(byCell(("x", "u")) == 1.0)
     assert(byCell(("x", "w")) == 1.0) // (0-1)^2/1
   }
+
+  test("linearTrend: exact line recovered with r2 = 1, flat line r2 = 0") {
+    import spark.implicits._
+    val d = (Seq.tabulate(10)(i => ("up", i.toLong, 2.5 * i + 7.0)) ++
+      Seq.tabulate(10)(i => ("flat", i.toLong, 4.0))).toDF("g", "x", "y")
+    val out = graft.operators.Association.linearTrend(d, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("up") == ((10L, 2.5, 7.0, 1.0)))
+    // zero slope and zero y-variance: denY = 0 -> r2 pinned 0
+    assert(out("flat") == ((10L, 0.0, 4.0, 0.0)))
+  }
+
+  test("linearTrend: degenerate groups pin to zero") {
+    import spark.implicits._
+    val d = Seq(("one", 5L, 9.0), ("samex", 3L, 1.0), ("samex", 3L, 2.0))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Association.linearTrend(d, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("one") == ((0.0, 0.0, 0.0)))   // n < 2
+    assert(out("samex") == ((0.0, 0.0, 0.0))) // zero x-variance
+  }
+
+  test("linearTrend: noisy slope lands near truth with 0 < r2 < 1") {
+    import spark.implicits._
+    val d = Seq.tabulate(50)(i =>
+      ("g", i.toLong, 3.0 * i + (if (i % 2 == 0) 5.0 else -5.0)))
+      .toDF("g", "x", "y")
+    val r = graft.operators.Association.linearTrend(d, "g", "x", "y")
+      .collect()(0)
+    assert(math.abs(r.getDouble(2) - 3.0) < 0.1, s"slope=${r.getDouble(2)}")
+    assert(r.getDouble(4) > 0.9 && r.getDouble(4) < 1.0)
+  }
 }

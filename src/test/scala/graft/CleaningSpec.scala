@@ -190,4 +190,15 @@ class CleaningSpec extends AnyFunSuite {
     val out = Cleaning.robustOutlierFilter(Seq("v"))(rows.toDF("id", "v"))
     assert(out.count() == 12)
   }
+
+  test("oneHot: dictionary indicators, unknowns and nulls all-zero (C16)") {
+    import spark.implicits._
+    val df = Seq(Some("A-X"), Some("B Y"), Some("zz"), None).toDF("c")
+    val out = Cleaning.oneHot("c", Seq("A-X", "B Y"), "f")(df)
+    assert(out.columns.toSeq == Seq("c", "f_a_x", "f_b_y"))
+    val rows = out.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((Some("A-X"), 1L, 0L), (Some("B Y"), 0L, 1L),
+      (Some("zz"), 0L, 0L), (None, 0L, 0L)))
+  }
 }
