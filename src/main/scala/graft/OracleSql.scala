@@ -1934,6 +1934,214 @@ object OracleSql {
          |SELECT node, rank FROM i5 ORDER BY node""".stripMargin
     },
 
+    // tc1: DuckDB counts the same triangles with plain id-order canonical
+    // edges (a < b < c) — degree orientation changes WHERE each triangle
+    // is found, never the triangle set, so per-node counts are identical
+    "tc1_triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
+
+    // ar1: exact-count replay of the Apriori-pruned pair rules; lift's
+    // numerator/denominator products are exact HUGEINT (the Spark side's
+    // DECIMAL(38,0)) with one double cast each, 6dp quantization
+    "ar1_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT o.o_custkey AS bk, p.p_brand AS it
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM bi GROUP BY it),
+        |fi AS (SELECT * FROM ic WHERE n_item >= 5),
+        |pr AS (SELECT bi.bk, bi.it FROM bi JOIN fi USING (it)),
+        |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pr a JOIN pr b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_bk FROM bi)
+        |SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(n_bk AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS support,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS conf_a_b,
+        |  floor(CAST(n_ab AS DOUBLE) / CAST(fb.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS conf_b_a,
+        |  floor(CAST(CAST(n_ab AS HUGEINT) * n_bk AS DOUBLE) /
+        |    CAST(CAST(fa.n_item AS HUGEINT) * fb.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS lift
+        |FROM pairs
+        |JOIN fi fa ON pairs.item_a = fa.it
+        |JOIN fi fb ON pairs.item_b = fb.it
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // rfm1: exact per-customer aggregates (reg1's epoch-day convention,
+    // HUGEINT monetary sum), quantile_cont fences on the aggregated
+    // frame (the fe1 bit-compatibility contract), integer comparison
+    // scores
+    "rfm1_segments" -> {
+      def fences(x: String, p: String) =
+        s"quantile_cont($x, 0.25) AS ${p}1, quantile_cont($x, 0.5) AS ${p}2, " +
+          s"quantile_cont($x, 0.75) AS ${p}3"
+      def score(x: String, p: String) =
+        s"1 + CAST($x > ${p}1 AS BIGINT) + CAST($x > ${p}2 AS BIGINT) + " +
+          s"CAST($x > ${p}3 AS BIGINT)"
+      s"""WITH per AS (SELECT o_custkey AS customer,
+         |    MAX(CAST(floor(CAST(floor(epoch(o_orderdate)) AS BIGINT) / 86400.0) AS BIGINT)) AS lastd,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 AS monetary
+         |  FROM orders
+         |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_totalprice IS NOT NULL
+         |  GROUP BY 1),
+         |mx AS (SELECT MAX(lastd) AS maxd FROM per),
+         |rfm AS (SELECT customer, maxd - lastd AS recency, frequency, monetary
+         |  FROM per CROSS JOIN mx),
+         |f AS (SELECT ${fences("CAST(recency AS DOUBLE)", "r")},
+         |    ${fences("CAST(frequency AS DOUBLE)", "fq")},
+         |    ${fences("monetary", "m")} FROM rfm),
+         |sc AS (SELECT customer, recency, frequency, monetary,
+         |    ${score("CAST(recency AS DOUBLE)", "r")} AS r_score,
+         |    ${score("CAST(frequency AS DOUBLE)", "fq")} AS f_score,
+         |    ${score("monetary", "m")} AS m_score
+         |  FROM rfm CROSS JOIN f)
+         |SELECT customer, recency, frequency, monetary, r_score, f_score,
+         |  m_score,
+         |  CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) ||
+         |    '-' || CAST(m_score AS VARCHAR) AS segment
+         |FROM sc""".stripMargin
+    },
+
+    // pop1: HUGEINT-exact period totals, lag over the bounded period
+    // frame, one fixed IEEE percent finish
+    "pop1_period_growth" ->
+      """WITH per AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS period,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 AS total
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |g AS (SELECT period, n_rows, total,
+        |    lag(total) OVER (ORDER BY period) AS prev_total FROM per)
+        |SELECT period, n_rows, total, prev_total,
+        |  CASE WHEN prev_total IS NOT NULL AND prev_total <> 0
+        |    THEN floor((total - prev_total) / prev_total * 100 * 1e6 + 0.5) / 1e6
+        |  END AS growth_pct
+        |FROM g ORDER BY period""".stripMargin,
+
+    // pmi1: multiset bigrams via list_zip (t6's construction WITHOUT
+    // list_distinct), exact HUGEINT lift products, one IEEE division
+    "pmi1_collocations" ->
+      s"""WITH tk AS (SELECT unnest($tokSplit) AS tok FROM documents),
+         |tok AS (SELECT tok FROM tk WHERE tok <> ''),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM tok GROUP BY tok),
+         |w AS (SELECT CAST(count(*) AS BIGINT) AS w FROM tok),
+         |bgl AS (SELECT list_transform(
+         |    list_zip(t[1:len(t)-1], t[2:len(t)]),
+         |    x -> x[1] || ' ' || x[2]) AS bgs
+         |  FROM (SELECT $tokSplit AS t FROM documents)),
+         |bg AS (SELECT unnest(bgs) AS bigram FROM bgl),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+         |cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM bg GROUP BY bigram HAVING count(*) >= 3),
+         |sp AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2, n_ab FROM cnt)
+         |SELECT sp.w1, sp.w2, sp.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |  floor(CAST(CAST(sp.n_ab AS HUGEINT) * w.w * w.w AS DOUBLE) /
+         |    CAST(CAST(b.b AS HUGEINT) * ua.n_tok * ub.n_tok AS DOUBLE) *
+         |    1e6 + 0.5) / 1e6 AS pmi_lift
+         |FROM sp
+         |JOIN uni ua ON sp.w1 = ua.tok
+         |JOIN uni ub ON sp.w2 = ub.tok
+         |CROSS JOIN w CROSS JOIN b
+         |ORDER BY pmi_lift DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // dv1: the same derived v1/v2 snapshots full-outer-joined with
+    // null-safe per-column comparison; concat_ws skips the NULL cases in
+    // both engines, so changed_cols strings are identical
+    "dv1_table_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    v1.o_orderkey IS NOT NULL AS in_old,
+        |    v2.o_orderkey IS NOT NULL AS in_new,
+        |    concat_ws(',',
+        |      CASE WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey THEN 'o_custkey' END,
+        |      CASE WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus THEN 'o_orderstatus' END,
+        |      CASE WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'o_totalprice' END) AS cc
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        |d AS (SELECT o_orderkey,
+        |    CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+        |         WHEN cc <> '' THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |    cc FROM j)
+        |SELECT o_orderkey, change_type,
+        |  CASE WHEN change_type = 'changed' THEN cc END AS changed_cols
+        |FROM d WHERE change_type <> 'unchanged'""".stripMargin,
+
+    // sp4: sp1's md5-bucket arithmetic applied to the GROUP key — split
+    // is a pure function of l_orderkey, so group atomicity is by
+    // construction; HUGEINT-exact per-group price sums
+    "sp4_group_split" -> {
+      val hex8 = (0 until 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(h,${j + 1},1)) - 1) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT l_orderkey, l_extendedprice,
+         |    ($hex8) % 100 AS bucket
+         |  FROM (SELECT l_orderkey, l_extendedprice,
+         |        md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem))
+         |SELECT l_orderkey,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 AS total_price
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
+
+    // ewma1: the 8 trailing lags unrolled with the exact integer weights
+    // 3^i * 4^(7-i); numerator/denominator accumulate as BIGINT per row,
+    // one IEEE division chain, 6dp quantization — bit-equal by
+    // construction
+    "ewma1_smoothing" -> {
+      val k = 8
+      val weights = (0 until k).map(i =>
+        (BigInt(3).pow(i) * BigInt(4).pow(k - 1 - i)).toLong)
+      val qv = "CAST(floor(value * 1e6 + 0.5) AS BIGINT)"
+      val lags = (0 until k).map { i =>
+        if (i == 0) s"$qv AS q0" else s"lag($qv, $i) OVER w AS q$i"
+      }.mkString(",\n        |    ")
+      val num = (0 until k).map(i =>
+        s"CASE WHEN q$i IS NOT NULL THEN q$i * ${weights(i)} ELSE 0 END")
+        .mkString(" + ")
+      val den = (0 until k).map(i =>
+        s"CASE WHEN q$i IS NOT NULL THEN ${weights(i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT event_id, user_id, value,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, value,
+         |  CASE WHEN ($den) > 0
+         |    THEN floor(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) /
+         |      1e6 * 1e6 + 0.5) / 1e6
+         |  END AS ewma
+         |FROM q""".stripMargin
+    },
+
     // ij1: sessions (w3 pattern) x SCD2 runs (scd1 pattern) as half-open
     // epoch-second intervals; DuckDB joins them with the plain overlap
     // predicate — proving the bucketed first-shared-bucket emission is

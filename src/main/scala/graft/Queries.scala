@@ -2539,6 +2539,117 @@ object Queries {
           greatest(col("s_start"), col("r_start"))).as("overlap_secs"))
   }
 
+  /** TC1: degree-oriented triangle counting ([[graft.operators.Graph
+    * .triangleCounts]]) over the part co-purchase graph — parts are
+    * adjacent when they appear in the same order; pair generation is
+    * order-local, orientation bounds wedge volume at O(m^1.5) under any
+    * hub skew. Per-node participation counts.
+    */
+  def tc1TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      .distinct()
+    val edges = lp
+      .join(lp.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+      .where(col("__pk") < col("__pk2"))
+      .select(col("__pk").as("src"), col("__pk2").as("dst"))
+    graft.operators.Graph.triangleCounts(edges, "src", "dst")
+  }
+
+  /** AR1: market-basket association rules ([[graft.operators.Association
+    * .marketBasket]]) — which part brands co-occur across a customer's
+    * orders, with support / both-direction confidence / lift on exact
+    * counts; Apriori-pruned before the basket-local pair explode.
+    */
+  def ar1AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(col("o_custkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.Association.marketBasket(baskets, "basket", "item",
+      minSupport = 5L)
+  }
+
+  /** RFM1: RFM customer segmentation ([[graft.operators.Features
+    * .rfmSegments]]) over orders — exact per-customer
+    * recency/frequency/monetary, quartile-scored against the
+    * quantile_cont-compatible fences, classic `r-f-m` segment codes.
+    */
+  def rfm1Segments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.rfmSegments(
+      t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+
+  /** POP1: month-over-month revenue growth ([[graft.operators.TimeSeries
+    * .periodGrowth]]) — one period-keyed scan of orders, lag + percent
+    * change on the localized bounded period frame.
+    */
+  def pop1PeriodGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.periodGrowth(
+      t(s, dir, "orders").withColumn("yyyymm",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long")),
+      "yyyymm", "o_totalprice")
+
+  /** PMI1: bigram collocations ([[graft.operators.TextPipeline
+    * .collocations]]) over the documents corpus — rational PMI lift on
+    * exact occurrence counts, top 20.
+    */
+  def pmi1Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.collocations(
+      t(s, dir, "documents"), "text", minCount = 3L, topK = 20)
+
+  /** DV1: keyed snapshot diff ([[graft.operators.ChangeCapture
+    * .snapshotDiff]]) between two derived versions of orders — v1 drops
+    * every 97th key, v2 drops every 89th, bumps price on every 7th and
+    * flips status on every 11th; the diff must recover exactly those
+    * adds/removes/changes from one full-outer join.
+    */
+  def dv1TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.where(col("o_orderkey") % 97 =!= 0)
+    val v2 = o.where(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(100.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    graft.operators.ChangeCapture.snapshotDiff(v1, v2, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice", "o_custkey"))
+  }
+
+  /** SP4: group-atomic (leakage-safe) train/val/test split — the split is
+    * a pure md5-bucket hash of the GROUP key (l_orderkey), so every line
+    * of an order lands in the same split by construction (no customer/
+    * document leaking across train and test). Map-only assignment — the
+    * per-group rollup here is just the reporting view.
+    */
+  def sp4GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bucket = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    li.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("l_orderkey"), col("split"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor(col("l_extendedprice") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_price"))
+  }
+
+  /** EWMA1: truncated adjusted EWMA smoothing ([[graft.operators
+    * .TimeSeries.ewma]], decay 3/4 over 8 trailing rows) of each user's
+    * event values — key-local lags, exact integer weights, bit-portable.
+    */
+  def ewma1Smoothing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ewma(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+
   /** MIX2: per-language token-budget selection in reproducible hash order
     * (the mixture-quota trim), running sum via the per-stratum two-level
     * chunked prefix decomposition — the oracle replays it as a plain
@@ -2944,6 +3055,14 @@ object Queries {
     "sc1_minmax_scale" -> (sc1MinmaxScale _),
     "tm1_transitions" -> (tm1Transitions _),
     "pr1_pagerank" -> (pr1Pagerank _),
+    "tc1_triangle_count" -> (tc1TriangleCount _),
+    "ar1_assoc_rules" -> (ar1AssocRules _),
+    "rfm1_segments" -> (rfm1Segments _),
+    "pop1_period_growth" -> (pop1PeriodGrowth _),
+    "pmi1_collocations" -> (pmi1Collocations _),
+    "dv1_table_diff" -> (dv1TableDiff _),
+    "sp4_group_split" -> (sp4GroupSplit _),
+    "ewma1_smoothing" -> (ewma1Smoothing _),
     "ij1_interval_join" -> (ij1IntervalJoin _),
     "mix2_token_budget" -> (mix2TokenBudget _),
     "tok1_bpe_count" -> (tok1BpeCount _),

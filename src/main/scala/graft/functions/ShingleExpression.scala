@@ -33,7 +33,56 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[WordShingles]] without the dedup: every n-gram OCCURRENCE, in
+  * document order — the multiset view collocation/PMI statistics need
+  * (frequency of a bigram, not presence). Same one-pass tokenize.
+  */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingleAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.shingleAll($a, $n);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object WordShingles {
+  def shingleAll(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.trim().toString.split("\\s+", -1)
+    if (n > 1 && toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val count = if (n <= 1) toks.length else toks.length - n + 1
+    val arr = new Array[Any](count)
+    if (n <= 1) {
+      var i = 0
+      while (i < count) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        arr(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+    }
+    new GenericArrayData(arr)
+  }
+
+  def shinglesAll(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShinglesAll(GraftSqlBridge.expression(text), n))
+
   def shingle(s: UTF8String, n: Int): ArrayData = {
     // Match Spark's semantics EXACTLY: sql trim() strips spaces only (not
     // tabs — UTF8String.trim), and sql split() uses Java limit -1 (keeps

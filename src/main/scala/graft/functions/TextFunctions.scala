@@ -140,4 +140,11 @@ object TextFunctions {
     * position — Catalyst has no let-binding).
     */
   def shingles(text: Column, n: Int): Column = WordShingles.shingles(text, n)
+
+  /** Every n-gram OCCURRENCE (multiset, document order) — the frequency
+    * view [[shingles]]'s distinct-set semantics can't provide; what PMI /
+    * collocation statistics count.
+    */
+  def shinglesAll(text: Column, n: Int): Column =
+    WordShingles.shinglesAll(text, n)
 }

@@ -136,6 +136,62 @@ object Association {
         col("intercept"), col("r2"))
   }
 
+  /** Market-basket association rules — frequent item PAIRS with support,
+    * confidence (both directions) and lift; the retail/recommendation
+    * workhorse and the transactional sibling of [[chiSquareCells]].
+    *
+    * Scale shape (the Apriori prune, distributed): items below
+    * `minSupport` cannot participate in a frequent pair, so the basket
+    * stream is semi-join-filtered against the frequent-item set BEFORE
+    * pair generation — the only quadratic step (per-basket pair explode)
+    * runs on pruned baskets and is basket-LOCAL (self-join keyed on the
+    * basket id, never a global cross join). One groupBy counts pairs;
+    * frequent-item counts and the basket total ride as broadcast 1-row /
+    * tiny frames. At 100 TB: two scans of (basket, item), one pair-keyed
+    * shuffle bounded by pruned-pair volume.
+    *
+    * Determinism: support/confidence/lift are single IEEE divisions of
+    * exact BIGINT counts (products taken exactly in DECIMAL(38,0) before
+    * one double cast), 6dp-quantized. Duplicate (basket, item) rows count
+    * once. Output: `(item_a, item_b, n_ab, n_a, n_b, support, conf_a_b,
+    * conf_b_a, lift)` for pairs with `n_ab >= minSupport`, item_a < item_b.
+    */
+  def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val bi = baskets
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).cast("string").as("__it"))
+      .distinct()
+    val itemCnt = bi.groupBy(col("__it")).agg(count(lit(1)).as("__n_item"))
+    val frequent = itemCnt.where(col("__n_item") >= minSupport)
+    val pruned = bi.join(frequent, Seq("__it"), "left_semi")
+    val pairs = pruned.select(col("__bk"), col("__it").as("item_a"))
+      .join(pruned.select(col("__bk"), col("__it").as("item_b")), Seq("__bk"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val nBaskets = bi.agg(countDistinct(col("__bk")).as("__n_bk"))
+    val withCounts = pairs
+      .join(frequent.select(col("__it").as("item_a"),
+        col("__n_item").as("n_a")), Seq("item_a"))
+      .join(frequent.select(col("__it").as("item_b"),
+        col("__n_item").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+    val liftNum = (dec(col("n_ab")) * dec(col("__n_bk"))).cast("double")
+    val liftDen = (dec(col("n_a")) * dec(col("n_b"))).cast("double")
+    withCounts.select(col("item_a"), col("item_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        q6(col("n_ab").cast("double") / col("__n_bk").cast("double"))
+          .as("support"),
+        q6(col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_b"),
+        q6(col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_b_a"),
+        q6(liftNum / liftDen).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   /** 1-row summary: `(n_rows, dof, chi2, cramers_v)`. `chi2` is the exact
     * integer sum of the 6dp-quantized cell terms (order-independent);
     * `cramers_v = sqrt(chi2 / (n · min(r−1, c−1)))`, 6dp-quantized, 0 when

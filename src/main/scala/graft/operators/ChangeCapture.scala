@@ -137,4 +137,41 @@ object ChangeCapture {
       .unionAll(mergedOpen)
       .unionAll(keptRuns)
   }
+
+  /** Keyed snapshot diff — the data-versioning primitive: compare two
+    * versions of a table and emit one row per key that was `added`,
+    * `removed`, or `changed`, with the comma-joined (name-sorted) list of
+    * columns whose values differ. Unchanged keys are dropped. The input
+    * pair is typically two [[graft.sources.Versioned]] snapshot reads.
+    *
+    * Scale shape: ONE co-partitioned full-outer shuffle on the key
+    * columns; every comparison is a map-side null-safe equality on the
+    * joined row. No collect, no second pass — diffing two 50 TB snapshots
+    * is exactly one join.
+    *
+    * Determinism: null-safe comparison (`<=>`), so null→value and
+    * value→null count as changes; a null vs null cell does not.
+    * `changed_cols` is null for added/removed rows.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val cmp = compareCols.sorted
+    val o = oldDf.select((keyCols.map(col) :+ lit(1L).as("__in_old")) ++
+      cmp.map(c => col(c).as(s"__old_$c")): _*)
+    val n = newDf.select((keyCols.map(col) :+ lit(1L).as("__in_new")) ++
+      cmp.map(c => col(c).as(s"__new_$c")): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val changedCols = concat_ws(",", cmp.map(c =>
+      when(!(col(s"__old_$c") <=> col(s"__new_$c")), lit(c))): _*)
+    j.withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changedCols =!= "", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change_type") :+
+        when(col("change_type") === "changed", changedCols)
+          .as("changed_cols"): _*)
+  }
 }

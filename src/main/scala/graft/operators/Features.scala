@@ -128,4 +128,61 @@ object Features {
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** RFM customer segmentation: per customer, recency (days since their
+    * last transaction, relative to the dataset's last transaction day),
+    * frequency (transaction count) and monetary (exact 6dp-summed spend),
+    * each quartile-scored 1–4 against the exact-quantile fences of the
+    * per-customer frame, concatenated into the classic `r-f-m` segment
+    * code. Note the monotone convention: score 1 = lowest value on every
+    * axis, so r_score 1 = MOST recent (recency measures staleness).
+    *
+    * Scale shape: one map-side-combined `groupBy(customer)` scan of the
+    * transaction stream; the reference day is a broadcast 1-row max; the
+    * three quartile fence sets come from the budget-bounded exact-quantile
+    * machinery ([[Cleaning.exactQuantilesDistributed]] — quantile_cont-
+    * compatible at any row count) over the aggregated frame, which is
+    * `localCheckpoint`ed so the transaction scan runs once, not once per
+    * fence set. Scoring is map-only comparisons against 9 broadcast
+    * scalars.
+    *
+    * Determinism: recency/frequency are exact integers, monetary is a
+    * 6dp-quantized DECIMAL(38,0) sum, fences interpolate exactly as
+    * DuckDB's quantile_cont, and scores are integer comparison sums (the
+    * fe1 convention).
+    */
+  def rfmSegments(tx: DataFrame, custCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val day = floor(col(dateCol).cast("timestamp").cast("long") /
+      lit(86400.0)).cast("long")
+    val per = tx
+      .where(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .select(col(custCol).as("customer"), day.as("__day"),
+        col(amountCol).as("__amt"))
+      .groupBy(col("customer"))
+      .agg(max(col("__day")).as("__last"),
+        count(lit(1)).as("frequency"),
+        (sum(floor(col("__amt") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("monetary"))
+    val maxDay = per.agg(max(col("__last")).as("__maxd"))
+    val rfm = per.crossJoin(broadcast(maxDay))
+      .select(col("customer"), (col("__maxd") - col("__last")).as("recency"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint(true)
+    def score(c: String): Column =
+      Cleaning.exactQuantilesDistributed(
+          rfm.select(col(c).cast("double").as(c)), c,
+          Seq(0.25, 0.5, 0.75)).flatten
+        .foldLeft(lit(1L)) { (acc, f) =>
+          acc + (col(c).cast("double") > lit(f)).cast("long")
+        }
+    val out = rfm
+      .withColumn("r_score", score("recency"))
+      .withColumn("f_score", score("frequency"))
+      .withColumn("m_score", score("monetary"))
+    out.withColumn("segment",
+      concat_ws("-", col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
 }

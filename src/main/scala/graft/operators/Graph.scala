@@ -69,4 +69,64 @@ object Graph {
     nodes.rdd.unpersist(false)
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge set — the local
+    * clustering signal (community density, spam-farm detection) next to
+    * [[pageRank]]'s global centrality.
+    *
+    * Scale shape: the textbook distributed algorithm is a naive edge
+    * self-join, which is quadratic in the hottest vertex's degree (one
+    * celebrity node with 1e6 neighbors = 1e12 wedge rows). This
+    * implementation uses DEGREE ORIENTATION: every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher, wedges
+    * are enumerated only FROM the low side, and the closing edge is probed
+    * in the same oriented set. Max oriented out-degree is O(√m), so total
+    * wedge volume is O(m^1.5) regardless of skew — the standard bound —
+    * and every join is an equi-join Catalyst shuffles by key (AQE handles
+    * residual bucket skew). Each triangle is emitted exactly once, at its
+    * orientation-minimal vertex — no dedup shuffle.
+    *
+    * Determinism: pure integer counting; the per-node expansion is a
+    * 3-row explode of each triangle. Output `(node, n_triangles)` for
+    * nodes in at least one triangle. Edge direction and multiplicity in
+    * the input are ignored (edges are canonicalized and deduped first);
+    * self-loops are dropped.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .distinct()
+    val deg = und.select(col("__a").as("node"))
+      .union(und.select(col("__b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    val oriented = und
+      .join(deg.select(col("node").as("__a"), col("__deg").as("__da")),
+        Seq("__a"))
+      .join(deg.select(col("node").as("__b"), col("__deg").as("__db")),
+        Seq("__b"))
+      .select(
+        when(aFirst, col("__a")).otherwise(col("__b")).as("src"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("dst"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("ddeg"))
+    // wedges from the low vertex: (x -> y), (x -> z) with y before z in
+    // the orientation order; the closing edge y -> z is oriented too
+    val e1 = oriented.select(col("src"), col("dst").as("y"),
+      col("ddeg").as("__dy"))
+    val e2 = oriented.select(col("src"), col("dst").as("z"),
+      col("ddeg").as("__dz"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("__dy") < col("__dz") ||
+        (col("__dy") === col("__dz") && col("y") < col("z")))
+    val tri = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"))
+    tri.select(explode(array(col("src"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
 }

@@ -831,4 +831,55 @@ object TextPipeline {
       .select(id, col("lm_score"),
         element_at(array(labels.map(lit): _*), col("__b").cast("int")).as("bucket"))
   }
+
+  /** Corpus-wide bigram collocations: adjacent word pairs ranked by a
+    * RATIONAL PMI lift — `count(ab)·W² / (B·count(a)·count(b))` (W = total
+    * tokens, B = total bigrams), the log-free order-preserving form of
+    * pointwise mutual information (the tt1 ratio-over-log convention;
+    * Church & Hanks 1990 is the public source for PMI collocations).
+    * Values > 1 mean the pair co-occurs more than token frequencies
+    * predict — multiword expressions, named entities, templates.
+    *
+    * Scale shape: two map-only explodes of the corpus (tokens via one
+    * regex pass, bigram occurrences via the one-pass [[graft.functions
+    * .WordShinglesAll]] kernel — no per-window re-split), two
+    * map-side-combined groupBys, totals as broadcast 1-row frames, and a
+    * final top-k (TakeOrdered, no global sort). The unigram join-back
+    * touches only pairs that survived `minCount`.
+    *
+    * Determinism: both lift products are exact in DECIMAL(38,0) with one
+    * double cast each and a single IEEE division, 6dp-quantized; ties
+    * break by (w1, w2). Magnitude bound: W ≤ 1e12 keeps c_ab·W² inside
+    * DECIMAL(38,0) for c_ab ≤ 1e12.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 3L,
+      topK: Int = 20): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val toks = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val totalToks = toks.agg(count(lit(1)).as("__w"))
+    val bg = docs.select(
+      explode(TextFunctions.shinglesAll(col(textCol), 2)).as("bigram"))
+    val totalBg = bg.agg(count(lit(1)).as("__b"))
+    val pairs = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val liftNum = (dec(col("n_ab")) * dec(col("__w")) * dec(col("__w")))
+      .cast("double")
+    val liftDen = (dec(col("__b")) * dec(col("n_a")) * dec(col("n_b")))
+      .cast("double")
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totalToks))
+      .crossJoin(broadcast(totalBg))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        (floor(liftNum / liftDen * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("pmi_lift"))
+      .orderBy(col("pmi_lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

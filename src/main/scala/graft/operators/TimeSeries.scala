@@ -104,4 +104,87 @@ object TimeSeries {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
       .drop("__q", "__n", "__s", "__ss")
   }
+
+  private def localized(df: DataFrame, maxRows: Int): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"period frame exceeded $maxRows rows; coarsen the period")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Period-over-period growth: aggregate `valueCol` per integer period
+    * (e.g. yyyymm), attach the previous period's total and the percent
+    * change — the month-over-month revenue view every business rollup
+    * starts from.
+    *
+    * Scale shape: ONE map-side-combined `groupBy(period)` scan; the
+    * shuffle is as wide as the period count. The lag runs on the
+    * LOCALIZED period frame (bounded by `maxPeriods`, loud error beyond
+    * — a finer-than-bounded period axis is the wrong rollup), so no
+    * global window ever touches the fact table.
+    *
+    * Determinism: totals are 6dp-quantized DECIMAL(38,0) sums; the
+    * growth percent is `((cur − prev) / prev) · 100` as one fixed IEEE
+    * sequence, 6dp-quantized; the first period's growth is null.
+    */
+  def periodGrowth(df: DataFrame, periodCol: String, valueCol: String,
+      maxPeriods: Int = 100000): DataFrame = {
+    val per = localized(
+      df.where(col(periodCol).isNotNull && col(valueCol).isNotNull)
+        .groupBy(col(periodCol).as("period"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(floor(col(valueCol) * lit(1e6) + lit(0.5))
+            .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total")),
+      maxPeriods)
+    val w = Window.orderBy(col("period"))
+    per
+      .withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("growth_pct",
+        when(col("prev_total").isNotNull && col("prev_total") =!= 0.0,
+          floor((col("total") - col("prev_total")) / col("prev_total") *
+            lit(100) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .orderBy(col("period"))
+  }
+
+  /** Truncated ADJUSTED exponential moving average per key (the
+    * pandas `ewm(adjust=True)` convention, cut at `windowRows` lags):
+    * `s_t = Σᵢ wⁱ·x_{t−i} / Σᵢ wⁱ` over the trailing window, with decay
+    * `w = wNum/wDen` (default 3/4, i.e. α = 1/4). Adds `ewma`.
+    *
+    * Scale shape: key-local window only — `windowRows` fused `lag`s over
+    * one `(key)(ts, tie)` sort; everything after is map-only arithmetic.
+    *
+    * Determinism (why truncated + rational): the recursive EWMA is a
+    * floating-point recurrence whose value depends on the whole history —
+    * impossible to replay exactly in another engine without running the
+    * same unbounded loop. With a fixed window K and rational decay, each
+    * weight is the exact integer `wNumⁱ·wDen^(K−1−i)`, values are
+    * 6dp-quantized, numerator and denominator accumulate as exact BIGINTs
+    * per row, and one IEEE division + 6dp quantize finishes — bit-equal
+    * anywhere. Null values (and pre-history lags) drop out of both sums.
+    * Magnitude bound with defaults (K = 8, decay 3/4): |value| ≤ 7e7.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, wNum: Int = 3, wDen: Int = 4,
+      windowRows: Int = 8): DataFrame = {
+    require(windowRows >= 1 && wNum > 0 && wDen > wNum)
+    require(BigInt(wDen).pow(windowRows - 1) * windowRows <= BigInt(1L << 40),
+      "weight magnitude: shrink windowRows or the decay denominator")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val q = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long")
+    def lagQ(i: Int): Column = if (i == 0) q else lag(q, i).over(w)
+    val weights = (0 until windowRows).map(i =>
+      (BigInt(wNum).pow(i) * BigInt(wDen).pow(windowRows - 1 - i)).toLong)
+    val numSum = (0 until windowRows).map(i =>
+      when(lagQ(i).isNotNull, lagQ(i) * lit(weights(i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val denSum = (0 until windowRows).map(i =>
+      when(lagQ(i).isNotNull, lit(weights(i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("ewma",
+      when(denSum > 0,
+        floor(numSum.cast("double") / denSum.cast("double") / lit(1e6) *
+          lit(1e6) + lit(0.5)) / lit(1e6)))
+  }
 }

@@ -114,4 +114,48 @@ class AssociationSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 3.0) < 0.1, s"slope=${r.getDouble(2)}")
     assert(r.getDouble(4) > 0.9 && r.getDouble(4) < 1.0)
   }
+
+  private def basket(rows: Seq[(Long, String)], minSupport: Long) = {
+    import spark.implicits._
+    graft.operators.Association.marketBasket(
+      rows.toDF("bk", "it"), "bk", "it", minSupport)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+  }
+
+  test("marketBasket: hand-computed support / confidence / lift") {
+    // 4 baskets: {a,b}, {a,b,c}, {a,c}, {b}
+    val rows = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b", 2L -> "c",
+      3L -> "a", 3L -> "c", 4L -> "b")
+    val out = basket(rows, 1L)
+    // a:3 b:3 c:2, ab:2, ac:2, bc:1, N=4
+    assert(out(("a", "b")) ==
+      ((2L, 3L, 3L, 0.5, 0.666667, 0.666667, 0.888889)))
+    assert(out(("a", "c")) == ((2L, 3L, 2L, 0.5, 0.666667, 1.0, 1.333333)))
+    assert(out(("b", "c")) ==
+      ((1L, 3L, 2L, 0.25, 0.333333, 0.5, 0.666667)))
+  }
+
+  test("marketBasket: minSupport prunes items before pairing") {
+    val rows = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b", 2L -> "c",
+      3L -> "a", 3L -> "c", 4L -> "b")
+    val out = basket(rows, 2L)
+    // all items survive (a:3 b:3 c:2) but bc (n_ab=1) is cut
+    assert(out.keySet == Set(("a", "b"), ("a", "c")))
+    assert(basket(rows, 3L).isEmpty) // no PAIR reaches 3 baskets
+  }
+
+  test("marketBasket: duplicate (basket, item) rows count once") {
+    val rows = Seq(1L -> "a", 1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b")
+    val out = basket(rows, 1L)
+    assert(out(("a", "b"))._1 == 2L)
+    assert(out(("a", "b"))._2 == 2L)
+  }
+
+  test("marketBasket: independent items have lift 1") {
+    // a and b in all 4 baskets: P(ab)=1, lift = 1
+    val rows = (1L to 4L).flatMap(i => Seq(i -> "a", i -> "b"))
+    assert(basket(rows, 1L)(("a", "b"))._7 == 1.0)
+  }
 }

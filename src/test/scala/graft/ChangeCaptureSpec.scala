@@ -115,4 +115,41 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"found a global exchange:\n$plan")
   }
+
+  private def diff(oldRows: Seq[(Long, String, Option[Double])],
+      newRows: Seq[(Long, String, Option[Double])]) = {
+    import spark.implicits._
+    val o = oldRows.toDF("k", "s", "x")
+    val n = newRows.toDF("k", "s", "x")
+    ChangeCapture.snapshotDiff(o, n, Seq("k"), Seq("s", "x"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+  }
+
+  test("snapshotDiff: added / removed / changed / unchanged classification") {
+    val out = diff(
+      oldRows = Seq((1L, "a", Some(1.0)), (2L, "b", Some(2.0)),
+        (3L, "c", Some(3.0))),
+      newRows = Seq((1L, "a", Some(1.0)), (2L, "B", Some(2.5)),
+        (4L, "d", Some(4.0))))
+    assert(out == Map(
+      2L -> (("changed", Some("s,x"))),
+      3L -> (("removed", None)),
+      4L -> (("added", None))))
+  }
+
+  test("snapshotDiff: null-safe compare — null→value changes, null==null does not") {
+    val out = diff(
+      oldRows = Seq((1L, "a", None), (2L, "b", None)),
+      newRows = Seq((1L, "a", Some(9.0)), (2L, "b", None)))
+    assert(out == Map(1L -> (("changed", Some("x")))))
+  }
+
+  test("snapshotDiff: changed_cols lists only the differing columns, name-sorted") {
+    val out = diff(
+      oldRows = Seq((1L, "a", Some(1.0))),
+      newRows = Seq((1L, "z", Some(1.0))))
+    assert(out(1L) == (("changed", Some("s"))))
+  }
 }

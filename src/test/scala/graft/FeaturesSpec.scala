@@ -79,4 +79,38 @@ class FeaturesSpec extends AnyFunSuite {
       .withColumn("ts", col("id").cast("timestamp"))
     assert(Features.transitionMatrix(df, "k", "st", "ts", "id").count() == 0)
   }
+
+  test("rfmSegments: quartile scores and segment codes by hand") {
+    import spark.implicits._
+    // four customers with strictly increasing f and m, decreasing recency
+    val rows =
+      Seq((1L, 0)).map { case (c, d) => (c, d, 10.0) } ++
+        (1 to 2).map(d => (2L, d, 10.0)) ++
+        (1 to 3).map(d => (3L, d, 10.0)) ++
+        (1 to 4).map(d => (4L, d, 10.0))
+    val df = rows.toDF("cust", "day", "amt")
+      .withColumn("ts", (col("day") * 86400).cast("timestamp"))
+    val out = Features.rfmSegments(df, "cust", "ts", "amt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7))))
+      .toMap
+    // maxday = 4: recencies 4,2,1,0; f 1,2,3,4; m 10,20,30,40
+    assert(out(1L) == ((4L, 1L, 10.0, "4-1-1")))
+    assert(out(2L) == ((2L, 2L, 20.0, "3-2-2")))
+    assert(out(3L) == ((1L, 3L, 30.0, "2-3-3")))
+    assert(out(4L) == ((0L, 4L, 40.0, "1-4-4")))
+  }
+
+  test("rfmSegments: null customer / date / amount rows are excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(1), Some(10.0)),
+      (None, Some(1), Some(99.0)),
+      (Some(2L), None, Some(99.0)),
+      (Some(3L), Some(1), None))
+      .toDF("cust", "day", "amt")
+      .withColumn("ts", (col("day").cast("long") * 86400).cast("timestamp"))
+    val out = Features.rfmSegments(df, "cust", "ts", "amt").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
 }

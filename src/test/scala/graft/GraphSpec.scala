@@ -50,4 +50,40 @@ class GraphSpec extends AnyFunSuite {
       1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
     assert(out(5L) > out(3L))
   }
+
+  private def tris(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: one triangle counts once at every corner") {
+    assert(tris(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: K4 has four triangles, three per node") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield a -> b
+    val out = tris(k4)
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: direction, multiplicity and self-loops are ignored") {
+    val noisy = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 2L -> 3L, 1L -> 3L,
+      3L -> 3L, 4L -> 5L)
+    assert(tris(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: a square without diagonals has none") {
+    assert(tris(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)).isEmpty)
+  }
+
+  test("triangles: hub fan (wheel) — hub joins every rim triangle") {
+    // hub 0 connected to rim 1..5, rim is a cycle: 5 triangles, hub in
+    // all of them, each rim node in two
+    val rim = (1L to 5L).map(i => i -> (if (i == 5L) 1L else i + 1))
+    val out = tris(rim ++ (1L to 5L).map(0L -> _))
+    assert(out(0L) == 5L)
+    assert((1L to 5L).forall(out(_) == 2L))
+  }
 }

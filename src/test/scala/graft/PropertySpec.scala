@@ -239,6 +239,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shinglesAll: multiset bigrams — distinct equals shingles, count = tokens-1") {
+    val textGen = Gen.listOf(Gen.oneOf("ab", "cd", " ", "\t")).map(_.mkString(" "))
+    forAllSampled(textGen, n = 20) { text =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val all = df.select(graft.functions.TextFunctions.shinglesAll(col("t"), 2))
+        .head().getSeq[String](0)
+      val dedup = df.select(graft.functions.TextFunctions.shingles(col("t"), 2))
+        .head().getSeq[String](0)
+      assert(all.distinct == dedup, s"text=${text.map(_.toInt)}")
+      // sql trim strips SPACES only (not tabs) — replay that exactly
+      val sqlTrimmed = text.dropWhile(_ == ' ')
+        .reverse.dropWhile(_ == ' ').reverse
+      val nToks = sqlTrimmed.split("\\s+", -1).length
+      assert(all.size == math.max(nToks - 1, 0), s"text=${text.map(_.toInt)}")
+    }
+  }
+
   // small-vocab corpus generator: dense enough that duplicated lines/spans
   // genuinely occur on arbitrary samples
   private val corpusGen: Gen[List[(Long, String)]] =

@@ -438,4 +438,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(canon == Map("http://site.com/a?a=1&b=2" -> 2L,
       "http://site.com/other" -> 1L))
   }
+
+  test("collocations: rational PMI lift, counts and tie-break by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "new york new york"), (2L, "in new york"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.collocations(docs, "text", minCount = 1L,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // W = 7 tokens, B = 5 bigrams; counts: new 3, york 3, in 1
+    // lift(new york)  = 3*49/(5*9)  = 3.266667
+    // lift(in new)    = 1*49/(5*3)  = 3.266667  (tie -> (w1,w2) order)
+    // lift(york new)  = 1*49/(5*9)  = 1.088889
+    assert(out.toSeq == Seq(
+      ("in", "new", 1L, 1L, 3L, 3.266667),
+      ("new", "york", 3L, 3L, 3L, 3.266667),
+      ("york", "new", 1L, 3L, 3L, 1.088889)))
+  }
+
+  test("collocations: minCount prunes singleton bigrams") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
+    val out = TextPipeline.collocations(docs, "text", minCount = 2L,
+      topK = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"))) // "b a", "b c", "c d" occur once
+  }
 }

@@ -90,4 +90,70 @@ class TimeSeriesSpec extends AnyFunSuite {
     // user 1's lone big value never contaminates user 2's stats
     assert(out.forall(r => !r.getBoolean(5)))
   }
+
+  test("periodGrowth: totals, lag and percent change by hand") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 60.0), (3L, 30.0))
+      .toDF("period", "v")
+    val out = TimeSeries.periodGrowth(df, "period", "v")
+      .orderBy("period").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 30.0), (2L, 60.0), (3L, 30.0)))
+    assert(out(0).isNullAt(4)) // first period has no growth
+    assert(out(1).getDouble(4) == 100.0)
+    assert(out(2).getDouble(4) == -50.0)
+  }
+
+  test("periodGrowth: zero previous total yields null growth") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0), (2L, 5.0)).toDF("period", "v")
+    val out = TimeSeries.periodGrowth(df, "period", "v")
+      .orderBy("period").collect()
+    assert(out(1).isNullAt(4))
+  }
+
+  test("ewma: pandas adjust=True values on a two-point series") {
+    val df = ev(Seq(
+      (1L, 1L, "2024-01-01 00:00:01", 4.0),
+      (1L, 2L, "2024-01-01 00:00:02", 8.0)))
+    val out = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(4) == 4.0) // single point: ewma = value
+    // (8 + 0.75*4) / (1 + 0.75) = 6.285714...
+    assert(out(1).getDouble(4) == 6.285714)
+  }
+
+  test("ewma: truncation — rows beyond the window stop contributing") {
+    // 9 identical old values then a jump; with K = 8 the first value has
+    // fallen out, so the smoothed value is the same as for an 8-row run
+    def run(n: Int) = {
+      val rows = (1 to n).map(i =>
+        (1L, i.toLong, f"2024-01-01 00:00:$i%02d", 1.0)) :+
+        (1L, (n + 1).toLong, f"2024-01-01 00:01:00", 100.0)
+      TimeSeries.ewma(ev(rows), "user_id", "ts", "event_id", "value")
+        .orderBy("event_id").collect().last.getDouble(4)
+    }
+    assert(run(8) == run(20))
+  }
+
+  test("ewma: key-local and null values drop out of both sums") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", Some(100.0)),
+      (2L, 2L, "2024-01-01 00:00:02", Some(4.0)),
+      (2L, 3L, "2024-01-01 00:00:03", None),
+      (2L, 4L, "2024-01-01 00:00:04", Some(8.0)))
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(out(1).getDouble(4) == 4.0)    // user 1 never leaks into user 2
+    // null value row: the pandas convention — smooth from the non-null
+    // history (only the 4.0 at lag 1 contributes)
+    assert(out(2).getDouble(4) == 4.0)
+    // null row drops out: weights are lag-POSITION based, so 8.0 pairs
+    // with 4.0 at lag 2: (8*16384 + 4*9216) / (16384 + 9216)
+    val expect = (8.0 * 16384 + 4.0 * 9216) / (16384 + 9216)
+    assert(math.abs(out(3).getDouble(4) - expect) < 1e-6)
+  }
 }
