@@ -1950,6 +1950,121 @@ object OracleSql {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY node ORDER BY node""".stripMargin,
 
+    // tc2: tc1's triangle CTE plus per-node degrees; the coefficient is
+    // one IEEE division of exact BIGINT products, 6dp-quantized
+    "tc2_clustering_coeff" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM n GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(tcnt.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2
+        |    THEN floor(CAST(2 * COALESCE(tcnt.n_triangles, 0) AS DOUBLE) /
+        |      CAST(deg.degree * (deg.degree - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tcnt USING (node)""".stripMargin,
+
+    // gini1 / gini1b: HUGEINT-exact branch sizes and Σc² (the Spark
+    // side's DECIMAL(38,0)), one double cast per side, the fixed
+    // (share · gini) IEEE sequence, 6dp quantization; the split impurity
+    // is the exact integer sum of quantized branch terms
+    "gini1_split_branches" ->
+      """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS val,
+        |    CAST(o_orderstatus AS VARCHAR) AS target,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (SELECT val, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq FROM c GROUP BY val),
+        |t AS (SELECT SUM(n_rows) AS n FROM v),
+        |m AS (SELECT val, n_rows,
+        |    CAST(CAST(n_rows AS HUGEINT) * n_rows - sumsq AS DOUBLE) /
+        |      CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE) AS gini_raw,
+        |    CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE) AS sh
+        |  FROM v CROSS JOIN t)
+        |SELECT val, n_rows, floor(gini_raw * 1e6 + 0.5) / 1e6 AS gini,
+        |  floor(sh * gini_raw * 1e6 + 0.5) / 1e6 AS weighted
+        |FROM m ORDER BY val""".stripMargin,
+
+    "gini1b_split_stat" ->
+      """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS val,
+        |    CAST(o_orderstatus AS VARCHAR) AS target,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (SELECT val, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq FROM c GROUP BY val),
+        |t AS (SELECT SUM(n_rows) AS n FROM v),
+        |m AS (SELECT n_rows,
+        |    CAST(CAST(n_rows AS HUGEINT) * n_rows - sumsq AS DOUBLE) /
+        |      CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE) AS gini_raw,
+        |    CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE) AS sh
+        |  FROM v CROSS JOIN t),
+        |s6 AS (SELECT SUM(CAST(floor(sh * gini_raw * 1e6 + 0.5) AS HUGEINT)) AS s
+        |  FROM m),
+        |cls AS (SELECT target, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM c GROUP BY target),
+        |root AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq FROM cls),
+        |fin AS (SELECT root.n,
+        |    floor(CAST(CAST(root.n AS HUGEINT) * root.n - root.sumsq AS DOUBLE) /
+        |      CAST(CAST(root.n AS HUGEINT) * root.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS root_gini,
+        |    CAST(s6.s AS DOUBLE) / 1e6 AS split_impurity
+        |  FROM root CROSS JOIN s6)
+        |SELECT n AS n_rows, root_gini, split_impurity,
+        |  floor((root_gini - split_impurity) * 1e6 + 0.5) / 1e6 AS gini_gain
+        |FROM fin""".stripMargin,
+
+    // w6: distinct (user, day) first, then the classic day − row_number
+    // island id — pure integer output
+    "w6_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |r AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  MAX(len) AS longest_streak
+        |FROM r GROUP BY user_id""".stripMargin,
+
+    // fe2: verbatim lag carries plus the an1-style exact-integer window
+    // sum; one IEEE division chain per row, 6dp quantization
+    "fe2_rolling_features" ->
+      """WITH f AS (SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER w AS value_lag1,
+        |    lag(value, 2) OVER w AS value_lag2,
+        |    SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+        |    COUNT(value) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value, value_lag1, value_lag2,
+        |  CASE WHEN c > 0
+        |    THEN floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |  END AS value_rmean3
+        |FROM f""".stripMargin,
+
     // ar1: exact-count replay of the Apriori-pruned pair rules; lift's
     // numerator/denominator products are exact HUGEINT (the Spark side's
     // DECIMAL(38,0)) with one double cast each, 6dp quantization

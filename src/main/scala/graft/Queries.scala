@@ -2573,6 +2573,56 @@ object Queries {
       minSupport = 5L)
   }
 
+  /** TC2: local clustering coefficients ([[graft.operators.Graph
+    * .clusteringCoefficients]]) over the same co-purchase graph as tc1 —
+    * per-node neighborhood density `2T/(d(d−1))`, every node reported.
+    */
+  def tc2ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      .distinct()
+    val edges = lp
+      .join(lp.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+      .where(col("__pk") < col("__pk2"))
+      .select(col("__pk").as("src"), col("__pk2").as("dst"))
+    graft.operators.Graph.clusteringCoefficients(edges, "src", "dst")
+  }
+
+  /** GINI1: per-branch Gini split evidence ([[graft.operators.Features
+    * .giniSplitBranches]]) — does order priority separate order status;
+    * the decision-tree-prep companion to assoc1's chi-square.
+    */
+  def gini1SplitBranches(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.giniSplitBranches(
+      t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  /** GINI1B: the 1-row root-vs-split Gini summary ([[graft.operators
+    * .Features.giniSplitStat]]) over the same single scan.
+    */
+  def gini1bSplitStat(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.giniSplitStat(
+      t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  /** W6: activity streaks ([[graft.operators.TimeSeries
+    * .activityStreaks]]) — per user, maximal runs of consecutive active
+    * days from the event stream (gaps-and-islands, key-local).
+    */
+  def w6Streaks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.activityStreaks(
+      t(s, dir, "events"), "user_id", "ts")
+
+  /** FE2: trailing lag / rolling-mean features ([[graft.operators
+    * .Features.rollingFeatures]]) per user over the event stream — the
+    * standard windowed feature prep, exact-integer window sums.
+    */
+  def fe2RollingFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.rollingFeatures(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      "user_id", "ts", "event_id", "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("value_lag1"), col("value_lag2"), col("value_rmean3"))
+
   /** RFM1: RFM customer segmentation ([[graft.operators.Features
     * .rfmSegments]]) over orders — exact per-customer
     * recency/frequency/monetary, quartile-scored against the
@@ -3056,7 +3106,12 @@ object Queries {
     "tm1_transitions" -> (tm1Transitions _),
     "pr1_pagerank" -> (pr1Pagerank _),
     "tc1_triangle_count" -> (tc1TriangleCount _),
+    "tc2_clustering_coeff" -> (tc2ClusteringCoeff _),
     "ar1_assoc_rules" -> (ar1AssocRules _),
+    "gini1_split_branches" -> (gini1SplitBranches _),
+    "gini1b_split_stat" -> (gini1bSplitStat _),
+    "w6_streaks" -> (w6Streaks _),
+    "fe2_rolling_features" -> (fe2RollingFeatures _),
     "rfm1_segments" -> (rfm1Segments _),
     "pop1_period_growth" -> (pop1PeriodGrowth _),
     "pmi1_collocations" -> (pmi1Collocations _),

@@ -101,7 +101,19 @@ object StressMain {
       // pr1: 100x lineitem scan deduped to the same 21k-node graph — the
       // distinct is the scale cost, iterations are size-of-graph; ij1:
       // sessions x runs both grow with replicated events on fixed keys
-      "pr1_pagerank", "ij1_interval_join")
+      "pr1_pagerank", "ij1_interval_join",
+      // session-4 batch 2: tc1/ar1 dedupe 100x replicated pair streams to
+      // the fixed co-purchase graph (the distinct IS the scale cost, like
+      // pr1); rfm1/pop1/dv1/sp4 read replicated orders; pmi1 reads
+      // replicated documents; ewma1's lags are key-local over events
+      "tc1_triangle_count", "ar1_assoc_rules", "rfm1_segments",
+      "pop1_period_growth", "pmi1_collocations", "dv1_table_diff",
+      "sp4_group_split", "ewma1_smoothing",
+      // session-4 batch 3: tc2 rides tc1's deduped graph; gini1* is one
+      // grid scan of replicated orders; w6 collapses events to distinct
+      // (user, day) first; fe2's windows are key-local
+      "tc2_clustering_coeff", "gini1_split_branches", "gini1b_split_stat",
+      "w6_streaks", "fe2_rolling_features")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

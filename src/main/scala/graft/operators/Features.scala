@@ -129,6 +129,113 @@ object Features {
       java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** Gini split-quality evidence — the decision-tree question "how well
+    * does splitting on `featureCol` separate `targetCol`": per feature
+    * value, the branch size, its Gini impurity `1 − Σ(cᵢ/n_v)²` and its
+    * weighted contribution `(n_v/n)·gini_v`; [[giniSplitStat]] is the
+    * 1-row root-vs-split summary over the same scan. The long-form
+    * evidence contract mirrors [[Association.chiSquareCells]].
+    *
+    * Scale shape: ONE map-side-combined `groupBy(feature, target)` scan;
+    * the shuffle is the v·c cell grid, bounded by `maxCells` (loud error
+    * beyond), and all impurity math runs on the localized cell frame.
+    *
+    * Determinism: `gini_v = (n_v² − Σcᵢ²) / n_v²` with both sides exact
+    * in DECIMAL(38,0) and ONE double cast each; the weighted term is the
+    * fixed IEEE sequence `(n_vD / nD) · gini_raw`; both 6dp-quantized.
+    * Magnitude bound: branch sizes ≤ 1e19 stay exact.
+    */
+  def giniSplitBranches(df: DataFrame, featureCol: String,
+      targetCol: String, maxCells: Int = 10000): DataFrame =
+    giniGrid(df, featureCol, targetCol, maxCells)
+      .select(col("val"), col("n_rows"), q6(col("__gini_raw")).as("gini"),
+        q6(col("__wgt_raw")).as("weighted"))
+      .orderBy(col("val"))
+
+  /** 1-row summary over the same grid: `(n_rows, root_gini,
+    * split_impurity, gini_gain)` — split impurity is the exact integer
+    * sum of the 6dp-quantized branch contributions (order-independent,
+    * the chi2 convention), and the gain is root − split.
+    */
+  def giniSplitStat(df: DataFrame, featureCol: String, targetCol: String,
+      maxCells: Int = 10000): DataFrame = {
+    val g = giniGrid(df, featureCol, targetCol, maxCells)
+      .withColumn("__w6",
+        floor(col("__wgt_raw") * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+    // root gini needs global class counts: re-sum the bounded cell frame
+    val cells = g.select(col("val"), explode(col("__cells")).as("c"))
+      .select(col("c.target").as("target"), col("c.cnt").as("cnt"))
+      .groupBy(col("target")).agg(sum(col("cnt")).as("cnt"))
+    val root = cells.agg(
+      sum(col("cnt")).as("__n"),
+      sum((col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__sumsq"))
+    val splitSum = g.agg(sum(col("__w6")).as("__s6"))
+    root.crossJoin(broadcast(splitSum))
+      .withColumn("root_gini", q6(
+        (col("__n").cast("decimal(19,0)") * col("__n").cast("decimal(19,0)") -
+          col("__sumsq")).cast("decimal(38,0)").cast("double") /
+          (col("__n").cast("decimal(19,0)") * col("__n").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").cast("double")))
+      .withColumn("split_impurity", col("__s6").cast("double") / lit(1e6))
+      .withColumn("gini_gain", q6(col("root_gini") - col("split_impurity")))
+      .select(col("__n").as("n_rows"), col("root_gini"),
+        col("split_impurity"), col("gini_gain"))
+  }
+
+  /** Shared (feature value) frame: per value, n_rows, Σc², raw gini and
+    * raw weighted contribution, plus the nested per-target cells for the
+    * root recount. One input scan; everything else on the local frame.
+    */
+  private def giniGrid(df: DataFrame, featureCol: String, targetCol: String,
+      maxCells: Int): DataFrame = {
+    val cells = localized(
+      df.where(col(featureCol).isNotNull && col(targetCol).isNotNull)
+        .groupBy(col(featureCol).cast("string").as("val"),
+          col(targetCol).cast("string").as("target"))
+        .agg(count(lit(1)).as("cnt")), maxCells)
+    val byVal = cells.groupBy(col("val"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum((col("cnt").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("__sumsq"),
+        collect_list(struct(col("target"), col("cnt"))).as("__cells"))
+    val totals = byVal.agg(sum(col("n_rows")).as("__n"))
+    val nv2 = (col("n_rows").cast("decimal(19,0)") *
+      col("n_rows").cast("decimal(19,0)")).cast("decimal(38,0)")
+    byVal.crossJoin(broadcast(totals))
+      .withColumn("__gini_raw",
+        (nv2 - col("__sumsq")).cast("decimal(38,0)").cast("double") /
+          nv2.cast("double"))
+      .withColumn("__wgt_raw",
+        col("n_rows").cast("double") / col("__n").cast("double") *
+          col("__gini_raw"))
+  }
+
+  /** Trailing-window lag / rolling-mean feature generation per key: adds
+    * `<value>_lag1`, `<value>_lag2` (verbatim carries — no arithmetic)
+    * and `<value>_rmean<K>` (exact 6dp-integer window sum, one IEEE
+    * division, 6dp-quantized — the an1/rollingAnomaly discipline) over
+    * the previous `windowRows` rows INCLUDING the current one. The
+    * standard ML feature prep next to [[targetEncode]]/[[quantileBin]].
+    * Key-local windows only; one shuffle on the key.
+    */
+  def rollingFeatures(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, windowRows: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wRoll = w.rowsBetween(-(windowRows - 1).toLong,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val q = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long")
+    df
+      .withColumn(s"${valueCol}_lag1", lag(col(valueCol), 1).over(w))
+      .withColumn(s"${valueCol}_lag2", lag(col(valueCol), 2).over(w))
+      .withColumn(s"${valueCol}_rmean$windowRows",
+        when(count(col(valueCol)).over(wRoll) > 0,
+          floor(sum(q).over(wRoll).cast("double") /
+            count(col(valueCol)).over(wRoll).cast("double") / lit(1e6) *
+            lit(1e6) + lit(0.5)) / lit(1e6)))
+  }
+
   /** RFM customer segmentation: per customer, recency (days since their
     * last transaction, relative to the dataset's last transaction day),
     * frequency (transaction count) and monetary (exact 6dp-summed spend),

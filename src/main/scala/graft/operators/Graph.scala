@@ -92,8 +92,12 @@ object Graph {
     * the input are ignored (edges are canonicalized and deduped first);
     * self-loops are dropped.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+  /** Canonical undirected edge set (a < b, no self-loops, deduped) and
+    * per-node degrees — shared by [[triangleCounts]] and
+    * [[clusteringCoefficients]].
+    */
+  private def undirected(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
@@ -102,6 +106,16 @@ object Graph {
     val deg = und.select(col("__a").as("node"))
       .union(und.select(col("__b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    (und, deg)
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (und, deg) = undirected(edges, srcCol, dstCol)
+    triangleCore(und, deg)
+  }
+
+  private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     val aFirst = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("__a") < col("__b"))
     val oriented = und
@@ -125,8 +139,37 @@ object Graph {
     val tri = wedges.join(
       oriented.select(col("src").as("y"), col("dst").as("z")),
       Seq("y", "z"))
+    // no final orderBy: per-node counts are proportional to the node set,
+    // and a global sort of the result would dominate at scale (the
+    // registry hash-compare is order-independent)
     tri.select(explode(array(col("src"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("node"))
+  }
+
+  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * — how close each node's neighborhood is to a clique; the per-node
+    * density companion to [[triangleCounts]]'s raw counts (community
+    * cores score ~1, bridge/hub nodes ~0).
+    *
+    * Output: `(node, degree, n_triangles, clustering_coeff)` for EVERY
+    * node of the edge set — zero triangles included, degree-1 nodes
+    * pinned to 0. Cost is [[triangleCounts]] plus one node-keyed left
+    * join; determinism: both sides of the single IEEE division are exact
+    * BIGINTs, 6dp-quantized.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (und, deg) = undirected(edges, srcCol, dstCol)
+    val tri = triangleCore(und, deg)
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_coeff",
+        when(col("__deg") >= 2,
+          floor((lit(2L) * col("n_triangles")).cast("double") /
+            (col("__deg") * (col("__deg") - 1)).cast("double") *
+            lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(0.0)))
+      .select(col("node"), col("__deg").as("degree"), col("n_triangles"),
+        col("clustering_coeff"))
   }
 }

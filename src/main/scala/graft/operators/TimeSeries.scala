@@ -187,4 +187,31 @@ object TimeSeries {
         floor(numSum.cast("double") / denSum.cast("double") / lit(1e6) *
           lit(1e6) + lit(0.5)) / lit(1e6)))
   }
+
+  /** Activity streaks (gaps-and-islands) per key: collapse a timestamped
+    * event stream into maximal runs of CONSECUTIVE active days and report
+    * `(key, active_days, n_streaks, longest_streak)` — the engagement /
+    * retention view next to [[periodGrowth]].
+    *
+    * Scale shape: events collapse to distinct `(key, day)` FIRST (one
+    * map-side-combined distinct — the only full-data shuffle), then the
+    * classic `day − rank(day)` island id runs in a key-local window over
+    * the per-day frame (≤ one row per key per day, independent of event
+    * volume), and two key-local groupBys finish. Pure integer output.
+    */
+  def activityStreaks(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400.0)).cast("long")
+    val days = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), day.as("__day")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val runs = days
+      .withColumn("__island", col("__day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
 }

@@ -101,6 +101,54 @@ class FeaturesSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 4L, 40.0, "1-4-4")))
   }
 
+  test("giniSplit: pure branches gain the full root impurity") {
+    import spark.implicits._
+    // feature perfectly separates the 50/50 target: root gini = 0.5,
+    // each branch pure (gini 0), split impurity 0, gain 0.5
+    val df = (1 to 10).map(i =>
+      (if (i <= 5) "a" else "b", if (i <= 5) "x" else "y")).toDF("f", "t")
+    val branches = Features.giniSplitBranches(df, "f", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(branches == Map("a" -> ((5L, 0.0, 0.0)),
+      "b" -> ((5L, 0.0, 0.0))))
+    val stat = Features.giniSplitStat(df, "f", "t").collect()(0)
+    assert((stat.getLong(0), stat.getDouble(1), stat.getDouble(2),
+      stat.getDouble(3)) == ((10L, 0.5, 0.0, 0.5)))
+  }
+
+  test("giniSplit: uninformative feature has ~zero gain") {
+    import spark.implicits._
+    // both branches mirror the global 50/50 target mix
+    val df = (1 to 8).map(i =>
+      (if (i % 2 == 0) "a" else "b", if (i % 4 < 2) "x" else "y"))
+      .toDF("f", "t")
+    val stat = Features.giniSplitStat(df, "f", "t").collect()(0)
+    assert(stat.getDouble(1) == 0.5)         // root gini
+    assert(stat.getDouble(3) == 0.0)         // no gain
+    val branches = Features.giniSplitBranches(df, "f", "t").collect()
+    assert(branches.forall(_.getDouble(2) == 0.5)) // each branch gini
+  }
+
+  test("rollingFeatures: lags and exact rolling mean by hand") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0),
+      (1L, 4L, 1.0), (2L, 5L, 7.0))
+      .toDF("k", "id", "v").withColumn("ts", col("id").cast("timestamp"))
+    val out = Features.rollingFeatures(df, "k", "ts", "id", "v")
+      .orderBy("id").collect()
+    def lag1(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(4)) None else Some(r.getDouble(4))
+    assert(lag1(out(0)) == None && lag1(out(1)) == Some(2.0) &&
+      lag1(out(2)) == Some(4.0) && lag1(out(3)) == Some(9.0))
+    assert(lag1(out(4)) == None) // key-local: user 2 sees no user-1 rows
+    // rolling mean of trailing 3: row 3 -> (2+4+9)/3 = 5.0,
+    // row 4 -> (4+9+1)/3 = 4.666667
+    assert(out(2).getDouble(6) == 5.0)
+    assert(out(3).getDouble(6) == 4.666667)
+    assert(out(0).getDouble(6) == 2.0)
+  }
+
   test("rfmSegments: null customer / date / amount rows are excluded") {
     import spark.implicits._
     val df = Seq(

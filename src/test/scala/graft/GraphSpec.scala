@@ -86,4 +86,21 @@ class GraphSpec extends AnyFunSuite {
     assert(out(0L) == 5L)
     assert((1L to 5L).forall(out(_) == 2L))
   }
+
+  test("clusteringCoefficients: clique 1.0, star hub 0.0, path middles 0") {
+    import spark.implicits._
+    // K3 clique {1,2,3} + star hub 4 -> {5,6} + pendant 3 -> 7
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 4L -> 6L,
+      3L -> 7L)
+    val out = Graph.clusteringCoefficients(
+        edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333))) // 2·1/(3·2)
+    assert(out(4L) == ((2L, 0L, 0.0)))      // open wedge hub
+    assert(out(5L) == ((1L, 0L, 0.0)))      // degree 1 pinned
+    assert(out(7L) == ((1L, 0L, 0.0)))
+  }
 }

@@ -136,6 +136,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(run(8) == run(20))
   }
 
+  test("activityStreaks: islands, longest run, multi-event days count once") {
+    val df = ev(Seq(
+      // user 1: days 1,2,3 (streak 3; day 2 twice), day 6 (streak 1)
+      (1L, 1L, "2024-01-02 10:00:00", 0.0),
+      (1L, 2L, "2024-01-03 09:00:00", 0.0),
+      (1L, 3L, "2024-01-03 23:00:00", 0.0),
+      (1L, 4L, "2024-01-04 01:00:00", 0.0),
+      (1L, 5L, "2024-01-07 12:00:00", 0.0),
+      // user 2: one day
+      (2L, 6L, "2024-01-01 00:00:00", 0.0)))
+    val out = TimeSeries.activityStreaks(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 3L))) // 4 active days, 2 streaks, longest 3
+    assert(out(2L) == ((1L, 1L, 1L)))
+  }
+
   test("ewma: key-local and null values drop out of both sums") {
     import spark.implicits._
     val df = Seq(
