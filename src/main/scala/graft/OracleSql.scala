@@ -2424,6 +2424,39 @@ object OracleSql {
         |    AS bin_lo, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // p15: sparse 2-D bins — quantity width-10, discount 2-cent buckets
+    // of the 6dp-quantized cents (integer edges in both engines)
+    "p15_histogram2d" ->
+      """SELECT CAST(CAST(floor(l_quantity / 10.0) AS BIGINT) * 10 AS DOUBLE)
+        |    AS qty_lo,
+        |  CAST((CAST(floor(l_discount * 100 + 0.5) AS BIGINT) // 2) * 2 AS DOUBLE)
+        |    / 100.0 AS disc_lo,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // p16: the max(struct) pick = row_number over (cnt DESC, type DESC)
+    "p16_group_mode" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type DESC) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_event, cnt AS n_occurrences
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // p17: key-local rank pick; the even-n finish is one IEEE add +
+    // divide on the identical operands — bit-equal without quantization
+    "p17_group_median" ->
+      """WITH r AS (SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders)
+        |SELECT o_custkey, CAST(MIN(n) AS BIGINT) AS n_orders,
+        |  SUM(o_totalprice) / count(*) AS median_value
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY o_custkey""".stripMargin,
+
     // prof1: the oracle computes every statistic DIRECTLY from the whole
     // table with the lmean/lstd twins — equality with Spark's merged
     // batch profiles proves incremental profiling is exact

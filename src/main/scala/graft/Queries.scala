@@ -675,6 +675,59 @@ object Queries {
       .select((col("bin") * 5000L).cast("double").as("bin_lo"), col("n_rows"))
       .orderBy(col("bin_lo"))
 
+  /** P15: 2-D histogram (heatmap evidence) over quantity × discount — ONE
+    * map-side-combined groupBy on two binned dimensions, sparse cells
+    * (zero cells omitted), exact integer bin ids. Quantity bins are
+    * width-10 on integral values; discount bins are 2-CENT buckets of the
+    * 6dp-quantized value, so edges are exact integers in both engines
+    * (a raw `floor(x/0.02)` would sit on IEEE bin boundaries).
+    */
+  def p15Histogram2d(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / lit(10.0)).cast("long").as("__bq"),
+        (floor(col("l_discount") * lit(100) + lit(0.5)).cast("long") / 2)
+          .cast("long").as("__bd"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select((col("__bq") * 10L).cast("double").as("qty_lo"),
+        ((col("__bd") * 2L).cast("double") / lit(100.0)).as("disc_lo"),
+        col("n_rows"))
+
+  /** P16: group-wise categorical mode — each user's most frequent event
+    * type, deterministic tie-break by the larger type string (the c3
+    * pinned-tie-break discipline, expressed as one `max(struct)` — two
+    * map-side-combined aggregates, no window).
+    */
+  def p16GroupMode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("__cnt"), col("event_type"))).as("__m"))
+      .select(col("user_id"), col("__m.event_type").as("mode_event"),
+        col("__m.__cnt").as("n_occurrences"))
+
+  /** P17: exact per-group median — each customer's median order value via
+    * key-local rank windows (odd n: the middle value verbatim; even n:
+    * `(a+b)/2`, one IEEE add + divide — bit-portable without
+    * quantization). The grouped counterpart of p5's global exact median;
+    * no global sort, no driver collect: the window partitions by
+    * customer.
+    */
+  def p17GroupMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .where(col("__rn") === expr("(__n + 1) div 2") ||
+        col("__rn") === expr("__n div 2") + 1)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("__n")).as("n_orders"),
+        (sum(col("o_totalprice")) / count(lit(1))).as("median_value"))
+  }
+
   /** The measure columns p14's correlation matrix covers, in output order.
     * Shared with [[OracleSql]] so the generated per-pair SQL blocks stay in
     * lock-step with the Spark aggregate.
@@ -3112,6 +3165,9 @@ object Queries {
     "gini1b_split_stat" -> (gini1bSplitStat _),
     "w6_streaks" -> (w6Streaks _),
     "fe2_rolling_features" -> (fe2RollingFeatures _),
+    "p15_histogram2d" -> (p15Histogram2d _),
+    "p16_group_mode" -> (p16GroupMode _),
+    "p17_group_median" -> (p17GroupMedian _),
     "rfm1_segments" -> (rfm1Segments _),
     "pop1_period_growth" -> (pop1PeriodGrowth _),
     "pmi1_collocations" -> (pmi1Collocations _),
