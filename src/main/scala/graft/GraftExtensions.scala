@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_shingles", "(text, n) -> distinct word n-gram shingles") {
       args => WordShingles(args(0), intArg(args(1), "n"))
     }
+    register("graft_shingles_all",
+      "(text, n) -> every word n-gram occurrence (multiset, document order)") {
+      args => WordShinglesAll(args(0), intArg(args(1), "n"))
+    }
     register("graft_minhash", "(shingles, k) -> k-minhash signature") {
       args => MinHashSig(args(0), intArg(args(1), "k"))
     }

@@ -2457,6 +2457,52 @@ object OracleSql {
         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY o_custkey""".stripMargin,
 
+    // ch2: the identical RE2 pattern (no lookbehind) runs in DuckDB;
+    // aligned unnests replay posexplode, trim-then-filter matches
+    "ch2_sentences" ->
+      """WITH s AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*') AS raw FROM documents),
+        |u AS (SELECT doc_id,
+        |    CAST(unnest(range(0, len(raw))) AS BIGINT) AS sent_idx,
+        |    trim(unnest(raw)) AS sentence
+        |  FROM s)
+        |SELECT doc_id, sent_idx, sentence,
+        |  CAST(len(regexp_extract_all(sentence, '\S+')) AS BIGINT) AS n_tokens
+        |FROM u WHERE sentence <> ''""".stripMargin,
+
+    // t9: three regex counts + the fixed IEEE Flesch chain, 6dp quantize
+    "t9_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor((206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6
+        |  END AS flesch
+        |FROM c""".stripMargin,
+
+    // sp5: the chunked prefix decomposition replays as a plain windowed
+    // running sum (the sq1 equivalence); stride crossings are pure
+    // integer arithmetic
+    "sp5_systematic_sample" ->
+      """WITH c AS (SELECT doc_id, lang, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
+        |    SUM(n_chars) OVER () AS tot
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(bf // GREATEST(tot // 100, 1) AS BIGINT) AS sample_rank
+        |FROM c
+        |WHERE (bf + n_chars) // GREATEST(tot // 100, 1) >
+        |      bf // GREATEST(tot // 100, 1)""".stripMargin,
+
     // prof1: the oracle computes every statistic DIRECTLY from the whole
     // table with the lmean/lstd twins — equality with Spark's merged
     // batch profiles proves incremental profiling is exact

@@ -2676,6 +2676,33 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("value"),
         col("value_lag1"), col("value_lag2"), col("value_rmean3"))
 
+  /** CH2: sentence segmentation ([[graft.operators.TextPipeline
+    * .sentences]]) — one map-only RE2-portable extract pass; the unit
+    * step before sentence-bounded chunking.
+    */
+  def ch2Sentences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.sentences(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  /** T9: Flesch reading-ease ([[graft.operators.TextPipeline
+    * .readability]]) — three codegen'd regex counts in one map-only scan,
+    * fixed IEEE finish.
+    */
+  def t9Readability(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.readability(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  /** SP5: deterministic weight-proportional sampling ([[graft.operators
+    * .SequencePack.systematicSample]]) — ~100 documents selected by
+    * fixed-stride crossings of the char-weight cumulative; reruns pick
+    * the identical set, selection probability ∝ n_chars.
+    */
+  def sp5SystematicSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.systematicSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "doc_id", "n_chars", k = 100L, chunkWidth = 4096L)
+
   /** RFM1: RFM customer segmentation ([[graft.operators.Features
     * .rfmSegments]]) over orders — exact per-customer
     * recency/frequency/monetary, quartile-scored against the
@@ -3168,6 +3195,9 @@ object Queries {
     "p15_histogram2d" -> (p15Histogram2d _),
     "p16_group_mode" -> (p16GroupMode _),
     "p17_group_median" -> (p17GroupMedian _),
+    "ch2_sentences" -> (ch2Sentences _),
+    "t9_readability" -> (t9Readability _),
+    "sp5_systematic_sample" -> (sp5SystematicSample _),
     "rfm1_segments" -> (rfm1Segments _),
     "pop1_period_growth" -> (pop1PeriodGrowth _),
     "pmi1_collocations" -> (pmi1Collocations _),

@@ -115,7 +115,10 @@ object StressMain {
       "tc2_clustering_coeff", "gini1_split_branches", "gini1b_split_stat",
       "w6_streaks", "fe2_rolling_features",
       // p15 one 2-D binned scan; p16 two aggregates; p17 key-local rank
-      "p15_histogram2d", "p16_group_mode", "p17_group_median")
+      "p15_histogram2d", "p16_group_mode", "p17_group_median",
+      // ch2/t9 map-only regex passes over replicated documents; sp5's
+      // prefix decomposition is the sq1 machinery
+      "ch2_sentences", "t9_readability", "sp5_systematic_sample")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

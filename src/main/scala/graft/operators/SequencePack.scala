@@ -71,4 +71,46 @@ object SequencePack {
         sum(col(tokCol)).as("seq_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** Deterministic weight-proportional sampling WITHOUT randomness:
+    * systematic (fixed-stride) selection over the id-ordered cumulative
+    * weight axis. With `stride = totalWeight div k`, a row is selected iff
+    * its weight interval `[before, before + w)` crosses a stride boundary
+    * — so selection probability is proportional to weight, exactly `k`
+    * (±1) rows come back, and reruns pick the identical set (the registry
+    * reproducibility contract; random reservoir/A-ES sampling cannot be
+    * replayed across engines).
+    *
+    * Scale shape: the global cumulative uses [[packAssignments]]'s
+    * two-level chunked prefix decomposition — the only unpartitioned
+    * window runs over the tiny chunk-totals frame; everything row-wise is
+    * map-only after one broadcast join. Zero-weight rows are never
+    * selected. Output: input columns + `sample_rank` (the 0-based index
+    * of the crossed boundary).
+    */
+  def systematicSample(docs: DataFrame, idCol: String, wCol: String,
+      k: Long, chunkWidth: Long = 100000L): DataFrame = {
+    require(k > 0, s"k=$k")
+    val id: Column = col(idCol)
+    val chunked = docs.withColumn("__chunk", expr(s"$idCol div $chunkWidth"))
+    val chunkTotals = chunked.groupBy(col("__chunk"))
+      .agg(sum(col(wCol)).as("__ctot"))
+    val wChunks = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunkTotals
+      .withColumn("__coff", coalesce(sum(col("__ctot")).over(wChunks), lit(0L)))
+      .select(col("__chunk"), col("__coff"))
+    val total = chunkTotals.agg(sum(col("__ctot")).as("__tot"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked.join(broadcast(offsets), "__chunk")
+      .crossJoin(broadcast(total))
+      .withColumn("__stride", expr(s"greatest(__tot div ${k}L, 1L)"))
+      .withColumn("__before",
+        col("__coff") + coalesce(sum(col(wCol)).over(wIn), lit(0L)))
+      .where(expr(s"(__before + $wCol) div __stride") >
+        expr("__before div __stride"))
+      .withColumn("sample_rank", expr("__before div __stride"))
+      .drop("__chunk", "__coff", "__tot", "__stride", "__before")
+  }
 }

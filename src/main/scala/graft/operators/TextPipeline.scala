@@ -832,6 +832,54 @@ object TextPipeline {
         element_at(array(labels.map(lit): _*), col("__b").cast("int")).as("bucket"))
   }
 
+  /** Sentence segmentation: one row per sentence — runs of
+    * non-terminators plus their trailing `.!?` terminators, matched with
+    * a single RE2-compatible `regexp_extract_all` pass (NO lookbehind, so
+    * the identical pattern runs in any engine), trimmed, empties dropped.
+    * `sent_idx` is the pre-filter match position (deterministic, gaps
+    * where an empty match was dropped). Map-only explode; the unit step
+    * before sentence-bounded chunking, alignment, or per-sentence
+    * filtering.
+    */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sent_idx", "__raw")))
+      .withColumn("sentence", trim(col("__raw")))
+      .where(col("sentence") =!= "")
+      .select(col(idCol), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"),
+        graft.functions.TextFunctions.tokenCount(col("sentence"))
+          .cast("long").as("n_tokens"))
+
+  /** Flesch reading-ease per document, from three codegen'd regex counts
+    * in ONE map-only pass: words (`\S+` runs), sentences (`[.!?]+` runs,
+    * floored at 1), syllables (vowel-group runs — the standard public
+    * approximation). Score = `206.835 − 1.015·(W/S) − 84.6·(Y/W)`, a
+    * fixed IEEE sequence on exact integer counts, 6dp-quantized;
+    * wordless docs score null. Higher = easier; the classic readability
+    * gate next to t2's quality score.
+    */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val sylls = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("long")
+    docs.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          floor((lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))) * lit(1e6) + lit(0.5)) /
+            lit(1e6)))
+  }
+
   /** Corpus-wide bigram collocations: adjacent word pairs ranked by a
     * RATIONAL PMI lift — `count(ab)·W² / (B·count(a)·count(b))` (W = total
     * tokens, B = total bigrams), the log-free order-preserving form of

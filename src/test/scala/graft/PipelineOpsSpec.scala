@@ -152,6 +152,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sp5: systematic sample — ~k rows, weight-proportional, deterministic, chunk-invariant") {
+    import graft.operators.SequencePack
+    import spark.implicits._
+    // heavy doc 42 has half the total mass -> must always be selected
+    val docs = ((1L to 100L).map(i => (i, 10L)) :+ (42L, 990L)).toDF("id", "w")
+      .groupBy("id").agg(sum(col("w")).as("w"))
+    val out = SequencePack.systematicSample(docs, "id", "w", k = 10L)
+      .collect().map(r => r.getLong(0)).sorted
+    // doc 42 absorbs ~5 stride crossings but is emitted once, so the row
+    // count drops below k exactly by the absorbed crossings
+    assert(out.length >= 5 && out.length <= 11, s"got ${out.length}")
+    assert(out.contains(42L), "the dominant-weight row must be selected")
+    // uniform weights: exactly k rows
+    val uniform = (1L to 100L).map(i => (i, 10L)).toDF("id", "w")
+    assert(SequencePack.systematicSample(uniform, "id", "w", k = 10L)
+      .count() == 10L)
+    // deterministic and chunk-width-invariant
+    val again = SequencePack.systematicSample(docs, "id", "w", k = 10L)
+      .collect().map(r => r.getLong(0)).sorted
+    val other = SequencePack.systematicSample(docs, "id", "w", k = 10L,
+        chunkWidth = 7L)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(out.toSeq == again.toSeq && out.toSeq == other.toSeq)
+    // zero-weight rows are never selected
+    val withZero = ((1L to 5L).map(i => (i, 0L)) :+ (9L, 50L)).toDF("id", "w")
+    val z = SequencePack.systematicSample(withZero, "id", "w", k = 3L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(z == Set(9L))
+  }
+
   test("sq1: manifest conserves docs and tokens; budget crossed only at doc granularity") {
     val docs = Queries.t(spark, dir, "documents").select(col("doc_id"),
       graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))

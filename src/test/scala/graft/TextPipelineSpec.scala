@@ -457,6 +457,37 @@ class TextPipelineSpec extends AnyFunSuite {
       ("york", "new", 1L, 3L, 3L, 1.088889)))
   }
 
+  test("sentences: segmentation, trimming, terminator grouping, empties dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three!  Four five?!"),
+      (2L, "no terminator at all"),
+      (3L, "..."))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.sentences(docs, "doc_id", "text")
+      .orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "One two.", 2L), (1L, "Three!", 1L), (1L, "Four five?!", 2L),
+      (2L, "no terminator at all", 4L)))
+  }
+
+  test("readability: counts and Flesch by hand; simpler text scores higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran."),
+      (2L, "Extraordinarily sophisticated terminology demonstrates incomprehensibility."))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: 6 words, 2 sentences, vowel groups: e/a/a/e/o/a = 6
+    assert(out(1L)._1 == 6L && out(1L)._2 == 2L && out(1L)._3 == 6L)
+    val flesch1 = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert(math.abs(out(1L)._4 - flesch1) < 1e-6)
+    assert(out(1L)._4 > out(2L)._4)
+  }
+
   test("collocations: minCount prunes singleton bigrams") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c d")).toDF("doc_id", "text")
