@@ -297,6 +297,54 @@ object EventStreams {
       }
       .start()
 
+  /** Mutable handle for the rolling snapshot in [[changeFeedStream]]. */
+  final class SnapshotRef(@volatile var snapshot: DataFrame)
+
+  /** Streaming change-data feed: each micro-batch of keyed upserts is
+    * diffed against the ROLLING snapshot ([[graft.operators.ChangeCapture
+    * .snapshotDiff]] — one co-partitioned full-outer join), `onBatch`
+    * receives the added/changed rows (removals cannot be observed from an
+    * upsert stream; a batch missing a key is not a delete), and the
+    * snapshot is advanced by last-writer-wins merge before the next batch
+    * runs — so a key that changes across micro-batches is reported per
+    * change, not vs the original base. The snapshot advance
+    * `localCheckpoint`s (eager) to keep the plan from growing per batch
+    * (the refresh-loop discipline), releasing the previous checkpoint.
+    *
+    * At scale the rolling snapshot is a table and this seam writes a
+    * MERGE; the diff/merge shapes are identical.
+    */
+  def changeFeedStream(updates: DataFrame, base: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String],
+      ref: SnapshotRef)(
+      onBatch: (Long, DataFrame) => Unit): StreamingQuery = {
+    ref.snapshot = base.localCheckpoint(true)
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cols = keyCols ++ compareCols
+        val b = batch.select(cols.map(col): _*)
+          // last-writer-wins within the batch: keep the max tuple per key
+          // (deterministic; callers with an ordering column should
+          // pre-collapse the batch instead)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(struct(compareCols.map(col): _*)).as("__v"))
+          .select(keyCols.map(col) ++
+            compareCols.map(c => col(s"__v.$c").as(c)): _*)
+        onBatch(id, graft.operators.ChangeCapture.snapshotDiff(
+          ref.snapshot, b, keyCols, compareCols)
+          .where(col("change_type") =!= "removed"))
+        val prev = ref.snapshot
+        val merged = ref.snapshot.join(b, keyCols, "left_anti")
+          .select(cols.map(col): _*)
+          .unionAll(b.select(cols.map(col): _*))
+        ref.snapshot = merged.localCheckpoint(true)
+        prev.rdd.unpersist(false)
+        ()
+      }
+      .start()
+  }
+
   /** Mutable handle for the SEMANTIC index-refresh loop — the
     * [[LshIndexRef]] twin for [[graft.operators.Dedup.SemIndex]].
     */

@@ -535,6 +535,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(shifted - 2.0) < 1e-12, s"disjoint batch scored $shifted")
   }
 
+  test("changeFeedStream: per-batch diffs against a ROLLING snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "x")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val perBatch =
+      scala.collection.mutable.ArrayBuffer.empty[Map[Long, (String, String)]]
+    val ref = new EventStreams.SnapshotRef(null)
+    val q = EventStreams.changeFeedStream(
+      ms.toDF.toDF("k", "s", "x"), base, Seq("k"), Seq("s", "x"), ref) {
+        (_, diff) =>
+          perBatch += diff.collect().map(r => r.getLong(0) ->
+            ((r.getString(1), Option(r.getString(2)).getOrElse("")))).toMap
+      }
+    // batch 0: key 2 changes x, key 3 is new
+    ms.addData((2L, "b", 25.0), (3L, "c", 30.0))
+    q.processAllAvailable()
+    // batch 1: key 2 changes AGAIN (vs the ADVANCED snapshot: s this
+    // time), key 1 re-sent unchanged (must not be reported)
+    ms.addData((2L, "B", 25.0), (1L, "a", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.size == 2)
+    assert(perBatch(0) == Map(
+      2L -> (("changed", "x")), 3L -> (("added", ""))))
+    // the rolling snapshot advanced: batch 1's diff for key 2 is only s
+    // (x already 25.0), and the unchanged resend of key 1 is silent
+    assert(perBatch(1) == Map(2L -> (("changed", "s"))))
+  }
+
   test("durable FUZZY refresh: cross-batch catch survives a killed stream") {
     import spark.implicits._
     import graft.operators.FuzzyJoin
