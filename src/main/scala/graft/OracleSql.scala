@@ -901,6 +901,54 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs WHERE j >= 0.9)
          |ORDER BY doc_id""".stripMargin,
 
+    // cp7: gates + the t9 Flesch gate -> d1 min-id dedup -> threshold-1.0
+    // near-dedup, replayed WITHOUT a pair join (jaccard = 1 on non-empty
+    // sets <=> set equality <=> equal canonicalized set hashes; keep-first
+    // over an identical-set family keeps exactly the min id, guard or no
+    // guard) -> sp5's systematic token-mass sample over the survivors
+    "cp7_sampled_pipeline" ->
+      s"""WITH sc AS (SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $nTokensSql AS n_tokens,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         |      AS n_sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS n_sylls,
+         |  $langScoreCols
+         |  FROM documents),
+         |fl AS (SELECT *, CASE WHEN n_tokens > 0 THEN
+         |      floor((206.835
+         |        - 1.015 * (CAST(n_tokens AS DOUBLE) / CAST(n_sents AS DOUBLE))
+         |        - 84.6 * (CAST(n_sylls AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+         |        * 1e6 + 0.5) / 1e6
+         |    END AS flesch FROM sc),
+         |meta AS (SELECT doc_id, text, quality, n_tokens, flesch,
+         |    $langPredSql AS lang
+         |  FROM fl),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3
+         |    AND flesch >= 10.0),
+         |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM gated),
+         |exact AS (SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |shh AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort($trigramSetSql), chr(10))) AS shash
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+         |nd AS (SELECT e.* FROM exact e JOIN shh USING (doc_id)
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM shh GROUP BY shash)),
+         |cum AS (SELECT doc_id, lang, n_tokens, quality,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
+         |    SUM(n_tokens) OVER () AS tot
+         |  FROM nd)
+         |SELECT doc_id, lang, n_tokens, quality,
+         |  CAST(bf // GREATEST(tot // 50, 1) AS BIGINT) AS sample_rank
+         |FROM cum
+         |WHERE (bf + n_tokens) // GREATEST(tot // 50, 1) >
+         |      bf // GREATEST(tot // 50, 1)""".stripMargin,
+
     // cp1 with the dc1 decontamination stage spliced between the gates and
     // the dedups: bench = the %97 subset of the RAW corpus; any gated doc
     // sharing a distinct word 5-gram with it drops before fingerprinting,

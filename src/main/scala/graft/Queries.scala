@@ -2703,6 +2703,28 @@ object Queries {
         col("n_chars")),
       "doc_id", "n_chars", k = 100L, chunkWidth = 4096L)
 
+  /** CP7: the sampled-pipeline composition — heuristic gates + the NEW
+    * Flesch readability gate ([[graft.operators.TextPipeline
+    * .fleschScore]]) → exact dedup → near-dedup at threshold 1.0
+    * (identical trigram sets — which the oracle replays as a group-by on
+    * the canonicalized shingle set, no pair join) → deterministic
+    * systematic downsampling of the final corpus by token mass
+    * ([[graft.operators.SequencePack.systematicSample]]). One hash proves
+    * the whole staged composition, including that the sample was drawn
+    * from exactly the cleaned corpus.
+    */
+  def cp7SampledPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (out, _) = graft.plans.CorpusPipeline.run(
+      t(s, dir, "documents"), "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(
+        nearDupThreshold = 1.0,
+        minFlesch = Some(10.0),
+        sampleK = Some(50L),
+        audit = false))
+    out.select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+      col("sample_rank"))
+  }
+
   /** RFM1: RFM customer segmentation ([[graft.operators.Features
     * .rfmSegments]]) over orders — exact per-customer
     * recency/frequency/monetary, quartile-scored against the
@@ -3198,6 +3220,7 @@ object Queries {
     "ch2_sentences" -> (ch2Sentences _),
     "t9_readability" -> (t9Readability _),
     "sp5_systematic_sample" -> (sp5SystematicSample _),
+    "cp7_sampled_pipeline" -> (cp7SampledPipeline _),
     "rfm1_segments" -> (rfm1Segments _),
     "pop1_period_growth" -> (pop1PeriodGrowth _),
     "pmi1_collocations" -> (pmi1Collocations _),

@@ -117,8 +117,10 @@ object StressMain {
       // p15 one 2-D binned scan; p16 two aggregates; p17 key-local rank
       "p15_histogram2d", "p16_group_mode", "p17_group_median",
       // ch2/t9 map-only regex passes over replicated documents; sp5's
-      // prefix decomposition is the sq1 machinery
-      "ch2_sentences", "t9_readability", "sp5_systematic_sample")
+      // prefix decomposition is the sq1 machinery; cp7 = gates + flesch +
+      // dedup + identical-set near-dedup + systematic sample
+      "ch2_sentences", "t9_readability", "sp5_systematic_sample",
+      "cp7_sampled_pipeline")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -861,6 +861,23 @@ object TextPipeline {
     * wordless docs score null. Higher = easier; the classic readability
     * gate next to t2's quality score.
     */
+  /** The [[readability]] score as a bare column over raw text — for use
+    * as a PIPELINE GATE ([[graft.plans.CorpusPipeline.Config.minFlesch]])
+    * where the count columns aren't wanted. Same formula, same counts,
+    * same quantization; null when the text has no words.
+    */
+  def fleschScore(text: Column): Column = {
+    val words = TextFunctions.tokenCount(text).cast("long")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    val sylls = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    when(words > 0,
+      floor((lit(206.835) -
+        lit(1.015) * (words.cast("double") / sents.cast("double")) -
+        lit(84.6) * (sylls.cast("double") / words.cast("double"))) *
+        lit(1e6) + lit(0.5)) / lit(1e6))
+  }
+
   def readability(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val words = TextFunctions.tokenCount(col(textCol)).cast("long")

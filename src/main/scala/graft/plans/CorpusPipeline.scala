@@ -90,6 +90,17 @@ object CorpusPipeline {
       decontaminateBench: Option[DataFrame] = None,
       decontaminateNgram: Int = 5,
       decontaminateMinShared: Long = 1L,
+      // Flesch readability gate ([[graft.operators.TextPipeline
+      // .fleschScore]]): drop docs scoring under the threshold (or with
+      // no words). Rides the same fused narrow pass as the heuristic
+      // gates — three more codegen'd regex counts, no shuffle. None = off.
+      minFlesch: Option[Double] = None,
+      // Deterministic weight-proportional downsampling of the FINAL
+      // corpus ([[graft.operators.SequencePack.systematicSample]] over
+      // n_tokens): Some(k) keeps ~k docs chosen by fixed-stride crossings
+      // of the token-mass cumulative — the "train on a reproducible
+      // slice" stage; adds `sample_rank`. None = off.
+      sampleK: Option[Long] = None,
       // Muennighoff repeat-cap mixture REPORT ([[graft.operators
       // .TextPipeline.repeatCapMixture]]), Some(maxEpochs): after dedup,
       // the data-constrained allocation over the FINAL corpus (stratified
@@ -131,8 +142,14 @@ object CorpusPipeline {
     val gated0 = withMeta.where(
       col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("quality") >= cfg.minQuality)
+    val gated0f = cfg.minFlesch match {
+      case Some(f) => gated0.where(
+        graft.operators.TextPipeline.fleschScore(col(textCol)) >= f)
+      case None => gated0
+    }
     val gated1 =
-      if (cfg.langs.isEmpty) gated0 else gated0.where(col("lang").isin(cfg.langs: _*))
+      if (cfg.langs.isEmpty) gated0f
+      else gated0f.where(col("lang").isin(cfg.langs: _*))
     // 1b. learned gate (optional): featurize + broadcast-weights scoring —
     // one extra groupBy(id) + anti-join, still upstream of any dedup shuffle
     val gated2 = cfg.classifier match {
@@ -278,14 +295,25 @@ object CorpusPipeline {
     exact.unpersist(blocking = false)
     stageCaches.foreach(_.unpersist(blocking = false))
 
-    // 4. repeat-cap mixture report (optional): the allocation table over
+    // 4. deterministic downsample (optional): systematic stride selection
+    // over the deduped corpus's token mass — reproducible, map-only after
+    // the chunked prefix decomposition. Runs LAST so the sample is drawn
+    // from the fully cleaned corpus.
+    val sampled = cfg.sampleK match {
+      case Some(k) =>
+        graft.operators.SequencePack.systematicSample(
+          deduped, idCol, "n_tokens", k)
+      case None => deduped
+    }
+
+    // 5. repeat-cap mixture report (optional): the allocation table over
     // the final corpus — one groupBy(lang) plus tiny windowed water-fill,
     // all bounded by the domain count, not the corpus.
     val mixture = cfg.repeatCapEpochs.map { epochs =>
       graft.operators.TextPipeline.repeatCapMixture(
-        deduped, "lang", col("n_tokens"), maxEpochs = epochs)
+        sampled, "lang", col("n_tokens"), maxEpochs = epochs)
     }
 
-    (deduped, Stats(nInput, nGated, nExact, nFinal, mixture))
+    (sampled, Stats(nInput, nGated, nExact, nFinal, mixture))
   }
 }

@@ -144,4 +144,30 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(stats.input == -1L && stats.afterNearDedup == -1L)
     assert(out.count() > 0) // still runnable
   }
+
+  test("minFlesch gate subsets the gated corpus; sampleK draws from the FINAL corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (base, sBase) = CorpusPipeline.run(docs, "doc_id", "text")
+    val (flGated, sFl) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(minFlesch = Some(10.0)))
+    // the gate engaged and only ever subsets
+    assert(sFl.afterGates < sBase.afterGates)
+    val flIds = flGated.select("doc_id").as[Long].collect().toSet
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    assert(flIds.nonEmpty && flIds.subsetOf(baseIds))
+    // sampling: every sampled doc survived the same pipeline unsampled,
+    // sample_rank attached, and the draw is reproducible
+    val (samp, _) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(minFlesch = Some(10.0), sampleK = Some(10L),
+        audit = false))
+    val sampIds = samp.select("doc_id").as[Long].collect().toSet
+    assert(sampIds.nonEmpty && sampIds.subsetOf(flIds))
+    assert(samp.columns.contains("sample_rank"))
+    val (samp2, _) = CorpusPipeline.run(docs, "doc_id", "text",
+      CorpusPipeline.Config(minFlesch = Some(10.0), sampleK = Some(10L),
+        audit = false))
+    assert(samp2.select("doc_id").as[Long].collect().toSet == sampIds)
+  }
 }
