@@ -377,6 +377,17 @@ object Queries {
       .agg(lsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Cube: all four grouping-set combinations of (returnflag, linestatus)
+    * in one pass — rollup's full-lattice sibling; partial aggregation
+    * still combines map-side per grouping set.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(lsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Pivot: order counts per priority pivoted by status. */
   def qPivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -3121,6 +3132,7 @@ object Queries {
     "w4_asof_join" -> (w4AsofJoin _),
     "w5_range_window" -> (w5RangeWindow _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "e1_hourly_totals" -> (e1HourlyTotals _),
     "e2_json_extract" -> (e2JsonExtract _),
