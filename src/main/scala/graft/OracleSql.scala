@@ -2152,6 +2152,37 @@ object OracleSql {
         |CROSS JOIN nb
         |ORDER BY item_a, item_b""".stripMargin,
 
+    // ab1: HUGEINT-exact per-group sufficient sums, the documented IEEE
+    // chain — quantized means, raw variances, one t finish, 6dp
+    "ab1_welch_t" -> {
+      def side(name: String, sfx: String) =
+        s"""(SELECT CAST(count(*) AS BIGINT) AS n_$sfx,
+           |  floor(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+           |    / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_$sfx,
+           |  CASE WHEN count(*) >= 2 THEN
+           |  (CAST(count(*) AS DOUBLE) *
+           |     CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT) *
+           |              CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+           |   - CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) *
+           |     CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE))
+           |  / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1.0)) / 1e12
+           |  ELSE 0.0 END AS vraw_$sfx
+           | FROM orders
+           | WHERE o_totalprice IS NOT NULL AND o_orderpriority = '$name')""".stripMargin
+      s"""WITH a AS ${side("1-URGENT", "a")},
+         |b AS ${side("5-LOW", "b")},
+         |m AS (SELECT * FROM a CROSS JOIN b)
+         |SELECT n_a, n_b, mean_a, mean_b,
+         |  floor(vraw_a * 1e6 + 0.5) / 1e6 AS var_a,
+         |  floor(vraw_b * 1e6 + 0.5) / 1e6 AS var_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (vraw_a > 0 OR vraw_b > 0)
+         |    THEN floor((mean_a - mean_b) /
+         |      sqrt(vraw_a / CAST(n_a AS DOUBLE) + vraw_b / CAST(n_b AS DOUBLE))
+         |      * 1e6 + 0.5) / 1e6
+         |    ELSE 0.0 END AS t_stat
+         |FROM m""".stripMargin
+    },
+
     // rfm1: exact per-customer aggregates (reg1's epoch-day convention,
     // HUGEINT monetary sum), quantile_cont fences on the aggregated
     // frame (the fe1 bit-compatibility contract), integer comparison

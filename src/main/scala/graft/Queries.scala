@@ -2446,6 +2446,15 @@ object Queries {
       "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
   }
 
+  /** AB1: Welch two-sample t evidence ([[graft.operators.Association
+    * .welchT]]) — does urgent-priority order value differ from low
+    * priority; one two-group scan, 2-row local finish.
+    */
+  def ab1WelchT(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.welchT(
+      t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+      "1-URGENT", "5-LOW")
+
   /** ASSOC1: chi-square association evidence ([[graft.operators
     * .Association.chiSquareCells]]) between order priority and order
     * status — the full observed grid with exact counts, expected counts
@@ -3133,6 +3142,7 @@ object Queries {
     "w5_range_window" -> (w5RangeWindow _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "ab1_welch_t" -> (ab1WelchT _),
     "q_pivot" -> (qPivot _),
     "e1_hourly_totals" -> (e1HourlyTotals _),
     "e2_json_extract" -> (e2JsonExtract _),

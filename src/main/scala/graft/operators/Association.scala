@@ -192,6 +192,60 @@ object Association {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  /** Welch's two-sample t evidence — "do these two groups differ in
+    * mean": `(n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat)` for the
+    * two named groups of `groupCol`, the A/B-testing companion to
+    * [[chiSquareStat]] (categorical) and [[Drift.ks]] (distributional).
+    * The statistic is reported as evidence; p-value lookup is a
+    * driver-side table, not engine work.
+    *
+    * Scale shape: ONE map-side-combined `groupBy` scan over the
+    * two-group filter (three exact accumulators per group); everything
+    * after runs on the 2-row local frame.
+    *
+    * Determinism: values 6dp-quantized, sums/squares exact in
+    * DECIMAL(38,0) (DuckDB: HUGEINT), one double cast each, then a fixed
+    * IEEE sequence — mean `(S/n)/1e6`, sample variance
+    * `(n·SS − S²)/(n·(n−1))/1e12`, `t = (m_a − m_b)/√(v_a/n_a + v_b/n_b)`
+    * — all 6dp-quantized. Groups with n < 2 or zero variance pin t to 0.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val qv = floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("decimal(19,0)")
+    val g = localized(
+      df.where(col(valueCol).isNotNull &&
+          col(groupCol).cast("string").isin(groupA, groupB))
+        .groupBy(col(groupCol).cast("string").as("__g"))
+        .agg(count(lit(1)).as("__n"),
+          sum(qv.cast("decimal(38,0)")).cast("double").as("__s"),
+          sum((qv * qv).cast("decimal(38,0)")).cast("double").as("__ss")),
+      4)
+    def side(name: String, suffix: String): DataFrame = {
+      val nD = col("__n").cast("double")
+      g.where(col("__g") === name).select(
+        col("__n").as(s"n_$suffix"),
+        q6(col("__s") / nD / lit(1e6)).as(s"mean_$suffix"),
+        when(col("__n") >= 2,
+          (nD * col("__ss") - col("__s") * col("__s")) /
+            (nD * (nD - lit(1.0))) / lit(1e12))
+          .otherwise(lit(0.0)).as(s"__vraw_$suffix"))
+    }
+    val ab = side(groupA, "a").crossJoin(side(groupB, "b"))
+    // t from the QUANTIZED means (the published values) and the raw
+    // variances — one documented IEEE chain the oracle replays verbatim
+    val tRaw = (col("mean_a") - col("mean_b")) /
+      sqrt(col("__vraw_a") / col("n_a").cast("double") +
+        col("__vraw_b") / col("n_b").cast("double"))
+    ab
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2 &&
+          (col("__vraw_a") > 0 || col("__vraw_b") > 0), q6(tRaw))
+          .otherwise(lit(0.0)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        q6(col("__vraw_a")).as("var_a"), q6(col("__vraw_b")).as("var_b"),
+        col("t_stat"))
+  }
+
   /** 1-row summary: `(n_rows, dof, chi2, cramers_v)`. `chi2` is the exact
     * integer sum of the 6dp-quantized cell terms (order-independent);
     * `cramers_v = sqrt(chi2 / (n · min(r−1, c−1)))`, 6dp-quantized, 0 when

@@ -115,6 +115,25 @@ class AssociationSpec extends AnyFunSuite {
     assert(r.getDouble(4) > 0.9 && r.getDouble(4) < 1.0)
   }
 
+  test("welchT: hand-computed statistic, degenerate pinning, group isolation") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 999.0)) // other groups never contaminate the comparison
+      .toDF("g", "v")
+    val r = graft.operators.Association.welchT(df, "g", "v", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    // t = -3 / sqrt(1/3 + 1/3) = -3.674235 (6dp)
+    assert(r.getDouble(6) == -3.674235)
+    // n < 2 on either side pins t to 0
+    val d2 = Seq(("a", 1.0), ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    assert(graft.operators.Association.welchT(d2, "g", "v", "a", "b")
+      .collect()(0).getDouble(6) == 0.0)
+  }
+
   private def basket(rows: Seq[(Long, String)], minSupport: Long) = {
     import spark.implicits._
     graft.operators.Association.marketBasket(
