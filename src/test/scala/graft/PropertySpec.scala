@@ -239,6 +239,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("systematicSample == local stride replay on arbitrary weights and k") {
+    import graft.operators.SequencePack
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 25L))
+      k <- Gen.choose(1, 12)
+      width <- Gen.oneOf(3L, 16L, 1000L)
+    } yield (ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }, k, width)
+    forAllSampled(gen, n = 8) { case (rows, k, width) =>
+      val expected = {
+        val tot = rows.map(_._2).sum
+        val stride = math.max(tot / k, 1L)
+        var before = 0L
+        rows.flatMap { case (id, w) =>
+          val pick = (before + w) / stride > before / stride
+          val rank = before / stride
+          before += w
+          if (pick) Some(id -> rank) else None
+        }.toMap
+      }
+      val got = SequencePack.systematicSample(
+          rows.toDF("id", "w"), "id", "w", k.toLong, width)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"n=${rows.size} k=$k width=$width")
+    }
+  }
+
   test("shinglesAll: multiset bigrams — distinct equals shingles, count = tokens-1") {
     val textGen = Gen.listOf(Gen.oneOf("ab", "cd", " ", "\t")).map(_.mkString(" "))
     forAllSampled(textGen, n = 20) { text =>
