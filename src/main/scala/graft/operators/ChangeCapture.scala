@@ -153,6 +153,34 @@ object ChangeCapture {
     * value→null count as changes; a null vs null cell does not.
     * `changed_cols` is null for added/removed rows.
     */
+  /** Schema diff between two snapshots — the metadata companion to
+    * [[snapshotDiff]]: one row per column that was `added`, `removed`,
+    * or `type_changed` (nullability relaxation/tightening counts as a
+    * type change). Pure driver-side metadata — schemas are not data; no
+    * job runs. Sorted by column name for deterministic output.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val o = oldDf.schema.map(f => f.name -> f).toMap
+    val n = newDf.schema.map(f => f.name -> f).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.map(c =>
+        (c, "added", null: String, n(c).dataType.simpleString)) ++
+      (o.keySet -- n.keySet).toSeq.map(c =>
+        (c, "removed", o(c).dataType.simpleString, null: String)) ++
+      (o.keySet & n.keySet).toSeq
+        .filter(c => o(c).dataType != n(c).dataType ||
+          o(c).nullable != n(c).nullable)
+        .map { c =>
+          def s(f: org.apache.spark.sql.types.StructField) =
+            f.dataType.simpleString +
+              (if (f.nullable) "" else " not null")
+          (c, "type_changed", s(o(c)), s(n(c)))
+        }
+    import oldDf.sparkSession.implicits._
+    rows.sortBy(_._1)
+      .toDF("column", "change_type", "old_type", "new_type")
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty)

@@ -146,6 +146,30 @@ class ChangeCaptureSpec extends AnyFunSuite {
     assert(out == Map(1L -> (("changed", Some("x")))))
   }
 
+  test("schemaDiff: added / removed / type-changed incl. nullability") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType, nullable = true),
+        StructField("b", StringType), StructField("c", DoubleType))))
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("c", StringType), StructField("d", IntegerType))))
+    val out = ChangeCapture.schemaDiff(oldDf, newDf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    assert(out("b") == (("removed", Some("string"), None)))
+    assert(out("d") == (("added", None, Some("int"))))
+    assert(out("a") == (("type_changed", Some("bigint"),
+      Some("bigint not null"))))
+    assert(out("c") == (("type_changed", Some("double"), Some("string"))))
+    // identical schemas: empty diff
+    assert(ChangeCapture.schemaDiff(oldDf, oldDf).count() == 0)
+  }
+
   test("snapshotDiff: changed_cols lists only the differing columns, name-sorted") {
     val out = diff(
       oldRows = Seq((1L, "a", Some(1.0))),
