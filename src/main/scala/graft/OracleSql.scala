@@ -2657,6 +2657,13 @@ object OracleSql {
       """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
         |  TRUE AS approx_within_5pct FROM orders""".stripMargin,
 
+    // p11b: the oracle pins every group's gate TRUE beside the exact
+    // count — the p11 convention, grouped
+    "p11b_group_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "s1_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
          |  FROM embeddings WHERE vec_id < 5),

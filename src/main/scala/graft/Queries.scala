@@ -674,6 +674,23 @@ object Queries {
           .as("approx_within_5pct"))
   }
 
+  /** P11B: the sketch gate PER GROUP — distinct users per event type,
+    * exact beside HLL++, the ±5% bound folded into a boolean per group
+    * (the p11 convention, grouped). One map-side-combined aggregate;
+    * sketches merge associatively, so the gate holds under any
+    * partitioning.
+    */
+  def p11bGroupApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__approx").cast("double") -
+          col("exact_users").cast("double")) <=
+          col("exact_users").cast("double") * lit(0.05))
+          .as("approx_within_5pct"))
+
   /** P13: fixed-bin numeric histogram — the profiling staple a DESCRIBE
     * doesn't give: distribution shape. One map-side-combined aggregate over
     * floor(x / width); bins with no rows are absent (sparse output), bin
@@ -3257,6 +3274,7 @@ object Queries {
     "mix2b_token_budget_bpe" -> (mix2bTokenBudgetBpe _),
     "sq1b_sequence_pack_bpe" -> (sq1bSequencePackBpe _),
     "p11_approx_distinct" -> (p11ApproxDistinct _),
+    "p11b_group_approx_distinct" -> (p11bGroupApproxDistinct _),
     "p12_approx_quantile_gate" -> (p12ApproxQuantileGate _),
     "p13_histogram" -> (p13Histogram _),
     "p14_corr_matrix" -> (p14CorrMatrix _),

@@ -292,19 +292,23 @@ object CorpusPipeline {
         out
       } else deduped0
     val nFinal = n(deduped)
-    exact.unpersist(blocking = false)
-    stageCaches.foreach(_.unpersist(blocking = false))
 
     // 4. deterministic downsample (optional): systematic stride selection
     // over the deduped corpus's token mass — reproducible, map-only after
     // the chunked prefix decomposition. Runs LAST so the sample is drawn
-    // from the fully cleaned corpus.
+    // from the fully cleaned corpus. The prefix machinery reads its input
+    // THREE times (chunk totals, offsets join-back, grand total), so the
+    // final corpus is localCheckpoint'ed first — while the exact-dedup
+    // cache is still live — or the whole gates+dedup+LSH plan would
+    // replay per pass (measured 83 s → ~30 s at the 100× stress).
     val sampled = cfg.sampleK match {
       case Some(k) =>
         graft.operators.SequencePack.systematicSample(
-          deduped, idCol, "n_tokens", k)
+          deduped.localCheckpoint(), idCol, "n_tokens", k)
       case None => deduped
     }
+    exact.unpersist(blocking = false)
+    stageCaches.foreach(_.unpersist(blocking = false))
 
     // 5. repeat-cap mixture report (optional): the allocation table over
     // the final corpus — one groupBy(lang) plus tiny windowed water-fill,
