@@ -98,14 +98,21 @@ object Graph {
     */
   private def undirected(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame) = {
+    // the canonical edge set feeds BOTH degree branches and the
+    // orientation join — localCheckpoint (eager) or the upstream edge
+    // derivation replays three times (100× stress: tc1 39.6 → 35.7 s,
+    // tc2 32.2 → 23.6 s; tc1's floor is the one-shot pair-distinct
+    // itself); same for the degree frame, read by both join sides
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .where(col("__a") =!= col("__b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("__a").as("node"))
       .union(und.select(col("__b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
     (und, deg)
   }
 
@@ -127,6 +134,8 @@ object Graph {
         when(aFirst, col("__a")).otherwise(col("__b")).as("src"),
         when(aFirst, col("__b")).otherwise(col("__a")).as("dst"),
         when(aFirst, col("__db")).otherwise(col("__da")).as("ddeg"))
+      // three consumers (both wedge sides + the closing-edge probe)
+      .localCheckpoint()
     // wedges from the low vertex: (x -> y), (x -> z) with y before z in
     // the orientation order; the closing edge y -> z is oriented too
     val e1 = oriented.select(col("src"), col("dst").as("y"),
