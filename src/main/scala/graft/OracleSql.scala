@@ -2083,6 +2083,53 @@ object OracleSql {
         |  floor((root_gini - split_impurity) * 1e6 + 0.5) / 1e6 AS gini_gain
         |FROM fin""".stripMargin,
 
+    // gini2: per-feature union blocks melt identically to the Spark
+    // explode; each feature's n / root gini cover its own non-null
+    // subset; same HUGEINT-exact products and quantized-weighted-sum
+    // conventions as gini1/gini1b
+    "gini2_feature_ranking" ->
+      """WITH m AS (
+        |  SELECT 'o_orderpriority' AS feature,
+        |      CAST(o_orderpriority AS VARCHAR) AS val,
+        |      CAST(o_orderstatus AS VARCHAR) AS target
+        |    FROM orders
+        |    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR),
+        |      CAST(o_orderstatus AS VARCHAR)
+        |    FROM orders
+        |    WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'price_bucket',
+        |      CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR),
+        |      CAST(o_orderstatus AS VARCHAR)
+        |    FROM orders
+        |    WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+        |c AS (SELECT feature, val, target, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |v AS (SELECT feature, val, CAST(SUM(cnt) AS BIGINT) AS n_v,
+        |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq FROM c GROUP BY 1, 2),
+        |nf AS (SELECT feature, CAST(SUM(n_v) AS BIGINT) AS n FROM v GROUP BY 1),
+        |w AS (SELECT v.feature,
+        |    SUM(CAST(floor(CAST(v.n_v AS DOUBLE) / CAST(nf.n AS DOUBLE) *
+        |      (CAST(CAST(v.n_v AS HUGEINT) * v.n_v - v.sumsq AS DOUBLE) /
+        |       CAST(CAST(v.n_v AS HUGEINT) * v.n_v AS DOUBLE))
+        |      * 1e6 + 0.5) AS HUGEINT)) AS s6
+        |  FROM v JOIN nf USING (feature) GROUP BY 1),
+        |r AS (SELECT feature, CAST(SUM(c2) AS BIGINT) AS n_rows,
+        |    SUM(CAST(c2 AS HUGEINT) * c2) AS rss
+        |  FROM (SELECT feature, target, SUM(cnt) AS c2 FROM c GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fin AS (SELECT r.feature, r.n_rows,
+        |    floor(CAST(CAST(r.n_rows AS HUGEINT) * r.n_rows - r.rss AS DOUBLE) /
+        |      CAST(CAST(r.n_rows AS HUGEINT) * r.n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS root_gini,
+        |    CAST(w.s6 AS DOUBLE) / 1e6 AS split_impurity
+        |  FROM r JOIN w USING (feature))
+        |SELECT feature, n_rows, root_gini, split_impurity,
+        |  floor((root_gini - split_impurity) * 1e6 + 0.5) / 1e6 AS gini_gain
+        |FROM fin ORDER BY gini_gain DESC, feature""".stripMargin,
+
     // w6: distinct (user, day) first, then the classic day − row_number
     // island id — pure integer output
     "w6_streaks" ->

@@ -2693,6 +2693,19 @@ object Queries {
     graft.operators.Features.giniSplitStat(
       t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
 
+  /** GINI2: feature ranking by Gini gain ([[graft.operators.Features
+    * .giniFeatureRanking]]) — three candidate features (priority, order
+    * year, price bucket) scored against order status in one melted scan.
+    */
+  def gini2FeatureRanking(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .withColumn("price_bucket",
+        floor(col("o_totalprice") / lit(50000.0)).cast("long"))
+    graft.operators.Features.giniFeatureRanking(o,
+      Seq("o_orderpriority", "order_year", "price_bucket"), "o_orderstatus")
+  }
+
   /** W6: activity streaks ([[graft.operators.TimeSeries
     * .activityStreaks]]) — per user, maximal runs of consecutive active
     * days from the event stream (gaps-and-islands, key-local).
@@ -3251,6 +3264,7 @@ object Queries {
     "ar1_assoc_rules" -> (ar1AssocRules _),
     "gini1_split_branches" -> (gini1SplitBranches _),
     "gini1b_split_stat" -> (gini1bSplitStat _),
+    "gini2_feature_ranking" -> (gini2FeatureRanking _),
     "w6_streaks" -> (w6Streaks _),
     "fe2_rolling_features" -> (fe2RollingFeatures _),
     "p15_histogram2d" -> (p15Histogram2d _),

@@ -211,6 +211,63 @@ object Features {
           col("__gini_raw"))
   }
 
+  /** Feature ranking by Gini gain — [[giniSplitBranches]] evaluated for
+    * MANY candidate features in ONE melted scan: "which column best
+    * splits the target", the actual decision-tree / feature-selection
+    * step. Each input row explodes into one `(feature, value)` pair per
+    * candidate (map-only; F× row inflation pre-aggregation, the melt
+    * cost), a single `groupBy(feature, value, target)` scan reduces, and
+    * all impurity math runs on the localized cell frame. Per-feature
+    * semantics match [[giniSplitStat]] exactly — including that each
+    * feature's n and root Gini cover ITS OWN non-null subset.
+    *
+    * Output: `(feature, n_rows, root_gini, split_impurity, gini_gain)`
+    * ordered by gain descending (ties by feature name).
+    */
+  def giniFeatureRanking(df: DataFrame, featureCols: Seq[String],
+      targetCol: String, maxCells: Int = 10000): DataFrame = {
+    require(featureCols.nonEmpty)
+    val pairs = array(featureCols.map(c =>
+      struct(lit(c).as("feature"), col(c).cast("string").as("val"))): _*)
+    val cells = localized(
+      df.where(col(targetCol).isNotNull)
+        .select(explode(pairs).as("__fv"),
+          col(targetCol).cast("string").as("target"))
+        .where(col("__fv.val").isNotNull)
+        .groupBy(col("__fv.feature").as("feature"),
+          col("__fv.val").as("val"), col("target"))
+        .agg(count(lit(1)).as("cnt")), maxCells)
+    def sq(c: Column): Column =
+      (c.cast("decimal(19,0)") * c.cast("decimal(19,0)")).cast("decimal(38,0)")
+    val byVal = cells.groupBy(col("feature"), col("val"))
+      .agg(sum(col("cnt")).as("n_v"), sum(sq(col("cnt"))).as("__sumsq"))
+    val nPerF = byVal.groupBy(col("feature")).agg(sum(col("n_v")).as("__n"))
+    val nv2 = sq(col("n_v"))
+    val wgt = byVal.join(nPerF, Seq("feature"))
+      .withColumn("__gini_raw",
+        (nv2 - col("__sumsq")).cast("decimal(38,0)").cast("double") /
+          nv2.cast("double"))
+      .withColumn("__w6",
+        floor(col("n_v").cast("double") / col("__n").cast("double") *
+          col("__gini_raw") * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+      .groupBy(col("feature"))
+      .agg(sum(col("__w6")).as("__s6"))
+    val root = cells.groupBy(col("feature"), col("target"))
+      .agg(sum(col("cnt")).as("__c"))
+      .groupBy(col("feature"))
+      .agg(sum(col("__c")).as("n_rows"), sum(sq(col("__c"))).as("__rss"))
+    val rn2 = sq(col("n_rows"))
+    root.join(wgt, Seq("feature"))
+      .withColumn("root_gini", q6(
+        (rn2 - col("__rss")).cast("decimal(38,0)").cast("double") /
+          rn2.cast("double")))
+      .withColumn("split_impurity", col("__s6").cast("double") / lit(1e6))
+      .withColumn("gini_gain", q6(col("root_gini") - col("split_impurity")))
+      .select(col("feature"), col("n_rows"), col("root_gini"),
+        col("split_impurity"), col("gini_gain"))
+      .orderBy(col("gini_gain").desc, col("feature"))
+  }
+
   /** Trailing-window lag / rolling-mean feature generation per key: adds
     * `<value>_lag1`, `<value>_lag2` (verbatim carries — no arithmetic)
     * and `<value>_rmean<K>` (exact 6dp-integer window sum, one IEEE

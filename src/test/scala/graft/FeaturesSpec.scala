@@ -130,6 +130,30 @@ class FeaturesSpec extends AnyFunSuite {
     assert(branches.forall(_.getDouble(2) == 0.5)) // each branch gini
   }
 
+  test("giniFeatureRanking: perfect feature outranks noise; per-feature nulls respected") {
+    import spark.implicits._
+    // f_good separates the target perfectly; f_bad mirrors the mix;
+    // f_sparse is null on half the rows (its n must shrink accordingly)
+    val df = (1 to 12).map { i =>
+      val t = if (i <= 6) "x" else "y"
+      (t, t.toUpperCase, if (i % 2 == 0) "m" else "n",
+        if (i <= 6) Some(s"s$t") else None)
+    }.toDF("t", "f_good", "f_bad", "f_sparse")
+    val out = Features.giniFeatureRanking(df,
+        Seq("f_good", "f_bad", "f_sparse"), "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(out("f_good") == ((12L, 0.5, 0.5)))   // full gain
+    assert(out("f_bad")._3 == 0.0)               // no gain
+    assert(out("f_sparse")._1 == 6L)             // its own non-null n
+    assert(out("f_sparse")._2 == 0.0)            // single class on that subset
+    // ordering: best gain first
+    val order = Features.giniFeatureRanking(df,
+      Seq("f_good", "f_bad", "f_sparse"), "t")
+      .collect().map(_.getString(0)).toSeq
+    assert(order.head == "f_good")
+  }
+
   test("rollingFeatures: lags and exact rolling mean by hand") {
     import spark.implicits._
     val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0),
