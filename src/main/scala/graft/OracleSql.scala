@@ -2230,6 +2230,42 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
+    // drift4: the driftColSql pattern keyed by segment — zero-filled over
+    // (segments observed on either side) x bins, shares normalized WITHIN
+    // each segment, same rational divergence chain
+    "drift4_by_segment" ->
+      """WITH ca AS (SELECT lang AS segment,
+        |    LEAST(GREATEST(CAST(floor((n_chars - 0.0) / 50.0) AS BIGINT), 0), 11) AS bin,
+        |    count(*) AS cnt_a
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 = 0
+        |  GROUP BY 1, 2),
+        |cb AS (SELECT lang AS segment,
+        |    LEAST(GREATEST(CAST(floor((n_chars - 0.0) / 50.0) AS BIGINT), 0), 11) AS bin,
+        |    count(*) AS cnt_b
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND doc_id % 2 <> 0
+        |  GROUP BY 1, 2),
+        |segs AS (SELECT segment FROM ca UNION SELECT segment FROM cb),
+        |bins AS (SELECT CAST(unnest(range(0, 12)) AS BIGINT) AS bin),
+        |f AS (SELECT s.segment, b.bin,
+        |    CAST(COALESCE(ca.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(COALESCE(cb.cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM segs s CROSS JOIN bins b
+        |  LEFT JOIN ca ON s.segment = ca.segment AND b.bin = ca.bin
+        |  LEFT JOIN cb ON s.segment = cb.segment AND b.bin = cb.bin),
+        |t AS (SELECT segment, SUM(cnt_a) AS ta, SUM(cnt_b) AS tb
+        |  FROM f GROUP BY 1),
+        |sh AS (SELECT f.segment, f.bin, f.cnt_a, f.cnt_b,
+        |    CASE WHEN t.ta > 0 THEN CAST(f.cnt_a AS DOUBLE) / t.ta ELSE 0.0 END AS share_a,
+        |    CASE WHEN t.tb > 0 THEN CAST(f.cnt_b AS DOUBLE) / t.tb ELSE 0.0 END AS share_b
+        |  FROM f JOIN t USING (segment))
+        |SELECT segment, bin, cnt_a, cnt_b, share_a, share_b,
+        |  CASE WHEN share_a + share_b > 0
+        |    THEN (share_a - share_b) * (share_a - share_b) / (share_a + share_b)
+        |    ELSE 0.0 END AS divergence
+        |FROM sh""".stripMargin,
+
     // rfm1: exact per-customer aggregates (reg1's epoch-day convention,
     // HUGEINT monetary sum), quantile_cont fences on the aggregated
     // frame (the fe1 bit-compatibility contract), integer comparison

@@ -2472,6 +2472,18 @@ object Queries {
       t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
       "1-URGENT", "5-LOW")
 
+  /** DRIFT4: per-SEGMENT drift ([[graft.operators.Drift.numericDriftBy]])
+    * — document-length drift between the even/odd doc_id halves,
+    * normalized within each language; catches the per-segment shift an
+    * aggregate drift check averages away.
+    */
+  def drift4BySegment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Drift.numericDriftBy(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0),
+      "lang", "n_chars", lo = 0.0, hi = 600.0, nBins = 12)
+  }
+
   /** ASSOC1: chi-square association evidence ([[graft.operators
     * .Association.chiSquareCells]]) between order priority and order
     * status — the full observed grid with exact counts, expected counts
@@ -3326,6 +3338,7 @@ object Queries {
     "fn1_funnel" -> (fn1Funnel _),
     "coh1_cohorts" -> (coh1Cohorts _),
     "drift3_multi" -> (drift3Multi _),
+    "drift4_by_segment" -> (drift4BySegment _),
     "scd1b_incremental_history" -> (scd1bIncrementalHistory _)
   )
 }

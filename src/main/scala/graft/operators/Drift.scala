@@ -57,6 +57,56 @@ object Drift {
       .withColumnRenamed("cnt", "cnt_b"))
   }
 
+  /** Drift per SEGMENT — [[numericDrift]] evaluated independently for
+    * every value of `segmentCol` (per-language, per-source, per-tenant):
+    * the aggregate drift check can read clean while one segment shifts
+    * badly (the Simpson's-paradox failure of whole-table drift). Shares
+    * and divergence normalize WITHIN each segment; every (segment, bin)
+    * cell is zero-filled over the union of segments observed on either
+    * side.
+    *
+    * Scale shape: one map-side-combined `groupBy(segment, bin)` scan per
+    * snapshot — the shuffle is segments × nBins wide, bounded by
+    * `maxCells` (loud error beyond); all share math runs on the
+    * localized cell frame.
+    */
+  def numericDriftBy(a: DataFrame, b: DataFrame, segmentCol: String,
+      column: String, lo: Double, hi: Double, nBins: Int,
+      maxCells: Int = 1 << 20): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.where(col(column).isNotNull && col(segmentCol).isNotNull)
+        .groupBy(col(segmentCol).cast("string").as("segment"),
+          binOf(col(column), lo, hi, nBins).as("bin"))
+        .agg(count(lit(1L)).as(name))
+    val ca = localized(counts(a, "cnt_a"), maxCells)
+    val cb = localized(counts(b, "cnt_b"), maxCells)
+    val segs = ca.select(col("segment"))
+      .union(cb.select(col("segment"))).distinct()
+    val bins = (0L until nBins.toLong).toDF("bin")
+    val filled = segs.crossJoin(bins)
+      .join(ca, Seq("segment", "bin"), "left")
+      .join(cb, Seq("segment", "bin"), "left")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L)))
+    val totals = filled.groupBy(col("segment"))
+      .agg(sum(col("cnt_a")).as("__ta"), sum(col("cnt_b")).as("__tb"))
+    filled.join(totals, Seq("segment"))
+      .withColumn("share_a",
+        when(col("__ta") > 0, col("cnt_a").cast("double") / col("__ta"))
+          .otherwise(lit(0.0)))
+      .withColumn("share_b",
+        when(col("__tb") > 0, col("cnt_b").cast("double") / col("__tb"))
+          .otherwise(lit(0.0)))
+      .withColumn("divergence",
+        when(col("share_a") + col("share_b") > 0,
+          (col("share_a") - col("share_b")) * (col("share_a") - col("share_b"))
+            / (col("share_a") + col("share_b")))
+          .otherwise(lit(0.0)))
+      .drop("__ta", "__tb")
+  }
+
   /** One numeric column's drift spec for [[numericDriftMulti]]. */
   final case class ColSpec(column: String, lo: Double, hi: Double, nBins: Int)
 

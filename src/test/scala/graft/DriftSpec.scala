@@ -97,6 +97,37 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.ks(Drift.ksDrift(a, b, "v", 0.0, 100.0, 10)) == 1.0)
   }
 
+  test("numericDriftBy: per-segment normalization isolates the shifted segment") {
+    import spark.implicits._
+    // opposite shifts: segment p moves low->high, q moves high->low, in
+    // equal volume — the POOLED halves are identical (drift reads 0),
+    // only the per-segment view catches both shifts (Simpson's paradox)
+    val a = (Seq.fill(50)(("p", 10.0)) ++ Seq.fill(50)(("q", 90.0)) ++
+      Seq.fill(20)(("r", 50.0))).toDF("seg", "v")
+    val b = (Seq.fill(50)(("p", 90.0)) ++ Seq.fill(50)(("q", 10.0)) ++
+      Seq.fill(20)(("r", 50.0))).toDF("seg", "v")
+    val pooled = Drift.numericDrift(a, b, "v", 0.0, 100.0, 10)
+      .agg(sum(col("divergence"))).collect()(0).getDouble(0)
+    assert(pooled == 0.0, s"pooled drift should cancel, got $pooled")
+    val by = Drift.numericDriftBy(a, b, "seg", "v", 0.0, 100.0, 10)
+      .groupBy(col("segment")).agg(sum(col("divergence")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(by("r") == 0.0)
+    assert(by("p") == 2.0 && by("q") == 2.0,
+      s"disjoint shifts score 2 each, got $by")
+  }
+
+  test("numericDriftBy: zero-fills (segment x bin) over both sides' segments") {
+    import spark.implicits._
+    val a = Seq(("only_a", 5.0)).toDF("seg", "v")
+    val b = Seq(("only_b", 95.0)).toDF("seg", "v")
+    val f = Drift.numericDriftBy(a, b, "seg", "v", 0.0, 100.0, 4)
+    assert(f.count() == 8) // 2 segments x 4 bins
+    val oa = f.where(col("segment") === "only_a" && col("bin") === 0)
+      .collect()(0)
+    assert(oa.getLong(2) == 1L && oa.getLong(3) == 0L)
+  }
+
   test("ksDrift: identical snapshots give zero gap everywhere") {
     import spark.implicits._
     val a = Seq.tabulate(100)(i => i.toDouble).toDF("v")
