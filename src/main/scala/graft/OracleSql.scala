@@ -2130,6 +2130,48 @@ object OracleSql {
         |  floor((root_gini - split_impurity) * 1e6 + 0.5) / 1e6 AS gini_gain
         |FROM fin ORDER BY gini_gain DESC, feature""".stripMargin,
 
+    // sc2: quantile_cont fences (the fe1 bit-compatibility contract),
+    // identical IEEE scale chain, 6dp quantize; zero-IQR pins 0
+    "sc2_robust_scale" -> {
+      def sc(c: String) =
+        s"""CASE WHEN $c IS NULL THEN NULL
+           |     WHEN f.${c}_q3 - f.${c}_q1 > 0
+           |       THEN floor(($c - f.${c}_med) / (f.${c}_q3 - f.${c}_q1)
+           |            * 1e6 + 0.5) / 1e6
+           |     ELSE 0.0 END AS ${c}_rscaled""".stripMargin
+      s"""WITH f AS (SELECT
+         |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS l_quantity_q1,
+         |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS l_quantity_med,
+         |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS l_quantity_q3,
+         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS l_extendedprice_q1,
+         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS l_extendedprice_med,
+         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS l_extendedprice_q3
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |  ${sc("l_quantity")},
+         |  ${sc("l_extendedprice")}
+         |FROM lineitem CROSS JOIN f""".stripMargin
+    },
+
+    // w7: cumulative distinct = running sum of first-seen counts (never a
+    // growing distinct state); lag window over the bounded day frame
+    "w7_user_growth" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM e GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY user_id),
+        |np AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY day),
+        |j AS (SELECT dau.day, dau.dau, COALESCE(np.new_users, 0) AS new_users
+        |  FROM dau LEFT JOIN np USING (day))
+        |SELECT day, dau, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM j ORDER BY day""".stripMargin,
+
     // w6: distinct (user, day) first, then the classic day − row_number
     // island id — pure integer output
     "w6_streaks" ->

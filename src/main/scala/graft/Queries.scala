@@ -2718,6 +2718,26 @@ object Queries {
       Seq("o_orderpriority", "order_year", "price_bucket"), "o_orderstatus")
   }
 
+  /** SC2: robust scaling ([[graft.operators.Features.robustScale]]) —
+    * `(x − median)/IQR` of two lineitem measures; the outlier-immune
+    * sibling of sc1's min-max, fences from the bounded exact-quantile
+    * machinery.
+    */
+  def sc2RobustScale(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.robustScale(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice")),
+      Seq("l_quantity", "l_extendedprice"))
+
+  /** W7: user-growth curve ([[graft.operators.TimeSeries.userGrowth]]) —
+    * DAU, first-time users and exact cumulative distinct users per day;
+    * the cumulative is a running sum of first-seen counts, never a
+    * growing distinct state.
+    */
+  def w7UserGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.userGrowth(
+      t(s, dir, "events"), "user_id", "ts")
+
   /** W6: activity streaks ([[graft.operators.TimeSeries
     * .activityStreaks]]) — per user, maximal runs of consecutive active
     * days from the event stream (gaps-and-islands, key-local).
@@ -3278,6 +3298,8 @@ object Queries {
     "gini1b_split_stat" -> (gini1bSplitStat _),
     "gini2_feature_ranking" -> (gini2FeatureRanking _),
     "w6_streaks" -> (w6Streaks _),
+    "w7_user_growth" -> (w7UserGrowth _),
+    "sc2_robust_scale" -> (sc2RobustScale _),
     "fe2_rolling_features" -> (fe2RollingFeatures _),
     "p15_histogram2d" -> (p15Histogram2d _),
     "p16_group_mode" -> (p16GroupMode _),

@@ -124,7 +124,9 @@ object StressMain {
       // q_cube one multi-set scan; ab1 one two-group scan; p11b one
       // grouped sketch aggregate; gini2 one melted grid scan
       "q_cube", "ab1_welch_t", "p11b_group_approx_distinct",
-      "gini2_feature_ranking", "drift4_by_segment")
+      "gini2_feature_ranking", "drift4_by_segment",
+      // sc2 two fused quantile rounds + map-only scale; w7 two keyed scans
+      "sc2_robust_scale", "w7_user_growth")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -93,6 +93,26 @@ object Features {
     out.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
 
+  /** Robust scaling — `(x − median) / IQR`, 6dp-quantized: the outlier-
+    * immune sibling of [[minMaxScale]] (one 1e9 sentinel drags a min-max
+    * range to uselessness; the median/IQR fences ignore it). Fences come
+    * from the budget-bounded exact-quantile machinery (quantile_cont-
+    * compatible); scaling is a map-only projection against three driver
+    * scalars. Zero-IQR columns pin to 0; nulls pass through.
+    */
+  def robustScale(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val f = Cleaning.exactQuantilesDistributed(
+        d.select(col(c).cast("double").as(c)), c,
+        Seq(0.25, 0.5, 0.75)).flatten
+      val (q1, med, q3) = (f(0), f(1), f(2))
+      d.withColumn(s"${c}_rscaled",
+        when(col(c).isNull, lit(null).cast("double"))
+          .when(lit(q3 - q1) > 0,
+            q6((col(c) - lit(med)) / lit(q3 - q1)))
+          .otherwise(lit(0.0)))
+    }
+
   /** First-order Markov transition matrix of a per-key ordered state
     * sequence: `(from_state, to_state, n_trans, p)` where `p` is the
     * row-normalized transition probability (one IEEE division on exact

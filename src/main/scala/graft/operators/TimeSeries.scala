@@ -188,6 +188,36 @@ object TimeSeries {
           lit(1e6) + lit(0.5)) / lit(1e6)))
   }
 
+  /** User-growth curve: per day, the active-user count (DAU), the
+    * first-time-user count, and the CUMULATIVE distinct-user total — the
+    * growth dashboard every event product runs. The cumulative distinct
+    * is NOT a running `count(distinct)` (which would need an
+    * ever-growing distinct state per day at scale): each user collapses
+    * to their FIRST active day in one aggregate, so cumulative distinct
+    * = running sum of first-time counts — exact, two key-keyed scans,
+    * and the only window runs over the localized day frame (bounded by
+    * `maxDays`).
+    */
+  def userGrowth(df: DataFrame, keyCol: String, tsCol: String,
+      maxDays: Int = 100000): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400.0)).cast("long")
+    val base = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), day.as("__day"))
+    val dau = base.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col(keyCol)).as("dau"))
+    val newPerDay = base.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val joined = localized(
+      dau.join(newPerDay, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L))),
+      maxDays)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
   /** Activity streaks (gaps-and-islands) per key: collapse a timestamped
     * event stream into maximal runs of CONSECUTIVE active days and report
     * `(key, active_days, n_streaks, longest_streak)` — the engagement /

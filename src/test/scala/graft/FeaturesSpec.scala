@@ -80,6 +80,29 @@ class FeaturesSpec extends AnyFunSuite {
     assert(Features.transitionMatrix(df, "k", "st", "ts", "id").count() == 0)
   }
 
+  test("robustScale: outlier-immune fences, null pass, zero-IQR pin") {
+    import spark.implicits._
+    // values 1..9 plus a 1e9 sentinel: median 5.5, IQR = 7.75 - 3.25
+    val df = ((1 to 9).map(_.toDouble) :+ 1e9)
+      .zipWithIndex.map { case (v, i) => (i.toLong, Some(v)) }
+      .toDF("id", "x")
+      .unionAll(Seq((99L, Option.empty[Double])).toDF("id", "x"))
+    val out = Features.robustScale(df, Seq("x"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // median of the 10 non-null values: (5+6)/2 = 5.5; q1 = 3.25, q3 = 7.75
+    assert(out(4L) == Some(q6d((5.0 - 5.5) / 4.5)))
+    assert(out(99L) == None)
+    // the sentinel scales to a huge value but does NOT distort the others
+    assert(out(0L) == Some(-1.0)) // (1 - 5.5)/4.5
+    // zero-IQR: constant column pins 0
+    val const = (1 to 5).map(i => (i.toLong, 7.0)).toDF("id", "x")
+    assert(Features.robustScale(const, Seq("x"))
+      .collect().forall(_.getDouble(2) == 0.0))
+  }
+
+  private def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   test("rfmSegments: quartile scores and segment codes by hand") {
     import spark.implicits._
     // four customers with strictly increasing f and m, decreasing recency

@@ -112,6 +112,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(1).isNullAt(4))
   }
 
+  test("userGrowth: DAU, first-time counts and exact cumulative distinct") {
+    val df = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 0.0),
+      (2L, 2L, "2024-01-01 11:00:00", 0.0),
+      (1L, 3L, "2024-01-02 10:00:00", 0.0), // returning
+      (3L, 4L, "2024-01-02 11:00:00", 0.0), // new
+      (1L, 5L, "2024-01-04 09:00:00", 0.0))) // returning after a gap
+    val out = TimeSeries.userGrowth(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 2L, 2L), (2L, 1L, 3L), (1L, 0L, 3L)))
+  }
+
   test("ewma: pandas adjust=True values on a two-point series") {
     val df = ev(Seq(
       (1L, 1L, "2024-01-01 00:00:01", 4.0),
