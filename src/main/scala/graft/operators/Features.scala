@@ -100,18 +100,24 @@ object Features {
     * compatible); scaling is a map-only projection against three driver
     * scalars. Zero-IQR columns pin to 0; nulls pass through.
     */
-  def robustScale(df: DataFrame, cols: Seq[String]): DataFrame =
+  def robustScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // one FUSED quantile round per p across ALL columns (the c6b
+    // discipline): ps rounds total instead of cols × ps. For 2 columns
+    // the 100× stress gain is modest (23.3 → 21.7 s — the budget-bounded
+    // rounds are cheap next to the output projection) but the round
+    // count no longer grows with the column list
+    val proj = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val Seq(q1s, meds, q3s) =
+      Seq(0.25, 0.5, 0.75).map(p => Cleaning.exactQuantilesMulti(proj, cols, p))
     cols.foldLeft(df) { (d, c) =>
-      val f = Cleaning.exactQuantilesDistributed(
-        d.select(col(c).cast("double").as(c)), c,
-        Seq(0.25, 0.5, 0.75)).flatten
-      val (q1, med, q3) = (f(0), f(1), f(2))
+      val (q1, med, q3) = (q1s(c), meds(c), q3s(c))
       d.withColumn(s"${c}_rscaled",
         when(col(c).isNull, lit(null).cast("double"))
           .when(lit(q3 - q1) > 0,
             q6((col(c) - lit(med)) / lit(q3 - q1)))
           .otherwise(lit(0.0)))
     }
+  }
 
   /** First-order Markov transition matrix of a per-key ordered state
     * sequence: `(from_state, to_state, n_trans, p)` where `p` is the
