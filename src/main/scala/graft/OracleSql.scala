@@ -2172,6 +2172,33 @@ object OracleSql {
         |    AS cum_users
         |FROM j ORDER BY day""".stripMargin,
 
+    // churn1: per-user last-day aggregate, end-day censoring, cumulative
+    // deaths over the bounded day frame, one IEEE hazard division
+    "churn1_hazard" -> {
+      val hex8 = (0 until 8).map { j =>
+        s"(strpos('0123456789abcdef', substr(h,${j + 1},1)) - 1) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      s"""WITH kept AS (SELECT user_id, ts FROM (
+        |    SELECT user_id, ts, md5(CAST(event_id AS VARCHAR)) AS h
+        |    FROM events) WHERE ($hex8) % 20 = 0),
+        |e AS (SELECT user_id,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS day
+        |  FROM kept WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, MAX(day) AS last FROM e GROUP BY user_id),
+        |h AS (SELECT MAX(last) AS endd, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM l),
+        |d AS (SELECT last AS day, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM l CROSS JOIN h WHERE last < endd GROUP BY last),
+        |f AS (SELECT d.day, d.n_events, h.n_users,
+        |    COALESCE(SUM(d.n_events) OVER (ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM d CROSS JOIN h)
+        |SELECT day, CAST(n_users - prior AS BIGINT) AS n_at_risk, n_events,
+        |  floor(CAST(n_events AS DOUBLE) / CAST(n_users - prior AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS hazard
+        |FROM f ORDER BY day""".stripMargin
+    },
+
     // w6: distinct (user, day) first, then the classic day − row_number
     // island id — pure integer output
     "w6_streaks" ->

@@ -2738,6 +2738,21 @@ object Queries {
     graft.operators.TimeSeries.userGrowth(
       t(s, dir, "events"), "user_id", "ts")
 
+  /** CHURN1: churn hazard table ([[graft.operators.Funnel.churnHazard]])
+    * — per day, users at risk, churn events (last-active day before the
+    * horizon) and the hazard rate; Kaplan–Meier survival is the
+    * driver-side product over this frame.
+    */
+  def churn1Hazard(s: SparkSession, dir: String): DataFrame = {
+    // deterministic 5% md5 thinning (the sp1 convention): the synthetic
+    // stream is so dense every user stays active to the horizon; the
+    // sparse view spreads last-active days so the hazard table is real
+    val keep = conv(substring(md5(col("event_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 20 === 0
+    graft.operators.Funnel.churnHazard(
+      t(s, dir, "events").where(keep), "user_id", "ts")
+  }
+
   /** W6: activity streaks ([[graft.operators.TimeSeries
     * .activityStreaks]]) — per user, maximal runs of consecutive active
     * days from the event stream (gaps-and-islands, key-local).
@@ -3299,6 +3314,7 @@ object Queries {
     "gini2_feature_ranking" -> (gini2FeatureRanking _),
     "w6_streaks" -> (w6Streaks _),
     "w7_user_growth" -> (w7UserGrowth _),
+    "churn1_hazard" -> (churn1Hazard _),
     "sc2_robust_scale" -> (sc2RobustScale _),
     "fe2_rolling_features" -> (fe2RollingFeatures _),
     "p15_histogram2d" -> (p15Histogram2d _),

@@ -125,8 +125,9 @@ object StressMain {
       // grouped sketch aggregate; gini2 one melted grid scan
       "q_cube", "ab1_welch_t", "p11b_group_approx_distinct",
       "gini2_feature_ranking", "drift4_by_segment",
-      // sc2 two fused quantile rounds + map-only scale; w7 two keyed scans
-      "sc2_robust_scale", "w7_user_growth")
+      // sc2 two fused quantile rounds + map-only scale; w7 two keyed
+      // scans; churn1 one per-user aggregate + localized day frame
+      "sc2_robust_scale", "w7_user_growth", "churn1_hazard")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -69,4 +69,69 @@ object Funnel {
           .as("week_offset"))
       .agg(count_distinct(col(userCol)).as("users"))
   }
+
+  /** Churn hazard table — the survival-analysis view of the event stream:
+    * per day, the users still AT RISK (active at some point, not yet
+    * churned, churn = last active day when it precedes the observation
+    * end; users last seen ON the end day are right-CENSORED, not churned)
+    * and the churn events, with the hazard rate `d/n` as one IEEE
+    * division, 6dp-quantized.
+    *
+    * Scale shape: ONE per-user aggregate (last active day) + a 1-row max;
+    * the day frame and its cumulative are localized (bounded by
+    * `maxDays`). Nothing row-proportional past the first scan.
+    *
+    * The Kaplan–Meier survival curve `S(t) = Π (1 − dᵢ/nᵢ)` is the
+    * sequential-product view of this frame — [[kaplanMeier]] computes it
+    * driver-side (the PSI convention: a cumulative IEEE product has no
+    * engine-portable exact form, so the ORACLE surface is the hazard
+    * table and the curve is a convenience).
+    */
+  def churnHazard(events: DataFrame, userCol: String, tsCol: String,
+      maxDays: Int = 100000): DataFrame = {
+    val day = floor(col(tsCol).cast("long") / lit(86400.0)).cast("long")
+    val last = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol)).agg(max(day).as("__last"))
+    val horizon = last.agg(max(col("__last")).as("__end"),
+      count(lit(1)).as("__n_users"))
+    val deaths = last.crossJoin(broadcast(horizon))
+      .where(col("__last") < col("__end")) // end-day users are censored
+      .groupBy(col("__last").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = localized(
+      deaths.crossJoin(broadcast(horizon)), maxDays)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    frame
+      .withColumn("n_at_risk",
+        col("__n_users") - coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("hazard",
+        floor(col("n_events").cast("double") /
+          col("n_at_risk").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("day"), col("n_at_risk"), col("n_events"), col("hazard"))
+      .orderBy(col("day"))
+  }
+
+  /** Driver-side Kaplan–Meier survival curve over a [[churnHazard]] frame
+    * (see its doc for why the product is not oracle surface): returns
+    * `(day, survival)` with the sequential product of `(1 − d/n)`.
+    */
+  def kaplanMeier(hazardFrame: DataFrame): Seq[(Long, Double)] = {
+    val rows = hazardFrame.select(col("day"), col("n_at_risk"),
+      col("n_events")).collect().sortBy(_.getLong(0))
+    var s = 1.0
+    rows.map { r =>
+      s *= 1.0 - r.getLong(2).toDouble / r.getLong(1).toDouble
+      (r.getLong(0), s)
+    }.toSeq
+  }
+
+  private def localized(df: DataFrame, maxRows: Int): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"hazard frame exceeded $maxRows days; coarsen the horizon")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }

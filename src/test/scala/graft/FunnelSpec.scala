@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Funnel
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[Funnel.funnel]] / [[Funnel.cohortRetention]]. */
@@ -58,5 +59,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Set(
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L)))
+  }
+
+  test("churnHazard: at-risk ladder, end-day censoring, KM curve by hand") {
+    import spark.implicits._
+    // 5 users; last active days: u1 -> d1, u2 -> d1, u3 -> d2, u4 & u5
+    // -> d3 (the horizon: censored, never counted as churn)
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-02 08:00:00"),
+      (2L, "2024-01-02 09:00:00"),
+      (3L, "2024-01-03 08:00:00"),
+      (4L, "2024-01-01 08:00:00"), (4L, "2024-01-04 08:00:00"),
+      (5L, "2024-01-04 09:00:00"))
+      .toDF("u", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val hz = Funnel.churnHazard(ev, "u", "ts")
+    val rows = hz.collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day1: 5 at risk, 2 churn (u1, u2) -> hazard 0.4
+    // day2: 3 at risk, 1 churn (u3)     -> hazard 0.333333
+    assert(rows.toSeq == Seq((5L, 2L, 0.4), (3L, 1L, 0.333333)))
+    // KM: s1 = 0.6, s2 = 0.6 * (2/3) = 0.4 (within IEEE of the chain)
+    val km = Funnel.kaplanMeier(hz).map(_._2)
+    assert(math.abs(km(0) - 0.6) < 1e-12)
+    assert(math.abs(km(1) - 0.4) < 1e-12)
   }
 }
