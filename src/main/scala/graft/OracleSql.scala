@@ -2261,7 +2261,10 @@ object OracleSql {
         |    AS conf_b_a,
         |  floor(CAST(CAST(n_ab AS HUGEINT) * n_bk AS DOUBLE) /
         |    CAST(CAST(fa.n_item AS HUGEINT) * fb.n_item AS DOUBLE) * 1e6 + 0.5) / 1e6
-        |    AS lift
+        |    AS lift,
+        |  floor(CAST(n_ab AS DOUBLE) /
+        |    sqrt(CAST(CAST(fa.n_item AS HUGEINT) * fb.n_item AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS cosine
         |FROM pairs
         |JOIN fi fa ON pairs.item_a = fa.it
         |JOIN fi fb ON pairs.item_b = fb.it

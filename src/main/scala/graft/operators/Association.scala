@@ -195,7 +195,11 @@ object Association {
           .as("conf_a_b"),
         q6(col("n_ab").cast("double") / col("n_b").cast("double"))
           .as("conf_b_a"),
-        q6(liftNum / liftDen).as("lift"))
+        q6(liftNum / liftDen).as("lift"),
+        // item-item cosine over binary co-occurrence vectors — the
+        // classic collaborative-filtering score beside lift:
+        // n_ab / √(n_a·n_b), exact product, one sqrt + division
+        q6(col("n_ab").cast("double") / sqrt(liftDen)).as("cosine"))
       .orderBy(col("item_a"), col("item_b"))
   }
 

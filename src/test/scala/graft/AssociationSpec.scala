@@ -177,4 +177,15 @@ class AssociationSpec extends AnyFunSuite {
     val rows = (1L to 4L).flatMap(i => Seq(i -> "a", i -> "b"))
     assert(basket(rows, 1L)(("a", "b"))._7 == 1.0)
   }
+
+  test("marketBasket: item-item cosine = n_ab / sqrt(n_a*n_b)") {
+    import spark.implicits._
+    // ab co-occur twice; a in 4 baskets, b in 2: cos = 2/sqrt(8)
+    val rows = Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b",
+      3L -> "a", 4L -> "a")
+    val cos = graft.operators.Association.marketBasket(
+        rows.toDF("bk", "it"), "bk", "it", 1L)
+      .collect()(0).getDouble(9)
+    assert(cos == math.floor(2.0 / math.sqrt(8.0) * 1e6 + 0.5) / 1e6)
+  }
 }
