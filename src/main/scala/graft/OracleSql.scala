@@ -301,6 +301,32 @@ object OracleSql {
          |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${lsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // q14: both conditional exact sums in one grouped scan, one IEEE
+    // share division, 6dp quantize
+    "q14_promo_share" ->
+      s"""WITH g AS (SELECT
+         |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS yyyymm,
+         |    ${lsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |      AS promo_revenue,
+         |    ${lsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT yyyymm, promo_revenue, total_revenue,
+         |  floor(promo_revenue / total_revenue * 100 * 1e6 + 0.5) / 1e6
+         |    AS promo_share
+         |FROM g ORDER BY yyyymm""".stripMargin,
+
     "q6_forecast" ->
       s"""SELECT ${lsum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
          |FROM lineitem

@@ -234,6 +234,45 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10-style: returned-item revenue per customer — who cost us
+    * the most in returns. Fact-fact join shuffles on the order key, the
+    * customer dim broadcasts; exact 6dp revenue sums; top 20 by revenue
+    * (TakeOrdered, the semantic ORDER BY).
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style: promo revenue share per month — the two
+    * conditional exact sums ride ONE scan of the lineitem⋈part join;
+    * the share is a single IEEE division of the two 6dp-exact sums.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("yyyymm"))
+      .agg(
+        lsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        lsum(rev).as("total_revenue"))
+      .withColumn("promo_share",
+        floor(col("promo_revenue") / col("total_revenue") * lit(100) *
+          lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy(col("yyyymm"))
+  }
+
   /** TPC-H Q6-style: single-row forecast — pure scan+filter+sum, the
     * pushdown showcase.
     */
@@ -3208,6 +3247,8 @@ object Queries {
     "q3_top_revenue" -> (q3TopRevenue _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q6_forecast" -> (q6Forecast _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q_semijoin" -> (qSemiJoin _),
     "q_antijoin" -> (qAntiJoin _),
     "q_setops" -> (qSetOps _),

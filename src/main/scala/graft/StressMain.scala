@@ -127,7 +127,10 @@ object StressMain {
       "gini2_feature_ranking", "drift4_by_segment",
       // sc2 two fused quantile rounds + map-only scale; w7 two keyed
       // scans; churn1 one per-user aggregate + localized day frame
-      "sc2_robust_scale", "w7_user_growth", "churn1_hazard")
+      "sc2_robust_scale", "w7_user_growth", "churn1_hazard",
+      // q10 one fact-fact shuffle + broadcast dim + TakeOrdered; q14 one
+      // grouped scan with two conditional exact sums
+      "q10_returned_items", "q14_promo_share")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
