@@ -113,6 +113,55 @@ object EventStreams {
       .toDF()
   }
 
+  final case class FunnelProgress(reached: Int, lastTs: Long)
+  final case class FunnelUpdate(user_id: Long, step: Long,
+      event_type: String, reachedTs: java.sql.Timestamp)
+
+  /** Streaming strictly-ordered funnel — the incremental face of
+    * [[graft.operators.Funnel.funnel]]: per user, emit one row the moment
+    * each NEXT funnel step is reached (an event of `steps(i)` strictly
+    * after the step-(i−1) reach time), across micro-batches. State per
+    * user is two numbers (steps reached, reach time) — bounded by user
+    * cardinality, never event volume — and is removed once the funnel
+    * completes.
+    *
+    * Same-batch cascades work (a batch containing sign-up → activate →
+    * purchase in order emits all three); the strictly-after rule uses
+    * event time, so an out-of-order straggler older than the current
+    * reach time does not advance the funnel. Deterministic per-batch
+    * processing order: `(ts, event_id)`.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty)
+    val stepArr = steps.toArray
+    events.as[Event]
+      .filter(e => stepArr.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[FunnelProgress]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          sorted.foreach { e =>
+            if (p.reached < stepArr.length &&
+                e.event_type == stepArr(p.reached) &&
+                (p.reached == 0 || e.ts.getTime > p.lastTs)) {
+              p = FunnelProgress(p.reached + 1, e.ts.getTime)
+              out += FunnelUpdate(userId, p.reached.toLong,
+                e.event_type, e.ts)
+            }
+          }
+          if (p.reached >= stepArr.length) state.remove()
+          else if (!state.getOption.contains(p)) state.update(p)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop events already seen within the watermark
     * horizon (state is bounded by horizon × key cardinality — the streaming
     * face of the batch dedup family).

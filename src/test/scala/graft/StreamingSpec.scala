@@ -535,6 +535,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(shifted - 2.0) < 1e-12, s"disjoint batch scored $shifted")
   }
 
+  test("funnelStream: cross-batch strict ordering, same-batch cascade, stragglers ignored") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def e(u: Long, id: Long, ts: String, t: String) =
+      (id, java.sql.Timestamp.valueOf(ts), u, t, 0.0, "{}")
+    val q = EventStreams.funnelStream(spark,
+        ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("signup", "activate", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    // batch 0: user 1 cascades two steps in order; user 2 sends the
+    // second step FIRST (must not count)
+    ms.addData(
+      e(1L, 1L, "2024-01-01 10:00:00", "signup"),
+      e(1L, 2L, "2024-01-01 10:05:00", "activate"),
+      e(2L, 3L, "2024-01-01 10:00:00", "activate"))
+    q.processAllAvailable()
+    // batch 1: user 1 completes; a straggler "activate" OLDER than user
+    // 1's signup time arrives for user 2 after their signup -> ignored
+    ms.addData(
+      e(1L, 4L, "2024-01-01 11:00:00", "purchase"),
+      e(2L, 5L, "2024-01-01 12:00:00", "signup"),
+      e(2L, 6L, "2024-01-01 11:59:00", "activate"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, "signup"), (1L, 2L, "activate"), (1L, 3L, "purchase"),
+      (2L, 1L, "signup")))
+  }
+
   test("changeFeedStream: per-batch diffs against a ROLLING snapshot") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
