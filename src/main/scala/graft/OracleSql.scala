@@ -327,6 +327,17 @@ object OracleSql {
          |    AS promo_share
          |FROM g ORDER BY yyyymm""".stripMargin,
 
+    "q18_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    ${lsum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${lsum("l_quantity")} > 200.0)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |  total_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "q6_forecast" ->
       s"""SELECT ${lsum("l_extendedprice * l_discount")} AS revenue, count(*) AS n_rows
          |FROM lineitem

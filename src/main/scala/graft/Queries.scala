@@ -273,6 +273,23 @@ object Queries {
       .orderBy(col("yyyymm"))
   }
 
+  /** TPC-H Q18-style: large-volume orders — the HAVING-filtered
+    * aggregate-then-join shape: per-order exact quantity totals first
+    * (the having filter shrinks the frame before any join), then the
+    * orders fact joins the SHRUNK frame and the customer dim broadcasts.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(lsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 200.0)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
   /** TPC-H Q6-style: single-row forecast — pure scan+filter+sum, the
     * pushdown showcase.
     */
@@ -3249,6 +3266,7 @@ object Queries {
     "q6_forecast" -> (q6Forecast _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q_semijoin" -> (qSemiJoin _),
     "q_antijoin" -> (qAntiJoin _),
     "q_setops" -> (qSetOps _),

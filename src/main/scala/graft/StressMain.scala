@@ -130,7 +130,9 @@ object StressMain {
       "sc2_robust_scale", "w7_user_growth", "churn1_hazard",
       // q10 one fact-fact shuffle + broadcast dim + TakeOrdered; q14 one
       // grouped scan with two conditional exact sums
-      "q10_returned_items", "q14_promo_share")
+      "q10_returned_items", "q14_promo_share",
+      // q18: having-filtered aggregate shrinks before the join
+      "q18_large_orders")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
