@@ -762,6 +762,25 @@ object OracleSql {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // d4b: asymmetric containment — one IEEE division of exact set sizes
+    // per direction (no quantization needed); empty sets excluded so no
+    // NaN; same block-local join as d4
+    "d4b_ngram_containment" ->
+      s"""WITH s AS (SELECT doc_id, lang, source, sset FROM (
+         |    SELECT doc_id, lang, source,
+         |      list_filter(list_distinct($tokSplit), x -> x <> '') AS sset
+         |    FROM documents)
+         |  WHERE len(sset) > 0)
+         |SELECT id_a, id_b, contain_a_in_b, contain_b_in_a FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |      / CAST(len(a.sset) AS DOUBLE) AS contain_a_in_b,
+         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |      / CAST(len(b.sset) AS DOUBLE) AS contain_b_in_a
+         |  FROM s a JOIN s b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE GREATEST(contain_a_in_b, contain_b_in_a) >= 0.8""".stripMargin,
+
     // the distributed min-label fixed point == the recursive reachability
     // closure's per-node minimum — components are partition-order-free
     "d7_neardup_components" ->

@@ -1277,6 +1277,14 @@ object Queries {
     Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang", "source"), n = 1, threshold = 0.5)
 
+  /** D4B: asymmetric n-gram CONTAINMENT pairs ([[Dedup.ngramContainment]])
+    * — `|A∩B|/|A|` both directions within (lang, source) blocks; the
+    * quote/subset detector symmetric Jaccard misses.
+    */
+  def d4bNgramContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 1, threshold = 0.8)
+
   /** D5: embedding-cosine near-dup pairs within label blocks (exact cosine;
     * the oracle mirrors the fold order with an unrolled 64-term sum).
     */
@@ -3309,6 +3317,7 @@ object Queries {
     "d2b_minhash_lsh_oracle" -> (d2bMinhashLshOracle _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d4b_ngram_containment" -> (d4bNgramContainment _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_embedding_neardup_lsh" -> (d5bEmbeddingNearDupLsh _),
     "d6_skew_guard" -> (d6SkewGuard _),

@@ -131,7 +131,10 @@ object StressMain {
       // q10 one fact-fact shuffle + broadcast dim + TakeOrdered; q14 one
       // grouped scan with two conditional exact sums
       "q10_returned_items", "q14_promo_share",
-      // q18: having-filtered aggregate shrinks before the join
+      // q18: having-filtered aggregate shrinks before the join; d4b is
+      // block-local like d4 (excluded from the sweep for the same reason
+      // as d4/d5: the exact blocked all-pairs is the labeled baseline,
+      // its scale path is the LSH family)
       "q18_large_orders")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);

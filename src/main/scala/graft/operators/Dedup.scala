@@ -555,6 +555,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC n-gram containment — `|A∩B| / |A|` in both directions:
+    * the quote/subset detector symmetric Jaccard misses (a tweet quoted
+    * inside a news article has tiny Jaccard but containment ≈ 1 from the
+    * tweet's side — the aggregation/quotation case dataset curation
+    * actually hunts). Same block-local join shape as [[ngramJaccard]]
+    * (never all-pairs across blocks); emits pairs where EITHER direction
+    * reaches `threshold`. Empty shingle sets are excluded (no NaN
+    * divisions). Each containment is one IEEE division of exact set
+    * sizes — bit-portable without quantization.
+    */
+  def ngramContainment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    // drop empty-string tokens (an empty/whitespace doc tokenizes to
+    // [""] under sql split semantics) so contentless docs never pair
+    val sets = df.select(
+        col(idCol).as("id") +: blockCols.map(col) :+
+          array_remove(shingles(col(textCol), n), "").as("sset"): _*)
+      .where(size(col("sset")) > 0)
+    val joinCond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    val inter = size(array_intersect(col("a.sset"), col("b.sset")))
+      .cast("double")
+    sets.as("a").join(sets.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (inter / size(col("a.sset")).cast("double")).as("contain_a_in_b"),
+        (inter / size(col("b.sset")).cast("double")).as("contain_b_in_a"))
+      .where(greatest(col("contain_a_in_b"), col("contain_b_in_a")) >=
+        threshold)
+  }
+
   // ------------------------------------------------------ components
   /** Connected components over an undirected near-dup pair list — the
     * clustering step that closes greedy keep-first's semantic gap (a chain

@@ -96,6 +96,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("ngramContainment: catches the quote-inside-article case Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1 plus a lot of extra text: jaccard is small (4/12)
+    // but doc 1 is FULLY contained in doc 2
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta e f g h i j k l"),
+      (3L, "totally different words here"))
+      .toDF("id", "text").withColumn("blk", lit(1))
+    val jac = Dedup.ngramJaccard(d, "id", "text", Seq("blk"), n = 1,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "symmetric jaccard must miss the quote")
+    val out = Dedup.ngramContainment(d, "id", "text", Seq("blk"), n = 1,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((1.0, 4.0 / 12)))
+    // empty docs never pair (and never NaN)
+    val withEmpty = d.unionAll(Seq((4L, "")).toDF("id", "text")
+      .withColumn("blk", lit(1)))
+    assert(!Dedup.ngramContainment(withEmpty, "id", "text", Seq("blk"),
+        n = 1, threshold = 0.0)
+      .collect().exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+  }
+
   test("embeddingNearDup multi-table LSH: planted near-identical pairs, 100% recall") {
     val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
