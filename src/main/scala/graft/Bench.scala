@@ -5,11 +5,16 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. The noop sink forces full materialization of every
   * output column (a bare .count() would let Spark prune the plan).
   *
-  * Each query is timed on TWO full passes and the minimum is reported: the
-  * bench may share a machine with other work (the driver's own harness,
-  * GC of a previous suite), and min-of-N is the standard way to read
-  * steady-state cost through transient load spikes. A real regression slows
-  * both passes; a noise spike slows one.
+  * Methodology: one UNTIMED warm-up pass over the full registry (JIT,
+  * janino codegen compilation, classloading, shuffle-service buffers all
+  * land there), then TWO timed passes with the minimum reported. The bench
+  * may share a machine with other work (the driver's own harness, GC of a
+  * previous suite); min-of-N reads steady-state cost through transient
+  * load spikes. A real regression slows both timed passes; a noise spike
+  * slows one; first-call compilation cost hits neither. Prior rounds that
+  * warmed only the flagship query showed pass-1/pass-2 spreads of 1.4-1.7x
+  * and phantom 16x "regressions" on untouched code (w4, r9-r10) — pure
+  * measurement noise this pass structure removes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +28,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen once on the smallest SF so per-query timings
-    // reflect execution, not first-call classloading.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -38,6 +39,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }.toMap
+    // Untimed warm-up: every query runs once so per-query timings measure
+    // execution, not first-call JIT/janino/classloading (see header).
+    val warm = onePass()
     val passes = Seq(onePass(), onePass())
     val results = names.map { case (n, _) => n -> passes.map(_(n)).min }
     // Per-query values rounded to ms and the headline fields placed LAST:
@@ -47,11 +51,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // pass_totals: each full pass's wall total (pass 1 includes first-call
-    // JIT/classloading) so round-over-round comparisons can be made
-    // like-for-like against either single-pass or min-of-N methodology.
+    // pass_totals: the two TIMED passes' wall totals (the warm-up pass is
+    // reported separately as warmup_total) so round-over-round comparisons
+    // can be made like-for-like; close pass totals = trustworthy numbers.
     val passTotals = passes.map(p => f"${p.values.sum}%.3f").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"sf":"$sfDir","passes":${passes.size},"pass_totals":$passTotals,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec"}""")
+    val warmTotal = f"${warm.values.sum}%.3f"
+    println(s"""{"queries":$qs,"sf":"$sfDir","passes":${passes.size},"warmup_total":$warmTotal,"pass_totals":$passTotals,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -218,7 +218,9 @@ object Association {
     * DECIMAL(38,0) (DuckDB: HUGEINT), one double cast each, then a fixed
     * IEEE sequence — mean `(S/n)/1e6`, sample variance
     * `(n·SS − S²)/(n·(n−1))/1e12`, `t = (m_a − m_b)/√(v_a/n_a + v_b/n_b)`
-    * — all 6dp-quantized. Groups with n < 2 or zero variance pin t to 0.
+    * — all 6dp-quantized. Groups with n < 2 or zero variance pin t to 0;
+    * an ABSENT group still yields the single output row with n = 0,
+    * NULL mean and 0 variance (the SQL-aggregate shape), never 0 rows.
     */
   def welchT(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
@@ -232,8 +234,16 @@ object Association {
           sum((qv * qv).cast("decimal(38,0)")).cast("double").as("__ss")),
       4)
     def side(name: String, suffix: String): DataFrame = {
+      // Re-aggregate the (at most one) matching group row so an ABSENT
+      // group still yields one row with n=0 / NULL mean / 0 variance —
+      // the same shape a SQL aggregate over an empty filter produces
+      // (otherwise the crossJoin of an empty side collapses the result
+      // to zero rows, an undefined contract on missing groups).
+      val f = g.where(col("__g") === name)
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("__n"),
+          sum(col("__s")).as("__s"), sum(col("__ss")).as("__ss"))
       val nD = col("__n").cast("double")
-      g.where(col("__g") === name).select(
+      f.select(
         col("__n").as(s"n_$suffix"),
         q6(col("__s") / nD / lit(1e6)).as(s"mean_$suffix"),
         when(col("__n") >= 2,

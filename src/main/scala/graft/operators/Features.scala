@@ -343,8 +343,11 @@ object Features {
     */
   def rfmSegments(tx: DataFrame, custCol: String, dateCol: String,
       amountCol: String): DataFrame = {
-    val day = floor(col(dateCol).cast("timestamp").cast("long") /
-      lit(86400.0)).cast("long")
+    // Epoch-day via datediff against a fixed epoch DATE: timezone-
+    // independent (a timestamp cast would shift by the session offset on
+    // non-UTC JVMs, diverging from the oracle's UTC epoch()).
+    val day = datediff(col(dateCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
     val per = tx
       .where(col(custCol).isNotNull && col(dateCol).isNotNull &&
         col(amountCol).isNotNull)

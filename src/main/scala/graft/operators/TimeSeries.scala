@@ -160,10 +160,12 @@ object TimeSeries {
     * impossible to replay exactly in another engine without running the
     * same unbounded loop. With a fixed window K and rational decay, each
     * weight is the exact integer `wNumⁱ·wDen^(K−1−i)`, values are
-    * 6dp-quantized, numerator and denominator accumulate as exact BIGINTs
-    * per row, and one IEEE division + 6dp quantize finishes — bit-equal
-    * anywhere. Null values (and pre-history lags) drop out of both sums.
-    * Magnitude bound with defaults (K = 8, decay 3/4): |value| ≤ 7e7.
+    * 6dp-quantized, the numerator accumulates exactly in DECIMAL(38,0)
+    * (overflow-proof for any Long-representable quantized value; the
+    * BIGINT oracle errors loudly first), the denominator as an exact
+    * BIGINT weight sum, and one IEEE division + 6dp quantize finishes —
+    * bit-equal anywhere. Null values (and pre-history lags) drop out of
+    * both sums.
     */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valueCol: String, wNum: Int = 3, wDen: Int = 4,
@@ -176,8 +178,17 @@ object TimeSeries {
     def lagQ(i: Int): Column = if (i == 0) q else lag(q, i).over(w)
     val weights = (0 until windowRows).map(i =>
       (BigInt(wNum).pow(i) * BigInt(wDen).pow(windowRows - 1 - i)).toLong)
+    // Numerator terms accumulate in DECIMAL(38,0): the weight bound above
+    // caps Σweights ≤ 2^40, but a Long NUMERATOR (weight × 6dp-quantized
+    // value) would silently wrap for |value| ≳ 2^23/Σw in non-ANSI Spark
+    // while the BIGINT oracle errors loudly — decimal keeps the product
+    // exact for any representable input (≤ ~1e31 ≪ 10^38). The
+    // denominator is a pure weight sum and stays comfortably in Long.
+    val dec = "decimal(38,0)"
     val numSum = (0 until windowRows).map(i =>
-      when(lagQ(i).isNotNull, lagQ(i) * lit(weights(i))).otherwise(lit(0L)))
+      when(lagQ(i).isNotNull,
+          lagQ(i).cast(dec) * lit(weights(i)).cast(dec))
+        .otherwise(lit(0L).cast(dec)))
       .reduce(_ + _)
     val denSum = (0 until windowRows).map(i =>
       when(lagQ(i).isNotNull, lit(weights(i))).otherwise(lit(0L)))

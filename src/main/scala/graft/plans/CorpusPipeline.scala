@@ -115,8 +115,14 @@ object CorpusPipeline {
       afterGates: Long,
       afterExactDedup: Long,
       afterNearDedup: Long,
-      // the repeat-cap allocation table when Config.repeatCapEpochs is set
-      mixture: Option[DataFrame] = None)
+      // the repeat-cap allocation table when Config.repeatCapEpochs is
+      // set — computed over the RETURNED frame, i.e. the sampled corpus
+      // when Config.sampleK is set, the deduped corpus otherwise
+      mixture: Option[DataFrame] = None,
+      // rows in the RETURNED frame after Config.sampleK systematic
+      // sampling; equals afterNearDedup when sampling is off (-1 when
+      // audit = false, like the other counts)
+      afterSample: Long = -1L)
 
   /** Run the pipeline. Returns the cleaned corpus — original columns plus
     * (lang, n_tokens, quality) — and per-stage counts (-1s when
@@ -307,6 +313,9 @@ object CorpusPipeline {
           deduped.localCheckpoint(), idCol, "n_tokens", k)
       case None => deduped
     }
+    // afterSample counts the RETURNED frame; afterNearDedup keeps the
+    // pre-sample deduped count so the two stages are separately visible.
+    val nSampled = if (cfg.sampleK.isDefined) n(sampled) else nFinal
     exact.unpersist(blocking = false)
     stageCaches.foreach(_.unpersist(blocking = false))
 
@@ -318,6 +327,6 @@ object CorpusPipeline {
         sampled, "lang", col("n_tokens"), maxEpochs = epochs)
     }
 
-    (sampled, Stats(nInput, nGated, nExact, nFinal, mixture))
+    (sampled, Stats(nInput, nGated, nExact, nFinal, mixture, nSampled))
   }
 }

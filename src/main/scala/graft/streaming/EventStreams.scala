@@ -130,34 +130,55 @@ object EventStreams {
     * event time, so an out-of-order straggler older than the current
     * reach time does not advance the funnel. Deterministic per-batch
     * processing order: `(ts, event_id)`.
+    *
+    * State hygiene (the 100 TB story): a user who never reaches step 0
+    * registers NO state (their events cost a group invocation, not an
+    * entry in the state store — at web scale most users never enter the
+    * funnel, so this is the difference between state ∝ funnel entrants
+    * and state ∝ all users). Completion removes state. For users who
+    * enter and then stall forever, pass `evictAfter` (e.g. "30 days") to
+    * evict their entry on a processing-time timeout — an evicted user who
+    * later advances restarts from step 0, the standard re-entry
+    * trade-off; None keeps stalled entrants indefinitely.
     */
   def funnelStream(spark: SparkSession, events: DataFrame,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], evictAfter: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(steps.nonEmpty)
     val stepArr = steps.toArray
+    val timeoutConf =
+      if (evictAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.as[Event]
       .filter(e => stepArr.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event],
             state: GroupState[FunnelProgress]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
-          sorted.foreach { e =>
-            if (p.reached < stepArr.length &&
-                e.event_type == stepArr(p.reached) &&
-                (p.reached == 0 || e.ts.getTime > p.lastTs)) {
-              p = FunnelProgress(p.reached + 1, e.ts.getTime)
-              out += FunnelUpdate(userId, p.reached.toLong,
-                e.event_type, e.ts)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+            sorted.foreach { e =>
+              if (p.reached < stepArr.length &&
+                  e.event_type == stepArr(p.reached) &&
+                  (p.reached == 0 || e.ts.getTime > p.lastTs)) {
+                p = FunnelProgress(p.reached + 1, e.ts.getTime)
+                out += FunnelUpdate(userId, p.reached.toLong,
+                  e.event_type, e.ts)
+              }
             }
+            if (p.reached >= stepArr.length) state.remove()
+            else if (p.reached > 0) {
+              // Only funnel ENTRANTS hold state; refresh the eviction
+              // clock on every batch that touches the user.
+              if (!state.getOption.contains(p)) state.update(p)
+              evictAfter.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
           }
-          if (p.reached >= stepArr.length) state.remove()
-          else if (!state.getOption.contains(p)) state.update(p)
-          out.iterator
       }
       .toDF()
   }
