@@ -3359,7 +3359,150 @@ object OracleSql {
         |      ('FURNITURE'), ('HOUSEHOLD'), ('MACHINERY')) t(v)
         |    WHERE levenshtein(dirty, v) <= 1
         |    ORDER BY levenshtein(dirty, v), v LIMIT 1), dirty) AS canonical
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // h1: the planted-HTML fixture rebuilt with ||, then every extraction
+    // rule replayed — whole-element strips, block split on the same tag
+    // alternation, per-block visible/link-char structs, the integer
+    // link-density filter (2*lc <= vis), ordered join, entity decode
+    // (&amp; last), final collapse. Regexes live in the Java∩RE2 subset
+    // so both engines read them identically.
+    "h1_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p{margin:0}</style><script>var id=' ||
+        |  CAST(doc_id AS VARCHAR) || ';</script></head><body>' ||
+        |  '<div><a href="/">Home</a> <a href="/about">About</a> nav</div>' ||
+        |  '<p>' || text || '</p>' ||
+        |  '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<ul><li><a href="/x">x' ||
+        |    CAST(doc_id AS VARCHAR) || '</a></li></ul>' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '<p>terms &amp; conditions &quot;apply&quot; &lt;here&gt; &#39;now&#39;&nbsp;always</p>'
+        |    ELSE '' END ||
+        |  '<p>as noted in <a href="/ref' || CAST(doc_id AS VARCHAR) ||
+        |  '">reference ' || CAST(doc_id AS VARCHAR) ||
+        |  '</a> the corpus continues</p>' ||
+        |  '<div>copyright <a href="/c">contact</a> <a href="/p">privacy</a> <a href="/t">terms</a></div>' ||
+        |  '</body></html>' AS html
+        |  FROM documents),
+        |pre AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS body
+        |  FROM h),
+        |blk AS (SELECT doc_id, string_split_regex(body,
+        |    '(?i)</?(?:html|head|body|title|p|div|br|hr|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|form)[^>]*>') AS blocks
+        |  FROM pre),
+        |m AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+        |    vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')),
+        |    lc := coalesce(list_sum(list_transform(
+        |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |      x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0))) AS bs
+        |  FROM blk),
+        |k AS (SELECT doc_id,
+        |    list_filter(bs, s -> length(s.vis) > 0) AS nonempty,
+        |    list_filter(bs, s -> length(s.vis) > 0
+        |      AND 2 * s.lc <= length(s.vis)) AS kept
+        |  FROM m)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      array_to_string(list_transform(kept, s -> s.vis), ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS main_text,
+        |  CAST(length(nonempty) AS BIGINT) AS n_blocks,
+        |  CAST(length(kept) AS BIGINT) AS n_kept
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
+    // cp8: extraction wired AHEAD of the gates — planted %11 copies whose
+    // HTML differs from the original only in STRIPPED regions (head_id in
+    // title/script/comment; all body content from body_id = id % 2M), the
+    // h1 extraction chain, then the cp1 gate replay on the EXTRACTED text
+    // and the cp7 set-hash threshold-1.0 near-dedup. The copies collapse
+    // in exact dedup iff extraction removed the differing head/comments.
+    "cp8_html_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, doc_id AS head_id, doc_id AS body_id, text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, doc_id + 2000000 AS head_id,
+         |    doc_id AS body_id, text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(head_id AS VARCHAR) ||
+         |  '</title><style>p{margin:0}</style><script>var id=' ||
+         |  CAST(head_id AS VARCHAR) || ';</script></head><body>' ||
+         |  '<div><a href="/">Home</a> <a href="/about">About</a> nav</div>' ||
+         |  '<p>' || text || '</p>' ||
+         |  '<!-- hidden ' || CAST(head_id AS VARCHAR) || ' -->' ||
+         |  CASE WHEN body_id % 3 = 0 THEN '<ul><li><a href="/x">x' ||
+         |    CAST(body_id AS VARCHAR) || '</a></li></ul>' ELSE '' END ||
+         |  CASE WHEN body_id % 5 = 0 THEN
+         |    '<p>terms &amp; conditions &quot;apply&quot; &lt;here&gt; &#39;now&#39;&nbsp;always</p>'
+         |    ELSE '' END ||
+         |  '<p>as noted in <a href="/ref' || CAST(body_id AS VARCHAR) ||
+         |  '">reference ' || CAST(body_id AS VARCHAR) ||
+         |  '</a> the corpus continues</p>' ||
+         |  '<div>copyright <a href="/c">contact</a> <a href="/p">privacy</a> <a href="/t">terms</a></div>' ||
+         |  '</body></html>' AS html
+         |  FROM corpus),
+         |pre AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g') AS body
+         |  FROM h),
+         |blk AS (SELECT doc_id, string_split_regex(body,
+         |    '(?i)</?(?:html|head|body|title|p|div|br|hr|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|form)[^>]*>') AS blocks
+         |  FROM pre),
+         |m AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+         |    vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+         |      '[ \t\n\r]+', ' ', 'g')),
+         |    lc := coalesce(list_sum(list_transform(
+         |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+         |      x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0))) AS bs
+         |  FROM blk),
+         |k AS (SELECT doc_id,
+         |    list_filter(bs, s -> length(s.vis) > 0
+         |      AND 2 * s.lc <= length(s.vis)) AS kept
+         |  FROM m),
+         |ext AS (SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      array_to_string(list_transform(kept, s -> s.vis), ' '),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&'),
+         |    '[ \t\n\r]+', ' ', 'g')) AS text
+         |  FROM k),
+         |sc AS (SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $nTokensSql AS n_tokens,
+         |  $langScoreCols
+         |  FROM ext),
+         |meta AS (SELECT doc_id, text, quality, n_tokens,
+         |    $langPredSql AS lang
+         |  FROM sc),
+         |gated AS (SELECT * FROM meta
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND quality >= 0.3),
+         |fp AS (SELECT doc_id, text, quality, n_tokens, lang,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+         |  FROM gated),
+         |exact AS (SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+         |shh AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort($trigramSetSql), chr(10))) AS shash
+         |  FROM (SELECT doc_id, $tokSplit AS toks FROM exact)),
+         |nd AS (SELECT e.* FROM exact e JOIN shh USING (doc_id)
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM shh GROUP BY shash))
+         |SELECT doc_id, lang, n_tokens, quality FROM nd
+         |ORDER BY doc_id""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

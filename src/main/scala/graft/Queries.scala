@@ -3257,6 +3257,92 @@ object Queries {
   }
 
   // ======================================================================
+  // Round-11 crawl-frontier operators
+  // ======================================================================
+
+  /** The planted-HTML fixture shared by h1/cp8 (the pii1 pattern): each
+    * document's text wrapped in a deterministic page scaffold built from
+    * `doc_id` — head with title/style/script (must vanish whole), a nav
+    * and a footer div of links (boilerplate: link density > 1/2, must
+    * drop), the text in a `<p>` (must survive), an HTML comment, a
+    * link-only `<ul>` on ids % 3 (drops), an entity-bearing `<p>` on ids
+    * % 5 (survives, decodes), and a trailing `<p>` with an INLINE link
+    * (survives WITH its link text — the case separating link-density
+    * filtering from naive link stripping). The oracle builds the same
+    * string with `||`.
+    *
+    * `headId` feeds the STRIPPED regions (title, script, comment);
+    * `bodyId` feeds the content regions and the mod-3/mod-5 variations —
+    * h1 passes the same id to both, cp8 splits them so planted copies
+    * differ ONLY in stripped regions (duplicates extraction must reveal).
+    */
+  private def plantedHtml(headId: Column, bodyId: Column): Column = {
+    val hId = headId.cast("string")
+    val bId = bodyId.cast("string")
+    concat(
+      lit("<html><head><title>Doc "), hId,
+      lit("</title><style>p{margin:0}</style><script>var id="), hId,
+      lit(";</script></head><body>"),
+      lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> nav</div>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<!-- hidden "), hId, lit(" -->"),
+      when(bodyId % 3 === 0,
+        concat(lit("<ul><li><a href=\"/x\">x"), bId, lit("</a></li></ul>")))
+        .otherwise(lit("")),
+      when(bodyId % 5 === 0,
+        lit("<p>terms &amp; conditions &quot;apply&quot; &lt;here&gt; " +
+          "&#39;now&#39;&nbsp;always</p>")).otherwise(lit("")),
+      lit("<p>as noted in <a href=\"/ref"), bId, lit("\">reference "),
+      bId, lit("</a> the corpus continues</p>"),
+      lit("<div>copyright <a href=\"/c\">contact</a> " +
+        "<a href=\"/p\">privacy</a> <a href=\"/t\">terms</a></div>"),
+      lit("</body></html>"))
+  }
+
+  /** H1: HTML → main-content extraction ([[graft.operators.Html.extract]])
+    * over the planted-HTML fixture — tag/script/style/comment stripping
+    * plus the link-density boilerplate filter, with block accounting. The
+    * oracle replays every regex rule and the integer density comparison
+    * verbatim in DuckDB, so hash equality proves the extraction — not just
+    * its row count — identical. Map-only; zero shuffles.
+    */
+  def h1HtmlExtract(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Html.extract(
+      t(s, dir, "documents").select(col("doc_id"),
+        plantedHtml(col("doc_id"), col("doc_id")).as("__html")),
+      "doc_id", "__html")
+      .orderBy(col("doc_id"))
+
+  /** CP8: the pipeline with HTML extraction wired AHEAD of the gates
+    * ([[graft.plans.CorpusPipeline.Config.htmlExtract]]) — crawl stage
+    * order: extract → gates → exact dedup → set-equality near-dedup (the
+    * cp7 threshold-1.0 convention, so the whole-pipeline oracle stays
+    * linear). The fixture plants a copy of every doc_id % 11 == 0 page
+    * under id +2M whose HTML differs from the original ONLY in stripped
+    * regions (title/script/comment carry the real id; all body content
+    * derives from id % 2M) — so raw fingerprints differ and the copies
+    * collapse in exact dedup IF AND ONLY IF extraction removed the head
+    * and comments before the gates. The oracle replays extraction, both
+    * gate formulas on the EXTRACTED text, and both dedup stages; the
+    * planted copies must all vanish.
+    */
+  def cp8HtmlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionAll(
+      base.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+    val docs = corpus.select(col("doc_id"),
+      plantedHtml(col("doc_id"), col("doc_id") % 2000000L).as("text"))
+    val (cleaned, _) = graft.plans.CorpusPipeline.run(docs, "doc_id", "text",
+      graft.plans.CorpusPipeline.Config(audit = false,
+        materializeResult = true, htmlExtract = true,
+        nearDupThreshold = 1.0))
+    cleaned.select(col("doc_id"), col("lang"),
+      col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ======================================================================
   // Registry
   // ======================================================================
 
@@ -3445,6 +3531,8 @@ object Queries {
     "coh1_cohorts" -> (coh1Cohorts _),
     "drift3_multi" -> (drift3Multi _),
     "drift4_by_segment" -> (drift4BySegment _),
-    "scd1b_incremental_history" -> (scd1bIncrementalHistory _)
+    "scd1b_incremental_history" -> (scd1bIncrementalHistory _),
+    "h1_html_extract" -> (h1HtmlExtract _),
+    "cp8_html_pipeline" -> (cp8HtmlPipeline _)
   )
 }

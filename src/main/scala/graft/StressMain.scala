@@ -135,7 +135,11 @@ object StressMain {
       // block-local like d4 (excluded from the sweep for the same reason
       // as d4/d5: the exact blocked all-pairs is the labeled baseline,
       // its scale path is the LSH family)
-      "q18_large_orders")
+      "q18_large_orders",
+      // round-11: h1 is one map-only regex/array projection over
+      // replicated documents; cp8 = that projection fused ahead of the
+      // cp7-style gates + dedup chain (the %11 copy plant rides the scan)
+      "h1_html_extract", "cp8_html_pipeline")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -38,6 +38,12 @@ object CorpusPipeline {
   case object Components extends NearDupPolicy
 
   final case class Config(
+      // Crawl stage 0 ([[graft.operators.Html.mainContent]]): the text
+      // column holds raw HTML; replace it with the extracted main content
+      // (tag/script/style/comment strip + link-density boilerplate
+      // filter) BEFORE any gate sees it — C4/CCNet stage order. Rides the
+      // same fused narrow pass as the gates: map-only, no extra scan.
+      htmlExtract: Boolean = false,
       minTokens: Long = 5,
       maxTokens: Long = 100000,
       minQuality: Double = 0.3,
@@ -140,8 +146,19 @@ object CorpusPipeline {
 
     val nInput = n(docs)
 
+    // 0. HTML main-content extraction (optional): the raw column holds
+    // markup; swap in the extracted main text so every downstream stage
+    // (gates, rewrite, dedup) sees CONTENT, not boilerplate — and two
+    // pages differing only in stripped regions (head, scripts, comments,
+    // nav/footer chrome) become the exact duplicates they really are.
+    val docs0 =
+      if (cfg.htmlExtract)
+        docs.withColumn(textCol,
+          graft.operators.Html.mainContent(col(textCol)))
+      else docs
+
     // 1. metadata + gates: one fused narrow pass, no shuffle
-    val withMeta = docs
+    val withMeta = docs0
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
