@@ -3502,7 +3502,36 @@ object OracleSql {
          |nd AS (SELECT e.* FROM exact e JOIN shh USING (doc_id)
          |  WHERE doc_id IN (SELECT min(doc_id) FROM shh GROUP BY shash))
          |SELECT doc_id, lang, n_tokens, quality FROM nd
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // fj2: the prefix-blocked JW join replayed with DuckDB's OWN
+    // jaro_winkler_similarity (an independent implementation of the
+    // rapidfuzz convention) — prefix-equality join, 6dp quantize on both
+    // sides, threshold on the quantized value
+    "fj2_jw_join" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    translate(reverse(substr(c_name, 10, 9)),
+        |      '0123456789', 'abcdefghij') AS nm
+        |  FROM customer WHERE c_custkey <= 2000),
+        |recs AS (
+        |  SELECT k * 4 AS rec_id, nm AS name FROM base
+        |  UNION ALL
+        |  SELECT k * 4 + 1, substr(nm, 1, 5) || 'x' || substr(nm, 7, 3)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k * 4 + 2, nm || 'z' FROM base
+        |  UNION ALL
+        |  SELECT k * 4 + 3, substr(nm, 1, 4) || 'zzzzz' FROM base),
+        |p AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |    a.name AS str_a, b.name AS str_b,
+        |    floor(jaro_winkler_similarity(a.name, b.name) * 1e6 + 0.5) / 1e6
+        |      AS sim
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 1, 4) = substr(b.name, 1, 4)
+        |    AND a.rec_id < b.rec_id)
+        |SELECT id_a, id_b, str_a, str_b, sim FROM p
+        |WHERE sim >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

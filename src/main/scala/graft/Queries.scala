@@ -3342,6 +3342,38 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** FJ2: Jaro-Winkler entity-resolution join ([[graft.operators.FuzzyJoin
+    * .jwSelfJoin]]) — prefix-4 blocking + the codegen'd
+    * [[graft.functions.JaroWinkler]] verify at 0.95, the record-linkage
+    * comparator edit distance can't express (er1/fj1 cover the ed≤k
+    * contract; this row covers similarity-thresholded matching). Fixture:
+    * pseudo-names from reversed key digits (distinct prefixes — blocking
+    * does real work), each with a mid-string substitution (JW 0.9556,
+    * admitted BY the Winkler prefix boost), an appended char (0.98,
+    * admitted), and a same-prefix tail rewrite (0.6296, a candidate the
+    * verify must REJECT). The oracle replays the prefix-equality join and
+    * DuckDB's own `jaro_winkler_similarity`, both 6dp-quantized — so the
+    * hash pins the JW kernel against an independent implementation across
+    * every candidate pair, not just spot values.
+    */
+  def fj2JwJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").where(col("c_custkey") <= 2000)
+      .select(col("c_custkey").as("k"),
+        translate(reverse(substring(col("c_name"), 10, 9)),
+          "0123456789", "abcdefghij").as("nm"))
+    val recs = base.select((col("k") * 4).as("rec_id"), col("nm").as("name"))
+      .unionAll(base.select((col("k") * 4 + 1).as("rec_id"),
+        concat(substring(col("nm"), 1, 5), lit("x"),
+          substring(col("nm"), 7, 3)).as("name")))
+      .unionAll(base.select((col("k") * 4 + 2).as("rec_id"),
+        concat(col("nm"), lit("z")).as("name")))
+      .unionAll(base.select((col("k") * 4 + 3).as("rec_id"),
+        concat(substring(col("nm"), 1, 4), lit("zzzzz")).as("name")))
+    graft.operators.FuzzyJoin.jwSelfJoin(recs, "rec_id", "name",
+        prefixLen = 4, minSim = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3533,6 +3565,7 @@ object Queries {
     "drift4_by_segment" -> (drift4BySegment _),
     "scd1b_incremental_history" -> (scd1bIncrementalHistory _),
     "h1_html_extract" -> (h1HtmlExtract _),
-    "cp8_html_pipeline" -> (cp8HtmlPipeline _)
+    "cp8_html_pipeline" -> (cp8HtmlPipeline _),
+    "fj2_jw_join" -> (fj2JwJoin _)
   )
 }

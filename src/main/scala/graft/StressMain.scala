@@ -202,6 +202,26 @@ object StressMain {
     println(f"[stress] fuzzy_join_${fjN / 1000}%dk      ${(System.nanoTime() - tFj) / 1e9}%8.2f s " +
       f"(pairs=$fjPairs)")
 
+    // Jaro-Winkler prefix-blocked join at factor×3k records (fj2's scale
+    // shape): pseudo-names with uniform 4-char prefixes + one typo variant
+    // each. Candidate volume is Σ bucket²/2 — with ~10^4 live prefixes the
+    // per-bucket population (and so the verify bill) grows linearly in n
+    // per bucket; the row proves the verify stays bucket-local and the
+    // codegen'd JW kernel sustains millions of comparisons, never n²/2.
+    val tJw = System.nanoTime()
+    val jwN = factor * 1500
+    val jwBase = spark.range(0, jwN.toLong)
+      .select(col("id"), translate(reverse(lpad(col("id").cast("string"),
+        9, "0")), "0123456789", "abcdefghij").as("nm"))
+    val jwRecs = jwBase.select((col("id") * 2).as("rid"), col("nm").as("name"))
+      .unionAll(jwBase.select((col("id") * 2 + 1).as("rid"),
+        concat(substring(col("nm"), 1, 5), lit("x"),
+          substring(col("nm"), 7, 3)).as("name")))
+    val jwPairs = graft.operators.FuzzyJoin.jwSelfJoin(
+      jwRecs, "rid", "name", prefixLen = 4, minSim = 0.95).count()
+    println(f"[stress] jw_join_${jwN * 2 / 1000}%dk          ${(System.nanoTime() - tJw) / 1e9}%8.2f s " +
+      f"(pairs=$jwPairs)")
+
     // Incremental near-dup at scale: the index build pays the one-time
     // corpus scan; the BATCH probe must cost ~batch size, independent of
     // corpus text volume — compare the probe row across factors (the build

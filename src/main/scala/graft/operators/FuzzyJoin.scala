@@ -113,6 +113,56 @@ object FuzzyJoin {
     (verified, audit)
   }
 
+  /** Jaro-Winkler self-join: all pairs sharing a `prefixLen`-character
+    * blocking key whose JW similarity (6dp-quantized, the house
+    * convention) reaches `minSim` — as `(id_a, id_b, str_a, str_b, sim)`
+    * with `id_a < id_b`. The record-linkage comparator for real names,
+    * where [[fuzzySelfJoin]]'s edit-distance contract is too coarse (a
+    * one-char typo in a 5-char name and in a 30-char name are the same
+    * distance but very different evidence).
+    *
+    * Blocking is EXACT-PREFIX buckets — principled for JW specifically:
+    * the Winkler term rewards shared prefixes, so the high-similarity
+    * pairs a threshold ≥ ~0.9 admits overwhelmingly agree on their first
+    * characters; pairs that diverge inside the prefix score low anyway.
+    * The contract is therefore "prefix-blocked JW join" (the standard
+    * Splink/FEBRL blocking-rule shape), NOT a lossless all-pairs JW scan
+    * — and the oracle replays the same prefix-equality join, so the
+    * contract is pinned, not hidden.
+    *
+    * Scale shape (100 TB lens): one shuffle on the prefix key, pairs
+    * bucket-local via [[Dedup.boundedBucketPairs]] with the hot-bucket
+    * guard (a mega-prefix degrades to O(n·repFactor) with an audit, not
+    * O(n²)); the verify is the codegen'd [[graft.functions.JaroWinkler]]
+    * kernel on candidates only. The threshold compares the QUANTIZED
+    * value so the admit/reject decision is engine-stable.
+    */
+  def jwSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      prefixLen: Int = 4,
+      minSim: Double = 0.9,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      repFactor: Int = Dedup.DefaultRepFactor): DataFrame = {
+    require(prefixLen >= 1 && minSim >= 0.0 && minSim <= 1.0)
+    val blocked = df
+      .select(col(idCol), col(strCol))
+      .withColumn("__pfx", substring(col(strCol), 1, prefixLen))
+    val candidates = Dedup.boundedBucketPairs(
+      blocked, idCol, bucketCols = Seq("__pfx"), carryCols = Seq(strCol),
+      maxBucket = maxBucket, repFactor = repFactor)
+    candidates
+      .withColumn("sim",
+        floor(graft.functions.JaroWinkler.jaroWinkler(
+          col(s"${strCol}_a"), col(s"${strCol}_b")) * lit(1e6) + lit(0.5))
+          / lit(1e6))
+      .where(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"),
+        col(s"${strCol}_a").as("str_a"), col(s"${strCol}_b").as("str_b"),
+        col("sim"))
+  }
+
   /** Entity resolution end to end: fuzzy pairs → connected components →
     * canonical representative. Pairwise edit-distance matching alone
     * under-merges (a chain a~b~c where (a,c) is 2 edits apart is ONE
