@@ -3531,7 +3531,23 @@ object OracleSql {
         |    AND a.rec_id < b.rec_id)
         |SELECT id_a, id_b, str_a, str_b, sim FROM p
         |WHERE sim >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // pp1: the FLAT twin of the day-partitioned layout — the same three
+    // days selected by the timestamp-derived day string (what the dt=
+    // directories encode), HUGEINT-exact value sum. Hash equality proves
+    // the re-layout lost/duplicated nothing and the dt derivation matches
+    // the partition values.
+    "pp1_partition_pruning" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') IN
+        |  ('2024-01-10', '2024-01-11', '2024-01-12')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

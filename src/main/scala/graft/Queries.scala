@@ -3374,6 +3374,50 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Day-partitioned copy of `events`, written once per (JVM, sfDir) to
+    * /tmp — the pp1 fixture. Deterministic content (a pure re-layout of
+    * the driver's parquet), `_SUCCESS`-guarded so bench/verify reruns
+    * reuse it.
+    */
+  private val prunedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private def prunedEventsPath(s: SparkSession, dir: String): String =
+    prunedEventsMemo.synchronized {
+      prunedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_by_day_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          graft.sources.Bucketing.writePartitionedByDay(
+            t(s, dir, "events"), "ts", path)
+        path
+      })
+    }
+
+  /** PP1: layout-level partition pruning — the row that proves a date
+    * predicate on a day-partitioned fact layout ([[graft.sources.Bucketing
+    * .writePartitionedByDay]]) reads only the matching `dt=` directories
+    * AND that the re-layout is lossless: the aggregate over the
+    * partitioned copy must hash-match the oracle computed on the FLAT
+    * parquet with the equivalent timestamp predicate. The pruning itself
+    * (3 of 30 directories listed, PartitionFilters in the scan leaf,
+    * actually-read files audited via `input_file_name`) is asserted in
+    * PartitionPruningSpec; this row pins the VALUES.
+    *
+    * 100 TB lens: this is the difference between a dashboard query
+    * listing 3 directories and scanning ~1% of the year, versus opening
+    * every footer of a 100 TB table to evaluate a ts range — layout
+    * pruning happens before I/O, predicate pushdown after.
+    */
+  def pp1PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val days = Seq("2024-01-10", "2024-01-11", "2024-01-12")
+    s.read.parquet(prunedEventsPath(s, dir))
+      .where(col("dt").cast("string").isin(days: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3566,6 +3610,7 @@ object Queries {
     "scd1b_incremental_history" -> (scd1bIncrementalHistory _),
     "h1_html_extract" -> (h1HtmlExtract _),
     "cp8_html_pipeline" -> (cp8HtmlPipeline _),
-    "fj2_jw_join" -> (fj2JwJoin _)
+    "fj2_jw_join" -> (fj2JwJoin _),
+    "pp1_partition_pruning" -> (pp1PartitionPruning _)
   )
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table support: pre-shuffle fact tables once on their join key so
   * every subsequent equi-join/aggregation on that key is exchange-free.
@@ -32,4 +33,27 @@ object Bucketing {
     */
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Time-partitioned fact layout: write `df` Hive-partitioned by the
+    * calendar DAY of `tsCol` (`dt=YYYY-MM-DD` directories) — the standard
+    * event/crawl layout at 100 TB, where a date predicate must prune to
+    * directory listings BEFORE any file is opened. Bucketing co-locates
+    * joins; this co-locates TIME, the other axis a fact table is always
+    * filtered on. Day grain (not month) because partition counts should
+    * track the query grain: a dashboard asks for days/weeks, and a day of
+    * a 100 TB/year stream is still ~280 GB — plenty per directory.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(path)
+
+  /** The files a query ACTUALLY reads (distinct `input_file_name` over
+    * the filtered frame) — the ground-truth pruning audit: a plan can
+    * CLAIM PartitionFilters, this proves which directories were touched.
+    * Driver-side result is bounded by the file count of the pruned scan.
+    */
+  def filesRead(df: DataFrame): Seq[String] =
+    df.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSeq
 }
