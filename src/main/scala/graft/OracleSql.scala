@@ -3547,7 +3547,54 @@ object OracleSql {
         |WHERE strftime(ts, '%Y-%m-%d') IN
         |  ('2024-01-10', '2024-01-11', '2024-01-12')
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // mm4: literal fixture truth recomputed from the SyntheticMedia
+    // closed forms in plain Scala (not by decoding) — dims are the
+    // requested raster, frames the requested PCM length, duration
+    // frames*1000/8000, mean level the exact mean of the generating
+    // signal (gradient (7x+13y)%256 / truncated 128+100*sin(0.1i)),
+    // 6dp-quantized with the house floor
+    "mm4_jvm_decode" -> {
+      def q6d(x: Double): String =
+        f"${math.floor(x * 1e6 + 0.5) / 1e6}%.6f"
+      def pngMean(w: Int, h: Int): String = {
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += (x * 7 + y * 13) % 256; x += 1 }
+          y += 1
+        }
+        q6d(s.toDouble / (w.toLong * h))
+      }
+      def wavMean(n: Int): String = {
+        var s = 0L
+        var i = 0
+        while (i < n) {
+          s += ((128 + 100 * math.sin(i * 0.1)).toByte & 0xff)
+          i += 1
+        }
+        q6d(s.toDouble / n)
+      }
+      val rows =
+        (1 to 3).map { i =>
+          val (w, h) = (16 + i, 8 + i)
+          s"($i, 'image/png', $w, $h, 1, 0, ${pngMean(w, h)})"
+        } ++
+        (4 to 6).map { i =>
+          val n = 240 * (i - 3)
+          s"($i, 'audio/wav', 0, 0, $n, ${n * 1000L / 8000}, ${wavMean(n)})"
+        }
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id, mime,
+         |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         |  CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms,
+         |  CAST(mean_level AS DOUBLE) AS mean_level
+         |FROM (VALUES ${rows.mkString(",\n  ")})
+         |  t(media_id, mime, width, height, n_frames, duration_ms, mean_level)
+         |ORDER BY media_id""".stripMargin
+    }
   )
 
   // The reloaded-index rows assert a save/load round-trip is invisible:

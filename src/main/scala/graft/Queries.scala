@@ -3418,6 +3418,35 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** MM4: REAL media decode as an oracle row — the [[graft.operators
+    * .Multimodal.JvmCodecs]] seam (pure-JDK PNG via `javax.imageio`, PCM
+    * WAV via `javax.sound.sampled`, spec-proven since round 9) promoted
+    * from spec to registry: six deterministic real-format payloads
+    * ([[graft.operators.Multimodal.SyntheticMedia]]) are DECODED —
+    * raster dims, PCM frame counts, duration from the container's native
+    * rate, mean decoded luminance / mean unsigned PCM sample — and
+    * checked against literal fixture truth the oracle recomputes from
+    * the generating closed forms (gradient `(7x+13y) % 256`, sine
+    * `128+100·sin(0.1i)`). A codec that mis-reads any pixel, sample,
+    * header rate or frame length breaks the hash. StubCodecs remains
+    * the default for mm1–mm3 (their oracles replay the stub in SQL).
+    */
+  def mm4JvmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val rows =
+      (1 to 3).map(i => M.MediaRow(i.toLong, "image/png",
+        M.SyntheticMedia.gradientPng(16 + i, 8 + i))) ++
+      (4 to 6).map(i => M.MediaRow(i.toLong, "audio/wav",
+        M.SyntheticMedia.sinePcmWav(240 * (i - 3))))
+    M.mediaStats(rows.toDS(), M.JvmCodecs)
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"), col("duration_ms"),
+        (floor(col("mean_level") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mean_level"))
+      .orderBy(col("media_id"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3611,6 +3640,7 @@ object Queries {
     "h1_html_extract" -> (h1HtmlExtract _),
     "cp8_html_pipeline" -> (cp8HtmlPipeline _),
     "fj2_jw_join" -> (fj2JwJoin _),
-    "pp1_partition_pruning" -> (pp1PartitionPruning _)
+    "pp1_partition_pruning" -> (pp1PartitionPruning _),
+    "mm4_jvm_decode" -> (mm4JvmDecode _)
   )
 }

@@ -37,6 +37,13 @@ object Multimodal {
     def frameCount(data: Array[Byte]): Int
     /** Feature-extract the payload to a unit-norm `dim`-float vector. */
     def embed(data: Array[Byte], dim: Int): Array[Float]
+    /** Native sample rate in Hz for timed media, 0 for stills —
+      * `frameCount / sampleRateHz` is the duration. */
+    def sampleRateHz(data: Array[Byte]): Int = 0
+    /** Mean signal level: mean decoded luminance for rasters, mean
+      * unsigned PCM sample for audio — the "is this black/silent"
+      * channel statistic a media-QC gate filters on. */
+    def meanLevel(data: Array[Byte]): Double
   }
 
   /** ======== STUB: deterministic fake codec (the default) ========
@@ -63,6 +70,10 @@ object Multimodal {
       val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
       if (n > 0) v.map(_ / n) else v
     }
+    /** STUB meanLevel: mean unsigned payload byte — SQL-replayable. */
+    def meanLevel(data: Array[Byte]): Double =
+      if (data.isEmpty) 0.0
+      else data.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / data.length
   }
 
   /** ======== REAL pure-JVM codec (seam proof) ========
@@ -135,6 +146,47 @@ object Multimodal {
       val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
       if (n > 0) v.map(_ / n) else v
     }
+
+    override def sampleRateHz(data: Array[Byte]): Int =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try in.getFormat.getSampleRate.toInt finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => 0
+      }
+
+    /** Mean DECODED level: raster luminance mean for images (exact
+      * integer lum per pixel, Long-accumulated), mean unsigned PCM
+      * sample for audio (read through the decoder, so the container
+      * header never pollutes the statistic). */
+    def meanLevel(data: Array[Byte]): Double = {
+      val img = readImage(data)
+      if (img != null) {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        if (n > 0) s.toDouble / n else 0.0
+      } else {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try {
+          val bytes = in.readAllBytes()
+          if (bytes.isEmpty) 0.0
+          else bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
+            bytes.length
+        } finally in.close()
+      }
+    }
   }
 
   /** Wrap an id+binary DataFrame into the canonical media schema. */
@@ -200,5 +252,70 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map(m => (m.id, codec.embed(m.data, dim)))
     }.toDF("id", "embedding")
+  }
+
+  /** Per-payload decoded metadata in one pass — the media-QC projection a
+    * 100 TB ingest runs before any training-set decision: dimensions,
+    * frame count, duration (frames / native rate, ms), and the mean
+    * signal level ("is this black / silent"). Per-partition decode at the
+    * codec boundary like every operator above; output is a handful of
+    * scalars per payload, so the stage is write-bounded, never
+    * decode-output-bounded.
+    */
+  def mediaStats(ds: Dataset[MediaRow],
+      codec: MediaCodec = StubCodecs): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val (w, h) = codec.decodeImageDims(m.data)
+        val n = codec.frameCount(m.data)
+        val rate = codec.sampleRateHz(m.data)
+        val durMs = if (rate > 0) n.toLong * 1000L / rate else 0L
+        (m.id, m.mime, w.toLong, h.toLong, n.toLong, durMs,
+          codec.meanLevel(m.data))
+      }
+    }.toDF("media_id", "mime", "width", "height", "n_frames",
+      "duration_ms", "mean_level")
+  }
+
+  /** Deterministic real-format fixtures (pure-JDK encoders) for the
+    * [[JvmCodecs]] rows/specs: the REGISTRY needs reproducible binary
+    * payloads without committing binary files, so these generate them
+    * from closed-form signals — a `(x·7 + y·13) % 256` gray gradient PNG
+    * and a `128 + 100·sin(0.1·i)` 8-bit mono 8 kHz PCM WAV. The mm4
+    * oracle recomputes the same closed forms as literal truth, so a
+    * codec that mis-decodes dimensions, frame counts, or sample values
+    * breaks the hash.
+    */
+  object SyntheticMedia {
+    def gradientPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def sinePcmWav(nFrames: Int): Array[Byte] = {
+      val pcm = Array.tabulate(nFrames)(i =>
+        (128 + 100 * math.sin(i * 0.1)).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
   }
 }

@@ -343,5 +343,6 @@ object ExtensionOpsSpec {
       v(data.length % dim) = 1f
       v
     }
+    def meanLevel(data: Array[Byte]): Double = data.length.toDouble
   }
 }

@@ -55,6 +55,29 @@ class JvmCodecSpec extends AnyFunSuite {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("mediaStats: dims/duration/level from real decode, mixed media") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngBytes(10, 4)),
+      Multimodal.MediaRow(2L, "audio/wav", wavBytes(800))).toDS()
+    val got = Multimodal.mediaStats(rows, Multimodal.JvmCodecs)
+      .collect().sortBy(_.getLong(0))
+    val img = got(0)
+    assert((img.getLong(2), img.getLong(3), img.getLong(4),
+      img.getLong(5)) == ((10L, 4L, 1L, 0L)))
+    // mean luminance of the (7x+13y)%256 gradient over 10x4, exactly
+    val expect = (for (y <- 0 until 4; x <- 0 until 10)
+      yield (x * 7 + y * 13) % 256).sum.toDouble / 40
+    assert(img.getDouble(6) == expect)
+    val wav = got(1)
+    // 800 frames at the container's native 8 kHz -> 100 ms
+    assert((wav.getLong(4), wav.getLong(5)) == ((800L, 100L)))
+    val pcmExpect = (0 until 800)
+      .map(i => (128 + 100 * math.sin(i * 0.1)).toByte & 0xff)
+      .sum.toDouble / 800
+    assert(wav.getDouble(6) == pcmExpect)
+  }
+
   test("the real codec drives the Spark operators through the same seam") {
     import spark.implicits._
     val rows = Seq(
