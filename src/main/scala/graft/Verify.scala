@@ -22,7 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_VERBOSE interleaves a per-query marker with the
+    // Spark log stream so log warnings (codegen fallbacks, spills) can be
+    // attributed to the query that triggered them.
+    val verbose = sys.env.contains("SPARK_GRAFT_VERIFY_VERBOSE")
     SparkEntry.queries.filter(e => wanted(e._1)).foreach { case (name, fn) =>
+      if (verbose) System.err.println(s"[verify] >>> $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

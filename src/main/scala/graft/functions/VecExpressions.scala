@@ -366,6 +366,63 @@ case class FloatVecBlockCosineMatch(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Σⱼ wⱼ·vⱼ with the accumulator SEEDED by the first term (w₀·v₀), not
+  * 0.0 — bit-identical to the left-associated column fold
+  * `w₀·v₀ + w₁·v₁ + …` it replaces (a 0.0 seed would differ on the −0.0
+  * corner), and to the oracle's unrolled `(s0)*v[1] + (s1)*v[2] + …`.
+  * NULL when the vector is shorter than the weight row — the same result
+  * the fold produced via an out-of-range `element_at`.
+  *
+  * Exists because the unrolled fold's generated code is O(terms): at
+  * 16×64 sign projections (rp1/s5), 1024 multiply-add expression nodes
+  * landed in ONE generated method, blew janino's 64 KB method limit, and
+  * silently fell back to interpreted evaluation on the hot projection
+  * path. This kernel is a 4-line loop per output dim.
+  */
+case class FloatVecWeightedSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private lazy val rFloat = VecKernels.isFloat(right.dataType)
+
+  override def nullSafeEval(w: Any, v: Any): Any = {
+    val (x, y) = (w.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n == 0 || y.numElements() < n) null
+    else {
+      var acc = x.getDouble(0) * VecKernels.get(y, 0, rFloat)
+      var i = 1
+      while (i < n) {
+        acc += x.getDouble(i) * VecKernels.get(y, i, rFloat)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, v) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $w.numElements();
+         |if ($n == 0 || $v.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = $w.getDouble(0) * ${VecKernels.accessor(v, "0", rFloat)};
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    $acc += $w.getDouble($i) * ${VecKernels.accessor(v, i, rFloat)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   /** Column wrappers (Spark 4: Column wraps a ColumnNode, not an Expression). */
   def fdot(a: Column, b: Column): Column =
@@ -383,4 +440,8 @@ object VecExpressions {
     GraftSqlBridge.column(
       FloatVecBlockCosineMatch(GraftSqlBridge.expression(vec),
         GraftSqlBridge.expression(block), threshold))
+  def fweightedSum(weights: Column, vec: Column): Column =
+    GraftSqlBridge.column(
+      FloatVecWeightedSum(GraftSqlBridge.expression(weights),
+        GraftSqlBridge.expression(vec)))
 }

@@ -667,20 +667,23 @@ object Similarity {
   }
 
   /** Project `vecCol` (length `inDims`) onto `outDims` sign vectors:
-    * out[k] = Σⱼ sign(k,j)·v[j], built as a left-associated column fold so
-    * the doubles are bit-identical across engines (the rp1 oracle replays
-    * them exactly). Map-only and codegen'd — the dimensionality-reduction
-    * step that makes a 100 TB ANN candidate scan 4× cheaper in bandwidth
-    * and FLOPs before the exact re-rank.
+    * out[k] = Σⱼ sign(k,j)·v[j] as a first-term-seeded sequential fold —
+    * bit-identical to the oracle's unrolled `(s0)·v[1] + (s1)·v[2] + …`
+    * (the rp1 contract). Map-only and codegen'd via
+    * [[graft.functions.FloatVecWeightedSum]]: one 4-line LOOP per output
+    * dim, replacing the former 1024-node unrolled fold whose single
+    * generated method blew janino's 64 KB limit and silently dropped the
+    * projection to interpreted evaluation (the once-per-Verify "Code
+    * grows beyond 64 KB" warning, root-caused to this site in round 11).
+    * The dimensionality-reduction step that makes a 100 TB ANN candidate
+    * scan 4× cheaper in bandwidth and FLOPs before the exact re-rank.
     */
   def signProject(df: DataFrame, idCol: String, vecCol: String,
       outDims: Int = 16, inDims: Int = 64, salt: String = "rp",
       outCol: String = "proj"): DataFrame = {
     val signs = rpSigns(outDims, inDims, salt)
     val proj = array(signs.map { row =>
-      row.zipWithIndex.map { case (s, j) =>
-        lit(s) * element_at(col(vecCol), j + 1).cast("double")
-      }.reduceLeft(_ + _)
+      graft.functions.VecExpressions.fweightedSum(lit(row), col(vecCol))
     }.toIndexedSeq: _*)
     df.select(col(idCol), proj.as(outCol))
   }
