@@ -3549,6 +3549,15 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // p11c: exact count + both gates pinned TRUE (the p11 convention;
+    // shard-count invariance is additionally spec-proven at 2/4/16)
+    "p11c_sharded_sketch_merge" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+        |  CAST(8 AS BIGINT) AS n_shards,
+        |  TRUE AS merged_within_5pct,
+        |  TRUE AS merge_shard_invariant
+        |FROM orders""".stripMargin,
+
     // mm4: literal fixture truth recomputed from the SyntheticMedia
     // closed forms in plain Scala (not by decoding) — dims are the
     // requested raster, frames the requested PCM length, duration

@@ -3447,6 +3447,42 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  /** P11C: sketch-merge across shards — the 100 TB fan-in story p11/p11b
+    * imply but never exercise ACROSS A MATERIALIZED BOUNDARY: each of 8
+    * hash shards aggregates its own Datasketches HLL partial
+    * (`hll_sketch_agg`, binary), the partials are union-merged
+    * (`hll_union_agg`) and estimated once — aggregate where the data
+    * lives, ship KB sketches, never re-shuffle rows. Two gates ride the
+    * p11 convention: the merged estimate lands within ±5% of exact, and —
+    * the merge-correctness proof — the estimate is SHARD-COUNT INVARIANT:
+    * union over 4 hash shards equals union over 8 exactly (dense HLL
+    * registers max-merge, so any disjoint partition of the rows produces
+    * the same merged register state; ShardsSpec extends this to 2/16 and
+    * to a deliberately SKEWED shard map). Estimate-vs-single-sketch
+    * equality is deliberately NOT claimed — a one-pass sketch may sit in
+    * sparse mode while a union promotes to dense, a Datasketches mode
+    * artifact the ±5% gate absorbs. The oracle pins the exact count and
+    * both gates TRUE.
+    */
+  def p11cShardedSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), xxhash64(col("o_orderkey")).as("__h"))
+    def merged(nShards: Int): DataFrame =
+      o.groupBy(pmod(col("__h"), lit(nShards)).as("__shard"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("__sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+          .as(s"__est_$nShards"),
+          count(lit(1)).as(s"__n_$nShards"))
+    val exact = o.agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+    exact.crossJoin(broadcast(merged(8))).crossJoin(broadcast(merged(4)))
+      .select(col("exact_custkeys"), col("__n_8").as("n_shards"),
+        (abs(col("__est_8").cast("double") -
+          col("exact_custkeys").cast("double")) <=
+          col("exact_custkeys").cast("double") * lit(0.05))
+          .as("merged_within_5pct"),
+        (col("__est_8") === col("__est_4")).as("merge_shard_invariant"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3641,6 +3677,7 @@ object Queries {
     "cp8_html_pipeline" -> (cp8HtmlPipeline _),
     "fj2_jw_join" -> (fj2JwJoin _),
     "pp1_partition_pruning" -> (pp1PartitionPruning _),
-    "mm4_jvm_decode" -> (mm4JvmDecode _)
+    "mm4_jvm_decode" -> (mm4JvmDecode _),
+    "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _)
   )
 }

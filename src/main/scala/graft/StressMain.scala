@@ -139,7 +139,13 @@ object StressMain {
       // round-11: h1 is one map-only regex/array projection over
       // replicated documents; cp8 = that projection fused ahead of the
       // cp7-style gates + dedup chain (the %11 copy plant rides the scan)
-      "h1_html_extract", "cp8_html_pipeline")
+      "h1_html_extract", "cp8_html_pipeline",
+      // fj2 is key-bounded (dedicated jw_join fixture below covers scale);
+      // pp1 re-lays-out the replicated events then prunes to 3 of 30 days;
+      // p11c ships 12 KB sketches per shard over 100x orders; mm4 is the
+      // fixture-bounded codec row (constant by design)
+      "fj2_jw_join", "pp1_partition_pruning", "p11c_sharded_sketch_merge",
+      "mm4_jvm_decode")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

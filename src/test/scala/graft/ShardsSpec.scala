@@ -71,4 +71,26 @@ class ShardsSpec extends AnyFunSuite {
       Shards.writeTokenShards(fixture, "doc_id", "n_tokens", root, 100L, 16L).collect()
     }
   }
+
+  test("HLL sketch-merge is shard-count and shard-shape invariant (p11c)") {
+    import org.apache.spark.sql.functions._
+    // 5k values, ~1.7k distinct — enough that the union is in dense mode
+    val vals = spark.range(0, 5000)
+      .select((col("id") % 1700).as("v"), col("id"))
+    def mergedEst(shard: org.apache.spark.sql.Column): Long =
+      vals.groupBy(shard.as("__s"))
+        .agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+        .head().getLong(0)
+    val ests = Seq(2, 4, 8, 16)
+      .map(n => mergedEst(pmod(xxhash64(col("id")), lit(n))))
+    // any DISJOINT partition max-merges to the same dense register state:
+    // equal estimates across 2/4/8/16 shards...
+    assert(ests.distinct.size == 1, s"shard-count varied: $ests")
+    // ...and across a deliberately SKEWED shard map (99% in one shard)
+    val skewed = mergedEst(when(col("id") % 100 === 0, lit(1)).otherwise(lit(0)))
+    assert(skewed == ests.head, s"skewed map diverged: $skewed vs ${ests.head}")
+    // and the estimate is within the p11 5% envelope of exact
+    assert(math.abs(skewed.toDouble - 1700.0) <= 1700.0 * 0.05)
+  }
 }
