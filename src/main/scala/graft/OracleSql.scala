@@ -3549,6 +3549,111 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // q4: the EXISTS form verbatim — DuckDB plans it as a semi-join, the
+    // same relation the Spark left_semi computes
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q7: HUGEINT-exact per-row-quantized volume, the house revenue chain
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(floor(volume * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+        |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // q8: two exact sums, one published-value division, 6dp
+    "q8_market_share" ->
+      """WITH j AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    ns.n_name AS supp_nation,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |g AS (SELECT o_year,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |        THEN CAST(floor(volume * 1e6 + 0.5) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) / 1e6
+        |      AS nation_volume,
+        |    CAST(SUM(CAST(floor(volume * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |      / 1e6 AS total_volume
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        |  CASE WHEN total_volume > 0.0
+        |    THEN floor(nation_volume / total_volume * 1e6 + 0.5) / 1e6
+        |    ELSE 0.0 END AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    // h2: the href regex replayed over the h1-planted HTML, unnested and
+    // aggregated — the URL-frontier build
+    "h2_link_graph" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p{margin:0}</style><script>var id=' ||
+        |  CAST(doc_id AS VARCHAR) || ';</script></head><body>' ||
+        |  '<div><a href="/">Home</a> <a href="/about">About</a> nav</div>' ||
+        |  '<p>' || text || '</p>' ||
+        |  '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<ul><li><a href="/x">x' ||
+        |    CAST(doc_id AS VARCHAR) || '</a></li></ul>' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '<p>terms &amp; conditions &quot;apply&quot; &lt;here&gt; &#39;now&#39;&nbsp;always</p>'
+        |    ELSE '' END ||
+        |  '<p>as noted in <a href="/ref' || CAST(doc_id AS VARCHAR) ||
+        |  '">reference ' || CAST(doc_id AS VARCHAR) ||
+        |  '</a> the corpus continues</p>' ||
+        |  '<div>copyright <a href="/c">contact</a> <a href="/p">privacy</a> <a href="/t">terms</a></div>' ||
+        |  '</body></html>' AS html
+        |  FROM documents),
+        |links AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1))
+        |      AS href
+        |  FROM h)
+        |SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        |  CAST(count(*) AS BIGINT) AS n_refs
+        |FROM links GROUP BY href ORDER BY href""".stripMargin,
+
+    // w8: ntile over a TOTAL order is deterministic in any engine
+    "w8_ntile_bands" ->
+      """WITH b AS (SELECT c_mktsegment, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_bal
+        |FROM b GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
+
     // p11c: exact count + both gates pinned TRUE (the p11 convention;
     // shard-count invariance is additionally spec-proven at 2/4/16)
     "p11c_sharded_sketch_merge" ->

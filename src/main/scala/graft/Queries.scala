@@ -3483,6 +3483,145 @@ object Queries {
         (col("__est_8") === col("__est_4")).as("merge_shard_invariant"))
   }
 
+  /** Q4: order-priority checking — the TPC-H Q4 EXISTS shape: count
+    * orders per priority in a quarter having at least one RETURNED line
+    * (the schema carries no commit/receipt dates, so the exists predicate
+    * is `l_returnflag = 'R'`; the PLAN shape — date-filtered orders
+    * LEFT-SEMI-joined to a filtered lineitem projection, no duplication,
+    * no distinct — is the point). At 100 TB the semi-join keeps the probe
+    * side at one row per order regardless of line fan-out.
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-04-01 00:00:00"))
+    val returned = t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q7: volume shipping between two nations — TPC-H Q7: revenue by
+    * (supplier nation, customer nation, ship year) for the NATION_10 ↔
+    * NATION_12 pair, two years. One fact-fact join (lineitem⋈orders) plus
+    * broadcast dims; per-row volume quantized 6dp and summed in
+    * DECIMAL(38,0) (HUGEINT twin), the exact-sum convention.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation")))
+    val vol = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("__sk"))
+      .join(n2, col("c_nationkey") === col("__ck"))
+      .where((col("supp_nation") === "NATION_10" &&
+          col("cust_nation") === "NATION_12") ||
+        (col("supp_nation") === "NATION_12" &&
+          col("cust_nation") === "NATION_10"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(vol).cast("double") / lit(1e6)).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8: national market share — TPC-H Q8: per order year, NATION_3's
+    * share of ECONOMY-part revenue sold to ASIA-region customers. Both
+    * the conditional (nation) sum and the total accumulate exactly in
+    * DECIMAL(38,0); the share is ONE double division of the two published
+    * sums, 6dp-quantized — so the ratio is as portable as the sums.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nc = t(s, dir, "nation")
+      .select(col("n_nationkey").as("__cnk"), col("n_regionkey"))
+    val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val ns = t(s, dir, "nation")
+      .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))
+    val vol = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val zero = lit(0L).cast("decimal(38,0)")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("__cnk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("__snk"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol).otherwise(zero))
+          .cast("double") / lit(1e6)).as("nation_volume"),
+        (sum(vol).cast("double") / lit(1e6)).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        when(col("total_volume") > 0.0,
+          floor(col("nation_volume") / col("total_volume") * lit(1e6) +
+            lit(0.5)) / lit(1e6)).otherwise(lit(0.0)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** H2: link-graph extraction — the URL-frontier stage of a crawl
+    * pipeline: every `href` of every anchor pulled from the planted-HTML
+    * corpus ([[graft.operators.Html.hrefs]], map-only regex), exploded
+    * and aggregated to `(href, n_pages, n_refs)` — distinct linking pages
+    * and total reference count per target. The per-doc `/ref{id}` links
+    * prove per-page uniqueness; the chrome links (`/`, `/about`, `/c`,
+    * `/p`, `/t`, `/x`) aggregate across the whole corpus. One explode +
+    * one map-side-combined groupBy — the 100 TB frontier-builder shape.
+    */
+  def h2LinkGraph(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Html.hrefs(
+          plantedHtml(col("doc_id"), col("doc_id")))).as("href"))
+      .groupBy(col("href"))
+      .agg(countDistinct(col("doc_id")).as("n_pages"),
+        count(lit(1)).as("n_refs"))
+      .orderBy(col("href"))
+
+  /** W8: quartile banding — `ntile(4)` over customers by account balance
+    * within each market segment (total order `(c_acctbal, c_custkey)`, so
+    * the banding is deterministic), then per-band population and exact
+    * balance aggregates. ntile's equal-height bands are the piece the
+    * quantile rows (c8/fe1) don't cover: RANK-defined bands, not
+    * VALUE-defined fences.
+    */
+  def w8NtileBands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        (sum(floor(col("c_acctbal") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_bal"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3678,6 +3817,11 @@ object Queries {
     "fj2_jw_join" -> (fj2JwJoin _),
     "pp1_partition_pruning" -> (pp1PartitionPruning _),
     "mm4_jvm_decode" -> (mm4JvmDecode _),
-    "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _)
+    "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "h2_link_graph" -> (h2LinkGraph _),
+    "w8_ntile_bands" -> (w8NtileBands _)
   )
 }

@@ -145,7 +145,13 @@ object StressMain {
       // p11c ships 12 KB sketches per shard over 100x orders; mm4 is the
       // fixture-bounded codec row (constant by design)
       "fj2_jw_join", "pp1_partition_pruning", "p11c_sharded_sketch_merge",
-      "mm4_jvm_decode")
+      "mm4_jvm_decode",
+      // round-11 batch 2: q4 semi-join, q7/q8 fact-fact joins + broadcast
+      // dims over replicated lineitem/orders; h2 map-only href explode +
+      // one grouped aggregate; w8 segment-local window over the
+      // unreplicated customer dim (bounded)
+      "q4_priority_exists", "q7_nation_volume", "q8_market_share",
+      "h2_link_graph", "w8_ntile_bands")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -120,6 +120,12 @@ object Html {
   def mainContent(html: Column): Column =
     joinBlocks(keptBlocks(blockStructs(html)))
 
+  /** `href` attribute of every anchor, double-quoted form — the link
+    * targets a crawl's URL frontier is built from. Map-only
+    * `regexp_extract_all`; Java∩RE2 subset like every pattern here. */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1))
+
   /** Per-document extraction with block accounting: `(idCol, main_text,
     * n_blocks, n_kept)` where `n_blocks` counts non-empty visible blocks
     * and `n_kept` the ones surviving the link-density filter. */
