@@ -3549,6 +3549,61 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // sj1: the PLAIN join — the salted rewrite must reproduce exactly
+    // this relation
+    "sj1_salted_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_qty
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    // hh1: deterministic total order (count desc, key) before the LIMIT
+    "hh1_heavy_hitters" ->
+      """WITH f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM lineitem)
+        |SELECT l_partkey, cnt,
+        |  floor(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS share
+        |FROM f, t
+        |ORDER BY cnt DESC, l_partkey
+        |LIMIT 20""".stripMargin,
+
+    // zipf1: 6dp-quantized log coordinates, HUGEINT-exact OLS moments,
+    // one double finish — the regression face of the exact-sum contract
+    "zipf1_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |    AS term FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY term),
+        |r AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |  FROM f),
+        |xy AS (SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM r WHERE rank <= 100),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS zipf_slope
+        |FROM m""".stripMargin,
+
+    // p11d: exact + both gates TRUE (reload invariance is the claim; the
+    // sketch bytes round-trip parquet binary unchanged)
+    "p11d_durable_sketch_merge" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+        |  TRUE AS reload_within_5pct,
+        |  TRUE AS reload_invariant
+        |FROM orders""".stripMargin,
+
     // q4: the EXISTS form verbatim — DuckDB plans it as a semi-join, the
     // same relation the Spark left_semi computes
     "q4_priority_exists" ->

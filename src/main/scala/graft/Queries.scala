@@ -3622,6 +3622,126 @@ object Queries {
       .orderBy(col("c_mktsegment"), col("quartile"))
   }
 
+  /** SJ1: salted-join identity — [[graft.operators.SkewJoin.saltedJoin]]
+    * (big side salted `factor` ways by a whole-row hash, dim side
+    * replicated) must produce EXACTLY the plain join's relation: the
+    * oracle computes the unsalted lineitem⋈part aggregate, so any row
+    * duplicated, dropped or mis-salted by the rewrite flips the hash.
+    * This is the manual skew weapon for the key AQE's skew-join can't
+    * split (a single mega-key inside one task); the d6 guard covers the
+    * self-join flavor, this covers the dimension-join flavor.
+    */
+  def sj1SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+    val p = t(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.SkewJoin.saltedJoin(li, p, "l_partkey", factor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** HH1: heavy-hitter report ([[graft.operators.SkewJoin.keySkew]]) —
+    * the top-20 hottest join keys of the fact table with exact counts and
+    * 6dp shares: the diagnostic a 100 TB pipeline runs BEFORE a join to
+    * decide between AQE, broadcast, and sj1-style salting. Deterministic
+    * under ties (count desc, key asc — a total order).
+    */
+  def hh1HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val tot = li.agg(count(lit(1)).as("__tot"))
+    graft.operators.SkewJoin.keySkew(li, "l_partkey", 20)
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("__tot").cast("double") *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("share"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+  }
+
+  /** ZIPF1: Zipf-law fit of the corpus term distribution — the classic
+    * corpus-health check (natural text slopes ≈ −1; generated/templated
+    * text diverges): OLS slope of `ln(freq)` on `ln(rank)` over the
+    * top-100 terms. Both log coordinates are 6dp-quantized to integer
+    * units, every OLS moment (Σx, Σy, Σxy, Σx²) accumulates EXACTLY in
+    * DECIMAL(38,0) (DuckDB: HUGEINT), and the slope is one double
+    * division of exact integers, 6dp — the lm1/bm25 convention extended
+    * to regression. The rank window runs over the LIMITed ≤100-row
+    * frame, never the vocabulary.
+    */
+  def zipf1ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(100)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val xy = freq.withColumn("rank", row_number().over(w))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("y"))
+    val dec = "decimal(38,0)"
+    val m = xy.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    m.select(col("n").cast("long").as("n_terms"),
+      (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+        lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_slope"))
+  }
+
+  /** Day-partitioned HLL shard sketches for p11d, written once per (JVM,
+    * sfDir) — the durable "profile index": per-shard partials persisted
+    * as parquet BINARY, so distinct-count questions are answerable later
+    * without rescanning the fact table.
+    */
+  private val sketchMemo = scala.collection.mutable.Map[String, String]()
+  private def sketchPath(s: SparkSession, dir: String): String =
+    sketchMemo.synchronized {
+      sketchMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_hll_shards_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          t(s, dir, "orders")
+            .groupBy(pmod(xxhash64(col("o_orderkey")), lit(8)).as("shard"))
+            .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+            .write.mode("overwrite").parquet(path)
+        path
+      })
+    }
+
+  /** P11D: DURABLE sketch merge — p11c's fan-in with the partials
+    * round-tripped through parquet storage: per-shard HLL sketches are
+    * persisted as binary columns, RELOADED, union-merged, and the
+    * estimate must (a) sit within ±5% of exact and (b) EQUAL the
+    * all-in-memory merge bit-for-bit (`reload_invariant`) — the
+    * "profile once, answer distinct-count questions forever without
+    * rescanning 100 TB" contract, and the sketch member of the durable-
+    * index family (nd2r/nd3r/s6r/tok1r).
+    */
+  def p11dDurableSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val reloaded = s.read.parquet(sketchPath(s, dir))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("__reload_est"))
+    val o = t(s, dir, "orders")
+    val mem = o
+      .groupBy(pmod(xxhash64(col("o_orderkey")), lit(8)).as("__shard"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("__sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+        .as("__mem_est"))
+    o.agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+      .crossJoin(broadcast(reloaded)).crossJoin(broadcast(mem))
+      .select(col("exact_custkeys"),
+        (abs(col("__reload_est").cast("double") -
+          col("exact_custkeys").cast("double")) <=
+          col("exact_custkeys").cast("double") * lit(0.05))
+          .as("reload_within_5pct"),
+        (col("__reload_est") === col("__mem_est")).as("reload_invariant"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3822,6 +3942,10 @@ object Queries {
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
     "h2_link_graph" -> (h2LinkGraph _),
-    "w8_ntile_bands" -> (w8NtileBands _)
+    "w8_ntile_bands" -> (w8NtileBands _),
+    "sj1_salted_join" -> (sj1SaltedJoin _),
+    "hh1_heavy_hitters" -> (hh1HeavyHitters _),
+    "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
+    "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _)
   )
 }

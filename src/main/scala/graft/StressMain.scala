@@ -151,7 +151,13 @@ object StressMain {
       // one grouped aggregate; w8 segment-local window over the
       // unreplicated customer dim (bounded)
       "q4_priority_exists", "q7_nation_volume", "q8_market_share",
-      "h2_link_graph", "w8_ntile_bands")
+      "h2_link_graph", "w8_ntile_bands",
+      // round-11 batch 3: sj1 salted fact⋈dim + one grouped agg over
+      // replicated lineitem; hh1 one map-side-combined count + top-20;
+      // zipf1 one term count + a ≤100-row OLS; p11d rebuilds + reloads
+      // the durable sketch shards over replicated orders
+      "sj1_salted_join", "hh1_heavy_hitters", "zipf1_zipf_slope",
+      "p11d_durable_sketch_merge")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
