@@ -3549,6 +3549,73 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // w9: DuckDB's native forward ASOF (strict <) against the same
+    // deduped right side
+    "w9_next_order" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS r_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  od.r_orderkey AS next_orderkey,
+        |  CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(od.o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |FROM orders o ASOF LEFT JOIN od
+        |  ON o.o_custkey = od.o_custkey AND o.o_orderdate < od.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // ts3: the ab1 sufficient-sums chain per (type, hour) + the quantized
+    // 3-sigma anomaly count, zero-filled
+    "ts3_seasonal_baseline" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(hour(ts) AS BIGINT) AS hod, value,
+        |    CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(q) AS DOUBLE) AS s, CAST(SUM(q * q) AS DOUBLE) AS ss
+        |  FROM e GROUP BY event_type, hod),
+        |b AS (SELECT event_type, hod, n_events,
+        |    floor(s / n_events / 1e6 * 1e6 + 0.5) / 1e6 AS mean_value,
+        |    floor(sqrt(CASE WHEN n_events >= 2 THEN
+        |        (n_events * ss - s * s) /
+        |        (CAST(n_events AS DOUBLE) * (n_events - 1.0)) / 1e12
+        |      ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS std_value
+        |  FROM g),
+        |a AS (SELECT e.event_type, e.hod, count(*) AS n_anomalies
+        |  FROM e JOIN b ON e.event_type = b.event_type AND e.hod = b.hod
+        |  WHERE floor(abs(e.value - b.mean_value) * 1e6 + 0.5) >
+        |        floor(b.std_value * 3.0 * 1e6 + 0.5)
+        |  GROUP BY e.event_type, e.hod)
+        |SELECT b.event_type, b.hod, b.n_events, b.mean_value, b.std_value,
+        |  CAST(COALESCE(a.n_anomalies, 0) AS BIGINT) AS n_anomalies
+        |FROM b LEFT JOIN a ON b.event_type = a.event_type AND b.hod = a.hod
+        |ORDER BY b.event_type, b.hod""".stripMargin,
+
+    // t10: the same planted control bytes built with chr(), the same
+    // class stripped (RE2 reads the \x escapes itself)
+    "t10_control_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(1) || 'x' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(7) || chr(127) ELSE '' END
+        |    AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) - length(regexp_replace(raw,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS BIGINT)
+        |    AS n_ctrl,
+        |  regexp_replace(raw, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')
+        |    AS clean_text
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // dq2: one grouped aggregate, verdict folded to a boolean
+    "dq2_fd_audit" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  count(DISTINCT source) <= 1 AS fd_holds
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
     // sj1: the PLAIN join — the salted rewrite must reproduce exactly
     // this relation
     "sj1_salted_join" ->

@@ -3742,6 +3742,111 @@ object Queries {
         (col("__reload_est") === col("__mem_est")).as("reload_invariant"))
   }
 
+  /** W9: FORWARD as-of join ([[graft.operators.AsOfJoin.forward]], strict)
+    * — each order picks up the same customer's NEXT order strictly after
+    * it, plus the repurchase gap in days (NULL for the customer's last
+    * order): the time-to-next-event analytic w4's backward join can't
+    * express. Right side deduped per (customer, date) by max orderkey
+    * (the w4 determinism convention); the oracle is DuckDB's native
+    * `ASOF LEFT JOIN ... ON t < t'`.
+    */
+  def w9NextOrder(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val od = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("r_orderkey"))
+      .select(col("o_custkey").as("r_custkey"),
+        col("o_orderdate").as("r_date"), col("r_orderkey"))
+    graft.operators.AsOfJoin.forward(
+        ord.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        od,
+        leftKey = "o_custkey", rightKey = "r_custkey",
+        leftTime = "o_orderdate", rightTime = "r_date",
+        rightValues = Seq("r_orderkey", "r_date"), strict = true)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("asof_r_orderkey").as("next_orderkey"),
+        datediff(col("asof_r_date").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("gap_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TS3: seasonal (hour-of-day) baseline + anomaly count — the seasonal
+    * face of an1's rolling anomaly: per (event type, hour-of-day), the
+    * exact mean/std of `value` (the ab1 sufficient-sums chain:
+    * DECIMAL(38,0) Σq/Σq², one IEEE finish each) and the count of events
+    * deviating more than 3σ from their own seasonal cell. The anomaly
+    * comparison runs on 6dp-QUANTIZED deviation vs 6dp-quantized 3σ, so
+    * the admit decision is engine-stable. One grouped scan + one
+    * broadcast join back — the 100 TB seasonal-profile shape.
+    */
+  def ts3SeasonalBaseline(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        col("value"))
+    val qv = floor(col("value") * lit(1e6) + lit(0.5)).cast("decimal(19,0)")
+    val g = ev.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(qv.cast("decimal(38,0)")).cast("double").as("__s"),
+        sum((qv * qv).cast("decimal(38,0)")).cast("double").as("__ss"))
+    val nD = col("n_events").cast("double")
+    val base = g.select(col("event_type"), col("hod"), col("n_events"),
+      (floor(col("__s") / nD / lit(1e6) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("mean_value"),
+      (floor(sqrt(
+        when(col("n_events") >= 2,
+          (nD * col("__ss") - col("__s") * col("__s")) /
+            (nD * (nD - lit(1.0))) / lit(1e12)).otherwise(lit(0.0))) *
+        lit(1e6) + lit(0.5)) / lit(1e6)).as("std_value"))
+    val anomalies = ev.join(broadcast(base), Seq("event_type", "hod"))
+      .where(floor(abs(col("value") - col("mean_value")) * lit(1e6) +
+        lit(0.5)) >
+        floor(col("std_value") * lit(3.0) * lit(1e6) + lit(0.5)))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_anomalies"))
+    base.join(anomalies, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("hod"), col("n_events"),
+        col("mean_value"), col("std_value"),
+        coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /** T10: control-character scrub — crawl stage-0 hygiene h1 doesn't
+    * cover: C0 controls (except tab/newline/CR, which are legitimate
+    * whitespace) and DEL stripped, with a per-doc count. The fixture
+    * plants SOH/BEL/DEL bytes on id-derived rows (built with `chr()` in
+    * the oracle). Map-only, one character-class regex in the Java∩RE2
+    * subset (`\\x` escapes, interpreted by each engine's own regex
+    * compiler — no raw control bytes in source or SQL).
+    */
+  def t10ControlScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit("\u0001x")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\u0007\u007f")).otherwise(lit("")))
+    val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("__raw"))
+      .select(col("doc_id"),
+        (length(col("__raw")) -
+          length(regexp_replace(col("__raw"), ctrl, ""))).cast("long")
+          .as("n_ctrl"),
+        regexp_replace(col("__raw"), ctrl, "").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DQ2: functional-dependency audit — does `lang → source` hold in the
+    * documents table: per lang, row count, distinct source count, and the
+    * FD verdict — the profiling input to schema-normalization and
+    * dedup-key decisions (a violated FD means the column pair can't key a
+    * dimension). One map-side-combined aggregate.
+    */
+  def dq2FdAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("lang"), col("n_rows"), col("n_sources"),
+        (col("n_sources") <= 1).as("fd_holds"))
+      .orderBy(col("lang"))
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -3946,6 +4051,10 @@ object Queries {
     "sj1_salted_join" -> (sj1SaltedJoin _),
     "hh1_heavy_hitters" -> (hh1HeavyHitters _),
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
-    "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _)
+    "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
+    "w9_next_order" -> (w9NextOrder _),
+    "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
+    "t10_control_scrub" -> (t10ControlScrub _),
+    "dq2_fd_audit" -> (dq2FdAudit _)
   )
 }

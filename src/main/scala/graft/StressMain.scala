@@ -157,7 +157,12 @@ object StressMain {
       // zipf1 one term count + a ≤100-row OLS; p11d rebuilds + reloads
       // the durable sketch shards over replicated orders
       "sj1_salted_join", "hh1_heavy_hitters", "zipf1_zipf_slope",
-      "p11d_durable_sketch_merge")
+      "p11d_durable_sketch_merge",
+      // round-11 batch 4: w9 one key shuffle + sort over replicated
+      // orders; ts3 one grouped scan + broadcast join back over
+      // replicated events; t10 map-only regex; dq2 one grouped aggregate
+      "w9_next_order", "ts3_seasonal_baseline", "t10_control_scrub",
+      "dq2_fd_audit")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
