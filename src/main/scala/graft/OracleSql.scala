@@ -3549,6 +3549,48 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // q13: LEFT JOIN with the join-level filter, double aggregation
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q15: HUGEINT-exact revenue view, exact-integer max tie-keep
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5)
+        |      AS HUGEINT)) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 1e6 AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // q22: scalar-subquery average (quantized), anti-join, grouped finish
+    "q22_sleeping_customers" ->
+      """WITH a AS (SELECT floor(
+        |    CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |      / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_custkey % 100 AS BIGINT) AS cntry,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS totacctbal
+        |FROM customer, a
+        |WHERE floor(c_acctbal * 1e6 + 0.5) > floor(avg_bal * 1e6 + 0.5)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntry
+        |ORDER BY cntry""".stripMargin,
+
     // w9: DuckDB's native forward ASOF (strict <) against the same
     // deduped right side
     "w9_next_order" ->

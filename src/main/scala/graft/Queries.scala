@@ -3847,6 +3847,84 @@ object Queries {
         (col("n_sources") <= 1).as("fd_holds"))
       .orderBy(col("lang"))
 
+  /** Q13: customer order-count distribution — TPC-H Q13: LEFT OUTER join
+    * customers to their (non-URGENT) orders, count per customer
+    * (zero-order customers kept by the outer join), then the SECOND
+    * aggregation over the counts — the double-aggregation "distribution"
+    * shape. At 100 TB the first aggregate is the only fact-sized shuffle;
+    * the second runs on customer-cardinality rows.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15: top supplier(s) by quarter revenue — TPC-H Q15: exact revenue
+    * per supplier over a ship-date quarter, keep every supplier tied at
+    * the maximum. The max is a 1-row broadcast aggregate over the
+    * supplier-sized revenue view (never a window over the fact table),
+    * and "ties all kept" is exact because revenue is an integer-quantized
+    * DECIMAL sum — no epsilon games.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val vol = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val rev = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("__rev"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.crossJoin(broadcast(mx)).where(col("__rev") === col("__mx"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("__rev").cast("double") / lit(1e6)).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q22: sleeping rich customers — TPC-H Q22: customers whose balance
+    * beats the global positive-balance average (scalar-subquery
+    * broadcast) and who placed no RECENT orders (anti-join against the
+    * date-filtered order stream — the TPC-H "in 7 years" form, here
+    * since 2000), grouped by a
+    * 2-digit "country code" segment of the key. Three classic shapes in
+    * one row: scalar aggregate broadcast, anti-join, grouped finish; the
+    * balance average is compared on 6dp-quantized values so the admit
+    * decision is engine-stable.
+    */
+  def q22SleepingCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        (col("c_custkey") % 100).cast("long").as("cntry"))
+    val avgBal = c.where(col("c_acctbal") > 0.0)
+      .agg((floor(
+        sum(floor(col("c_acctbal") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6) * lit(1e6) + lit(0.5)) /
+        lit(1e6)).as("__avg"))
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(floor(col("c_acctbal") * lit(1e6) + lit(0.5)) >
+        floor(col("__avg") * lit(1e6) + lit(0.5)))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(floor(col("c_acctbal") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -4055,6 +4133,9 @@ object Queries {
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),
-    "dq2_fd_audit" -> (dq2FdAudit _)
+    "dq2_fd_audit" -> (dq2FdAudit _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_sleeping_customers" -> (q22SleepingCustomers _)
   )
 }

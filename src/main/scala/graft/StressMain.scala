@@ -162,7 +162,11 @@ object StressMain {
       // orders; ts3 one grouped scan + broadcast join back over
       // replicated events; t10 map-only regex; dq2 one grouped aggregate
       "w9_next_order", "ts3_seasonal_baseline", "t10_control_scrub",
-      "dq2_fd_audit")
+      "dq2_fd_audit",
+      // round-11 batch 5: q13 one fact shuffle + customer-sized second
+      // agg; q15 supplier-sized revenue view + 1-row broadcast max; q22
+      // broadcast scalar + anti-join against the date-filtered orders
+      "q13_custdist", "q15_top_supplier", "q22_sleeping_customers")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -191,6 +191,28 @@ object EventStreams {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
 
+  /** STREAM-STREAM interval join — the attribution shape (each left
+    * event matched to the right events of the same key in the trailing
+    * `within` window): clicks⋈impressions, purchases⋈campaign touches.
+    * Spark keeps BOTH sides' state; the watermark plus the closed time
+    * interval is what lets it evict — state is bounded by
+    * (watermark + within) × arrival rate, never the stream's history.
+    * Inner join, so matches emit as soon as both rows have arrived; the
+    * watermark only governs state cleanup, not result completeness.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", within: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+        s"l.$keyCol = r.$keyCol AND " +
+          s"r.ts >= l.ts - INTERVAL $within AND r.ts <= l.ts"))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (user profile, allow/deny list, per-user aggregates). Spark
     * plans this without stream-side state — each micro-batch joins against

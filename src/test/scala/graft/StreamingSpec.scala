@@ -648,4 +648,31 @@ class StreamingSpec extends AnyFunSuite {
     ref2.index.close()
     assert(perBatch.last == Set(300L))
   }
+
+  test("stream-stream interval join == the batch join, both sides streamed") {
+    val batch = eventsBatch
+    val types = batch.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val (ta, tb) = (types(0), types(1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    batch.write.mode("overwrite").parquet(tmp)
+    def sideStream(tpe: String) = spark.readStream.schema(batch.schema)
+      .parquet(tmp).where(col("event_type") === tpe)
+    val joined = EventStreams.joinWithin(
+      sideStream(ta), sideStream(tb), within = "30 minutes")
+    val q = EventStreams.runToMemory(joined, "ssj_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out").select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the same interval predicate as a plain join
+    val l = batch.where(col("event_type") === ta).alias("l")
+    val r = batch.where(col("event_type") === tb).alias("r")
+    val want = l.join(r, expr(
+        "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 30 minutes " +
+          "AND r.ts <= l.ts"))
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }
