@@ -3549,6 +3549,31 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // q19: one equi-join, the disjunction as a filter
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6
+        |    + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 35)
+        |  OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    // c16: cross-table temporal consistency, exact counts + 6dp rate
+    "c16_temporal_audit" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  floor(CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+        |    AS violation_rate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
     // q13: LEFT JOIN with the join-level filter, double aggregation
     "q13_custdist" ->
       """WITH pc AS (SELECT c_custkey,

@@ -3925,6 +3925,55 @@ object Queries {
       .orderBy(col("cntry"))
   }
 
+  /** Q19: disjunctive-predicate join — TPC-H Q19's shape: revenue over
+    * lineitem⋈part where an OR of three (type, size-range,
+    * quantity-range) conjunctions holds. The point is the PLAN: the
+    * common `l_partkey = p_partkey` stays a single equi-join with the
+    * disjunction as a post-join filter (and the per-branch part
+    * predicates pushable to the dim scan) — not three unioned joins.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val vol = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    val branch = (col("p_type") === "ECONOMY" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_type") === "STANDARD" &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 35)) ||
+      (col("p_type") === "PROMO" &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .where(branch)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(vol).cast("double") / lit(1e6)).as("revenue"))
+  }
+
+  /** C16: temporal referential audit — lineitems SHIPPED BEFORE their
+    * order was placed, per line status: the cross-table consistency check
+    * dq1's single-table rules can't see. The synthetic generator draws
+    * ship dates independently of order dates, so the violations are REAL
+    * (≈47% of lines at every SF) — the row pins exact counts and 6dp
+    * rates, proving the audit counts precisely rather than existing
+    * vacuously on clean data. One fact-fact equi-join + conditional
+    * aggregate.
+    */
+  def c16TemporalAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_shipdate") < col("o_orderdate")).cast("long"))
+          .as("n_violations"))
+      .select(col("l_linestatus"), col("n_lines"), col("n_violations"),
+        (floor(col("n_violations").cast("double") /
+          col("n_lines").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("violation_rate"))
+      .orderBy(col("l_linestatus"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -4136,6 +4185,8 @@ object Queries {
     "dq2_fd_audit" -> (dq2FdAudit _),
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
-    "q22_sleeping_customers" -> (q22SleepingCustomers _)
+    "q22_sleeping_customers" -> (q22SleepingCustomers _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "c16_temporal_audit" -> (c16TemporalAudit _)
   )
 }

@@ -166,7 +166,10 @@ object StressMain {
       // round-11 batch 5: q13 one fact shuffle + customer-sized second
       // agg; q15 supplier-sized revenue view + 1-row broadcast max; q22
       // broadcast scalar + anti-join against the date-filtered orders
-      "q13_custdist", "q15_top_supplier", "q22_sleeping_customers")
+      "q13_custdist", "q15_top_supplier", "q22_sleeping_customers",
+      // batch 6: q19 one equi-join + disjunction filter; c16 one
+      // fact-fact equi-join + conditional aggregate (both replicated)
+      "q19_disjunctive_revenue", "c16_temporal_audit")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
