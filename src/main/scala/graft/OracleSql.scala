@@ -3822,7 +3822,9 @@ object OracleSql {
         |  '</body></html>' AS html
         |  FROM documents),
         |links AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1))
+        |    unnest(list_concat(
+        |      regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1),
+        |      regexp_extract_all(html, '(?i)<a[^>]*href=''([^'']*)''', 1)))
         |      AS href
         |  FROM h)
         |SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,

@@ -120,11 +120,15 @@ object Html {
   def mainContent(html: Column): Column =
     joinBlocks(keptBlocks(blockStructs(html)))
 
-  /** `href` attribute of every anchor, double-quoted form — the link
-    * targets a crawl's URL frontier is built from. Map-only
-    * `regexp_extract_all`; Java∩RE2 subset like every pattern here. */
+  /** `href` attribute of every anchor — the link targets a crawl's URL
+    * frontier is built from. Two map-only `regexp_extract_all` passes
+    * (double-quoted then single-quoted attributes, concatenated in that
+    * order — a fixed order both engines replay); Java∩RE2 subset like
+    * every pattern here. */
   def hrefs(html: Column): Column =
-    regexp_extract_all(html, lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1))
+    concat(
+      regexp_extract_all(html, lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(html, lit("(?i)<a[^>]*href='([^']*)'"), lit(1)))
 
   /** Per-document extraction with block accounting: `(idCol, main_text,
     * n_blocks, n_kept)` where `n_blocks` counts non-empty visible blocks

@@ -141,6 +141,39 @@ object EventStreams {
     * later advances restarts from step 0, the standard re-entry
     * trade-off; None keeps stalled entrants indefinitely.
     */
+  /** The per-group state transition behind [[funnelStream]], factored out
+    * so the state-hygiene contract (no state for non-entrants, removal on
+    * completion and on timeout, eviction-clock refresh) is unit-testable
+    * with `TestGroupState` — a live ProcessingTimeTimeout cannot be
+    * forced deterministically inside a streaming test.
+    */
+  private[graft] def funnelStep(stepArr: Array[String],
+      evictAfter: Option[String])(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[FunnelProgress]): Iterator[FunnelUpdate] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+      sorted.foreach { e =>
+        if (p.reached < stepArr.length &&
+            e.event_type == stepArr(p.reached) &&
+            (p.reached == 0 || e.ts.getTime > p.lastTs)) {
+          p = FunnelProgress(p.reached + 1, e.ts.getTime)
+          out += FunnelUpdate(userId, p.reached.toLong, e.event_type, e.ts)
+        }
+      }
+      if (p.reached >= stepArr.length) state.remove()
+      else if (p.reached > 0) {
+        // Only funnel ENTRANTS hold state; refresh the eviction clock on
+        // every batch that touches the user.
+        if (!state.getOption.contains(p)) state.update(p)
+        evictAfter.foreach(state.setTimeoutDuration)
+      }
+      out.iterator
+    }
+
   def funnelStream(spark: SparkSession, events: DataFrame,
       steps: Seq[String], evictAfter: Option[String] = None): DataFrame = {
     import spark.implicits._
@@ -153,33 +186,7 @@ object EventStreams {
       .filter(e => stepArr.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelUpdate](
-        OutputMode.Append(), timeoutConf) {
-        (userId: Long, rows: Iterator[Event],
-            state: GroupState[FunnelProgress]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var p = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
-            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
-            sorted.foreach { e =>
-              if (p.reached < stepArr.length &&
-                  e.event_type == stepArr(p.reached) &&
-                  (p.reached == 0 || e.ts.getTime > p.lastTs)) {
-                p = FunnelProgress(p.reached + 1, e.ts.getTime)
-                out += FunnelUpdate(userId, p.reached.toLong,
-                  e.event_type, e.ts)
-              }
-            }
-            if (p.reached >= stepArr.length) state.remove()
-            else if (p.reached > 0) {
-              // Only funnel ENTRANTS hold state; refresh the eviction
-              // clock on every batch that touches the user.
-              if (!state.getOption.contains(p)) state.update(p)
-              evictAfter.foreach(state.setTimeoutDuration)
-            }
-            out.iterator
-          }
-      }
+        OutputMode.Append(), timeoutConf)(funnelStep(stepArr, evictAfter))
       .toDF()
   }
 

@@ -73,6 +73,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(text == "")
   }
 
+  test("hrefs: double- and single-quoted attributes, fixed order") {
+    import spark.implicits._
+    val html = """<a href="/a">x</a> <b><a id='z' href='/b'>y</a></b>""" +
+      """ <a name="n">no href</a>"""
+    val got = Seq((1L, html)).toDF("id", "h")
+      .select(graft.operators.Html.hrefs(col("h"))).collect()(0)
+      .getSeq[String](0)
+    assert(got == Seq("/a", "/b")) // all double-quoted first, then single
+  }
+
   test("whitespace and case-insensitive tags: <P>/<DIV> split blocks") {
     val (text, _, nKept) = extract(
       "<BODY><P>first para</P><DIV><A>l</A><A>m</A></DIV><P>second</P></BODY>")

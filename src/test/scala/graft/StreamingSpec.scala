@@ -570,6 +570,48 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L, "signup")))
   }
 
+  test("funnel state hygiene: non-entrants hold no state; timeout/completion evict") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.{Optional => JOpt}
+    val steps = Array("signup", "purchase")
+    def ev(u: Long, id: Long, ts: String, t: String) =
+      EventStreams.Event(id, java.sql.Timestamp.valueOf(ts), u, t, 0.0, "{}")
+    val ptt =
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+    def mk(st: JOpt[EventStreams.FunnelProgress], timedOut: Boolean) =
+      TestGroupState.create[EventStreams.FunnelProgress](
+        st, ptt, 1000L, JOpt.empty[Long], timedOut)
+    def fresh() = mk(JOpt.empty(), timedOut = false)
+
+    // a user who never reaches step 0 must register NO state
+    val s1 = fresh()
+    val out1 = EventStreams.funnelStep(steps, Some("1 hour"))(
+      2L, Iterator(ev(2L, 1L, "2024-01-01 10:00:00", "purchase")), s1).toSeq
+    assert(out1.isEmpty && !s1.exists && !s1.isUpdated)
+
+    // an entrant registers state AND arms the eviction clock
+    val s2 = fresh()
+    val out2 = EventStreams.funnelStep(steps, Some("1 hour"))(
+      1L, Iterator(ev(1L, 2L, "2024-01-01 10:00:00", "signup")), s2).toSeq
+    assert(out2.map(_.step) == Seq(1L) && s2.exists)
+    assert(s2.getTimeoutTimestampMs.isPresent) // setTimeoutDuration armed
+
+    // completion removes state
+    val s3 = mk(JOpt.of(EventStreams.FunnelProgress(1,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)),
+      timedOut = false)
+    val out3 = EventStreams.funnelStep(steps, Some("1 hour"))(
+      1L, Iterator(ev(1L, 3L, "2024-01-01 11:00:00", "purchase")), s3).toSeq
+    assert(out3.map(_.step) == Seq(2L) && s3.isRemoved)
+
+    // timeout invocation evicts the stalled entrant
+    val s4 = mk(JOpt.of(EventStreams.FunnelProgress(1, 0L)),
+      timedOut = true)
+    val out4 = EventStreams.funnelStep(steps, Some("1 hour"))(
+      1L, Iterator.empty, s4).toSeq
+    assert(out4.isEmpty && s4.isRemoved)
+  }
+
   test("changeFeedStream: per-batch diffs against a ROLLING snapshot") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
