@@ -3549,6 +3549,29 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // p20: per-category -p*ln(p) terms 6dp-quantized to integers, exact
+    // sum, one /1e6 finish — the zipf1 log convention
+    "p20_entropy_profile" -> {
+      def ent(table: String, c: String, label: String) =
+        s"""(WITH g AS (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cc
+           |  FROM $table WHERE $c IS NOT NULL GROUP BY $c),
+           |t AS (SELECT CAST(SUM(cc) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS nd FROM g)
+           |SELECT '$label' AS column_name, t.n AS n_rows,
+           |  t.nd AS n_distinct,
+           |  CAST(SUM(CAST(floor(-(CAST(cc AS DOUBLE) / t.n) *
+           |    ln(CAST(cc AS DOUBLE) / t.n) * 1e6 + 0.5) AS BIGINT))
+           |    AS DOUBLE) / 1e6 AS entropy
+           |FROM g, t GROUP BY t.n, t.nd)""".stripMargin
+      s"""SELECT * FROM (
+         |${ent("events", "event_type", "events.event_type")}
+         |UNION ALL
+         |${ent("orders", "o_orderpriority", "orders.o_orderpriority")}
+         |UNION ALL
+         |${ent("documents", "lang", "documents.lang")})
+         |ORDER BY column_name""".stripMargin
+    },
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -3974,6 +3974,40 @@ object Queries {
       .orderBy(col("l_linestatus"))
   }
 
+  /** P20: categorical entropy profile — Shannon entropy (nats) of three
+    * categorical columns across tables, beside row/distinct counts: the
+    * information-content heuristic behind key selection, stratification
+    * and drift baselines (a near-zero-entropy column can't stratify; a
+    * near-log(k) one is uniform). Per-category terms `-p·ln p` are
+    * 6dp-quantized to integer units and summed EXACTLY (the zipf1
+    * log-convention: one ln per category, identical IEEE chain in the
+    * oracle); each groupBy is map-side-combined and the entropy math
+    * runs on category-cardinality rows.
+    */
+  def p20EntropyProfile(s: SparkSession, dir: String): DataFrame = {
+    def ent(df: DataFrame, c: String, label: String): DataFrame = {
+      val g = df.where(col(c).isNotNull).groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val tot = g.agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("n_distinct"))
+      val p = col("__c").cast("double") / col("__n").cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("__n"), col("n_distinct"),
+          floor(-(p * log(p)) * lit(1e6) + lit(0.5)).cast("long").as("__t"))
+        .groupBy()
+        .agg(min(col("__n")).as("n_rows"),
+          min(col("n_distinct")).as("n_distinct"),
+          (sum(col("__t")).cast("double") / lit(1e6)).as("entropy"))
+        .select(lit(label).as("column_name"), col("n_rows"),
+          col("n_distinct"), col("entropy"))
+    }
+    ent(t(s, dir, "events"), "event_type", "events.event_type")
+      .unionAll(ent(t(s, dir, "orders"), "o_orderpriority",
+        "orders.o_orderpriority"))
+      .unionAll(ent(t(s, dir, "documents"), "lang", "documents.lang"))
+      .orderBy(col("column_name"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -4187,6 +4221,7 @@ object Queries {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q22_sleeping_customers" -> (q22SleepingCustomers _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
-    "c16_temporal_audit" -> (c16TemporalAudit _)
+    "c16_temporal_audit" -> (c16TemporalAudit _),
+    "p20_entropy_profile" -> (p20EntropyProfile _)
   )
 }

@@ -169,7 +169,10 @@ object StressMain {
       "q13_custdist", "q15_top_supplier", "q22_sleeping_customers",
       // batch 6: q19 one equi-join + disjunction filter; c16 one
       // fact-fact equi-join + conditional aggregate (both replicated)
-      "q19_disjunctive_revenue", "c16_temporal_audit")
+      "q19_disjunctive_revenue", "c16_temporal_audit",
+      // p20: three map-side-combined category counts; entropy math on
+      // category-cardinality rows
+      "p20_entropy_profile")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
