@@ -3400,7 +3400,7 @@ object OracleSql {
         |    vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
         |      '[ \t\n\r]+', ' ', 'g')),
         |    lc := coalesce(list_sum(list_transform(
-        |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |      regexp_extract_all(b, '(?is)<a(?:[ \t\n\r][^>]*)?>(.*?)</a[ \t\n\r]*>', 1),
         |      x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0))) AS bs
         |  FROM blk),
         |k AS (SELECT doc_id,
@@ -3466,7 +3466,7 @@ object OracleSql {
          |    vis := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
          |      '[ \t\n\r]+', ' ', 'g')),
          |    lc := coalesce(list_sum(list_transform(
-         |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+         |      regexp_extract_all(b, '(?is)<a(?:[ \t\n\r][^>]*)?>(.*?)</a[ \t\n\r]*>', 1),
          |      x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0))) AS bs
          |  FROM blk),
          |k AS (SELECT doc_id,
@@ -3846,8 +3846,8 @@ object OracleSql {
         |  FROM documents),
         |links AS (SELECT doc_id,
         |    unnest(list_concat(
-        |      regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"', 1),
-        |      regexp_extract_all(html, '(?i)<a[^>]*href=''([^'']*)''', 1)))
+        |      regexp_extract_all(html, '(?i)<a[ \t\n\r][^>]*href="([^"]*)"', 1),
+        |      regexp_extract_all(html, '(?i)<a[ \t\n\r][^>]*href=''([^'']*)''', 1)))
         |      AS href
         |  FROM h)
         |SELECT href, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,

@@ -3374,21 +3374,62 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Day-partitioned copy of `events`, written once per (JVM, sfDir) to
-    * /tmp — the pp1 fixture. Deterministic content (a pure re-layout of
-    * the driver's parquet), `_SUCCESS`-guarded so bench/verify reruns
-    * reuse it.
+  /** Content fingerprint of a source parquet table (size + mtime of its
+    * file(s)) — keys every derived /tmp fixture cache, so if the driver
+    * regenerates test data at the same sfDir path the stale re-layout is
+    * NOT silently reused (the cache path itself changes). */
+  private[graft] def tableFingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq.filter(_.isFile))
+          .getOrElse(Seq.empty).sortBy(_.getName)
+      else Seq(root)
+    val sig = files
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
+  /** Build a derived layout under /tmp exactly once per content
+    * fingerprint: builders write to a unique temp dir which is atomically
+    * renamed into place, so two JVMs racing on the same fixture (Bench
+    * and Verify sharing /tmp) can never observe a half-written cache —
+    * the loser's copy is discarded. */
+  private[graft] def buildCachedDir(path: String)(build: String => Unit): String = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val tmp = s"$path.tmp.${java.util.UUID.randomUUID().toString.take(8)}"
+      build(tmp)
+      try
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // another JVM won the race — keep theirs, drop ours
+          org.apache.spark.network.util.JavaUtils
+            .deleteRecursively(new java.io.File(tmp))
+      }
+    }
+    path
+  }
+
+  /** Day-partitioned copy of `events`, written once per (JVM, source
+    * fingerprint) to /tmp — the pp1/dpp1 fixture. Deterministic content
+    * (a pure re-layout of the driver's parquet); the cache key embeds
+    * [[tableFingerprint]] so regenerated source data invalidates it.
     */
   private val prunedEventsMemo = scala.collection.mutable.Map[String, String]()
   private def prunedEventsPath(s: SparkSession, dir: String): String =
     prunedEventsMemo.synchronized {
       prunedEventsMemo.getOrElseUpdate(dir, {
         val path = "/tmp/graft_events_by_day_" +
-          dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
           graft.sources.Bucketing.writePartitionedByDay(
-            t(s, dir, "events"), "ts", path)
-        path
+            t(s, dir, "events"), "ts", tmp)
+        }
       })
     }
 
@@ -3703,13 +3744,14 @@ object Queries {
     sketchMemo.synchronized {
       sketchMemo.getOrElseUpdate(dir, {
         val path = "/tmp/graft_hll_shards_" +
-          dir.replaceAll("[^a-zA-Z0-9.]", "_")
-        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "orders")
+        buildCachedDir(path) { tmp =>
           t(s, dir, "orders")
             .groupBy(pmod(xxhash64(col("o_orderkey")), lit(8)).as("shard"))
             .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
-            .write.mode("overwrite").parquet(path)
-        path
+            .write.mode("overwrite").parquet(tmp)
+        }
       })
     }
 

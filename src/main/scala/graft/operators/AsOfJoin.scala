@@ -85,6 +85,12 @@ object AsOfJoin {
     * comes first at equal time), so strictness costs nothing. The
     * self-join flavor (next order of the same customer) needs no second
     * scan shape: pass the same table as both sides with `strict = true`.
+    *
+    * Like the backward join, right rows sharing the same (key, time) MUST
+    * be pre-deduped by the caller: the union sorts only by (time desc,
+    * side), so which duplicate is carried would otherwise be
+    * nondeterministic (w9 dedups; the ewma/w4 convention of a caller-
+    * supplied tertiary tie column is the alternative).
     */
   def forward(
       left: DataFrame,

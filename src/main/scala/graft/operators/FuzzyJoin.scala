@@ -152,6 +152,13 @@ object FuzzyJoin {
     val candidates = Dedup.boundedBucketPairs(
       blocked, idCol, bucketCols = Seq("__pfx"), carryCols = Seq(strCol),
       maxBucket = maxBucket, repFactor = repFactor)
+      // on the hot-bucket path boundedBucketPairs can emit the same
+      // ordered (id_a, id_b) twice (representative-representative pairs
+      // seen from both join directions) — dedup before the verify so the
+      // one-row-per-pair contract holds, mirroring fuzzySelfJoin
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col(s"${strCol}_a")).as(s"${strCol}_a"),
+        first(col(s"${strCol}_b")).as(s"${strCol}_b"))
     candidates
       .withColumn("sim",
         floor(graft.functions.JaroWinkler.jaroWinkler(

@@ -61,8 +61,13 @@ object Html {
     * RE2's does not; the explicit class behaves identically in both). */
   private val WsPat = "[ \t\n\r]+"
 
-  /** Anchor element; group 1 = the link text (may contain inline tags). */
-  private val APat = "(?is)<a[^>]*>(.*?)</a>"
+  /** Anchor element; group 1 = the link text (may contain inline tags).
+    * The tag-name boundary is explicit (`<a` followed by whitespace+attrs
+    * or nothing) so `<abbr>`, `<aside>`, `<audio>`, `<address>`, `<area>`
+    * do NOT match — a bare `<a[^>]*>` would count everything from such a
+    * tag to the next `</a>` as link text, inflating link density and
+    * wrongly dropping genuine content blocks. Still Java∩RE2. */
+  private val APat = "(?is)<a(?:[ \t\n\r][^>]*)?>(.*?)</a[ \t\n\r]*>"
 
   /** Visible text of one block: tags become spaces, whitespace collapses,
     * ends trim. */
@@ -127,8 +132,10 @@ object Html {
     * every pattern here. */
   def hrefs(html: Column): Column =
     concat(
-      regexp_extract_all(html, lit("(?i)<a[^>]*href=\"([^\"]*)\""), lit(1)),
-      regexp_extract_all(html, lit("(?i)<a[^>]*href='([^']*)'"), lit(1)))
+      regexp_extract_all(html,
+        lit("(?i)<a[ \t\n\r][^>]*href=\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(html,
+        lit("(?i)<a[ \t\n\r][^>]*href='([^']*)'"), lit(1)))
 
   /** Per-document extraction with block accounting: `(idCol, main_text,
     * n_blocks, n_kept)` where `n_blocks` counts non-empty visible blocks

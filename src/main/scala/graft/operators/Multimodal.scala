@@ -159,9 +159,12 @@ object Multimodal {
     /** Mean DECODED level: raster luminance mean for images (exact
       * integer lum per pixel, Long-accumulated), mean unsigned PCM
       * sample for audio (read through the decoder, so the container
-      * header never pollutes the statistic). */
+      * header never pollutes the statistic). A payload that is neither a
+      * decodable image nor decodable audio returns 0.0 — the same
+      * sentinel convention as [[sampleRateHz]] — so one corrupt payload
+      * in a 100 TB media-QC sweep is flagged, not a stage failure. */
     def meanLevel(data: Array[Byte]): Double = {
-      val img = readImage(data)
+      val img = try readImage(data) catch { case _: java.io.IOException => null }
       if (img != null) {
         var s = 0L
         var y = 0
@@ -177,14 +180,19 @@ object Multimodal {
         val n = img.getWidth.toLong * img.getHeight
         if (n > 0) s.toDouble / n else 0.0
       } else {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(data))
         try {
-          val bytes = in.readAllBytes()
-          if (bytes.isEmpty) 0.0
-          else bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
-            bytes.length
-        } finally in.close()
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(data))
+          try {
+            val bytes = in.readAllBytes()
+            if (bytes.isEmpty) 0.0
+            else bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble /
+              bytes.length
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => 0.0
+          case _: java.io.IOException => 0.0
+        }
       }
     }
   }
