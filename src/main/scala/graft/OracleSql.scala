@@ -3549,6 +3549,26 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // dpp1: the FLAT twin of the runtime-pruned star join — DuckDB
+    // rebuilds the same calendar dim (distinct day + week_of_month =
+    // ((dayofmonth-1) // 7) + 1), applies the same selective dim filter,
+    // and joins on the timestamp-derived day. Hash equality proves the
+    // dynamically-pruned partitioned join computed exactly the flat
+    // answer.
+    "dpp1_dynamic_pruning" ->
+      """WITH cal AS (
+        |  SELECT day,
+        |    CAST(((dayofmonth(day) - 1) // 7) + 1 AS INT) AS week_of_month
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)),
+        |sel AS (SELECT day FROM cal WHERE week_of_month = 2)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(e.value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events e JOIN sel ON CAST(e.ts AS DATE) = sel.day
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
     // p20: per-category -p*ln(p) terms 6dp-quantized to integers, exact
     // sum, one /1e6 finish — the zipf1 log convention
     "p20_entropy_profile" -> {

@@ -3433,6 +3433,65 @@ object Queries {
       })
     }
 
+  /** Tiny calendar dimension for the star-join pruning proofs: one row per
+    * calendar day present in `events`, with derived attributes
+    * (`week_of_month`, `is_weekend`) a campaign/reporting dim would carry.
+    * Persisted parquet (not an in-memory LocalRelation) so the dpp1 join
+    * is a REAL star join — the dim's contents are unknowable at plan time,
+    * which is exactly what forces runtime (dynamic) pruning rather than
+    * constant-folded static pruning.
+    */
+  private val calendarMemo = scala.collection.mutable.Map[String, String]()
+  private def calendarPath(s: SparkSession, dir: String): String =
+    calendarMemo.synchronized {
+      calendarMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_calendar_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          t(s, dir, "events")
+            .select(to_date(col("ts")).as("day")).distinct()
+            .withColumn("week_of_month",
+              (floor((dayofmonth(col("day")) - lit(1)) / lit(7)) + lit(1))
+                .cast("int"))
+            .withColumn("is_weekend", dayofweek(col("day")).isin(1, 7))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+        }
+      })
+    }
+
+  /** DPP1: DYNAMIC (runtime) partition pruning — the star-join completion
+    * of pp1's static proof. A selective predicate on the small calendar
+    * dim (`week_of_month = 2`, 7 of ~30 days) joined to the
+    * day-partitioned fact on the partition column: the fact's matching
+    * `dt=` directories are knowable only AFTER the dim filter runs, so
+    * Catalyst inserts a DynamicPruningSubquery into the fact scan's
+    * PartitionFilters, reusing the join's broadcast of the filtered dim —
+    * the plan mechanism (dynamicpruningexpression in the scan leaf,
+    * post-execution `number of partitions read` == 7 of ~30) is asserted
+    * in PartitionPruningSpec; this row pins the VALUES via the flat-twin
+    * oracle (DuckDB replays the same dim derivation and join on the flat
+    * parquet).
+    *
+    * 100 TB lens: this is THE fact-table pattern — `events ⋈ dim WHERE
+    * dim.attr = x` — where static pruning is impossible (the date set
+    * lives in the dim, not the query text). Without DPP the scan reads
+    * the full year; with it, the broadcast result prunes directories
+    * before fact I/O starts. Same join, ~1/4 the scan.
+    */
+  def dpp1DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(prunedEventsPath(s, dir))
+    val dim = s.read.parquet(calendarPath(s, dir))
+      .where(col("week_of_month") === 2)
+    fact.join(dim, fact("dt") === dim("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** PP1: layout-level partition pruning — the row that proves a date
     * predicate on a day-partitioned fact layout ([[graft.sources.Bucketing
     * .writePartitionedByDay]]) reads only the matching `dt=` directories
@@ -4244,6 +4303,7 @@ object Queries {
     "cp8_html_pipeline" -> (cp8HtmlPipeline _),
     "fj2_jw_join" -> (fj2JwJoin _),
     "pp1_partition_pruning" -> (pp1PartitionPruning _),
+    "dpp1_dynamic_pruning" -> (dpp1DynamicPruning _),
     "mm4_jvm_decode" -> (mm4JvmDecode _),
     "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _),
     "q4_priority_exists" -> (q4PriorityExists _),

@@ -172,7 +172,10 @@ object StressMain {
       "q19_disjunctive_revenue", "c16_temporal_audit",
       // p20: three map-side-combined category counts; entropy math on
       // category-cardinality rows
-      "p20_entropy_profile")
+      "p20_entropy_profile",
+      // round-12: dpp1 re-lays-out replicated events day-partitioned,
+      // then the dim-filtered star join prunes at runtime (7 of 30 dirs)
+      "dpp1_dynamic_pruning")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

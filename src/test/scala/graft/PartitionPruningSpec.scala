@@ -49,6 +49,36 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(pf.contains("dt"), s"dt not in partition filters:\n$pf")
   }
 
+  test("dpp1: a dim filter prunes fact partitions at RUNTIME (Spark DPP)") {
+    // AQE off so the executed plan is a plain tree whose FileSourceScanExec
+    // leaves (and their driver metrics) are directly collectable; DPP
+    // itself is an optimizer feature independent of AQE.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.dpp1DynamicPruning(spark, sfDir)
+      val planStr = df.queryExecution.executedPlan.toString
+      // (a) the fact scan's PartitionFilters carry a runtime subquery —
+      // the date set comes from the dim, not the query text
+      assert(planStr.contains("dynamicpruningexpression"),
+        s"no dynamicpruningexpression in:\n$planStr")
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val fact = scans.find(_.metadata("Location").contains("graft_events_by_day"))
+        .getOrElse(fail(s"no fact scan among ${scans.map(_.metadata("Location"))}"))
+      // (b) ground truth from the scan's own driver metrics: week 2 of
+      // January = 7 of the ~30 dt= directories actually read...
+      assert(fact.metrics("numPartitions").value == 7L,
+        s"partitions read: ${fact.metrics("numPartitions").value}")
+      // ...and pruning happened at RUNTIME: the static (pre-DPP) file set
+      // is the full layout, strictly larger than what was read
+      assert(fact.metrics("staticFilesNum").value > fact.metrics("numFiles").value,
+        s"static=${fact.metrics("staticFilesNum").value} read=${fact.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("re-layout is lossless: partitioned+filtered == flat ts-filtered") {
     val part = spark.read.parquet(path)
       .where(col("dt").cast("string").isin(days: _*))
