@@ -3549,6 +3549,19 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // pp2: flat twin of the row-group-skipping window — same 3 days as
+    // pp1, expressed as the ts range the sorted layout skips on
+    "pp2_rowgroup_skipping" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // dpp1: the FLAT twin of the runtime-pruned star join — DuckDB
     // rebuilds the same calendar dim (distinct day + week_of_month =
     // ((dayofmonth-1) // 7) + 1), applies the same selective dim filter,
@@ -3748,6 +3761,48 @@ object OracleSql {
         |ORDER BY cnt DESC, l_partkey
         |LIMIT 20""".stripMargin,
 
+    // hh2: exact anchors (totals, top-1 href) recomputed from the h2
+    // href replay; the three sketch gates pinned TRUE — each is a
+    // Misra-Gries theorem for any sharding/merge order (see Queries
+    // scaladoc), the p11c convention applied to frequent items
+    "hh2_sketch_heavy_hitters" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p{margin:0}</style><script>var id=' ||
+        |  CAST(doc_id AS VARCHAR) || ';</script></head><body>' ||
+        |  '<div><a href="/">Home</a> <a href="/about">About</a> nav</div>' ||
+        |  '<p>' || text || '</p>' ||
+        |  '<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<ul><li><a href="/x">x' ||
+        |    CAST(doc_id AS VARCHAR) || '</a></li></ul>' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '<p>terms &amp; conditions &quot;apply&quot; &lt;here&gt; &#39;now&#39;&nbsp;always</p>'
+        |    ELSE '' END ||
+        |  '<p>as noted in <a href="/ref' || CAST(doc_id AS VARCHAR) ||
+        |  '">reference ' || CAST(doc_id AS VARCHAR) ||
+        |  '</a> the corpus continues</p>' ||
+        |  '<div>copyright <a href="/c">contact</a> <a href="/p">privacy</a> <a href="/t">terms</a></div>' ||
+        |  '</body></html>' AS html
+        |  FROM documents),
+        |links AS (SELECT doc_id,
+        |    unnest(list_concat(
+        |      regexp_extract_all(html, '(?i)<a[ \t\n\r][^>]*href="([^"]*)"', 1),
+        |      regexp_extract_all(html, '(?i)<a[ \t\n\r][^>]*href=''([^'']*)''', 1)))
+        |      AS href
+        |  FROM h),
+        |top1 AS (SELECT href AS top_href, CAST(count(*) AS BIGINT)
+        |    AS top_href_refs
+        |  FROM links GROUP BY href ORDER BY top_href_refs DESC, top_href
+        |  LIMIT 1)
+        |SELECT CAST(count(*) AS BIGINT) AS total_refs,
+        |  CAST(count(DISTINCT href) AS BIGINT) AS distinct_hrefs,
+        |  top1.top_href, top1.top_href_refs,
+        |  TRUE AS true_top5_covered,
+        |  TRUE AS bounds_hold,
+        |  TRUE AS sketch_lossy
+        |FROM links, top1
+        |GROUP BY top1.top_href, top1.top_href_refs""".stripMargin,
+
     // zipf1: 6dp-quantized log coordinates, HUGEINT-exact OLS moments,
     // one double finish — the regression face of the exact-sum contract
     "zipf1_zipf_slope" ->
@@ -3945,11 +4000,30 @@ object OracleSql {
     }
   )
 
+  // mm5: literal measured truth of the two COMMITTED media fixtures
+  // (src/main/resources/graft/media): 12x8 RGB PNG with per-pixel integer
+  // luminance mean 126.385417; 333-frame 8-bit 11025 Hz PCM WAV, duration
+  // 333*1000/11025 = 30 ms (integer), mean unsigned sample 130.900901.
+  // Values measured at fixture-creation time from the generating pattern
+  // and pinned as constants — the row breaks if the artifacts or the
+  // codec seam drift.
+  private val mm5Sql: (String, String) = "mm5_committed_media" ->
+    """SELECT CAST(media_id AS BIGINT) AS media_id, mime,
+      |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(duration_ms AS BIGINT) AS duration_ms,
+      |  CAST(mean_level AS DOUBLE) AS mean_level
+      |FROM (VALUES
+      |  (1, 'image/png', 12, 8, 1, 0, 126.385417),
+      |  (2, 'audio/wav', 0, 0, 333, 30, 130.900901))
+      |  t(media_id, mime, width, height, n_frames, duration_ms, mean_level)
+      |ORDER BY media_id""".stripMargin
+
   // The reloaded-index rows assert a save/load round-trip is invisible:
   // the engine probes an index persisted to parquet and loaded back in a
   // fresh handle, and the result must hash-match the SAME oracle replay
   // the in-session rows pin — so the oracle SQL is shared by reference.
-  val sql: Map[String, String] = sql0 ++ Map(
+  val sql: Map[String, String] = sql0 + mm5Sql ++ Map(
     "nd2r_reloaded_neardup" -> sql0("nd2_incremental_neardup"),
     "nd5r_reloaded_fuzzy" -> sql0("nd5_incremental_fuzzy"),
     "nd3r_reloaded_semdedup" -> sql0("nd3_incremental_semdedup"),

@@ -3433,6 +3433,54 @@ object Queries {
       })
     }
 
+  /** ts-sorted flat copy of `events` ([[graft.sources.Bucketing
+    * .writeTsSorted]]) — the pp2 fixture: globally range-sorted on `ts`
+    * with deliberately small (16 KB) row groups so even the test SFs span
+    * many groups, each carrying tight min/max stats. Cached once per
+    * source fingerprint like the day-partitioned copy.
+    */
+  private val sortedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def sortedEventsPath(s: SparkSession, dir: String): String =
+    sortedEventsMemo.synchronized {
+      sortedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_ts_sorted_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Bucketing.writeTsSorted(
+            t(s, dir, "events"), "ts", tmp, blockSize = 16 * 1024)
+        }
+      })
+    }
+
+  /** PP2: ROW-GROUP skipping — the intra-file half of the pruning story
+    * (pp1 = directory listing, dpp1 = runtime dim-driven, pp2 = parquet
+    * min/max statistics INSIDE surviving files). A narrow ts window over
+    * the range-sorted flat copy: the predicate reaches the scan as
+    * PushedFilters, and because the layout is globally ts-sorted every
+    * row group's [min,max] is tight, so the reader keeps only the few
+    * groups intersecting the window — RowGroupSkippingSpec proves it
+    * three ways (footer audit: intersecting groups are a strict subset;
+    * scan metric: rows produced == surviving groups' rows < total;
+    * pushdown: the ts predicate appears in PushedFilters). This row pins
+    * the VALUES: same 3-day window as pp1, so the sorted-copy aggregate
+    * must hash-match the flat-events DuckDB oracle — re-layout
+    * losslessness under a predicate that exercised the skipping path.
+    *
+    * 100 TB lens: sort-on-write is the cheapest index a lake gets. After
+    * directory pruning admits a day (~280 GB), min/max stats are what
+    * keep a 1-hour query from decoding the other 23 hours.
+    */
+  def pp2RowGroupSkipping(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sortedEventsPath(s, dir))
+      .where(col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+
   /** Tiny calendar dimension for the star-join pruning proofs: one row per
     * calendar day present in `events`, with derived attributes
     * (`week_of_month`, `is_weekend`) a campaign/reporting dim would carry.
@@ -3539,6 +3587,37 @@ object Queries {
         M.SyntheticMedia.gradientPng(16 + i, 8 + i))) ++
       (4 to 6).map(i => M.MediaRow(i.toLong, "audio/wav",
         M.SyntheticMedia.sinePcmWav(240 * (i - 3))))
+    M.mediaStats(rows.toDS(), M.JvmCodecs)
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        col("n_frames"), col("duration_ms"),
+        (floor(col("mean_level") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mean_level"))
+      .orderBy(col("media_id"))
+  }
+
+  /** MM5: COMMITTED media fixtures through the real codec seam — mm4's
+    * payloads are generated in-process ([[graft.operators.Multimodal
+    * .SyntheticMedia]]); this row decodes two binary files checked into
+    * the repo (`src/main/resources/graft/media/fixture.{png,wav}`: a
+    * 12×8 RGB PNG and a 333-sample 8-bit 11025 Hz PCM WAV, a few hundred
+    * bytes each), so the decode path is exercised on bytes NO in-process
+    * generator produced. The oracle pins literal measured truth (raster
+    * dims, PCM frame count, container-rate duration 333·1000/11025 = 30
+    * ms integer, exact mean decoded luminance / mean unsigned sample) —
+    * any bit-rot in the committed artifacts or drift in the codec seam
+    * breaks the hash.
+    */
+  def mm5CommittedMediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/media/$name")
+      require(in != null, s"missing committed media fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val rows = Seq(
+      M.MediaRow(1L, "image/png", res("fixture.png")),
+      M.MediaRow(2L, "audio/wav", res("fixture.wav")))
     M.mediaStats(rows.toDS(), M.JvmCodecs)
       .select(col("media_id"), col("mime"), col("width"), col("height"),
         col("n_frames"), col("duration_ms"),
@@ -3758,6 +3837,65 @@ object Queries {
         (floor(col("cnt").cast("double") / col("__tot").cast("double") *
           lit(1e6) + lit(0.5)) / lit(1e6)).as("share"))
       .orderBy(col("cnt").desc, col("l_partkey"))
+  }
+
+  /** HH2: MERGEABLE frequent-items sketch heavy hitters — hh1's top-k
+    * diagnostic in the shape that survives 100 TB / 2e9-key cardinality:
+    * per-shard Datasketches `ItemsSketch` partials
+    * ([[graft.functions.FreqSketch]], Misra-Gries family) built where the
+    * data lives, union-merged once, frequent items read out with explicit
+    * `[lower_bound, upper_bound]` error intervals — KB of sketch state per
+    * shard instead of hh1's full `groupBy(key).count` shuffle.
+    *
+    * The key is the link-graph href (the h2 frontier): the one genuinely
+    * heavy-tailed key in the corpus — 5 chrome links at ~15.8% share each
+    * over a per-page-unique `/ref{id}` tail — so the sketch runs honestly
+    * LOSSY (`maxMapSize = 64` « distinct hrefs; the tail is purged
+    * constantly) and the published gates are exactly the ones the sketch
+    * GUARANTEES for any sharding and merge order: (a) every true-top-5 key
+    * appears in the NO_FALSE_NEGATIVES report — their 15.8% share is far
+    * above the ~3.5/64 ≈ 5.5% retention bound, so this is a theorem, not
+    * luck; (b) every reported item's interval brackets its exact count;
+    * (c) the sketch really purged (`reported < distinct`, capped at
+    * 0.75·maxMapSize = 48 entries). Rows are sharded by DOC hash, not by
+    * key, so every heavy key is SPLIT across all 8 partials — the hard
+    * merge case. Exact anchors (totals, top-1 href + count) ride the same
+    * row so the oracle pins real values, not just TRUEs.
+    */
+  def hh2SketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketch
+    val refs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Html.hrefs(
+          plantedHtml(col("doc_id"), col("doc_id")))).as("href"))
+    val exact = refs.groupBy(col("href")).agg(count(lit(1)).as("cnt"))
+    val top5 = exact.orderBy(col("cnt").desc, col("href")).limit(5)
+      .select(col("href"))
+    val report = refs
+      .groupBy(pmod(xxhash64(col("doc_id")), lit(8)).as("__shard"))
+      .agg(FreqSketch.sketchAgg(col("href"), 64).as("__sk"))
+      .agg(FreqSketch.mergeAgg(col("__sk"), 64).as("__sk"))
+      .select(explode(FreqSketch.items(col("__sk"))).as("__r"))
+      .select(col("__r.item").as("href"), col("__r.lower_bound"),
+        col("__r.upper_bound"))
+    val totals = refs.agg(count(lit(1)).as("total_refs"),
+      countDistinct(col("href")).as("distinct_hrefs"))
+    val top1 = exact.orderBy(col("cnt").desc, col("href")).limit(1)
+      .select(col("href").as("top_href"), col("cnt").as("top_href_refs"))
+    val covered = top5.join(report, Seq("href"), "left_semi")
+      .agg((count(lit(1)) === 5L).as("true_top5_covered"))
+    val gates = report.join(broadcast(exact), Seq("href"), "left")
+      .agg(count(lit(1)).as("__n_reported"),
+        (sum(when(col("cnt").isNotNull &&
+          col("lower_bound") <= col("cnt") &&
+          col("cnt") <= col("upper_bound"), 0L).otherwise(1L)) === 0L)
+          .as("bounds_hold"))
+    totals.crossJoin(broadcast(top1)).crossJoin(broadcast(covered))
+      .crossJoin(broadcast(gates))
+      .select(col("total_refs"), col("distinct_hrefs"),
+        col("top_href"), col("top_href_refs"),
+        col("true_top5_covered"), col("bounds_hold"),
+        (col("__n_reported") < col("distinct_hrefs")).as("sketch_lossy"))
   }
 
   /** ZIPF1: Zipf-law fit of the corpus term distribution — the classic
@@ -4304,7 +4442,9 @@ object Queries {
     "fj2_jw_join" -> (fj2JwJoin _),
     "pp1_partition_pruning" -> (pp1PartitionPruning _),
     "dpp1_dynamic_pruning" -> (dpp1DynamicPruning _),
+    "pp2_rowgroup_skipping" -> (pp2RowGroupSkipping _),
     "mm4_jvm_decode" -> (mm4JvmDecode _),
+    "mm5_committed_media" -> (mm5CommittedMediaDecode _),
     "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _),
     "q4_priority_exists" -> (q4PriorityExists _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -4313,6 +4453,7 @@ object Queries {
     "w8_ntile_bands" -> (w8NtileBands _),
     "sj1_salted_join" -> (sj1SaltedJoin _),
     "hh1_heavy_hitters" -> (hh1HeavyHitters _),
+    "hh2_sketch_heavy_hitters" -> (hh2SketchHeavyHitters _),
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "w9_next_order" -> (w9NextOrder _),

@@ -174,8 +174,12 @@ object StressMain {
       // category-cardinality rows
       "p20_entropy_profile",
       // round-12: dpp1 re-lays-out replicated events day-partitioned,
-      // then the dim-filtered star join prunes at runtime (7 of 30 dirs)
-      "dpp1_dynamic_pruning")
+      // then the dim-filtered star join prunes at runtime (7 of 30 dirs);
+      // hh2 fans 8 KB-scale frequent-items partials into one merge
+      "dpp1_dynamic_pruning", "hh2_sketch_heavy_hitters",
+      // pp2 re-writes the replicated events range-sorted (16 KB row
+      // groups), then the 3-day window skips all but a few groups
+      "pp2_rowgroup_skipping")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

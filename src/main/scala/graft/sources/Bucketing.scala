@@ -56,4 +56,65 @@ object Bucketing {
   def filesRead(df: DataFrame): Seq[String] =
     df.select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSeq
+
+  /** Sort-on-write flat re-layout: a GLOBAL `orderBy(tsCol)` (range
+    * shuffle), so each output file covers a disjoint time range and —
+    * the pp2 point — every parquet ROW GROUP inside each file carries
+    * tight min/max statistics on `tsCol`. Directory partitioning (pp1)
+    * prunes at the listing; this prunes INSIDE the files that survive:
+    * a pushed time predicate lets the reader skip whole row groups from
+    * the footer alone, the other half of the "scan ~1% of the year"
+    * story. Timestamps are forced to INT64 TIMESTAMP_MICROS for the
+    * write — Spark's default INT96 carries NO parquet statistics and
+    * rejects predicate pushdown, which would silently disable skipping.
+    * `blockSize` is deliberately small in tests so even the small SFs
+    * span many row groups; production would keep the 128 MB default.
+    */
+  def writeTsSorted(df: DataFrame, tsCol: String, path: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try df.orderBy(col(tsCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", blockSize.toLong)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Footer-level row-group audit for [[writeTsSorted]] layouts: one
+    * `(file, rowCount, minMicros, maxMicros)` per row group of `column`,
+    * read straight from the parquet footers — the ground truth for what
+    * a min/max-pruning reader COULD skip, independent of any engine.
+    * Driver-side work is proportional to file count (footers only, no
+    * row data).
+    */
+  def rowGroupStats(spark: SparkSession, dir: String, column: String)
+      : Seq[(String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(sys.error(s"column $column not in ${f.getName}"))
+        val st = c.getStatistics
+        require(st != null && st.hasNonNullValue,
+          s"no stats for $column in ${f.getName} — skipping impossible")
+        (f.getName, b.getRowCount,
+          st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue())
+      } finally rd.close()
+    }
+  }
 }

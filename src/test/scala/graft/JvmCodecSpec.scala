@@ -97,4 +97,24 @@ class JvmCodecSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(wav, stride = 100, Multimodal.JvmCodecs)
     assert(frames.count() == 5) // frames 0,100,200,300,400
   }
+
+  test("committed binary fixtures decode to their pinned truth (mm5)") {
+    // bytes from the repo, not from any in-process generator — the last
+    // synthetic-only asterisk on the codec seam
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/media/$name")
+      assert(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val png = res("fixture.png")
+    val wav = res("fixture.wav")
+    assert(Multimodal.JvmCodecs.decodeImageDims(png) == ((12, 8)))
+    assert(Multimodal.JvmCodecs.frameCount(png) == 1)
+    assert(math.floor(Multimodal.JvmCodecs.meanLevel(png) * 1e6 + 0.5) / 1e6
+      == 126.385417)
+    assert(Multimodal.JvmCodecs.frameCount(wav) == 333)
+    assert(Multimodal.JvmCodecs.sampleRateHz(wav) == 11025)
+    assert(math.floor(Multimodal.JvmCodecs.meanLevel(wav) * 1e6 + 0.5) / 1e6
+      == 130.900901)
+  }
 }

@@ -93,4 +93,71 @@ class ShardsSpec extends AnyFunSuite {
     // and the estimate is within the p11 5% envelope of exact
     assert(math.abs(skewed.toDouble - 1700.0) <= 1700.0 * 0.05)
   }
+
+  test("frequent-items merge: exact regime shard-invariant, lossy regime " +
+      "keeps its guarantees (hh2)") {
+    import graft.functions.FreqSketch
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    def merged(df: DataFrame, key: Column, shard: Column, maxMap: Int) =
+      df.groupBy(shard.as("__s"))
+        .agg(FreqSketch.sketchAgg(key, maxMap).as("sk"))
+        .agg(FreqSketch.mergeAgg(col("sk"), maxMap).as("sk"),
+          max(lit(0)).as("__z")) // keep a stable 1-row frame
+    def report(skDf: DataFrame): Map[String, (Long, Long, Long)] =
+      skDf.select(explode(FreqSketch.items(col("sk"))).as("r"))
+        .select(col("r.item"), col("r.estimate"), col("r.lower_bound"),
+          col("r.upper_bound"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    def maxErr(skDf: DataFrame): Long =
+      skDf.select(FreqSketch.maxError(col("sk"))).head().getLong(0)
+
+    // EXACT regime: maxMapSize 4096 >= 1700 distinct keys — no purge can
+    // ever happen, so for ANY disjoint sharding the merged sketch IS the
+    // exact count map: identical across 2/4/8/16 shards and a 99%-skewed
+    // shard map, maxError 0, estimates == true counts.
+    val vals = spark.range(0, 5000)
+      .select(concat(lit("k"), (col("id") % 1700).cast("string")).as("v"),
+        col("id"))
+    val exactMaps = (Seq(2, 4, 8, 16)
+      .map(n => merged(vals, col("v"), pmod(xxhash64(col("id")), lit(n)), 4096))
+      :+ merged(vals, col("v"),
+        when(col("id") % 100 === 0, lit(1)).otherwise(lit(0)), 4096))
+    val reps = exactMaps.map(report)
+    assert(reps.forall(_ == reps.head),
+      s"exact-regime merge varied with sharding: sizes ${reps.map(_.size)}")
+    assert(reps.head.size == 1700)
+    assert(exactMaps.forall(maxErr(_) == 0L))
+    // id % 1700 over 0..4999: ids < 1600 appear 3x, the rest 2x
+    assert(reps.head("k0")._1 == 3L && reps.head("k1699")._1 == 2L)
+
+    // LOSSY regime: 5 heavy keys at 10% share each over a 5000-key unique
+    // tail, maxMapSize 64 (eps ~ 3.5/64 = 5.5% < 10%): for EVERY sharding
+    // the NO_FALSE_NEGATIVES report must contain all heavy keys, every
+    // interval must bracket the true count, and the sketch must have
+    // genuinely purged (maxError > 0, retained << distinct).
+    val heavy = spark.range(0, 5000)
+      .select(concat(lit("h"), (col("id") % 5).cast("string")).as("v"),
+        col("id"))
+    val tail = spark.range(0, 5000)
+      .select(concat(lit("t"), col("id").cast("string")).as("v"),
+        (col("id") + 5000).as("id"))
+    val stream = heavy.unionByName(tail)
+    for (n <- Seq(2, 4, 16)) {
+      val sk = merged(stream, col("v"), pmod(xxhash64(col("id")), lit(n)), 64)
+      val rep = report(sk)
+      val err = maxErr(sk)
+      assert(err > 0L, s"n=$n: expected lossy regime")
+      assert(rep.size < 64, s"n=$n: retained ${rep.size}")
+      for (k <- 0 until 5) {
+        val tru = 1000L
+        val got = rep.get(s"h$k")
+        assert(got.isDefined, s"n=$n: heavy key h$k missing from report")
+        val (_, lb, ub) = got.get
+        assert(lb <= tru && tru <= ub, s"n=$n h$k: [$lb,$ub] !∋ $tru")
+      }
+    }
+  }
 }
