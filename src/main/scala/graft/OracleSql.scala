@@ -3549,6 +3549,22 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // orc1: the flat-parquet twin of the ORC re-layout aggregate —
+    // DuckDB can't read ORC, so hash equality on the parquet original
+    // IS the losslessness proof (pp1 convention)
+    "orc1_orc_relayout" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS total_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6
+        |    + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 AS total_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // pp2: flat twin of the row-group-skipping window — same 3 days as
     // pp1, expressed as the ts range the sorted layout skips on
     "pp2_rowgroup_skipping" ->
@@ -3761,6 +3777,28 @@ object OracleSql {
         |ORDER BY cnt DESC, l_partkey
         |LIMIT 20""".stripMargin,
 
+    // th1: exact segment algebra from one grouped pass; the two sketch
+    // gates pinned TRUE — exact-regime theta (nominal 4096 » user
+    // domain) retains every hash, so estimates are exact and
+    // sharding-independent (witnessed in-row by isEstimationMode)
+    "th1_theta_segments" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_click_users,
+        |  CAST(SUM(s) AS BIGINT) AS n_signup_users,
+        |  CAST(SUM(CASE WHEN c = 1 OR s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_any_users,
+        |  CAST(SUM(CASE WHEN c = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both_users,
+        |  CAST(SUM(CASE WHEN c = 1 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_only_users,
+        |  TRUE AS sketch_exact_mode,
+        |  TRUE AS sketch_matches_exact
+        |FROM f""".stripMargin,
+
     // hh2: exact anchors (totals, top-1 href) recomputed from the h2
     // href replay; the three sketch gates pinned TRUE — each is a
     // Misra-Gries theorem for any sharding/merge order (see Queries
@@ -3802,6 +3840,20 @@ object OracleSql {
         |  TRUE AS sketch_lossy
         |FROM links, top1
         |GROUP BY top1.top_href, top1.top_href_refs""".stripMargin,
+
+    // lp1: the planted reference plan /ref{doc_id % 97} makes residue
+    // classes the ground-truth communities, so converged min-label
+    // propagation has the closed form min(doc_id) per residue — the
+    // oracle replays THAT; the iterative machinery itself is
+    // convergence-witnessed in-engine and spec-proven in GraphSpec
+    "lp1_link_communities" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS community,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents
+        |GROUP BY doc_id % 97
+        |ORDER BY community""".stripMargin,
 
     // zipf1: 6dp-quantized log coordinates, HUGEINT-exact OLS moments,
     // one double finish — the regression face of the exact-sum contract

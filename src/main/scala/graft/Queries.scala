@@ -3481,6 +3481,47 @@ object Queries {
           .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** ORC copy of `lineitem`, written once per source fingerprint — the
+    * orc1 fixture (Spark ships ORC natively; zero added dependencies).
+    */
+  private val orcLineitemMemo = scala.collection.mutable.Map[String, String]()
+  private def orcLineitemPath(s: SparkSession, dir: String): String =
+    orcLineitemMemo.synchronized {
+      orcLineitemMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_lineitem_orc_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "lineitem")
+        buildCachedDir(path) { tmp =>
+          t(s, dir, "lineitem").write.mode("overwrite").orc(tmp)
+        }
+      })
+    }
+
+  /** ORC1: second columnar format, end to end — a date-filtered pricing
+    * aggregate computed over an ORC re-layout of the fact table must
+    * hash-match the DuckDB oracle computed on the ORIGINAL parquet (the
+    * pp1 losslessness convention: DuckDB cannot read ORC, so equality
+    * against the flat-parquet twin is exactly the proof that the format
+    * hop lost nothing — values, timestamp semantics, floating-point
+    * payloads). The predicate + two-column projection also exercise
+    * ORC's own pushdown/pruning path (Spark's native reader). Round-trip
+    * row fidelity for all four formats is additionally spec-pinned in
+    * FormatRoundTripSpec; this row makes the ORC path oracle-gated at
+    * every SF like any other operator.
+    */
+  def orc1OrcRelayout(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(orcLineitemPath(s, dir))
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor(col("l_quantity") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_qty"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+          lit(1e6)).as("total_revenue"))
+      .orderBy(col("l_returnflag"))
+
   /** Tiny calendar dimension for the star-join pruning proofs: one row per
     * calendar day present in `events`, with derived attributes
     * (`week_of_month`, `is_weekend`) a campaign/reporting dim would carry.
@@ -3839,6 +3880,73 @@ object Queries {
       .orderBy(col("cnt").desc, col("l_partkey"))
   }
 
+  /** TH1: theta-sketch SET ALGEBRA across segments — the question the
+    * HLL family (p11*) cannot answer: `|A ∩ B|` and `|A \ B|` of
+    * distinct-user sets, here the click/signup segment overlap. Each
+    * segment's sketch is built as 8 per-shard partials (shard = EVENT
+    * hash, so every user is split across shards — the hard merge case)
+    * and union-merged ([[graft.functions.ThetaSketch]]); intersection /
+    * difference / union are then constant-space operations on two KB
+    * sketches, vs the exact path's groupBy over every user. Below the
+    * nominal-entries budget (4096 » the user domain at every SF and at
+    * the 100× fixture, whose replication keeps the user key space) a
+    * theta sketch retains EVERY distinct hash, so all five estimates are
+    * EXACT and sharding/merge-order independent — the row gates on
+    * `sketch_exact_mode` (the `isEstimationMode == false` witness) and
+    * `sketch_matches_exact` (all five estimates equal their exact
+    * twins, computed alongside with one groupBy). Estimation-mode
+    * interval guarantees are statistical (95.4% per sketch), so the
+    * lossy regime is spec-proven with fixed inputs (ShardsSpec), never
+    * oracle-gated — the p11c/hh2 honesty convention.
+    */
+  def th1ThetaSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val k = 4096
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      pmod(xxhash64(col("event_id")), lit(8)).as("__shard"))
+    val sk = ev.groupBy(col("__shard"))
+      .agg(
+        ThetaSketch.sketchAgg(
+          when(col("event_type") === "click", col("user_id")), k).as("__ck"),
+        ThetaSketch.sketchAgg(
+          when(col("event_type") === "signup", col("user_id")), k).as("__sk"))
+      .agg(ThetaSketch.unionAgg(col("__ck"), k).as("ck"),
+        ThetaSketch.unionAgg(col("__sk"), k).as("sk"))
+      .select(
+        floor(ThetaSketch.setEstimate(col("ck"), col("sk"), "union") +
+          lit(0.5)).cast("long").as("__u_est"),
+        floor(ThetaSketch.setEstimate(col("ck"), col("sk"), "intersect") +
+          lit(0.5)).cast("long").as("__i_est"),
+        floor(ThetaSketch.setEstimate(col("ck"), col("sk"), "anotb") +
+          lit(0.5)).cast("long").as("__d_est"),
+        floor(ThetaSketch.estimate(col("ck")) + lit(0.5)).cast("long")
+          .as("__c_est"),
+        floor(ThetaSketch.estimate(col("sk")) + lit(0.5)).cast("long")
+          .as("__s_est"),
+        (!ThetaSketch.isEstimation(col("ck")) &&
+          !ThetaSketch.isEstimation(col("sk"))).as("__exact_mode"))
+    val flags = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("s"))
+    val exact = flags.agg(
+      sum(col("c")).cast("long").as("n_click_users"),
+      sum(col("s")).cast("long").as("n_signup_users"),
+      count(when(col("c") === 1 || col("s") === 1, 1)).as("n_any_users"),
+      count(when(col("c") === 1 && col("s") === 1, 1)).as("n_both_users"),
+      count(when(col("c") === 1 && col("s") === 0, 1))
+        .as("n_click_only_users"))
+    exact.crossJoin(broadcast(sk))
+      .select(col("n_click_users"), col("n_signup_users"),
+        col("n_any_users"), col("n_both_users"), col("n_click_only_users"),
+        col("__exact_mode").as("sketch_exact_mode"),
+        (col("__u_est") === col("n_any_users") &&
+          col("__i_est") === col("n_both_users") &&
+          col("__d_est") === col("n_click_only_users") &&
+          col("__c_est") === col("n_click_users") &&
+          col("__s_est") === col("n_signup_users"))
+          .as("sketch_matches_exact"))
+  }
+
   /** HH2: MERGEABLE frequent-items sketch heavy hitters — hh1's top-k
     * diagnostic in the shape that survives 100 TB / 2e9-key cardinality:
     * per-shard Datasketches `ItemsSketch` partials
@@ -3896,6 +4004,46 @@ object Queries {
         col("top_href"), col("top_href_refs"),
         col("true_top5_covered"), col("bounds_hold"),
         (col("__n_reported") < col("distinct_hrefs")).as("sketch_lossy"))
+  }
+
+  /** LP1: link-graph communities by min-label propagation — the crawl
+    * question after h2 builds the frontier: which pages cluster together
+    * once BOILERPLATE links are dropped? Chrome links (`/`, `/about`,
+    * `/c`, `/p`, `/t`, `/x`) connect every page to every page — keeping
+    * them collapses the web to one blob (GraphSpec proves exactly that),
+    * so the community graph keeps only content links (`/ref<N>`). Pages
+    * sharing a reference target land in one community: the bipartite
+    * page↔target edge list (targets offset to 10^9 so the two id spaces
+    * cannot collide) feeds [[graft.operators.Dedup.connectedComponents]]
+    * — the deterministic integer min-label rule with a convergence
+    * witness (the exact label-sum fixed point), so the final labels are
+    * sharding- and iteration-order-independent: every page's community
+    * IS the smallest page id reachable through shared references, which
+    * the oracle replays in closed form (`min(doc_id) per doc_id % 97` —
+    * the planted reference plan `/ref{doc_id % 97}` makes residue
+    * classes the ground-truth communities).
+    *
+    * 100 TB lens: same min-label machinery as d7b (dedup components) —
+    * one equi-join + map-side-combined min per round, self-loops instead
+    * of a second merge join, decimal label-sum as the convergence probe;
+    * rounds ∝ component diameter (2 here; the star topology of shared
+    * targets), never corpus size.
+    */
+  def lp1LinkCommunities(s: SparkSession, dir: String): DataFrame = {
+    val refs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Html.hrefs(
+          plantedHtml(col("doc_id"), col("doc_id") % 97))).as("href"))
+      .where(col("href").rlike("^/ref[0-9]+$"))
+    val edges = refs.select(col("doc_id").as("src"),
+      (lit(1000000000L) + substring(col("href"), 5, 18).cast("long"))
+        .as("dst"))
+    graft.operators.Dedup.connectedComponents(edges, "src", "dst")
+      .where(col("id") < 1000000000L) // keep page nodes, drop targets
+      .groupBy(col("component").as("community"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+      .orderBy(col("community"))
   }
 
   /** ZIPF1: Zipf-law fit of the corpus term distribution — the classic
@@ -4443,6 +4591,7 @@ object Queries {
     "pp1_partition_pruning" -> (pp1PartitionPruning _),
     "dpp1_dynamic_pruning" -> (dpp1DynamicPruning _),
     "pp2_rowgroup_skipping" -> (pp2RowGroupSkipping _),
+    "orc1_orc_relayout" -> (orc1OrcRelayout _),
     "mm4_jvm_decode" -> (mm4JvmDecode _),
     "mm5_committed_media" -> (mm5CommittedMediaDecode _),
     "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _),
@@ -4454,6 +4603,8 @@ object Queries {
     "sj1_salted_join" -> (sj1SaltedJoin _),
     "hh1_heavy_hitters" -> (hh1HeavyHitters _),
     "hh2_sketch_heavy_hitters" -> (hh2SketchHeavyHitters _),
+    "lp1_link_communities" -> (lp1LinkCommunities _),
+    "th1_theta_segments" -> (th1ThetaSegments _),
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "w9_next_order" -> (w9NextOrder _),

@@ -179,7 +179,14 @@ object StressMain {
       "dpp1_dynamic_pruning", "hh2_sketch_heavy_hitters",
       // pp2 re-writes the replicated events range-sorted (16 KB row
       // groups), then the 3-day window skips all but a few groups
-      "pp2_rowgroup_skipping")
+      "pp2_rowgroup_skipping",
+      // orc1 re-writes the replicated lineitem as ORC, then aggregates
+      "orc1_orc_relayout",
+      // lp1: min-label propagation over the boilerplate-stripped link
+      // graph (rounds ∝ component diameter, 2 for shared-target stars)
+      "lp1_link_communities",
+      // th1: per-shard theta partials, KB merge, constant-space set ops
+      "th1_theta_segments")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -209,12 +209,34 @@ object EventStreams {
     */
   def joinWithin(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", within: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours"): DataFrame =
+    joinWithinImpl(left, right, keyCol, within, watermark, "inner")
+
+  /** LEFT OUTER stream-stream interval join — the attribution shape users
+    * actually run: every left event emits, matched rows as soon as both
+    * sides arrive, UNMATCHED rows null-extended only once the watermark
+    * proves no qualifying right row can still arrive (for this trailing
+    * window that is watermark > left.ts — the interval's upper bound is
+    * the left row's own time, so state for a left row closes exactly one
+    * watermark delay after it). This is the semantically hard case: the
+    * null results are emitted BY THE WATERMARK, not by data — a finite
+    * stream that never advances its watermark past its last real rows
+    * will hold the stragglers in state forever (correctly). Same state
+    * bound as the inner flavor: (watermark + within) × arrival rate.
+    */
+  def joinWithinOuter(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", within: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    joinWithinImpl(left, right, keyCol, within, watermark, "left_outer")
+
+  private def joinWithinImpl(left: DataFrame, right: DataFrame,
+      keyCol: String, within: String, watermark: String,
+      joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r, expr(
         s"l.$keyCol = r.$keyCol AND " +
-          s"r.ts >= l.ts - INTERVAL $within AND r.ts <= l.ts"))
+          s"r.ts >= l.ts - INTERVAL $within AND r.ts <= l.ts"), joinType)
       .select(col(s"l.$keyCol").as(keyCol),
         col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))

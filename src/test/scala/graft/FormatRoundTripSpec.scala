@@ -41,6 +41,17 @@ class FormatRoundTripSpec extends AnyFunSuite {
       "csv")
   }
 
+  test("orc1: the ORC re-layout pushes its date predicate into the scan") {
+    val df = Queries.orc1OrcRelayout(spark, SparkTestSession.sfDir)
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = leaves.find(_.contains("OrcScan")).orElse(
+      leaves.find(s => s.toLowerCase.contains("orc")))
+      .getOrElse(fail(s"no ORC scan leaf in:\n${leaves.mkString("\n")}"))
+    assert(scan.contains("l_shipdate"),
+      s"l_shipdate predicate not pushed to the ORC scan:\n$scan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("versioned parquet sink: lineage grows, never overwrites, latest resolves") {
     import graft.sources.Versioned
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[Graph.pageRank]] — structure-follows-rank sanity, symmetry, mass
@@ -102,5 +103,32 @@ class GraphSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 0L, 0.0)))      // open wedge hub
     assert(out(5L) == ((1L, 0L, 0.0)))      // degree 1 pinned
     assert(out(7L) == ((1L, 0L, 0.0)))
+  }
+
+  test("lp1: communities equal residue classes; chrome links collapse " +
+      "everything to one blob") {
+    import spark.implicits._
+    // lp1 on the real fixture: each community is exactly one residue
+    // class of doc_id % 97, labeled by its smallest doc id
+    val sfDir = SparkTestSession.sfDir
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long].collect()
+    val want = docs.groupBy(_ % 97).values
+      .map(g => (g.min, g.length.toLong, g.min, g.max)).toSet
+    val got = Queries.lp1LinkCommunities(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+
+    // WHY boilerplate stripping matters: add one chrome target shared by
+    // every page (href="/" in the real HTML) and min-label propagation
+    // correctly collapses the whole graph to a single community
+    val refEdges = docs.map(d => (d, 1000000000L + d % 97)).toSeq
+    val chrome = docs.map(d => (d, 2000000000L)).toSeq
+    val labels = graft.operators.Dedup.connectedComponents(
+      (refEdges ++ chrome).toDF("src", "dst"), "src", "dst")
+    val comms = labels.where(col("id") < 1000000000L)
+      .select(col("component")).distinct().collect()
+    assert(comms.length == 1 && comms.head.getLong(0) == docs.min)
   }
 }

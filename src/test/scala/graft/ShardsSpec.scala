@@ -94,6 +94,57 @@ class ShardsSpec extends AnyFunSuite {
     assert(math.abs(skewed.toDouble - 1700.0) <= 1700.0 * 0.05)
   }
 
+  test("theta merge: exact regime shard-invariant and equal to truth; " +
+      "lossy regime brackets truth and set algebra stays sane (th1)") {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    def merged(df: DataFrame, key: Column, shard: Column, k: Int) =
+      df.groupBy(shard.as("__s"))
+        .agg(ThetaSketch.sketchAgg(key, k).as("sk"))
+        .agg(ThetaSketch.unionAgg(col("sk"), k).as("sk"))
+    def est(skDf: DataFrame): Double =
+      skDf.select(ThetaSketch.estimate(col("sk"))).head().getDouble(0)
+    def estMode(skDf: DataFrame): Boolean =
+      skDf.select(ThetaSketch.isEstimation(col("sk"))).head().getBoolean(0)
+
+    // EXACT regime: nominal 4096 >= 1700 distinct — merged estimate is
+    // the truth for ANY sharding, including a 99%-skewed map
+    val vals = spark.range(0, 5000).select((col("id") % 1700).as("v"),
+      col("id"))
+    val exactEsts = (Seq(2, 4, 8, 16)
+      .map(n => merged(vals, col("v"), pmod(xxhash64(col("id")), lit(n)), 4096))
+      :+ merged(vals, col("v"),
+        when(col("id") % 100 === 0, lit(1)).otherwise(lit(0)), 4096))
+    exactEsts.foreach { m =>
+      assert(!estMode(m) && est(m) == 1700.0, s"${est(m)} ${estMode(m)}")
+    }
+
+    // LOSSY regime: 100k distinct at nominal 1024 — estimation mode, and
+    // the 2-sigma interval brackets the true cardinality (deterministic
+    // for this fixed input: theta hashing is seeded and fixed)
+    val big = spark.range(0, 100000).select(col("id").as("v"), col("id"))
+    val m = merged(big, col("v"), pmod(xxhash64(col("id")), lit(8)), 1024)
+    assert(estMode(m))
+    val row = m.select(ThetaSketch.estimate(col("sk"))).head()
+    val e = row.getDouble(0)
+    assert(math.abs(e - 100000.0) / 100000.0 < 0.10, s"est $e")
+
+    // set algebra in exact regime: A = 0..999, B = 500..1499 (on shards)
+    val a = merged(spark.range(0, 1000).select(col("id").as("v"), col("id")),
+      col("v"), pmod(xxhash64(col("id")), lit(4)), 4096)
+      .select(col("sk").as("a"))
+    val b = merged(spark.range(500, 1500).select(col("id").as("v"), col("id")),
+      col("v"), pmod(xxhash64(col("id")), lit(8)), 4096)
+      .select(col("sk").as("b"))
+    val ops = a.crossJoin(b).select(
+      ThetaSketch.setEstimate(col("a"), col("b"), "union").as("u"),
+      ThetaSketch.setEstimate(col("a"), col("b"), "intersect").as("i"),
+      ThetaSketch.setEstimate(col("a"), col("b"), "anotb").as("d")).head()
+    assert(ops.getDouble(0) == 1500.0 && ops.getDouble(1) == 500.0 &&
+      ops.getDouble(2) == 500.0, s"$ops")
+  }
+
   test("frequent-items merge: exact regime shard-invariant, lossy regime " +
       "keeps its guarantees (hh2)") {
     import graft.functions.FreqSketch

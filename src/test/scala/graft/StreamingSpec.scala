@@ -717,4 +717,69 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("LEFT OUTER interval join: matches emit on data, nulls emit on the " +
+      "watermark, result == batch left join") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.Event
+    def ev(id: Long, user: Long, minutes: Long): Event =
+      Event(id, new java.sql.Timestamp(minutes * 60000L), user, "x", 1.0, "")
+    // user 1: right row 5 min before both left rows (both match the
+    // trailing 30-min window); user 2: right row 40 min before (outside
+    // the window -> null); user 3: no right row at all -> null
+    val leftRows = Seq(ev(10, 1, 60), ev(11, 1, 70), ev(20, 2, 60),
+      ev(30, 3, 65))
+    val rightRows = Seq(ev(91, 1, 55), ev(92, 2, 20))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msL = MemoryStream[Event]
+    val msR = MemoryStream[Event]
+    val joined = EventStreams.joinWithinOuter(msL.toDF(), msR.toDF(),
+      within = "30 minutes", watermark = "2 hours")
+    // NOT runToMemory: AvailableNow drains what exists at start and stops,
+    // but this test must feed three batches through a LIVE query (null
+    // emission is driven by the watermark of a LATER batch)
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("ssjo_out").start()
+    msL.addData(leftRows: _*)
+    msR.addData(rightRows: _*)
+    q.processAllAvailable()
+    // batch 1 processed; only MATCHED rows can be out so far — the nulls
+    // must wait for the watermark, which is still at the real data's edge
+    val early = spark.table("ssjo_out").where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.toString)))
+      .toSet
+    assert(early.forall(_._2.isDefined),
+      s"null row emitted BEFORE the watermark closed it: $early")
+    // batch 2: flush rows 10 h ahead (watermark delay 2 h) advance both
+    // watermarks past every real left row — user -1, excluded below
+    msL.addData(ev(1000, -1L, 660))
+    msR.addData(ev(1001, -1L, 660))
+    q.processAllAvailable()
+    // null emission happens in the batch AFTER the watermark update; if
+    // the engine's no-data batch didn't fire within processAllAvailable,
+    // nudge one more data batch through
+    msL.addData(ev(1002, -1L, 700))
+    msR.addData(ev(1003, -1L, 700))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ssjo_out").where(col("user_id") >= 0)
+      .select(col("left_id"),
+        when(col("right_id").isNull, lit(-1L)).otherwise(col("right_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: plain left join under the same interval predicate
+    val lB = leftRows.toDF().alias("l")
+    val rB = rightRows.toDF().alias("r")
+    val want = lB.join(rB, expr(
+        "l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 30 minutes " +
+          "AND r.ts <= l.ts"), "left_outer")
+      .select(col("l.event_id"),
+        when(col("r.event_id").isNull, lit(-1L)).otherwise(col("r.event_id")))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(got == want, s"got $got want $want")
+    // and the null rows are really there (users 2 and 3)
+    assert(got.contains((20L, -1L)) && got.contains((30L, -1L)))
+    assert(got.contains((10L, 91L)) && got.contains((11L, 91L)))
+  }
 }
