@@ -100,5 +100,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_token_count", "whitespace token count of a text") {
       args => expressionEager(TextFunctions.tokenCount(column(args(0))))
     }
+
+    // Mergeable sketch aggregates (the analyzer wraps a bare
+    // AggregateFunction into its AggregateExpression, so these register
+    // like any builtin agg)
+    register("graft_freq_sketch_agg",
+      "(item, maxMapSize) -> frequent-items sketch partial (binary)") {
+      args => StringFreqSketchAgg(args(0), intArg(args(1), "maxMapSize"))
+    }
+    register("graft_freq_sketch_merge",
+      "(sketch, maxMapSize) -> union-merged frequent-items sketch") {
+      args => StringFreqSketchMergeAgg(args(0), intArg(args(1), "maxMapSize"))
+    }
+    register("graft_freq_sketch_items",
+      "sketch -> array<struct<item,estimate,lower_bound,upper_bound>>") {
+      args => FreqSketchItems(args(0))
+    }
+    register("graft_freq_sketch_max_error",
+      "sketch -> a-posteriori maximum estimate error (0 = exact)") {
+      args => FreqSketchMaxError(args(0))
+    }
+    register("graft_theta_sketch_agg",
+      "(item, nominalEntries) -> theta sketch partial (binary)") {
+      args => ThetaSketchAgg(args(0), intArg(args(1), "nominalEntries"))
+    }
+    register("graft_theta_union_agg",
+      "(sketch, nominalEntries) -> union-merged theta sketch") {
+      args => ThetaUnionAgg(args(0), intArg(args(1), "nominalEntries"))
+    }
+    register("graft_theta_estimate", "theta sketch -> distinct estimate") {
+      args => ThetaEstimate(args(0))
+    }
+    register("graft_theta_is_estimation",
+      "theta sketch -> TRUE iff hashes were discarded (estimation mode)") {
+      args => ThetaIsEstimation(args(0))
+    }
+    register("graft_theta_set_estimate",
+      "(a, b, 'union'|'intersect'|'anotb') -> set-algebra estimate") {
+      args => ThetaSetEstimate(args(0), args(1), args(2) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"op must be a string literal, got $other")
+      })
+    }
   }
 }

@@ -3565,6 +3565,19 @@ object OracleSql {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // pp3: flat twin of the z-order cohort+window aggregate
+    "pp3_zorder_skipping" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events
+        |WHERE user_id < 128
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // pp2: flat twin of the row-group-skipping window — same 3 days as
     // pp1, expressed as the ts range the sorted layout skips on
     "pp2_rowgroup_skipping" ->

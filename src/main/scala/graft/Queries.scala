@@ -3453,6 +3453,50 @@ object Queries {
       })
     }
 
+  /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
+    * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
+    */
+  private val zorderedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def zorderedEventsPath(s: SparkSession, dir: String): String =
+    zorderedEventsMemo.synchronized {
+      zorderedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_zorder_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Bucketing.writeZOrdered(
+            t(s, dir, "events"), col("user_id"),
+            pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(32)),
+            tmp, blockSize = 16 * 1024)
+        }
+      })
+    }
+
+  /** PP3: Z-ORDER skipping — the multi-dimensional completion of the
+    * pruning story (pp1 directory, dpp1 runtime, pp2 single-column row
+    * groups, pp3 TWO columns at once). The layout sorts on the Morton
+    * interleave of (user_id, day), so row groups carry usable min/max on
+    * BOTH dimensions — the two-filter access pattern (`user cohort AND
+    * time window`) a single-column sort cannot serve: pp2's ts-sort
+    * answers time windows but scans every group for a user predicate.
+    * ZOrderSkippingSpec proves each single-column predicate alone
+    * intersects a strict subset of groups from the footers, and that the
+    * combined predicate's scan reads only groups surviving BOTH. This
+    * row pins VALUES: the combined cohort+window aggregate hash-matches
+    * the flat-events DuckDB oracle (re-layout losslessness under the
+    * predicates that exercised the skipping).
+    */
+  def pp3ZOrderSkipping(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderedEventsPath(s, dir))
+      .where(col("user_id") < 128 &&
+        col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+
   /** PP2: ROW-GROUP skipping — the intra-file half of the pruning story
     * (pp1 = directory listing, dpp1 = runtime dim-driven, pp2 = parquet
     * min/max statistics INSIDE surviving files). A narrow ts window over
@@ -4592,6 +4636,7 @@ object Queries {
     "dpp1_dynamic_pruning" -> (dpp1DynamicPruning _),
     "pp2_rowgroup_skipping" -> (pp2RowGroupSkipping _),
     "orc1_orc_relayout" -> (orc1OrcRelayout _),
+    "pp3_zorder_skipping" -> (pp3ZOrderSkipping _),
     "mm4_jvm_decode" -> (mm4JvmDecode _),
     "mm5_committed_media" -> (mm5CommittedMediaDecode _),
     "p11c_sharded_sketch_merge" -> (p11cShardedSketchMerge _),

@@ -186,7 +186,10 @@ object StressMain {
       // graph (rounds ∝ component diameter, 2 for shared-target stars)
       "lp1_link_communities",
       // th1: per-shard theta partials, KB merge, constant-space set ops
-      "th1_theta_segments")
+      "th1_theta_segments",
+      // pp3 re-writes replicated events morton-sorted, then the combined
+      // cohort+window predicate skips on both dimensions
+      "pp3_zorder_skipping")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

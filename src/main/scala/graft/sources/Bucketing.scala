@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed-table support: pre-shuffle fact tables once on their join key so
@@ -77,6 +77,47 @@ object Bucketing {
     val prev = s.conf.getOption(key)
     s.conf.set(key, "TIMESTAMP_MICROS")
     try df.orderBy(col(tsCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", blockSize.toLong)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Bit-interleaved (Morton / Z-order) code of two non-negative integer
+    * columns — `bits` low bits of each, column A on even positions. Pure
+    * codegen'd builtins (shift/and/or fold), so the sort key costs one
+    * projection.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i)
+        .bitwiseOR(shiftleft(
+          shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ORDERED flat re-layout: global sort on the Morton interleave of two
+    * dimension keys, so row-group min/max stats are tight-ish on BOTH
+    * columns at once — each gets ~√(full-sort) pruning power instead of
+    * one column getting everything and the other nothing. This is the
+    * layout for the two-filter access pattern (`user AND time window`,
+    * `key AND day`) that a single-column sort (pp2) cannot serve. The
+    * Morton key is computed, sorted on, and DROPPED — the written schema
+    * is the input schema. Same TIMESTAMP_MICROS forcing as
+    * [[writeTsSorted]] (INT96 would kill stats + pushdown).
+    */
+  def writeZOrdered(df: DataFrame, colA: Column, colB: Column, path: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try df.withColumn("__z", mortonCode(colA, colB))
+      .orderBy(col("__z")).drop("__z")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", blockSize.toLong)
       .parquet(path)

@@ -77,6 +77,27 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r4.getStruct(1).getInt(1) == 3) // nearer centroid wins
       assert(r4.getStruct(2).getLong(0) == 11L && r4.getStruct(2).getLong(1) == 1L)
       assert(r4.isNullAt(3)) // below threshold -> NULL
+
+      // sketch aggregates through pure SQL: shard -> partial -> merge ->
+      // readout, exact regime end to end
+      val r5 = spark.sql(
+        """WITH src AS (SELECT id, concat('k', id % 7) AS v FROM range(0, 700)),
+          |parts AS (SELECT id % 4 AS shard,
+          |    graft_freq_sketch_agg(v, 64) AS fsk,
+          |    graft_theta_sketch_agg(v, 4096) AS tsk
+          |  FROM src GROUP BY id % 4),
+          |m AS (SELECT graft_freq_sketch_merge(fsk, 64) AS fsk,
+          |    graft_theta_union_agg(tsk, 4096) AS tsk
+          |  FROM parts)
+          |SELECT size(graft_freq_sketch_items(fsk)) AS n_items,
+          |  graft_freq_sketch_max_error(fsk) AS ferr,
+          |  graft_theta_estimate(tsk) AS test,
+          |  graft_theta_is_estimation(tsk) AS tmode,
+          |  graft_theta_set_estimate(tsk, tsk, 'intersect') AS tself
+          |FROM m""".stripMargin).head()
+      assert(r5.getInt(0) == 7 && r5.getLong(1) == 0L)
+      assert(r5.getDouble(2) == 7.0 && !r5.getBoolean(3))
+      assert(r5.getDouble(4) == 7.0)
     } finally {
       // leave the shared session intact for other suites
     }
