@@ -89,7 +89,8 @@ def main():
             for q in common if max(old_q[q], new_q[q]) >= 0.05]
     rows.sort(reverse=True)
     print("\n| query | old s | new s | ratio |\n|---|---|---|---|")
-    shown = rows[:top] + ([("...",)] if len(rows) > 2 * top else []) + rows[-top:]
+    shown = (rows if len(rows) <= 2 * top
+             else rows[:top] + [("...",)] + rows[-top:])
     for r in shown:
         if r[0] == "...":
             print("| ... | | | |")

@@ -3405,10 +3405,31 @@ object Queries {
           java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileSystemException =>
-          // another JVM won the race — keep theirs, drop ours
-          org.apache.spark.network.util.JavaUtils
-            .deleteRecursively(new java.io.File(tmp))
+        case e: java.nio.file.FileSystemException =>
+          // another JVM won the race — keep theirs, drop ours. But only
+          // trust a COMPLETE winner: every builder moves a fully-written
+          // dir (with Spark's _SUCCESS marker) into place atomically, so
+          // a `path` without _SUCCESS is stale garbage (manual deletion,
+          // crashed mid-move on a non-atomic fs) — clear it and retry the
+          // move once rather than silently serving a partial dir forever.
+          if (new java.io.File(s"$path/_SUCCESS").exists())
+            org.apache.spark.network.util.JavaUtils
+              .deleteRecursively(new java.io.File(tmp))
+          else {
+            org.apache.spark.network.util.JavaUtils
+              .deleteRecursively(new java.io.File(path))
+            try java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // re-raced: only accept the new winner if it is complete
+              case _: java.nio.file.FileSystemException
+                  if new java.io.File(s"$path/_SUCCESS").exists() =>
+                org.apache.spark.network.util.JavaUtils
+                  .deleteRecursively(new java.io.File(tmp))
+            }
+            if (!new java.io.File(s"$path/_SUCCESS").exists()) throw e
+          }
       }
     }
     path
@@ -4036,7 +4057,13 @@ object Queries {
       .select(col("href").as("top_href"), col("cnt").as("top_href_refs"))
     val covered = top5.join(report, Seq("href"), "left_semi")
       .agg((count(lit(1)) === 5L).as("true_top5_covered"))
-    val gates = report.join(broadcast(exact), Seq("href"), "left")
+    // never broadcast the corpus-sized exact table: semi-join it down to
+    // the report's ≤0.75·maxMapSize hrefs first (broadcasting the tiny
+    // report), THEN broadcast the shrunken exact side into the outer join
+    // (an outer join can only broadcast its non-preserved side)
+    val exactReported = exact.join(
+      broadcast(report.select(col("href"))), Seq("href"), "left_semi")
+    val gates = report.join(broadcast(exactReported), Seq("href"), "left")
       .agg(count(lit(1)).as("__n_reported"),
         (sum(when(col("cnt").isNotNull &&
           col("lower_bound") <= col("cnt") &&

@@ -70,21 +70,34 @@ object Bucketing {
     * `blockSize` is deliberately small in tests so even the small SFs
     * span many row groups; production would keep the 128 MB default.
     */
-  def writeTsSorted(df: DataFrame, tsCol: String, path: String,
-      blockSize: Int = 128 * 1024 * 1024): Unit = {
-    val s = df.sparkSession
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "TIMESTAMP_MICROS")
-    try df.orderBy(col(tsCol))
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.block.size", blockSize.toLong)
-      .parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+  /** Serializes every writer that temporarily forces the session's
+    * parquet timestamp type: the conf is SESSION-shared mutable state, so
+    * two fixture builders interleaving could restore each other's value
+    * or leak the temporary setting into unrelated writes. One lock per
+    * JVM (fixture builds are rare, one-time, and not latency-sensitive).
+    */
+  private val timestampTypeLock = new Object
+
+  private def withMicrosTimestamps[A](s: SparkSession)(body: => A): A =
+    timestampTypeLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
-  }
+
+  def writeTsSorted(df: DataFrame, tsCol: String, path: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.orderBy(col(tsCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize.toLong)
+        .parquet(path)
+    }
 
   /** Bit-interleaved (Morton / Z-order) code of two non-negative integer
     * columns — `bits` low bits of each, column A on even positions. Pure
@@ -111,21 +124,43 @@ object Bucketing {
     * [[writeTsSorted]] (INT96 would kill stats + pushdown).
     */
   def writeZOrdered(df: DataFrame, colA: Column, colB: Column, path: String,
-      blockSize: Int = 128 * 1024 * 1024): Unit = {
-    val s = df.sparkSession
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "TIMESTAMP_MICROS")
-    try df.withColumn("__z", mortonCode(colA, colB))
-      .orderBy(col("__z")).drop("__z")
-      .write.mode(SaveMode.Overwrite)
-      .option("parquet.block.size", blockSize.toLong)
-      .parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+      blockSize: Int = 128 * 1024 * 1024): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.withColumn("__z", mortonCode(colA, colB))
+        .orderBy(col("__z")).drop("__z")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize.toLong)
+        .parquet(path)
     }
-  }
+
+  /** The PRODUCTION composite lake layout (pp4): Hive-partition by the
+    * calendar day of `tsCol` AND z-order each partition's rows on the
+    * Morton interleave of two dimension keys, so ONE scan composes every
+    * pruning mechanism this library proves in isolation — runtime/static
+    * directory pruning picks the `dt=` partitions (pp1/dpp1), then
+    * row-group min/max stats inside each surviving partition skip groups
+    * on BOTH z-order dimensions (pp2/pp3). `repartition(dt)` gives each
+    * day exactly one task (one file per partition dir — at test scale;
+    * production would hash into N files/day), and `sortWithinPartitions
+    * (dt, z)` keeps the sort task-local: no global range shuffle, unlike
+    * [[writeTsSorted]] — the write costs one hash shuffle regardless of
+    * day count. Timestamps forced to TIMESTAMP_MICROS as everywhere else
+    * (INT96 writes no stats).
+    */
+  def writePartitionedByDayZOrdered(df: DataFrame, tsCol: String,
+      colA: Column, colB: Column, path: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+        .withColumn("__z", mortonCode(colA, colB))
+        .repartition(col("dt"))
+        .sortWithinPartitions(col("dt"), col("__z"))
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize.toLong)
+        .partitionBy("dt")
+        .parquet(path)
+    }
 
   /** Footer-level row-group audit for [[writeTsSorted]] layouts: one
     * `(file, rowCount, minMicros, maxMicros)` per row group of `column`,

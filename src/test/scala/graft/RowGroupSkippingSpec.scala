@@ -18,10 +18,14 @@ class RowGroupSkippingSpec extends AnyFunSuite {
   private lazy val path = Queries.sortedEventsPath(spark, sfDir)
 
   // the pp2 window, in epoch micros (session zone is pinned UTC)
-  private val loMicros =
-    java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000L
-  private val hiMicros =
-    java.sql.Timestamp.valueOf("2024-01-13 00:00:00").getTime * 1000L
+  // epoch micros computed explicitly in UTC (the pinned session zone):
+  // Timestamp.valueOf would interpret the wall-clock string in the JVM
+  // default zone and shift the footer window on a non-UTC JVM
+  private def utcMicros(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  private val loMicros = utcMicros("2024-01-10 00:00:00")
+  private val hiMicros = utcMicros("2024-01-13 00:00:00")
 
   test("footers carry tight ts stats and the window intersects a strict " +
       "subset of row groups") {

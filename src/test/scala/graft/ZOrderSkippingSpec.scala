@@ -17,10 +17,14 @@ class ZOrderSkippingSpec extends AnyFunSuite {
 
   private lazy val path = Queries.zorderedEventsPath(spark, sfDir)
 
-  private val loMicros =
-    java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000L
-  private val hiMicros =
-    java.sql.Timestamp.valueOf("2024-01-13 00:00:00").getTime * 1000L
+  // epoch micros computed explicitly in UTC (the pinned session zone):
+  // Timestamp.valueOf would interpret the wall-clock string in the JVM
+  // default zone and shift the footer window on a non-UTC JVM
+  private def utcMicros(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  private val loMicros = utcMicros("2024-01-10 00:00:00")
+  private val hiMicros = utcMicros("2024-01-13 00:00:00")
 
   test("morton code interleaves bits") {
     import spark.implicits._
