@@ -135,6 +135,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "theta sketch -> TRUE iff hashes were discarded (estimation mode)") {
       args => ThetaIsEstimation(args(0))
     }
+    register("graft_kll_sketch_agg",
+      "(value, k) -> KLL quantile sketch partial (binary)") {
+      args => KllSketchAgg(args(0), intArg(args(1), "k"))
+    }
+    register("graft_kll_merge",
+      "(sketch, k) -> union-merged KLL sketch") {
+      args => KllMergeAgg(args(0), intArg(args(1), "k"))
+    }
+    register("graft_kll_quantile",
+      "(sketch, rank) -> quantile estimate at a literal normalized rank") {
+      args => KllQuantile(args(0), args(1) match {
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case Literal(v: Number, _) => v.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"rank must be a numeric literal, got $other")
+      })
+    }
+    register("graft_kll_rank",
+      "(sketch, value) -> normalized-rank estimate of value") {
+      args => KllRank(args(0), args(1))
+    }
+    register("graft_kll_summary",
+      "sketch -> struct(n,min_item,max_item,num_retained,rank_error,is_estimation)") {
+      args => KllSummary(args(0))
+    }
     register("graft_theta_set_estimate",
       "(a, b, 'union'|'intersect'|'anotb') -> set-algebra estimate") {
       args => ThetaSetEstimate(args(0), args(1), args(2) match {

@@ -3901,6 +3901,24 @@ object OracleSql {
         |  TRUE AS reload_invariant
         |FROM orders""".stripMargin,
 
+    // kll1: exact anchors (count, 6dp min/max) + six gates pinned TRUE —
+    // each a deterministic KLL theorem (exact n/min/max, in-stream
+    // quantiles, rank monotonicity, lossy witness) except the rank
+    // bound, gated at 2x the published 99%-confidence eps(k) (a ~5-sigma
+    // event to breach) — the hh2/p11c honesty convention for randomized
+    // sketches
+    "kll1_quantile_sketch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_values,
+        |  floor(min(value) * 1e6 + 0.5) / 1e6 AS min_value,
+        |  floor(max(value) * 1e6 + 0.5) / 1e6 AS max_value,
+        |  TRUE AS sketch_n_exact,
+        |  TRUE AS sketch_minmax_exact,
+        |  TRUE AS rank_bounds_hold,
+        |  TRUE AS quantiles_in_stream,
+        |  TRUE AS quantiles_monotone,
+        |  TRUE AS sketch_lossy
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+
     // q4: the EXISTS form verbatim — DuckDB plans it as a semi-join, the
     // same relation the Spark left_semi computes
     "q4_priority_exists" ->

@@ -4200,6 +4200,78 @@ object Queries {
         (col("__reload_est") === col("__mem_est")).as("reload_invariant"))
   }
 
+  /** KLL1: MERGEABLE quantile sketch — the quantile member completing the
+    * sketch family (distinct: p11c/p11d HLL; top-k: hh2 frequent-items;
+    * set algebra: th1 theta): per-shard Datasketches `KllDoublesSketch`
+    * partials ([[graft.functions.KllSketch]], Karnin-Lang-Liberty
+    * FOCS'16) built where the data lives, union-merged once, quantiles
+    * read out at the coordinator — ~3k retained doubles per shard instead
+    * of the global sort / driver-side `approxQuantile` (p12's shape) a
+    * 100 TB column profile cannot afford.
+    *
+    * The sketch runs honestly LOSSY (k = 200 « n at every SF; the merge
+    * compacts — witnessed in-row by `sketch_lossy`) and, because KLL
+    * compaction is RANDOMIZED (coin-flip level halving), no estimate is
+    * pinned by value. The gates are exactly what KLL GUARANTEES:
+    * deterministic theorems — `getN` is the exact stream length,
+    * min/max are exact stream extremes, every quantile estimate is an
+    * actual stream value (`quantiles_in_stream`), estimates are monotone
+    * in rank — plus the rank-error bound gated at TWICE the published
+    * 99%-confidence ε(k) (a ≈5σ event to breach), in the atom-safe
+    * two-sided form `count(v ≤ q̂)/n ≥ r − 2ε ∧ count(v < q̂)/n ≤ r + 2ε`
+    * per probe rank. Rows shard by EVENT hash, so every shard sees the
+    * full value range — the hard merge case. Exact anchors (count,
+    * 6dp min/max) ride the row so the oracle pins real values.
+    */
+  def kll1QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch
+    val k = 200
+    val ranks = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val ev = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_id"), col("value").cast("double").as("v"))
+    val qCols = ranks.zipWithIndex.map { case (r, i) =>
+      KllSketch.quantile(col("__sk"), r).as(s"__q$i") }
+    val merged = ev
+      .groupBy(pmod(xxhash64(col("event_id")), lit(8)).as("__shard"))
+      .agg(KllSketch.sketchAgg(col("v"), k).as("__sk"))
+      .agg(KllSketch.mergeAgg(col("__sk"), k).as("__sk"))
+      .select(KllSketch.summary(col("__sk")).as("__sm") +: qCols: _*)
+      .withColumn("__mono", ranks.indices.sliding(2).map {
+        case Seq(a, b) => col(s"__q$a") <= col(s"__q$b")
+      }.reduce(_ && _))
+    // one pass over the values against the broadcast 1-row sketch frame:
+    // per probe rank, the two atom-safe rank counts and the in-stream
+    // membership witness; first() carries the (constant) sketch readouts
+    // through so the randomized sketch is evaluated exactly once
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).as("__n"),
+        min(col("v")).as("__minv"), max(col("v")).as("__maxv"),
+        first(col("__sm")).as("__s"), first(col("__mono")).as("__m")) ++
+      ranks.indices.flatMap { i => Seq(
+        sum(when(col("v") <= col(s"__q$i"), 1L).otherwise(0L)).as(s"__le$i"),
+        sum(when(col("v") < col(s"__q$i"), 1L).otherwise(0L)).as(s"__lt$i"),
+        max(when(col("v") === col(s"__q$i"), 1L).otherwise(0L)).as(s"__in$i"))
+      }
+    val g = ev.crossJoin(broadcast(merged)).agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("__n").cast("double")
+    val eps2 = lit(2.0) * col("__s.rank_error")
+    g.select(
+      col("__n").as("n_values"),
+      (floor(col("__minv") * lit(1e6) + lit(0.5)) / lit(1e6)).as("min_value"),
+      (floor(col("__maxv") * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_value"),
+      (col("__s.n") === col("__n")).as("sketch_n_exact"),
+      (col("__s.min_item") === col("__minv") &&
+        col("__s.max_item") === col("__maxv")).as("sketch_minmax_exact"),
+      ranks.zipWithIndex.map { case (r, i) =>
+        (col(s"__le$i").cast("double") >= (lit(r) - eps2) * nD) &&
+          (col(s"__lt$i").cast("double") <= (lit(r) + eps2) * nD)
+      }.reduce(_ && _).as("rank_bounds_hold"),
+      ranks.indices.map(i => col(s"__in$i") === 1L).reduce(_ && _)
+        .as("quantiles_in_stream"),
+      col("__m").as("quantiles_monotone"),
+      (col("__s.num_retained") < col("__s.n")).as("sketch_lossy"))
+  }
+
   /** W9: FORWARD as-of join ([[graft.operators.AsOfJoin.forward]], strict)
     * — each order picks up the same customer's NEXT order strictly after
     * it, plus the repurchase gap in days (NULL for the customer's last
@@ -4679,6 +4751,7 @@ object Queries {
     "th1_theta_segments" -> (th1ThetaSegments _),
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
+    "kll1_quantile_sketch" -> (kll1QuantileSketch _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),

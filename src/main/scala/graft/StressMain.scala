@@ -189,7 +189,10 @@ object StressMain {
       "th1_theta_segments",
       // pp3 re-writes replicated events morton-sorted, then the combined
       // cohort+window predicate skips on both dimensions
-      "pp3_zorder_skipping")
+      "pp3_zorder_skipping",
+      // round-13: kll1 fans 8 KLL quantile partials (~3k doubles each)
+      // into one merge + a single broadcast probe pass over the values
+      "kll1_quantile_sketch")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

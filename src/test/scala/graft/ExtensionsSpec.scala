@@ -98,6 +98,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r5.getInt(0) == 7 && r5.getLong(1) == 0L)
       assert(r5.getDouble(2) == 7.0 && !r5.getBoolean(3))
       assert(r5.getDouble(4) == 7.0)
+
+      // KLL quantile sketch through pure SQL: exact regime (150 < 201),
+      // INCLUSIVE median of 1..150 is 75
+      val r6 = spark.sql(
+        """WITH src AS (SELECT id % 4 AS shard, CAST(id AS DOUBLE) AS v
+          |  FROM range(1, 151)),
+          |parts AS (SELECT graft_kll_sketch_agg(v, 200) AS ksk
+          |  FROM src GROUP BY shard),
+          |m AS (SELECT graft_kll_merge(ksk, 200) AS ksk FROM parts)
+          |SELECT graft_kll_quantile(ksk, 0.5) AS q50,
+          |  graft_kll_rank(ksk, 75.0) AS r75,
+          |  graft_kll_summary(ksk).n AS n,
+          |  graft_kll_summary(ksk).is_estimation AS est
+          |FROM m""".stripMargin).head()
+      assert(r6.getDouble(0) == 75.0)
+      assert(r6.getDouble(1) == 0.5)
+      assert(r6.getLong(2) == 150L && !r6.getBoolean(3))
     } finally {
       // leave the shared session intact for other suites
     }
