@@ -3611,6 +3611,25 @@ object OracleSql {
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
 
+    // pp4: flat twin of the composite-layout star join — dpp1's dim
+    // derivation + join, plus the pp3 cohort predicate; hash equality
+    // proves the doubly-pruned partitioned+z-ordered scan computed
+    // exactly the flat answer
+    "pp4_composite_pruning" ->
+      """WITH cal AS (
+        |  SELECT day,
+        |    CAST(((dayofmonth(day) - 1) // 7) + 1 AS INT) AS week_of_month
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)),
+        |sel AS (SELECT day FROM cal WHERE week_of_month = 2)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(e.value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events e JOIN sel ON CAST(e.ts AS DATE) = sel.day
+        |WHERE e.user_id < 128
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
     // p20: per-category -p*ln(p) terms 6dp-quantized to integers, exact
     // sum, one /1e6 finish — the zipf1 log convention
     "p20_entropy_profile" -> {

@@ -3493,6 +3493,63 @@ object Queries {
       })
     }
 
+  /** Composite production layout of `events` ([[graft.sources.Bucketing
+    * .writePartitionedByDayZOrdered]]): day-partitioned directories AND
+    * per-partition z-order on (user_id, hour) with deliberately small
+    * row groups — the pp4 fixture. 4 KB blocks (vs pp2/pp3's 16 KB)
+    * because each DAY here holds only ~1/30 of the table and must still
+    * span several row groups for intra-partition skipping to be provable
+    * at test SFs.
+    */
+  private val compositeEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def compositeEventsPath(s: SparkSession, dir: String): String =
+    compositeEventsMemo.synchronized {
+      compositeEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_composite_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Bucketing.writePartitionedByDayZOrdered(
+            t(s, dir, "events"), "ts", col("user_id"), hour(col("ts")),
+            tmp, blockSize = 4 * 1024)
+        }
+      })
+    }
+
+  /** PP4: the COMPOSITE layout proof — every pruning mechanism this
+    * library proves in isolation, composing in ONE scan over the layout
+    * every real lake actually ships (partition by day, sort/z-order
+    * within partitions). The query is dpp1's star join (calendar dim,
+    * `week_of_month = 2`) PLUS pp3's cohort predicate (`user_id < 128`):
+    * the dim filter prunes `dt=` directories at RUNTIME (DPP — the date
+    * set is unknowable at plan time), and inside each surviving
+    * directory the z-order layout's row-group min/max stats on user_id
+    * skip the groups the cohort can't touch. CompositeLayoutSpec asserts
+    * both mechanisms fired on one queryExecution (dynamicpruning in
+    * PartitionFilters, `numPartitions` == week-2 day count, scan
+    * `numOutputRows` strictly below the surviving partitions' row
+    * total); this row pins the VALUES via the flat-twin oracle.
+    *
+    * 100 TB lens: directory pruning admits ~7/30 of the year, z-order
+    * row groups admit ~the cohort's fraction of each admitted day —
+    * multiplicative, and neither needed the predicate in the query text
+    * (the dim drove it). This is the default layout recommendation this
+    * engine makes for a fact table with a time axis and a second hot
+    * filter key.
+    */
+  def pp4CompositePruning(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(compositeEventsPath(s, dir))
+      .where(col("user_id") < 128)
+    val dim = s.read.parquet(calendarPath(s, dir))
+      .where(col("week_of_month") === 2)
+    fact.join(dim, fact("dt") === dim("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** PP3: Z-ORDER skipping — the multi-dimensional completion of the
     * pruning story (pp1 directory, dpp1 runtime, pp2 single-column row
     * groups, pp3 TWO columns at once). The layout sorts on the Morton
@@ -4752,6 +4809,7 @@ object Queries {
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "kll1_quantile_sketch" -> (kll1QuantileSketch _),
+    "pp4_composite_pruning" -> (pp4CompositePruning _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),

@@ -192,7 +192,10 @@ object StressMain {
       "pp3_zorder_skipping",
       // round-13: kll1 fans 8 KLL quantile partials (~3k doubles each)
       // into one merge + a single broadcast probe pass over the values
-      "kll1_quantile_sketch")
+      "kll1_quantile_sketch",
+      // pp4 re-lays-out replicated events day-partitioned + z-ordered,
+      // then the star join prunes dirs at runtime AND skips row groups
+      "pp4_composite_pruning")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
