@@ -49,12 +49,35 @@ class RuntimeFilterSpec extends AnyFunSuite {
               .as("total_qty"))
           .orderBy(col("p_brand"))
       }
+      // main-tree shuffle records actually written post-execution — the
+      // metric the bloom filter exists to move (the filter drops fact
+      // rows BEFORE the join shuffle). Recurses into materialized AQE
+      // query stages (their subtrees hang off QueryStageExec.plan, not
+      // children); the bloom build's own subquery tree is deliberately
+      // not counted — the claim is about the fact/dim join shuffles.
+      def shuffleRecords(d: org.apache.spark.sql.DataFrame): Long = {
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(allNodes)) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              allNodes(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              allNodes(q.plan)
+            case _ => Seq.empty
+          })
+        allNodes(d.queryExecution.executedPlan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.metrics("shuffleRecordsWritten").value
+        }.sum
+      }
+
       val df = joined
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain") ||
           optimized.contains("bloom_filter"),
         s"no runtime bloom filter injected:\n$optimized")
       val got = df.collect().toSeq
+      val recordsOn = shuffleRecords(df)
 
       // same join with the feature off — results must be identical
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -63,6 +86,13 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(!wantDf.queryExecution.optimizedPlan.toString
         .contains("might_contain"))
       assert(got == wantDf.collect().toSeq && got.nonEmpty)
+      val recordsOff = shuffleRecords(wantDf)
+
+      // the measured claim, not just plan presence: with the filter ON
+      // the join shuffles strictly fewer records (the dim filter's
+      // selectivity, applied map-side on the fact)
+      assert(recordsOn < recordsOff,
+        s"bloom filter moved no shuffle records: on=$recordsOn off=$recordsOff")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
