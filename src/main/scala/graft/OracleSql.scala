@@ -3920,6 +3920,18 @@ object OracleSql {
         |  TRUE AS reload_invariant
         |FROM orders""".stripMargin,
 
+    // p11e: exact anchor + gates TRUE — replay idempotence is an HLL
+    // union theorem (duplicate partials are no-ops), 8 staged files = 8
+    // micro-batches by construction, estimate within 5% of exact;
+    // cross-grouping estimate equality deliberately NOT gated (batch-cut
+    // partials overlap keys — see Queries scaladoc)
+    "p11e_streaming_sketch_index" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+        |  CAST(8 AS BIGINT) AS n_batches,
+        |  TRUE AS stream_within_5pct,
+        |  TRUE AS replay_invariant
+        |FROM orders""".stripMargin,
+
     // kll1: exact anchors (count, 6dp min/max) + six gates pinned TRUE —
     // each a deterministic KLL theorem (exact n/min/max, in-stream
     // quantiles, rank monotonicity, lossy witness) except the rank

@@ -4257,6 +4257,82 @@ object Queries {
         (col("__reload_est") === col("__mem_est")).as("reload_invariant"))
   }
 
+  /** Durable HLL index built by a STREAM for p11e: the orders keys staged
+    * as 8 files, drained by [[graft.streaming.EventStreams
+    * .sketchIndexStream]] one file per micro-batch (checkpointed,
+    * AvailableNow), each batch appending its own per-shard partials.
+    * Staging + checkpoint are throwaway temp dirs; only the index is the
+    * fixture.
+    */
+  private val streamSketchMemo = scala.collection.mutable.Map[String, String]()
+  private def streamSketchPath(s: SparkSession, dir: String): String =
+    streamSketchMemo.synchronized {
+      streamSketchMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_stream_hll_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "orders")
+        buildCachedDir(path) { tmp =>
+          val stage = java.nio.file.Files
+            .createTempDirectory("graft_stream_hll_stage").toString
+          t(s, dir, "orders").select(col("o_custkey"))
+            .repartition(8).write.parquet(s"$stage/src")
+          val src = s.readStream
+            .schema(s.read.parquet(s"$stage/src").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$stage/src")
+          graft.streaming.EventStreams.sketchIndexStream(
+            src, "o_custkey", tmp, Some(s"$stage/ckpt"))
+            .awaitTermination()
+        }
+      })
+    }
+
+  /** P11E: STREAMING durable sketch index — the streaming face of p11d.
+    * A checkpointed file stream drains the orders keys one file per
+    * micro-batch; each batch appends its own per-shard HLL partials to a
+    * durable parquet index ([[graft.streaming.EventStreams
+    * .sketchIndexStream]]); the question is then answered from the INDEX
+    * alone (reload → `hll_union_agg` → estimate). Gates, restricted to
+    * what HLL union GUARANTEES for batch-cut (key-overlapping) partials:
+    * `replay_invariant` — union over the partials DUPLICATED equals the
+    * single union (a duplicate sketch is a no-op at every step of the
+    * merge, so at-least-once batch replay after a crash cannot change
+    * the answer — the property that makes a naive append sink exactly
+    * correct for sketches); `n_batches` — every staged file arrived as
+    * its own micro-batch; `stream_within_5pct` vs the exact distinct.
+    * NOT gated: estimate equality across different partial groupings —
+    * unlike key-disjoint shard fan-ins, batch-cut partials repeat keys,
+    * and the union's mode-transition path (sparse coupons → dense
+    * registers) makes the readout grouping-sensitive by a few counts;
+    * pinning it would be data-luck, not a theorem (the hh2/kll1
+    * honesty convention). Kill-and-restart resumption is spec-proven in
+    * StreamingSketchSpec.
+    *
+    * 100 TB lens: this is how a live corpus keeps its profile current —
+    * per-epoch KB appends and a KB-scale merge at question time, instead
+    * of a nightly full-table distinct over the stream's history.
+    */
+  def p11eStreamingSketchIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = s.read.parquet(streamSketchPath(s, dir))
+    val est = idx
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("__stream_est"),
+        countDistinct(col("batch_id")).as("n_batches"))
+    val twice = idx.unionAll(idx)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("__replay_est"))
+    t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+      .crossJoin(broadcast(est)).crossJoin(broadcast(twice))
+      .select(col("exact_custkeys"), col("n_batches"),
+        (abs(col("__stream_est").cast("double") -
+          col("exact_custkeys").cast("double")) <=
+          col("exact_custkeys").cast("double") * lit(0.05))
+          .as("stream_within_5pct"),
+        (col("__replay_est") === col("__stream_est"))
+          .as("replay_invariant"))
+  }
+
   /** KLL1: MERGEABLE quantile sketch — the quantile member completing the
     * sketch family (distinct: p11c/p11d HLL; top-k: hh2 frequent-items;
     * set algebra: th1 theta): per-shard Datasketches `KllDoublesSketch`
@@ -4810,6 +4886,7 @@ object Queries {
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "kll1_quantile_sketch" -> (kll1QuantileSketch _),
     "pp4_composite_pruning" -> (pp4CompositePruning _),
+    "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),

@@ -195,7 +195,10 @@ object StressMain {
       "kll1_quantile_sketch",
       // pp4 re-lays-out replicated events day-partitioned + z-ordered,
       // then the star join prunes dirs at runtime AND skips row groups
-      "pp4_composite_pruning")
+      "pp4_composite_pruning",
+      // p11e drains replicated orders through the checkpointed sketch
+      // stream (8 micro-batches), then answers from the index alone
+      "p11e_streaming_sketch_index")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

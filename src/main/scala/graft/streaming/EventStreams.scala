@@ -523,6 +523,45 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING durable sketch index — the streaming face of the batch
+    * "profile once, answer distinct-count questions forever" contract
+    * (p11d): every micro-batch aggregates per-shard HLL partials from its
+    * OWN rows only and APPENDS them to a durable parquet index
+    * (`shard, sk, batch_id`); readers union-merge all partials at
+    * question time (`hll_union_agg`), never rescanning the stream.
+    *
+    * Why the naive append sink is exactly right here: HLL union is
+    * associative, commutative AND idempotent (register-wise max), so the
+    * merged estimate is independent of how rows were split into batches
+    * and shards — a streaming build answers exactly what a batch build
+    * answers (p11e gates this) — and a replayed batch after a crash
+    * re-appends partials that change NOTHING when merged. At-least-once
+    * delivery gives exactly-once answers with no transactional sink,
+    * which is the whole reason to index a 100 TB stream with sketches
+    * instead of counts. Pass `checkpointDir` so a restarted stream
+    * resumes from committed source offsets instead of re-reading the
+    * world (StreamingSketchSpec proves the kill-and-restart path).
+    *
+    * `Trigger.AvailableNow` drains what exists then stops — run the
+    * builder per ingest epoch (cron-shaped); a continuous deployment
+    * would drop the trigger and let batches append forever.
+    */
+  def sketchIndexStream(rows: DataFrame, keyCol: String, indexDir: String,
+      checkpointDir: Option[String] = None, lgK: Int = 12,
+      nShards: Int = 8): StreamingQuery = {
+    val w = rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .groupBy(pmod(xxhash64(col(keyCol)), lit(nShards)).as("shard"))
+          .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+
   /** Drive a streaming query to completion over a static directory (memory
     * sink) — the local smoke-test harness.
     */
