@@ -3932,6 +3932,20 @@ object OracleSql {
         |  TRUE AS replay_invariant
         |FROM orders""".stripMargin,
 
+    // mm6: the planted perceptual-dup truth in closed form — slope class
+    // doc_id % 23 decides the raster's structure, the brightness offset
+    // is hash-invisible (within-class Hamming <= 4 < radius 7 <
+    // cross-class >= 14, probed over all 69 distinct rasters), so the
+    // engine's decode->dHash->banded-join pipeline must find exactly
+    // every within-class pair: C(n_c, 2) per residue class
+    "mm6_dhash_neardup" ->
+      """SELECT CAST(doc_id % 23 AS BIGINT) AS img_class,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM documents
+        |GROUP BY doc_id % 23
+        |ORDER BY img_class""".stripMargin,
+
     // kll1: exact anchors (count, 6dp min/max) + six gates pinned TRUE —
     // each a deterministic KLL theorem (exact n/min/max, in-stream
     // quantiles, rank monotonicity, lossy witness) except the rank

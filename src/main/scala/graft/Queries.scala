@@ -3789,6 +3789,82 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  /** MM6: PERCEPTUAL image near-dup — the multimodal member of the dedup
+    * family (exact/MinHash/SimHash/embedding dedup cover text; this
+    * covers rasters). Each document carries a REAL PNG (planted: gradient
+    * slope pair set by `doc_id % 23` — the image's structure — plus a
+    * per-doc brightness offset `doc_id % 3`, the perturbation dHash is
+    * built to shrug off), decoded with the pure-JDK codec seam and hashed
+    * with [[graft.operators.Multimodal.dHash64]] (exact-integer 9×8
+    * difference hash). Probed ground truth of the 69 distinct rasters:
+    * within-class Hamming ≤ 4, cross-class ≥ 14 — cleanly split by the
+    * radius-7 verify, at which the 8-byte banding is LOSSLESS by
+    * pigeonhole.
+    *
+    * 100 TB lens — collapse multiplicity BEFORE the quadratic step: ids
+    * group per distinct hash first (template-heavy corpora have millions
+    * of copies per hash; same-hash pairs are ARITHMETIC, `C(n,2)`), and
+    * only DISTINCT hashes enter the banded candidate join (hot-bucket
+    * guarded like the text LSH family), with near-pair counts as
+    * `n_a·n_b` products. The per-id pair emitter ([[graft.operators
+    * .Multimodal.dHashNearDup]], spec-proven in JvmCodecSpec) stays the
+    * API for sampled inspection; this row is the counting shape that
+    * survives 2e9 images. The oracle replays the planted truth in closed
+    * form: every within-class pair and nothing else, `C(n_c, 2)` per
+    * residue class.
+    */
+  def mm6DHashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    // fully-qualified module access inside the closure: a captured local
+    // alias would drag the (non-serializable) Multimodal object along
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val cls = (id % 23).toInt
+          graft.operators.Multimodal.MediaRow(id, "image/png",
+            graft.operators.Multimodal.SyntheticMedia.gradientPng(
+              27, 16, 40 + 9 * cls, 23 + 11 * cls, (id % 3).toInt))
+        }
+      }
+    val sigs = M.imageDHash(media)
+      .select(col("id"), col("dhash"), (col("id") % 23).as("img_class"))
+    val byHash = sigs.groupBy(col("dhash"), col("img_class"))
+      .agg(count(lit(1)).as("__n"))
+    val samePairs = byHash.groupBy(col("img_class"))
+      .agg(sum((col("__n") * (col("__n") - lit(1L)) / lit(2)).cast("long"))
+        .as("__p_same"))
+    // banded candidate join over DISTINCT hashes only (≤ 69 here; bounded
+    // by template diversity, not corpus size, at scale)
+    val blocked = byHash.select(col("dhash"), col("img_class"), col("__n"),
+      explode(array((0 until 8).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("dhash"), q * 8).bitwiseAND(lit(0xFFL)).as("part"))
+      }: _*)).as("blk"))
+      .select(col("dhash"), col("img_class"), col("__n"),
+        col("blk.q"), col("blk.part"))
+    val nearPairs = graft.operators.Dedup.boundedBucketPairs(
+        blocked, "dhash", Seq("q", "part"), Seq("img_class", "__n"),
+        graft.operators.Dedup.DefaultMaxBucket,
+        graft.operators.Dedup.DefaultRepFactor)
+      .distinct()
+      // boundedBucketPairs names the pair keys id_a/id_b — here they ARE
+      // the two distinct dhash values
+      .where(graft.operators.Dedup.hamming64(
+        col("id_a"), col("id_b")) <= 7)
+      .groupBy(col("img_class_a").as("img_class"))
+      .agg(sum(col("__n_a") * col("__n_b")).as("__p_near"))
+    val docs = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 23).as("img_class"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(samePairs, Seq("img_class"), "left")
+      .join(nearPairs, Seq("img_class"), "left")
+      .select(col("img_class"), col("n_docs"),
+        (coalesce(col("__p_same"), lit(0L)) +
+          coalesce(col("__p_near"), lit(0L))).as("n_pairs"))
+      .orderBy(col("img_class"))
+  }
+
   /** P11C: sketch-merge across shards — the 100 TB fan-in story p11/p11b
     * imply but never exercise ACROSS A MATERIALIZED BOUNDARY: each of 8
     * hash shards aggregates its own Datasketches HLL partial
@@ -4887,6 +4963,7 @@ object Queries {
     "kll1_quantile_sketch" -> (kll1QuantileSketch _),
     "pp4_composite_pruning" -> (pp4CompositePruning _),
     "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
+    "mm6_dhash_neardup" -> (mm6DHashNearDup _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),

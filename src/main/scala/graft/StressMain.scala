@@ -198,7 +198,10 @@ object StressMain {
       "pp4_composite_pruning",
       // p11e drains replicated orders through the checkpointed sketch
       // stream (8 micro-batches), then answers from the index alone
-      "p11e_streaming_sketch_index")
+      "p11e_streaming_sketch_index",
+      // mm6: per-doc PNG encode+decode+dHash is the map-only cost; the
+      // quadratic step runs over DISTINCT hashes (69), never the corpus
+      "mm6_dhash_neardup")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -262,6 +262,100 @@ object Multimodal {
     }.toDF("id", "embedding")
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) of a decoded raster — the standard
+    * perceptual image fingerprint: average-pool the luminance to a 9×8
+    * grid, bit (r, c) = 1 iff cell (r, c+1)'s mean exceeds cell (r, c)'s.
+    * Comparing horizontal NEIGHBORS makes the hash invariant to global
+    * brightness shifts and robust to mild noise — near-duplicate rasters
+    * land within a few Hamming bits — while 64 bits keep the banded
+    * candidate join (d3's SimHash machinery) directly reusable.
+    *
+    * Every cell statistic is an exact Long sum; cell means are compared
+    * cross-multiplied (`sumR·nL > sumL·nR`), so the hash is bit-exact
+    * deterministic — no floating point, no resampling kernel. Rasters
+    * smaller than 9×8 leave empty cells (bit 0); callers should hash
+    * thumbnails at least that large.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < img.getHeight) {
+      val r = math.min(y * gh / img.getHeight, gh - 1)
+      var x = 0
+      while (x < img.getWidth) {
+        val c = math.min(x * gw / img.getWidth, gw - 1)
+        val rgb = img.getRGB(x, y)
+        sums(r)(c) +=
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        if (sums(r)(c + 1) * cnts(r)(c) > sums(r)(c) * cnts(r)(c + 1))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash over the media frame: real decode (pure-JDK
+    * `javax.imageio`, the [[JvmCodecs]] seam's reader), per-partition
+    * batch iteration like every decode stage here. Output: `(id, dhash)`.
+    */
+  def imageDHash(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.data))
+        require(img != null, s"payload ${m.id} is not a decodable image")
+        (m.id, dHash64(img))
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Perceptual near-duplicate image pairs — the multimodal member of the
+    * dedup family (exact/MinHash/SimHash/embedding for text, dHash for
+    * rasters): band the 64-bit dHash into 8 bytes and bucket-join on
+    * (band, value) — by pigeonhole, ANY pair within Hamming distance
+    * `maxHamming` ≤ 7 shares at least one exact byte, so the blocking is
+    * lossless at that radius — then verify candidates with the full
+    * Hamming distance. Never all-pairs: same [[graft.operators.Dedup
+    * .boundedBucketPairs]] hot-bucket guard as the text LSH family (a
+    * byte shared by a whole template family is exactly the oversized-
+    * bucket shape).
+    */
+  def dHashNearDup(ds: Dataset[MediaRow], maxHamming: Int = 7,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      repFactor: Int = Dedup.DefaultRepFactor): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-byte banding is only lossless up to Hamming 7, got $maxHamming")
+    val sig = imageDHash(ds)
+    val blocked = sig.select(col("id"), col("dhash"),
+      explode(array((0 until 8).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("dhash"), q * 8).bitwiseAND(lit(0xFFL)).as("part"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("dhash"), col("blk.q"), col("blk.part"))
+    Dedup.boundedBucketPairs(blocked, "id", Seq("q", "part"), Seq("dhash"),
+        maxBucket, repFactor)
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming64(col("dhash_a"), col("dhash_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Per-payload decoded metadata in one pass — the media-QC projection a
     * 100 TB ingest runs before any training-set decision: dimensions,
     * frame count, duration (frames / native rate, ms), and the mean
@@ -297,14 +391,22 @@ object Multimodal {
     * breaks the hash.
     */
   object SyntheticMedia {
-    def gradientPng(w: Int, h: Int): Array[Byte] = {
+    def gradientPng(w: Int, h: Int): Array[Byte] = gradientPng(w, h, 7, 13, 0)
+
+    /** Parameterized gray gradient `(x·a + y·b + offset) % 256`: the (a, b)
+      * slope pair sets the raster's STRUCTURE (where the mod-256 wrap
+      * fronts fall — what a perceptual hash keys on), `offset` only shifts
+      * brightness (what a perceptual hash is near-invariant to). mm6 plants
+      * its near-duplicate classes exactly on this split.
+      */
+    def gradientPng(w: Int, h: Int, a: Int, b: Int, offset: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+          img.setRGB(x, y, ((x * a + y * b + offset) % 256) * 0x010101)
           x += 1
         }
         y += 1

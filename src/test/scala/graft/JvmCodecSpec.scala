@@ -117,4 +117,37 @@ class JvmCodecSpec extends AnyFunSuite {
     assert(math.floor(Multimodal.JvmCodecs.meanLevel(wav) * 1e6 + 0.5) / 1e6
       == 130.900901)
   }
+
+  test("dHash64: brightness-shift invariance, structural sensitivity, " +
+      "and the banded near-dup join finds exactly the planted pairs (mm6)") {
+    def img(bytes: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def h(a: Int, b: Int, off: Int): Long =
+      Multimodal.dHash64(img(Multimodal.SyntheticMedia.gradientPng(
+        27, 16, a, b, off)))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // same structure, shifted brightness: a few bits at most (the wrap
+    // fronts move slightly); different slope pair: many bits
+    assert(ham(h(49, 34, 0), h(49, 34, 1)) <= 4)
+    assert(ham(h(49, 34, 0), h(58, 45, 0)) > 7)
+    // identical raster, identical hash
+    assert(h(103, 67, 2) == h(103, 67, 2))
+
+    // the per-id pair emitter: 3 planted classes x {2,2,3} members with
+    // per-member brightness jitter -> exactly the within-class pairs
+    val rows = Seq(
+      (1L, 0, 0), (2L, 0, 1), // class 0
+      (3L, 1, 0), (4L, 1, 2), // class 1
+      (5L, 2, 0), (6L, 2, 1), (7L, 2, 2)) // class 2
+    import spark.implicits._
+    val media = rows.map { case (id, cls, off) =>
+      Multimodal.MediaRow(id, "image/png",
+        Multimodal.SyntheticMedia.gradientPng(
+          27, 16, 40 + 9 * cls, 23 + 11 * cls, off))
+    }.toDS()
+    val pairs = Multimodal.dHashNearDup(media, maxHamming = 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L)))
+  }
 }
