@@ -3591,6 +3591,19 @@ object OracleSql {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // pp5: flat twin of the page-skipping window — same 3 days as pp2,
+    // the physical layout (one row group, tiny pages) is the only change
+    "pp5_page_skipping" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // dpp1: the FLAT twin of the runtime-pruned star join — DuckDB
     // rebuilds the same calendar dim (distinct day + week_of_month =
     // ((dayofmonth-1) // 7) + 1), applies the same selective dim filter,

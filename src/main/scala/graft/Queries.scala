@@ -3474,6 +3474,55 @@ object Queries {
       })
     }
 
+  /** PAGED ts-sorted flat copy of `events` — the pp5 fixture: ONE big row
+    * group (default 128 MB block at test SFs) cut into many small pages
+    * (200-row / 1 KB page limits), so the only stats that can prune are
+    * the per-page COLUMN INDEX entries — the level BELOW pp2's row
+    * groups.
+    */
+  private val pagedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def pagedEventsPath(s: SparkSession, dir: String): String =
+    pagedEventsMemo.synchronized {
+      pagedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_ts_paged_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Bucketing.writeTsSorted(
+            t(s, dir, "events").coalesce(1), "ts", tmp,
+            pageRows = 200, pageBytes = 1024)
+        }
+      })
+    }
+
+  /** PP5: PAGE-level skipping — the final level of the pruning story
+    * (pp1 directory listing → dpp1 runtime → pp2 row group → pp5 PAGE):
+    * the parquet COLUMN INDEX carries min/max per data page, and Spark's
+    * vectorized reader filters page ranges against the pushed predicate,
+    * so even INSIDE one row group a narrow window decodes only the pages
+    * that intersect it. The fixture makes the claim falsifiable: ONE row
+    * group (so group-level skipping can explain NO reduction at all) cut
+    * into hundreds of 200-row pages; PageSkippingSpec asserts from the
+    * column+offset indexes that the window intersects a strict subset of
+    * pages AND that the scan produced exactly the surviving pages' rows.
+    * This row pins the VALUES via the same flat twin as pp2 (same 3-day
+    * window, different physical layout — re-layout losslessness again).
+    *
+    * 100 TB lens: row groups are ~128 MB; a 1-hour query against a
+    * day-sorted group still decodes 24× too much without page pruning.
+    * The column index is the last free index level a lake gets before
+    * real secondary indexes.
+    */
+  def pp5PageSkipping(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pagedEventsPath(s, dir))
+      .where(col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
+      .orderBy(col("event_type"))
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -4964,6 +5013,7 @@ object Queries {
     "pp4_composite_pruning" -> (pp4CompositePruning _),
     "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
     "mm6_dhash_neardup" -> (mm6DHashNearDup _),
+    "pp5_page_skipping" -> (pp5PageSkipping _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),
     "t10_control_scrub" -> (t10ControlScrub _),

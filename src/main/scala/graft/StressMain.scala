@@ -201,7 +201,10 @@ object StressMain {
       "p11e_streaming_sketch_index",
       // mm6: per-doc PNG encode+decode+dHash is the map-only cost; the
       // quadratic step runs over DISTINCT hashes (69), never the corpus
-      "mm6_dhash_neardup")
+      "mm6_dhash_neardup",
+      // pp5 re-writes replicated events page-granular (200-row pages),
+      // then the 3-day window decodes only intersecting pages
+      "pp5_page_skipping")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -91,12 +91,17 @@ object Bucketing {
     }
 
   def writeTsSorted(df: DataFrame, tsCol: String, path: String,
-      blockSize: Int = 128 * 1024 * 1024): Unit =
+      blockSize: Int = 128 * 1024 * 1024,
+      pageRows: Int = 0, pageBytes: Int = 0): Unit =
     withMicrosTimestamps(df.sparkSession) {
-      df.orderBy(col(tsCol))
+      val w = df.orderBy(col(tsCol))
         .write.mode(SaveMode.Overwrite)
         .option("parquet.block.size", blockSize.toLong)
-        .parquet(path)
+      val w2 = if (pageRows > 0)
+        w.option("parquet.page.row.count.limit", pageRows.toLong) else w
+      val w3 = if (pageBytes > 0)
+        w2.option("parquet.page.size", pageBytes.toLong) else w2
+      w3.parquet(path)
     }
 
   /** Bit-interleaved (Morton / Z-order) code of two non-negative integer
@@ -161,6 +166,51 @@ object Bucketing {
         .partitionBy("dt")
         .parquet(path)
     }
+
+  /** PAGE-level footer audit (pp5): one `(file, rowCount, minMicros,
+    * maxMicros)` per data PAGE of `column`, read from the parquet COLUMN
+    * INDEX + OFFSET INDEX (parquet-format §ColumnIndex — the per-page
+    * min/max structure written since parquet-mr 1.11) — the ground truth
+    * for what a column-index-aware reader can skip INSIDE a row group,
+    * one level below [[rowGroupStats]]. Page row counts come from the
+    * offset index's first-row-index deltas. INT64 min/max decoded
+    * little-endian (TIMESTAMP_MICROS / BIGINT columns).
+    */
+  def pageStats(spark: SparkSession, dir: String, column: String)
+      : Seq[(String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.flatMap { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rd.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        val c = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(sys.error(s"column $column not in ${f.getName}"))
+        val ci = rd.readColumnIndex(c)
+        val oi = rd.readOffsetIndex(c)
+        require(ci != null && oi != null,
+          s"no column/offset index for $column in ${f.getName} — " +
+            "page skipping impossible")
+        def le64(buf: java.nio.ByteBuffer): Long =
+          buf.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+        val n = oi.getPageCount
+        (0 until n).map { i =>
+          require(!ci.getNullPages.get(i), "all-null page in audit column")
+          val first = oi.getFirstRowIndex(i)
+          val rows =
+            (if (i + 1 < n) oi.getFirstRowIndex(i + 1) else b.getRowCount) -
+              first
+          (f.getName, rows, le64(ci.getMinValues.get(i)),
+            le64(ci.getMaxValues.get(i)))
+        }
+      } finally rd.close()
+    }
+  }
 
   /** Footer-level row-group audit for [[writeTsSorted]] layouts: one
     * `(file, rowCount, minMicros, maxMicros)` per row group of `column`,
