@@ -3439,6 +3439,14 @@ object Queries {
     * fingerprint) to /tmp — the pp1/dpp1 fixture. Deterministic content
     * (a pure re-layout of the driver's parquet); the cache key embeds
     * [[tableFingerprint]] so regenerated source data invalidates it.
+    *
+    * NOTE on the memo keying (applies to every fixture memo below): the
+    * in-memory map keys on `dir` ONLY, while staleness safety lives in
+    * the PATH, which embeds the content fingerprint — if the source data
+    * changes, the path changes and [[buildCachedDir]] rebuilds; the memo
+    * merely skips recomputing the fingerprint within one JVM. Do not
+    * "simplify" the memo to return a stored path without re-deriving the
+    * fingerprint-bearing name, or staleness detection dies with it.
     */
   private val prunedEventsMemo = scala.collection.mutable.Map[String, String]()
   private def prunedEventsPath(s: SparkSession, dir: String): String =

@@ -21,7 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * with the same join under no skew handling.
   */
 class AqeSkewJoinSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // suites run in parallel in the forked test JVM and this spec NEEDS
+  // specific conf values (AQE on, skew thresholds) while sibling specs
+  // toggle adaptive off around their scan-metric assertions — an
+  // isolated session (own SQLConf, shared SparkContext) removes the race
+  private lazy val spark = SparkTestSession.spark.newSession()
 
   // ~90% of 400k fact rows pile onto key 0 — the classic hot-key join
   private def fact = spark.range(400000L).select(

@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * mechanisms, on one queryExecution.
   */
 class CompositeLayoutSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // isolated session: this spec toggles adaptive.enabled around its
+  // scan-metric assertions while suites run in parallel (see
+  // AqeSkewJoinSpec) — own SQLConf keeps both directions race-free
+  private lazy val spark = SparkTestSession.spark.newSession()
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
     "/root/testdata/sf0.01")
 

@@ -14,7 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * be LOSSLESS (pp5's oracle row pins values vs the flat twin).
   */
 class PageSkippingSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // isolated session — same parallel-suite conf-race rationale as
+  // CompositeLayoutSpec/AqeSkewJoinSpec
+  private lazy val spark = SparkTestSession.spark.newSession()
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
     "/root/testdata/sf0.01")
 

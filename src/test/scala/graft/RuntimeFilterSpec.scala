@@ -16,7 +16,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * false negatives, so the join result cannot change).
   */
 class RuntimeFilterSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // isolated session — this spec forces bloom/broadcast confs while
+  // suites run in parallel (see AqeSkewJoinSpec's rationale)
+  private lazy val spark = SparkTestSession.spark.newSession()
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
     "/root/testdata/sf0.01")
 
