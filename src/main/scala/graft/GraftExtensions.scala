@@ -161,6 +161,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sketch -> struct(n,min_item,max_item,num_retained,rank_error,is_estimation)") {
       args => KllSummary(args(0))
     }
+    register("graft_reservoir_sketch_agg",
+      "(value, k) -> uniform-sample reservoir sketch partial (binary)") {
+      args => ReservoirSketchAgg(args(0), intArg(args(1), "k"))
+    }
+    register("graft_reservoir_merge",
+      "(sketch, k) -> union-merged reservoir sketch") {
+      args => ReservoirMergeAgg(args(0), intArg(args(1), "k"))
+    }
+    register("graft_reservoir_n",
+      "reservoir sketch -> exact stream length") {
+      args => ReservoirN(args(0))
+    }
+    register("graft_reservoir_samples",
+      "reservoir sketch -> ascending array<long> of retained samples") {
+      args => ReservoirSamples(args(0))
+    }
+    register("graft_varopt_sketch_agg",
+      "(item, weight, k) -> weighted-sample VarOpt sketch partial (binary)") {
+      args => VarOptSketchAgg(args(0), args(1), intArg(args(2), "k"))
+    }
+    register("graft_varopt_merge",
+      "(sketch, k) -> union-merged VarOpt sketch") {
+      args => VarOptMergeAgg(args(0), intArg(args(1), "k"))
+    }
+    register("graft_varopt_summary",
+      "VarOpt sketch -> struct(n,num_samples,total_weight)") {
+      args => VarOptSummary(args(0))
+    }
+    register("graft_varopt_samples",
+      "VarOpt sketch -> array<struct<item,weight>> ascending by item") {
+      args => VarOptSamples(args(0))
+    }
     register("graft_theta_set_estimate",
       "(a, b, 'union'|'intersect'|'anotb') -> set-algebra estimate") {
       args => ThetaSetEstimate(args(0), args(1), args(2) match {

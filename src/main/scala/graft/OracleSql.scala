@@ -3977,6 +3977,47 @@ object OracleSql {
         |  TRUE AS sketch_lossy
         |FROM events WHERE value IS NOT NULL""".stripMargin,
 
+    // rs1/vo1: sampled sets are random — the oracle pins the exact
+    // anchors and the theorem gates (all TRUE by the reservoir/VarOpt
+    // guarantees; see Queries.rs1ReservoirSample/vo1VaroptSample)
+    "rs1_reservoir_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_nation,
+        |  TRUE AS sketch_n_exact,
+        |  TRUE AS shard_invariant_n,
+        |  TRUE AS sample_size_min_n_k,
+        |  TRUE AS samples_in_stream,
+        |  TRUE AS sample_distinct,
+        |  TRUE AS exact_regime_match
+        |FROM orders""".stripMargin,
+
+    "vo1_varopt_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lineitem,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_nation,
+        |  CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS total_quantity,
+        |  TRUE AS sketch_n_exact,
+        |  TRUE AS shard_invariant_n,
+        |  TRUE AS sample_size_min_n_k,
+        |  TRUE AS samples_in_stream,
+        |  TRUE AS weight_sum_invariant,
+        |  TRUE AS exact_regime_match
+        |FROM lineitem""".stripMargin,
+
+    // cf1: file counts pinned by construction (64-way fragmented ingest
+    // fixture, compaction target 4); data truth pinned vs flat events
+    // (the pp1 re-layout losslessness convention)
+    "cf1_small_file_compaction" ->
+      """SELECT CAST(64 AS BIGINT) AS files_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  TRUE AS compaction_reduced,
+        |  TRUE AS file_ranges_disjoint,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_event_ids,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value
+        |FROM events""".stripMargin,
+
     // q4: the EXISTS form verbatim — DuckDB plans it as a semi-join, the
     // same relation the Spark left_semi computes
     "q4_priority_exists" ->

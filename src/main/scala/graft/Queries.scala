@@ -3531,6 +3531,94 @@ object Queries {
           .cast("decimal(38,0)")).cast("double") / lit(1e6)).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** FRAGMENTED copy of `events` — the cf1 "small-file problem" fixture:
+    * a round-robin `repartition(64)` write, the layout a micro-batching
+    * or over-parallel ingest leaves behind (64 tiny files, no useful
+    * ordering, one scan task + footer round-trip each).
+    */
+  private val fragmentedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def fragmentedEventsPath(s: SparkSession, dir: String): String =
+    fragmentedEventsMemo.synchronized {
+      fragmentedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_fragmented_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          t(s, dir, "events").repartition(64)
+            .write.mode("overwrite").parquet(tmp)
+        }
+      })
+    }
+
+  /** COMPACTED rewrite of the fragmented fixture
+    * ([[graft.sources.Compaction.compactSorted]] to 4 ts-range-sorted
+    * files, 16 KB row groups) — keyed on the SOURCE fingerprint like
+    * every fixture, derived from [[fragmentedEventsPath]].
+    */
+  private val compactedEventsMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def compactedEventsPath(s: SparkSession, dir: String): String =
+    compactedEventsMemo.synchronized {
+      compactedEventsMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_compacted_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Compaction.compactSorted(
+            s, fragmentedEventsPath(s, dir), tmp, "ts",
+            nFiles = 4, blockSize = 16 * 1024)
+        }
+      })
+    }
+
+  /** CF1: small-file compaction — the lake-maintenance operator every
+    * streaming ingest needs ([[graft.sources.Compaction]]): the
+    * fragmented 64-file ingest layout is rewritten as 4 ts-range-sorted
+    * files, and the row proves the three claims that matter: the file
+    * count actually dropped 64 → 4 (driver-side listing of both dirs,
+    * bounded), the rewrite is LOSSLESS (exact count / distinct ids /
+    * 6dp value mass pinned against the flat `events` oracle — the pp1
+    * re-layout convention), and the restored layout is SORT-VALID —
+    * per-file ts ranges are pairwise disjoint (computed from the data
+    * itself via `input_file_name`, 4 groups), so row-group skipping
+    * (pp2) works again after compaction instead of being destroyed by a
+    * plain round-robin rewrite. CompactionSpec adds the footer-level
+    * audit (row groups inside each file non-overlapping) and the
+    * byte-size law.
+    *
+    * 100 TB lens: a micro-batch sink writing 1-minute batches × 200
+    * partitions leaves ~10^5 files/table/day; scans pay one task + one
+    * footer fetch per file. Nightly range-sorted compaction to ~128 MB
+    * files is the standing fix, and it must RESTORE the sort layout or
+    * it trades the small-file tax for a full-scan tax.
+    */
+  def cf1SmallFileCompaction(s: SparkSession, dir: String): DataFrame = {
+    val frag = fragmentedEventsPath(s, dir)
+    val comp = compactedEventsPath(s, dir)
+    val filesBefore = graft.sources.Compaction.dataFiles(frag).size
+    val filesAfter = graft.sources.Compaction.dataFiles(comp).size
+    val df = s.read.parquet(comp)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__lo"))
+    val disjoint = df
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col("ts")).as("__lo"), max(col("ts")).as("__hi"))
+      .select((lag(col("__hi"), 1).over(w).isNull ||
+        lag(col("__hi"), 1).over(w) <= col("__lo")).as("__ok"))
+      .agg(min(col("__ok")).as("__disjoint"))
+    df.agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_event_ids"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("total_value"))
+      .crossJoin(broadcast(disjoint))
+      .select(
+        lit(filesBefore.toLong).as("files_before"),
+        lit(filesAfter.toLong).as("files_after"),
+        lit(filesAfter < filesBefore).as("compaction_reduced"),
+        col("__disjoint").as("file_ranges_disjoint"),
+        col("n_events"), col("n_event_ids"), col("total_value"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -4538,6 +4626,142 @@ object Queries {
       (col("__s.num_retained") < col("__s.n")).as("sketch_lossy"))
   }
 
+  /** RS1: MERGEABLE uniform-sample (reservoir) sketch — the SAMPLE member
+    * completing the sketch family (distinct: p11c/p11d HLL; top-k: hh2;
+    * set algebra: th1; quantiles: kll1): per-shard Datasketches
+    * `ReservoirLongsSketch` partials
+    * ([[graft.functions.ReservoirSketch]], Vitter TOMS'85 + the
+    * PODS'12 mergeable union) built where the data lives, union-merged
+    * once — "give me k uniformly random rows of a 100 TB table" without
+    * the global `ORDER BY rand() LIMIT k` sort.
+    *
+    * The sampled SET is random by construction, so no sample content is
+    * pinned. The gates are reservoir THEOREMS, deterministic under any
+    * sharding and merge order: `getN` counts the stream exactly (and is
+    * invariant across 8-shard vs 4-shard fan-ins), the sample size is
+    * exactly `min(n, k)`, every sampled value is an actual stream value
+    * (broadcast the 64 samples back at the scan — never the reverse),
+    * and over the duplicate-free orderkey stream the sample is
+    * duplicate-free (sampling without replacement survives the union).
+    * The nation table (25 rows « k) witnesses the EXACT regime: the
+    * reservoir IS the stream, sorted-equal to the collected keys.
+    * Exact anchors (both counts) ride the row so the oracle pins values.
+    */
+  def rs1ReservoirSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ReservoirSketch
+    val k = 64
+    val keys = t(s, dir, "orders").select(col("o_orderkey").as("key"))
+    def merged(shards: Int) = keys
+      .groupBy(pmod(xxhash64(col("key")), lit(shards)).as("__shard"))
+      .agg(ReservoirSketch.sketchAgg(col("key"), k).as("__sk"))
+      .agg(ReservoirSketch.mergeAgg(col("__sk"), k).as("__sk"))
+    val m8 = merged(8).select(
+      ReservoirSketch.n(col("__sk")).as("__n8"),
+      ReservoirSketch.samples(col("__sk")).as("__samp"))
+    val m4 = merged(4).select(ReservoirSketch.n(col("__sk")).as("__n4"))
+    // containment scan: broadcast the <=k samples AT the orders scan (the
+    // only direction that survives 100 TB) and count how many distinct
+    // sample values the stream actually contains
+    val hits = keys
+      .join(broadcast(m8.select(explode(col("__samp")).as("__sv"))),
+        col("key") === col("__sv"))
+      .agg(countDistinct(col("__sv")).as("__hits"))
+    // exact regime: 25 nation keys « k — the reservoir IS the stream
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val exactReg = nat.agg(
+      ReservoirSketch.samples(
+        ReservoirSketch.sketchAgg(col("nk"), k)).as("__esamp"),
+      sort_array(collect_list(col("nk"))).as("__ekeys"),
+      count(lit(1)).as("n_nation"))
+    keys.agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(m8)).crossJoin(broadcast(m4))
+      .crossJoin(broadcast(hits)).crossJoin(broadcast(exactReg))
+      .select(
+        col("n_orders"), col("n_nation"),
+        (col("__n8") === col("n_orders")).as("sketch_n_exact"),
+        (col("__n4") === col("__n8")).as("shard_invariant_n"),
+        (size(col("__samp")).cast("long") ===
+          least(lit(k.toLong), col("n_orders"))).as("sample_size_min_n_k"),
+        (col("__hits") === size(col("__samp")).cast("long"))
+          .as("samples_in_stream"),
+        (size(array_distinct(col("__samp"))) === size(col("__samp")))
+          .as("sample_distinct"),
+        (col("__esamp") === col("__ekeys")).as("exact_regime_match"))
+  }
+
+  /** VO1: MERGEABLE weighted-sample (VarOpt) sketch — the weighted twin
+    * of rs1's uniform reservoir ([[graft.functions.VarOptSketch]], Cohen
+    * et al. SODA'09): per-shard `VarOptItemsSketch` partials over
+    * (partkey, quantity) pairs, union-merged once. Each retained item
+    * carries an ADJUSTED weight making any subset-sum estimate unbiased
+    * and variance-optimal — "how much token mass comes from domain X?"
+    * from k rows instead of a full scan per question.
+    *
+    * Gates are VarOpt theorems (the rs1/kll1 honesty convention): exact
+    * `n` (shard-count invariant), sample size exactly `min(n, k)`,
+    * containment of sampled items in the stream's key domain (broadcast
+    * the <=k items at the scan), and the SODA'09 zero-variance identity —
+    * the sum of ALL adjusted weights equals the exact total stream weight
+    * (gated at 1e-6 relative, ~10^3 x worst-case float-order drift;
+    * l_quantity is integer-valued so the exact side is drift-free).
+    * The nation table (weight = key+1, 25 rows « k) witnesses the exact
+    * regime: samples == the stream with its ORIGINAL weights. Exact
+    * anchors (count, 6dp weight total) ride the row.
+    */
+  def vo1VaroptSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VarOptSketch
+    val k = 64
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("item"),
+        col("l_quantity").cast("double").as("w"))
+    def merged(shards: Int) = li
+      .groupBy(pmod(xxhash64(col("item"), col("w")), lit(shards))
+        .as("__shard"))
+      .agg(VarOptSketch.sketchAgg(col("item"), col("w"), k).as("__sk"))
+      .agg(VarOptSketch.mergeAgg(col("__sk"), k).as("__sk"))
+    val m8 = merged(8).select(
+      VarOptSketch.summary(col("__sk")).as("__sm"),
+      VarOptSketch.samples(col("__sk")).as("__samp"))
+    val m4 = merged(4).select(VarOptSketch.summary(col("__sk")).as("__sm4"))
+    val sampleItems = m8.select(
+      array_distinct(transform(col("__samp"), x => x.getField("item")))
+        .as("__items"))
+    val hits = li
+      .join(broadcast(sampleItems.select(explode(col("__items"))
+        .as("__sv"))), col("item") === col("__sv"))
+      .agg(countDistinct(col("__sv")).as("__hits"))
+    // exact regime: 25 nation keys, weight = key + 1 (positive)
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"),
+        (col("n_nationkey") + lit(1)).cast("double").as("nw"))
+    val exactReg = nat.agg(
+      VarOptSketch.samples(
+        VarOptSketch.sketchAgg(col("nk"), col("nw"), k)).as("__esamp"),
+      sort_array(collect_list(struct(col("nk").as("item"),
+        col("nw").as("weight")))).as("__epairs"),
+      count(lit(1)).as("n_nation"))
+    val exact = li.agg(count(lit(1)).as("n_lineitem"),
+      (sum(floor(col("w") * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e6)).as("total_quantity"))
+    exact
+      .crossJoin(broadcast(m8)).crossJoin(broadcast(m4))
+      .crossJoin(broadcast(hits)).crossJoin(broadcast(exactReg))
+      .crossJoin(broadcast(sampleItems))
+      .select(
+        col("n_lineitem"), col("n_nation"), col("total_quantity"),
+        (col("__sm.n") === col("n_lineitem")).as("sketch_n_exact"),
+        (col("__sm4.n") === col("__sm.n")).as("shard_invariant_n"),
+        (col("__sm.num_samples") ===
+          least(lit(k.toLong), col("n_lineitem")))
+          .as("sample_size_min_n_k"),
+        (col("__hits") === size(col("__items")).cast("long"))
+          .as("samples_in_stream"),
+        (abs(col("__sm.total_weight") - col("total_quantity")) <=
+          col("total_quantity") * lit(1e-6)).as("weight_sum_invariant"),
+        (col("__esamp") === col("__epairs")).as("exact_regime_match"))
+  }
+
   /** W9: FORWARD as-of join ([[graft.operators.AsOfJoin.forward]], strict)
     * — each order picks up the same customer's NEXT order strictly after
     * it, plus the repurchase gap in days (NULL for the customer's last
@@ -5018,6 +5242,9 @@ object Queries {
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "kll1_quantile_sketch" -> (kll1QuantileSketch _),
+    "rs1_reservoir_sample" -> (rs1ReservoirSample _),
+    "vo1_varopt_sample" -> (vo1VaroptSample _),
+    "cf1_small_file_compaction" -> (cf1SmallFileCompaction _),
     "pp4_composite_pruning" -> (pp4CompositePruning _),
     "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
     "mm6_dhash_neardup" -> (mm6DHashNearDup _),

@@ -204,7 +204,14 @@ object StressMain {
       "mm6_dhash_neardup",
       // pp5 re-writes replicated events page-granular (200-row pages),
       // then the 3-day window decodes only intersecting pages
-      "pp5_page_skipping")
+      "pp5_page_skipping",
+      // rs1/vo1: per-shard reservoir / VarOpt partials (<=64 retained
+      // items each), one KB merge, broadcast-back containment probes
+      "rs1_reservoir_sample",
+      "vo1_varopt_sample",
+      // cf1 re-writes the 64-file fragmented replicated events as 4
+      // range-sorted files — the cost IS the one range shuffle
+      "cf1_small_file_compaction")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

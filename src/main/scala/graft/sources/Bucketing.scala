@@ -104,6 +104,25 @@ object Bucketing {
       w3.parquet(path)
     }
 
+  /** Range-partitioned sorted re-layout with an EXPLICIT file count: rows
+    * are range-split on `sortCol` into `nFiles` partitions and sorted
+    * within each, so every output file covers a disjoint range and every
+    * row group carries tight min/max stats — [[writeTsSorted]]'s layout
+    * with the file count under caller control (compaction needs to hit a
+    * byte target; a global `orderBy` would leave the count to the shuffle
+    * partition setting). Same TIMESTAMP_MICROS forcing (INT96 writes no
+    * stats).
+    */
+  def writeRangeSorted(df: DataFrame, sortCol: String, nFiles: Int,
+      path: String, blockSize: Int = 128 * 1024 * 1024): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.repartitionByRange(nFiles, col(sortCol))
+        .sortWithinPartitions(col(sortCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize.toLong)
+        .parquet(path)
+    }
+
   /** Bit-interleaved (Morton / Z-order) code of two non-negative integer
     * columns — `bits` low bits of each, column A on even positions. Pure
     * codegen'd builtins (shift/and/or fold), so the sort key costs one
