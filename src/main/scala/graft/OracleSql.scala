@@ -4018,6 +4018,93 @@ object OracleSql {
         |    / 1e6 AS total_value
         |FROM events""".stripMargin,
 
+    // mf1: manifest-planned window scan — values are the pp2 flat-twin
+    // window shape; file counts pinned by the cf1 fixture construction
+    "mf1_manifest_pruning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(4 AS BIGINT) AS files_total,
+        |  TRUE AS manifest_strict_subset,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS manifest_complete
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
+    // tt1: time travel — v1 is the whole table, v2 is the table minus
+    // the deleted window, zero window rows survive in v2
+    "tt1_snapshot_delete" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM events) AS total_value_v1,
+        |  CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v2,
+        |  CAST(0 AS BIGINT) AS n_window_v2,
+        |  CAST(4 AS BIGINT) AS files_v1,
+        |  TRUE AS copy_on_write_bounded
+        |FROM events
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00')""".stripMargin,
+
+    // up1: closed-form MERGE replay — events with the 2024-01-20 window
+    // bumped +1000, UNION ALL one shadow insert per window row
+    "up1_snapshot_upsert" ->
+      """WITH win AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL SELECT ts, value FROM win)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+        |  CAST(count(*) AS BIGINT) AS n_latest,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_latest,
+        |  (SELECT CAST(2 * count(*) AS BIGINT) FROM win)
+        |    AS n_window_latest,
+        |  CAST(4 AS BIGINT) AS files_v1,
+        |  TRUE AS upsert_cow_bounded
+        |FROM merged""".stripMargin,
+
+    // se1: evolved-table replay — events (quality_score NULL) UNION ALL
+    // the appended 2024-01-25 day carrying the new column
+    "se1_schema_evolution" ->
+      """WITH day AS (
+        |  SELECT value, floor(value * 0.5 * 1e6 + 0.5) / 1e6 AS qs
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |evolved AS (
+        |  SELECT value, CAST(NULL AS DOUBLE) AS qs FROM events
+        |  UNION ALL SELECT value, qs FROM day)
+        |SELECT CAST(count(*) AS BIGINT) AS n_latest,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(SUM(CAST(floor(qs * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_quality,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM day WHERE qs IS NULL)
+        |    AS n_null_quality
+        |FROM evolved""".stripMargin,
+
+    // ap1: the streamed table is original ∪ id-offset copy; 1 + 8
+    // versions, 8 exactly-once batch markers
+    "ap1_stream_ingest" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_latest,
+        |  CAST(2 * SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS total_value,
+        |  CAST(9 AS BIGINT) AS n_versions,
+        |  CAST(8 AS BIGINT) AS n_batches
+        |FROM events""".stripMargin,
+
     // q4: the EXISTS form verbatim — DuckDB plans it as a semi-join, the
     // same relation the Spark left_semi computes
     "q4_priority_exists" ->

@@ -3619,6 +3619,342 @@ object Queries {
         col("n_events"), col("n_event_ids"), col("total_value"))
   }
 
+  /** Persisted ZONE-MAP MANIFEST of the compacted fixture
+    * ([[graft.sources.Manifest.writeTs]] on `ts`) — built once from
+    * footers at "compaction time", planned from forever (the p11d
+    * durable-index convention applied to METADATA).
+    */
+  private val manifestMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def manifestPath(s: SparkSession, dir: String): String =
+    manifestMemo.synchronized {
+      manifestMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_manifest_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Manifest.writeTs(
+            s, compactedEventsPath(s, dir), "ts", tmp)
+        }
+      })
+    }
+
+  /** Versioned SNAPSHOT table over the compacted fixture
+    * ([[graft.sources.Snapshots]]): v1 adopts the 4 compacted files, v2
+    * is a copy-on-write range delete of the pp2 3-day window — both
+    * versions stay readable (time travel). Built once per source
+    * fingerprint; `_SUCCESS` written manually (the table layout is
+    * manifests + files, not a Spark write).
+    */
+  private val snapshotMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def snapshotPath(s: SparkSession, dir: String): String =
+    snapshotMemo.synchronized {
+      snapshotMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_snapshot_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          graft.sources.Snapshots.deleteRange(
+            s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** The pp2/pp5 3-day window as UTC epoch micros (the session zone is
+    * pinned UTC; `Timestamp.valueOf` would shift on a non-UTC JVM).
+    */
+  private[graft] val tsWindowLoMicros: Long =
+    java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+  private[graft] val tsWindowHiMicros: Long =
+    java.time.LocalDateTime.parse("2024-01-13T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  /** Versioned snapshot table exercising copy-on-write MERGE — the up1
+    * fixture: v1 adopts the compacted files; v2 upserts a batch that
+    * UPDATES every event of 2024-01-20 (value + 1000) and INSERTS a
+    * shadow row per updated event (event_id + 10^12, same ts) — the
+    * "late data + corrections" batch every ingest pipeline ships.
+    */
+  private val upsertSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def upsertSnapPath(s: SparkSession, dir: String): String =
+    upsertSnapMemo.synchronized {
+      upsertSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_upsert_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          val win = t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-20 00:00:00") &&
+              col("ts") < ts("2024-01-21 00:00:00"))
+          val updates = win.withColumn("value", col("value") + lit(1000.0))
+            .unionByName(win.withColumn("event_id",
+              col("event_id") + lit(1000000000000L)))
+          graft.sources.Snapshots.upsert(s, tmp, "event_id", "ts", updates)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** UP1: copy-on-write MERGE (upsert) — the table-format mutation the
+    * delete (tt1) doesn't cover ([[graft.sources.Snapshots.upsert]]):
+    * a batch carrying the table's SORT column updates every 2024-01-20
+    * event (value + 1000) and inserts one shadow row per updated event
+    * (event_id + 10^12, same ts). The rewrite is zone-bounded — only
+    * files whose footer [min,max] intersects the batch's day can contain
+    * matches; the rest are re-referenced verbatim — and the batch is
+    * BROADCAST into the anti-join (a merge batch is operationally small
+    * by definition). Gates: the merged table's exact count and 6dp value
+    * mass equal the oracle's closed-form replay (events with the window
+    * bumped, UNION ALL the shadow rows), the window holds exactly
+    * 2×|window| rows (a MERGE that inserts instead of replacing
+    * duplicates the updates — this catches it), v1 still reads the
+    * original table (isolation), and the copy-on-write bound held.
+    *
+    * 100 TB lens: MERGE is THE daily mutation of a lakehouse (late
+    * events, corrections, CDC upserts); without zone-bounded planning
+    * every merge is a full-table rewrite.
+    */
+  def up1SnapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = upsertSnapPath(s, dir)
+    val f1 = graft.sources.Snapshots.resolve(root, 1).toSet
+    val f2 = graft.sources.Snapshots.resolve(root, 2).toSet
+    val reused = (f1 & f2).size
+    val v1 = graft.sources.Snapshots.read(s, root, 1)
+    val v2 = graft.sources.Snapshots.read(s, root, 2)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-20 00:00:00") &&
+      col("ts") < ts("2024-01-21 00:00:00")
+    val a1 = v1.agg(count(lit(1)).as("n_v1"))
+    val a2 = v2.agg(count(lit(1)).as("n_latest"),
+      mass.as("total_value_latest"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_latest"))
+    a2.crossJoin(broadcast(a1))
+      .select(col("n_v1"), col("n_latest"), col("total_value_latest"),
+        col("n_window_latest"),
+        lit(f1.size.toLong).as("files_v1"),
+        lit(reused >= 1 && reused < f1.size).as("upsert_cow_bounded"))
+  }
+
+  /** Snapshot table exercising SCHEMA-EVOLVED append — the se1 fixture:
+    * v1 adopts the compacted files; v2 appends the 2024-01-25 events
+    * (event_id + 2·10^12) carrying a NEW `quality_score` column
+    * (0.5 × value, 6dp) the v1 files never heard of.
+    */
+  private val evolveSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def evolveSnapPath(s: SparkSession, dir: String): String =
+    evolveSnapMemo.synchronized {
+      evolveSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_evolve_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          val batch = t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(2000000000000L))
+            .withColumn("quality_score",
+              floor(col("value") * lit(0.5) * lit(1e6) + lit(0.5)) / lit(1e6))
+          graft.sources.Snapshots.append(s, tmp, batch, "ts")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** Snapshot table built BY A STREAM — the ap1 fixture: v1 adopts the
+    * compacted files; a checkpointed file stream (8 staged chunks of the
+    * id-offset events, one file per micro-batch) appends each batch as
+    * its own version through the EXACTLY-ONCE marker path
+    * ([[graft.sources.Snapshots.appendBatch]]).
+    */
+  private val streamSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def streamSnapPath(s: SparkSession, dir: String): String =
+    streamSnapMemo.synchronized {
+      streamSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_streamsnap_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          val stage = java.nio.file.Files
+            .createTempDirectory("graft_streamsnap_stage").toString
+          t(s, dir, "events")
+            .withColumn("event_id", col("event_id") + lit(3000000000000L))
+            .repartition(8).write.parquet(s"$stage/src")
+          val src = s.readStream
+            .schema(s.read.parquet(s"$stage/src").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$stage/src")
+          val q = src.writeStream
+            .option("checkpointLocation", s"$stage/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              graft.sources.Snapshots.appendBatch(
+                batch.sparkSession, tmp, batch, "ts", id)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** SE1: SCHEMA EVOLUTION on the snapshot table — the append every
+    * production table eventually ships: a new ingest batch carries a
+    * column (`quality_score`) the existing files never heard of
+    * ([[graft.sources.Snapshots.append]] + mergeSchema read). Gates:
+    * exact count and 6dp value mass of the evolved table equal the
+    * closed-form replay; the quality-score mass equals the replay over
+    * the appended day alone; and exactly the ORIGINAL row count reads
+    * NULL for the new column (a mergeSchema failure either errors or
+    * zero-fills — this catches both). v1 stays readable with its
+    * original schema.
+    *
+    * 100 TB lens: rewriting a year of files to add a column is not an
+    * option; name-based parquet column resolution + manifest versioning
+    * make evolution a metadata-only operation.
+    */
+  def se1SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = evolveSnapPath(s, dir)
+    val v2 = graft.sources.Snapshots.read(s, root, 2)
+    def mass(c: org.apache.spark.sql.Column) =
+      (sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e6))
+    v2.agg(
+        count(lit(1)).as("n_latest"),
+        mass(col("value")).as("total_value"),
+        mass(col("quality_score")).as("total_quality"),
+        sum(when(col("quality_score").isNull, 1L).otherwise(0L))
+          .as("n_null_quality"))
+      .select(col("n_latest"), col("total_value"), col("total_quality"),
+        col("n_null_quality"))
+  }
+
+  /** AP1: STREAMING snapshot ingest with exactly-once batch commits —
+    * the table-format sink ([[graft.sources.Snapshots.appendBatch]]):
+    * a checkpointed file stream drains 8 staged chunks of id-offset
+    * events one micro-batch each; every batch commits as its own
+    * version under its batchId marker, so foreachBatch's at-least-once
+    * replay is idempotent (the Delta txn pattern — spec-proven by
+    * replaying a committed batchId). Gates: the final table equals
+    * original ∪ offset copy exactly (count + 6dp mass), the version
+    * chain is 1 + 8 (every chunk arrived as its own micro-batch AND
+    * committed exactly once), and 8 batch markers exist.
+    *
+    * 100 TB lens: micro-batch sinks MUST be idempotent under replay or
+    * every crash duplicates data; committing the manifest keyed by
+    * batchId is the standing exactly-once recipe, and version-per-batch
+    * keeps readers isolated from in-flight ingest.
+    */
+  def ap1StreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = streamSnapPath(s, dir)
+    val latest = graft.sources.Snapshots.latestVersion(root)
+    val nBatches = graft.sources.Snapshots.committedBatches(root).size
+    val vL = graft.sources.Snapshots.read(s, root, latest)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    vL.agg(count(lit(1)).as("n_latest"), mass.as("total_value"))
+      .select(col("n_latest"), col("total_value"),
+        lit(latest.toLong).as("n_versions"),
+        lit(nBatches.toLong).as("n_batches"))
+  }
+
+  /** MF1: manifest (zone-map) file pruning — the table-format PLANNING
+    * mechanism pp1–pp5 don't cover: those prune with stats found at SCAN
+    * time (directory names, footers); here the PLANNER picks the file
+    * list from [[graft.sources.Manifest]]'s persisted per-file stats
+    * table without listing the directory or opening one footer. The row
+    * proves: the manifest selects a STRICT, non-empty subset of the 4
+    * range-sorted files for the 3-day window; the scan opens no file
+    * outside the selection (ground truth via `input_file_name`); the
+    * manifest is COMPLETE (its row counts sum to the table's count — a
+    * manifest that lies prunes wrong); and the manifest-planned query
+    * equals the flat twin (losslessness, value-pinned by the pp2 window
+    * oracle shape).
+    *
+    * 100 TB lens: ~10^6 files/year means seconds-to-minutes of metadata
+    * I/O per query if the planner must stat+footer-read them; a manifest
+    * read is one KB-scale parquet scan. This is Iceberg's manifest /
+    * Delta's stats skipping, built on this library's own footer audit.
+    */
+  def mf1ManifestPruning(s: SparkSession, dir: String): DataFrame = {
+    val comp = compactedEventsPath(s, dir)
+    val man = manifestPath(s, dir)
+    val selected = graft.sources.Manifest.selectFiles(
+      s, man, tsWindowLoMicros, tsWindowHiMicros)
+    val totalFiles = graft.sources.Compaction.dataFiles(comp).size
+    val pruned = graft.sources.Manifest.readSelected(s, comp, selected)
+      .where(col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(graft.sources.Manifest.normalizePath).toSet
+    val scanWithin = opened.subsetOf(selected.toSet)
+    val manifestRows = s.read.parquet(man)
+      .agg(sum(col("rows")).as("__man_rows"))
+    val tableRows = s.read.parquet(comp).agg(count(lit(1)).as("__tbl_rows"))
+    pruned
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("total_value"))
+      .crossJoin(broadcast(manifestRows)).crossJoin(broadcast(tableRows))
+      .select(col("n_events"), col("total_value"),
+        lit(totalFiles.toLong).as("files_total"),
+        lit(selected.nonEmpty && selected.size < totalFiles)
+          .as("manifest_strict_subset"),
+        lit(scanWithin).as("scan_within_selection"),
+        (col("__man_rows") === col("__tbl_rows")).as("manifest_complete"))
+  }
+
+  /** TT1: snapshot isolation + copy-on-write delete + time travel — the
+    * table-format MUTATION story ([[graft.sources.Snapshots]]): v1 adopts
+    * the 4 compacted files; a range delete of the 3-day window plans the
+    * rewrite from FOOTER ZONES (only files whose [min,max] intersects the
+    * window are touched), re-references every other file verbatim in the
+    * v2 manifest (zero bytes of I/O — the same physical file serves both
+    * versions), and leaves v1 readable. The row time-travels BOTH
+    * versions through the manifests and pins v1 == the full flat twin,
+    * v2 == the flat twin minus the window, zero surviving window rows,
+    * and the copy-on-write bound (>= 1 file reused AND >= 1 rewritten —
+    * the delete touched neither nothing nor everything).
+    *
+    * 100 TB lens: a GDPR deletion must not rewrite a year of data — zone
+    * planning bounds the rewrite to intersecting files, and concurrent
+    * readers of v1 are isolated from the v2 commit by manifest
+    * immutability.
+    */
+  def tt1SnapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotPath(s, dir)
+    val f1 = graft.sources.Snapshots.resolve(root, 1).toSet
+    val f2 = graft.sources.Snapshots.resolve(root, 2).toSet
+    val reused = (f1 & f2).size
+    val v1 = graft.sources.Snapshots.read(s, root, 1)
+    val v2 = graft.sources.Snapshots.read(s, root, 2)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-10 00:00:00") &&
+      col("ts") < ts("2024-01-13 00:00:00")
+    val a1 = v1.agg(count(lit(1)).as("n_v1"), mass.as("total_value_v1"))
+    val a2 = v2.agg(count(lit(1)).as("n_v2"), mass.as("total_value_v2"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_v2"))
+    a1.crossJoin(broadcast(a2))
+      .select(col("n_v1"), col("total_value_v1"),
+        col("n_v2"), col("total_value_v2"), col("n_window_v2"),
+        lit(f1.size.toLong).as("files_v1"),
+        lit(reused >= 1 && reused < f1.size).as("copy_on_write_bounded"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -5245,6 +5581,11 @@ object Queries {
     "rs1_reservoir_sample" -> (rs1ReservoirSample _),
     "vo1_varopt_sample" -> (vo1VaroptSample _),
     "cf1_small_file_compaction" -> (cf1SmallFileCompaction _),
+    "mf1_manifest_pruning" -> (mf1ManifestPruning _),
+    "tt1_snapshot_delete" -> (tt1SnapshotDelete _),
+    "up1_snapshot_upsert" -> (up1SnapshotUpsert _),
+    "se1_schema_evolution" -> (se1SchemaEvolution _),
+    "ap1_stream_ingest" -> (ap1StreamIngest _),
     "pp4_composite_pruning" -> (pp4CompositePruning _),
     "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
     "mm6_dhash_neardup" -> (mm6DHashNearDup _),

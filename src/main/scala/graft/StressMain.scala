@@ -211,7 +211,23 @@ object StressMain {
       "vo1_varopt_sample",
       // cf1 re-writes the 64-file fragmented replicated events as 4
       // range-sorted files — the cost IS the one range shuffle
-      "cf1_small_file_compaction")
+      "cf1_small_file_compaction",
+      // mf1 plans the window's file list from the persisted zone-map
+      // manifest (KB scan), then reads only the selected files
+      "mf1_manifest_pruning",
+      // tt1 copy-on-write deletes the window from the snapshot table
+      // (zone-planned rewrite of intersecting files only), then
+      // time-travels both versions
+      "tt1_snapshot_delete",
+      // up1 MERGEs a day's updates + shadow inserts into the snapshot
+      // table — zone-bounded rewrite, broadcast batch anti-join
+      "up1_snapshot_upsert",
+      // se1 appends a schema-evolved day (new column) — metadata-only
+      // evolution, mergeSchema read
+      "se1_schema_evolution",
+      // ap1 streams 8 exactly-once batch commits into the snapshot
+      // table, then reads the final version
+      "ap1_stream_ingest")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -1,0 +1,217 @@
+package graft
+
+import graft.sources.{Bucketing, Compaction, Manifest, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.sources.Manifest]] + [[graft.sources.Snapshots]] — the
+  * table-format layer: zone-map manifests plan file lists without
+  * touching the directory; snapshot versions mutate copy-on-write at
+  * file granularity and time-travel losslessly.
+  */
+class LakehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 4 range-sorted files of 10k rows, key 0..9999 — zone i covers
+    * [2500i, 2500(i+1)) exactly (written per-range, not sampled, so the
+    * envelopes are known in closed form).
+    */
+  private lazy val tableDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val out = s"$d/t"
+    new java.io.File(out).mkdirs()
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500).map(k => (k.toLong, k % 7))
+        .toDF("k", "grp").coalesce(1)
+        .write.parquet(s"$out/__part$i")
+      val one = Compaction.dataFiles(s"$out/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(out, f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$out/__part$i"))
+    }
+    out
+  }
+
+  test("manifest zones match the data exactly; selection is the " +
+      "interval-intersection law") {
+    val zones = Manifest.buildTs(spark, tableDir, "k")
+    assert(zones.size == 4)
+    zones.zipWithIndex.foreach { case ((file, bytes, rows, mn, mx), i) =>
+      assert(file.endsWith(f"part-$i%05d.parquet"))
+      assert(bytes > 0 && rows == 2500L)
+      assert(mn == 2500L * i && mx == 2500L * (i + 1) - 1)
+    }
+    val man = s"${tableDir}_man"
+    Manifest.writeTs(spark, tableDir, "k", man)
+    // inside one zone
+    assert(Manifest.selectFiles(spark, man, 100, 200).size == 1)
+    // straddling a boundary
+    assert(Manifest.selectFiles(spark, man, 2400, 2600).size == 2)
+    // full range / beyond
+    assert(Manifest.selectFiles(spark, man, 0, 10000).size == 4)
+    assert(Manifest.selectFiles(spark, man, 10000, 20000).isEmpty)
+    // boundary semantics: [lo, hi) — hi exactly at a zone min excludes it
+    assert(Manifest.selectFiles(spark, man, 0, 2500).size == 1)
+    // empty selection reads an empty frame with the right schema
+    val empty = Manifest.readSelected(spark, tableDir, Seq.empty)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "grp"))
+  }
+
+  test("manifest-planned scan equals the full scan with the predicate") {
+    val man = s"${tableDir}_man2"
+    Manifest.writeTs(spark, tableDir, "k", man)
+    val files = Manifest.selectFiles(spark, man, 2400, 5100)
+    assert(files.size == 3)
+    val got = Manifest.readSelected(spark, tableDir, files)
+      .where(col("k") >= 2400 && col("k") < 5100)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val want = spark.read.parquet(tableDir)
+      .where(col("k") >= 2400 && col("k") < 5100)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(got == want)
+    assert(Bucketing.filesRead(
+      Manifest.readSelected(spark, tableDir, files))
+      .map(Manifest.normalizePath).toSet
+      .subsetOf(files.toSet))
+  }
+
+  test("snapshot delete is copy-on-write: zone-planned rewrite, " +
+      "physical reuse, v1 isolated, chained versions") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap").toString + "/t"
+    assert(Snapshots.init(spark, root, tableDir) == 1)
+    val v1Rows = Snapshots.read(spark, root, 1).count()
+    assert(v1Rows == 10000L)
+
+    // delete [1000, 3000): touches zones 0 and 1 only
+    val r = Snapshots.deleteRange(spark, root, "k", 1000L, 3000L)
+    assert(r.version == 2 && r.rewritten == 2 && r.reused == 2)
+    val f1 = Snapshots.resolve(root, 1).toSet
+    val f2 = Snapshots.resolve(root, 2).toSet
+    // the two untouched files are the SAME physical entries, not copies
+    assert((f1 & f2).size == 2)
+    // v2 content: exactly the complement
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.count() == 8000L)
+    assert(v2.where(col("k") >= 1000 && col("k") < 3000).isEmpty)
+    assert(v2.agg(sum(col("k"))).head().getLong(0) ==
+      (0 until 10000).filterNot(k => k >= 1000 && k < 3000).map(_.toLong).sum)
+    // v1 still reads the ORIGINAL data after the delete (isolation)
+    assert(Snapshots.read(spark, root, 1).count() == 10000L)
+
+    // chained delete wiping an entire file's zone drops the file
+    val r2 = Snapshots.deleteRange(spark, root, "k", 7500L, 10000L)
+    assert(r2.version == 3 && r2.rewritten == 1)
+    assert(Snapshots.resolve(root, 3).size == Snapshots.resolve(root, 2).size - 1)
+    assert(Snapshots.read(spark, root, 3).count() == 5500L)
+    assert(Snapshots.latestVersion(root) == 3)
+  }
+
+  test("upsert is a zone-bounded MERGE: matched keys replaced, unmatched " +
+      "inserted, untouched files reused, versions isolated") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_up").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // batch inside zone 1 only: update keys 3000..3009 (grp := 99),
+    // insert keys 100000..100004 with in-zone sort values
+    // zone column is k itself; the insert keys (100000+) extend the
+    // batch zone past zones 2 and 3, so those files are touched too
+    val updates = ((3000 until 3010).map(k => (k.toLong, 99)) ++
+      (0 until 5).map(i => (100000L + i, 77))).toDF("k", "grp")
+    val r = Snapshots.upsert(spark, root, "k", "k", updates)
+    assert(r.version == 2 && r.upserted == 15L)
+    // batch zone [3000, 100004]: zones 1,2,3 intersect, zone 0 reused
+    assert(r.rewritten == 3 && r.reused == 1)
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.count() == 10005L)
+    // matched keys replaced, not duplicated
+    assert(v2.where(col("k") >= 3000 && col("k") < 3010).count() == 10L)
+    assert(v2.where(col("k") >= 3000 && col("k") < 3010)
+      .agg(min(col("grp")), max(col("grp"))).head() ===
+      org.apache.spark.sql.Row(99, 99))
+    // unmatched inserted
+    assert(v2.where(col("k") >= 100000).count() == 5L)
+    // every other row untouched
+    assert(v2.where(col("k") < 3000 || (col("k") >= 3010 && col("k") < 100000))
+      .agg(sum(col("grp"))).head().getLong(0) ==
+      (0 until 10000).filterNot(k => k >= 3000 && k < 3010)
+        .map(k => (k % 7).toLong).sum)
+    // v1 isolated
+    assert(Snapshots.read(spark, root, 1).count() == 10000L)
+
+    // empty batch commits a no-op version
+    val r2 = Snapshots.upsert(spark, root, "k", "k",
+      updates.where(lit(false)))
+    assert(r2.version == 3 && r2.rewritten == 0 && r2.upserted == 0L)
+    assert(Snapshots.read(spark, root, 3).count() == 10005L)
+  }
+
+  test("optimize compacts the churned manifest into few files with " +
+      "identical data; vacuum reclaims only unreferenced files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_opt").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1100L)
+    val updates = (5000 until 5020).map(k => (k.toLong, 42)).toDF("k", "grp")
+    Snapshots.upsert(spark, root, "k", "k", updates)
+    val before = Snapshots.resolve(root, Snapshots.latestVersion(root))
+    val preSum = Snapshots.read(spark, root, 3)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head()
+
+    val v4 = Snapshots.optimize(spark, root, "k", 2)
+    assert(v4 == 4)
+    val after = Snapshots.resolve(root, 4)
+    assert(after.size == 2 && after.size < before.size)
+    assert(Snapshots.read(spark, root, 4)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == preSum)
+
+    // vacuum to latest: old manifests dropped, their exclusive files
+    // physically deleted, the live version untouched
+    val onDisk = Compaction.dataFiles(s"$root/files").size
+    val (manifests, deleted) = Snapshots.vacuum(root, keepFrom = 4)
+    assert(manifests == 3)
+    assert(deleted == onDisk - 2, "vacuum must delete ALL unreferenced files")
+    assert(Compaction.dataFiles(s"$root/files").size == 2)
+    assert(Snapshots.read(spark, root, 4)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == preSum)
+    intercept[IllegalArgumentException](Snapshots.resolve(root, 1))
+  }
+
+  test("append evolves the schema (old files read NULL), and batch " +
+      "commits are exactly-once under replay") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ap").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // evolved batch: a column no v1 file has
+    val batch = (0 until 10).map(i => (20000L + i, 1, 3.5))
+      .toDF("k", "grp", "score")
+    assert(Snapshots.append(spark, root, batch, "k") == 2)
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.count() == 10010L)
+    assert(v2.where(col("score").isNull).count() == 10000L)
+    assert(v2.agg(sum(col("score"))).head().getDouble(0) == 35.0)
+    // v1 keeps its original schema
+    assert(!Snapshots.read(spark, root, 1).columns.contains("score"))
+
+    // exactly-once: replaying a committed batchId is a no-op
+    val b = (0 until 3).map(i => (30000L + i, 2)).toDF("k", "grp")
+    assert(Snapshots.appendBatch(spark, root, b, "k", 7L))
+    assert(!Snapshots.appendBatch(spark, root, b, "k", 7L))
+    assert(Snapshots.latestVersion(root) == 3)
+    assert(Snapshots.read(spark, root, 3).count() == 10013L)
+    assert(Snapshots.committedBatches(root) == Seq(7L))
+  }
+
+  test("deleteRange on a missing range rewrites nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap2").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    val r = Snapshots.deleteRange(spark, root, "k", 50000L, 60000L)
+    assert(r.rewritten == 0 && r.reused == 4)
+    assert(Snapshots.read(spark, root, 2).count() == 10000L)
+  }
+}
