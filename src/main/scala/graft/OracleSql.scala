@@ -4032,6 +4032,14 @@ object OracleSql {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
 
+    // mf2: the oracle computes from DATA what the engine answered from
+    // METADATA alone — the hash match is the whole claim
+    "mf2_metadata_only_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_micros,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_micros
+        |FROM events""".stripMargin,
+
     // tt1: time travel — v1 is the whole table, v2 is the table minus
     // the deleted window, zero window rows survive in v2
     "tt1_snapshot_delete" ->

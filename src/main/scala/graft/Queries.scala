@@ -3916,6 +3916,22 @@ object Queries {
         (col("__man_rows") === col("__tbl_rows")).as("manifest_complete"))
   }
 
+  /** MF2: METADATA-ONLY aggregation — the manifest answers COUNT(*) /
+    * MIN / MAX without reading ONE data byte (the Iceberg "metadata-only
+    * query"): per-file row counts sum to the table count, per-file zone
+    * envelopes fold to the global extremes. The oracle computes the same
+    * three values from the DATA — the hash match IS the proof that the
+    * metadata answers equal data truth (no TRUE-gate indirection: the
+    * pinned values are the claim). At 100 TB the difference is a 4-row
+    * manifest scan vs a full-table pass for the most common dashboard
+    * query there is.
+    */
+  def mf2MetadataOnlyAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(manifestPath(s, dir))
+      .agg(sum(col("rows")).as("n_events"),
+        min(col("min_v")).as("min_ts_micros"),
+        max(col("max_v")).as("max_ts_micros"))
+
   /** TT1: snapshot isolation + copy-on-write delete + time travel — the
     * table-format MUTATION story ([[graft.sources.Snapshots]]): v1 adopts
     * the 4 compacted files; a range delete of the 3-day window plans the
@@ -5582,6 +5598,7 @@ object Queries {
     "vo1_varopt_sample" -> (vo1VaroptSample _),
     "cf1_small_file_compaction" -> (cf1SmallFileCompaction _),
     "mf1_manifest_pruning" -> (mf1ManifestPruning _),
+    "mf2_metadata_only_agg" -> (mf2MetadataOnlyAgg _),
     "tt1_snapshot_delete" -> (tt1SnapshotDelete _),
     "up1_snapshot_upsert" -> (up1SnapshotUpsert _),
     "se1_schema_evolution" -> (se1SchemaEvolution _),

@@ -215,6 +215,9 @@ object StressMain {
       // mf1 plans the window's file list from the persisted zone-map
       // manifest (KB scan), then reads only the selected files
       "mf1_manifest_pruning",
+      // mf2 answers count/min/max from the manifest alone — the cost is
+      // the one-time fixture chain, the query itself reads 4 rows
+      "mf2_metadata_only_agg",
       // tt1 copy-on-write deletes the window from the snapshot table
       // (zone-planned rewrite of intersecting files only), then
       // time-travels both versions
