@@ -4057,6 +4057,17 @@ object OracleSql {
         |WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00')""".stripMargin,
 
+    // cdc1: the net-removed feed of the tt1 delete IS the deleted
+    // window; net-added is empty
+    "cdc1_change_feed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS removed_value,
+        |  CAST(0 AS BIGINT) AS n_added_net
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
     // up1: closed-form MERGE replay — events with the 2024-01-20 window
     // bumped +1000, UNION ALL one shadow insert per window row
     "up1_snapshot_upsert" ->

@@ -3700,6 +3700,33 @@ object Queries {
       })
     }
 
+  /** CDC1: change feed between snapshot versions — what an incremental
+    * consumer replays after the tt1 delete ([[graft.sources.Snapshots
+    * .netChanges]]): copy-on-write makes the diff exact AND cheap — only
+    * files that changed between the manifests are read (reused files
+    * cancel by reference, rewritten survivors cancel via multiset
+    * `exceptAll`), so the feed costs ∝ changed files, never two full
+    * table scans diffed. For the pure delete v1→v2 the net-removed rows
+    * ARE the deleted window (pinned against the flat window twin) and
+    * the net-added feed is empty (pinned 0).
+    *
+    * 100 TB lens: downstream consumers (indexes, aggregates, exports)
+    * cannot re-scan the table per version; the manifest diff hands them
+    * exactly the rows that changed.
+    */
+  def cdc1ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = snapshotPath(s, dir)
+    val (netAdded, netRemoved) =
+      graft.sources.Snapshots.netChanges(s, root, 1, 2)
+    val removed = netRemoved.agg(count(lit(1)).as("n_removed"),
+      (sum(floor(col("value") * lit(1e6) + lit(0.5))
+        .cast("decimal(38,0)")).cast("double") / lit(1e6))
+        .as("removed_value"))
+    val added = netAdded.agg(count(lit(1)).as("n_added_net"))
+    removed.crossJoin(broadcast(added))
+      .select(col("n_removed"), col("removed_value"), col("n_added_net"))
+  }
+
   /** UP1: copy-on-write MERGE (upsert) — the table-format mutation the
     * delete (tt1) doesn't cover ([[graft.sources.Snapshots.upsert]]):
     * a batch carrying the table's SORT column updates every 2024-01-20
@@ -5600,6 +5627,7 @@ object Queries {
     "mf1_manifest_pruning" -> (mf1ManifestPruning _),
     "mf2_metadata_only_agg" -> (mf2MetadataOnlyAgg _),
     "tt1_snapshot_delete" -> (tt1SnapshotDelete _),
+    "cdc1_change_feed" -> (cdc1ChangeFeed _),
     "up1_snapshot_upsert" -> (up1SnapshotUpsert _),
     "se1_schema_evolution" -> (se1SchemaEvolution _),
     "ap1_stream_ingest" -> (ap1StreamIngest _),

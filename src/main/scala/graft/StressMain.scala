@@ -228,6 +228,9 @@ object StressMain {
       // se1 appends a schema-evolved day (new column) — metadata-only
       // evolution, mergeSchema read
       "se1_schema_evolution",
+      // cdc1 diffs two manifests and reads only the CHANGED files —
+      // the exceptAll runs over the touched files' rows, not the table
+      "cdc1_change_feed",
       // ap1 streams 8 exactly-once batch commits into the snapshot
       // table, then reads the final version
       "ap1_stream_ingest")

@@ -56,13 +56,29 @@ object Snapshots {
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
+  /** Commit a version manifest with OPTIMISTIC CONCURRENCY: the create
+    * is atomic-exclusive (CREATE_NEW), so two writers committing from
+    * the same base version race on the same manifest name and exactly
+    * one wins — the loser gets a [[java.nio.file.FileAlreadyExistsException]]
+    * wrapped as ConcurrentModificationException and must re-plan against
+    * the new latest (the Delta/Iceberg commit protocol). Without this a
+    * silent overwrite would lose the first writer's files from history.
+    */
   private def writeManifest(root: String, version: Int,
       names: Seq[String]): Unit = {
     val dir = new java.io.File(manifestDir(root))
     dir.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"${manifestDir(root)}/v$version.txt"),
-      names.sorted.mkString("\n").getBytes("UTF-8"))
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"${manifestDir(root)}/v$version.txt"),
+        names.sorted.mkString("\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $version already committed at $root — " +
+            "re-plan against the new latest", e)
+    }
   }
 
   /** Create version 1 by adopting the parquet files of `srcDir` (copied
@@ -244,8 +260,12 @@ object Snapshots {
     * working. Returns the new version.
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      sortCol: String, nFiles: Int = 1): Int = {
-    val v = latestVersion(root)
+      sortCol: String, nFiles: Int = 1, base: Int = -1): Int = {
+    // `base` is the version the writer PLANNED against (its read
+    // snapshot); committing base+1 under CREATE_NEW is the optimistic
+    // CAS — if a rival landed base+1 first, this throws and the caller
+    // re-plans. Default: plan against the current latest.
+    val v = if (base >= 1) base else latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val names = writeNewFiles(spark, root, v + 1, "append", df, sortCol,
       nFiles)
@@ -290,6 +310,30 @@ object Snapshots {
       read(spark, root, v), sortCol, nFiles)
     writeManifest(root, v + 1, names)
     v + 1
+  }
+
+  /** FILE-GRANULAR CHANGE FEED between two versions: `(netAdded,
+    * netRemoved)` as DataFrames. Copy-on-write makes this cheap and
+    * exact: only files that CHANGED between the manifests are read
+    * (reused files cancel by reference, rewritten survivors cancel via
+    * multiset `exceptAll`), so a consumer replays the delta at cost
+    * ∝ changed files — never a diff of two full table scans. For a pure
+    * delete, netRemoved IS the deleted rows and netAdded is empty; for
+    * an upsert, netAdded carries the new row versions and netRemoved the
+    * replaced ones — the CDC feed incremental consumers subscribe to.
+    */
+  def netChanges(spark: SparkSession, root: String, from: Int, to: Int)
+      : (DataFrame, DataFrame) = {
+    val fFrom = resolve(root, from).toSet
+    val fTo = resolve(root, to).toSet
+    val fdir = filesDir(root)
+    def readSet(names: Set[String]): DataFrame =
+      if (names.isEmpty) read(spark, root, to).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(names.toSeq.sorted.map(n => s"$fdir/$n"): _*)
+    val added = readSet(fTo -- fFrom)
+    val removed = readSet(fFrom -- fTo)
+    (added.exceptAll(removed), removed.exceptAll(added))
   }
 
   /** VACUUM: drop every version below `keepFrom` and physically delete

@@ -206,6 +206,48 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Snapshots.committedBatches(root) == Seq(7L))
   }
 
+  test("commits are optimistic-concurrency safe: a second writer from " +
+      "the same base version fails loudly instead of silently winning") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // this writer planned against v1; a racing committer lands v2 first
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_manifests/v2.txt"),
+      Snapshots.resolve(root, 1).mkString("\n").getBytes("UTF-8"))
+    val batch = Seq((50000L, 1)).toDF("k", "grp")
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.append(spark, root, batch, "k", base = 1))
+    // re-planning against the new latest succeeds
+    assert(Snapshots.append(spark, root, batch, "k") == 3)
+    // and the loser's failure left v2 intact
+    assert(Snapshots.read(spark, root, 2).count() == 10000L)
+  }
+
+  test("netChanges replays exactly the delta: delete feed = deleted " +
+      "rows, upsert feed = new versions + replaced originals") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1100L)
+    val (a1, r1) = Snapshots.netChanges(spark, root, 1, 2)
+    assert(a1.isEmpty)
+    assert(r1.count() == 100L)
+    assert(r1.agg(min(col("k")), max(col("k"))).head() ===
+      org.apache.spark.sql.Row(1000L, 1099L))
+
+    val updates = (5000 until 5005).map(k => (k.toLong, 9)).toDF("k", "grp")
+    Snapshots.upsert(spark, root, "k", "k", updates)
+    val (a2, r2) = Snapshots.netChanges(spark, root, 2, 3)
+    // new row versions arrive, replaced originals leave
+    assert(a2.count() == 5L && a2.agg(min(col("grp")), max(col("grp")))
+      .head() === org.apache.spark.sql.Row(9, 9))
+    assert(r2.count() == 5L)
+    assert(r2.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (5000L to 5004L))
+    assert(r2.agg(max(col("grp"))).head().getInt(0) <= 6) // originals: k % 7
+  }
+
   test("deleteRange on a missing range rewrites nothing") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snap2").toString + "/t"
