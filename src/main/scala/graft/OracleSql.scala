@@ -4040,6 +4040,43 @@ object OracleSql {
         |  CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_micros
         |FROM events""".stripMargin,
 
+    // lc1: closed-form replay of the whole lifecycle — bump the 01-20
+    // day, add its shadow inserts, add the evolved 01-25 append, strip
+    // the deleted 01-10..13 window; optimize is data-invariant
+    "lc1_lakehouse_lifecycle" ->
+      """WITH d20 AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |d25 AS (
+        |  SELECT ts, value, floor(value * 0.5 * 1e6 + 0.5) / 1e6 AS qs
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value,
+        |    CAST(NULL AS DOUBLE) AS qs
+        |  FROM events
+        |  UNION ALL SELECT ts, value, CAST(NULL AS DOUBLE) FROM d20
+        |  UNION ALL SELECT ts, value, qs FROM d25),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(SUM(CAST(floor(qs * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_quality,
+        |  CAST(SUM(CASE WHEN qs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_quality,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  CAST(4 AS BIGINT) AS files_final
+        |FROM final""".stripMargin,
+
     // tt1: time travel — v1 is the whole table, v2 is the table minus
     // the deleted window, zero window rows survive in v2
     "tt1_snapshot_delete" ->

@@ -3943,6 +3943,78 @@ object Queries {
         (col("__man_rows") === col("__tbl_rows")).as("manifest_complete"))
   }
 
+  /** ONE snapshot root driven through the WHOLE lifecycle — the lc1
+    * fixture: v1 init (compacted events) → v2 schema-evolved append
+    * (2024-01-25 day, +2·10^12 ids, new `quality_score`) → v3 MERGE
+    * (2024-01-20 updates +1000 and +10^12 shadow inserts) → v4 range
+    * delete (the pp2 window) → v5 OPTIMIZE to 4 files. Each stage is
+    * proven in isolation by se1/up1/tt1/cf1; this chain proves they
+    * COMPOSE on one table.
+    */
+  private val lifecycleSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def lifecycleSnapPath(s: SparkSession, dir: String): String =
+    lifecycleSnapMemo.synchronized {
+      lifecycleSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_lifecycle_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir))
+          val ev = t(s, dir, "events")
+          S.append(s, tmp, ev
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(2000000000000L))
+            .withColumn("quality_score",
+              floor(col("value") * lit(0.5) * lit(1e6) + lit(0.5)) / lit(1e6)),
+            "ts")
+          val d20 = ev.where(col("ts") >= ts("2024-01-20 00:00:00") &&
+            col("ts") < ts("2024-01-21 00:00:00"))
+          S.upsert(s, tmp, "event_id", "ts",
+            d20.withColumn("value", col("value") + lit(1000.0))
+              .unionByName(d20.withColumn("event_id",
+                col("event_id") + lit(1000000000000L))))
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
+          S.optimize(s, tmp, "ts", 4)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** LC1: the lakehouse LIFECYCLE composed on ONE table — init, evolve,
+    * merge, delete, optimize as five chained versions of a single root
+    * (each stage proven in isolation by se1/up1/tt1/cf1; this row proves
+    * the composition). The final optimized table is pinned against the
+    * closed-form oracle replay: events with the 2024-01-20 day bumped
+    * +1000, UNION ALL the day's shadow inserts, UNION ALL the evolved
+    * 2024-01-25 append (quality_score carried, NULL elsewhere), MINUS
+    * the deleted 2024-01-10..13 window — count, 6dp value mass, 6dp
+    * quality mass, NULL-quality count, 5 versions, 4 optimized files.
+    *
+    * 100 TB lens: no single mechanism matters if they can't run on the
+    * same table week after week — this is the week, compressed.
+    */
+  def lc1LakehouseLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = lifecycleSnapPath(s, dir)
+    val latest = graft.sources.Snapshots.latestVersion(root)
+    val files = graft.sources.Snapshots.resolve(root, latest).size
+    def mass(c: org.apache.spark.sql.Column) =
+      (sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e6))
+    graft.sources.Snapshots.read(s, root, latest)
+      .agg(count(lit(1)).as("n_final"),
+        mass(col("value")).as("total_value"),
+        mass(col("quality_score")).as("total_quality"),
+        sum(when(col("quality_score").isNull, 1L).otherwise(0L))
+          .as("n_null_quality"))
+      .select(col("n_final"), col("total_value"), col("total_quality"),
+        col("n_null_quality"),
+        lit(latest.toLong).as("n_versions"),
+        lit(files.toLong).as("files_final"))
+  }
+
   /** MF2: METADATA-ONLY aggregation — the manifest answers COUNT(*) /
     * MIN / MAX without reading ONE data byte (the Iceberg "metadata-only
     * query"): per-file row counts sum to the table count, per-file zone
@@ -5626,6 +5698,7 @@ object Queries {
     "cf1_small_file_compaction" -> (cf1SmallFileCompaction _),
     "mf1_manifest_pruning" -> (mf1ManifestPruning _),
     "mf2_metadata_only_agg" -> (mf2MetadataOnlyAgg _),
+    "lc1_lakehouse_lifecycle" -> (lc1LakehouseLifecycle _),
     "tt1_snapshot_delete" -> (tt1SnapshotDelete _),
     "cdc1_change_feed" -> (cdc1ChangeFeed _),
     "up1_snapshot_upsert" -> (up1SnapshotUpsert _),

@@ -233,7 +233,10 @@ object StressMain {
       "cdc1_change_feed",
       // ap1 streams 8 exactly-once batch commits into the snapshot
       // table, then reads the final version
-      "ap1_stream_ingest")
+      "ap1_stream_ingest",
+      // lc1 chains init→evolve→merge→delete→optimize on one root —
+      // the composed weekly lifecycle, each stage zone-bounded
+      "lc1_lakehouse_lifecycle")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
