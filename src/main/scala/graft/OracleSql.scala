@@ -3959,6 +3959,17 @@ object OracleSql {
         |GROUP BY doc_id % 23
         |ORDER BY img_class""".stripMargin,
 
+    // mm7: planted sawtooth-rotation classes — within-class pairs only
+    // (cross-class Hamming is exactly 16 by construction, outside the
+    // radius-7 verify)
+    "mm7_audio_neardup" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS audio_class,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM documents
+        |GROUP BY doc_id % 8
+        |ORDER BY audio_class""".stripMargin,
+
     // kll1: exact anchors (count, 6dp min/max) + six gates pinned TRUE —
     // each a deterministic KLL theorem (exact n/min/max, in-stream
     // quantiles, rank monotonicity, lossy witness) except the rank

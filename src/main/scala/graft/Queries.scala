@@ -4409,6 +4409,74 @@ object Queries {
     * form: every within-class pair and nothing else, `C(n_c, 2)` per
     * residue class.
     */
+  /** MM7: PERCEPTUAL audio near-dup — the AUDIO member of the dedup
+    * family, completing mm6's raster story across both committed-codec
+    * modalities. Each document carries a REAL WAV (planted:
+    * [[graft.operators.Multimodal.SyntheticMedia.envelopeWav]] — the
+    * amplitude-envelope SAWTOOTH rotation is set by `doc_id % 8`, the
+    * recording's structure, while `doc_id % 3` picks a gain the
+    * energy-envelope hash is invariant to BY CONSTRUCTION: scaling
+    * preserves every window-energy ordering). Decoded through
+    * `javax.sound.sampled` and hashed with
+    * [[graft.operators.Multimodal.audioHash64]] (65-window exact-integer
+    * energy dHash). Ground truth is CLOSED FORM, not probed: any two of
+    * the 8 sawtooth rotations differ in exactly 16 of 64 comparison
+    * bits (wrap positions are disjoint mod 8), so cross-class Hamming is
+    * 16 ≫ the radius-7 verify, and within-class variants hash equal.
+    *
+    * 100 TB lens: identical counting shape to mm6 — multiplicities
+    * collapse per distinct hash BEFORE the quadratic step (`C(n,2)`
+    * arithmetic for same-hash pairs, `n_a·n_b` products over the ≤24
+    * distinct hashes in the guarded banded join). The per-id emitter
+    * ([[graft.operators.Multimodal.audioNearDup]], spec-proven) stays
+    * the API for sampled inspection. The oracle replays the planted
+    * classes in closed form.
+    */
+  def mm7AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.operators.Multimodal
+    val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          graft.operators.Multimodal.MediaRow(id, "audio/wav",
+            graft.operators.Multimodal.SyntheticMedia.envelopeWav(
+              1300, (id % 8).toInt, 65 + 15 * (id % 3).toInt))
+        }
+      }
+    val sigs = M.audioHashDF(media)
+      .select(col("id"), col("ahash"), (col("id") % 8).as("audio_class"))
+    val byHash = sigs.groupBy(col("ahash"), col("audio_class"))
+      .agg(count(lit(1)).as("__n"))
+    val samePairs = byHash.groupBy(col("audio_class"))
+      .agg(sum((col("__n") * (col("__n") - lit(1L)) / lit(2)).cast("long"))
+        .as("__p_same"))
+    val blocked = byHash.select(col("ahash"), col("audio_class"), col("__n"),
+      explode(array((0 until 8).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("ahash"), q * 8).bitwiseAND(lit(0xFFL)).as("part"))
+      }: _*)).as("blk"))
+      .select(col("ahash"), col("audio_class"), col("__n"),
+        col("blk.q"), col("blk.part"))
+    val nearPairs = graft.operators.Dedup.boundedBucketPairs(
+        blocked, "ahash", Seq("q", "part"), Seq("audio_class", "__n"),
+        graft.operators.Dedup.DefaultMaxBucket,
+        graft.operators.Dedup.DefaultRepFactor)
+      .distinct()
+      .where(graft.operators.Dedup.hamming64(
+        col("id_a"), col("id_b")) <= 7)
+      .groupBy(col("audio_class_a").as("audio_class"))
+      .agg(sum(col("__n_a") * col("__n_b")).as("__p_near"))
+    val docs = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 8).as("audio_class"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(samePairs, Seq("audio_class"), "left")
+      .join(nearPairs, Seq("audio_class"), "left")
+      .select(col("audio_class"), col("n_docs"),
+        (coalesce(col("__p_same"), lit(0L)) +
+          coalesce(col("__p_near"), lit(0L))).as("n_pairs"))
+      .orderBy(col("audio_class"))
+  }
+
   def mm6DHashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val M = graft.operators.Multimodal
@@ -5707,6 +5775,7 @@ object Queries {
     "pp4_composite_pruning" -> (pp4CompositePruning _),
     "p11e_streaming_sketch_index" -> (p11eStreamingSketchIndex _),
     "mm6_dhash_neardup" -> (mm6DHashNearDup _),
+    "mm7_audio_neardup" -> (mm7AudioNearDup _),
     "pp5_page_skipping" -> (pp5PageSkipping _),
     "w9_next_order" -> (w9NextOrder _),
     "ts3_seasonal_baseline" -> (ts3SeasonalBaseline _),

@@ -202,6 +202,9 @@ object StressMain {
       // mm6: per-doc PNG encode+decode+dHash is the map-only cost; the
       // quadratic step runs over DISTINCT hashes (69), never the corpus
       "mm6_dhash_neardup",
+      // mm7: per-doc WAV encode+decode+energy-hash, same counting shape
+      // (<=24 distinct hashes enter the banded join)
+      "mm7_audio_neardup",
       // pp5 re-writes replicated events page-granular (200-row pages),
       // then the 3-day window decodes only intersecting pages
       "pp5_page_skipping",

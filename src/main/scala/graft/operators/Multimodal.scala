@@ -338,23 +338,94 @@ object Multimodal {
     */
   def dHashNearDup(ds: Dataset[MediaRow], maxHamming: Int = 7,
       maxBucket: Int = Dedup.DefaultMaxBucket,
-      repFactor: Int = Dedup.DefaultRepFactor): DataFrame = {
+      repFactor: Int = Dedup.DefaultRepFactor): DataFrame =
+    bandedHammingPairs(imageDHash(ds), "dhash", maxHamming, maxBucket,
+      repFactor)
+
+  /** 64-bit audio ENERGY-ENVELOPE hash — [[dHash64]]'s neighbor-compare
+    * in one dimension: decode the payload through the codec seam
+    * (`javax.sound.sampled`, so container headers never pollute the
+    * signal), split the PCM stream into 65 equal windows, take each
+    * window's mean |deviation from the 8-bit midpoint| (its energy), and
+    * set bit w iff window w+1 is louder than window w. Exact integer
+    * math via cross-multiplication (like dHash64), so the hash is
+    * GAIN-INVARIANT (scaling preserves every energy ordering) and
+    * envelope-sensitive — the same split perceptual dedup wants: "same
+    * recording, different loudness" collides, "different envelope"
+    * doesn't.
+    */
+  def audioHash64(data: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val pcm = try in.readAllBytes() finally in.close()
+    require(pcm.nonEmpty, "empty audio payload")
+    val w = 65
+    val sums = new Array[Long](w)
+    val cnts = new Array[Long](w)
+    var i = 0
+    while (i < pcm.length) {
+      val k = math.min((i.toLong * w / pcm.length).toInt, w - 1)
+      sums(k) += math.abs((pcm(i) & 0xff) - 128)
+      cnts(k) += 1
+      i += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < w - 1) {
+      if (cnts(k) > 0 && cnts(k + 1) > 0 &&
+          sums(k + 1) * cnts(k) > sums(k) * cnts(k + 1))
+        bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Per-payload audio hash over the media frame — per-partition batch
+    * decode like every stage here. Output: `(id, ahash)`.
+    */
+  def audioHashDF(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(it => it.map(m => (m.id, audioHash64(m.data))))
+      .toDF("id", "ahash")
+  }
+
+  /** Shared banded-Hamming candidate join for any 64-bit perceptual hash
+    * frame `(id, <hashCol>)`: 8 one-byte bands — by pigeonhole ANY pair
+    * within Hamming ≤ 7 shares at least one exact byte (lossless
+    * blocking at that radius) — bucket-join on (band, value) under the
+    * [[Dedup.boundedBucketPairs]] hot-bucket guard, verify with the full
+    * Hamming distance. Never all-pairs.
+    */
+  private[operators] def bandedHammingPairs(sig: DataFrame, hashCol: String,
+      maxHamming: Int, maxBucket: Int, repFactor: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-byte banding is only lossless up to Hamming 7, got $maxHamming")
-    val sig = imageDHash(ds)
-    val blocked = sig.select(col("id"), col("dhash"),
+    val blocked = sig.select(col("id"), col(hashCol),
       explode(array((0 until 8).map { q =>
         struct(lit(q).as("q"),
-          shiftright(col("dhash"), q * 8).bitwiseAND(lit(0xFFL)).as("part"))
+          shiftright(col(hashCol), q * 8).bitwiseAND(lit(0xFFL)).as("part"))
       }: _*)).as("blk"))
-      .select(col("id"), col("dhash"), col("blk.q"), col("blk.part"))
-    Dedup.boundedBucketPairs(blocked, "id", Seq("q", "part"), Seq("dhash"),
+      .select(col("id"), col(hashCol), col("blk.q"), col("blk.part"))
+    Dedup.boundedBucketPairs(blocked, "id", Seq("q", "part"), Seq(hashCol),
         maxBucket, repFactor)
       .select(col("id_a"), col("id_b"),
-        Dedup.hamming64(col("dhash_a"), col("dhash_b")).as("hamming"))
+        Dedup.hamming64(col(s"${hashCol}_a"), col(s"${hashCol}_b"))
+          .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Perceptual near-duplicate AUDIO pairs — the audio member of the
+    * dedup family (dHash covers rasters, this covers recordings): the
+    * gain-invariant [[audioHash64]] through the same lossless 8-band
+    * Hamming blocking as [[dHashNearDup]].
+    */
+  def audioNearDup(ds: Dataset[MediaRow], maxHamming: Int = 7,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      repFactor: Int = Dedup.DefaultRepFactor): DataFrame =
+    bandedHammingPairs(audioHashDF(ds), "ahash", maxHamming, maxBucket,
+      repFactor)
 
   /** Per-payload decoded metadata in one pass — the media-QC projection a
     * 100 TB ingest runs before any training-set decision: dimensions,
@@ -414,6 +485,63 @@ object Multimodal {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
+    }
+
+    /** Amplitude-ENVELOPE WAV with a provably class-distinct hash: the
+      * carrier is a fixed sine, the per-window amplitude is a SAWTOOTH
+      * rotated by `cls` — `amp(w) = 25 + 12·((w + cls) % 8)` over
+      * [[audioHash64]]'s 65 windows — and `gainPct` scales the whole
+      * signal. The hash's comparison-sign vector of a rotated
+      * single-wrap sawtooth encodes the rotation: any two of the 8
+      * rotations differ in EXACTLY 2 of every 8 comparisons (16 of 64
+      * bits — far beyond the Hamming-7 near radius), while gain scaling
+      * preserves every energy ordering exactly (no adjacent window ties:
+      * steps are ±12·gain, an order of magnitude above 8-bit rounding) —
+      * the closed-form planting mm7 gates on, the audio analog of
+      * [[gradientPng]]'s slope/offset split.
+      */
+    def envelopeWav(nFrames: Int, cls: Int, gainPct: Int): Array[Byte] = {
+      require(cls >= 0 && cls < 8, s"8 rotation classes, got $cls")
+      require(gainPct > 0 && gainPct <= 100, s"gainPct in (0,100]: $gainPct")
+      val w = 65
+      val pcm = Array.tabulate(nFrames) { i =>
+        val win = math.min((i.toLong * w / nFrames).toInt, w - 1)
+        val amp = 25.0 + 12.0 * ((win + cls) % 8)
+        // 1.1 rad/sample carrier (~5.7-sample period): even short
+        // windows hold several periods, so per-window mean |sin| phase
+        // wobble stays far below the >=11% relative envelope steps
+        (128 + (gainPct / 100.0 * amp *
+          StrictMath.sin(i * 1.1)).round.toInt).toByte
+      }
+      riffWav8BitMono8kHz(pcm)
+    }
+
+    /** Hand-rolled RIFF container for 8-bit mono 8 kHz PCM — the
+      * STANDARD 44-byte canonical-WAVE header (RIFF/WAVE/fmt /data),
+      * byte-identical in meaning to what `AudioSystem.write` emits but
+      * without its per-payload stream machinery: generating millions of
+      * fixture payloads through AudioSystem dominates mm7's map cost by
+      * an order of magnitude, and the GENERATOR is fixture plumbing —
+      * only the DECODE is the codec seam under test (and JvmCodecSpec
+      * decodes these bytes through `javax.sound.sampled`, proving the
+      * container is the real format, not a private convention).
+      */
+    def riffWav8BitMono8kHz(pcm: Array[Byte]): Array[Byte] = {
+      val n = pcm.length
+      val buf = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(1.toShort) // mono
+        .putInt(8000) // sample rate
+        .putInt(8000) // byte rate (8-bit mono)
+        .putShort(1.toShort) // block align
+        .putShort(8.toShort) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(n)
+        .put(pcm)
+      buf.array()
     }
 
     def sinePcmWav(nFrames: Int): Array[Byte] = {

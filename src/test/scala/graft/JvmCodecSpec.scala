@@ -150,4 +150,34 @@ class JvmCodecSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L)))
   }
+
+  test("audioHash64: gain invariance, rotation classes differ in exactly " +
+      "16 bits, and the banded near-dup join finds the planted pairs (mm7)") {
+    def h(cls: Int, gain: Int): Long =
+      Multimodal.audioHash64(
+        Multimodal.SyntheticMedia.envelopeWav(1300, cls, gain))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // gain scaling preserves every window-energy ordering: EQUAL hash
+    assert(h(3, 65) == h(3, 80) && h(3, 80) == h(3, 95))
+    // rotated sawtooths: wrap positions disjoint mod 8 -> exactly 2
+    // differing comparisons per 8-window cycle = 16 of 64 bits
+    for (a <- 0 until 8; b <- (a + 1) until 8)
+      assert(ham(h(a, 80), h(b, 80)) == 16, s"classes $a vs $b")
+
+    // the per-id pair emitter over 3 classes x {2,2,3} gain-jittered
+    // members -> exactly the within-class pairs
+    val rows = Seq(
+      (1L, 0, 65), (2L, 0, 95), // class 0
+      (3L, 4, 65), (4L, 4, 80), // class 4
+      (5L, 7, 65), (6L, 7, 80), (7L, 7, 95)) // class 7
+    import spark.implicits._
+    val media = rows.map { case (id, cls, gain) =>
+      Multimodal.MediaRow(id, "audio/wav",
+        Multimodal.SyntheticMedia.envelopeWav(1300, cls, gain))
+    }.toDS()
+    val pairs2 = Multimodal.audioNearDup(media, maxHamming = 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((1L, 2L), (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L)))
+  }
 }
