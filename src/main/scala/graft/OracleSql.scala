@@ -3988,6 +3988,21 @@ object OracleSql {
         |  TRUE AS sketch_lossy
         |FROM events WHERE value IS NOT NULL""".stripMargin,
 
+    // kll2: per-group exact anchors + the kll1 theorem gates per group
+    "kll2_grouped_quantiles" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  floor(min(value) * 1e6 + 0.5) / 1e6 AS min_value,
+        |  floor(max(value) * 1e6 + 0.5) / 1e6 AS max_value,
+        |  TRUE AS sketch_n_exact,
+        |  TRUE AS sketch_minmax_exact,
+        |  TRUE AS rank_bounds_hold,
+        |  TRUE AS quantiles_in_stream,
+        |  TRUE AS quantiles_monotone
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     // rs1/vo1: sampled sets are random — the oracle pins the exact
     // anchors and the theorem gates (all TRUE by the reservoir/VarOpt
     // guarantees; see Queries.rs1ReservoirSample/vo1VaroptSample)

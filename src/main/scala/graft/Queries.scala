@@ -5281,6 +5281,65 @@ object Queries {
         (col("__esamp") === col("__epairs")).as("exact_regime_match"))
   }
 
+  /** KLL2: GROUPED quantile sketches — the per-segment profile shape
+    * ("p50/p95 per event type over 100 TB") that kll1's global sketch
+    * doesn't cover: ONE `groupBy(event_type)` aggregation builds a KLL
+    * partial per group (map-side combined like any agg — the state per
+    * group is the ~KB sketch, never the values), then one broadcast
+    * join-back probes every group's estimates against its own stream in
+    * a single second pass. Gates are kll1's per-group: exact `getN` per
+    * group, exact min/max per group, every quantile an actual value OF
+    * ITS GROUP's stream, monotone in rank, and the 2ε(k) two-sided rank
+    * bound per (group, rank) — with exact anchors (count, 6dp min/max)
+    * pinned per group by the oracle.
+    */
+  def kll2GroupedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch
+    val k = 200
+    val ranks = Seq(0.25, 0.5, 0.75)
+    val ev = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val qCols = ranks.zipWithIndex.map { case (r, i) =>
+      KllSketch.quantile(col("__sk"), r).as(s"__q$i") }
+    val perGroup = ev.groupBy(col("event_type"))
+      .agg(KllSketch.sketchAgg(col("v"), k).as("__sk"))
+      .select(col("event_type") +:
+        KllSketch.summary(col("__sk")).as("__sm") +: qCols: _*)
+      .withColumn("__mono", ranks.indices.sliding(2).map {
+        case Seq(a, b) => col(s"__q$a") <= col(s"__q$b")
+      }.reduce(_ && _))
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).as("__n"),
+        min(col("v")).as("__minv"), max(col("v")).as("__maxv"),
+        first(col("__sm")).as("__s"), first(col("__mono")).as("__m")) ++
+      ranks.indices.flatMap { i => Seq(
+        sum(when(col("v") <= col(s"__q$i"), 1L).otherwise(0L)).as(s"__le$i"),
+        sum(when(col("v") < col(s"__q$i"), 1L).otherwise(0L)).as(s"__lt$i"),
+        max(when(col("v") === col(s"__q$i"), 1L).otherwise(0L)).as(s"__in$i"))
+      }
+    val g = ev.join(broadcast(perGroup), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("__n").cast("double")
+    val eps2 = lit(2.0) * col("__s.rank_error")
+    g.select(
+      col("event_type"),
+      col("__n").as("n_values"),
+      (floor(col("__minv") * lit(1e6) + lit(0.5)) / lit(1e6)).as("min_value"),
+      (floor(col("__maxv") * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_value"),
+      (col("__s.n") === col("__n")).as("sketch_n_exact"),
+      (col("__s.min_item") === col("__minv") &&
+        col("__s.max_item") === col("__maxv")).as("sketch_minmax_exact"),
+      ranks.zipWithIndex.map { case (r, i) =>
+        (col(s"__le$i").cast("double") >= (lit(r) - eps2) * nD) &&
+          (col(s"__lt$i").cast("double") <= (lit(r) + eps2) * nD)
+      }.reduce(_ && _).as("rank_bounds_hold"),
+      ranks.indices.map(i => col(s"__in$i") === 1L).reduce(_ && _)
+        .as("quantiles_in_stream"),
+      col("__m").as("quantiles_monotone"))
+      .orderBy(col("event_type"))
+  }
+
   /** W9: FORWARD as-of join ([[graft.operators.AsOfJoin.forward]], strict)
     * — each order picks up the same customer's NEXT order strictly after
     * it, plus the repurchase gap in days (NULL for the customer's last
@@ -5761,6 +5820,7 @@ object Queries {
     "zipf1_zipf_slope" -> (zipf1ZipfSlope _),
     "p11d_durable_sketch_merge" -> (p11dDurableSketchMerge _),
     "kll1_quantile_sketch" -> (kll1QuantileSketch _),
+    "kll2_grouped_quantiles" -> (kll2GroupedQuantiles _),
     "rs1_reservoir_sample" -> (rs1ReservoirSample _),
     "vo1_varopt_sample" -> (vo1VaroptSample _),
     "cf1_small_file_compaction" -> (cf1SmallFileCompaction _),

@@ -193,6 +193,9 @@ object StressMain {
       // round-13: kll1 fans 8 KLL quantile partials (~3k doubles each)
       // into one merge + a single broadcast probe pass over the values
       "kll1_quantile_sketch",
+      // kll2: one grouped aggregation builds a KB sketch per group, one
+      // broadcast join-back probes all groups in a second pass
+      "kll2_grouped_quantiles",
       // pp4 re-lays-out replicated events day-partitioned + z-ordered,
       // then the star join prunes dirs at runtime AND skips row groups
       "pp4_composite_pruning",
