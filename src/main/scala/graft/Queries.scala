@@ -3655,7 +3655,8 @@ object Queries {
         buildCachedDir(path) { tmp =>
           graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
           graft.sources.Snapshots.deleteRange(
-            s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
+            s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
         }
@@ -3693,7 +3694,8 @@ object Queries {
           val updates = win.withColumn("value", col("value") + lit(1000.0))
             .unionByName(win.withColumn("event_id",
               col("event_id") + lit(1000000000000L)))
-          graft.sources.Snapshots.upsert(s, tmp, "event_id", "ts", updates)
+          graft.sources.Snapshots.upsert(s, tmp, "event_id", "ts",
+            updates, blockSize = 16 * 1024)
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
         }
@@ -3789,7 +3791,8 @@ object Queries {
             .withColumn("event_id", col("event_id") + lit(2000000000000L))
             .withColumn("quality_score",
               floor(col("value") * lit(0.5) * lit(1e6) + lit(0.5)) / lit(1e6))
-          graft.sources.Snapshots.append(s, tmp, batch, "ts")
+          graft.sources.Snapshots.append(s, tmp, batch, "ts",
+            blockSize = 16 * 1024)
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
         }
@@ -3825,7 +3828,8 @@ object Queries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (batch: DataFrame, id: Long) =>
               graft.sources.Snapshots.appendBatch(
-                batch.sparkSession, tmp, batch, "ts", id)
+                batch.sparkSession, tmp, batch, "ts", id,
+                blockSize = 16 * 1024)
               ()
             }
             .start()
@@ -3968,15 +3972,17 @@ object Queries {
             .withColumn("event_id", col("event_id") + lit(2000000000000L))
             .withColumn("quality_score",
               floor(col("value") * lit(0.5) * lit(1e6) + lit(0.5)) / lit(1e6)),
-            "ts")
+            "ts", blockSize = 16 * 1024)
           val d20 = ev.where(col("ts") >= ts("2024-01-20 00:00:00") &&
             col("ts") < ts("2024-01-21 00:00:00"))
           S.upsert(s, tmp, "event_id", "ts",
             d20.withColumn("value", col("value") + lit(1000.0))
               .unionByName(d20.withColumn("event_id",
-                col("event_id") + lit(1000000000000L))))
-          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
-          S.optimize(s, tmp, "ts", 4)
+                col("event_id") + lit(1000000000000L))),
+            blockSize = 16 * 1024)
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
           java.nio.file.Files.createFile(
             java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
         }

@@ -262,4 +262,73 @@ object Bucketing {
       } finally rd.close()
     }
   }
+
+  /** Per-FILE zone of `column` over explicit paths, Hadoop-portable
+    * (footers via `HadoopInputFile`, no `java.io.File`): one
+    * `(fileName, rowCount, Some((min, max)))` per path, or `None` when
+    * the column is absent, carries no statistics, or is all-null in ANY
+    * row group — callers must treat `None` as "cannot prune; touch the
+    * file", never as an error (the conservative contract
+    * [[graft.sources.Snapshots]] plans mutations with). Long-typed
+    * columns only (INT64 / TIMESTAMP_MICROS / INT32 widened); a
+    * non-numeric column yields `None` rather than throwing.
+    */
+  def fileZones(spark: SparkSession, paths: Seq[String], column: String)
+      : Seq[(String, Long, Option[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val zs = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(c) if c.getStatistics != null &&
+                c.getStatistics.hasNonNullValue =>
+              (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax)
+                match {
+                case (mn: Number, mx: Number) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        val zone =
+          if (zs.isEmpty || zs.exists(_.isEmpty)) None
+          else Some((zs.flatten.map(_._1).min, zs.flatten.map(_._2).max))
+        (new org.apache.hadoop.fs.Path(p).getName, rows, zone)
+      } finally rd.close()
+    }
+  }
+
+  /** Parquet footer-schema fingerprint of one IMMUTABLE file, memoized
+    * per absolute path (lakehouse data files are write-once and never
+    * renamed onto, so the memo can never go stale). Used by
+    * [[graft.sources.Snapshots.read]] to take the plain-read fast path
+    * when every referenced file shares one physical schema — a
+    * `mergeSchema` read on a uniform table pays a distributed
+    * footer-union for nothing. Production table formats stamp this in
+    * the manifest at commit time; here the driver-side footer read is
+    * bounded by file count and amortized by the memo.
+    */
+  def schemaFingerprint(spark: SparkSession, path: String): String =
+    schemaFpMemo.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+      try {
+        val s = rd.getFooter.getFileMetaData.getSchema.toString
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      } finally rd.close()
+    })
+
+  private val schemaFpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 }

@@ -20,7 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** The parquet data files of a flat directory (names sorted). */
+  /** The parquet data-file NAMES of a flat directory (sorted), via the
+    * Hadoop FileSystem ([[LakeFs]]) — the portable listing every
+    * lakehouse path uses.
+    */
+  def dataFileNames(dir: String): Seq[String] =
+    LakeFs.listNames(dir, ".parquet")
+
+  /** The parquet data files of a flat LOCAL directory (names sorted) —
+    * `java.io.File` convenience for specs and local fixtures; portable
+    * callers use [[dataFileNames]]/[[LakeFs]].
+    */
   def dataFiles(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, LocalFileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-`FileSystem` file layer for the lakehouse ([[Snapshots]] /
+  * [[Manifest]] / [[Compaction]]): every path operation the table format
+  * needs, expressed against `org.apache.hadoop.fs.FileSystem` instead of
+  * `java.io.File`, so the copy-on-write / optimistic-concurrency protocol
+  * runs unchanged on `file://`, HDFS, or any Hadoop-compatible store
+  * (S3A, ABFS, GCS connectors) — the reader/writer side is already
+  * portable because it goes through Spark's own parquet I/O.
+  *
+  * ATOMICITY contract of [[createNewAtomic]] — the single OCC commit
+  * point of the whole format:
+  *  - `file://` — dispatched to java.nio `CREATE_NEW` (O_CREAT|O_EXCL),
+  *    truly atomic on POSIX; Hadoop's `RawLocalFileSystem.create(f,
+  *    overwrite=false)` is only check-then-create.
+  *  - HDFS — `create(path, overwrite=false)` is atomic at the NameNode.
+  *  - S3 — a bare S3A `create(false)` is check-then-PUT and NOT atomic;
+  *    production deployments must back the manifest commit with a
+  *    conditional PUT (`If-None-Match: *`), a DynamoDB-style lock table,
+  *    or a commit service — the same caveat Delta Lake documents for its
+  *    S3 LogStore. The caller-visible failure mode is identical either
+  *    way: `FileAlreadyExistsException` when the version was taken.
+  */
+object LakeFs {
+
+  /** Hadoop conf of the active Spark session (falls back to a default
+    * `Configuration` so driver-side metadata helpers work without one).
+    */
+  def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def fs(p: String): FileSystem = new Path(p).getFileSystem(conf())
+
+  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+
+  def mkdirs(p: String): Unit = { fs(p).mkdirs(new Path(p)); () }
+
+  /** File names (not paths) directly under `dir` ending in `suffix`,
+    * sorted; empty for a missing dir.
+    */
+  def listNames(dir: String, suffix: String = ""): Seq[String] = {
+    val f = fs(dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(suffix)).sorted
+  }
+
+  def fileLength(p: String): Long =
+    fs(p).getFileStatus(new Path(p)).getLen
+
+  def readString(p: String): String = {
+    val in = fs(p).open(new Path(p))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Exclusive create — throws
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] (or the java.nio
+    * twin on `file://`) when the path exists. See the object scaladoc for
+    * the per-store atomicity contract.
+    */
+  def createNewAtomic(p: String, content: String = ""): Unit = {
+    val f = fs(p)
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (f.isInstanceOf[LocalFileSystem]) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(new Path(p).toUri.getPath), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$p already exists")
+      }
+    } else {
+      val out = f.create(new Path(p), false)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Rename `src` to `dst` (same filesystem), failing loudly on a false
+    * return — a silent `rename=false` is how data files vanish.
+    */
+  def move(src: String, dst: String): Unit = {
+    val f = fs(src)
+    require(f.rename(new Path(src), new Path(dst)),
+      s"rename failed: $src -> $dst")
+  }
+
+  def copyFile(src: String, dst: String): Unit = {
+    val c = conf()
+    require(FileUtil.copy(fs(src), new Path(src), fs(dst), new Path(dst),
+      false, true, c), s"copy failed: $src -> $dst")
+  }
+
+  def delete(p: String): Boolean = fs(p).delete(new Path(p), false)
+
+  def deleteRecursively(p: String): Boolean = fs(p).delete(new Path(p), true)
+}

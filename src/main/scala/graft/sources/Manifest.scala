@@ -30,15 +30,77 @@ object Manifest {
     */
   def buildTs(spark: SparkSession, dir: String, column: String)
       : Seq[(String, Long, Long, Long, Long)] = {
-    val sizes = Compaction.dataFiles(dir)
-      .map(f => f.getName -> f.length).toMap
-    Bucketing.rowGroupStats(spark, dir, column)
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, gs) =>
-        (s"$dir/$name", sizes(name), gs.map(_._2).sum,
-          gs.map(_._3).min, gs.map(_._4).max)
-      }
+    val names = Compaction.dataFileNames(dir)
+    val paths = names.map(n => s"$dir/$n")
+    Bucketing.fileZones(spark, paths, column).map {
+      case (name, rows, Some((mn, mx))) =>
+        (s"$dir/$name", LakeFs.fileLength(s"$dir/$name"), rows, mn, mx)
+      case (name, _, None) =>
+        sys.error(s"no usable stats for $column in $name — a manifest " +
+          "built from missing stats would prune wrong")
+    }
   }
+
+  /** Two-column zone map: one row per FILE with the min/max envelope of
+    * BOTH `colA` and `colB` — the composite manifest a z-ordered layout
+    * ([[Bucketing.writeZOrdered]]) deserves, where each file carries a
+    * tight-ish envelope on both dimensions at once and a conjunctive
+    * predicate can prune on their intersection. Same footer-only,
+    * driver-bounded cost as [[buildTs]].
+    */
+  def buildTs2(spark: SparkSession, dir: String, colA: String, colB: String)
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+    val names = Compaction.dataFileNames(dir)
+    val paths = names.map(n => s"$dir/$n")
+    val za = Bucketing.fileZones(spark, paths, colA)
+    val zb = Bucketing.fileZones(spark, paths, colB).map(z => z._1 -> z).toMap
+    za.map {
+      case (name, rows, Some((mnA, mxA))) =>
+        zb(name) match {
+          case (_, _, Some((mnB, mxB))) =>
+            (s"$dir/$name", LakeFs.fileLength(s"$dir/$name"), rows,
+              mnA, mxA, mnB, mxB)
+          case _ => sys.error(s"no usable stats for $colB in $name")
+        }
+      case (name, _, None) =>
+        sys.error(s"no usable stats for $colA in $name")
+    }
+  }
+
+  /** Persist the two-column zone map as a parquet manifest table
+    * (`file, bytes, rows, min_a, max_a, min_b, max_b`).
+    */
+  def writeTs2(spark: SparkSession, dir: String, colA: String, colB: String,
+      outPath: String): Unit = {
+    import spark.implicits._
+    buildTs2(spark, dir, colA, colB)
+      .toDF("file", "bytes", "rows", "min_a", "max_a", "min_b", "max_b")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** Plan-time pruning on ONE dimension of a persisted manifest: the
+    * files whose `[minCol, maxCol]` zone intersects `[lo, hi)`.
+    */
+  def selectFilesOn(spark: SparkSession, manifestPath: String,
+      minCol: String, maxCol: String, lo: Long, hi: Long): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .where(col(maxCol) >= lit(lo) && col(minCol) < lit(hi))
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+
+  /** CONJUNCTIVE plan-time pruning of a two-column manifest: the files
+    * whose zones intersect BOTH `[loA, hiA)` on column A and `[loB,
+    * hiB)` on column B — one manifest scan, one predicate; by the
+    * interval-intersection law the result is exactly
+    * `selectFilesOn(A) ∩ selectFilesOn(B)`, and on a z-ordered layout it
+    * is strictly smaller than either single-dimension selection.
+    */
+  def selectFiles2(spark: SparkSession, manifestPath: String,
+      loA: Long, hiA: Long, loB: Long, hiB: Long): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .where(col("max_a") >= lit(loA) && col("min_a") < lit(hiA) &&
+        col("max_b") >= lit(loB) && col("min_b") < lit(hiB))
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
 
   /** Persist the zone map as a parquet manifest table
     * (`file, bytes, rows, min_v, max_v`).

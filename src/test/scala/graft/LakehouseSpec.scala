@@ -248,6 +248,93 @@ class LakehouseSpec extends AnyFunSuite {
     assert(r2.agg(max(col("grp"))).head().getInt(0) <= 6) // originals: k % 7
   }
 
+  test("racing writers never collide on a physical file: the loser's " +
+      "orphans sit beside the winner's files until vacuum reclaims them") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_occ2").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // writer A wins v2
+    val a = Seq((60000L, 1)).toDF("k", "grp")
+    assert(Snapshots.append(spark, root, a, "k", base = 1) == 2)
+    val winnerSum = Snapshots.read(spark, root, 2)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    // writer B planned against the same base: its data files land (UUID
+    // names — they CANNOT overwrite A's), then its commit fails loudly
+    val b = Seq((70000L, 2)).toDF("k", "grp")
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.append(spark, root, b, "k", base = 1))
+    // the winner's committed version is byte-identical after the race —
+    // the corruption the deterministic-name layout allowed
+    assert(Snapshots.read(spark, root, 2)
+      .agg(count(lit(1)), sum(col("k"))).head() == winnerSum)
+    assert(Snapshots.read(spark, root, 2)
+      .where(col("k") === 70000L).isEmpty)
+    // the loser's orphan exists on disk but no manifest references it...
+    val onDisk = Compaction.dataFileNames(s"$root/files").size
+    val referenced = (1 to 2).flatMap(Snapshots.resolve(root, _)).distinct
+    assert(onDisk == referenced.size + 1)
+    // ...and vacuum reclaims exactly it
+    val (_, deleted) = Snapshots.vacuum(root, keepFrom = 1)
+    assert(deleted == 1)
+    assert(Compaction.dataFileNames(s"$root/files").size == referenced.size)
+  }
+
+  test("batch id commits atomically WITH the manifest and survives " +
+      "vacuum: no crash window between data and idempotence marker") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_batch").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    val b = Seq((80000L, 3)).toDF("k", "grp")
+    assert(Snapshots.appendBatch(spark, root, b, "k", 42L))
+    // the id is IN the committed manifest — one atomic exclusive create
+    assert(Snapshots.manifest(root, 2).batchIds == Seq(42L))
+    // later commits carry the cumulative set forward...
+    Snapshots.append(spark, root, Seq((80001L, 3)).toDF("k", "grp"), "k")
+    assert(Snapshots.manifest(root, 3).batchIds == Seq(42L))
+    // ...so exactly-once survives vacuum dropping the committing manifest
+    Snapshots.vacuum(root, keepFrom = 3)
+    assert(Snapshots.committedBatches(root) == Seq(42L))
+    assert(!Snapshots.appendBatch(spark, root, b, "k", 42L))
+  }
+
+  test("upsert verifies the zone plan: a matched key stored OUTSIDE the " +
+      "batch's zone is still replaced (key probe), not duplicated") {
+    // table sorted/zoned on z but KEYED on k (k runs opposite to z), so
+    // an update row can carry a z whose zone misses its stored row's file
+    val d = java.nio.file.Files.createTempDirectory("graft_probe_t").toString
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500)
+        .map(j => (j.toLong, (9999 - j).toLong, j % 7))
+        .toDF("z", "k", "grp").coalesce(1)
+        .write.parquet(s"$d/t/__part$i")
+      val one = Compaction.dataFiles(s"$d/t/__part$i") match { case Seq(f) => f }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(s"$d/t", f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$d/t/__part$i"))
+    }
+    val root2 = s"$d/snap"
+    Snapshots.init(spark, root2, s"$d/t")
+    // key k=9899 is stored at z=100 (zone-0 file); the update batch says
+    // z=9000 — the zone plan alone touches only the zone-3 file
+    val viol = Seq((9000L, 9899L, 55)).toDF("z", "k", "grp")
+    val r = Snapshots.upsert(spark, root2, "k", "z", viol)
+    // probe promoted the stored row's file: matched key replaced, unique
+    val v2 = Snapshots.read(spark, root2, 2)
+    assert(v2.count() == 10000L)
+    assert(v2.where(col("k") === 9899L).count() == 1L)
+    assert(v2.where(col("k") === 9899L).select(col("grp"))
+      .head().getInt(0) == 55)
+    assert(r.rewritten >= 2) // zone file AND the promoted file
+    // trustZones skips the probe — documenting exactly the failure the
+    // default prevents: the stale row survives beside its replacement
+    val root3 = s"$d/snap_trust"
+    Snapshots.init(spark, root3, s"$d/t")
+    Snapshots.upsert(spark, root3, "k", "z", viol, trustZones = true)
+    assert(Snapshots.read(spark, root3, 2)
+      .where(col("k") === 9899L).count() == 2L)
+  }
+
   test("deleteRange on a missing range rewrites nothing") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snap2").toString + "/t"
