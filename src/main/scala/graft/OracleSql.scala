@@ -3666,6 +3666,28 @@ object OracleSql {
          |ORDER BY column_name""".stripMargin
     },
 
+    // mor1: the merge-on-read delete must equal the COW twin's closed
+    // form — complement count/mass, zero window survivors — the sidecar
+    // marks exactly the window's rows, and the optimize fold is
+    // data-invariant
+    "mor1_merge_on_read_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v2,
+        |  CAST(0 AS BIGINT) AS n_window_v2,
+        |  CAST(count(*) AS BIGINT) AS n_v3,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v3,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |     AND ts < TIMESTAMP '2024-01-13 00:00:00') AS n_dv_positions,
+        |  TRUE AS files_identical,
+        |  TRUE AS dv_present,
+        |  TRUE AS dv_folded
+        |FROM events
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00')""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

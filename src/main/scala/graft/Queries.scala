@@ -4076,6 +4076,78 @@ object Queries {
         lit(reused >= 1 && reused < f1.size).as("copy_on_write_bounded"))
   }
 
+  /** MERGE-ON-READ snapshot table — the mor1 fixture: v1 adopts the
+    * compacted files; v2 is a [[graft.sources.Snapshots.deletePositions]]
+    * of the pp2 3-day window (a position-delete SIDECAR, zero data files
+    * rewritten); v3 is an OPTIMIZE that folds the sidecar back into 4
+    * range-sorted data files.
+    */
+  private val morSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def morSnapPath(s: SparkSession, dir: String): String =
+    morSnapMemo.synchronized {
+      morSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_mor_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          graft.sources.Snapshots.deletePositions(
+            s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
+          graft.sources.Snapshots.optimize(s, tmp, "ts", 4,
+            blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** MOR1: merge-on-read deletion vectors — the other half of the
+    * mutation story the COW delete (tt1) tells ([[graft.sources
+    * .Snapshots.deletePositions]]): the same 3-day GDPR window is
+    * deleted by committing a KB-scale `(file, pos)` SIDECAR applied as
+    * an anti-join at read time, and v2 references the IDENTICAL physical
+    * data files as v1 — zero rewrite I/O (gate: the resolved file lists
+    * are equal AND exactly one sidecar is live). The v2 read is pinned
+    * against the COW twin's closed form (complement count + 6dp mass,
+    * zero surviving window rows) and the sidecar's row count equals the
+    * window count exactly — the position marks are complete and minimal.
+    * v3 (OPTIMIZE) folds the sidecar into data files: no `#dv:` lines
+    * survive, and the folded table re-pins the same count/mass.
+    *
+    * 100 TB lens: a COW delete of 10 rows spread over 10 wide files
+    * rewrites 10 files; MoR writes 10 sidecar rows and pays one
+    * broadcast-size anti-join per read until the next compaction —
+    * exactly why Iceberg/Delta pair COW with position deletes for
+    * GDPR-shaped mutations.
+    */
+  def mor1MergeOnReadDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = morSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val filesIdentical = S.resolve(root, 1) == S.resolve(root, 2)
+    val dv2 = S.deleteSidecars(root, 2)
+    val dvFolded = S.deleteSidecars(root, 3).isEmpty
+    val nDv =
+      if (dv2.isEmpty) 0L
+      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+    val v2 = S.read(s, root, 2)
+    val v3 = S.read(s, root, 3)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-10 00:00:00") &&
+      col("ts") < ts("2024-01-13 00:00:00")
+    val a2 = v2.agg(count(lit(1)).as("n_v2"), mass.as("total_value_v2"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_v2"))
+    val a3 = v3.agg(count(lit(1)).as("n_v3"), mass.as("total_value_v3"))
+    a2.crossJoin(broadcast(a3))
+      .select(col("n_v2"), col("total_value_v2"), col("n_window_v2"),
+        col("n_v3"), col("total_value_v3"),
+        lit(nDv).as("n_dv_positions"),
+        lit(filesIdentical).as("files_identical"),
+        lit(dv2.size == 1).as("dv_present"),
+        lit(dvFolded).as("dv_folded"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -5852,6 +5924,7 @@ object Queries {
     "q22_sleeping_customers" -> (q22SleepingCustomers _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "c16_temporal_audit" -> (c16TemporalAudit _),
-    "p20_entropy_profile" -> (p20EntropyProfile _)
+    "p20_entropy_profile" -> (p20EntropyProfile _),
+    "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _)
   )
 }

@@ -471,19 +471,20 @@ object Snapshots {
     }
     val tmp = s"${deletesDir(root)}/__dv_${uuid8()}"
     fresh.coalesce(1).write.parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
+    val name = s"dv_v${v + 1}_${uuid8()}.parquet"
+    val n = Compaction.dataFileNames(tmp) match {
+      case Seq(one) =>
+        LakeFs.move(s"$tmp/$one", s"${deletesDir(root)}/$name")
+        spark.read.parquet(s"${deletesDir(root)}/$name").count()
+      case Seq() => 0L
+      case other => sys.error(s"expected 1 sidecar file, got $other")
+    }
+    LakeFs.deleteRecursively(tmp)
     if (n == 0L) {
-      LakeFs.deleteRecursively(tmp)
+      LakeFs.delete(s"${deletesDir(root)}/$name")
       writeManifest(root, v + 1, m.files, carryMeta(m))
       MorDeleteResult(v + 1, 0L, touched.size, None)
     } else {
-      val part = Compaction.dataFileNames(tmp) match {
-        case Seq(one) => one
-        case other => sys.error(s"expected 1 sidecar file, got $other")
-      }
-      val name = s"dv_v${v + 1}_${uuid8()}.parquet"
-      LakeFs.move(s"$tmp/$part", s"${deletesDir(root)}/$name")
-      LakeFs.deleteRecursively(tmp)
       writeManifest(root, v + 1, m.files, carryMeta(m) :+ s"#dv:$name")
       MorDeleteResult(v + 1, n, touched.size, Some(name))
     }
