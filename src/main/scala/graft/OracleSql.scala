@@ -3688,6 +3688,35 @@ object OracleSql {
         |WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00')""".stripMargin,
 
+    // cdc2: the row-tagged feed's closed form — the up1 MERGE yields one
+    // pre/post pair per 2024-01-20 row (original vs +1000 mass) plus the
+    // shadow inserts; the tt1 delete yields all-delete tags over its
+    // window; the +1000 bump is the same IEEE double add on both sides
+    "cdc2_row_tagged_feed" ->
+      """WITH win AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |del AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM win) AS n_insert,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM win) AS n_update_pre,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM win) AS n_update_post,
+        |  CAST(0 AS BIGINT) AS n_delete_up,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM win) AS pre_value,
+        |  (SELECT CAST(SUM(CAST(floor((value + 1000) * 1e6 + 0.5)
+        |     AS HUGEINT)) AS DOUBLE) / 1e6 FROM win) AS post_value,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM win) AS insert_value,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_delete,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM del) AS delete_value,
+        |  CAST(0 AS BIGINT) AS n_nondelete_tags""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -4148,6 +4148,51 @@ object Queries {
         lit(dvFolded).as("dv_folded"))
   }
 
+  /** CDC2: ROW-TAGGED change feed — the Delta-CDF consumer contract
+    * ([[graft.sources.Snapshots.changeFeed]]) on top of the file-granular
+    * diff cdc1 proves: every delta row carries `_change_type` ∈ {insert,
+    * update_preimage, update_postimage, delete}, derived by pairing
+    * net-added and net-removed rows on the table key (joins on the DELTA
+    * only, never the table). Pinned on BOTH standing fixtures: the up1
+    * MERGE feed must tag one preimage + one postimage per updated key
+    * (original vs +1000 value masses pinned separately — the pairing is
+    * value-exact, not just counted), the shadow rows as inserts carrying
+    * the original mass, and ZERO deletes; the tt1 delete feed must tag
+    * every row `delete` (count + mass pinned) with zero non-delete tags.
+    *
+    * 100 TB lens: downstream consumers (indexes, aggregates, ML feature
+    * stores) need to know not just WHAT rows changed but HOW — an
+    * update must retract its preimage and apply its postimage, or
+    * incremental aggregates drift. This is Delta's CDF / Iceberg's
+    * changelog scan, derived purely from the manifests.
+    */
+  def cdc2RowTaggedFeed(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val up = S.changeFeed(s, upsertSnapPath(s, dir), 1, 2, "event_id")
+    val del = S.changeFeed(s, snapshotPath(s, dir), 1, 2, "event_id")
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+    def tagMass(tag: String) =
+      (sum(when(col("_change_type") === tag, q(col("value")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") / lit(1e6))
+    def tagCount(tag: String) =
+      sum(when(col("_change_type") === tag, 1L).otherwise(0L))
+    val a = up.agg(
+      tagCount("insert").as("n_insert"),
+      tagCount("update_preimage").as("n_update_pre"),
+      tagCount("update_postimage").as("n_update_post"),
+      tagCount("delete").as("n_delete_up"),
+      tagMass("update_preimage").as("pre_value"),
+      tagMass("update_postimage").as("post_value"),
+      tagMass("insert").as("insert_value"))
+    val b = del.agg(
+      tagCount("delete").as("n_delete"),
+      tagMass("delete").as("delete_value"),
+      sum(when(col("_change_type") =!= "delete", 1L).otherwise(0L))
+        .as("n_nondelete_tags"))
+    a.crossJoin(broadcast(b))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -5925,6 +5970,7 @@ object Queries {
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "c16_temporal_audit" -> (c16TemporalAudit _),
     "p20_entropy_profile" -> (p20EntropyProfile _),
-    "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _)
+    "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _),
+    "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _)
   )
 }

@@ -248,6 +248,47 @@ class LakehouseSpec extends AnyFunSuite {
     assert(r2.agg(max(col("grp"))).head().getInt(0) <= 6) // originals: k % 7
   }
 
+  test("changeFeed tags rows with the Delta-CDF contract: paired " +
+      "update pre/post images, inserts, deletes — by key") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdf").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // v2: MERGE — update keys 5000..5004 (grp := 9), insert 100000..100002
+    val updates = ((5000 until 5005).map(k => (k.toLong, 9)) ++
+      (0 until 3).map(i => (100000L + i, 77))).toDF("k", "grp")
+    Snapshots.upsert(spark, root, "k", "k", updates)
+    val feed = Snapshots.changeFeed(spark, root, 1, 2, "k").cache()
+    val byTag = feed.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag == Map("insert" -> 3L, "update_preimage" -> 5L,
+      "update_postimage" -> 5L))
+    // preimages carry the ORIGINAL values, postimages the new ones
+    assert(feed.where(col("_change_type") === "update_preimage")
+      .agg(max(col("grp"))).head().getInt(0) <= 6) // originals: k % 7
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .agg(min(col("grp")), max(col("grp"))).head() ===
+      org.apache.spark.sql.Row(9, 9))
+    assert(feed.where(col("_change_type") === "insert")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (100000L to 100002L))
+    // pre/post pair on the SAME keys
+    assert(feed.where(col("_change_type").startsWith("update"))
+      .groupBy(col("k")).count().where(col("count") =!= 2).isEmpty)
+    feed.unpersist()
+    // v3: pure delete — every tag is 'delete'
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1100L)
+    val feed2 = Snapshots.changeFeed(spark, root, 2, 3, "k")
+    assert(feed2.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("delete" -> 100L))
+    // and a merge-on-read delete tags identically to the COW one
+    Snapshots.deletePositions(spark, root, "k", 2000L, 2050L)
+    val feed3 = Snapshots.changeFeed(spark, root, 3, 4, "k")
+    assert(feed3.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("delete" -> 50L))
+  }
+
   test("racing writers never collide on a physical file: the loser's " +
       "orphans sit beside the winner's files until vacuum reclaims them") {
     val root = java.nio.file.Files
