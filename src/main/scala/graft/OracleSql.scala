@@ -3717,6 +3717,44 @@ object OracleSql {
         |     AS DOUBLE) / 1e6 FROM del) AS delete_value,
         |  CAST(0 AS BIGINT) AS n_nondelete_tags""".stripMargin,
 
+    // ss1: the consumer's fold must equal the lc1 lifecycle closed form
+    // — bump the 01-20 day, add its shadow inserts, add the evolved
+    // 01-25 append, strip the deleted 01-10..13 window; the optimize
+    // delta is empty by multiset cancellation
+    "ss1_snapshot_source_fold" ->
+      """WITH d20 AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |d25 AS (
+        |  SELECT ts, value, floor(value * 0.5 * 1e6 + 0.5) / 1e6 AS qs
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value,
+        |    CAST(NULL AS DOUBLE) AS qs
+        |  FROM events
+        |  UNION ALL SELECT ts, value, CAST(NULL AS DOUBLE) FROM d20
+        |  UNION ALL SELECT ts, value, qs FROM d25),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(SUM(CAST(floor(qs * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_quality,
+        |  CAST(SUM(CASE WHEN qs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_quality,
+        |  CAST(4 AS BIGINT) AS n_versions_processed,
+        |  TRUE AS exactly_once
+        |FROM final""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

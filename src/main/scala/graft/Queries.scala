@@ -4193,6 +4193,96 @@ object Queries {
     a.crossJoin(broadcast(b))
   }
 
+  /** Durable consumer state over the lifecycle table — the ss1 fixture:
+    * [[graft.streaming.SnapshotFeed.drain]] processes versions 2..5 of
+    * [[lifecycleSnapPath]] exactly once, writing one quantized stats row
+    * per version delta (counts, 6dp value/quality masses, null-quality
+    * counts for added and removed sides).
+    */
+  private val feedStateMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def feedStatePath(s: SparkSession, dir: String): String =
+    feedStateMemo.synchronized {
+      feedStateMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_feedstate_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val root = lifecycleSnapPath(s, dir)
+          graft.streaming.SnapshotFeed.drain(s, root, tmp) {
+            (added, removed, v, outPath) =>
+              feedStats(s, added, v, "a")
+                .crossJoin(feedStats(s, removed, v, "r").drop("v"))
+                .coalesce(1)
+                .write.mode("overwrite").parquet(outPath)
+          }
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** One quantized stats row of a delta side: count, 6dp-quantized value
+    * mass (exact BIGINT), quality mass, and null-quality count — a frame
+    * WITHOUT the evolved `quality_score` column counts every row as
+    * null-quality (those physical rows genuinely carry none).
+    */
+  private def feedStats(s: SparkSession, df: DataFrame, v: Int,
+      p: String): DataFrame = {
+    def q(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("long")
+    val hasQ = df.columns.contains("quality_score")
+    df.agg(
+        count(lit(1)).as(s"${p}_n"),
+        coalesce(q(col("value")), lit(0L)).as(s"${p}_vq"),
+        (if (hasQ) coalesce(q(col("quality_score")), lit(0L))
+         else lit(0L)).as(s"${p}_qq"),
+        (if (hasQ) coalesce(sum(when(col("quality_score").isNull, 1L)
+            .otherwise(0L)), lit(0L))
+         else count(lit(1))).as(s"${p}_nullq"))
+      .withColumn("v", lit(v))
+  }
+
+  /** SS1: the snapshot table as an INCREMENTAL STREAMING SOURCE — the
+    * read-side twin of the exactly-once sink ap1
+    * ([[graft.streaming.SnapshotFeed]]): a durable consumer drains each
+    * lifecycle version's delta ([[graft.sources.Snapshots.netChanges]])
+    * exactly once (marker-after-idempotent-write, cursor derived from
+    * its own commits — kill-and-restart proven in SnapshotFeedSpec), and
+    * this row folds base + consumed deltas into final-table stats that
+    * must equal the lc1 closed form EXACTLY: count, 6dp value mass,
+    * quality mass, null-quality count — across an evolve append, a
+    * MERGE, a range delete, and an optimize (whose delta is empty by
+    * multiset cancellation). A consumer that dropped, duplicated, or
+    * mis-tagged one version's rows cannot reproduce all four folds.
+    *
+    * 100 TB lens: a downstream aggregate/index over a mutating table
+    * cannot re-scan per version; it must fold deltas — and the fold is
+    * only as good as the feed's exactly-once guarantee.
+    */
+  def ss1SnapshotSourceFold(s: SparkSession, dir: String): DataFrame = {
+    val root = lifecycleSnapPath(s, dir)
+    val state = feedStatePath(s, dir)
+    val processed = graft.streaming.SnapshotFeed.committedVersions(state)
+    val base = feedStats(s, graft.sources.Snapshots.read(s, root, 1), 1, "b")
+    val deltas = s.read.parquet(
+        processed.map(v => s"$state/delta_v$v"): _*)
+      .agg(sum(col("a_n") - col("r_n")).as("d_n"),
+        sum(col("a_vq") - col("r_vq")).as("d_vq"),
+        sum(col("a_qq") - col("r_qq")).as("d_qq"),
+        sum(col("a_nullq") - col("r_nullq")).as("d_nullq"))
+    base.crossJoin(broadcast(deltas))
+      .select(
+        (col("b_n") + col("d_n")).as("n_final"),
+        ((col("b_vq") + col("d_vq")).cast("double") / lit(1e6))
+          .as("total_value"),
+        ((col("b_qq") + col("d_qq")).cast("double") / lit(1e6))
+          .as("total_quality"),
+        (col("b_nullq") + col("d_nullq")).as("n_null_quality"),
+        lit(processed.size.toLong).as("n_versions_processed"),
+        lit(processed == Seq(2, 3, 4, 5)).as("exactly_once"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -5971,6 +6061,7 @@ object Queries {
     "c16_temporal_audit" -> (c16TemporalAudit _),
     "p20_entropy_profile" -> (p20EntropyProfile _),
     "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _),
-    "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _)
+    "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _),
+    "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _)
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.{Compaction, Snapshots}
+import graft.streaming.SnapshotFeed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.streaming.SnapshotFeed]] — the snapshot table as an
+  * incremental streaming source: every version delta processed exactly
+  * once across kill-and-restart, cursor derived from the consumer's own
+  * durable commits.
+  */
+class SnapshotFeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    val out = s"$d/t"
+    new java.io.File(out).mkdirs()
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500).map(k => (k.toLong, k % 7))
+        .toDF("k", "grp").coalesce(1)
+        .write.parquet(s"$out/__part$i")
+      val one = Compaction.dataFiles(s"$out/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(out, f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$out/__part$i"))
+    }
+    out
+  }
+
+  /** The idempotent consumer used throughout: per-version (n_added,
+    * n_removed, sum_added, sum_removed) as an overwrite-parquet delta.
+    */
+  private def statApply(added: org.apache.spark.sql.DataFrame,
+      removed: org.apache.spark.sql.DataFrame, v: Int,
+      outPath: String): Unit = {
+    val a = added.agg(count(lit(1)), coalesce(sum(col("k")), lit(0L))).head()
+    val r = removed.agg(count(lit(1)), coalesce(sum(col("k")), lit(0L))).head()
+    Seq((v, a.getLong(0), r.getLong(0), a.getLong(1), r.getLong(1)))
+      .toDF("v", "n_added", "n_removed", "sum_added", "sum_removed")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  test("drain processes every version delta once; folded deltas equal " +
+      "the direct read of the latest version") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feed1").toString + "/t"
+    Snapshots.init(spark, root, freshTable())
+    Snapshots.append(spark, root,
+      (20000 until 20100).map(k => (k.toLong, 1)).toDF("k", "grp"), "k")
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1500L)
+    Snapshots.upsert(spark, root, "k", "k",
+      (5000 until 5010).map(k => (k.toLong, 99)).toDF("k", "grp"))
+    val stateDir = root + "_state"
+    val processed = SnapshotFeed.drain(spark, root, stateDir)(statApply)
+    assert(processed == Seq(2, 3, 4))
+    // base + folded deltas == direct read
+    val base = Snapshots.read(spark, root, 1)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val deltas = spark.read.parquet(
+      (2 to 4).map(v => s"$stateDir/delta_v$v"): _*)
+      .agg(sum(col("n_added") - col("n_removed")),
+        sum(col("sum_added") - col("sum_removed"))).head()
+    val direct = Snapshots.read(spark, root, 4)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(base.getLong(0) + deltas.getLong(0) == direct.getLong(0))
+    assert(base.getLong(1) + deltas.getLong(1) == direct.getLong(1))
+    // caught up: a second drain is a no-op
+    assert(SnapshotFeed.drain(spark, root, stateDir)(statApply).isEmpty)
+    // new commits resume from the cursor
+    Snapshots.deleteRange(spark, root, "k", 9000L, 9100L)
+    assert(SnapshotFeed.drain(spark, root, stateDir)(statApply) == Seq(5))
+  }
+
+  test("kill-and-restart: a crash mid-apply replays ONLY the uncommitted " +
+      "version; committed versions never re-run") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feed2").toString + "/t"
+    Snapshots.init(spark, root, freshTable())
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1100L) // v2
+    Snapshots.deleteRange(spark, root, "k", 3000L, 3100L) // v3
+    val stateDir = root + "_state"
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // consumer dies AFTER durably writing v3's output but BEFORE the
+    // marker — the worst spot: a non-idempotent design double-counts
+    val crash = intercept[RuntimeException] {
+      SnapshotFeed.drain(spark, root, stateDir) { (a, r, v, p) =>
+        statApply(a, r, v, p)
+        applied += v
+        if (v == 3) sys.error("kill -9")
+      }
+    }
+    assert(crash.getMessage == "kill -9")
+    assert(SnapshotFeed.committedVersions(stateDir) == Seq(2))
+    // restart: v2 is NOT re-applied, v3 is retried (idempotent overwrite)
+    val resumed = SnapshotFeed.drain(spark, root, stateDir) { (a, r, v, p) =>
+      statApply(a, r, v, p)
+      applied += v
+    }
+    assert(resumed == Seq(3))
+    assert(applied.toSeq == Seq(2, 3, 3))
+    // the folded state is exact despite the replay
+    val deltas = spark.read.parquet(
+      (2 to 3).map(v => s"$stateDir/delta_v$v"): _*)
+      .agg(sum(col("n_removed"))).head()
+    assert(deltas.getLong(0) == 200L)
+    assert(SnapshotFeed.cursor(stateDir) == 3)
+  }
+}
