@@ -3755,6 +3755,24 @@ object OracleSql {
         |  TRUE AS exactly_once
         |FROM final""".stripMargin,
 
+    // mf3: the conjunctive-pruned query must equal the flat twin; the
+    // selection-law gates are booleans the engine computes from the
+    // manifest itself
+    "mf3_two_column_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(16 AS BIGINT) AS files_total,
+        |  TRUE AS intersection_law,
+        |  TRUE AS strict_subset,
+        |  TRUE AS no_wider_than_either,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS manifest_complete
+        |FROM events
+        |WHERE user_id < 8
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -4283,6 +4283,105 @@ object Queries {
         lit(processed == Seq(2, 3, 4, 5)).as("exactly_once"))
   }
 
+  /** 16-file z-ordered copy of `events` ([[graft.sources.Bucketing
+    * .writeZOrderedFiles]] on (user_id, day-of-stream)) plus its
+    * TWO-COLUMN manifest ([[graft.sources.Manifest.writeTs2]] on
+    * (user_id, ts)) — the mf3 fixture. File-granular z-order: each file
+    * covers a contiguous Morton range, so its envelope is bounded on
+    * both dimensions at once.
+    */
+  private val zordered16Memo = scala.collection.mutable.Map[String, String]()
+  private[graft] def zordered16Path(s: SparkSession, dir: String): String =
+    zordered16Memo.synchronized {
+      zordered16Memo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_zorder16_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Bucketing.writeZOrderedFiles(
+            t(s, dir, "events"), col("user_id"),
+            pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(32)),
+            16, tmp, blockSize = 16 * 1024)
+        }
+      })
+    }
+
+  /** The persisted two-column manifest of [[zordered16Path]] — built in
+    * its OWN cached dir (the manifest stores absolute file paths, so it
+    * must be built over the data fixture's FINAL location).
+    */
+  private val manifest2Memo = scala.collection.mutable.Map[String, String]()
+  private[graft] def manifest2Path(s: SparkSession, dir: String): String =
+    manifest2Memo.synchronized {
+      manifest2Memo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_manifest2_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Manifest.writeTs2(
+            s, zordered16Path(s, dir), "user_id", "ts", tmp)
+        }
+      })
+    }
+
+  /** MF3: TWO-COLUMN manifest zones — composite plan-time pruning on the
+    * z-ordered multi-file layout ([[graft.sources.Manifest.buildTs2]] /
+    * [[graft.sources.Manifest.selectFiles2]]): one manifest row per file
+    * carries the min/max envelope of BOTH user_id and ts, and a
+    * conjunctive predicate (`user_id < 8 AND the pp2 3-day window`)
+    * selects files in ONE manifest scan. Gates: the conjunctive
+    * selection equals the INTERSECTION of the two single-column
+    * selections exactly (the interval-intersection law, checked as set
+    * equality, not by construction — selectFiles2 runs its own
+    * conjunctive predicate); it is a non-empty STRICT subset of the 16
+    * files and no larger than either single-column selection; the scan
+    * opens no file outside it (`input_file_name` ground truth); the
+    * manifest is COMPLETE (row counts sum to the table count); and the
+    * pruned query equals the flat twin (count + 6dp mass pinned).
+    *
+    * 100 TB lens: real queries filter on MORE than one dimension; a
+    * single-column manifest leaves the second predicate to row-group
+    * luck, while a z-ordered layout + composite manifest gives the
+    * planner ~√n pruning on each dimension from one KB-scale stats scan.
+    */
+  def mf3TwoColumnManifest(s: SparkSession, dir: String): DataFrame = {
+    val data = zordered16Path(s, dir)
+    val man = manifest2Path(s, dir)
+    val M = graft.sources.Manifest
+    val (loU, hiU) = (0L, 8L)
+    val sel2 = M.selectFiles2(s, man, loU, hiU,
+      tsWindowLoMicros, tsWindowHiMicros)
+    val selU = M.selectFilesOn(s, man, "min_a", "max_a", loU, hiU)
+    val selT = M.selectFilesOn(s, man, "min_b", "max_b",
+      tsWindowLoMicros, tsWindowHiMicros)
+    val totalFiles = graft.sources.Compaction.dataFileNames(data).size
+    val intersectionLaw = sel2.toSet == (selU.toSet & selT.toSet)
+    val pruned = M.readSelected(s, data, sel2)
+      .where(col("user_id") < lit(hiU) &&
+        col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(M.normalizePath).toSet
+    val manifestRows = s.read.parquet(man)
+      .agg(sum(col("rows")).as("__man_rows"))
+    val tableRows = s.read.parquet(data).agg(count(lit(1)).as("__tbl_rows"))
+    pruned
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("total_value"))
+      .crossJoin(broadcast(manifestRows)).crossJoin(broadcast(tableRows))
+      .select(col("n_events"), col("total_value"),
+        lit(totalFiles.toLong).as("files_total"),
+        lit(intersectionLaw).as("intersection_law"),
+        lit(sel2.nonEmpty && sel2.size < totalFiles)
+          .as("strict_subset"),
+        lit(sel2.size <= math.min(selU.size, selT.size))
+          .as("no_wider_than_either"),
+        lit(opened.subsetOf(sel2.toSet)).as("scan_within_selection"),
+        (col("__man_rows") === col("__tbl_rows")).as("manifest_complete"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6062,6 +6161,7 @@ object Queries {
     "p20_entropy_profile" -> (p20EntropyProfile _),
     "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _),
     "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _),
-    "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _)
+    "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _),
+    "mf3_two_column_manifest" -> (mf3TwoColumnManifest _)
   )
 }

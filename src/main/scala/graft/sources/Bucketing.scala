@@ -157,6 +157,27 @@ object Bucketing {
         .parquet(path)
     }
 
+  /** Z-ordered MULTI-FILE re-layout: range-split on the Morton interleave
+    * into exactly `nFiles` files, sorted within — the FILE-granular twin
+    * of [[writeZOrdered]] (which optimizes row-group stats inside however
+    * many files the sort emits). Each output file covers a contiguous
+    * Morton range, so its min/max envelope is bounded on BOTH dimensions
+    * at once — the layout a two-column file manifest
+    * ([[Manifest.buildTs2]]) prunes with. One range shuffle, same price
+    * as any sorted write.
+    */
+  def writeZOrderedFiles(df: DataFrame, colA: Column, colB: Column,
+      nFiles: Int, path: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit =
+    withMicrosTimestamps(df.sparkSession) {
+      df.withColumn("__z", mortonCode(colA, colB))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z")).drop("__z")
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize.toLong)
+        .parquet(path)
+    }
+
   /** The PRODUCTION composite lake layout (pp4): Hive-partition by the
     * calendar day of `tsCol` AND z-order each partition's rows on the
     * Morton interleave of two dimension keys, so ONE scan composes every

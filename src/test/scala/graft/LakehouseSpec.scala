@@ -61,6 +61,59 @@ class LakehouseSpec extends AnyFunSuite {
     assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "grp"))
   }
 
+  test("two-column manifest: per-file envelopes exact on both " +
+      "dimensions, conjunctive selection = the intersection law") {
+    // files zone k ascending and j descending: file i has k in
+    // [2500i, 2500(i+1)) and j in [9999-2500(i+1)+1, 9999-2500i]
+    val d = java.nio.file.Files.createTempDirectory("graft_m2").toString
+    val out = s"$d/t"
+    new java.io.File(out).mkdirs()
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500)
+        .map(k => (k.toLong, 9999L - k)).toDF("k", "j").coalesce(1)
+        .write.parquet(s"$out/__part$i")
+      val one = Compaction.dataFiles(s"$out/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(out, f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$out/__part$i"))
+    }
+    val zones = Manifest.buildTs2(spark, out, "k", "j")
+    assert(zones.size == 4)
+    zones.zipWithIndex.foreach { case ((_, bytes, rows, mnA, mxA, mnB, mxB),
+        i) =>
+      assert(bytes > 0 && rows == 2500L)
+      assert(mnA == 2500L * i && mxA == 2500L * (i + 1) - 1)
+      assert(mnB == 9999L - (2500L * (i + 1) - 1) && mxB == 9999L - 2500L * i)
+    }
+    val man = s"$d/man"
+    Manifest.writeTs2(spark, out, "k", "j", man)
+    // k in [2000,6000) hits files 0,1,2; j in [2000,5000) hits files 2,3
+    // (j runs DESCENDING) → conjunction = file 2 only
+    val sel2 = Manifest.selectFiles2(spark, man, 2000L, 6000L, 2000L, 5000L)
+    val selA = Manifest.selectFilesOn(spark, man, "min_a", "max_a",
+      2000L, 6000L)
+    val selB = Manifest.selectFilesOn(spark, man, "min_b", "max_b",
+      2000L, 5000L)
+    assert(selA.size == 3 && selB.size == 2)
+    assert(sel2.size == 1 && sel2.toSet == (selA.toSet & selB.toSet))
+    assert(sel2.head.endsWith("part-00002.parquet"))
+    // non-empty single-column selections whose conjunction is empty
+    assert(Manifest.selectFiles2(spark, man, 0L, 100L, 0L, 100L).isEmpty)
+    // the conjunctive-planned scan equals the flat twin
+    val got = Manifest.readSelected(spark, out, sel2)
+      .where(col("k") >= 2000 && col("k") < 6000 &&
+        col("j") >= 2000 && col("j") < 5000)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    val want = spark.read.parquet(out)
+      .where(col("k") >= 2000 && col("k") < 6000 &&
+        col("j") >= 2000 && col("j") < 5000)
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(got == want && got.getLong(0) == 1000L)
+  }
+
   test("manifest-planned scan equals the full scan with the predicate") {
     val man = s"${tableDir}_man2"
     Manifest.writeTs(spark, tableDir, "k", man)
