@@ -3773,6 +3773,39 @@ object OracleSql {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
 
+    // se2: the evolved-table replay — base events (flag NULL) plus the
+    // 01-25 day at flag=1 and the 01-26 day at flag=2; `value` reads as
+    // `reading` after the rename; v6 (optimize) must pin identically
+    "se2_rename_widen" ->
+      """WITH d25 AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |d26 AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+        |evolved AS (
+        |  SELECT value, CAST(NULL AS BIGINT) AS flag FROM events
+        |  UNION ALL SELECT value, 1 FROM d25
+        |  UNION ALL SELECT value, 2 FROM d26)
+        |SELECT CAST(count(*) AS BIGINT) AS n_v5,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS reading_v5,
+        |  CAST(SUM(flag) AS BIGINT) AS flag_v5,
+        |  CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nullflag_v5,
+        |  CAST(count(*) AS BIGINT) AS n_v6,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS reading_v6,
+        |  CAST(SUM(flag) AS BIGINT) AS flag_v6,
+        |  CAST(SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nullflag_v6,
+        |  TRUE AS v5_mapped,
+        |  TRUE AS v6_materialized,
+        |  CAST(4 AS BIGINT) AS files_final
+        |FROM evolved""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -4382,6 +4382,91 @@ object Queries {
         (col("__man_rows") === col("__tbl_rows")).as("manifest_complete"))
   }
 
+  /** Snapshot table exercising RENAME + WIDENING evolution — the se2
+    * fixture: v1 adopts the compacted files; v2 appends the 2024-01-25
+    * day (+2·10^12 ids) carrying a new `flag` column as INT (1); v3
+    * widens `flag` to long (metadata-only); v4 appends the 2024-01-26
+    * day (+3·10^12 ids) writing `flag` as LONG (2) — two physical types
+    * of one column, the union plain mergeSchema refuses; v5 renames
+    * `value` → `reading` (metadata-only); v6 OPTIMIZE materializes both
+    * mappings physically.
+    */
+  private val evolve2SnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def evolve2SnapPath(s: SparkSession, dir: String): String =
+    evolve2SnapMemo.synchronized {
+      evolve2SnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_evolve2_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir))
+          val ev = t(s, dir, "events")
+          S.append(s, tmp, ev
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(2000000000000L))
+            .withColumn("flag", lit(1)),
+            "ts", blockSize = 16 * 1024)
+          S.widenColumn(tmp, "flag", "long")
+          S.append(s, tmp, ev
+            .where(col("ts") >= ts("2024-01-26 00:00:00") &&
+              col("ts") < ts("2024-01-27 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(3000000000000L))
+            .withColumn("flag", lit(2L)),
+            "ts", blockSize = 16 * 1024)
+          S.renameColumn(tmp, "value", "reading")
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** SE2: schema evolution BEYOND add-only — column RENAME and type
+    * WIDENING ([[graft.sources.Snapshots.renameColumn]] /
+    * [[graft.sources.Snapshots.widenColumn]]), the two mutations
+    * `mergeSchema` cannot express (a renamed column comes back as TWO
+    * columns; an int32/int64 pair of one column fails the merge —
+    * spec-proven contrast). Both are manifest METADATA lines applied by
+    * the grouped read: files group by physical footer schema, each group
+    * renames/casts to the logical schema, then unions by name — zero
+    * data I/O at evolution time, the Iceberg field-mapping idea without
+    * field ids (name-level mapping, honest about that scope). The row
+    * reads v5 (three physical schemas + both mappings live) AND v6
+    * (optimize materialized the mappings; gate: no meta lines survive)
+    * and pins identical count / 6dp `reading` mass / exact `flag` sum /
+    * null-flag count on both against the closed-form replay.
+    *
+    * 100 TB lens: renaming a column must not rewrite a year of files;
+    * a type that outgrows int32 must not fork the table. Metadata
+    * mappings + lazy materialization at the next compaction is how the
+    * production formats ship both.
+    */
+  def se2RenameWiden(s: SparkSession, dir: String): DataFrame = {
+    val root = evolve2SnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val mapped = S.manifest(root, 5).hasMappings
+    val materialized = !S.manifest(root, 6).hasMappings
+    def agg(df: DataFrame, p: String) =
+      df.agg(
+        count(lit(1)).as(s"n_$p"),
+        (sum(floor(col("reading") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as(s"reading_$p"),
+        coalesce(sum(col("flag")), lit(0L)).as(s"flag_$p"),
+        sum(when(col("flag").isNull, 1L).otherwise(0L))
+          .as(s"nullflag_$p"))
+    agg(S.read(s, root, 5), "v5")
+      .crossJoin(broadcast(agg(S.read(s, root, 6), "v6")))
+      .select(col("n_v5"), col("reading_v5"), col("flag_v5"),
+        col("nullflag_v5"), col("n_v6"), col("reading_v6"),
+        col("flag_v6"), col("nullflag_v6"),
+        lit(mapped).as("v5_mapped"),
+        lit(materialized).as("v6_materialized"),
+        lit(S.resolve(root, 6).size.toLong).as("files_final"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6162,6 +6247,7 @@ object Queries {
     "mor1_merge_on_read_delete" -> (mor1MergeOnReadDelete _),
     "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _),
     "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _),
-    "mf3_two_column_manifest" -> (mf3TwoColumnManifest _)
+    "mf3_two_column_manifest" -> (mf3TwoColumnManifest _),
+    "se2_rename_widen" -> (se2RenameWiden _)
   )
 }
