@@ -3806,6 +3806,26 @@ object OracleSql {
         |  CAST(4 AS BIGINT) AS files_final
         |FROM evolved""".stripMargin,
 
+    // oz1: the z-order recompaction is lossless (whole-table count/mass)
+    // and the conjunctive window equals the flat twin; the layout gates
+    // are engine-computed booleans
+    "oz1_optimize_zorder" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v2,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM events) AS total_value_v2,
+        |  CAST(count(*) AS BIGINT) AS n_window,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS window_value,
+        |  CAST(16 AS BIGINT) AS files_v2,
+        |  TRUE AS zorder_prunes,
+        |  TRUE AS scan_within_selection
+        |FROM events
+        |WHERE user_id < 8
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

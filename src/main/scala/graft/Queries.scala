@@ -4467,6 +4467,83 @@ object Queries {
         lit(S.resolve(root, 6).size.toLong).as("files_final"))
   }
 
+  /** Snapshot table optimized into a Z-ORDER clustering — the oz1
+    * fixture: v1 adopts the compacted (ts-sorted) files; v2 is
+    * [[graft.sources.Snapshots.optimizeZOrder]] on (user_id,
+    * day-of-stream) into 16 Morton-range files.
+    */
+  private val zoptSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def zoptSnapPath(s: SparkSession, dir: String): String =
+    zoptSnapMemo.synchronized {
+      zoptSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_zopt_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          graft.sources.Snapshots.optimizeZOrder(s, tmp, col("user_id"),
+            pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(32)),
+            16, blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** OZ1: OPTIMIZE ... ZORDER BY on the snapshot table — the clustering
+    * rewrite every production format ships ([[graft.sources.Snapshots
+    * .optimizeZOrder]]): the live version (a single-column ts-sort) is
+    * recompacted as 16 Morton-range files on (user_id, day), so each
+    * file's footer envelope is bounded on BOTH dimensions and a
+    * conjunctive predicate (`user_id < 8 AND the pp2 window`) prunes
+    * files on the intersection. Gates: the rewrite is LOSSLESS (count +
+    * 6dp mass of v2 == the whole table, pinned), v1 stays readable
+    * (time travel across the re-clustering), exactly 16 files, the
+    * zone-planned conjunctive selection is a non-empty STRICT subset
+    * whose scan opens nothing else, and the pruned query equals the
+    * flat twin (count + mass pinned — the mf3 predicate, now planned
+    * from the SNAPSHOT's own files).
+    *
+    * 100 TB lens: a table ingested in time order serves time queries
+    * and nothing else; re-clustering at compaction time is how the
+    * two-filter access pattern gets its layout without a second copy —
+    * same one range shuffle any compaction pays.
+    */
+  def oz1OptimizeZOrder(s: SparkSession, dir: String): DataFrame = {
+    val root = zoptSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val files = S.resolve(root, 2)
+    val paths = files.map(n => s"$root/files/$n")
+    val zu = graft.sources.Bucketing.fileZones(s, paths, "user_id")
+    val zt = graft.sources.Bucketing.fileZones(s, paths, "ts")
+      .map(z => z._1 -> z._3).toMap
+    val selected = zu.collect {
+      case (n, _, Some((mnU, mxU)))
+          if mxU >= 0L && mnU < 8L && zt(n).exists { case (mnT, mxT) =>
+            mxT >= tsWindowLoMicros && mnT < tsWindowHiMicros } => n
+    }
+    val pruned = s.read
+      .parquet(selected.map(n => s"$root/files/$n"): _*)
+      .where(col("user_id") < lit(8) &&
+        col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val a1 = S.read(s, root, 1).agg(count(lit(1)).as("n_v1"))
+    val a2 = S.read(s, root, 2).agg(count(lit(1)).as("n_v2"),
+      mass.as("total_value_v2"))
+    val aw = pruned.agg(count(lit(1)).as("n_window"), mass.as("window_value"))
+    a2.crossJoin(broadcast(a1)).crossJoin(broadcast(aw))
+      .select(col("n_v1"), col("n_v2"), col("total_value_v2"),
+        col("n_window"), col("window_value"),
+        lit(files.size.toLong).as("files_v2"),
+        lit(selected.nonEmpty && selected.size < files.size)
+          .as("zorder_prunes"),
+        lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6248,6 +6325,7 @@ object Queries {
     "cdc2_row_tagged_feed" -> (cdc2RowTaggedFeed _),
     "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _),
     "mf3_two_column_manifest" -> (mf3TwoColumnManifest _),
-    "se2_rename_widen" -> (se2RenameWiden _)
+    "se2_rename_widen" -> (se2RenameWiden _),
+    "oz1_optimize_zorder" -> (oz1OptimizeZOrder _)
   )
 }

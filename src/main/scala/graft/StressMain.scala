@@ -242,7 +242,25 @@ object StressMain {
       "ap1_stream_ingest",
       // lc1 chains init→evolve→merge→delete→optimize on one root —
       // the composed weekly lifecycle, each stage zone-bounded
-      "lc1_lakehouse_lifecycle")
+      "lc1_lakehouse_lifecycle",
+      // mor1 deletes the window by position-delete SIDECAR (zero data
+      // files rewritten), reads through the anti-join, folds at optimize
+      "mor1_merge_on_read_delete",
+      // cdc2 tags the up1 and tt1 feeds with _change_type — key joins
+      // run on the delta only
+      "cdc2_row_tagged_feed",
+      // ss1 drains the lifecycle versions exactly-once and folds the
+      // consumed deltas into final-table stats
+      "ss1_snapshot_source_fold",
+      // mf3 plans a conjunctive two-column predicate from the composite
+      // manifest over the 16-file z-ordered layout
+      "mf3_two_column_manifest",
+      // se2 reads a three-physical-schema table through manifest
+      // rename/widen mappings, then its optimize-materialized twin
+      "se2_rename_widen",
+      // oz1 recompacts the snapshot as 16 Morton-range files and prunes
+      // a conjunctive predicate from the resulting footer envelopes
+      "oz1_optimize_zorder")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -244,16 +244,16 @@ object Snapshots {
     1
   }
 
-  /** Range-sorted write of `df` into the file store under UUID-unique
-    * names — the one physical-write helper every mutation shares.
+  /** Write into a scratch dir via `write`, then adopt the produced
+    * parquet files into the store under UUID-unique names — the one
+    * physical-commit helper every mutation shares.
     */
-  private def writeNewFiles(spark: SparkSession, root: String, v: Int,
-      tag: String, df: DataFrame, sortCol: String, nFiles: Int,
-      blockSize: Int): Seq[String] = {
+  private def adoptFiles(root: String, v: Int, tag: String)
+      (write: String => Unit): Seq[String] = {
     val fdir = filesDir(root)
     val u = uuid8()
     val tmp = s"$fdir/__${tag}_$u"
-    Bucketing.writeRangeSorted(df, sortCol, nFiles, tmp, blockSize)
+    write(tmp)
     val names = Compaction.dataFileNames(tmp).zipWithIndex.map {
       case (f, i) =>
         val name = s"${tag}_v${v}_${u}_$i.parquet"
@@ -263,6 +263,15 @@ object Snapshots {
     LakeFs.deleteRecursively(tmp)
     names
   }
+
+  /** Range-sorted write of `df` into the file store under UUID-unique
+    * names.
+    */
+  private def writeNewFiles(spark: SparkSession, root: String, v: Int,
+      tag: String, df: DataFrame, sortCol: String, nFiles: Int,
+      blockSize: Int): Seq[String] =
+    adoptFiles(root, v, tag)(tmp =>
+      Bucketing.writeRangeSorted(df, sortCol, nFiles, tmp, blockSize))
 
   /** APPEND: commit `df` as new range-sorted file(s) referenced by a new
     * version alongside everything the latest version holds — the ingest
@@ -640,6 +649,52 @@ object Snapshots {
     writeManifest(root, v + 1, names,
       m.meta.filter(_.startsWith("#batch:")))
     v + 1
+  }
+
+  /** OPTIMIZE ... ZORDER BY — the Delta/Iceberg clustering rewrite: the
+    * LATEST version rewritten as `nFiles` Morton-range files on TWO
+    * dimension keys ([[Bucketing.writeZOrderedFiles]]), so every file's
+    * min/max envelope is bounded on both at once and a conjunctive
+    * predicate prunes files on their intersection (the layout
+    * [[Manifest.buildTs2]] plans against). Folds sidecars and
+    * materializes column mappings exactly like [[optimize]] — one range
+    * shuffle of the live data either way; choosing the clustered layout
+    * is free at compaction time. Returns the new version.
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, colA: Column,
+      colB: Column, nFiles: Int,
+      blockSize: Int = DefaultBlockSize): Int = {
+    val v = latestVersion(root)
+    val m = manifest(root, v)
+    val df = read(spark, root, v)
+    val names = adoptFiles(root, v + 1, "zopt")(tmp =>
+      Bucketing.writeZOrderedFiles(df, colA, colB, nFiles, tmp, blockSize))
+    writeManifest(root, v + 1, names,
+      m.meta.filter(_.startsWith("#batch:")))
+    v + 1
+  }
+
+  /** The OCC commit loop every production writer wraps around an
+    * optimistic commit: run `attempt` (which must plan against the
+    * CURRENT latest — every mutation in this object does), and on a
+    * lost race (ConcurrentModificationException) re-run it against the
+    * new latest, up to `maxAttempts`. Linearizes concurrent writers
+    * without locks: each retry replans from fresh state, so the commit
+    * that lands is always consistent with the version it extends.
+    */
+  def commitWithRetry[A](maxAttempts: Int = 5)(attempt: => A): A = {
+    var last: java.util.ConcurrentModificationException = null
+    var i = 0
+    while (i < maxAttempts) {
+      try return attempt
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          last = e
+          i += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit failed after $maxAttempts attempts: ${last.getMessage}")
   }
 
   /** VACUUM: drop every version below `keepFrom` and physically delete

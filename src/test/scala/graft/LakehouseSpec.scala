@@ -429,6 +429,102 @@ class LakehouseSpec extends AnyFunSuite {
       .where(col("k") === 9899L).count() == 2L)
   }
 
+  test("schema-fingerprint fast path: a uniform table plans a PLAIN " +
+      "read (no mergeSchema footer-union), an evolved one keeps it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fp").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    def scanOptions(df: org.apache.spark.sql.DataFrame)
+        : Map[String, String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation].options
+      }.head
+    // 4 files, one physical schema → no mergeSchema option on the scan
+    assert(!scanOptions(Snapshots.read(spark, root, 1))
+      .contains("mergeSchema"))
+    // an add-only evolved append makes schemas mixed → footer-union read
+    Snapshots.append(spark, root,
+      Seq((90000L, 1, 0.5)).toDF("k", "grp", "score"), "k")
+    assert(scanOptions(Snapshots.read(spark, root, 2))
+      .get("mergeSchema").contains("true"))
+    // optimize normalizes the physical schema → fast path again
+    val v3 = Snapshots.optimize(spark, root, "k", 2)
+    assert(!scanOptions(Snapshots.read(spark, root, v3))
+      .contains("mergeSchema"))
+  }
+
+  test("optimizeZOrder rewrites the live version as Morton-range files: " +
+      "lossless, dv folded, conjunctive pruning works on the result") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zopt").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // put a live dv on the table so the fold is exercised too
+    Snapshots.deletePositions(spark, root, "k", 0L, 500L)
+    val pre = Snapshots.read(spark, root, 2)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head()
+    val v3 = Snapshots.optimizeZOrder(spark, root, col("k"), col("grp"), 8)
+    assert(Snapshots.resolve(root, v3).size == 8)
+    assert(Snapshots.deleteSidecars(root, v3).isEmpty)
+    assert(Snapshots.read(spark, root, v3)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
+    // every file's envelope is bounded on BOTH dimensions, and a
+    // conjunctive predicate selects a strict subset
+    val paths = Snapshots.resolve(root, v3).map(n => s"$root/files/$n")
+    val zk = Bucketing.fileZones(spark, paths, "k")
+    val zg = Bucketing.fileZones(spark, paths, "grp").map(z => z._1 -> z._3)
+      .toMap
+    assert(zk.forall(_._3.nonEmpty) && zg.values.forall(_.nonEmpty))
+    val sel = zk.filter {
+      case (n, _, Some((mnK, mxK))) =>
+        val (mnG, mxG) = zg(n).get
+        mxK >= 2000L && mnK < 4000L && mxG >= 0L && mnG < 3L
+      case _ => false
+    }
+    assert(sel.nonEmpty && sel.size < 8)
+  }
+
+  test("commitWithRetry linearizes racing writers: both commits land, " +
+      "no version lost, every batch present exactly once") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retry").toString + "/t"
+    Snapshots.init(spark, root, tableDir)
+    // stale-base attempt: fails once, retry replans and lands
+    val rival = Seq((70000L, 1)).toDF("k", "grp")
+    Snapshots.append(spark, root, rival, "k") // v2 lands first
+    var calls = 0
+    val v = Snapshots.commitWithRetry() {
+      calls += 1
+      // first call deliberately plans against the stale base 1
+      val base = if (calls == 1) 1 else -1
+      Snapshots.append(spark, root,
+        Seq((71000L, 2)).toDF("k", "grp"), "k", base = base)
+    }
+    assert(v == 3 && calls == 2)
+    // real concurrency: two threads race from the same live table
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fs = (0 until 2).map { i =>
+      Future(Snapshots.commitWithRetry() {
+        Snapshots.append(spark, root,
+          Seq((72000L + i, 3)).toDF("k", "grp"), "k")
+      })
+    }
+    val got = fs.map(f => Await.result(f, 120.seconds)).sorted
+    assert(got == Seq(4, 5))
+    val latest = Snapshots.read(spark, root, 5)
+    assert(latest.where(col("k") >= 70000L).count() == 4L)
+    // exhausted retries fail loudly
+    intercept[java.util.ConcurrentModificationException](
+      Snapshots.commitWithRetry(maxAttempts = 2) {
+        Snapshots.append(spark, root, rival, "k", base = 1)
+      })
+  }
+
   test("deleteRange on a missing range rewrites nothing") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snap2").toString + "/t"
