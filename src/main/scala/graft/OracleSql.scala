@@ -3826,6 +3826,58 @@ object OracleSql {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
 
+    // mor2: user-3 erasure — complement count/mass, the sidecar marks
+    // exactly the user's rows, v1 unchanged
+    "mor2_key_erasure" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+        |  CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v2,
+        |  CAST(0 AS BIGINT) AS n_user3_v2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id = 3)
+        |    AS n_dv_positions,
+        |  TRUE AS files_identical,
+        |  TRUE AS dv_present
+        |FROM events
+        |WHERE user_id <> 3""".stripMargin,
+
+    // rep1: the CDC replica must fold to the lc1 lifecycle closed form,
+    // and the engine-computed two-way exceptAll equality is the row gate
+    "rep1_cdc_replica" ->
+      """WITH d20 AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |d25 AS (
+        |  SELECT ts, value, floor(value * 0.5 * 1e6 + 0.5) / 1e6 AS qs
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value,
+        |    CAST(NULL AS DOUBLE) AS qs
+        |  FROM events
+        |  UNION ALL SELECT ts, value, CAST(NULL AS DOUBLE) FROM d20
+        |  UNION ALL SELECT ts, value, qs FROM d25),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(SUM(CAST(floor(qs * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_quality,
+        |  CAST(SUM(CASE WHEN qs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_quality,
+        |  TRUE AS replica_identical,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM final""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -4544,6 +4544,137 @@ object Queries {
         lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
   }
 
+  /** KEY-DELETED merge-on-read snapshot — the mor2 fixture: v1 adopts
+    * the compacted files; v2 marks every row of user 3 via
+    * [[graft.sources.Snapshots.deletePositionsByKey]] (one sidecar,
+    * zero files rewritten).
+    */
+  private val morKeySnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def morKeySnapPath(s: SparkSession, dir: String): String =
+    morKeySnapMemo.synchronized {
+      morKeySnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_morkey_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          graft.sources.Snapshots.deletePositionsByKey(s, tmp, "user_id",
+            s.range(3, 4).select(col("id").as("user_id")))
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** MOR2: key-based merge-on-read delete — the GDPR erasure shape
+    * ("erase user 3 everywhere") ([[graft.sources.Snapshots
+    * .deletePositionsByKey]]): on a TIME-sorted table the user's rows
+    * are scattered across every file, so a copy-on-write delete would
+    * rewrite the whole table; instead a COLUMN-PRUNED key probe (key
+    * column + row index, batch keys broadcast) marks their positions as
+    * ONE sidecar and rewrites nothing (gate: v1 and v2 resolve to the
+    * IDENTICAL file list). Pinned: the sidecar marks exactly the user's
+    * row count, v2 reads the complement (count + 6dp mass), zero user-3
+    * rows survive, and v1 still reads the full table (the erasure is a
+    * new version, not history rewriting — retention policy decides when
+    * vacuum makes it physical).
+    *
+    * 100 TB lens: THE GDPR query. Zone planning can't help a key
+    * predicate on a time-sorted table; the honest cost is one thin-
+    * column scan + a KB sidecar, vs rewriting a year of data under COW.
+    */
+  def mor2KeyErasure(s: SparkSession, dir: String): DataFrame = {
+    val root = morKeySnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val filesIdentical = S.resolve(root, 1) == S.resolve(root, 2)
+    val dv2 = S.deleteSidecars(root, 2)
+    val nDv =
+      if (dv2.isEmpty) 0L
+      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val a1 = S.read(s, root, 1).agg(count(lit(1)).as("n_v1"))
+    val a2 = S.read(s, root, 2).agg(count(lit(1)).as("n_v2"),
+      mass.as("total_value_v2"),
+      coalesce(sum(when(col("user_id") === 3L, 1L).otherwise(0L)), lit(0L))
+        .as("n_user3_v2"))
+    a2.crossJoin(broadcast(a1))
+      .select(col("n_v1"), col("n_v2"), col("total_value_v2"),
+        col("n_user3_v2"), lit(nDv).as("n_dv_positions"),
+        lit(filesIdentical).as("files_identical"),
+        lit(dv2.size == 1).as("dv_present"))
+  }
+
+  /** CDC-REPLICATED twin of the lifecycle table — the rep1 fixture: a
+    * replica starts as v1's rows and then follows versions 2..5 purely
+    * through row-tagged change feeds ([[graft.streaming.SnapshotFeed
+    * .applyChangeFeed]]), materializing each step.
+    */
+  private val replicaMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def replicaPath(s: SparkSession, dir: String): String =
+    replicaMemo.synchronized {
+      replicaMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_replica_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          val root = lifecycleSnapPath(s, dir)
+          val latest = S.latestVersion(root)
+          var cur = S.read(s, root, 1)
+          (2 to latest).foreach { v =>
+            val feed = S.changeFeed(s, root, v - 1, v, "event_id")
+            cur = graft.streaming.SnapshotFeed
+              .applyChangeFeed(cur, feed, "event_id")
+            cur.write.mode("overwrite").parquet(s"$tmp/v$v")
+            cur = s.read.parquet(s"$tmp/v$v")
+          }
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** REP1: full CDC REPLICATION — the materialization consumer the
+    * row-tagged feed exists for ([[graft.streaming.SnapshotFeed
+    * .applyChangeFeed]]): a replica follows the lifecycle table through
+    * versions 2..5 purely by retracting `delete`/`update_preimage` keys
+    * and adding `insert`/`update_postimage` rows — never re-scanning the
+    * source. The gate is MULTISET EQUALITY with the direct read of the
+    * latest version (`exceptAll` empty BOTH ways, binary-exact values
+    * across an evolve, a MERGE, a delete, and an optimize), plus the lc1
+    * closed-form aggregates pinned on the replica itself. A consumer
+    * that mis-tagged, dropped, or double-applied one row cannot pass the
+    * two-way exceptAll.
+    *
+    * 100 TB lens: search indexes, feature stores, and cross-region
+    * replicas all follow a mutating table this way; per-version cost is
+    * the delta's size, and correctness is exactly this equality.
+    */
+  def rep1CdcReplica(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = lifecycleSnapPath(s, dir)
+    val latest = S.latestVersion(root)
+    val replica = s.read.parquet(s"${replicaPath(s, dir)}/v$latest")
+    val direct = S.read(s, root, latest)
+    val cols = direct.columns.sorted.map(col).toSeq
+    val r = replica.select(cols: _*)
+    val d = direct.select(cols: _*)
+    val identical = r.exceptAll(d).isEmpty && d.exceptAll(r).isEmpty
+    def mass(c: org.apache.spark.sql.Column) =
+      (sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e6))
+    replica.agg(count(lit(1)).as("n_final"),
+        mass(col("value")).as("total_value"),
+        mass(col("quality_score")).as("total_quality"),
+        sum(when(col("quality_score").isNull, 1L).otherwise(0L))
+          .as("n_null_quality"))
+      .select(col("n_final"), col("total_value"), col("total_quality"),
+        col("n_null_quality"),
+        lit(identical).as("replica_identical"),
+        lit(latest.toLong).as("n_versions"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6326,6 +6457,8 @@ object Queries {
     "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _),
     "mf3_two_column_manifest" -> (mf3TwoColumnManifest _),
     "se2_rename_widen" -> (se2RenameWiden _),
-    "oz1_optimize_zorder" -> (oz1OptimizeZOrder _)
+    "oz1_optimize_zorder" -> (oz1OptimizeZOrder _),
+    "mor2_key_erasure" -> (mor2KeyErasure _),
+    "rep1_cdc_replica" -> (rep1CdcReplica _)
   )
 }

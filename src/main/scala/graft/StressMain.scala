@@ -260,7 +260,13 @@ object StressMain {
       "se2_rename_widen",
       // oz1 recompacts the snapshot as 16 Morton-range files and prunes
       // a conjunctive predicate from the resulting footer envelopes
-      "oz1_optimize_zorder")
+      "oz1_optimize_zorder",
+      // mor2 erases one user's scattered rows via a column-pruned key
+      // probe + one sidecar — zero files rewritten
+      "mor2_key_erasure",
+      // rep1 replays the lifecycle as row-tagged feeds into a replica
+      // and proves two-way exceptAll identity with the direct read
+      "rep1_cdc_replica")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

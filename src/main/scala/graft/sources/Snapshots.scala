@@ -478,6 +478,67 @@ object Snapshots {
         cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
           "left_anti")
     }
+    commitSidecar(spark, root, v, m, fresh, touched.size)
+  }
+
+  /** KEY-BASED merge-on-read delete — the GDPR erasure shape ("delete
+    * every row of user X"): mark the positions of all rows whose
+    * `keyCol` appears in `keys` (any multiplicity), across the whole
+    * table, as one position-delete sidecar. Zone planning still helps
+    * when it can: files whose `keyCol` footer zone misses the key
+    * batch's [min, max] envelope are skipped outright; the rest get a
+    * COLUMN-PRUNED probe (key column + row index only) with the keys
+    * broadcast — on a time-sorted table the key zones are wide and the
+    * probe honestly touches most files, but it reads one thin column,
+    * not the data. Zero files rewritten either way; [[optimize]] folds
+    * the marks later.
+    */
+  def deletePositionsByKey(spark: SparkSession, root: String,
+      keyCol: String, keys: DataFrame): MorDeleteResult = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    requireNoMappings(m, "deletePositionsByKey")
+    val bounds = keys.agg(min(microsOf(keys, keyCol)),
+      max(microsOf(keys, keyCol))).head()
+    if (bounds.isNullAt(0)) {
+      writeManifest(root, v + 1, m.files, carryMeta(m))
+      return MorDeleteResult(v + 1, 0L, 0, None)
+    }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val zones = planZones(spark, root, m.files, keyCol)
+    val touched = m.files.filter { n =>
+      zones(n) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (touched.isEmpty) {
+      writeManifest(root, v + 1, m.files, carryMeta(m))
+      return MorDeleteResult(v + 1, 0L, 0, None)
+    }
+    val probe = rawRead(spark, touched.map(n => s"${filesDir(root)}/$n"),
+      withPos = true)
+      .select(col(keyCol), col("__dv_file").as("file"),
+        col("__dv_pos").as("pos"))
+    val cand = probe
+      .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol),
+        "left_semi")
+      .select(col("file"), col("pos"))
+    val fresh = dvFrame(spark, root, m) match {
+      case None => cand
+      case Some(dv) =>
+        cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
+          "left_anti")
+    }
+    commitSidecar(spark, root, v, m, fresh, touched.size)
+  }
+
+  /** Write `fresh` (file, pos) as a sidecar and commit v+1 — shared by
+    * both merge-on-read deletes.
+    */
+  private def commitSidecar(spark: SparkSession, root: String, v: Int,
+      m: ManifestData, fresh: DataFrame, touched: Int): MorDeleteResult = {
     val tmp = s"${deletesDir(root)}/__dv_${uuid8()}"
     fresh.coalesce(1).write.parquet(tmp)
     val name = s"dv_v${v + 1}_${uuid8()}.parquet"
@@ -492,10 +553,10 @@ object Snapshots {
     if (n == 0L) {
       LakeFs.delete(s"${deletesDir(root)}/$name")
       writeManifest(root, v + 1, m.files, carryMeta(m))
-      MorDeleteResult(v + 1, 0L, touched.size, None)
+      MorDeleteResult(v + 1, 0L, touched, None)
     } else {
       writeManifest(root, v + 1, m.files, carryMeta(m) :+ s"#dv:$name")
-      MorDeleteResult(v + 1, n, touched.size, Some(name))
+      MorDeleteResult(v + 1, n, touched, Some(name))
     }
   }
 

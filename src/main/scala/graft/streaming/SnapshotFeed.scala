@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.sources.{LakeFs, Snapshots}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The snapshot table as an INCREMENTAL STREAMING SOURCE — the read-side
   * twin of the exactly-once sink ([[graft.sources.Snapshots.appendBatch]]):
@@ -47,6 +48,29 @@ object SnapshotFeed {
     */
   def cursor(stateDir: String): Int =
     (1 +: committedVersions(stateDir)).max
+
+  /** Apply a row-tagged change feed ([[graft.sources.Snapshots
+    * .changeFeed]]) to a keyed replica — the downstream MATERIALIZATION
+    * contract of a CDC stream: retract every key the feed deletes or
+    * re-images (`delete` / `update_preimage`), then add the new row
+    * versions (`insert` / `update_postimage`). Applying each version's
+    * feed in order reproduces the source table row-for-row — the way a
+    * search index, feature store, or cross-region replica follows a
+    * mutating lakehouse table without ever re-scanning it. Key joins run
+    * on the DELTA's key set; schema evolution rides `unionByName`
+    * (missing columns null-fill on the old replica rows).
+    */
+  def applyChangeFeed(replica: DataFrame, feed: DataFrame,
+      keyCol: String): DataFrame = {
+    val gone = feed
+      .where(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(keyCol)).distinct()
+    val incoming = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    replica.join(gone, Seq(keyCol), "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+  }
 
   /** Drain every unprocessed version delta exactly once. `apply`
     * receives `(netAdded, netRemoved, version, outPath)` and must write

@@ -140,6 +140,33 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(r13.count() == 300L)
   }
 
+  test("deletePositionsByKey erases every row of the keys — scattered " +
+      "across files, any multiplicity — with zero rewrites") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mork").toString + "/t"
+    Snapshots.init(spark, root, freshTable()) // grp = k % 7, all 4 files
+    val keys = Seq(2, 5).toDF("grp")
+    val r = Snapshots.deletePositionsByKey(spark, root, "grp", keys)
+    val expect = (0 until 10000).count(k => k % 7 == 2 || k % 7 == 5)
+    assert(r.markedPositions == expect.toLong && r.sidecar.nonEmpty)
+    assert(Snapshots.resolve(root, 1) == Snapshots.resolve(root, 2))
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.count() == 10000L - expect)
+    assert(v2.where(col("grp").isin(2, 5)).isEmpty)
+    assert(Snapshots.read(spark, root, 1).count() == 10000L)
+    // re-erasing the same keys is a no-op (sidecars stay disjoint)
+    val r2 = Snapshots.deletePositionsByKey(spark, root, "grp", keys)
+    assert(r2.markedPositions == 0L && r2.sidecar.isEmpty)
+    // empty key batch commits a no-op version
+    val r3 = Snapshots.deletePositionsByKey(spark, root, "grp",
+      keys.where(lit(false)))
+    assert(r3.markedPositions == 0L && r3.touchedFiles == 0)
+    // a key batch whose zone misses every file skips the probe
+    val r4 = Snapshots.deletePositionsByKey(spark, root, "grp",
+      Seq(99).toDF("grp"))
+    assert(r4.markedPositions == 0L && r4.touchedFiles == 0)
+  }
+
   test("deletePositions on a missing range is a no-op version") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_mor6").toString + "/t"

@@ -77,6 +77,34 @@ class SnapshotFeedSpec extends AnyFunSuite {
     assert(SnapshotFeed.drain(spark, root, stateDir)(statApply) == Seq(5))
   }
 
+  test("applyChangeFeed materializes a replica that follows the source " +
+      "row-for-row through merge, delete, MoR delete, and evolution") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feed3").toString + "/t"
+    Snapshots.init(spark, root, freshTable())
+    // v2 MERGE (update + insert), v3 COW delete, v4 MoR delete,
+    // v5 schema-evolved append
+    Snapshots.upsert(spark, root, "k", "k",
+      ((5000 until 5010).map(k => (k.toLong, 42)) ++
+        (0 until 3).map(i => (100000L + i, 77))).toDF("k", "grp"))
+    Snapshots.deleteRange(spark, root, "k", 1000L, 1100L)
+    Snapshots.deletePositions(spark, root, "k", 2000L, 2050L)
+    Snapshots.append(spark, root,
+      Seq((200000L, 1, 0.25)).toDF("k", "grp", "score"), "k")
+    val latest = Snapshots.latestVersion(root)
+    var replica = Snapshots.read(spark, root, 1)
+    (2 to latest).foreach { v =>
+      val feed = Snapshots.changeFeed(spark, root, v - 1, v, "k")
+      replica = SnapshotFeed.applyChangeFeed(replica, feed, "k")
+    }
+    val direct = Snapshots.read(spark, root, latest)
+    val cols = direct.columns.sorted.map(col).toSeq
+    val r = replica.select(cols: _*)
+    val d = direct.select(cols: _*)
+    assert(r.exceptAll(d).isEmpty && d.exceptAll(r).isEmpty)
+    assert(r.count() == 10000L - 100 - 50 + 3 + 1)
+  }
+
   test("kill-and-restart: a crash mid-apply replays ONLY the uncommitted " +
       "version; committed versions never re-run") {
     val root = java.nio.file.Files
