@@ -3878,6 +3878,26 @@ object OracleSql {
         |  CAST(5 AS BIGINT) AS n_versions
         |FROM final""".stripMargin,
 
+    // bf1: the point-lookup rows for the same closed-form key set (global
+    // min/max id + the window's min id); layout gates engine-computed
+    "bf1_bloom_point_lookup" ->
+      """WITH ks AS (
+        |  SELECT min(event_id) AS k FROM events
+        |  UNION SELECT max(event_id) FROM events
+        |  UNION SELECT min(event_id) FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS hit_value,
+        |  CAST(16 AS BIGINT) AS files_total,
+        |  TRUE AS no_false_negative,
+        |  TRUE AS bloom_prunes,
+        |  TRUE AS scan_within_selection
+        |FROM events
+        |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

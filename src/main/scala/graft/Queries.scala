@@ -4675,6 +4675,79 @@ object Queries {
         lit(latest.toLong).as("n_versions"))
   }
 
+  /** Persisted BLOOM manifest of [[zordered16Path]] on `event_id` — the
+    * bf1 fixture (its own cached dir; stores file NAMES, so it is
+    * location-independent unlike the zone manifests).
+    */
+  private val bloomManMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def bloomManPath(s: SparkSession, dir: String): String =
+    bloomManMemo.synchronized {
+      bloomManMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_bloomman_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Manifest.writeBloom(
+            s, zordered16Path(s, dir), "event_id", tmp, fpp = 1e-4)
+        }
+      })
+    }
+
+  /** BF1: BLOOM-manifest point-lookup pruning — the file-skipping stats
+    * min/max zones cannot provide ([[graft.sources.Manifest
+    * .buildBloom]] / [[graft.sources.Manifest.selectFilesBloom]]): on
+    * the 16-file z-ordered layout every file's `event_id` envelope
+    * spans the whole id space (ids are uncorrelated with the layout
+    * dims), so zone pruning keeps ALL 16 files for a `event_id IN (…)`
+    * lookup; the per-file blooms keep only the files that might hold
+    * the keys. Keys are derived identically on both sides (global min
+    * and max id, plus the pp2 window's min id). Gates: NO FALSE
+    * NEGATIVE — the selection contains every file the unpruned scan
+    * actually finds the keys in (ground truth via `input_file_name`);
+    * the selection is a STRICT subset of the 16 files (bloom pruning is
+    * real); the pruned lookup's rows equal the flat twin (count + 6dp
+    * mass + distinct ids pinned); and the scan opens nothing outside
+    * the selection.
+    *
+    * 100 TB lens: "fetch these 50 record ids" is THE serving query a
+    * zone-mapped lake cannot answer without scanning; ~1 KB of bloom
+    * per file answers it from a planner-side manifest — Iceberg bloom
+    * columns / Delta bloom indexes, built here from public Spark
+    * sketches.
+    */
+  def bf1BloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val data = zordered16Path(s, dir)
+    val man = bloomManPath(s, dir)
+    val ev = t(s, dir, "events")
+    val kRow = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val kWin = ev.where(col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+      .agg(min(col("event_id"))).head().getLong(0)
+    val keys = Seq(kRow.getLong(0), kRow.getLong(1), kWin).distinct
+    val selected = graft.sources.Manifest.selectFilesBloom(s, man, keys)
+    val totalFiles = graft.sources.Compaction.dataFileNames(data).size
+    // ground truth: which files actually hold the keys (unpruned scan)
+    val truth = graft.sources.Bucketing.filesRead(
+        s.read.parquet(data).where(col("event_id").isin(keys: _*)))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val pruned = s.read
+      .parquet(selected.map(n => s"$data/$n"): _*)
+      .where(col("event_id").isin(keys: _*))
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    pruned.agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("event_id")).as("n_ids"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("hit_value"))
+      .select(col("n_hits"), col("n_ids"), col("hit_value"),
+        lit(totalFiles.toLong).as("files_total"),
+        lit(truth.subsetOf(selected.toSet)).as("no_false_negative"),
+        lit(selected.nonEmpty && selected.size < totalFiles)
+          .as("bloom_prunes"),
+        lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6459,6 +6532,7 @@ object Queries {
     "se2_rename_widen" -> (se2RenameWiden _),
     "oz1_optimize_zorder" -> (oz1OptimizeZOrder _),
     "mor2_key_erasure" -> (mor2KeyErasure _),
-    "rep1_cdc_replica" -> (rep1CdcReplica _)
+    "rep1_cdc_replica" -> (rep1CdcReplica _),
+    "bf1_bloom_point_lookup" -> (bf1BloomPointLookup _)
   )
 }

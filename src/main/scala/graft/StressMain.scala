@@ -266,7 +266,10 @@ object StressMain {
       "mor2_key_erasure",
       // rep1 replays the lifecycle as row-tagged feeds into a replica
       // and proves two-way exceptAll identity with the direct read
-      "rep1_cdc_replica")
+      "rep1_cdc_replica",
+      // bf1 answers a 3-id point lookup from per-file blooms where
+      // min/max zones keep everything
+      "bf1_bloom_point_lookup")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

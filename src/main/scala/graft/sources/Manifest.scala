@@ -124,6 +124,61 @@ object Manifest {
       .where(col("max_v") >= lit(lo) && col("min_v") < lit(hi))
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
 
+  /** Per-file BLOOM manifest for POINT-LOOKUP pruning — the stats a
+    * min/max zone cannot provide: on a time-sorted table every file's
+    * key envelope spans the whole id space, so a `key = X` predicate
+    * prunes nothing by zones, while a per-file Bloom filter answers
+    * "might this file contain X?" with NO false negatives (the pruning
+    * safety law) and a tunable false-positive rate. One row per file:
+    * `(file NAME, rows, bloom bytes)`. Expected-item counts come from
+    * the parquet footers ([[Bucketing.fileZones]]) — no counting pass;
+    * the build reads each file's key column once (column-pruned).
+    * Iceberg/Delta ship exactly this as bloom columns / indexes; at
+    * ~1 KB per file a 10^6-file table's bloom manifest is a ~GB side
+    * table the planner scans instead of the 100 TB of data.
+    */
+  def buildBloom(spark: SparkSession, dir: String, column: String,
+      fpp: Double = 0.001): Seq[(String, Long, Array[Byte])] = {
+    val names = Compaction.dataFileNames(dir)
+    val rowsOf = Bucketing
+      .fileZones(spark, names.map(n => s"$dir/$n"), column)
+      .map { case (n, rows, _) => n -> rows }.toMap
+    names.map { n =>
+      val bf = spark.read.parquet(s"$dir/$n")
+        .stat.bloomFilter(column, math.max(1L, rowsOf(n)), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (n, rowsOf(n), bos.toByteArray)
+    }
+  }
+
+  /** Persist the bloom manifest as parquet (`file, rows, bloom`). */
+  def writeBloom(spark: SparkSession, dir: String, column: String,
+      outPath: String, fpp: Double = 0.001): Unit = {
+    import spark.implicits._
+    buildBloom(spark, dir, column, fpp)
+      .toDF("file", "rows", "bloom")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
+  /** Plan-time point-lookup pruning: the file NAMES whose bloom might
+    * contain ANY of `keys` — a guaranteed SUPERSET of the files that do
+    * (bloom filters have no false negatives), usually a small fraction
+    * of the table for selective keys. Driver-side, bounded by file
+    * count × key count.
+    */
+  def selectFilesBloom(spark: SparkSession, manifestPath: String,
+      keys: Seq[Long]): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .select(col("file"), col("bloom")).collect()
+      .filter { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        keys.exists(bf.mightContainLong)
+      }
+      .map(_.getString(0)).toSeq.sorted
+
   /** Normalize a scan-reported file URI (`file:///tmp/x`) to the plain
     * path form the manifest stores — for comparing
     * [[Bucketing.filesRead]] ground truth against a selection.

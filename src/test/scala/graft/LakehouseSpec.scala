@@ -114,6 +114,26 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got == want && got.getLong(0) == 1000L)
   }
 
+  test("bloom manifest: no false negatives for any present key, real " +
+      "pruning for point lookups, union over multi-key batches") {
+    val man = s"${tableDir}_bloom"
+    Manifest.writeBloom(spark, tableDir, "k", man, fpp = 1e-4)
+    // no-false-negative sweep: every sampled key's true file is selected,
+    // and the lookup prunes (fp behavior is deterministic for fixed data)
+    (0 until 10000 by 617).foreach { k =>
+      val sel = Manifest.selectFilesBloom(spark, man, Seq(k.toLong))
+      assert(sel.contains(f"part-${k / 2500}%05d.parquet"),
+        s"false negative for k=$k")
+      assert(sel.size < 4, s"no pruning for k=$k")
+    }
+    // a key outside the domain selects (almost surely) nothing
+    assert(Manifest.selectFilesBloom(spark, man, Seq(999999L)).size <= 1)
+    // multi-key batches select the union of the per-key files
+    val s2 = Manifest.selectFilesBloom(spark, man, Seq(100L, 9000L))
+    assert(Set("part-00000.parquet", "part-00003.parquet")
+      .subsetOf(s2.toSet))
+  }
+
   test("manifest-planned scan equals the full scan with the predicate") {
     val man = s"${tableDir}_man2"
     Manifest.writeTs(spark, tableDir, "k", man)
