@@ -3898,6 +3898,28 @@ object OracleSql {
         |FROM events
         |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
 
+    // oc1: the packed table = events plus the three accreted day slices
+    // (ids offset, values unchanged); pre-pack pins the same values —
+    // the pack moved bytes, not data
+    "oc1_incremental_binpack" ->
+      """WITH acc AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-30 00:00:00'),
+        |allr AS (
+        |  SELECT value FROM events
+        |  UNION ALL SELECT value FROM acc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_packed,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_packed,
+        |  CAST(count(*) AS BIGINT) AS n_prepack,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_prepack,
+        |  CAST(7 AS BIGINT) AS files_prepack,
+        |  TRUE AS pack_reduced,
+        |  TRUE AS history_untouched
+        |FROM allr""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -4748,6 +4748,81 @@ object Queries {
         lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
   }
 
+  /** Streaming-accretion snapshot — the oc1 fixture: v1 adopts the 4
+    * compacted files; v2–v4 append three single-day slices (2024-01-27/
+    * 28/29, ids offset +4/5/6·10^12) as KB-scale commit files; v5 is an
+    * INCREMENTAL bin-pack ([[graft.sources.Snapshots.optimizeBinPack]])
+    * with the threshold at the smallest original file, so exactly the
+    * three accreted files rewrite and the four originals re-reference.
+    */
+  private val binpackSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def binpackSnapPath(s: SparkSession, dir: String): String =
+    binpackSnapMemo.synchronized {
+      binpackSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_binpack_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir))
+          val ev = t(s, dir, "events")
+          (0 until 3).foreach { i =>
+            S.append(s, tmp, ev
+              .where(col("ts") >= ts(s"2024-01-2${7 + i} 00:00:00") &&
+                col("ts") < ts(s"2024-01-${28 + i} 00:00:00"))
+              .withColumn("event_id",
+                col("event_id") + lit((4L + i) * 1000000000000L)),
+              "ts", blockSize = 16 * 1024)
+          }
+          val threshold = S.resolve(tmp, 1)
+            .map(n => graft.sources.LakeFs.fileLength(s"$tmp/files/$n")).min
+          S.optimizeBinPack(s, tmp, "ts", threshold,
+            blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** OC1: INCREMENTAL bin-pack compaction — the maintenance the full
+    * rewrite (cf1/optimize) cannot afford at scale ([[graft.sources
+    * .Snapshots.optimizeBinPack]]): three KB-scale streaming commits
+    * accrete on top of four right-sized files, and the pack rewrites
+    * ONLY the undersized three into one range-sorted file while
+    * re-referencing the originals verbatim (gate: v1's file set is a
+    * subset of the packed version's — same physical entries, zero
+    * bytes of I/O on the history). Pinned: exactly 3 rewritten / 4
+    * reused / 5 files after, and the packed table equals the
+    * closed-form replay (events + the three offset day slices) in
+    * count and 6dp mass — with time travel: v4 (pre-pack) pins the
+    * same values, proving the pack changed layout, not data.
+    *
+    * 100 TB lens: nightly maintenance must cost ∝ the day's new small
+    * bytes, never the table — Delta OPTIMIZE bin-packing / Iceberg
+    * binpack rewrite; a compaction that rewrites the year to absorb a
+    * day is a failure mode, not a feature.
+    */
+  def oc1IncrementalBinPack(s: SparkSession, dir: String): DataFrame = {
+    val root = binpackSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val origs = S.resolve(root, 1).toSet
+    val after = S.resolve(root, latest)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val aPre = S.read(s, root, latest - 1)
+      .agg(count(lit(1)).as("n_prepack"), mass.as("value_prepack"))
+    val aPost = S.read(s, root, latest)
+      .agg(count(lit(1)).as("n_packed"), mass.as("value_packed"))
+    val filesPre = S.resolve(root, latest - 1).size
+    aPost.crossJoin(broadcast(aPre))
+      .select(col("n_packed"), col("value_packed"),
+        col("n_prepack"), col("value_prepack"),
+        lit(filesPre.toLong).as("files_prepack"),
+        lit(after.size < filesPre).as("pack_reduced"),
+        lit(origs.subsetOf(after.toSet)).as("history_untouched"))
+  }
+
   /** Z-ordered flat copy of `events` ([[graft.sources.Bucketing
     * .writeZOrdered]] on (user_id, day-of-stream)) — the pp3 fixture.
     */
@@ -6533,6 +6608,7 @@ object Queries {
     "oz1_optimize_zorder" -> (oz1OptimizeZOrder _),
     "mor2_key_erasure" -> (mor2KeyErasure _),
     "rep1_cdc_replica" -> (rep1CdcReplica _),
-    "bf1_bloom_point_lookup" -> (bf1BloomPointLookup _)
+    "bf1_bloom_point_lookup" -> (bf1BloomPointLookup _),
+    "oc1_incremental_binpack" -> (oc1IncrementalBinPack _)
   )
 }

@@ -269,7 +269,10 @@ object StressMain {
       "rep1_cdc_replica",
       // bf1 answers a 3-id point lookup from per-file blooms where
       // min/max zones keep everything
-      "bf1_bloom_point_lookup")
+      "bf1_bloom_point_lookup",
+      // oc1 bin-packs three accreted small commits, re-referencing the
+      // right-sized history verbatim
+      "oc1_incremental_binpack")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -712,6 +712,54 @@ object Snapshots {
     v + 1
   }
 
+  /** Result of an incremental bin-pack: the new version, small files
+    * rewritten, right-sized files re-referenced verbatim, and the
+    * version's file count after packing.
+    */
+  case class BinPackResult(version: Int, rewritten: Int, reused: Int,
+      filesAfter: Int)
+
+  /** INCREMENTAL bin-pack compaction — the maintenance [[optimize]]
+    * deliberately is not: only files SMALLER than `targetBytes` are
+    * rewritten (range-sorted into `ceil(smallBytes / targetBytes)`
+    * right-sized files); every file already at size is re-referenced
+    * verbatim (zero I/O — the same physical file serves both versions).
+    * Position-delete marks on the rewritten small files fold in (the
+    * read applies them); marks on reused files stay live via the
+    * carried `#dv:` lines. Needs a mapping-free table like every
+    * zone-planned mutation.
+    *
+    * At 100 TB this is the ONLY affordable compaction: a streaming
+    * table accretes KB-scale commit files daily on top of TB of
+    * already-right-sized history, and nightly maintenance must cost
+    * ∝ the new small bytes, never a full-table rewrite — Delta's
+    * OPTIMIZE bin-packing / Iceberg's binpack rewrite strategy.
+    */
+  def optimizeBinPack(spark: SparkSession, root: String, sortCol: String,
+      targetBytes: Long,
+      blockSize: Int = DefaultBlockSize): BinPackResult = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    requireNoMappings(m, "optimizeBinPack")
+    val sized = m.files.map(n =>
+      n -> LakeFs.fileLength(s"${filesDir(root)}/$n"))
+    val (small, big) = sized.partition(_._2 < targetBytes)
+    if (small.size <= 1) { // nothing to pack: 0 or 1 undersized file
+      writeManifest(root, v + 1, m.files, carryMeta(m))
+      return BinPackResult(v + 1, 0, m.files.size, m.files.size)
+    }
+    val smallBytes = small.map(_._2).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val df = readFiles(spark, root, m, small.map(_._1), keepPos = false)
+    val names = writeNewFiles(spark, root, v + 1, "pack", df, sortCol,
+      nOut, blockSize)
+    writeManifest(root, v + 1, big.map(_._1) ++ names, carryMeta(m))
+    BinPackResult(v + 1, small.size, big.size, big.size + names.size)
+  }
+
   /** OPTIMIZE ... ZORDER BY — the Delta/Iceberg clustering rewrite: the
     * LATEST version rewritten as `nFiles` Morton-range files on TWO
     * dimension keys ([[Bucketing.writeZOrderedFiles]]), so every file's

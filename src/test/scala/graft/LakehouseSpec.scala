@@ -545,6 +545,39 @@ class LakehouseSpec extends AnyFunSuite {
       })
   }
 
+  test("optimizeBinPack rewrites ONLY undersized files: right-sized " +
+      "files re-referenced verbatim, live dv marks survive, lossless") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pack").toString + "/t"
+    Snapshots.init(spark, root, tableDir) // 4 files, ~equal size
+    val bigSize = Compaction.dataFiles(s"$root/files").map(_.length).min
+    // three tiny commits on top (the streaming-accretion shape)
+    (0 until 3).foreach { i =>
+      Snapshots.append(spark, root,
+        Seq((50000L + i, i)).toDF("k", "grp"), "k")
+    }
+    // a MoR mark on a BIG file must survive the pack untouched
+    Snapshots.deletePositions(spark, root, "k", 100L, 110L)
+    val pre = Snapshots.read(spark, root, 5)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head()
+    val origs = Snapshots.resolve(root, 1).toSet
+
+    val r = Snapshots.optimizeBinPack(spark, root, "k", bigSize)
+    assert(r.rewritten == 3 && r.reused == 4 && r.filesAfter == 5)
+    val after = Snapshots.resolve(root, r.version)
+    // the four right-sized files are the SAME physical entries
+    assert(origs.subsetOf(after.toSet))
+    // the dv line still applies to them
+    assert(Snapshots.deleteSidecars(root, r.version).size == 1)
+    assert(Snapshots.read(spark, root, r.version)
+      .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
+    assert(Snapshots.read(spark, root, r.version)
+      .where(col("k") >= 100 && col("k") < 110).isEmpty)
+    // a fully right-sized table is a no-op pack
+    val r2 = Snapshots.optimizeBinPack(spark, root, "k", 1L)
+    assert(r2.rewritten == 0 && r2.reused == 5)
+  }
+
   test("deleteRange on a missing range rewrites nothing") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_snap2").toString + "/t"
