@@ -294,11 +294,69 @@ object Bucketing {
     * columns only (INT64 / TIMESTAMP_MICROS / INT32 widened); a
     * non-numeric column yields `None` rather than throwing.
     */
+  /** Thread-local count of driver-side parquet FOOTER opens — a TEST
+    * hook proving plan-time metadata bounds (commit-time manifest stats
+    * must make zone planning footer-free). Thread-local because the
+    * shared test JVM runs suites in parallel; every footer open in this
+    * object happens on the calling driver thread.
+    */
+  val footerReads: ThreadLocal[java.util.concurrent.atomic.AtomicLong] =
+    ThreadLocal.withInitial(() => new java.util.concurrent.atomic.AtomicLong)
+
+  /** ONE footer open computing everything a manifest file entry needs:
+    * row count, schema fingerprint (MD5 of the footer schema), and the
+    * min/max zone of each requested long-typed column (`None` entries
+    * are omitted from the map — the conservative must-touch contract).
+    * The commit-time twin of [[fileZones]]: production formats stamp
+    * these stats into the manifest at commit so PLANNING never re-opens
+    * a footer.
+    */
+  def fileStatsEntry(spark: SparkSession, path: String, cols: Seq[String])
+      : (Long, String, Map[String, (Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    footerReads.get().incrementAndGet()
+    val conf = spark.sessionState.newHadoopConf()
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val fp = fingerprintOf(
+        rd.getFooter.getFileMetaData.getSchema.toString)
+      val zones = cols.flatMap { column =>
+        val zs = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(c) if c.getStatistics != null &&
+                c.getStatistics.hasNonNullValue =>
+              (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax)
+                match {
+                case (mn: Number, mx: Number) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        if (zs.isEmpty || zs.exists(_.isEmpty)) None
+        else Some(column ->
+          (zs.flatten.map(_._1).min, zs.flatten.map(_._2).max))
+      }.toMap
+      (rows, fp, zones)
+    } finally rd.close()
+  }
+
+  private def fingerprintOf(schema: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(schema.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   def fileZones(spark: SparkSession, paths: Seq[String], column: String)
       : Seq[(String, Long, Option[(Long, Long)])] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     paths.map { p =>
+      footerReads.get().incrementAndGet()
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p), conf))
@@ -326,29 +384,33 @@ object Bucketing {
     }
   }
 
-  /** Parquet footer-schema fingerprint of one IMMUTABLE file, memoized
-    * per absolute path (lakehouse data files are write-once and never
-    * renamed onto, so the memo can never go stale). Used by
+  /** Parquet footer-schema fingerprint of one file, memoized on
+    * `(path, length, modificationTime)` — lakehouse data files are
+    * write-once, but a PATH can be rebuilt under the same name (a
+    * fixture dir regenerated in-JVM, a source re-copied), and a memo
+    * keyed on path alone would then serve a stale uniform verdict and
+    * silently misread evolved schemas. Used by
     * [[graft.sources.Snapshots.read]] to take the plain-read fast path
     * when every referenced file shares one physical schema — a
     * `mergeSchema` read on a uniform table pays a distributed
     * footer-union for nothing. Production table formats stamp this in
-    * the manifest at commit time; here the driver-side footer read is
-    * bounded by file count and amortized by the memo.
+    * the manifest at commit time ([[graft.sources.Snapshots]] now does —
+    * this footer fallback covers pre-stats manifests and bare dirs).
     */
-  def schemaFingerprint(spark: SparkSession, path: String): String =
-    schemaFpMemo.getOrElseUpdate(path, {
+  def schemaFingerprint(spark: SparkSession, path: String): String = {
+    val st = LakeFs.fs(path).getFileStatus(
+      new org.apache.hadoop.fs.Path(path))
+    val key = s"$path|${st.getLen}|${st.getModificationTime}"
+    schemaFpMemo.getOrElseUpdate(key, {
+      footerReads.get().incrementAndGet()
       val conf = spark.sessionState.newHadoopConf()
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(path), conf))
-      try {
-        val s = rd.getFooter.getFileMetaData.getSchema.toString
-        java.util.Base64.getEncoder.encodeToString(
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      } finally rd.close()
+      try fingerprintOf(rd.getFooter.getFileMetaData.getSchema.toString)
+      finally rd.close()
     })
+  }
 
   private val schemaFpMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]

@@ -27,13 +27,26 @@ import org.apache.spark.sql.SparkSession
   */
 object LakeFs {
 
-  /** Hadoop conf of the active Spark session (falls back to a default
-    * `Configuration` so driver-side metadata helpers work without one).
+  /** Hadoop conf of the active Spark session; `getActiveSession` is
+    * thread-local, so a non-Spark driver thread (an OCC retry pool, a
+    * maintenance thread) falls back to the DEFAULT session before a bare
+    * `Configuration` — losing `spark.hadoop.*` (S3 credentials,
+    * endpoints) would silently resolve a different FileSystem for the
+    * manifests than for the data.
     */
   def conf(): Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+
+  /** Thread-local count of [[readString]] calls — a TEST hook proving
+    * metadata-read bounds (e.g. [[Snapshots.committedBatches]] reads ONE
+    * manifest per call, not one per version). Thread-local because the
+    * shared test JVM runs suites in parallel; all manifest I/O happens on
+    * the calling driver thread.
+    */
+  val readStringCalls: ThreadLocal[java.util.concurrent.atomic.AtomicLong] =
+    ThreadLocal.withInitial(() => new java.util.concurrent.atomic.AtomicLong)
 
   def fs(p: String): FileSystem = new Path(p).getFileSystem(conf())
 
@@ -55,7 +68,11 @@ object LakeFs {
   def fileLength(p: String): Long =
     fs(p).getFileStatus(new Path(p)).getLen
 
+  def modificationTime(p: String): Long =
+    fs(p).getFileStatus(new Path(p)).getModificationTime
+
   def readString(p: String): String = {
+    readStringCalls.get().incrementAndGet()
     val in = fs(p).open(new Path(p))
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -88,6 +105,35 @@ object LakeFs {
       try out.write(bytes) finally out.close()
     }
   }
+
+  /** Best-effort ADVISORY write (plain overwrite, NOT atomic) — for hint
+    * files whose loss or corruption readers must tolerate (e.g. the
+    * latest-version hint: a stale/garbled hint only costs extra probes,
+    * never correctness). Swallows every failure.
+    */
+  def writeHint(p: String, content: String): Unit =
+    try {
+      val out = fs(p).create(new Path(p), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Read an advisory hint written by [[writeHint]]; None on any failure
+    * (missing, unreadable, torn write).
+    */
+  def readHint(p: String): Option[String] =
+    try {
+      if (!exists(p)) None
+      else {
+        val in = fs(p).open(new Path(p))
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+          Some(new String(bos.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Rename `src` to `dst` (same filesystem), failing loudly on a false
     * return — a silent `rename=false` is how data files vanish.

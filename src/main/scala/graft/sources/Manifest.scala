@@ -179,6 +179,56 @@ object Manifest {
       }
       .map(_.getString(0)).toSeq.sorted
 
+  /** DISTRIBUTED bloom-manifest build — the scale path [[buildBloom]]'s
+    * driver loop is not: ONE Spark pass over the whole dir, column-pruned
+    * to the key, grouped by the reader's own `_metadata.file_name` and
+    * aggregated with [[graft.functions.BloomSketch.bloomAgg]] (partial
+    * aggregation = bitwise OR, so the map-side combine is exact). One
+    * job regardless of file count, vs one driver-launched job PER file —
+    * at 10^6 files the difference is 10^6 scheduler round-trips. Row
+    * counts ride the same pass (`count`). `expectedPerFile` sizes every
+    * filter (use the largest file's row count — an over-sized bloom
+    * keeps its fpp; an under-sized one degrades toward all-positive).
+    * Returns `(file NAME, rows, bloom bytes)` — the same schema
+    * [[writeBloom]] persists.
+    */
+  def buildBloomDistributed(spark: SparkSession, dir: String,
+      column: String, expectedPerFile: Long,
+      fpp: Double = 0.001): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_name").as("file"), col(column))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"),
+        graft.functions.BloomSketch.bloomAgg(col(column), expectedPerFile,
+          fpp).as("bloom"))
+
+  /** Persist the DISTRIBUTED bloom manifest as parquet
+    * (`file, rows, bloom`) — one job, any file count.
+    */
+  def writeBloomDistributed(spark: SparkSession, dir: String,
+      column: String, outPath: String, expectedPerFile: Long,
+      fpp: Double = 0.001): Unit =
+    buildBloomDistributed(spark, dir, column, expectedPerFile, fpp)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** DISTRIBUTED plan-time point-lookup pruning: filter the bloom
+    * manifest IN EXECUTORS ([[graft.functions.BloomSketch.mightContain]]
+    * per manifest row) and collect only the surviving file names — the
+    * driver never holds every filter (at 10^6 files × ~1 KB that is a
+    * ~GB of driver heap [[selectFilesBloom]] would collect). Same
+    * no-false-negative superset guarantee.
+    */
+  def selectFilesBloomDistributed(spark: SparkSession,
+      manifestPath: String, keys: Seq[Long]): Seq[String] = {
+    val man = spark.read.parquet(manifestPath)
+    val hit = keys.map(k =>
+        graft.functions.BloomSketch.mightContain(col("bloom"), lit(k)))
+      .reduce(_ || _)
+    man.where(hit).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Normalize a scan-reported file URI (`file:///tmp/x`) to the plain
     * path form the manifest stores — for comparing
     * [[Bucketing.filesRead]] ground truth against a selection.

@@ -18,17 +18,46 @@ import org.apache.spark.sql.functions._
   * {{{
   *   root/files/<name>.parquet        immutable data files (append-only)
   *   root/_deletes/<name>.parquet     position-delete sidecars (file, pos)
-  *   root/_manifests/v<N>.txt         version N: metadata lines + file list
+  *   root/_manifests/v<N>.txt         version N: metadata + file section
+  *   root/_manifests/_ckpt_v<N>.txt   full file list materialized by vacuum
+  *   root/_manifests/_latest.hint     advisory latest-version pointer
+  *   root/_manifests/_props.txt       table properties (ckpt=<interval>)
   * }}}
   *
-  * A version IS its manifest: plain lines are data-file names; lines
-  * starting with `#` are metadata —
+  * A version IS its manifest. Metadata lines (`#`-prefixed, carried
+  * forward in FULL on every commit so the latest manifest is
+  * self-sufficient):
   * {{{
+  *   #ts:<epochMillis>  commit timestamp (monotone; timestamp time travel)
   *   #batch:<id>        streaming batch committed (cumulative; exactly-once)
   *   #dv:<name>         live position-delete sidecar in _deletes/
   *   #map:<old>=<new>   logical column rename (applied at read)
   *   #widen:<col>=<t>   logical type widening to t ∈ {long, double}
   * }}}
+  *
+  * The FILE SECTION is either a full list or an INCREMENTAL DELTA — the
+  * fix for the one cost that would not scale: a full file list per
+  * commit is O(table files) metadata I/O per KB-scale commit (~100 MB
+  * per commit at 10^6 files). A delta manifest carries
+  * {{{
+  *   #parent:<v>        resolve against version v's file section
+  *   -<name>            file removed vs the parent
+  *   +<entry>           file added vs the parent (with its stats)
+  * }}}
+  * so commit bytes are ∝ CHANGED files. Every `checkpointInterval`-th
+  * version (and v1) is written full, bounding resolution to one short
+  * chain — the Delta checkpoint / Iceberg manifest-list economics.
+  * [[vacuum]] materializes the oldest kept version as a `_ckpt_v<N>.txt`
+  * sidecar before dropping its ancestors, so chains never dangle.
+  *
+  * Each data-file line carries COMMIT-TIME STATS —
+  * `name|r=<rows>|b=<bytes>|fp=<schemaMd5>|z:<col>=<min>..<max>` —
+  * stamped from ONE footer open when the file is adopted, so zone
+  * planning ([[deleteRange]]/[[upsert]]/[[deletePositions]]) and the
+  * uniform-schema read fast path parse the manifest instead of re-opening
+  * parquet footers on every operation (files lacking a stat fall back to
+  * a footer read — the conservative, format-compatible path). Plain
+  * `name` lines (pre-stats manifests) stay readable.
   *
   * Readers resolve the file list for a version and read exactly those
   * files; writers never mutate a data file. Every data file and sidecar
@@ -53,9 +82,29 @@ object Snapshots {
     */
   val DefaultBlockSize: Int = 128 * 1024 * 1024
 
+  /** Every Nth version is a full (checkpoint) manifest; versions between
+    * are deltas against their parent. Table-scoped via `_props.txt`
+    * (set at [[init]]); 16 bounds resolution to ≤ 15 short text reads
+    * while keeping >90% of commits delta-sized.
+    */
+  val DefaultCheckpointInterval: Int = 16
+
+  /** Default [[vacuum]] retention grace: an unreferenced file younger
+    * than this is NOT deleted — it may belong to a writer that has
+    * adopted its files but not yet committed its manifest (the
+    * Delta/Iceberg retention-window race guard).
+    */
+  val DefaultVacuumGraceMs: Long = 60L * 60L * 1000L
+
   private def manifestDir(root: String) = s"$root/_manifests"
   private def filesDir(root: String) = s"$root/files"
   private def deletesDir(root: String) = s"$root/_deletes"
+  private def manifestPath(root: String, v: Int) =
+    s"${manifestDir(root)}/v$v.txt"
+  private def ckptPath(root: String, v: Int) =
+    s"${manifestDir(root)}/_ckpt_v$v.txt"
+  private def hintPath(root: String) = s"${manifestDir(root)}/_latest.hint"
+  private def propsPath(root: String) = s"${manifestDir(root)}/_props.txt"
 
   private def uuid8(): String =
     java.util.UUID.randomUUID().toString.take(8)
@@ -64,11 +113,52 @@ object Snapshots {
   // Manifest model
   // ---------------------------------------------------------------------
 
-  /** Parsed manifest: `files` are the version's data-file names (sorted);
-    * `meta` are the `#` lines in commit order (order matters for chained
-    * column maps).
+  /** One data-file line of a manifest: the name plus the commit-time
+    * stats (row count, bytes, footer-schema fingerprint, per-column
+    * min/max zones). Stats are all optional — plain `name` lines from
+    * pre-stats manifests parse to an entry with none, and every consumer
+    * falls back to footer I/O for what the manifest does not carry.
     */
-  case class ManifestData(files: Seq[String], meta: Seq[String]) {
+  case class FileEntry(name: String, rows: Option[Long] = None,
+      bytes: Option[Long] = None, fp: Option[String] = None,
+      zones: Map[String, (Long, Long)] = Map.empty) {
+    def render: String = {
+      val parts = Seq(name) ++
+        rows.map(r => s"r=$r") ++ bytes.map(b => s"b=$b") ++
+        fp.map(f => s"fp=$f") ++
+        zones.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"z:$c=$mn..$mx"
+        }
+      parts.mkString("|")
+    }
+  }
+
+  object FileEntry {
+    def parse(line: String): FileEntry = {
+      val parts = line.split("\\|").toSeq
+      parts.tail.foldLeft(FileEntry(parts.head)) { (e, p) =>
+        if (p.startsWith("r=")) e.copy(rows = Some(p.drop(2).toLong))
+        else if (p.startsWith("b=")) e.copy(bytes = Some(p.drop(2).toLong))
+        else if (p.startsWith("fp=")) e.copy(fp = Some(p.drop(3)))
+        else if (p.startsWith("z:")) {
+          val Array(c, mm) = p.drop(2).split("=", 2)
+          val Array(mn, mx) = mm.split("\\.\\.", 2)
+          e.copy(zones = e.zones + (c -> (mn.toLong, mx.toLong)))
+        } else e // unknown stat: forward-compatible skip
+      }
+    }
+  }
+
+  /** Parsed + RESOLVED manifest: `entries` are the version's data files
+    * with their stats (delta chains already applied, sorted by name);
+    * `meta` are the carried `#` lines in commit order (order matters for
+    * chained column maps); `commitTs` is the `#ts:` stamp (None on
+    * pre-timestamp manifests); `isDelta` records whether the file
+    * section was delta-encoded.
+    */
+  case class ManifestData(entries: Seq[FileEntry], meta: Seq[String],
+      commitTs: Option[Long] = None, isDelta: Boolean = false) {
+    def files: Seq[String] = entries.map(_.name)
     def dvNames: Seq[String] =
       meta.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))
     def batchIds: Seq[Long] =
@@ -87,18 +177,63 @@ object Snapshots {
     def hasMappings: Boolean = columnMaps.nonEmpty || widenings.nonEmpty
   }
 
-  def latestVersion(root: String): Int =
-    LakeFs.listNames(manifestDir(root), ".txt")
-      .filter(_.startsWith("v"))
-      .map(_.stripPrefix("v").stripSuffix(".txt").toInt)
-      .foldLeft(0)(math.max)
+  /** Latest committed version — advisory-hint + forward-probe instead of
+    * a directory listing: the `_latest.hint` written after each commit
+    * points at (or just below) the true latest, and probing `exists`
+    * forward from it costs O(gap+1) metadata calls instead of O(versions)
+    * names per operation. A missing/garbled hint (legacy tables, torn
+    * write) falls back to the full listing — the hint is never trusted
+    * for correctness, only as a probe start.
+    */
+  def latestVersion(root: String): Int = {
+    val hinted = LakeFs.readHint(hintPath(root))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(v => v >= 1 && LakeFs.exists(manifestPath(root, v)))
+    hinted match {
+      case Some(start) =>
+        var v = start
+        while (LakeFs.exists(manifestPath(root, v + 1))) v += 1
+        v
+      case None =>
+        LakeFs.listNames(manifestDir(root), ".txt")
+          .filter(n => n.startsWith("v") && !n.contains("ckpt"))
+          .map(_.stripPrefix("v").stripSuffix(".txt").toInt)
+          .foldLeft(0)(math.max)
+    }
+  }
+
+  private def rawLines(root: String, version: Int): Seq[String] = {
+    val p = manifestPath(root, version)
+    require(LakeFs.exists(p), s"no such version: $version at $root")
+    LakeFs.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+  }
 
   def manifest(root: String, version: Int): ManifestData = {
-    val p = s"${manifestDir(root)}/v$version.txt"
-    require(LakeFs.exists(p), s"no such version: $version at $root")
-    val lines = LakeFs.readString(p).split("\n").toSeq.filter(_.nonEmpty)
-    val (meta, files) = lines.partition(_.startsWith("#"))
-    ManifestData(files.sorted, meta)
+    val lines = rawLines(root, version)
+    val parent = lines.find(_.startsWith("#parent:"))
+      .map(_.stripPrefix("#parent:").toInt)
+    val commitTs = lines.find(_.startsWith("#ts:"))
+      .map(_.stripPrefix("#ts:").toLong)
+    val meta = lines.filter(l => l.startsWith("#") &&
+      !l.startsWith("#parent:") && !l.startsWith("#ts:"))
+    val entries = parent match {
+      case None =>
+        lines.filterNot(_.startsWith("#")).map(FileEntry.parse)
+      case Some(pv) =>
+        val ck = ckptPath(root, version)
+        if (LakeFs.exists(ck)) // vacuum materialized this version full
+          LakeFs.readString(ck).split("\n").toSeq.filter(_.nonEmpty)
+            .map(FileEntry.parse)
+        else {
+          val base = manifest(root, pv).entries // chain ≤ ckpt interval
+          val removed = lines.filter(_.startsWith("-"))
+            .map(_.stripPrefix("-")).toSet
+          val added = lines.filter(_.startsWith("+"))
+            .map(l => FileEntry.parse(l.stripPrefix("+")))
+          base.filterNot(e => removed.contains(e.name)) ++ added
+        }
+    }
+    ManifestData(entries.sortBy(_.name), meta, commitTs, parent.nonEmpty)
   }
 
   /** The data-file names a version references (sorted). */
@@ -109,6 +244,20 @@ object Snapshots {
   def deleteSidecars(root: String, version: Int): Seq[String] =
     manifest(root, version).dvNames
 
+  /** The `#ts:` commit timestamp of a version (None on pre-timestamp
+    * manifests) — parsed without resolving the file section.
+    */
+  def commitTimestamp(root: String, version: Int): Option[Long] =
+    rawLines(root, version).find(_.startsWith("#ts:"))
+      .map(_.stripPrefix("#ts:").toLong)
+
+  private def checkpointIntervalOf(root: String): Int =
+    if (!LakeFs.exists(propsPath(root))) DefaultCheckpointInterval
+    else LakeFs.readString(propsPath(root)).split("\n")
+      .find(_.startsWith("ckpt="))
+      .map(_.stripPrefix("ckpt=").trim.toInt)
+      .getOrElse(DefaultCheckpointInterval)
+
   /** Commit a version manifest with OPTIMISTIC CONCURRENCY: the create
     * is exclusive ([[LakeFs.createNewAtomic]]), so two writers committing
     * from the same base version race on the same manifest name and
@@ -117,18 +266,43 @@ object Snapshots {
     * protocol). The loser's already-written data files are UUID-named
     * orphans, invisible to every reader and reclaimed by [[vacuum]] —
     * they can never overwrite the winner's files.
+    *
+    * The file section is written as a DELTA against `parent` unless this
+    * version is a checkpoint (version % interval == 0) or has no parent
+    * — commit bytes ∝ changed files. The `#ts:` stamp is forced strictly
+    * above the parent's so [[versionAsOf]] is well-defined even under
+    * clock skew between commits.
     */
-  private def writeManifest(root: String, version: Int,
-      names: Seq[String], meta: Seq[String] = Seq.empty): Unit = {
+  private def commitManifest(root: String, version: Int,
+      entries: Seq[FileEntry], meta: Seq[String],
+      parent: Option[(Int, ManifestData)]): Unit = {
     LakeFs.mkdirs(manifestDir(root))
-    val content = (meta ++ names.sorted).mkString("\n")
-    try LakeFs.createNewAtomic(s"${manifestDir(root)}/v$version.txt", content)
+    val ts = math.max(System.currentTimeMillis(),
+      parent.flatMap(_._2.commitTs).map(_ + 1).getOrElse(Long.MinValue))
+    val interval = checkpointIntervalOf(root)
+    val asDelta = parent.exists(_._1 == version - 1) &&
+      interval > 1 && version % interval != 0
+    val body =
+      if (!asDelta) entries.sortBy(_.name).map(_.render)
+      else {
+        val (pv, pm) = parent.get
+        val newNames = entries.map(_.name).toSet
+        val oldNames = pm.entries.map(_.name).toSet
+        Seq(s"#parent:$pv") ++
+          pm.entries.map(_.name).filterNot(newNames.contains).sorted
+            .map("-" + _) ++
+          entries.filterNot(e => oldNames.contains(e.name))
+            .sortBy(_.name).map("+" + _.render)
+      }
+    val content = (Seq(s"#ts:$ts") ++ meta ++ body).mkString("\n")
+    try LakeFs.createNewAtomic(manifestPath(root, version), content)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"version $version already committed at $root — " +
             "re-plan against the new latest", e)
     }
+    LakeFs.writeHint(hintPath(root), version.toString) // advisory only
   }
 
   /** Metadata lines that carry forward across commits: live sidecars,
@@ -148,6 +322,45 @@ object Snapshots {
     readFiles(spark, root, m, m.files, keepPos = false)
   }
 
+  /** The latest version whose commit timestamp is ≤ `tsMillis` —
+    * timestamp time travel (`TIMESTAMP AS OF`), the other half of the
+    * snapshot contract next to version time travel. Commit stamps are
+    * strictly monotone per table ([[commitManifest]]), so the scan from
+    * the latest version down stops at the first match. A pre-timestamp
+    * (legacy) manifest counts as infinitely old. Throws when `tsMillis`
+    * predates the table's surviving history (including history dropped
+    * by [[vacuum]]).
+    */
+  def versionAsOf(root: String, tsMillis: Long): Int = {
+    val latest = latestVersion(root)
+    require(latest >= 1, s"uninitialized snapshot table at $root")
+    var v = latest
+    while (v >= 1 && LakeFs.exists(manifestPath(root, v))) {
+      if (commitTimestamp(root, v).getOrElse(Long.MinValue) <= tsMillis)
+        return v
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the surviving history at $root")
+  }
+
+  /** Read the table as of a wall-clock instant — [[versionAsOf]] +
+    * [[read]].
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, versionAsOf(root, tsMillis))
+
+  /** Schema fingerprint lookup for a version's files: manifest stats
+    * when stamped (zero footer I/O), [[Bucketing.schemaFingerprint]]
+    * fallback otherwise.
+    */
+  private def fpLookup(spark: SparkSession, root: String,
+      m: ManifestData): String => String = {
+    val byPath = m.entries.flatMap(e =>
+      e.fp.map(f => s"${filesDir(root)}/${e.name}" -> f)).toMap
+    p => byPath.getOrElse(p, Bucketing.schemaFingerprint(spark, p))
+  }
+
   /** Plain parquet read of explicit paths with the schema-fingerprint
     * fast path: all files uniform → plain read (no `mergeSchema`
     * footer-union job); mixed physical schemas → `mergeSchema` (add-only
@@ -155,9 +368,8 @@ object Snapshots {
     * position-delete anti-join keys on.
     */
   private def rawRead(spark: SparkSession, paths: Seq[String],
-      withPos: Boolean): DataFrame = {
-    val uniform = paths.map(Bucketing.schemaFingerprint(spark, _))
-      .toSet.size <= 1
+      withPos: Boolean, fpOf: String => String): DataFrame = {
+    val uniform = paths.map(fpOf).toSet.size <= 1
     val rd = if (uniform) spark.read
       else spark.read.option("mergeSchema", "true")
     val df = rd.parquet(paths: _*)
@@ -176,11 +388,10 @@ object Snapshots {
     */
   private def groupedRead(spark: SparkSession, paths: Seq[String],
       maps: Seq[(String, String)], widens: Seq[(String, String)],
-      withPos: Boolean): DataFrame = {
-    val groups = paths.groupBy(Bucketing.schemaFingerprint(spark, _))
-      .toSeq.sortBy(_._1)
+      withPos: Boolean, fpOf: String => String): DataFrame = {
+    val groups = paths.groupBy(fpOf).toSeq.sortBy(_._1)
     val aligned = groups.map { case (_, ps) =>
-      var df = rawRead(spark, ps, withPos)
+      var df = rawRead(spark, ps, withPos, fpOf)
       maps.foreach { case (o, n) =>
         if (df.columns.contains(o) && !df.columns.contains(n))
           df = df.withColumnRenamed(o, n)
@@ -211,10 +422,11 @@ object Snapshots {
       names: Seq[String], keepPos: Boolean): DataFrame = {
     val paths = names.map(n => s"${filesDir(root)}/$n")
     val needPos = keepPos || m.dvNames.nonEmpty
+    val fpOf = fpLookup(spark, root, m)
     val base =
       if (m.hasMappings)
-        groupedRead(spark, paths, m.columnMaps, m.widenings, needPos)
-      else rawRead(spark, paths, needPos)
+        groupedRead(spark, paths, m.columnMaps, m.widenings, needPos, fpOf)
+      else rawRead(spark, paths, needPos, fpOf)
     val undeleted = dvFrame(spark, root, m) match {
       case None => base
       case Some(dv) =>
@@ -230,17 +442,42 @@ object Snapshots {
   // Init / append
   // ---------------------------------------------------------------------
 
-  /** Create version 1 by adopting the parquet files of `srcDir` (copied
-    * into the table's immutable file store). Returns the version (1).
+  /** One commit-time stats entry for an adopted file: ONE footer open
+    * ([[Bucketing.fileStatsEntry]]) yields rows + schema fingerprint +
+    * the zones of `statsCols`; bytes from the file status. This is the
+    * only footer I/O in the table's life for that file — every later
+    * plan parses the manifest.
     */
-  def init(spark: SparkSession, root: String, srcDir: String): Int = {
+  private def statEntry(spark: SparkSession, root: String, name: String,
+      statsCols: Seq[String]): FileEntry = {
+    val p = s"${filesDir(root)}/$name"
+    val (rows, fp, zones) = Bucketing.fileStatsEntry(spark, p, statsCols)
+    FileEntry(name, Some(rows), Some(LakeFs.fileLength(p)), Some(fp), zones)
+  }
+
+  /** Create version 1 by adopting the parquet files of `srcDir` (copied
+    * into the table's immutable file store), stamping commit-time stats
+    * for `statsCols` into the manifest. `checkpointInterval` is a table
+    * property (how often a full manifest interrupts the delta chain).
+    * Returns the version (1).
+    */
+  def init(spark: SparkSession, root: String, srcDir: String,
+      statsCols: Seq[String] = Seq.empty,
+      checkpointInterval: Int = DefaultCheckpointInterval): Int = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1: $checkpointInterval")
     LakeFs.mkdirs(filesDir(root))
     val names = Compaction.dataFileNames(srcDir).map { n =>
       LakeFs.copyFile(s"$srcDir/$n", s"${filesDir(root)}/$n")
       n
     }
     require(names.nonEmpty, s"no parquet files in $srcDir")
-    writeManifest(root, 1, names)
+    LakeFs.mkdirs(manifestDir(root))
+    if (checkpointInterval != DefaultCheckpointInterval)
+      try LakeFs.createNewAtomic(propsPath(root), s"ckpt=$checkpointInterval")
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    val entries = names.map(n => statEntry(spark, root, n, statsCols))
+    commitManifest(root, 1, entries, Seq.empty, None)
     1
   }
 
@@ -264,13 +501,20 @@ object Snapshots {
     names
   }
 
+  /** [[adoptFiles]] + commit-time stats for each adopted file. */
+  private def adoptEntries(spark: SparkSession, root: String, v: Int,
+      tag: String, statsCols: Seq[String])
+      (write: String => Unit): Seq[FileEntry] =
+    adoptFiles(root, v, tag)(write)
+      .map(n => statEntry(spark, root, n, statsCols))
+
   /** Range-sorted write of `df` into the file store under UUID-unique
-    * names.
+    * names, stats stamped for the sort column.
     */
   private def writeNewFiles(spark: SparkSession, root: String, v: Int,
       tag: String, df: DataFrame, sortCol: String, nFiles: Int,
-      blockSize: Int): Seq[String] =
-    adoptFiles(root, v, tag)(tmp =>
+      blockSize: Int): Seq[FileEntry] =
+    adoptEntries(spark, root, v, tag, Seq(sortCol))(tmp =>
       Bucketing.writeRangeSorted(df, sortCol, nFiles, tmp, blockSize))
 
   /** APPEND: commit `df` as new range-sorted file(s) referenced by a new
@@ -295,9 +539,10 @@ object Snapshots {
     val v = if (base >= 1) base else latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
-    val names = writeNewFiles(spark, root, v + 1, "append", df, sortCol,
+    val entries = writeNewFiles(spark, root, v + 1, "append", df, sortCol,
       nFiles, blockSize)
-    writeManifest(root, v + 1, m.files ++ names, carryMeta(m) ++ extraMeta)
+    commitManifest(root, v + 1, m.entries ++ entries,
+      carryMeta(m) ++ extraMeta, Some((v, m)))
     v + 1
   }
 
@@ -307,33 +552,57 @@ object Snapshots {
     * table semantics (the Delta txn-version pattern). The batch id is
     * part of the MANIFEST itself (`#batch:` line), so the data commit
     * and the idempotence marker are ONE atomic exclusive create — a
-    * crash can never land the data without the marker or vice versa —
-    * and the cumulative id set rides the latest manifest, surviving
-    * [[vacuum]]. Returns false iff skipped.
+    * crash can never land the data without the marker or vice versa.
+    *
+    * The id check and the commit are PINNED to one snapshot: the ids are
+    * read from the same latest manifest (the `#batch:` carry makes its
+    * set cumulative) that the commit extends as base+1, so a rival
+    * landing between check and commit forces
+    * ConcurrentModificationException instead of a double-append — the
+    * Delta txn appId/version validation inside the optimistic commit.
+    * If the rival turn out to have committed THIS batch id, the replay
+    * resolves to a clean skip. Returns false iff skipped.
     */
   def appendBatch(spark: SparkSession, root: String, df: DataFrame,
       sortCol: String, batchId: Long,
-      blockSize: Int = DefaultBlockSize): Boolean =
-    if (committedBatches(root).contains(batchId)) false
-    else {
-      appendWithMeta(spark, root, df, sortCol, 1, -1, blockSize,
-        Seq(s"#batch:$batchId"))
+      blockSize: Int = DefaultBlockSize): Boolean = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    if (m.batchIds.contains(batchId) ||
+        legacyBatchIds(root).contains(batchId)) false
+    else try {
+      val entries = writeNewFiles(spark, root, v + 1, "append", df, sortCol,
+        1, blockSize)
+      commitManifest(root, v + 1, m.entries ++ entries,
+        carryMeta(m) :+ s"#batch:$batchId", Some((v, m)))
       true
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // a rival commit landed first: if it carried this very batch id
+        // the replay is a skip; otherwise surface the race for retry
+        if (committedBatches(root).contains(batchId)) false else throw e
     }
+  }
 
-  /** The batch ids committed so far (sorted, distinct) — from the
-    * manifests' `#batch:` lines, plus legacy `_batch<id>` marker files
+  private def legacyBatchIds(root: String): Seq[Long] =
+    LakeFs.listNames(manifestDir(root))
+      .filter(_.startsWith("_batch"))
+      .map(_.stripPrefix("_batch").toLong)
+
+  /** The batch ids committed so far (sorted, distinct) — from the LATEST
+    * manifest's cumulative `#batch:` lines ONLY (the carry makes the set
+    * complete there — reading every manifest would be O(versions) driver
+    * I/O per streaming commit), plus legacy `_batch<id>` marker files
     * written by the pre-atomic layout.
     */
   def committedBatches(root: String): Seq[Long] = {
-    val fromManifests = LakeFs.listNames(manifestDir(root), ".txt")
-      .filter(_.startsWith("v"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
-      .flatMap(v => manifest(root, v).batchIds)
-    val legacy = LakeFs.listNames(manifestDir(root))
-      .filter(_.startsWith("_batch"))
-      .map(_.stripPrefix("_batch").toLong)
-    (fromManifests ++ legacy).distinct.sorted
+    val latest = latestVersion(root)
+    val fromLatest =
+      if (latest < 1) Seq.empty
+      else rawLines(root, latest).filter(_.startsWith("#batch:"))
+        .map(_.stripPrefix("#batch:").toLong)
+    (fromLatest ++ legacyBatchIds(root)).distinct.sorted
   }
 
   // ---------------------------------------------------------------------
@@ -350,17 +619,25 @@ object Snapshots {
       case _ => col(column).cast("long")
     }
 
-  /** Footer zones of the CURRENT version's files ONLY (never the whole
-    * store — planning must not grow with table history), with the
+  /** Zones of the CURRENT version's files ONLY (never the whole store —
+    * planning must not grow with table history), from the MANIFEST's
+    * commit-time stats where stamped (zero footer I/O — the production
+    * planning path) and parquet footers for the rest, with the
     * conservative contract: a file whose stats are missing or unusable
     * plans as `None` = must-touch, never an error.
     */
   private def planZones(spark: SparkSession, root: String,
-      names: Seq[String], column: String)
-      : Map[String, Option[(Long, Long)]] =
-    Bucketing.fileZones(spark,
-      names.map(n => s"${filesDir(root)}/$n"), column)
-      .map { case (name, _, z) => name -> z }.toMap
+      m: ManifestData, column: String)
+      : Map[String, Option[(Long, Long)]] = {
+    val (stamped, missing) = m.entries.partition(_.zones.contains(column))
+    val fromManifest = stamped.map(e => e.name -> Some(e.zones(column)))
+    val fromFooters =
+      if (missing.isEmpty) Seq.empty
+      else Bucketing.fileZones(spark,
+        missing.map(e => s"${filesDir(root)}/${e.name}"), column)
+        .map { case (name, _, z) => name -> z }
+    (fromManifest ++ fromFooters).toMap
+  }
 
   private def requireNoMappings(m: ManifestData, op: String): Unit =
     require(!m.hasMappings,
@@ -379,8 +656,8 @@ object Snapshots {
 
   /** Copy-on-write range delete on a long/timestamp-micros column: drop
     * every row with `lo <= column < hi` from the LATEST version, creating
-    * a new version. Files are planned from their FOOTER zone (no data
-    * scan): a file whose [min,max] misses the range is re-referenced
+    * a new version. Files are planned from their manifest/footer zone (no
+    * data scan): a file whose [min,max] misses the range is re-referenced
     * verbatim (zero I/O); the intersecting files are read as ONE frame
     * (position deletes applied, so merge-on-read rows never resurrect),
     * filtered, and rewritten as `touched.size` range-sorted files in ONE
@@ -395,17 +672,18 @@ object Snapshots {
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
     requireNoMappings(m, "deleteRange")
-    val zones = planZones(spark, root, m.files, column)
-    val (touched, untouched) = m.files.partition { n =>
-      zones(n) match {
+    val zones = planZones(spark, root, m, column)
+    val (touched, untouched) = m.entries.partition { e =>
+      zones(e.name) match {
         case Some((mn, mx)) => mx >= lo && mn < hi
         case None => true // statless file: cannot prove it misses
       }
     }
-    val newNames =
+    val newEntries =
       if (touched.isEmpty) Seq.empty
       else {
-        val df = readFiles(spark, root, m, touched, keepPos = false)
+        val df = readFiles(spark, root, m, touched.map(_.name),
+          keepPos = false)
         val micros = microsOf(df, column)
         // null-safe: a NULL key is outside any range and must be KEPT —
         // a bare !(cond) would evaluate NULL and silently drop the row
@@ -415,7 +693,8 @@ object Snapshots {
         else writeNewFiles(spark, root, v + 1, "delete", kept, column,
           touched.size, blockSize)
       }
-    writeManifest(root, v + 1, untouched ++ newNames, carryMeta(m))
+    commitManifest(root, v + 1, untouched ++ newEntries, carryMeta(m),
+      Some((v, m)))
     DeleteResult(v + 1, touched.size, untouched.size)
   }
 
@@ -456,7 +735,7 @@ object Snapshots {
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
     requireNoMappings(m, "deletePositions")
-    val zones = planZones(spark, root, m.files, column)
+    val zones = planZones(spark, root, m, column)
     val touched = m.files.filter { n =>
       zones(n) match {
         case Some((mn, mx)) => mx >= lo && mn < hi
@@ -464,11 +743,11 @@ object Snapshots {
       }
     }
     if (touched.isEmpty) {
-      writeManifest(root, v + 1, m.files, carryMeta(m))
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return MorDeleteResult(v + 1, 0L, 0, None)
     }
     val df = rawRead(spark, touched.map(n => s"${filesDir(root)}/$n"),
-      withPos = true)
+      withPos = true, fpLookup(spark, root, m))
     val micros = microsOf(df, column)
     val cand = df.where(micros >= lit(lo) && micros < lit(hi))
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
@@ -478,20 +757,25 @@ object Snapshots {
         cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
           "left_anti")
     }
-    commitSidecar(spark, root, v, m, fresh, touched.size)
+    val sidecar = writeSidecarFile(spark, root, v, fresh)
+    commitManifest(root, v + 1, m.entries,
+      carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
+    MorDeleteResult(v + 1, sidecar.map(_._2).getOrElse(0L), touched.size,
+      sidecar.map(_._1))
   }
 
   /** KEY-BASED merge-on-read delete — the GDPR erasure shape ("delete
     * every row of user X"): mark the positions of all rows whose
     * `keyCol` appears in `keys` (any multiplicity), across the whole
     * table, as one position-delete sidecar. Zone planning still helps
-    * when it can: files whose `keyCol` footer zone misses the key
-    * batch's [min, max] envelope are skipped outright; the rest get a
+    * when it can: files whose `keyCol` zone misses the key batch's
+    * [min, max] envelope are skipped outright; the rest get a
     * COLUMN-PRUNED probe (key column + row index only) with the keys
     * broadcast — on a time-sorted table the key zones are wide and the
     * probe honestly touches most files, but it reads one thin column,
-    * not the data. Zero files rewritten either way; [[optimize]] folds
-    * the marks later.
+    * not the data. A key batch whose values are non-numeric (no usable
+    * envelope) probes every file rather than silently skipping. Zero
+    * files rewritten either way; [[optimize]] folds the marks later.
     */
   def deletePositionsByKey(spark: SparkSession, root: String,
       keyCol: String, keys: DataFrame): MorDeleteResult = {
@@ -499,26 +783,17 @@ object Snapshots {
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
     requireNoMappings(m, "deletePositionsByKey")
-    val bounds = keys.agg(min(microsOf(keys, keyCol)),
-      max(microsOf(keys, keyCol))).head()
-    if (bounds.isNullAt(0)) {
-      writeManifest(root, v + 1, m.files, carryMeta(m))
+    if (keys.isEmpty) {
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return MorDeleteResult(v + 1, 0L, 0, None)
     }
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val zones = planZones(spark, root, m.files, keyCol)
-    val touched = m.files.filter { n =>
-      zones(n) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
+    val touched = keyEnvelopeTouched(spark, root, m, keyCol, keys)
     if (touched.isEmpty) {
-      writeManifest(root, v + 1, m.files, carryMeta(m))
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return MorDeleteResult(v + 1, 0L, 0, None)
     }
     val probe = rawRead(spark, touched.map(n => s"${filesDir(root)}/$n"),
-      withPos = true)
+      withPos = true, fpLookup(spark, root, m))
       .select(col(keyCol), col("__dv_file").as("file"),
         col("__dv_pos").as("pos"))
     val cand = probe
@@ -531,14 +806,41 @@ object Snapshots {
         cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
           "left_anti")
     }
-    commitSidecar(spark, root, v, m, fresh, touched.size)
+    val sidecar = writeSidecarFile(spark, root, v, fresh)
+    commitManifest(root, v + 1, m.entries,
+      carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
+    MorDeleteResult(v + 1, sidecar.map(_._2).getOrElse(0L), touched.size,
+      sidecar.map(_._1))
   }
 
-  /** Write `fresh` (file, pos) as a sidecar and commit v+1 — shared by
-    * both merge-on-read deletes.
+  /** The files a key batch might touch: zone-skip on the batch's
+    * [min, max] key envelope when the keys are numeric; EVERY file when
+    * they are not (a non-numeric key has no envelope — skipping would be
+    * silent data corruption, not an optimization).
     */
-  private def commitSidecar(spark: SparkSession, root: String, v: Int,
-      m: ManifestData, fresh: DataFrame, touched: Int): MorDeleteResult = {
+  private def keyEnvelopeTouched(spark: SparkSession, root: String,
+      m: ManifestData, keyCol: String, keys: DataFrame): Seq[String] = {
+    val bounds = keys.agg(min(microsOf(keys, keyCol)),
+      max(microsOf(keys, keyCol))).head()
+    if (bounds.isNullAt(0)) m.files
+    else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val zones = planZones(spark, root, m, keyCol)
+      m.files.filter { n =>
+        zones(n) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Write `fresh` (file, pos) as ONE sidecar parquet; None when empty.
+    * Returns (sidecar name, rows marked). Shared by every merge-on-read
+    * mutation; the caller owns the manifest commit.
+    */
+  private def writeSidecarFile(spark: SparkSession, root: String, v: Int,
+      fresh: DataFrame): Option[(String, Long)] = {
     val tmp = s"${deletesDir(root)}/__dv_${uuid8()}"
     fresh.coalesce(1).write.parquet(tmp)
     val name = s"dv_v${v + 1}_${uuid8()}.parquet"
@@ -552,12 +854,8 @@ object Snapshots {
     LakeFs.deleteRecursively(tmp)
     if (n == 0L) {
       LakeFs.delete(s"${deletesDir(root)}/$name")
-      writeManifest(root, v + 1, m.files, carryMeta(m))
-      MorDeleteResult(v + 1, 0L, touched, None)
-    } else {
-      writeManifest(root, v + 1, m.files, carryMeta(m) :+ s"#dv:$name")
-      MorDeleteResult(v + 1, n, touched, Some(name))
-    }
+      None
+    } else Some((name, n))
   }
 
   // ---------------------------------------------------------------------
@@ -577,17 +875,19 @@ object Snapshots {
     * `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` shape.
     *
     * The rewrite is ZONE-BOUNDED like [[deleteRange]]: update batches
-    * carry the table's sort column (`zoneCol`), so files whose footer
-    * zone misses the batch's [min, max] SHOULD contain no matches. That
+    * carry the table's sort column (`zoneCol`), so files whose zone
+    * misses the batch's [min, max] SHOULD contain no matches. That
     * is a layout invariant, not a law — a matched key whose stored row
     * drifted outside the batch's zone would silently survive next to its
     * replacement. So by default the zone plan is VERIFIED: a key-column
     * probe (column-pruned scan of the out-of-zone files, broadcast
-    * semi-join against the batch keys) promotes any file that actually
-    * holds a matched key into the rewrite set — correctness never
-    * depends on the invariant, only the probe's cost does. Callers whose
-    * layout guarantees the invariant (zoneCol == keyCol, or append-only
-    * keys) pass `trustZones = true` to skip the probe.
+    * semi-join against the batch keys, live position deletes applied so
+    * a MoR-deleted match cannot promote a file for nothing) promotes any
+    * file that actually holds a matched key into the rewrite set —
+    * correctness never depends on the invariant, only the probe's cost
+    * does. Callers whose layout guarantees the invariant (zoneCol ==
+    * keyCol, or append-only keys) pass `trustZones = true` to skip the
+    * probe.
     *
     * The batch itself is BROADCAST into the anti-join (an upsert batch
     * is operationally small; a batch the size of the table is a rewrite,
@@ -606,48 +906,128 @@ object Snapshots {
       .agg(min(microsOf(updates, zoneCol)), max(microsOf(updates, zoneCol)))
       .head()
     if (bounds.isNullAt(0)) { // empty batch: nothing to do but commit
-      writeManifest(root, v + 1, m.files, carryMeta(m))
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return UpsertResult(v + 1, 0, m.files.size, 0L)
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val zones = planZones(spark, root, m.files, zoneCol)
-    val (zoneTouched, zoneMissed) = m.files.partition { n =>
-      zones(n) match {
+    val zones = planZones(spark, root, m, zoneCol)
+    val (zoneTouched, zoneMissed) = m.entries.partition { e =>
+      zones(e.name) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
     }
-    // verify the zone plan: promote out-of-zone files that hold a
-    // matched key (key column + file name only — column-pruned)
+    val fpOf = fpLookup(spark, root, m)
+    // verify the zone plan: promote out-of-zone files that hold a LIVE
+    // matched key (key column + position only — column-pruned; position
+    // deletes applied so a MoR-deleted row cannot promote its file)
     val promoted: Set[String] =
       if (trustZones || zoneMissed.isEmpty) Set.empty
       else {
-        val probe = rawRead(spark,
-          zoneMissed.map(n => s"${filesDir(root)}/$n"), withPos = true)
+        val raw = rawRead(spark,
+          zoneMissed.map(e => s"${filesDir(root)}/${e.name}"),
+          withPos = true, fpOf)
+        val live = dvFrame(spark, root, m) match {
+          case None => raw
+          case Some(dv) =>
+            raw.join(dv,
+              raw("__dv_file") === dv("file") && raw("__dv_pos") === dv("pos"),
+              "left_anti")
+        }
+        val probe = live
           .select(col(keyCol), col("__dv_file").as("__f"))
           .join(broadcast(updates.select(col(keyCol)).distinct()),
             Seq(keyCol), "left_semi")
         probe.select(col("__f")).distinct()
           .collect().map(_.getString(0)).toSet
       }
-    val touched = zoneTouched ++ zoneMissed.filter(promoted.contains)
-    val untouched = zoneMissed.filterNot(promoted.contains)
+    val touched = zoneTouched ++ zoneMissed.filter(e => promoted(e.name))
+    val untouched = zoneMissed.filterNot(e => promoted(e.name))
     val nUpd = updates.count()
-    val keptNames =
+    val keptEntries =
       if (touched.isEmpty) Seq.empty
       else {
-        val tgt = readFiles(spark, root, m, touched, keepPos = false)
+        val tgt = readFiles(spark, root, m, touched.map(_.name),
+          keepPos = false)
         val kept = tgt.join(broadcast(updates.select(col(keyCol))),
           Seq(keyCol), "left_anti")
         if (kept.isEmpty) Seq.empty
         else writeNewFiles(spark, root, v + 1, "kept", kept, zoneCol,
           math.max(1, touched.size), blockSize)
       }
-    val updNames = writeNewFiles(spark, root, v + 1, "upsert",
+    val updEntries = writeNewFiles(spark, root, v + 1, "upsert",
       updates, zoneCol, 1, blockSize)
-    writeManifest(root, v + 1, untouched ++ keptNames ++ updNames,
-      carryMeta(m))
+    commitManifest(root, v + 1, untouched ++ keptEntries ++ updEntries,
+      carryMeta(m), Some((v, m)))
     UpsertResult(v + 1, touched.size, untouched.size, nUpd)
+  }
+
+  /** Result of a merge-on-read MERGE: the new version, positions marked
+    * (matched target rows retracted via sidecar), update rows appended,
+    * files probed for matches, and the sidecar name (None when the batch
+    * matched nothing).
+    */
+  case class MorUpsertResult(version: Int, markedPositions: Long,
+      appended: Long, touchedFiles: Int, sidecar: Option[String])
+
+  /** MERGE-ON-READ MERGE (the Iceberg v2 upsert shape): instead of
+    * rewriting every file holding a matched key ([[upsert]],
+    * copy-on-write), mark the matched rows' positions in ONE sidecar and
+    * APPEND the update rows as fresh files — one commit, ZERO existing
+    * files rewritten. The read (old rows anti-joined against the marks,
+    * plus the appended rows) is row-for-row the COW upsert's result;
+    * [[optimize]] folds the marks physically, exactly like the MoR
+    * deletes. Matched positions are found with the
+    * [[deletePositionsByKey]] probe: key-envelope zone skip where the
+    * keys are numeric, a column-pruned broadcast semi-join probe over the
+    * rest; rows already dv-marked stay deleted (their keys' update rows
+    * simply insert — MERGE semantics over the LIVE table).
+    *
+    * At 100 TB this is the MERGE economics that matter: a 10-row upsert
+    * into 10 wide files costs 10 file rewrites under COW but one KB
+    * sidecar + one KB append here — why Iceberg v2 made it the default
+    * MERGE mode for high-churn tables.
+    */
+  def upsertPositions(spark: SparkSession, root: String, keyCol: String,
+      zoneCol: String, updates: DataFrame,
+      blockSize: Int = DefaultBlockSize): MorUpsertResult = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    requireNoMappings(m, "upsertPositions")
+    val nUpd = updates.count()
+    if (nUpd == 0L) {
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
+      return MorUpsertResult(v + 1, 0L, 0L, 0, None)
+    }
+    val touched = keyEnvelopeTouched(spark, root, m, keyCol, updates)
+    val sidecar =
+      if (touched.isEmpty) None // pure insert: no position can match
+      else {
+        val probe = rawRead(spark,
+          touched.map(n => s"${filesDir(root)}/$n"),
+          withPos = true, fpLookup(spark, root, m))
+          .select(col(keyCol), col("__dv_file").as("file"),
+            col("__dv_pos").as("pos"))
+        val cand = probe
+          .join(broadcast(updates.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_semi")
+          .select(col("file"), col("pos"))
+        val fresh = dvFrame(spark, root, m) match {
+          case None => cand
+          case Some(dv) =>
+            cand.join(dv,
+              cand("file") === dv("file") && cand("pos") === dv("pos"),
+              "left_anti")
+        }
+        writeSidecarFile(spark, root, v, fresh)
+      }
+    val updEntries = writeNewFiles(spark, root, v + 1, "morup", updates,
+      zoneCol, 1, blockSize)
+    commitManifest(root, v + 1, m.entries ++ updEntries,
+      carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
+    MorUpsertResult(v + 1, sidecar.map(_._2).getOrElse(0L), nUpd,
+      touched.size, sidecar.map(_._1))
   }
 
   // ---------------------------------------------------------------------
@@ -665,8 +1045,8 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
-    writeManifest(root, v + 1, m.files,
-      carryMeta(m) :+ s"#map:$oldName=$newName")
+    commitManifest(root, v + 1, m.entries,
+      carryMeta(m) :+ s"#map:$oldName=$newName", Some((v, m)))
     v + 1
   }
 
@@ -682,8 +1062,8 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
-    writeManifest(root, v + 1, m.files,
-      carryMeta(m) :+ s"#widen:$column=$toType")
+    commitManifest(root, v + 1, m.entries,
+      carryMeta(m) :+ s"#widen:$column=$toType", Some((v, m)))
     v + 1
   }
 
@@ -705,10 +1085,10 @@ object Snapshots {
       nFiles: Int, blockSize: Int = DefaultBlockSize): Int = {
     val v = latestVersion(root)
     val m = manifest(root, v)
-    val names = writeNewFiles(spark, root, v + 1, "opt",
+    val entries = writeNewFiles(spark, root, v + 1, "opt",
       read(spark, root, v), sortCol, nFiles, blockSize)
-    writeManifest(root, v + 1, names,
-      m.meta.filter(_.startsWith("#batch:")))
+    commitManifest(root, v + 1, entries,
+      m.meta.filter(_.startsWith("#batch:")), Some((v, m)))
     v + 1
   }
 
@@ -727,7 +1107,8 @@ object Snapshots {
     * Position-delete marks on the rewritten small files fold in (the
     * read applies them); marks on reused files stay live via the
     * carried `#dv:` lines. Needs a mapping-free table like every
-    * zone-planned mutation.
+    * zone-planned mutation. File sizes come from the manifest's
+    * commit-time stats (fs-stat fallback for pre-stats entries).
     *
     * At 100 TB this is the ONLY affordable compaction: a streaming
     * table accretes KB-scale commit files daily on top of TB of
@@ -743,21 +1124,23 @@ object Snapshots {
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
     requireNoMappings(m, "optimizeBinPack")
-    val sized = m.files.map(n =>
-      n -> LakeFs.fileLength(s"${filesDir(root)}/$n"))
+    val sized = m.entries.map(e => e -> e.bytes.getOrElse(
+      LakeFs.fileLength(s"${filesDir(root)}/${e.name}")))
     val (small, big) = sized.partition(_._2 < targetBytes)
     if (small.size <= 1) { // nothing to pack: 0 or 1 undersized file
-      writeManifest(root, v + 1, m.files, carryMeta(m))
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return BinPackResult(v + 1, 0, m.files.size, m.files.size)
     }
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L,
       (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(spark, root, m, small.map(_._1), keepPos = false)
-    val names = writeNewFiles(spark, root, v + 1, "pack", df, sortCol,
+    val df = readFiles(spark, root, m, small.map(_._1.name),
+      keepPos = false)
+    val packed = writeNewFiles(spark, root, v + 1, "pack", df, sortCol,
       nOut, blockSize)
-    writeManifest(root, v + 1, big.map(_._1) ++ names, carryMeta(m))
-    BinPackResult(v + 1, small.size, big.size, big.size + names.size)
+    commitManifest(root, v + 1, big.map(_._1) ++ packed, carryMeta(m),
+      Some((v, m)))
+    BinPackResult(v + 1, small.size, big.size, big.size + packed.size)
   }
 
   /** OPTIMIZE ... ZORDER BY — the Delta/Iceberg clustering rewrite: the
@@ -768,7 +1151,9 @@ object Snapshots {
     * [[Manifest.buildTs2]] plans against). Folds sidecars and
     * materializes column mappings exactly like [[optimize]] — one range
     * shuffle of the live data either way; choosing the clustered layout
-    * is free at compaction time. Returns the new version.
+    * is free at compaction time. Z-dimensions may be computed
+    * expressions, so the new entries carry no zone stats (footer
+    * fallback covers later plans). Returns the new version.
     */
   def optimizeZOrder(spark: SparkSession, root: String, colA: Column,
       colB: Column, nFiles: Int,
@@ -776,10 +1161,10 @@ object Snapshots {
     val v = latestVersion(root)
     val m = manifest(root, v)
     val df = read(spark, root, v)
-    val names = adoptFiles(root, v + 1, "zopt")(tmp =>
+    val entries = adoptEntries(spark, root, v + 1, "zopt", Seq.empty)(tmp =>
       Bucketing.writeZOrderedFiles(df, colA, colB, nFiles, tmp, blockSize))
-    writeManifest(root, v + 1, names,
-      m.meta.filter(_.startsWith("#batch:")))
+    commitManifest(root, v + 1, entries,
+      m.meta.filter(_.startsWith("#batch:")), Some((v, m)))
     v + 1
   }
 
@@ -808,28 +1193,54 @@ object Snapshots {
 
   /** VACUUM: drop every version below `keepFrom` and physically delete
     * the data files AND delete-sidecars no surviving manifest references
-    * (including orphans a losing OCC writer left behind). Returns
-    * (manifests dropped, files deleted). The retention half of
-    * copy-on-write: old versions are free until you reclaim them, and
-    * reclaiming must never touch a file a LIVE version still references.
+    * (including orphans a losing OCC writer left behind) — PROVIDED they
+    * are older than `graceMs`: a just-written unreferenced file may
+    * belong to a writer between its file adoption and its manifest
+    * commit, and deleting it would let that writer commit a manifest
+    * referencing vanished files (the retention-window race every
+    * production VACUUM guards with; tests pass 0 to reclaim
+    * immediately). If `keepFrom`'s manifest is a delta whose chain
+    * reaches below the cut, its full file list is first materialized as
+    * a `_ckpt_v<keepFrom>.txt` sidecar so resolution never dangles.
+    * Returns (manifests dropped, files deleted).
     */
-  def vacuum(root: String, keepFrom: Int): (Int, Int) = {
+  def vacuum(root: String, keepFrom: Int,
+      graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     val latest = latestVersion(root)
     require(keepFrom <= latest, s"keepFrom $keepFrom > latest $latest")
+    if (keepFrom > 1) {
+      val mk = manifest(root, keepFrom) // resolve while the chain is intact
+      if (mk.isDelta && !LakeFs.exists(ckptPath(root, keepFrom)))
+        try LakeFs.createNewAtomic(ckptPath(root, keepFrom),
+          mk.entries.sortBy(_.name).map(_.render).mkString("\n"))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        }
+    }
     val dropped = (1 until keepFrom).count { v =>
-      LakeFs.delete(s"${manifestDir(root)}/v$v.txt")
+      LakeFs.delete(ckptPath(root, v))
+      LakeFs.delete(manifestPath(root, v))
     }
     val liveManifests = (keepFrom to latest)
-      .filter(v => LakeFs.exists(s"${manifestDir(root)}/v$v.txt"))
+      .filter(v => LakeFs.exists(manifestPath(root, v)))
       .map(v => manifest(root, v))
     val liveFiles = liveManifests.flatMap(_.files).toSet
     val liveDv = liveManifests.flatMap(_.dvNames).toSet
+    val now = System.currentTimeMillis()
+    def reclaimable(p: String): Boolean =
+      now - LakeFs.modificationTime(p) >= graceMs
     val deletedData = Compaction.dataFileNames(filesDir(root))
       .filterNot(liveFiles.contains)
-      .count(n => LakeFs.delete(s"${filesDir(root)}/$n"))
+      .count { n =>
+        val p = s"${filesDir(root)}/$n"
+        reclaimable(p) && LakeFs.delete(p)
+      }
     val deletedDv = Compaction.dataFileNames(deletesDir(root))
       .filterNot(liveDv.contains)
-      .count(n => LakeFs.delete(s"${deletesDir(root)}/$n"))
+      .count { n =>
+        val p = s"${deletesDir(root)}/$n"
+        reclaimable(p) && LakeFs.delete(p)
+      }
     (dropped, deletedData + deletedDv)
   }
 

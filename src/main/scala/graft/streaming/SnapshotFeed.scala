@@ -72,18 +72,26 @@ object SnapshotFeed {
       .unionByName(incoming, allowMissingColumns = true)
   }
 
-  /** Drain every unprocessed version delta exactly once. `apply`
+  /** Drain unprocessed version deltas exactly once, at most
+    * `maxVersions` per call — the BACKPRESSURE bound a restarted
+    * consumer with a deep backlog needs: without it, one drain hands the
+    * consumer the entire backlog in a single call (memory/latency spike
+    * ∝ downtime); with it, the consumer catches up in bounded steps and
+    * every step is individually restart-safe (each version commits its
+    * own marker, so a kill between steps loses nothing). `apply`
     * receives `(netAdded, netRemoved, version, outPath)` and must write
     * anything durable at `outPath` idempotently (e.g. a parquet
     * overwrite); the marker commits only after it returns. Returns the
     * versions processed by THIS call (empty when caught up).
     */
-  def drain(spark: SparkSession, root: String, stateDir: String)
+  def drain(spark: SparkSession, root: String, stateDir: String,
+      maxVersions: Int = Int.MaxValue)
       (apply: (DataFrame, DataFrame, Int, String) => Unit): Seq[Int] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1: $maxVersions")
     LakeFs.mkdirs(stateDir)
     val from = cursor(stateDir)
     val latest = Snapshots.latestVersion(root)
-    ((from + 1) to latest).map { v =>
+    ((from + 1) to latest).take(maxVersions).map { v =>
       val (added, removed) = Snapshots.netChanges(spark, root, v - 1, v)
       apply(added, removed, v, s"$stateDir/delta_v$v")
       LakeFs.createNewAtomic(s"$stateDir/_v$v.done")

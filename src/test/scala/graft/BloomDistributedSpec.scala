@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.{Compaction, Manifest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.sources.Manifest.buildBloomDistributed]] /
+  * [[selectFilesBloomDistributed]] — the executor-side bloom manifest:
+  * one Spark pass builds every file's filter (vs one driver job per
+  * file), and the probe filters the manifest in executors (vs
+  * collecting every filter to the driver).
+  */
+class BloomDistributedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** `n` range files of 2500 keys each (zone i = [2500i, 2500(i+1))). */
+  private def rangeDir(n: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bloomd").toString
+    val out = s"$d/t"
+    new java.io.File(out).mkdirs()
+    (0 until n).foreach { i =>
+      (i * 2500 until (i + 1) * 2500).map(k => (k.toLong, k % 7))
+        .toDF("k", "grp").coalesce(1)
+        .write.parquet(s"$out/__part$i")
+      val one = Compaction.dataFiles(s"$out/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(out, f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$out/__part$i"))
+    }
+    out
+  }
+
+  test("distributed build matches the driver build's selections: no " +
+      "false negatives, same files chosen for the same lookups") {
+    val dir = rangeDir(4)
+    val manDriver = s"${dir}_man_driver"
+    val manDist = s"${dir}_man_dist"
+    Manifest.writeBloom(spark, dir, "k", manDriver)
+    Manifest.writeBloomDistributed(spark, dir, "k", manDist,
+      expectedPerFile = 2500L)
+    // row counts ride the distributed pass
+    val rows = spark.read.parquet(manDist)
+      .select(col("file"), col("rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 4 && rows.values.forall(_ == 2500L))
+    // point lookups: every key's TRUE file is always selected (the
+    // no-false-negative law), on both builds, executor- or driver-probed
+    for (k <- Seq(0L, 1234L, 2500L, 7499L, 9999L)) {
+      val truth = f"part-${k / 2500}%05d.parquet"
+      val dvr = Manifest.selectFilesBloom(spark, manDriver, Seq(k))
+      val dst = Manifest.selectFilesBloomDistributed(spark, manDist, Seq(k))
+      assert(dvr.contains(truth), s"driver build lost $k")
+      assert(dst.contains(truth), s"distributed build lost $k")
+      assert(dst == dvr,
+        s"builds disagree for $k: driver=$dvr distributed=$dst")
+    }
+    // multi-key lookup spanning two zones selects (at least) both
+    val two = Manifest.selectFilesBloomDistributed(spark, manDist,
+      Seq(10L, 9000L))
+    assert(two.contains("part-00000.parquet") &&
+      two.contains("part-00003.parquet"))
+    // a key in no file selects nothing (deterministic hashing — pinning
+    // the absence documents the fpp regime at this scale)
+    assert(Manifest.selectFilesBloomDistributed(spark, manDist,
+      Seq(123456789L)).isEmpty)
+  }
+
+  test("build cost is ONE pass regardless of file count: the job tally " +
+      "does not grow with files (the driver loop's did, one per file)") {
+    def jobsFor(nFiles: Int): Int = {
+      val dir = rangeDir(nFiles)
+      val group = s"bloom-build-$nFiles-${System.nanoTime()}"
+      try {
+        spark.sparkContext.setJobGroup(group, "bloom build", false)
+        val n = Manifest.buildBloomDistributed(spark, dir, "k", 2500L)
+          .count()
+        assert(n == nFiles.toLong)
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    val j2 = jobsFor(2)
+    val j8 = jobsFor(8)
+    assert(j2 >= 1 && j8 == j2,
+      s"job count grew with file count: 2 files -> $j2 jobs, " +
+        s"8 files -> $j8 jobs")
+  }
+}

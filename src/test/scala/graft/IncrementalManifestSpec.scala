@@ -1,0 +1,303 @@
+package graft
+
+import graft.sources.{Bucketing, Compaction, LakeFs, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 manifest economics ([[graft.sources.Snapshots]]): delta
+  * manifests + checkpoints (commit cost ∝ changed files, not table file
+  * count), commit-time file stats (zone planning / fingerprinting with
+  * ZERO plan-time footer I/O), latest-only batch-id reads pinned to the
+  * commit snapshot, vacuum retention grace, and timestamp time travel.
+  */
+class IncrementalManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 4 range-sorted files of 10k rows, key 0..9999 (the LakehouseSpec
+    * layout: zone i covers [2500i, 2500(i+1)) exactly).
+    */
+  private def freshTable(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val out = s"$d/t"
+    new java.io.File(out).mkdirs()
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500).map(k => (k.toLong, k % 7))
+        .toDF("k", "grp").coalesce(1)
+        .write.parquet(s"$out/__part$i")
+      val one = Compaction.dataFiles(s"$out/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(out, f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$out/__part$i"))
+    }
+    out
+  }
+
+  private def rawManifest(root: String, v: Int): Seq[String] =
+    LakeFs.readString(s"$root/_manifests/v$v.txt")
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  test("delta manifests resolve identically to an independent replay of " +
+      "the raw add/remove lines; checkpoints interrupt the chain") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mc").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"),
+      checkpointInterval = 4)
+    (1 to 9).foreach { i =>
+      Snapshots.append(spark, root,
+        Seq((10000L + i, i)).toDF("k", "grp"), "k")
+    }
+    Snapshots.deleteRange(spark, root, "k", 0L, 2500L) // v11: -1 file
+    val latest = Snapshots.latestVersion(root)
+    assert(latest == 11)
+    // independent replay: fold the RAW manifest lines from v1 forward,
+    // never trusting the library's resolution
+    var expect = Set.empty[String]
+    (1 to latest).foreach { v =>
+      val lines = rawManifest(root, v)
+      val isDelta = lines.exists(_.startsWith("#parent:"))
+      // checkpoint law: v1 and every 4th version are FULL, rest delta
+      assert(isDelta == (v != 1 && v % 4 != 0),
+        s"v$v delta=$isDelta violates interval-4 checkpointing")
+      if (!isDelta)
+        expect = lines.filterNot(_.startsWith("#"))
+          .map(_.split("\\|").head).toSet
+      else {
+        expect = expect --
+          lines.filter(_.startsWith("-")).map(_.stripPrefix("-")) ++
+          lines.filter(_.startsWith("+"))
+            .map(_.stripPrefix("+").split("\\|").head)
+      }
+      assert(Snapshots.resolve(root, v).toSet == expect, s"v$v diverged")
+    }
+    // commit bytes ∝ changed files: each append's delta carries exactly
+    // ONE file-section line (+1 add) no matter how many files the table
+    // holds; the delete carries 1 remove + 1 add (rewritten survivor)
+    val appendDelta = rawManifest(root, 2)
+    assert(appendDelta.count(l =>
+      l.startsWith("+") || l.startsWith("-")) == 1)
+    // the delete wipes the zone-0 file entirely: remove-only delta
+    val deleteDelta = rawManifest(root, 11)
+    assert(deleteDelta.count(_.startsWith("-")) == 1)
+    assert(deleteDelta.count(_.startsWith("+")) == 0)
+    // and the data is exactly right through the whole chain
+    val v11 = Snapshots.read(spark, root, 11)
+    assert(v11.count() == 10000L - 2500L + 9L)
+    assert(v11.where(col("k") < 2500L).isEmpty)
+  }
+
+  test("checkpointInterval=1 writes every manifest full — the " +
+      "delta-free twin mode") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcfull").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"),
+      checkpointInterval = 1)
+    (1 to 3).foreach { i =>
+      Snapshots.append(spark, root,
+        Seq((10000L + i, i)).toDF("k", "grp"), "k")
+    }
+    (1 to 4).foreach { v =>
+      assert(!rawManifest(root, v).exists(_.startsWith("#parent:")))
+    }
+    assert(Snapshots.resolve(root, 4).size == 7)
+  }
+
+  test("vacuum materializes the oldest kept delta as a checkpoint " +
+      "sidecar: resolution survives dropping the chain's ancestors") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcvac").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    (1 to 5).foreach { i => // v2..v6, all deltas (interval 16)
+      Snapshots.append(spark, root,
+        Seq((10000L + i, i)).toDF("k", "grp"), "k")
+    }
+    assert(rawManifest(root, 4).exists(_.startsWith("#parent:")))
+    val before = (4 to 6).map(v => Snapshots.resolve(root, v))
+    Snapshots.vacuum(root, keepFrom = 4, graceMs = 0L)
+    assert(LakeFs.exists(s"$root/_manifests/_ckpt_v4.txt"))
+    assert((4 to 6).map(v => Snapshots.resolve(root, v)) == before)
+    intercept[IllegalArgumentException](Snapshots.resolve(root, 3))
+    assert(Snapshots.read(spark, root, 6).count() == 10005L)
+  }
+
+  test("commit-time stats make planning footer-free: a MoR delete on a " +
+      "stats-bearing table opens ZERO parquet footers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcstats").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    val ctr = Bucketing.footerReads.get()
+    val before = ctr.get()
+    val r = Snapshots.deletePositions(spark, root, "k", 100L, 200L)
+    assert(ctr.get() == before,
+      "zone planning re-opened footers despite manifest stats")
+    assert(r.markedPositions == 100L && r.touchedFiles == 1)
+    // the read fast-path fingerprints from the manifest too
+    val before2 = ctr.get()
+    assert(Snapshots.read(spark, root, 2).count() == 9900L)
+    assert(ctr.get() == before2,
+      "read-path fingerprinting re-opened footers despite manifest fp")
+    // and zone pruning itself still holds: only the zone-0 file touched
+    assert(r.sidecar.nonEmpty)
+  }
+
+  test("committedBatches reads ONE manifest regardless of version " +
+      "count — the cumulative #batch carry makes the latest sufficient") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcbatch").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    (0 until 6).foreach { i =>
+      assert(Snapshots.appendBatch(spark, root,
+        Seq((20000L + i, i)).toDF("k", "grp"), "k", i.toLong))
+    }
+    val ctr = LakeFs.readStringCalls.get()
+    val before = ctr.get()
+    assert(Snapshots.committedBatches(root) == (0L to 5L))
+    assert(ctr.get() - before == 1,
+      s"committedBatches read ${ctr.get() - before} manifests, want 1")
+  }
+
+  test("appendBatch is pinned to its snapshot: two concurrent replays " +
+      "of one batch id land exactly one copy") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcpin").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    val b = Seq((30000L, 1)).toDF("k", "grp")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        results.add(
+          Snapshots.commitWithRetry() {
+            Snapshots.appendBatch(spark, root, b, "k", 7L)
+          })
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(120000))
+    assert(results.size == 2)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(identity) == 1,
+      s"exactly one replay must win: $results")
+    val latest = Snapshots.latestVersion(root)
+    assert(Snapshots.read(spark, root, latest)
+      .where(col("k") === 30000L).count() == 1L)
+    assert(Snapshots.committedBatches(root) == Seq(7L))
+  }
+
+  test("vacuum retention grace: a just-written unreferenced file " +
+      "survives the default window (the adopt-then-commit race guard)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcgrace").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    Snapshots.append(spark, root, Seq((40000L, 1)).toDF("k", "grp"), "k")
+    // an orphan as a mid-commit writer would leave it: adopted data
+    // file, manifest not yet committed
+    val orphan = s"$root/files/orphan_inflight.parquet"
+    LakeFs.copyFile(s"$root/files/" +
+      Snapshots.resolve(root, 1).head, orphan)
+    val (_, deletedGraced) = Snapshots.vacuum(root, keepFrom = 2)
+    assert(deletedGraced == 0, "grace window must protect young orphans")
+    assert(LakeFs.exists(orphan))
+    val (_, deletedNow) = Snapshots.vacuum(root, keepFrom = 2, graceMs = 0L)
+    assert(deletedNow == 1)
+    assert(!LakeFs.exists(orphan))
+  }
+
+  test("timestamp time travel: versionAsOf resolves the newest version " +
+      "at or before the instant; pre-history throws") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcts").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    Snapshots.append(spark, root, Seq((50000L, 1)).toDF("k", "grp"), "k")
+    Snapshots.deleteRange(spark, root, "k", 0L, 2500L)
+    val ts = (1 to 3).map(v => Snapshots.commitTimestamp(root, v).get)
+    assert(ts == ts.sorted && ts.distinct == ts, "stamps must be monotone")
+    assert(Snapshots.versionAsOf(root, ts(0)) == 1)
+    assert(Snapshots.versionAsOf(root, ts(1)) == 2)
+    assert(Snapshots.versionAsOf(root, ts(2)) == 3)
+    assert(Snapshots.versionAsOf(root, ts(2) - 1) < 3)
+    assert(Snapshots.versionAsOf(root, ts(2) + 1000000L) == 3)
+    intercept[IllegalArgumentException](
+      Snapshots.versionAsOf(root, ts(0) - 1))
+    assert(Snapshots.readAsOf(spark, root, ts(1)).count() == 10001L)
+    assert(Snapshots.readAsOf(spark, root, ts(2)).count() == 7501L)
+  }
+
+  test("latestVersion is hint-accelerated but never hint-dependent: " +
+      "stale, garbled, or missing hints all resolve correctly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mchint").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    (1 to 3).foreach { i =>
+      Snapshots.append(spark, root, Seq((60000L + i, i)).toDF("k", "grp"),
+        "k")
+    }
+    val hint = s"$root/_manifests/_latest.hint"
+    assert(Snapshots.latestVersion(root) == 4)
+    LakeFs.writeHint(hint, "2") // stale: probe forward
+    assert(Snapshots.latestVersion(root) == 4)
+    LakeFs.writeHint(hint, "not-a-number") // garbled: fall back to listing
+    assert(Snapshots.latestVersion(root) == 4)
+    LakeFs.delete(hint) // missing (legacy table): listing
+    assert(Snapshots.latestVersion(root) == 4)
+  }
+
+  test("schema fingerprints invalidate when a path is rewritten — the " +
+      "memo keys on (path, length, mtime), not path alone") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_fpmemo").toString
+    val p = s"$d/f.parquet"
+    def writeAs(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$d/tmp")
+      val one = Compaction.dataFiles(s"$d/tmp") match { case Seq(f) => f }
+      LakeFs.delete(p)
+      java.nio.file.Files.move(one.toPath, new java.io.File(p).toPath)
+    }
+    writeAs(Seq((1L, 2)).toDF("a", "b"))
+    val fp1 = Bucketing.schemaFingerprint(spark, p)
+    writeAs(Seq((1L, 2.5, "x")).toDF("a", "c", "d")) // same path, new schema
+    val fp2 = Bucketing.schemaFingerprint(spark, p)
+    assert(fp1 != fp2, "stale fingerprint served for a rewritten path")
+  }
+
+  test("the upsert zone-verify probe applies live deletion vectors: a " +
+      "MoR-deleted match cannot promote its file into the rewrite set") {
+    // table sorted/zoned on z but KEYED on k (k runs opposite to z), so
+    // a matched key can live OUTSIDE the batch's zone — the probe's job
+    val d = java.nio.file.Files.createTempDirectory("graft_pdv").toString
+    (0 until 4).foreach { i =>
+      (i * 2500 until (i + 1) * 2500)
+        .map(j => (j.toLong, (9999 - j).toLong, j % 7))
+        .toDF("z", "k", "grp").coalesce(1)
+        .write.parquet(s"$d/t/__part$i")
+      val one = Compaction.dataFiles(s"$d/t/__part$i") match {
+        case Seq(f) => f
+      }
+      java.nio.file.Files.move(one.toPath,
+        new java.io.File(s"$d/t", f"part-$i%05d.parquet").toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$d/t/__part$i"))
+    }
+    val root = s"$d/snap"
+    Snapshots.init(spark, root, s"$d/t")
+    // k=9899 lives at z=100 in the zone-0 file; MoR-delete it first
+    Snapshots.deletePositionsByKey(spark, root, "k",
+      Seq(9899L).toDF("k"))
+    val zone0 = Snapshots.resolve(root, 2).find(_.contains("part-00000"))
+      .getOrElse(fail("zone-0 file missing"))
+    // the update says z=9000: zone plan touches only the zone-3 file;
+    // the probe sees k=9899's stored row is DEAD → zone-0 stays reused
+    val r = Snapshots.upsert(spark, root, "k", "z",
+      Seq((9000L, 9899L, 55)).toDF("z", "k", "grp"))
+    assert(Snapshots.resolve(root, r.version).contains(zone0),
+      "probe promoted a file whose only match was MoR-deleted")
+    val v = Snapshots.read(spark, root, r.version)
+    assert(v.where(col("k") === 9899L).count() == 1L) // the update row
+    assert(v.where(col("k") === 9899L).select(col("grp"))
+      .head().getInt(0) == 55)
+  }
+}

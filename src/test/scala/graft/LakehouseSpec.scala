@@ -245,7 +245,7 @@ class LakehouseSpec extends AnyFunSuite {
     // vacuum to latest: old manifests dropped, their exclusive files
     // physically deleted, the live version untouched
     val onDisk = Compaction.dataFiles(s"$root/files").size
-    val (manifests, deleted) = Snapshots.vacuum(root, keepFrom = 4)
+    val (manifests, deleted) = Snapshots.vacuum(root, keepFrom = 4, graceMs = 0L)
     assert(manifests == 3)
     assert(deleted == onDisk - 2, "vacuum must delete ALL unreferenced files")
     assert(Compaction.dataFiles(s"$root/files").size == 2)
@@ -388,7 +388,7 @@ class LakehouseSpec extends AnyFunSuite {
     val referenced = (1 to 2).flatMap(Snapshots.resolve(root, _)).distinct
     assert(onDisk == referenced.size + 1)
     // ...and vacuum reclaims exactly it
-    val (_, deleted) = Snapshots.vacuum(root, keepFrom = 1)
+    val (_, deleted) = Snapshots.vacuum(root, keepFrom = 1, graceMs = 0L)
     assert(deleted == 1)
     assert(Compaction.dataFileNames(s"$root/files").size == referenced.size)
   }
@@ -406,7 +406,7 @@ class LakehouseSpec extends AnyFunSuite {
     Snapshots.append(spark, root, Seq((80001L, 3)).toDF("k", "grp"), "k")
     assert(Snapshots.manifest(root, 3).batchIds == Seq(42L))
     // ...so exactly-once survives vacuum dropping the committing manifest
-    Snapshots.vacuum(root, keepFrom = 3)
+    Snapshots.vacuum(root, keepFrom = 3, graceMs = 0L)
     assert(Snapshots.committedBatches(root) == Seq(42L))
     assert(!Snapshots.appendBatch(spark, root, b, "k", 42L))
   }

@@ -112,7 +112,7 @@ class MergeOnReadSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
     // the folded sidecar is unreferenced by the live version → reclaimed
     assert(LakeFs.listNames(s"$root/_deletes", ".parquet").size == 1)
-    Snapshots.vacuum(root, keepFrom = 3)
+    Snapshots.vacuum(root, keepFrom = 3, graceMs = 0L)
     assert(LakeFs.listNames(s"$root/_deletes", ".parquet").isEmpty)
     assert(Snapshots.read(spark, root, v3)
       .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)

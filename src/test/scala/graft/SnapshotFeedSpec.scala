@@ -139,4 +139,43 @@ class SnapshotFeedSpec extends AnyFunSuite {
     assert(deltas.getLong(0) == 200L)
     assert(SnapshotFeed.cursor(stateDir) == 3)
   }
+
+  test("bounded drain: a 5-version backlog drained 2-at-a-time — with a " +
+      "kill between steps — lands the identical final state") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feed_b").toString + "/t"
+    Snapshots.init(spark, root, freshTable())
+    (1 to 5).foreach { i => // backlog: v2..v6
+      Snapshots.append(spark, root,
+        (0 until 10).map(j => (30000L + i * 100 + j, i)).toDF("k", "grp"),
+        "k")
+    }
+    val bounded = root + "_state_bounded"
+    val unbounded = root + "_state_unbounded"
+    SnapshotFeed.drain(spark, root, unbounded)(statApply)
+    // step 1: two versions, no more
+    assert(SnapshotFeed.drain(spark, root, bounded, maxVersions = 2)(
+      statApply) == Seq(2, 3))
+    assert(SnapshotFeed.cursor(bounded) == 3)
+    // step 2 "crashes" mid-apply on its second version: v4 committed,
+    // v5's marker never written
+    intercept[RuntimeException](
+      SnapshotFeed.drain(spark, root, bounded, maxVersions = 2) {
+        (a, r, v, p) =>
+          if (v == 5) sys.error("killed mid-apply")
+          statApply(a, r, v, p)
+      })
+    assert(SnapshotFeed.cursor(bounded) == 4)
+    // restart drains the remainder in bounded steps
+    assert(SnapshotFeed.drain(spark, root, bounded, maxVersions = 2)(
+      statApply) == Seq(5, 6))
+    assert(SnapshotFeed.drain(spark, root, bounded, maxVersions = 2)(
+      statApply).isEmpty)
+    // the bounded consumer's durable state == the unbounded twin's
+    val fold = (dir: String) => spark.read.parquet(
+      (2 to 6).map(v => s"$dir/delta_v$v"): _*)
+      .agg(sum(col("n_added")), sum(col("n_removed")),
+        sum(col("sum_added")), sum(col("sum_removed"))).head()
+    assert(fold(bounded) == fold(unbounded))
+  }
 }
