@@ -3920,6 +3920,128 @@ object OracleSql {
         |  TRUE AS history_untouched
         |FROM allr""".stripMargin,
 
+    // mc1: the delta-chain table's closed form — events plus FIVE copies
+    // of the appended 2024-01-26 day minus the deleted window; the
+    // chain/checkpoint/bounded-commit laws are engine-verified booleans
+    "mc1_incremental_manifest" ->
+      """WITH d26 AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+        |allr AS (
+        |  SELECT ts, value FROM events
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26),
+        |final AS (
+        |  SELECT * FROM allr
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(7 AS BIGINT) AS n_versions,
+        |  TRUE AS chain_resolves,
+        |  TRUE AS checkpoint_law,
+        |  TRUE AS bounded_commits
+        |FROM final""".stripMargin,
+
+    // ms1: the mor1 closed form (complement count/mass, zero window
+    // survivors, sidecar == window) with the footer-free plan/read
+    // gates engine-verified via the thread-local footer counter
+    "ms1_manifest_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v2,
+        |  CAST(0 AS BIGINT) AS n_window_v2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |     AND ts < TIMESTAMP '2024-01-13 00:00:00') AS n_dv_positions,
+        |  TRUE AS plan_footer_free,
+        |  TRUE AS read_footer_free
+        |FROM events
+        |WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00')""".stripMargin,
+
+    // tt2: as-of v2 = events + the appended 01-25 day; as-of v3 = that
+    // minus the deleted window; resolution laws engine-verified
+    "tt2_timestamp_travel" ->
+      """WITH d25 AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |v2 AS (
+        |  SELECT ts, value FROM events
+        |  UNION ALL SELECT ts, value FROM d25),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_asof_v2,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM v2) AS value_asof_v2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v3) AS n_asof_v3,
+        |  (SELECT CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |     AS DOUBLE) / 1e6 FROM v3) AS value_asof_v3,
+        |  TRUE AS boundary_exact,
+        |  TRUE AS mid_gap_resolves_floor,
+        |  TRUE AS future_resolves_latest,
+        |  TRUE AS prehistory_throws""".stripMargin,
+
+    // mor3: the MoR MERGE must pin the SAME closed form as the COW up1
+    // twin (window bumped +1000 plus shadow inserts), with the sidecar
+    // marking exactly the matched window and zero files rewritten; the
+    // optimize fold is data-invariant
+    "mor3_merge_on_read_upsert" ->
+      """WITH win AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL SELECT ts, value FROM win)
+        |SELECT CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v2,
+        |  (SELECT CAST(2 * count(*) AS BIGINT) FROM win) AS n_window_v2,
+        |  CAST(count(*) AS BIGINT) AS n_v3,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_v3,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM win) AS n_dv_positions,
+        |  TRUE AS zero_rewrites,
+        |  TRUE AS dv_present,
+        |  TRUE AS dv_folded
+        |FROM merged""".stripMargin,
+
+    // bf2: same closed-form key set as bf1; the manifest's row counts
+    // must sum to the exact table count (they ride the build pass)
+    "bf2_distributed_bloom" ->
+      """WITH ks AS (
+        |  SELECT min(event_id) AS k FROM events
+        |  UNION SELECT max(event_id) FROM events
+        |  UNION SELECT min(event_id) FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS hit_value,
+        |  CAST(16 AS BIGINT) AS files_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events)
+        |    AS manifest_rows_total,
+        |  TRUE AS no_false_negative,
+        |  TRUE AS bloom_prunes,
+        |  TRUE AS scan_within_selection
+        |FROM events
+        |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -6359,6 +6359,367 @@ object Queries {
       .orderBy(col("column_name"))
   }
 
+  /** Incremental-manifest snapshot — the mc1 fixture: v1 adopts the 4
+    * compacted files (checkpointInterval=4, ts stats stamped); v2–v6
+    * append five copies of the 2024-01-26 day (ids offset 7..11·10^12)
+    * as KB-scale commits — v4 lands on the checkpoint boundary and is
+    * written FULL, the rest are add/remove deltas; v7 is the pp2-window
+    * deleteRange. The table that proves commit bytes ∝ changed files.
+    */
+  private val incrSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def incrSnapPath(s: SparkSession, dir: String): String =
+    incrSnapMemo.synchronized {
+      incrSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_incr_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir),
+            statsCols = Seq("ts"), checkpointInterval = 4)
+          val d26 = t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-26 00:00:00") &&
+              col("ts") < ts("2024-01-27 00:00:00"))
+          (0 until 5).foreach { i =>
+            S.append(s, tmp, d26.withColumn("event_id",
+              col("event_id") + lit((7L + i) * 1000000000000L)),
+              "ts", blockSize = 16 * 1024)
+          }
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** MC1: INCREMENTAL manifests + checkpoints — commit cost ∝ CHANGED
+    * files, not table file count ([[graft.sources.Snapshots]] manifest
+    * v2): between checkpoints a commit writes `#parent:` + add/remove
+    * lines only; every 4th version (the fixture's interval) is full.
+    * Three structural laws are verified IN the row, each falsifiable:
+    * `chain_resolves` — an independent replay of the RAW manifest lines
+    * (fold +/− from v1, never trusting the library's resolution)
+    * reproduces `resolve(v)` for every version; `checkpoint_law` —
+    * exactly v1 and v4 are full, v2/3/5/6/7 are deltas;
+    * `bounded_commits` — every delta APPEND manifest carries exactly ONE
+    * file-section line no matter how many files the table holds. The
+    * final table is pinned against the closed-form oracle (events + 5×
+    * the appended day − the deleted window; count + 6dp mass).
+    *
+    * 100 TB lens: at 10^6 files a full-list manifest is ~10^2 MB of
+    * metadata PER KB-SCALE COMMIT and re-listing per operation —
+    * the one cost in the design that grew with table size instead of
+    * commit size. Delta manifests + periodic checkpoints are the Delta
+    * log/checkpoint economics: O(changed) per commit, O(interval) reads
+    * to resolve.
+    */
+  def mc1IncrementalManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = incrSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    def raw(v: Int): Seq[String] =
+      graft.sources.LakeFs.readString(s"$root/_manifests/v$v.txt")
+        .split("\n").toSeq.filter(_.nonEmpty)
+    var replay = Set.empty[String]
+    var chainResolves = true
+    var checkpointLaw = true
+    var boundedCommits = true
+    (1 to latest).foreach { v =>
+      val lines = raw(v)
+      val isDelta = lines.exists(_.startsWith("#parent:"))
+      if (isDelta != (v != 1 && v % 4 != 0)) checkpointLaw = false
+      val adds = lines.filter(_.startsWith("+"))
+        .map(_.stripPrefix("+").split("\\|").head)
+      val removes = lines.filter(_.startsWith("-")).map(_.stripPrefix("-"))
+      if (!isDelta)
+        replay = lines.filterNot(_.startsWith("#"))
+          .map(_.split("\\|").head).toSet
+      else replay = replay -- removes ++ adds
+      if (S.resolve(root, v).toSet != replay) chainResolves = false
+      if (isDelta && v >= 2 && v <= 6 && // the delta appends
+          adds.size + removes.size != 1) boundedCommits = false
+    }
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    S.read(s, root, latest)
+      .agg(count(lit(1)).as("n_final"), mass.as("total_value"))
+      .select(col("n_final"), col("total_value"),
+        lit(latest.toLong).as("n_versions"),
+        lit(chainResolves).as("chain_resolves"),
+        lit(checkpointLaw).as("checkpoint_law"),
+        lit(boundedCommits).as("bounded_commits"))
+  }
+
+  /** MS1: COMMIT-TIME manifest stats — zone planning and the read
+    * fast-path with ZERO plan-time footer I/O ([[graft.sources
+    * .Snapshots]] file-entry stats): the table is initialized fresh
+    * inside the row (stats for `ts` stamped from ONE footer open per
+    * file AT COMMIT), then a merge-on-read delete of the pp2 window
+    * plans its zones, probes, and commits — while a thread-local footer
+    * counter ([[graft.sources.Bucketing.footerReads]]) proves not one
+    * parquet footer was re-opened (`plan_footer_free`), and the v2 read
+    * fingerprints from the manifest the same way (`read_footer_free`).
+    * Values are the mor1 closed form: complement count + 6dp mass, zero
+    * window survivors, sidecar rows == window rows.
+    *
+    * 100 TB lens: footer-based planning re-opens 10^5–10^6 footers per
+    * mutation — seconds-to-minutes of driver metadata I/O; production
+    * formats stamp stats at commit so the planner reads ONE manifest.
+    * This row is the falsifiable form of that property.
+    */
+  def ms1ManifestStats(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ms1").toString + "/t"
+    S.init(s, root, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+    val ctr = graft.sources.Bucketing.footerReads.get()
+    val before = ctr.get()
+    val r = S.deletePositions(s, root, "ts",
+      tsWindowLoMicros, tsWindowHiMicros)
+    val planFooterFree = ctr.get() == before
+    val before2 = ctr.get()
+    val v2 = S.read(s, root, 2)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-10 00:00:00") &&
+      col("ts") < ts("2024-01-13 00:00:00")
+    val agg = v2.agg(count(lit(1)).as("n_v2"), mass.as("total_value_v2"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_v2")).collect().head
+    val readFooterFree = ctr.get() == before2
+    s.range(1).select(
+      lit(agg.getLong(0)).as("n_v2"),
+      lit(agg.getDouble(1)).as("total_value_v2"),
+      lit(agg.getLong(2)).as("n_window_v2"),
+      lit(r.markedPositions).as("n_dv_positions"),
+      lit(planFooterFree).as("plan_footer_free"),
+      lit(readFooterFree).as("read_footer_free"))
+  }
+
+  /** Timestamp-travel snapshot — the tt2 fixture: v1 adopts the
+    * compacted files; v2 appends the 2024-01-25 day (ids +3·10^12); v3
+    * is the pp2-window deleteRange. Every manifest carries its `#ts:`
+    * commit stamp (monotone by construction).
+    */
+  private val travelSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def travelSnapPath(s: SparkSession, dir: String): String =
+    travelSnapMemo.synchronized {
+      travelSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_travel_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+          S.append(s, tmp, t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(3000000000000L)),
+            "ts", blockSize = 16 * 1024)
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** TT2: TIMESTAMP time travel — `TIMESTAMP AS OF`, the other half of
+    * the snapshot contract tt1's version travel began ([[graft.sources
+    * .Snapshots.versionAsOf]]/[[readAsOf]]): every commit stamps a
+    * monotone `#ts:` in its manifest, and an instant resolves to the
+    * newest version at or before it. Gates: each version's own stamp
+    * resolves to exactly that version; the instant 1 ms BEFORE a commit
+    * resolves to its predecessor (stamps are strictly monotone, so this
+    * is deterministic); far-future resolves to latest; pre-history
+    * throws. Values: the reads AS OF v2's and v3's stamps are pinned
+    * against closed forms (events + the appended day; then minus the
+    * deleted window) — count + 6dp mass each.
+    *
+    * 100 TB lens: "read the table as it was at 02:00 before the bad
+    * deploy" is the recovery/audit/reproducible-training query; version
+    * numbers are internal, wall-clock is what incidents and compliance
+    * speak.
+    */
+  def tt2TimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = travelSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val tsv = (1 to 3).map(v => S.commitTimestamp(root, v).get)
+    val boundary = (1 to 3).forall(v => S.versionAsOf(root, tsv(v - 1)) == v)
+    val midGap = S.versionAsOf(root, tsv(1) - 1) == 1 &&
+      S.versionAsOf(root, tsv(2) - 1) == 2
+    val future = S.versionAsOf(root, tsv(2) + 3600000L) == 3
+    val prehistory =
+      try { S.versionAsOf(root, tsv(0) - 1); false }
+      catch { case _: IllegalArgumentException => true }
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val a2 = S.readAsOf(s, root, tsv(1))
+      .agg(count(lit(1)).as("n_asof_v2"), mass.as("value_asof_v2"))
+    val a3 = S.readAsOf(s, root, tsv(2))
+      .agg(count(lit(1)).as("n_asof_v3"), mass.as("value_asof_v3"))
+    a2.crossJoin(broadcast(a3))
+      .select(col("n_asof_v2"), col("value_asof_v2"),
+        col("n_asof_v3"), col("value_asof_v3"),
+        lit(boundary).as("boundary_exact"),
+        lit(midGap).as("mid_gap_resolves_floor"),
+        lit(future).as("future_resolves_latest"),
+        lit(prehistory).as("prehistory_throws"))
+  }
+
+  /** Merge-on-read MERGE snapshot — the mor3 fixture: v1 adopts the
+    * compacted files; v2 is an [[graft.sources.Snapshots
+    * .upsertPositions]] of the up1 batch (2024-01-20 day bumped +1000
+    * plus one shadow insert per row) — matched rows retract via ONE
+    * position sidecar, the batch appends as fresh files, ZERO existing
+    * files rewritten; v3 is the OPTIMIZE that folds the sidecar.
+    */
+  private val morUpsertSnapMemo =
+    scala.collection.mutable.Map[String, String]()
+  private[graft] def morUpsertSnapPath(s: SparkSession, dir: String): String =
+    morUpsertSnapMemo.synchronized {
+      morUpsertSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_morup_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+          val win = t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-20 00:00:00") &&
+              col("ts") < ts("2024-01-21 00:00:00"))
+          val updates = win.withColumn("value", col("value") + lit(1000.0))
+            .unionByName(win.withColumn("event_id",
+              col("event_id") + lit(1000000000000L)))
+          S.upsertPositions(s, tmp, "event_id", "ts", updates,
+            blockSize = 16 * 1024)
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** MOR3: MERGE-ON-READ MERGE — the Iceberg-v2 upsert shape, closing
+    * the MoR story mor1/mor2 began ([[graft.sources.Snapshots
+    * .upsertPositions]]): the up1 MERGE replayed with a position-delete
+    * sidecar for the matched rows + an append of the batch, so v2
+    * references EVERY v1 file verbatim (gate: v1 ⊆ v2 — zero rewrite
+    * I/O) plus the appended batch file, with exactly one live sidecar
+    * whose row count equals the matched-window size. The v2 read is
+    * pinned to the SAME closed form as the COW up1 twin (count, 6dp
+    * mass, 2×window rows — the MoR and COW MERGEs are observationally
+    * identical); v3 (OPTIMIZE) folds the sidecar and re-pins.
+    *
+    * 100 TB lens: a 10-row MERGE into 10 wide files rewrites 10 files
+    * under COW but writes one KB sidecar + one KB append here — why
+    * Iceberg v2 made position deletes the default MERGE mode for
+    * high-churn tables.
+    */
+  def mor3MergeOnReadUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = morUpsertSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val f1 = S.resolve(root, 1).toSet
+    val f2 = S.resolve(root, 2).toSet
+    val zeroRewrites = f1.subsetOf(f2)
+    val dv2 = S.deleteSidecars(root, 2)
+    val dvFolded = S.deleteSidecars(root, 3).isEmpty
+    val nDv =
+      if (dv2.isEmpty) 0L
+      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-20 00:00:00") &&
+      col("ts") < ts("2024-01-21 00:00:00")
+    val a2 = S.read(s, root, 2).agg(count(lit(1)).as("n_v2"),
+      mass.as("total_value_v2"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_v2"))
+    val a3 = S.read(s, root, 3).agg(count(lit(1)).as("n_v3"),
+      mass.as("total_value_v3"))
+    a2.crossJoin(broadcast(a3))
+      .select(col("n_v2"), col("total_value_v2"), col("n_window_v2"),
+        col("n_v3"), col("total_value_v3"),
+        lit(nDv).as("n_dv_positions"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(dv2.size == 1).as("dv_present"),
+        lit(dvFolded).as("dv_folded"))
+  }
+
+  /** The DISTRIBUTED bloom manifest of [[zordered16Path]] — built by
+    * ONE Spark pass ([[graft.sources.Manifest.writeBloomDistributed]]),
+    * filters sized for the largest file (ceil(total/16)·2).
+    */
+  private val bloomManDistMemo =
+    scala.collection.mutable.Map[String, String]()
+  private[graft] def bloomManDistPath(s: SparkSession, dir: String): String =
+    bloomManDistMemo.synchronized {
+      bloomManDistMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_bloommand_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val total = s.read.parquet(zordered16Path(s, dir)).count()
+          graft.sources.Manifest.writeBloomDistributed(
+            s, zordered16Path(s, dir), "event_id", tmp,
+            expectedPerFile = math.max(1L, total / 16L * 2L), fpp = 1e-4)
+        }
+      })
+    }
+
+  /** BF2: DISTRIBUTED bloom manifest — bf1's point-lookup pruning with
+    * the build and probe moved where they scale ([[graft.sources
+    * .Manifest.buildBloomDistributed]] / [[selectFilesBloomDistributed]]
+    * over [[graft.functions.BloomSketch]]): the build is ONE Spark pass
+    * grouped by `_metadata.file_name` with a bloom AGGREGATE (exact
+    * merge = bitwise OR, so map-side combine is free) instead of one
+    * driver-launched job per file, and the probe filters the manifest
+    * IN EXECUTORS instead of collecting every filter to the driver.
+    * Same keys and gates as bf1 — no false negative vs the
+    * `input_file_name` ground truth, strict-subset pruning, scan within
+    * the selection — plus the build's row counts must sum to the exact
+    * table count (they ride the same pass).
+    *
+    * 100 TB lens: at 10^6 files the driver build is 10^6 scheduler
+    * round-trips and the driver probe collects ~a GB of filters; this
+    * shape is one job and a KB-scale collect of surviving names.
+    */
+  def bf2DistributedBloom(s: SparkSession, dir: String): DataFrame = {
+    val data = zordered16Path(s, dir)
+    val man = bloomManDistPath(s, dir)
+    val ev = t(s, dir, "events")
+    val kRow = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val kWin = ev.where(col("ts") >= ts("2024-01-10 00:00:00") &&
+        col("ts") < ts("2024-01-13 00:00:00"))
+      .agg(min(col("event_id"))).head().getLong(0)
+    val keys = Seq(kRow.getLong(0), kRow.getLong(1), kWin).distinct
+    val selected =
+      graft.sources.Manifest.selectFilesBloomDistributed(s, man, keys)
+    val totalFiles = graft.sources.Compaction.dataFileNames(data).size
+    val manRows = s.read.parquet(man).agg(sum(col("rows"))).head().getLong(0)
+    val truth = graft.sources.Bucketing.filesRead(
+        s.read.parquet(data).where(col("event_id").isin(keys: _*)))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val pruned = s.read
+      .parquet(selected.map(n => s"$data/$n"): _*)
+      .where(col("event_id").isin(keys: _*))
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    pruned.agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("event_id")).as("n_ids"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("hit_value"))
+      .select(col("n_hits"), col("n_ids"), col("hit_value"),
+        lit(totalFiles.toLong).as("files_total"),
+        lit(manRows).as("manifest_rows_total"),
+        lit(truth.subsetOf(selected.toSet)).as("no_false_negative"),
+        lit(selected.nonEmpty && selected.size < totalFiles)
+          .as("bloom_prunes"),
+        lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6609,6 +6970,11 @@ object Queries {
     "mor2_key_erasure" -> (mor2KeyErasure _),
     "rep1_cdc_replica" -> (rep1CdcReplica _),
     "bf1_bloom_point_lookup" -> (bf1BloomPointLookup _),
-    "oc1_incremental_binpack" -> (oc1IncrementalBinPack _)
+    "oc1_incremental_binpack" -> (oc1IncrementalBinPack _),
+    "mc1_incremental_manifest" -> (mc1IncrementalManifest _),
+    "ms1_manifest_stats" -> (ms1ManifestStats _),
+    "tt2_timestamp_travel" -> (tt2TimestampTravel _),
+    "mor3_merge_on_read_upsert" -> (mor3MergeOnReadUpsert _),
+    "bf2_distributed_bloom" -> (bf2DistributedBloom _)
   )
 }
