@@ -272,7 +272,22 @@ object StressMain {
       "bf1_bloom_point_lookup",
       // oc1 bin-packs three accreted small commits, re-referencing the
       // right-sized history verbatim
-      "oc1_incremental_binpack")
+      "oc1_incremental_binpack",
+      // round-15: mc1 chains five delta commits + a checkpoint + a
+      // delete on one table — manifest I/O ∝ changed files per commit
+      "mc1_incremental_manifest",
+      // ms1 inits a fresh stats-stamped table in-row, then proves the
+      // MoR delete plans/reads with zero plan-time footer opens
+      "ms1_manifest_stats",
+      // tt2 resolves commit timestamps to versions and reads both as-of
+      // instants — resolution is manifest-meta-only
+      "tt2_timestamp_travel",
+      // mor3 MERGEs the up1 batch merge-on-read: one sidecar + one
+      // append, zero rewrites, optimize folds
+      "mor3_merge_on_read_upsert",
+      // bf2 builds the per-file blooms in ONE grouped aggregate pass
+      // and probes the manifest in executors
+      "bf2_distributed_bloom")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -161,9 +161,25 @@ object Snapshots {
     def files: Seq[String] = entries.map(_.name)
     def dvNames: Seq[String] =
       meta.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))
-    def batchIds: Seq[Long] =
+    /** Highest batch id W such that EVERY id in [0, W] is committed —
+      * the watermark the sparse `#batch:` lines fold into so the meta
+      * section stays bounded under unbounded streaming commits (-1 =
+      * none).
+      */
+    def batchWatermark: Long =
+      meta.find(_.startsWith("#batchwm:"))
+        .map(_.stripPrefix("#batchwm:").toLong).getOrElse(-1L)
+    private def sparseBatchIds: Seq[Long] =
       meta.filter(_.startsWith("#batch:"))
         .map(_.stripPrefix("#batch:").toLong)
+    /** All committed batch ids, watermark range materialized — an
+      * introspection surface; the O(1) membership check writers need is
+      * [[isBatchCommitted]].
+      */
+    def batchIds: Seq[Long] =
+      ((0L to batchWatermark) ++ sparseBatchIds).distinct.sorted
+    def isBatchCommitted(id: Long): Boolean =
+      id <= batchWatermark || sparseBatchIds.contains(id)
     def columnMaps: Seq[(String, String)] =
       meta.filter(_.startsWith("#map:")).map { l =>
         val Array(o, n) = l.stripPrefix("#map:").split("=", 2)
@@ -308,9 +324,25 @@ object Snapshots {
   /** Metadata lines that carry forward across commits: live sidecars,
     * column mappings, and the cumulative batch-id set (kept in the
     * LATEST manifest so exactly-once survives [[vacuum]] dropping old
-    * manifests — the Delta txn-map convention).
+    * manifests — the Delta txn-map convention). Batch ids are FOLDED
+    * into a `#batchwm:` watermark each carry: sequential streaming ids
+    * collapse to one line, so 10^6 commits cost one meta line, not 10^6
+    * (sparse out-of-order ids stay listed until the gap below them
+    * fills — the Delta setTransaction-retention idea without its
+    * expiry caveat).
     */
-  private def carryMeta(m: ManifestData): Seq[String] = m.meta
+  private def carryMeta(m: ManifestData,
+      newBatchIds: Seq[Long] = Seq.empty): Seq[String] = {
+    val ids = m.meta.filter(_.startsWith("#batch:"))
+      .map(_.stripPrefix("#batch:").toLong) ++ newBatchIds
+    var wm = m.batchWatermark
+    val sparse = scala.collection.mutable.SortedSet(ids.filter(_ > wm): _*)
+    while (sparse.contains(wm + 1)) { wm += 1; sparse.remove(wm) }
+    m.meta.filterNot(l =>
+      l.startsWith("#batch:") || l.startsWith("#batchwm:")) ++
+      (if (wm >= 0) Seq(s"#batchwm:$wm") else Seq.empty) ++
+      sparse.toSeq.map(id => s"#batch:$id")
+  }
 
   // ---------------------------------------------------------------------
   // Read path
@@ -569,13 +601,13 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
-    if (m.batchIds.contains(batchId) ||
+    if (m.isBatchCommitted(batchId) ||
         legacyBatchIds(root).contains(batchId)) false
     else try {
       val entries = writeNewFiles(spark, root, v + 1, "append", df, sortCol,
         1, blockSize)
       commitManifest(root, v + 1, m.entries ++ entries,
-        carryMeta(m) :+ s"#batch:$batchId", Some((v, m)))
+        carryMeta(m, Seq(batchId)), Some((v, m)))
       true
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -590,18 +622,24 @@ object Snapshots {
       .filter(_.startsWith("_batch"))
       .map(_.stripPrefix("_batch").toLong)
 
-  /** The batch ids committed so far (sorted, distinct) — from the LATEST
-    * manifest's cumulative `#batch:` lines ONLY (the carry makes the set
-    * complete there — reading every manifest would be O(versions) driver
-    * I/O per streaming commit), plus legacy `_batch<id>` marker files
-    * written by the pre-atomic layout.
+  /** The batch ids committed so far (sorted, distinct; watermark range
+    * materialized) — from the LATEST manifest's cumulative batch meta
+    * ONLY (the carry makes the set complete there — reading every
+    * manifest would be O(versions) driver I/O per streaming commit),
+    * plus legacy `_batch<id>` marker files written by the pre-atomic
+    * layout.
     */
   def committedBatches(root: String): Seq[Long] = {
     val latest = latestVersion(root)
     val fromLatest =
       if (latest < 1) Seq.empty
-      else rawLines(root, latest).filter(_.startsWith("#batch:"))
-        .map(_.stripPrefix("#batch:").toLong)
+      else {
+        val lines = rawLines(root, latest)
+        val wm = lines.find(_.startsWith("#batchwm:"))
+          .map(_.stripPrefix("#batchwm:").toLong).getOrElse(-1L)
+        (0L to wm) ++ lines.filter(_.startsWith("#batch:"))
+          .map(_.stripPrefix("#batch:").toLong)
+      }
     (fromLatest ++ legacyBatchIds(root)).distinct.sorted
   }
 
@@ -1088,7 +1126,7 @@ object Snapshots {
     val entries = writeNewFiles(spark, root, v + 1, "opt",
       read(spark, root, v), sortCol, nFiles, blockSize)
     commitManifest(root, v + 1, entries,
-      m.meta.filter(_.startsWith("#batch:")), Some((v, m)))
+      m.meta.filter(_.startsWith("#batch")), Some((v, m)))
     v + 1
   }
 
@@ -1164,7 +1202,7 @@ object Snapshots {
     val entries = adoptEntries(spark, root, v + 1, "zopt", Seq.empty)(tmp =>
       Bucketing.writeZOrderedFiles(df, colA, colB, nFiles, tmp, blockSize))
     commitManifest(root, v + 1, entries,
-      m.meta.filter(_.startsWith("#batch:")), Some((v, m)))
+      m.meta.filter(_.startsWith("#batch")), Some((v, m)))
     v + 1
   }
 

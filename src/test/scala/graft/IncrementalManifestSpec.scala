@@ -188,6 +188,42 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(Snapshots.committedBatches(root) == Seq(7L))
   }
 
+  test("batch ids fold into a watermark: unbounded sequential commits " +
+      "cost ONE meta line, out-of-order ids stay sparse until gaps fill") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcwm").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    (0 until 20).foreach { i =>
+      assert(Snapshots.appendBatch(spark, root,
+        Seq((70000L + i, i)).toDF("k", "grp"), "k", i.toLong))
+    }
+    val latest = Snapshots.latestVersion(root)
+    val lines = rawManifest(root, latest)
+    assert(lines.count(_.startsWith("#batchwm:")) == 1)
+    assert(lines.count(_.startsWith("#batch:")) == 0,
+      "sequential ids must fold entirely into the watermark")
+    assert(Snapshots.manifest(root, latest).batchWatermark == 19L)
+    assert(Snapshots.committedBatches(root) == (0L to 19L))
+    // replays of folded ids still skip
+    assert(!Snapshots.appendBatch(spark, root,
+      Seq((70000L, 0)).toDF("k", "grp"), "k", 5L))
+    // out-of-order: 25 commits before 20..24 exist — stays sparse...
+    assert(Snapshots.appendBatch(spark, root,
+      Seq((70100L, 1)).toDF("k", "grp"), "k", 25L))
+    val m1 = Snapshots.manifest(root, Snapshots.latestVersion(root))
+    assert(m1.batchWatermark == 19L && m1.isBatchCommitted(25L) &&
+      !m1.isBatchCommitted(21L))
+    // ...and folds once the gap fills
+    (20L to 24L).foreach { id =>
+      assert(Snapshots.appendBatch(spark, root,
+        Seq((70100L + id, 1)).toDF("k", "grp"), "k", id))
+    }
+    val m2 = Snapshots.manifest(root, Snapshots.latestVersion(root))
+    assert(m2.batchWatermark == 25L)
+    assert(rawManifest(root, Snapshots.latestVersion(root))
+      .count(_.startsWith("#batch:")) == 0)
+  }
+
   test("vacuum retention grace: a just-written unreferenced file " +
       "survives the default window (the adopt-then-commit race guard)") {
     val root = java.nio.file.Files
