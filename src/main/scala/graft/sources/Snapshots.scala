@@ -366,14 +366,28 @@ object Snapshots {
   def versionAsOf(root: String, tsMillis: Long): Int = {
     val latest = latestVersion(root)
     require(latest >= 1, s"uninitialized snapshot table at $root")
-    var v = latest
-    while (v >= 1 && LakeFs.exists(manifestPath(root, v))) {
-      if (commitTimestamp(root, v).getOrElse(Long.MinValue) <= tsMillis)
-        return v
-      v -= 1
+    def tsOf(v: Int): Long =
+      commitTimestamp(root, v).getOrElse(Long.MinValue)
+    // surviving versions are a contiguous suffix [first, latest]
+    // (vacuum drops only from the bottom): binary-search the boundary,
+    // then the stamp — O(log versions) metadata reads, not a scan
+    var a = 1
+    var b = latest
+    while (a < b) {
+      val mid = (a + b) / 2
+      if (LakeFs.exists(manifestPath(root, mid))) b = mid else a = mid + 1
     }
-    throw new IllegalArgumentException(
-      s"timestamp $tsMillis predates the surviving history at $root")
+    val first = a
+    if (tsOf(first) > tsMillis)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the surviving history at $root")
+    a = first
+    b = latest
+    while (a < b) { // stamps are strictly monotone (commitManifest)
+      val mid = (a + b + 1) / 2
+      if (tsOf(mid) <= tsMillis) a = mid else b = mid - 1
+    }
+    a
   }
 
   /** Read the table as of a wall-clock instant — [[versionAsOf]] +
