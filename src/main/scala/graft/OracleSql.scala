@@ -4042,6 +4042,30 @@ object OracleSql {
         |FROM events
         |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
 
+    // mf4: the snapshot metadata answers must equal the data truth of
+    // the mc1 closed form (events + 5× the appended day − the window);
+    // min/max ts are unmoved by the append (inside events' range) and
+    // the delete (window is interior)
+    "mf4_snapshot_metadata_agg" ->
+      """WITH d26 AS (
+        |  SELECT ts FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+        |allr AS (
+        |  SELECT ts FROM events
+        |  UNION ALL SELECT ts FROM d26 UNION ALL SELECT ts FROM d26
+        |  UNION ALL SELECT ts FROM d26 UNION ALL SELECT ts FROM d26
+        |  UNION ALL SELECT ts FROM d26),
+        |final AS (
+        |  SELECT * FROM allr
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_micros,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_micros,
+        |  TRUE AS metadata_only
+        |FROM final""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -6720,6 +6720,38 @@ object Queries {
         lit(opened.subsetOf(selected.toSet)).as("scan_within_selection"))
   }
 
+  /** MF4: METADATA-ONLY aggregation on a SNAPSHOT table — mf2's
+    * manifest-answers-the-dashboard-query claim upgraded to the mutating
+    * table ([[graft.sources.Snapshots.metadataAgg]]): COUNT(*) / MIN /
+    * MAX of `ts` over the mc1 fixture's LATEST version (7 commits of
+    * appends, a checkpoint, and a zone-planned delete deep) computed
+    * purely from the manifest's commit-time `rows`/zone stats — zero
+    * data bytes, zero footer opens (gated by the thread-local footer
+    * counter). The oracle computes the same three values from the DATA's
+    * closed form — the hash match IS the proof that commit-time stats
+    * stay exact through delta chains, checkpoints, and rewrites.
+    *
+    * 100 TB lens: "how many rows, what time range" is the most common
+    * dashboard query against a mutating lake table; with stats stamped
+    * at commit it costs a KB manifest parse instead of a 100 TB scan —
+    * and unlike mf2's flat-dir manifest, this survives the table being
+    * MUTATED between queries.
+    */
+  def mf4SnapshotMetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = incrSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val ctr = graft.sources.Bucketing.footerReads.get()
+    val before = ctr.get()
+    val agg = S.metadataAgg(s, root, S.latestVersion(root), "ts")
+      .collect().head
+    val footerFree = ctr.get() == before
+    s.range(1).select(
+      lit(agg.getLong(0)).as("n_rows"),
+      lit(agg.getLong(1)).as("min_ts_micros"),
+      lit(agg.getLong(2)).as("max_ts_micros"),
+      lit(footerFree).as("metadata_only"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -6975,6 +7007,7 @@ object Queries {
     "ms1_manifest_stats" -> (ms1ManifestStats _),
     "tt2_timestamp_travel" -> (tt2TimestampTravel _),
     "mor3_merge_on_read_upsert" -> (mor3MergeOnReadUpsert _),
-    "bf2_distributed_bloom" -> (bf2DistributedBloom _)
+    "bf2_distributed_bloom" -> (bf2DistributedBloom _),
+    "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _)
   )
 }

@@ -287,7 +287,10 @@ object StressMain {
       "mor3_merge_on_read_upsert",
       // bf2 builds the per-file blooms in ONE grouped aggregate pass
       // and probes the manifest in executors
-      "bf2_distributed_bloom")
+      "bf2_distributed_bloom",
+      // mf4 answers count/min/max of the mutated snapshot from the
+      // manifest's commit-time stats — zero data bytes, zero footers
+      "mf4_snapshot_metadata_agg")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -1220,6 +1220,39 @@ object Snapshots {
     v + 1
   }
 
+  /** METADATA-ONLY aggregation over a snapshot version — COUNT(*) /
+    * MIN / MAX of `column` answered from the manifest's commit-time
+    * stats without reading ONE data byte (the Iceberg metadata-query
+    * shape, now possible on snapshot tables because every adopted file
+    * carries `rows` and zone envelopes): per-file rows sum to the
+    * count, per-file zones fold to the global extremes. Refuses when
+    * the answer could be wrong from metadata alone: live position
+    * deletes (marked rows still count in footer stats), pending column
+    * mappings, or any referenced file missing `rows`/zone stats for
+    * `column` (pre-stats manifests) — run optimize first. Returns one
+    * row `(n_rows, min_micros, max_micros)`.
+    */
+  def metadataAgg(spark: SparkSession, root: String, version: Int,
+      column: String): DataFrame = {
+    import spark.implicits._
+    val m = manifest(root, version)
+    require(m.dvNames.isEmpty,
+      "metadataAgg needs a sidecar-free version (live position deletes " +
+        "make footer stats overcount); run optimize first")
+    requireNoMappings(m, "metadataAgg")
+    val stats = m.entries.map { e =>
+      (e.rows, e.zones.get(column)) match {
+        case (Some(r), Some((mn, mx))) => (r, mn, mx)
+        case _ => sys.error(s"metadataAgg: no commit-time stats for " +
+          s"$column in ${e.name}; run optimize to stamp them")
+      }
+    }
+    stats.toDF("rows", "mn", "mx")
+      .agg(sum(col("rows")).as("n_rows"),
+        min(col("mn")).as("min_micros"),
+        max(col("mx")).as("max_micros"))
+  }
+
   /** The OCC commit loop every production writer wraps around an
     * optimistic commit: run `attempt` (which must plan against the
     * CURRENT latest — every mutation in this object does), and on a

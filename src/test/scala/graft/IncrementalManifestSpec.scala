@@ -188,6 +188,27 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(Snapshots.committedBatches(root) == Seq(7L))
   }
 
+  test("metadataAgg answers count/min/max from the manifest alone, and " +
+      "refuses whenever metadata could lie (live dv, missing stats)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcagg").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    Snapshots.deleteRange(spark, root, "k", 0L, 100L)
+    val ctr = Bucketing.footerReads.get()
+    val before = ctr.get()
+    val r = Snapshots.metadataAgg(spark, root, 2, "k").head()
+    assert(ctr.get() == before, "metadataAgg opened a footer")
+    assert(r.getLong(0) == 9900L && r.getLong(1) == 100L &&
+      r.getLong(2) == 9999L)
+    // live position deletes would overcount → refuse
+    Snapshots.deletePositions(spark, root, "k", 200L, 210L)
+    intercept[IllegalArgumentException](
+      Snapshots.metadataAgg(spark, root, 3, "k"))
+    // a column without stamped stats → loud error, never a wrong answer
+    intercept[RuntimeException](
+      Snapshots.metadataAgg(spark, root, 2, "grp"))
+  }
+
   test("batch ids fold into a watermark: unbounded sequential commits " +
       "cost ONE meta line, out-of-order ids stay sparse until gaps fill") {
     val root = java.nio.file.Files
