@@ -4066,6 +4066,20 @@ object OracleSql {
         |  TRUE AS metadata_only
         |FROM final""".stripMargin,
 
+    // pp6: the zone-pruned day slice must equal the flat events twin
+    // (the appended 01-26 copies and the deleted window cannot leak in);
+    // the selection laws are engine-verified booleans
+    "pp6_snapshot_zone_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_day,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS day_value,
+        |  TRUE AS strict_subset,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS plan_footer_free
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-21 00:00:00'""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

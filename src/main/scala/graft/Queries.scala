@@ -6752,6 +6752,58 @@ object Queries {
       lit(footerFree).as("metadata_only"))
   }
 
+  /** PP6: MANIFEST-planned range read on the MUTATING snapshot table —
+    * the pruning family's last rung (pp1 directories → dpp1 runtime →
+    * pp2 row groups → pp5 pages → mf1 flat-dir manifests) applied where
+    * serving reads actually happen ([[graft.sources.Snapshots
+    * .readRange]]): the 2024-01-20 day is read from the mc1 fixture's
+    * LATEST version (7 commits deep: appends, a checkpoint, a delete)
+    * by selecting files from the manifest's commit-time zones BEFORE
+    * the scan ever builds a file index. Gates: the scan opened a
+    * STRICT SUBSET of the version's files (`input_file_name` ground
+    * truth), every opened file was zone-selected, zero footer opens at
+    * plan time (thread-local counter), and the values equal the flat
+    * events twin (count + 6dp mass — the five appended 01-26 day
+    * copies and the deleted 01-10..13 window must not leak in).
+    *
+    * 100 TB lens: `read().where(day)` still lists and footer-probes
+    * 10^5–10^6 files before row-group pruning saves the data I/O;
+    * manifest zone selection hands the scan the short list — the
+    * difference between seconds of planner metadata I/O per query and
+    * a KB parse.
+    */
+  def pp6SnapshotZoneRead(s: SparkSession, dir: String): DataFrame = {
+    val root = incrSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val allFiles = S.resolve(root, latest)
+    val lo = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      .getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+      .getTime * 1000L
+    val ctr = graft.sources.Bucketing.footerReads.get()
+    val before = ctr.get()
+    val pruned = S.readRange(s, root, latest, "ts", lo, hi)
+    val planFooterFree = ctr.get() == before
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    // the selection the manifest zones imply, recomputed independently
+    val selected = S.manifest(root, latest).entries.filter { e =>
+      e.zones.get("ts") match {
+        case Some((mn, mx)) => mx >= lo && mn < hi
+        case None => true
+      }
+    }.map(_.name).toSet
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    pruned.agg(count(lit(1)).as("n_day"), mass.as("day_value"))
+      .select(col("n_day"), col("day_value"),
+        lit(selected.nonEmpty && selected.size < allFiles.size)
+          .as("strict_subset"),
+        lit(opened.subsetOf(selected)).as("scan_within_selection"),
+        lit(planFooterFree).as("plan_footer_free"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7008,6 +7060,7 @@ object Queries {
     "tt2_timestamp_travel" -> (tt2TimestampTravel _),
     "mor3_merge_on_read_upsert" -> (mor3MergeOnReadUpsert _),
     "bf2_distributed_bloom" -> (bf2DistributedBloom _),
-    "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _)
+    "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _),
+    "pp6_snapshot_zone_read" -> (pp6SnapshotZoneRead _)
   )
 }

@@ -290,7 +290,10 @@ object StressMain {
       "bf2_distributed_bloom",
       // mf4 answers count/min/max of the mutated snapshot from the
       // manifest's commit-time stats — zero data bytes, zero footers
-      "mf4_snapshot_metadata_agg")
+      "mf4_snapshot_metadata_agg",
+      // pp6 range-reads the mutated snapshot through manifest zone
+      // selection — the scan opens only the intersecting files
+      "pp6_snapshot_zone_read")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

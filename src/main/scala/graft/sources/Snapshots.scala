@@ -1220,6 +1220,35 @@ object Snapshots {
     v + 1
   }
 
+  /** PLAN-TIME PRUNED read of a snapshot version: keep only the files
+    * whose commit-time zone of `column` intersects `[lo, hi)` (a file
+    * without stamped stats is conservatively read), read exactly those
+    * files (position deletes applied), and filter exactly — the serving
+    * read path for range queries on a mutating table. Differs from a
+    * plain `read().where(...)` at the PLANNER level: Spark still opens
+    * every file's footer for row-group pruning, but only after building
+    * a file index over all of them — at 10^6 files the index and footer
+    * fetches alone cost seconds-to-minutes; pruning from the manifest
+    * hands the scan the short list. Needs a mapping-free table like
+    * every zone-planned path (zones are stamped under physical names).
+    */
+  def readRange(spark: SparkSession, root: String, version: Int,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val m = manifest(root, version)
+    requireNoMappings(m, "readRange")
+    val selected = m.entries.filter { e =>
+      e.zones.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn < hi
+        case None => true // no stats: cannot prove it misses
+      }
+    }.map(_.name)
+    val df =
+      if (selected.isEmpty) read(spark, root, version).limit(0)
+      else readFiles(spark, root, m, selected, keepPos = false)
+    val micros = microsOf(df, column)
+    df.where(micros >= lit(lo) && micros < lit(hi))
+  }
+
   /** METADATA-ONLY aggregation over a snapshot version — COUNT(*) /
     * MIN / MAX of `column` answered from the manifest's commit-time
     * stats without reading ONE data byte (the Iceberg metadata-query

@@ -188,6 +188,29 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(Snapshots.committedBatches(root) == Seq(7L))
   }
 
+  test("readRange prunes files from manifest zones before the scan: " +
+      "exact values, empty selection yields an empty typed frame") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcrr").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    // zone 1 only: [2600, 2700) lives entirely in file 1
+    val ctr = Bucketing.footerReads.get()
+    val before = ctr.get()
+    val slice = Snapshots.readRange(spark, root, 1, "k", 2600L, 2700L)
+    assert(ctr.get() == before, "readRange planned from footers")
+    assert(slice.count() == 100L)
+    val opened = Bucketing.filesRead(slice).map(p =>
+      p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(opened.size == 1 && opened.head.contains("part-00001"))
+    // position deletes still apply through the pruned read
+    Snapshots.deletePositions(spark, root, "k", 2600L, 2650L)
+    assert(Snapshots.readRange(spark, root, 2, "k", 2600L, 2700L)
+      .count() == 50L)
+    // a range beyond every zone: empty frame, schema intact
+    val empty = Snapshots.readRange(spark, root, 1, "k", 50000L, 60000L)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "grp"))
+  }
+
   test("metadataAgg answers count/min/max from the manifest alone, and " +
       "refuses whenever metadata could lie (live dv, missing stats)") {
     val root = java.nio.file.Files
