@@ -1204,16 +1204,20 @@ object Snapshots {
     * materializes column mappings exactly like [[optimize]] — one range
     * shuffle of the live data either way; choosing the clustered layout
     * is free at compaction time. Z-dimensions may be computed
-    * expressions, so the new entries carry no zone stats (footer
-    * fallback covers later plans). Returns the new version.
+    * expressions, so zone stats are stamped only for the PHYSICAL
+    * columns named in `statsCols` (pass the dimension column names when
+    * they are plain references — [[readRange]]/mutation planning then
+    * stays footer-free on the clustered layout; footer fallback covers
+    * the rest). Returns the new version.
     */
   def optimizeZOrder(spark: SparkSession, root: String, colA: Column,
       colB: Column, nFiles: Int,
-      blockSize: Int = DefaultBlockSize): Int = {
+      blockSize: Int = DefaultBlockSize,
+      statsCols: Seq[String] = Seq.empty): Int = {
     val v = latestVersion(root)
     val m = manifest(root, v)
     val df = read(spark, root, v)
-    val entries = adoptEntries(spark, root, v + 1, "zopt", Seq.empty)(tmp =>
+    val entries = adoptEntries(spark, root, v + 1, "zopt", statsCols)(tmp =>
       Bucketing.writeZOrderedFiles(df, colA, colB, nFiles, tmp, blockSize))
     commitManifest(root, v + 1, entries,
       m.meta.filter(_.startsWith("#batch")), Some((v, m)))

@@ -91,6 +91,32 @@ class MorUpsertSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
   }
 
+  test("8 writers racing from one instant all land under OCC retry: " +
+      "dense versions, every row present exactly once") {
+    val src = freshTable()
+    val root = src + "_occ8"
+    Snapshots.init(spark, root, src, statsCols = Seq("k"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        gate.await()
+        try Snapshots.commitWithRetry(maxAttempts = 24) {
+          Snapshots.append(spark, root,
+            Seq((40000L + i, i)).toDF("k", "grp"), "k")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"every writer must land eventually: $errs")
+    assert(Snapshots.latestVersion(root) == 9) // dense: 8 commits, no gaps
+    val v = Snapshots.read(spark, root, 9)
+    assert(v.count() == 10008L)
+    assert(v.where(col("k") >= 40000L && col("k") < 40008L)
+      .select(col("k")).distinct().count() == 8L)
+  }
+
   test("concurrent upsertPositions vs append linearize under OCC " +
       "retry: both land, result = sequential application") {
     val src = freshTable()
