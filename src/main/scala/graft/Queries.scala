@@ -4677,18 +4677,27 @@ object Queries {
 
   /** Persisted BLOOM manifest of [[zordered16Path]] on `event_id` — the
     * bf1 fixture (its own cached dir; stores file NAMES, so it is
-    * location-independent unlike the zone manifests).
+    * location-independent unlike the zone manifests). Built by the
+    * DISTRIBUTED one-pass builder ([[graft.sources.Manifest
+    * .writeBloomDistributed]]) since round 15 — bf1 probes it
+    * driver-side, bf2 in executors; both paths read one format.
     */
   private val bloomManMemo = scala.collection.mutable.Map[String, String]()
   private[graft] def bloomManPath(s: SparkSession, dir: String): String =
     bloomManMemo.synchronized {
       bloomManMemo.getOrElseUpdate(dir, {
-        val path = "/tmp/graft_events_bloomman_" +
+        // _bloomman2_: path bumped when the build switched to the
+        // distributed one-pass form (cache keys on content fingerprint,
+        // not builder code)
+        val path = "/tmp/graft_events_bloomman2_" +
           dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
           tableFingerprint(dir, "events")
         buildCachedDir(path) { tmp =>
-          graft.sources.Manifest.writeBloom(
-            s, zordered16Path(s, dir), "event_id", tmp, fpp = 1e-4)
+          val data = zordered16Path(s, dir)
+          val total = s.read.parquet(data).count()
+          graft.sources.Manifest.writeBloomDistributed(
+            s, data, "event_id", tmp,
+            expectedPerFile = math.max(1L, total / 16L * 2L), fpp = 1e-4)
         }
       })
     }

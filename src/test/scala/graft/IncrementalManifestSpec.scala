@@ -326,6 +326,39 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(root) == 4)
   }
 
+  test("pre-round-15 manifests stay readable AND mutable: plain name " +
+      "lines, no #ts/#parent/stats — the standing-table upgrade path") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcold").toString + "/t"
+    val table = freshTable()
+    // hand-write the OLD layout: copied files + a bare full name list
+    LakeFs.mkdirs(s"$root/files")
+    val names = Compaction.dataFileNames(table)
+    names.foreach(n => LakeFs.copyFile(s"$table/$n", s"$root/files/$n"))
+    LakeFs.mkdirs(s"$root/_manifests")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_manifests/v1.txt"),
+      names.mkString("\n").getBytes("UTF-8"))
+    // reads resolve (no hint, no stats, no timestamp)
+    assert(Snapshots.latestVersion(root) == 1)
+    assert(Snapshots.resolve(root, 1) == names.sorted)
+    assert(Snapshots.read(spark, root, 1).count() == 10000L)
+    assert(Snapshots.commitTimestamp(root, 1).isEmpty)
+    // mutations plan from FOOTERS (the conservative fallback) and the
+    // new commit is a delta carrying stats for its new files
+    val r = Snapshots.deleteRange(spark, root, "k", 0L, 100L)
+    assert(r.rewritten == 1 && r.reused == 3)
+    assert(Snapshots.read(spark, root, 2).count() == 9900L)
+    val v2 = rawManifest(root, 2)
+    assert(v2.exists(_.startsWith("#parent:1")))
+    assert(v2.exists(_.startsWith("#ts:")))
+    // timestamp travel works from the first stamped version on; the
+    // unstamped v1 counts as infinitely old
+    val ts2 = Snapshots.commitTimestamp(root, 2).get
+    assert(Snapshots.versionAsOf(root, ts2) == 2)
+    assert(Snapshots.versionAsOf(root, ts2 - 1) == 1)
+  }
+
   test("schema fingerprints invalidate when a path is rewritten — the " +
       "memo keys on (path, length, mtime), not path alone") {
     val d = java.nio.file.Files
