@@ -4080,6 +4080,49 @@ object OracleSql {
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-21 00:00:00'""".stripMargin,
 
+    // vc1: the kept version = events + the appended 01-25 day − the
+    // deleted window; retention/reclaim laws are engine-verified
+    "vc1_vacuum_retention" ->
+      """WITH d25 AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |final AS (
+        |  SELECT * FROM (
+        |    SELECT ts, value FROM events
+        |    UNION ALL SELECT ts, value FROM d25)
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(4 AS BIGINT) AS latest_version,
+        |  CAST(4 AS BIGINT) AS n_live_files,
+        |  TRUE AS history_dropped,
+        |  TRUE AS storage_reclaimed_exactly
+        |FROM final""".stripMargin,
+
+    // hist1: per-version row counts recomputed from the DATA's closed
+    // form (v1 = events; +|day 26| per append through v6, v4 being the
+    // full checkpoint; v7 = −|window|); stamps engine-verified
+    "hist1_describe_history" ->
+      """WITH n AS (
+        |  SELECT
+        |    (SELECT count(*) FROM events) AS ev,
+        |    (SELECT count(*) FROM events
+        |     WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-27 00:00:00') AS d26,
+        |    (SELECT count(*) FROM events
+        |     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-13 00:00:00') AS win)
+        |SELECT CAST(v AS INT) AS version,
+        |  CAST(CASE WHEN v <= 6 THEN ev + (v - 1) * d26
+        |       ELSE ev + 5 * d26 - win END AS BIGINT) AS n_rows,
+        |  (v NOT IN (1, 4)) AS is_delta,
+        |  TRUE AS all_stamped
+        |FROM n, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(v)
+        |ORDER BY version""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

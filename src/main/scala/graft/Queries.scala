@@ -6813,6 +6813,109 @@ object Queries {
         lit(planFooterFree).as("plan_footer_free"))
   }
 
+  /** Vacuumed lifecycle snapshot — the vc1 fixture: init → append the
+    * 2024-01-25 day (ids +5·10^12) → deleteRange the pp2 window →
+    * OPTIMIZE to 4 files → VACUUM(keepFrom = 4, grace 0) — old
+    * manifests dropped, every unreferenced data file (superseded
+    * originals, delete-rewrite survivors) physically reclaimed.
+    */
+  private val vacuumSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def vacuumSnapPath(s: SparkSession, dir: String): String =
+    vacuumSnapMemo.synchronized {
+      vacuumSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_vacuum_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+          S.append(s, tmp, t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(5000000000000L)),
+            "ts", blockSize = 16 * 1024)
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
+          S.vacuum(tmp, keepFrom = 4, graceMs = 0L)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** VC1: VACUUM retention — the reclamation half of copy-on-write the
+    * mutation rows (tt1/up1/lc1) defer ([[graft.sources.Snapshots
+    * .vacuum]]): dropping versions 1–3 and physically deleting every
+    * file no surviving manifest references. Gates, each falsifiable:
+    * the dropped versions REFUSE to resolve (isolation ends exactly at
+    * the retention cut); the kept version reads the closed form (the
+    * reclaim touched zero live bytes); and the files directory holds
+    * EXACTLY the kept version's file set — nothing leaked (storage
+    * actually reclaimed: 4 files on disk where the lifecycle wrote 4
+    * originals + 1 append + 1 delete-rewrite + 4 optimize outputs) and
+    * nothing live was deleted.
+    *
+    * 100 TB lens: copy-on-write makes old versions free until you
+    * reclaim them — then reclamation is the risk: delete too little
+    * and storage doubles weekly under churn; delete too much and a
+    * live version dangles (the vacuum grace window guards the
+    * in-flight writer — spec-proven). This row pins the exact
+    * keep/drop boundary.
+    */
+  def vc1VacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    val root = vacuumSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val dropped = (1 to 3).forall { v =>
+      try { S.resolve(root, v); false }
+      catch { case _: IllegalArgumentException => true }
+    }
+    val live = S.resolve(root, latest).toSet
+    val onDisk = graft.sources.Compaction.dataFileNames(s"$root/files")
+      .toSet
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    S.read(s, root, latest)
+      .agg(count(lit(1)).as("n_final"), mass.as("total_value"))
+      .select(col("n_final"), col("total_value"),
+        lit(latest.toLong).as("latest_version"),
+        lit(live.size.toLong).as("n_live_files"),
+        lit(dropped).as("history_dropped"),
+        lit(onDisk == live).as("storage_reclaimed_exactly"))
+  }
+
+  /** HIST1: DESCRIBE HISTORY — the audit surface every table format
+    * exposes ([[graft.sources.Snapshots.history]]), pinned per-version
+    * against the mc1 fixture's closed form: 7 surviving versions, the
+    * per-version ROW COUNTS derived purely from the manifests'
+    * commit-time stats (v1 = events, +|day-26| per append through v6,
+    * v7 = −|window|), the delta/checkpoint pattern (v1 and v4 full),
+    * and every commit stamped with a monotone timestamp. The oracle
+    * recomputes each version's count from the DATA — the hash match
+    * proves the manifest history IS the data history, version by
+    * version, with zero data I/O on the engine side.
+    *
+    * 100 TB lens: "what changed, when, and how big" across 10^5
+    * commits must come from KB manifests; a history listing that scans
+    * data is a non-starter, and one that disagrees with the data is
+    * worse.
+    */
+  def hist1DescribeHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = incrSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val rows = S.history(s, root).orderBy(col("version")).collect()
+    val stamped = rows.forall(!_.isNullAt(1)) && {
+      val ts = rows.map(_.getLong(1)).toSeq
+      ts == ts.sorted && ts.distinct == ts // strictly monotone stamps
+    }
+    import s.implicits._
+    rows.map(r => (r.getInt(0), r.getLong(4), r.getBoolean(2)))
+      .toSeq.toDF("version", "n_rows", "is_delta")
+      .withColumn("all_stamped", lit(stamped))
+      .orderBy(col("version"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7070,6 +7173,8 @@ object Queries {
     "mor3_merge_on_read_upsert" -> (mor3MergeOnReadUpsert _),
     "bf2_distributed_bloom" -> (bf2DistributedBloom _),
     "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _),
-    "pp6_snapshot_zone_read" -> (pp6SnapshotZoneRead _)
+    "pp6_snapshot_zone_read" -> (pp6SnapshotZoneRead _),
+    "vc1_vacuum_retention" -> (vc1VacuumRetention _),
+    "hist1_describe_history" -> (hist1DescribeHistory _)
   )
 }

@@ -293,7 +293,13 @@ object StressMain {
       "mf4_snapshot_metadata_agg",
       // pp6 range-reads the mutated snapshot through manifest zone
       // selection — the scan opens only the intersecting files
-      "pp6_snapshot_zone_read")
+      "pp6_snapshot_zone_read",
+      // vc1 vacuums the lifecycle table to its latest version and pins
+      // the exact keep/drop/reclaim boundary
+      "vc1_vacuum_retention",
+      // hist1 derives per-version row counts from manifest stats alone
+      // and pins them against the data's closed form
+      "hist1_describe_history")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -1286,6 +1286,34 @@ object Snapshots {
         max(col("mx")).as("max_micros"))
   }
 
+  /** DESCRIBE HISTORY — one row per SURVIVING version: `(version,
+    * commit_ts, is_delta, n_files, n_rows, n_dv)`. `commit_ts` is null
+    * on pre-timestamp manifests; `n_rows` is the sum of the manifest's
+    * commit-time row stats (null when any referenced file lacks them,
+    * never a wrong number) and counts MoR-marked rows as live the way
+    * footer stats do — subtract the sidecar sizes for exact live
+    * counts. Driver-side over the surviving manifest chain, the same
+    * bound every format's history listing has.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(root)
+    require(latest >= 1, s"uninitialized snapshot table at $root")
+    (1 to latest)
+      .filter(v => LakeFs.exists(manifestPath(root, v)))
+      .map { v =>
+        val m = manifest(root, v)
+        val rows =
+          if (m.entries.forall(_.rows.nonEmpty))
+            Some(m.entries.flatMap(_.rows).sum)
+          else None
+        (v, m.commitTs, m.isDelta, m.entries.size.toLong, rows,
+          m.dvNames.size.toLong)
+      }
+      .toDF("version", "commit_ts", "is_delta", "n_files", "n_rows",
+        "n_dv")
+  }
+
   /** The OCC commit loop every production writer wraps around an
     * optimistic commit: run `attempt` (which must plan against the
     * CURRENT latest — every mutation in this object does), and on a
