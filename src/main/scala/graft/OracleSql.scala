@@ -4123,6 +4123,36 @@ object OracleSql {
         |FROM n, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(v)
         |ORDER BY version""".stripMargin,
 
+    // bf3: the closed-form key set over the MUTATED table — min/max id
+    // of (events − window) ∪ (day-25 + 6e12), plus the deleted window's
+    // min id which must hit NOTHING; selection laws engine-verified
+    "bf3_snapshot_point_lookup" ->
+      """WITH d25 AS (
+        |  SELECT event_id + 6000000000000 AS event_id, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |fin AS (
+        |  SELECT event_id, value FROM events
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |  UNION ALL SELECT event_id, value FROM d25),
+        |ks AS (
+        |  SELECT min(event_id) AS k FROM fin
+        |  UNION SELECT max(event_id) FROM fin
+        |  UNION SELECT min(event_id) FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS hit_value,
+        |  CAST(4 AS BIGINT) AS files_total,
+        |  TRUE AS no_false_negative,
+        |  TRUE AS bloom_prunes,
+        |  TRUE AS scan_within_selection
+        |FROM fin
+        |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

@@ -6916,6 +6916,97 @@ object Queries {
       .orderBy(col("version"))
   }
 
+  /** Bloom-indexed snapshot — the bf3 fixture: init → append the
+    * 2024-01-25 day (ids +6·10^12) → deleteRange the pp2 window →
+    * OPTIMIZE to 4 ts-sorted files → [[graft.sources.Snapshots
+    * .buildBloomIndex]] on `event_id` for the final version (ONE
+    * distributed pass, persisted under `_blooms/`).
+    */
+  private val bloomSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def bloomSnapPath(s: SparkSession, dir: String): String =
+    bloomSnapMemo.synchronized {
+      bloomSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_bloomsnap_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+          S.append(s, tmp, t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-25 00:00:00") &&
+              col("ts") < ts("2024-01-26 00:00:00"))
+            .withColumn("event_id", col("event_id") + lit(6000000000000L)),
+            "ts", blockSize = 16 * 1024)
+          S.deleteRange(s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros,
+            blockSize = 16 * 1024)
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
+          S.buildBloomIndex(s, tmp, 4, "event_id", fpp = 1e-4)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** BF3: bloom-indexed POINT LOOKUP on the SNAPSHOT table — bf1/bf2's
+    * serving query moved where it actually runs at scale: against a
+    * MUTATED, versioned table ([[graft.sources.Snapshots
+    * .buildBloomIndex]]/[[readKeys]]). The table is ts-sorted, so every
+    * file's `event_id` zone spans the id space and zone pruning keeps
+    * everything; the version-pinned per-file blooms keep only the
+    * files that might hold the keys, probed IN EXECUTORS. Keys derive
+    * from the closed form on both sides: the final table's min and max
+    * id (one original row, one appended row) plus the deleted window's
+    * min id — which must return ZERO rows (the bloom may admit a file;
+    * the versioned read must still say the row is gone). Gates: hits
+    * pinned (count, distinct ids, 6dp value mass), no false negative
+    * vs `input_file_name` ground truth, strict-subset selection, scan
+    * within the selection.
+    *
+    * 100 TB lens: "fetch these record ids as of the current version"
+    * is THE serving query of a mutating lake table; version-pinned
+    * bloom metadata answers it from KBs — and deletion correctness
+    * must come from the SNAPSHOT read, never from hoping the index
+    * forgot the row.
+    */
+  def bf3SnapshotPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val ev = t(s, dir, "events")
+    val inWindow = col("ts") >= ts("2024-01-10 00:00:00") &&
+      col("ts") < ts("2024-01-13 00:00:00")
+    val inD25 = col("ts") >= ts("2024-01-25 00:00:00") &&
+      col("ts") < ts("2024-01-26 00:00:00")
+    val kMin = ev.where(!inWindow).agg(min(col("event_id")))
+      .head().getLong(0)
+    val kMax = ev.where(inD25).agg(max(col("event_id")))
+      .head().getLong(0) + 6000000000000L
+    val kGone = ev.where(inWindow).agg(min(col("event_id")))
+      .head().getLong(0)
+    val keys = Seq(kMin, kMax, kGone)
+    val allFiles = S.resolve(root, 4)
+    val hit = S.readKeys(s, root, 4, "event_id", keys)
+    val opened = graft.sources.Bucketing.filesRead(hit)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val selected = graft.sources.Manifest
+      .selectFilesBloomDistributed(s, s"$root/_blooms/v4_event_id.parquet",
+        keys).toSet
+    // ground truth: files truly holding any LIVE key (unpruned read)
+    val truth = graft.sources.Bucketing.filesRead(
+        S.read(s, root, 4).where(col("event_id").isin(keys: _*)))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    hit.agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("event_id")).as("n_ids"),
+        mass.as("hit_value"))
+      .select(col("n_hits"), col("n_ids"), col("hit_value"),
+        lit(allFiles.size.toLong).as("files_total"),
+        lit(truth.subsetOf(selected)).as("no_false_negative"),
+        lit(selected.nonEmpty && selected.size < allFiles.size)
+          .as("bloom_prunes"),
+        lit(opened.subsetOf(selected)).as("scan_within_selection"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7175,6 +7266,7 @@ object Queries {
     "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _),
     "pp6_snapshot_zone_read" -> (pp6SnapshotZoneRead _),
     "vc1_vacuum_retention" -> (vc1VacuumRetention _),
-    "hist1_describe_history" -> (hist1DescribeHistory _)
+    "hist1_describe_history" -> (hist1DescribeHistory _),
+    "bf3_snapshot_point_lookup" -> (bf3SnapshotPointLookup _)
   )
 }

@@ -299,7 +299,10 @@ object StressMain {
       "vc1_vacuum_retention",
       // hist1 derives per-version row counts from manifest stats alone
       // and pins them against the data's closed form
-      "hist1_describe_history")
+      "hist1_describe_history",
+      // bf3 point-looks-up the mutated snapshot through version-pinned
+      // per-file blooms probed in executors
+      "bf3_snapshot_point_lookup")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -65,6 +65,17 @@ object LakeFs {
       .map(_.getPath.getName).filter(_.endsWith(suffix)).sorted
   }
 
+  /** Directory names (not paths) directly under `dir`, sorted; empty
+    * for a missing dir.
+    */
+  def listDirNames(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
   def fileLength(p: String): Long =
     fs(p).getFileStatus(new Path(p)).getLen
 

@@ -1286,6 +1286,65 @@ object Snapshots {
         max(col("mx")).as("max_micros"))
   }
 
+  private def bloomsDir(root: String) = s"$root/_blooms"
+  private def bloomPath(root: String, version: Int, column: String) =
+    s"${bloomsDir(root)}/v${version}_$column.parquet"
+
+  /** Per-file BLOOM index for a version of the snapshot table — the
+    * point-lookup stats zone envelopes cannot provide (on a time-sorted
+    * table every file's key envelope spans the whole id space): ONE
+    * distributed pass over the version's files
+    * ([[Manifest.buildBloomDistributed]] machinery on explicit paths),
+    * persisted under `_blooms/v<N>_<col>.parquet` and consumed by
+    * [[readKeys]]. Filters are sized from the manifest's commit-time
+    * row stats (largest file; an over-sized bloom keeps its fpp).
+    * Returns the index path. Iceberg bloom columns / Delta bloom
+    * indexes, version-pinned the way their metadata is.
+    */
+  def buildBloomIndex(spark: SparkSession, root: String, version: Int,
+      column: String, fpp: Double = 0.001): String = {
+    val m = manifest(root, version)
+    requireNoMappings(m, "buildBloomIndex")
+    val expected = m.entries.flatMap(_.rows) match {
+      case rs if rs.nonEmpty => math.max(1L, rs.max)
+      case _ => math.max(1L, spark.read
+        .parquet(m.files.map(n => s"${filesDir(root)}/$n"): _*)
+        .count() / math.max(1, m.files.size))
+    }
+    val out = bloomPath(root, version, column)
+    spark.read.parquet(m.files.map(n => s"${filesDir(root)}/$n"): _*)
+      .select(col("_metadata.file_name").as("file"), col(column))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"),
+        graft.functions.BloomSketch.bloomAgg(col(column), expected, fpp)
+          .as("bloom"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    out
+  }
+
+  /** POINT LOOKUP through the version's bloom index: prune the file
+    * list in executors (no false negatives — every file truly holding a
+    * key survives), read only the surviving files (position deletes
+    * applied), and filter exactly. Requires [[buildBloomIndex]] for
+    * this (version, column); refuses rather than silently scanning
+    * everything.
+    */
+  def readKeys(spark: SparkSession, root: String, version: Int,
+      column: String, keys: Seq[Long]): DataFrame = {
+    val idx = bloomPath(root, version, column)
+    require(LakeFs.exists(idx),
+      s"no bloom index for v$version.$column — run buildBloomIndex")
+    val m = manifest(root, version)
+    val selected =
+      Manifest.selectFilesBloomDistributed(spark, idx, keys)
+        .filter(m.files.toSet) // tolerate a stale index superset
+    val df =
+      if (selected.isEmpty) read(spark, root, version).limit(0)
+      else readFiles(spark, root, m, selected, keepPos = false)
+    df.where(col(column).isin(keys: _*))
+  }
+
   /** DESCRIBE HISTORY — one row per SURVIVING version: `(version,
     * commit_ts, is_delta, n_files, n_rows, n_dv)`. `commit_ts` is null
     * on pre-timestamp manifests; `n_rows` is the sum of the manifest's
@@ -1366,6 +1425,12 @@ object Snapshots {
     val dropped = (1 until keepFrom).count { v =>
       LakeFs.delete(ckptPath(root, v))
       LakeFs.delete(manifestPath(root, v))
+    }
+    // bloom indexes are version-pinned metadata: drop with their version
+    LakeFs.listDirNames(bloomsDir(root)).foreach { n =>
+      val v = n.stripPrefix("v").takeWhile(_.isDigit)
+      if (n.startsWith("v") && v.nonEmpty && v.toInt < keepFrom)
+        LakeFs.deleteRecursively(s"${bloomsDir(root)}/$n")
     }
     val liveManifests = (keepFrom to latest)
       .filter(v => LakeFs.exists(manifestPath(root, v)))

@@ -69,6 +69,43 @@ class BloomDistributedSpec extends AnyFunSuite {
       Seq(123456789L)).isEmpty)
   }
 
+  test("snapshot bloom index: readKeys prunes files, applies position " +
+      "deletes, and vacuum drops the index with its version") {
+    import graft.sources.{LakeFs, Snapshots}
+    val dir = rangeDir(4)
+    val root = s"$dir/../snap"
+    Snapshots.init(spark, root, dir, statsCols = Seq("k"))
+    Snapshots.buildBloomIndex(spark, root, 1, "k", fpp = 1e-4)
+    // exact values through the pruned read
+    val hit = Snapshots.readKeys(spark, root, 1, "k", Seq(10L, 7000L))
+    assert(hit.count() == 2L)
+    val opened = graft.sources.Bucketing.filesRead(hit)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(opened.subsetOf(Set("part-00000.parquet", "part-00002.parquet")))
+    // a MoR-deleted key hits nothing even when its bloom admits a file
+    Snapshots.deletePositions(spark, root, "k", 10L, 11L)
+    Snapshots.buildBloomIndex(spark, root, 2, "k", fpp = 1e-4)
+    assert(Snapshots.readKeys(spark, root, 2, "k", Seq(10L)).isEmpty)
+    // a (version, column) without an index refuses loudly
+    intercept[IllegalArgumentException](
+      Snapshots.readKeys(spark, root, 2, "grp", Seq(3L)))
+  }
+
+  test("vacuum drops version-pinned bloom indexes below the cut") {
+    import graft.sources.{LakeFs, Snapshots}
+    val dir = rangeDir(4)
+    val root = s"$dir/../snapv"
+    Snapshots.init(spark, root, dir, statsCols = Seq("k"))
+    Snapshots.buildBloomIndex(spark, root, 1, "k")
+    Snapshots.deleteRange(spark, root, "k", 0L, 100L)
+    Snapshots.buildBloomIndex(spark, root, 2, "k")
+    assert(LakeFs.listDirNames(s"$root/_blooms") ==
+      Seq("v1_k.parquet", "v2_k.parquet"))
+    Snapshots.vacuum(root, keepFrom = 2, graceMs = 0L)
+    assert(LakeFs.listDirNames(s"$root/_blooms") == Seq("v2_k.parquet"))
+    assert(Snapshots.readKeys(spark, root, 2, "k", Seq(7000L)).count() == 1L)
+  }
+
   test("build cost is ONE pass regardless of file count: the job tally " +
       "does not grow with files (the driver loop's did, one per file)") {
     def jobsFor(nFiles: Int): Int = {
