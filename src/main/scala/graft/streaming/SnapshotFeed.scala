@@ -72,6 +72,42 @@ object SnapshotFeed {
       .unionByName(incoming, allowMissingColumns = true)
   }
 
+  /** The consumer's UNPROCESSED BACKLOG, sized from manifests alone —
+    * what a consumer inspects BEFORE choosing its `maxVersions` bound:
+    * one row per pending version with `(version, files_added,
+    * files_removed, rows_added, rows_removed, new_dv_sidecars)`, where
+    * the row counts come from the manifests' commit-time file stats
+    * (null when a changed file predates stats — never a wrong number).
+    * File-granular by design: a rewrite's surviving rows appear on both
+    * sides, exactly like the files [[graft.sources.Snapshots
+    * .netChanges]] will read — this measures the DRAIN COST, which is
+    * what backpressure needs. Zero data I/O.
+    */
+  def backlog(spark: SparkSession, root: String,
+      stateDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val from = cursor(stateDir)
+    val latest = Snapshots.latestVersion(root)
+    ((from + 1) to latest).map { v =>
+      val prev = Snapshots.manifest(root, v - 1)
+      val cur = Snapshots.manifest(root, v)
+      val prevNames = prev.files.toSet
+      val curNames = cur.files.toSet
+      def rowsOf(m: Snapshots.ManifestData, names: Set[String])
+          : Option[Long] = {
+        val es = m.entries.filter(e => names.contains(e.name))
+        if (es.forall(_.rows.nonEmpty)) Some(es.flatMap(_.rows).sum)
+        else None
+      }
+      val added = curNames -- prevNames
+      val removed = prevNames -- curNames
+      (v, added.size.toLong, removed.size.toLong,
+        rowsOf(cur, added), rowsOf(prev, removed),
+        (cur.dvNames.toSet -- prev.dvNames.toSet).size.toLong)
+    }.toDF("version", "files_added", "files_removed", "rows_added",
+      "rows_removed", "new_dv_sidecars")
+  }
+
   /** Drain unprocessed version deltas exactly once, at most
     * `maxVersions` per call — the BACKPRESSURE bound a restarted
     * consumer with a deep backlog needs: without it, one drain hands the

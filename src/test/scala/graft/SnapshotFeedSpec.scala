@@ -178,4 +178,33 @@ class SnapshotFeedSpec extends AnyFunSuite {
         sum(col("sum_added")), sum(col("sum_removed"))).head()
     assert(fold(bounded) == fold(unbounded))
   }
+
+  test("backlog sizes the pending versions from manifests alone: " +
+      "per-version file and row counts, drained entries disappear") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feed_bl").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    (1 to 3).foreach { i => // v2..v4: 10-row appends
+      Snapshots.append(spark, root,
+        (0 until 10).map(j => (40000L + i * 100 + j, i)).toDF("k", "grp"),
+        "k")
+    }
+    Snapshots.deleteRange(spark, root, "k", 0L, 100L) // v5: 1 rewrite
+    val stateDir = root + "_state"
+    val bl = SnapshotFeed.backlog(spark, root, stateDir)
+      .orderBy(col("version")).collect()
+    assert(bl.map(_.getInt(0)).toSeq == Seq(2, 3, 4, 5))
+    (0 until 3).foreach { i =>
+      assert(bl(i).getLong(1) == 1L && bl(i).getLong(2) == 0L)
+      assert(bl(i).getLong(3) == 10L) // rows_added from manifest stats
+    }
+    // the delete: 1 file out, 1 rewritten file in, survivors counted
+    assert(bl(3).getLong(2) == 1L && bl(3).getLong(4) == 2500L)
+    assert(bl(3).getLong(3) == 2400L)
+    // draining 2 shrinks the backlog to the remainder
+    SnapshotFeed.drain(spark, root, stateDir, maxVersions = 2)(statApply)
+    assert(SnapshotFeed.backlog(spark, root, stateDir)
+      .select(col("version")).collect().map(_.getInt(0)).toSeq ==
+      Seq(4, 5))
+  }
 }
