@@ -4153,6 +4153,23 @@ object OracleSql {
         |FROM fin
         |WHERE event_id IN (SELECT k FROM ks)""".stripMargin,
 
+    // pp7: the conjunctively-pruned snapshot read must equal the flat
+    // twin (mf3's predicate on the versioned table); selection laws are
+    // engine-verified booleans
+    "pp7_snapshot_zorder_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(16 AS BIGINT) AS files_total,
+        |  TRUE AS no_false_negative,
+        |  TRUE AS strict_subset,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS plan_footer_free
+        |FROM events
+        |WHERE user_id < 8
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
     // q19: one equi-join, the disjunction as a filter
     "q19_disjunctive_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,

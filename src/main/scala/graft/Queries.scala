@@ -7007,6 +7007,95 @@ object Queries {
         lit(opened.subsetOf(selected)).as("scan_within_selection"))
   }
 
+  /** Z-ordered snapshot — the pp7 fixture: init from the compacted
+    * events, then OPTIMIZE ... ZORDER BY (user_id, day-of-stream) into
+    * 16 Morton-range files with commit-time stats stamped for BOTH
+    * physical dimensions (`statsCols = user_id, ts`).
+    */
+  private val zorderSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def zorderSnapPath(s: SparkSession, dir: String): String =
+    zorderSnapMemo.synchronized {
+      zorderSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_zsnap_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir), statsCols = Seq("ts"))
+          S.optimizeZOrder(s, tmp, col("user_id"),
+            pmod(datediff(to_date(col("ts")), lit("2024-01-01")), lit(32)),
+            16, blockSize = 16 * 1024, statsCols = Seq("user_id", "ts"))
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** PP7: CONJUNCTIVE manifest-planned read on the Z-ORDERED SNAPSHOT —
+    * mf3's two-column pruning moved from a separate flat-dir manifest
+    * into the table's OWN commit-time stats ([[graft.sources.Snapshots
+    * .optimizeZOrder]] stamping both dimensions, [[readRange2]]
+    * planning on their intersection): the cohort+window query
+    * (`user_id < 8` AND the pp2 3-day window) selects only the files
+    * whose envelopes intersect on BOTH dimensions. Gates: the
+    * intersection law holds as SET EQUALITY (conjunctive selection ==
+    * selA ∩ selB, recomputed independently from the entries); on the
+    * Morton layout the selection is a STRICT subset of each
+    * single-dimension selection (both dimensions genuinely prune);
+    * the scan opened only selected files (`input_file_name` ground
+    * truth); zero plan-time footer opens; and the values equal the
+    * flat events twin (count + 6dp mass).
+    *
+    * 100 TB lens: the two-hot-filter fact table is THE lake layout
+    * decision (z-order at compaction, mf3/oz1), and the payoff only
+    * lands if the SERVING read plans from the table's own metadata —
+    * this row closes that loop end to end on one versioned table.
+    */
+  def pp7SnapshotZorderRead(s: SparkSession, dir: String): DataFrame = {
+    val root = zorderSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val entries = S.manifest(root, latest).entries
+    val (loU, hiU) = (0L, 8L)
+    val (loT, hiT) = (tsWindowLoMicros, tsWindowHiMicros)
+    def sel(c: String, lo: Long, hi: Long): Set[String] =
+      entries.filter(_.zones.get(c) match {
+        case Some((mn, mx)) => mx >= lo && mn < hi
+        case None => true
+      }).map(_.name).toSet
+    val selU = sel("user_id", loU, hiU)
+    val selT = sel("ts", loT, hiT)
+    val both = selU & selT
+    val ctr = graft.sources.Bucketing.footerReads.get()
+    val before = ctr.get()
+    val pruned = S.readRange2(s, root, latest,
+      "user_id", loU, hiU, "ts", loT, hiT)
+    val planFooterFree = ctr.get() == before
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    // ground truth: files truly holding matching rows (unpruned scan)
+    val truth = graft.sources.Bucketing.filesRead(
+        S.read(s, root, latest).where(col("user_id") >= loU &&
+          col("user_id") < hiU &&
+          unix_micros(col("ts")) >= loT && unix_micros(col("ts")) < hiT))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    pruned.agg(count(lit(1)).as("n_events"), mass.as("total_value"))
+      .select(col("n_events"), col("total_value"),
+        lit(entries.size.toLong).as("files_total"),
+        lit(truth.subsetOf(both)).as("no_false_negative"),
+        // strict vs the TABLE (the pruning is real) and never wider
+        // than either dimension alone (the mf3 convention: at large id
+        // cardinality the Morton bit split can leave one dimension
+        // non-pruning, so per-dimension strictness is layout-dependent)
+        lit(both.nonEmpty && both.size < entries.size &&
+          both.size <= selU.size && both.size <= selT.size)
+          .as("strict_subset"),
+        lit(opened.subsetOf(both)).as("scan_within_selection"),
+        lit(planFooterFree).as("plan_footer_free"))
+  }
+
   // ======================================================================
   // Registry
   // ======================================================================
@@ -7267,6 +7356,7 @@ object Queries {
     "pp6_snapshot_zone_read" -> (pp6SnapshotZoneRead _),
     "vc1_vacuum_retention" -> (vc1VacuumRetention _),
     "hist1_describe_history" -> (hist1DescribeHistory _),
-    "bf3_snapshot_point_lookup" -> (bf3SnapshotPointLookup _)
+    "bf3_snapshot_point_lookup" -> (bf3SnapshotPointLookup _),
+    "pp7_snapshot_zorder_read" -> (pp7SnapshotZorderRead _)
   )
 }

@@ -302,7 +302,10 @@ object StressMain {
       "hist1_describe_history",
       // bf3 point-looks-up the mutated snapshot through version-pinned
       // per-file blooms probed in executors
-      "bf3_snapshot_point_lookup")
+      "bf3_snapshot_point_lookup",
+      // pp7 conjunctively range-reads the z-ordered snapshot through its
+      // own two-dimension commit-time stats
+      "pp7_snapshot_zorder_read")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

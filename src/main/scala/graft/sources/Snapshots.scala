@@ -1286,6 +1286,36 @@ object Snapshots {
         max(col("mx")).as("max_micros"))
   }
 
+  /** CONJUNCTIVE two-column pruned read — [[readRange]] for the
+    * z-ordered layout ([[optimizeZOrder]] with `statsCols`), where each
+    * file carries a bounded envelope on BOTH dimensions and a
+    * conjunctive predicate keeps only the files whose zones intersect
+    * on BOTH (the interval-intersection law — strictly smaller than
+    * either single-dimension selection on a clustered layout). Missing
+    * stats on either column = must-read. Exact filters applied after
+    * the pruned read.
+    */
+  def readRange2(spark: SparkSession, root: String, version: Int,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): DataFrame = {
+    val m = manifest(root, version)
+    requireNoMappings(m, "readRange2")
+    def hits(e: FileEntry, c: String, lo: Long, hi: Long): Boolean =
+      e.zones.get(c) match {
+        case Some((mn, mx)) => mx >= lo && mn < hi
+        case None => true
+      }
+    val selected = m.entries.filter(e =>
+      hits(e, colA, loA, hiA) && hits(e, colB, loB, hiB)).map(_.name)
+    val df =
+      if (selected.isEmpty) read(spark, root, version).limit(0)
+      else readFiles(spark, root, m, selected, keepPos = false)
+    val a = microsOf(df, colA)
+    val b = microsOf(df, colB)
+    df.where(a >= lit(loA) && a < lit(hiA) &&
+      b >= lit(loB) && b < lit(hiB))
+  }
+
   private def bloomsDir(root: String) = s"$root/_blooms"
   private def bloomPath(root: String, version: Int, column: String) =
     s"${bloomsDir(root)}/v${version}_$column.parquet"
