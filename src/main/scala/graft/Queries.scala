@@ -6479,8 +6479,9 @@ object Queries {
     */
   def ms1ManifestStats(s: SparkSession, dir: String): DataFrame = {
     val S = graft.sources.Snapshots
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ms1").toString + "/t"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ms1")
+    val root = tmpRoot.toString + "/t"
+    try {
     S.init(s, root, compactedEventsPath(s, dir), statsCols = Seq("ts"))
     val ctr = graft.sources.Bucketing.footerReads.get()
     val before = ctr.get()
@@ -6504,6 +6505,12 @@ object Queries {
       lit(r.markedPositions).as("n_dv_positions"),
       lit(planFooterFree).as("plan_footer_free"),
       lit(readFooterFree).as("read_footer_free"))
+    } finally {
+      // every gate is collected above — the fresh table (a full copy of
+      // the compacted fixture) must not accumulate per-invocation in /tmp
+      graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
   }
 
   /** Timestamp-travel snapshot — the tt2 fixture: v1 adopts the

@@ -45,6 +45,17 @@ object BloomSketch {
     GraftSqlBridge.column(BloomMightContain(
       GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(key)))
 
+  /** TRUE iff the serialized filter MIGHT contain ANY of the keys — the
+    * BATCHED probe: one expression node and ONE deserialization per
+    * manifest row however many keys are probed, where a per-key
+    * `mightContain` Or-chain builds an O(keys) expression tree evaluated
+    * with O(keys) deserializations per row (a 10^3-key batch = a 10^3-node
+    * predicate). Keys ride as one array argument.
+    */
+  def mightContainAny(bloom: Column, keys: Column): Column =
+    GraftSqlBridge.column(BloomMightContainAny(
+      GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(keys)))
+
   private[functions] def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
@@ -120,4 +131,46 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): BloomMightContain = copy(left = l, right = r)
   override def prettyName: String = "bloom_might_contain"
+}
+
+/** `bloom_might_contain_any(bloomBytes, array<key>)` — the batched
+  * executor-side probe: deserializes the filter ONCE per manifest row and
+  * loops the key array, short-circuiting on the first possible hit. An
+  * empty or null key array can match nothing → FALSE (the empty point
+  * lookup selects no files).
+  */
+case class BloomMightContainAny(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback
+    with BinaryLike[Expression] {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val bloom = left.eval(input)
+    val keys = right.eval(input)
+    if (bloom == null || keys == null) false
+    else {
+      val bf = BloomSketch.deserialize(bloom.asInstanceOf[Array[Byte]])
+      val arr = keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val et = right.dataType.asInstanceOf[ArrayType].elementType
+      var i = 0
+      var hit = false
+      while (!hit && i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          hit = et match {
+            case LongType => bf.mightContainLong(arr.getLong(i))
+            case IntegerType => bf.mightContainLong(arr.getInt(i).toLong)
+            case StringType =>
+              bf.mightContainBinary(arr.getUTF8String(i).getBytes)
+            case other => throw new IllegalArgumentException(
+              s"bloom_might_contain_any: unsupported key type $other")
+          }
+        }
+        i += 1
+      }
+      hit
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BloomMightContainAny = copy(left = l, right = r)
+  override def prettyName: String = "bloom_might_contain_any"
 }

@@ -304,15 +304,19 @@ object Bucketing {
     ThreadLocal.withInitial(() => new java.util.concurrent.atomic.AtomicLong)
 
   /** ONE footer open computing everything a manifest file entry needs:
-    * row count, schema fingerprint (MD5 of the footer schema), and the
-    * min/max zone of each requested long-typed column (`None` entries
-    * are omitted from the map — the conservative must-touch contract).
-    * The commit-time twin of [[fileZones]]: production formats stamp
-    * these stats into the manifest at commit so PLANNING never re-opens
-    * a footer.
+    * row count, schema fingerprint (MD5 of the footer schema), the
+    * min/max zone of each requested long-typed column, and the
+    * TRUNCATED string zone ([[graft.sources.Snapshots.StrZone]] —
+    * Iceberg-style 16-byte prefix lower / prefix-successor upper bounds)
+    * of each requested BINARY/UTF8 column. Columns whose stats are
+    * missing or unusable are omitted from both maps — the conservative
+    * must-touch contract. The commit-time twin of [[fileZones]]:
+    * production formats stamp these stats into the manifest at commit so
+    * PLANNING never re-opens a footer.
     */
   def fileStatsEntry(spark: SparkSession, path: String, cols: Seq[String])
-      : (Long, String, Map[String, (Long, Long)]) = {
+      : (Long, String, Map[String, (Long, Long)],
+        Map[String, Snapshots.StrZone]) = {
     import scala.jdk.CollectionConverters._
     footerReads.get().incrementAndGet()
     val conf = spark.sessionState.newHadoopConf()
@@ -324,27 +328,59 @@ object Bucketing {
       val rows = blocks.map(_.getRowCount).sum
       val fp = fingerprintOf(
         rd.getFooter.getFileMetaData.getSchema.toString)
-      val zones = cols.flatMap { column =>
+      // per requested column: the per-block (min, max) stat values, or
+      // None when any block lacks usable stats for it
+      def blockStats(column: String): Option[Seq[(Any, Any)]] = {
         val zs = blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == column) match {
             case Some(c) if c.getStatistics != null &&
                 c.getStatistics.hasNonNullValue =>
-              (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax)
-                match {
-                case (mn: Number, mx: Number) =>
-                  Some((mn.longValue(), mx.longValue()))
-                case _ => None
-              }
+              Some((c.getStatistics.genericGetMin,
+                c.getStatistics.genericGetMax))
             case _ => None
           }
         }
-        if (zs.isEmpty || zs.exists(_.isEmpty)) None
-        else Some(column ->
-          (zs.flatten.map(_._1).min, zs.flatten.map(_._2).max))
+        if (zs.isEmpty || zs.exists(_.isEmpty)) None else Some(zs.flatten)
+      }
+      val zones = cols.flatMap { column =>
+        blockStats(column).flatMap { zs =>
+          val nums = zs.map {
+            case (mn: Number, mx: Number) =>
+              Some((mn.longValue(), mx.longValue()))
+            case _ => None
+          }
+          if (nums.exists(_.isEmpty)) None
+          else Some(column ->
+            (nums.flatten.map(_._1).min, nums.flatten.map(_._2).max))
+        }
       }.toMap
-      (rows, fp, zones)
+      val szones = cols.flatMap { column =>
+        blockStats(column).flatMap { zs =>
+          val bins = zs.map {
+            case (mn: org.apache.parquet.io.api.Binary,
+                mx: org.apache.parquet.io.api.Binary) =>
+              Some((mn.getBytes, mx.getBytes))
+            case _ => None
+          }
+          if (bins.exists(_.isEmpty)) None
+          else {
+            val min = bins.flatten.map(_._1)
+              .minBy(identity)(byteOrdering)
+            val max = bins.flatten.map(_._2)
+              .maxBy(identity)(byteOrdering)
+            Snapshots.StrZone.ofBytes(min, max).map(column -> _)
+          }
+        }
+      }.toMap
+      (rows, fp, zones, szones)
     } finally rd.close()
   }
+
+  /** Unsigned lexicographic byte order — the UTF-8/binary collation the
+    * string zones compare in.
+    */
+  private val byteOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   private def fingerprintOf(schema: String): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -401,6 +437,10 @@ object Bucketing {
     val st = LakeFs.fs(path).getFileStatus(
       new org.apache.hadoop.fs.Path(path))
     val key = s"$path|${st.getLen}|${st.getModificationTime}"
+    // superseded keys (rebuilt paths) are never individually evicted;
+    // cap the memo so a long-lived driver cannot grow it unboundedly —
+    // a clear only costs re-reading footers once
+    if (schemaFpMemo.size > 65536) schemaFpMemo.clear()
     schemaFpMemo.getOrElseUpdate(key, {
       footerReads.get().incrementAndGet()
       val conf = spark.sessionState.newHadoopConf()

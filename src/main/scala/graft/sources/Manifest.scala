@@ -203,28 +203,34 @@ object Manifest {
           fpp).as("bloom"))
 
   /** Persist the DISTRIBUTED bloom manifest as parquet
-    * (`file, rows, bloom`) — one job, any file count.
+    * (`file, rows, bloom`) — one job, any file count. The write keeps
+    * the aggregate's output partitioning (multi-file past one shuffle
+    * partition): funneling through `coalesce(1)` would push 10^6 files
+    * × ~1 KB of filters ≈ a GB through ONE task and one giant parquet
+    * file; readers scan the directory, so the file count is free.
     */
   def writeBloomDistributed(spark: SparkSession, dir: String,
       column: String, outPath: String, expectedPerFile: Long,
       fpp: Double = 0.001): Unit =
     buildBloomDistributed(spark, dir, column, expectedPerFile, fpp)
-      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
   /** DISTRIBUTED plan-time point-lookup pruning: filter the bloom
-    * manifest IN EXECUTORS ([[graft.functions.BloomSketch.mightContain]]
-    * per manifest row) and collect only the surviving file names — the
+    * manifest IN EXECUTORS ([[graft.functions.BloomSketch
+    * .mightContainAny]] — ONE array-argument probe per manifest row,
+    * one deserialization however many keys, not an O(keys) Or-chain of
+    * per-key nodes) and collect only the surviving file names — the
     * driver never holds every filter (at 10^6 files × ~1 KB that is a
     * ~GB of driver heap [[selectFilesBloom]] would collect). Same
-    * no-false-negative superset guarantee.
+    * no-false-negative superset guarantee. An empty key batch can match
+    * nothing → empty selection, not an error.
     */
   def selectFilesBloomDistributed(spark: SparkSession,
       manifestPath: String, keys: Seq[Long]): Seq[String] = {
+    if (keys.isEmpty) return Seq.empty
     val man = spark.read.parquet(manifestPath)
-    val hit = keys.map(k =>
-        graft.functions.BloomSketch.mightContain(col("bloom"), lit(k)))
-      .reduce(_ || _)
+    val hit = graft.functions.BloomSketch.mightContainAny(col("bloom"),
+      lit(keys.toArray))
     man.where(hit).select(col("file"))
       .collect().map(_.getString(0)).toSeq.sorted
   }

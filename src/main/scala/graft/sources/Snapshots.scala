@@ -113,21 +113,98 @@ object Snapshots {
   // Manifest model
   // ---------------------------------------------------------------------
 
+  /** STRING zone of one file's column — Iceberg-style TRUNCATED bounds:
+    * `lo` is the UTF-8 byte PREFIX of the true minimum (a prefix is
+    * bytewise ≤ the value — a valid lower bound), `hi` is the true
+    * maximum when it fits the truncation budget, else the PREFIX
+    * SUCCESSOR (last non-0xFF prefix byte incremented, tail dropped —
+    * bytewise > every value sharing the prefix). Conservative by
+    * construction: `lo ≤ min(col) ≤ max(col) ≤ hi`, so range pruning
+    * can over-select but never wrong-skip. `loExact`/`hiExact` record
+    * whether the bound IS the true extreme (untruncated) — what
+    * metadata-only MIN/MAX needs and a truncated bound cannot answer.
+    * Bounds are stored base64 (raw bytes may hold the manifest's own
+    * delimiters); comparisons are unsigned-lexicographic on the bytes,
+    * which equals code-point order for valid UTF-8 — the same order
+    * Spark's UTF8String and binary-collation SQL compare with.
+    */
+  case class StrZone(loB64: String, loExact: Boolean,
+      hiB64: String, hiExact: Boolean) {
+    def lo: Array[Byte] = java.util.Base64.getDecoder.decode(loB64)
+    def hi: Array[Byte] = java.util.Base64.getDecoder.decode(hiB64)
+    /** Zone may intersect the byte range [lo, hi): no false skip under
+      * the conservative-bound law above.
+      */
+    def intersects(qLo: Array[Byte], qHi: Array[Byte]): Boolean =
+      java.util.Arrays.compareUnsigned(hi, qLo) >= 0 &&
+        java.util.Arrays.compareUnsigned(lo, qHi) < 0
+    def render: String =
+      s"${if (loExact) "e" else "t"}$loB64..${if (hiExact) "e" else "t"}$hiB64"
+  }
+
+  object StrZone {
+    /** Truncation budget — 16 bytes, the Iceberg `truncate(16)` default:
+      * long ids/URLs stay prunable while a manifest line stays KB-free.
+      */
+    val TruncateBytes: Int = 16
+
+    private def b64(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+
+    /** Smallest byte string > every value with this prefix: increment
+      * the last non-0xFF byte, drop the tail; None when all bytes are
+      * 0xFF (no finite successor — the caller must drop the zone, the
+      * conservative must-touch contract).
+      */
+    private[graft] def prefixSuccessor(prefix: Array[Byte])
+        : Option[Array[Byte]] = {
+      val i = prefix.lastIndexWhere(b => (b & 0xff) != 0xff)
+      if (i < 0) None
+      else {
+        val out = prefix.take(i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
+
+    /** Zone from the TRUE min/max byte values (parquet footer stats),
+      * truncated to the budget; None when no sound upper bound exists.
+      */
+    def ofBytes(min: Array[Byte], max: Array[Byte],
+        budget: Int = TruncateBytes): Option[StrZone] = {
+      val (lo, loExact) =
+        if (min.length <= budget) (min, true) else (min.take(budget), false)
+      if (max.length <= budget) Some(StrZone(b64(lo), loExact, b64(max), true))
+      else prefixSuccessor(max.take(budget))
+        .map(hi => StrZone(b64(lo), loExact, b64(hi), false))
+    }
+
+    def parse(s: String): StrZone = {
+      val Array(l, h) = s.split("\\.\\.", 2)
+      StrZone(l.tail, l.head == 'e', h.tail, h.head == 'e')
+    }
+  }
+
   /** One data-file line of a manifest: the name plus the commit-time
     * stats (row count, bytes, footer-schema fingerprint, per-column
-    * min/max zones). Stats are all optional — plain `name` lines from
-    * pre-stats manifests parse to an entry with none, and every consumer
-    * falls back to footer I/O for what the manifest does not carry.
+    * min/max zones — numeric `z:` and string `s:`). Stats are all
+    * optional — plain `name` lines from pre-stats manifests parse to an
+    * entry with none, and every consumer falls back to footer I/O for
+    * what the manifest does not carry.
     */
   case class FileEntry(name: String, rows: Option[Long] = None,
       bytes: Option[Long] = None, fp: Option[String] = None,
-      zones: Map[String, (Long, Long)] = Map.empty) {
+      zones: Map[String, (Long, Long)] = Map.empty,
+      szones: Map[String, StrZone] = Map.empty) {
     def render: String = {
       val parts = Seq(name) ++
         rows.map(r => s"r=$r") ++ bytes.map(b => s"b=$b") ++
         fp.map(f => s"fp=$f") ++
         zones.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s"z:$c=$mn..$mx"
+        } ++
+        szones.toSeq.sortBy(_._1).map { case (c, z) =>
+          s"s:$c=${z.render}"
         }
       parts.mkString("|")
     }
@@ -144,6 +221,9 @@ object Snapshots {
           val Array(c, mm) = p.drop(2).split("=", 2)
           val Array(mn, mx) = mm.split("\\.\\.", 2)
           e.copy(zones = e.zones + (c -> (mn.toLong, mx.toLong)))
+        } else if (p.startsWith("s:")) {
+          val Array(c, zz) = p.drop(2).split("=", 2)
+          e.copy(szones = e.szones + (c -> StrZone.parse(zz)))
         } else e // unknown stat: forward-compatible skip
       }
     }
@@ -231,7 +311,9 @@ object Snapshots {
     val commitTs = lines.find(_.startsWith("#ts:"))
       .map(_.stripPrefix("#ts:").toLong)
     val meta = lines.filter(l => l.startsWith("#") &&
-      !l.startsWith("#parent:") && !l.startsWith("#ts:"))
+      !l.startsWith("#parent:") && !l.startsWith("#ts:") &&
+      !l.startsWith("#nfiles:") && !l.startsWith("#nrows:") &&
+      !l.startsWith("#pqsec:")) // per-version stamps, never carried
     val entries = parent match {
       case None =>
         lines.filterNot(_.startsWith("#")).map(FileEntry.parse)
@@ -310,7 +392,16 @@ object Snapshots {
           entries.filterNot(e => oldNames.contains(e.name))
             .sortBy(_.name).map("+" + _.render)
       }
-    val content = (Seq(s"#ts:$ts") ++ meta ++ body).mkString("\n")
+    // per-version summary stamps (NOT carried forward — manifest() and
+    // carryMeta filter them): file count and, when every entry carries
+    // row stats, the row sum — so history() answers per version from ONE
+    // raw read instead of resolving each version's delta chain
+    // (O(versions) vs O(versions × checkpoint interval) manifest reads)
+    val stamps = Seq(s"#nfiles:${entries.size}") ++
+      (if (entries.forall(_.rows.nonEmpty))
+        Seq(s"#nrows:${entries.flatMap(_.rows).sum}")
+      else Seq.empty)
+    val content = (Seq(s"#ts:$ts") ++ stamps ++ meta ++ body).mkString("\n")
     try LakeFs.createNewAtomic(manifestPath(root, version), content)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -497,8 +588,10 @@ object Snapshots {
   private def statEntry(spark: SparkSession, root: String, name: String,
       statsCols: Seq[String]): FileEntry = {
     val p = s"${filesDir(root)}/$name"
-    val (rows, fp, zones) = Bucketing.fileStatsEntry(spark, p, statsCols)
-    FileEntry(name, Some(rows), Some(LakeFs.fileLength(p)), Some(fp), zones)
+    val (rows, fp, zones, szones) =
+      Bucketing.fileStatsEntry(spark, p, statsCols)
+    FileEntry(name, Some(rows), Some(LakeFs.fileLength(p)), Some(fp), zones,
+      szones)
   }
 
   /** Create version 1 by adopting the parquet files of `srcDir` (copied
@@ -626,9 +719,30 @@ object Snapshots {
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // a rival commit landed first: if it carried this very batch id
-        // the replay is a skip; otherwise surface the race for retry
-        if (committedBatches(root).contains(batchId)) false else throw e
+        // the replay is a skip; otherwise surface the race for retry.
+        // O(1) membership (watermark compare + sparse-line scan of the
+        // new latest manifest) — committedBatches materializes the full
+        // watermark RANGE, a multi-million-element Seq per contended
+        // commit at exactly the streaming scale the watermark exists for
+        if (isBatchCommittedLatest(root, batchId)) false else throw e
     }
+  }
+
+  /** O(1)-in-watermark membership check against the LATEST manifest's
+    * raw batch meta (no file-section resolution, no range
+    * materialization) plus legacy markers — the contended-commit replay
+    * check [[appendBatch]]'s ConcurrentModificationException handler
+    * needs at 10^6-commit scale.
+    */
+  private def isBatchCommittedLatest(root: String, batchId: Long): Boolean = {
+    val latest = latestVersion(root)
+    val inLatest = latest >= 1 && {
+      val lines = rawLines(root, latest)
+      val wm = lines.find(_.startsWith("#batchwm:"))
+        .map(_.stripPrefix("#batchwm:").toLong).getOrElse(-1L)
+      batchId <= wm || lines.contains(s"#batch:$batchId")
+    }
+    inLatest || legacyBatchIds(root).contains(batchId)
   }
 
   private def legacyBatchIds(root: String): Seq[Long] =
@@ -1253,6 +1367,72 @@ object Snapshots {
     df.where(micros >= lit(lo) && micros < lit(hi))
   }
 
+  /** PLAN-TIME PRUNED read on a STRING key — [[readRange]] for the
+    * columns 16 bytes of numeric zone cannot see (doc ids, URLs,
+    * categories — the keys an LLM-data pipeline actually ranges on):
+    * keep only the files whose TRUNCATED string zone ([[StrZone]]) of
+    * `column` intersects `[lo, hi)` in unsigned UTF-8 byte order, read
+    * exactly those (position deletes applied), filter exactly. The
+    * stored bounds are conservative (prefix lower / prefix-successor
+    * upper), so truncation can over-select but never wrong-skip; a file
+    * without a stamped string zone is conservatively read. Needs a
+    * mapping-free table like every zone-planned path.
+    */
+  def readRangeStr(spark: SparkSession, root: String, version: Int,
+      column: String, lo: String, hi: String): DataFrame = {
+    val m = manifest(root, version)
+    requireNoMappings(m, "readRangeStr")
+    val qLo = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val qHi = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val selected = m.entries.filter { e =>
+      e.szones.get(column) match {
+        case Some(z) => z.intersects(qLo, qHi)
+        case None => true // no stats: cannot prove it misses
+      }
+    }.map(_.name)
+    val df =
+      if (selected.isEmpty) read(spark, root, version).limit(0)
+      else readFiles(spark, root, m, selected, keepPos = false)
+    df.where(col(column) >= lit(lo) && col(column) < lit(hi))
+  }
+
+  /** METADATA-ONLY aggregation on a STRING column — COUNT(*) / MIN /
+    * MAX answered purely from the manifest's commit-time string zones.
+    * Refuses (beyond [[metadataAgg]]'s sidecar/mapping/missing-stats
+    * conditions) when ANY referenced file's bound is TRUNCATED
+    * (`loExact`/`hiExact` false): a prefix lower bound or
+    * prefix-successor upper bound is sound for PRUNING but is not the
+    * column's true extreme — answering MIN/MAX from it would be wrong,
+    * so the caller is told to read (Iceberg's lower_bounds/upper_bounds
+    * have the same caveat). Returns one row `(n_rows, min_str,
+    * max_str)`.
+    */
+  def metadataAggStr(spark: SparkSession, root: String, version: Int,
+      column: String): DataFrame = {
+    import spark.implicits._
+    val m = manifest(root, version)
+    require(m.dvNames.isEmpty,
+      "metadataAggStr needs a sidecar-free version (live position " +
+        "deletes make footer stats overcount); run optimize first")
+    requireNoMappings(m, "metadataAggStr")
+    val stats = m.entries.map { e =>
+      (e.rows, e.szones.get(column)) match {
+        case (Some(r), Some(z)) if z.loExact && z.hiExact =>
+          (r, new String(z.lo, java.nio.charset.StandardCharsets.UTF_8),
+            new String(z.hi, java.nio.charset.StandardCharsets.UTF_8))
+        case (Some(_), Some(_)) => sys.error(
+          s"metadataAggStr: truncated bound for $column in ${e.name} — " +
+            "a prefix is not the true extreme; read the data")
+        case _ => sys.error(s"metadataAggStr: no commit-time stats for " +
+          s"$column in ${e.name}; run optimize to stamp them")
+      }
+    }
+    stats.toDF("rows", "mn", "mx")
+      .agg(sum(col("rows")).as("n_rows"),
+        min(col("mn")).as("min_str"),
+        max(col("mx")).as("max_str"))
+  }
+
   /** METADATA-ONLY aggregation over a snapshot version — COUNT(*) /
     * MIN / MAX of `column` answered from the manifest's commit-time
     * stats without reading ONE data byte (the Iceberg metadata-query
@@ -1337,18 +1517,25 @@ object Snapshots {
     requireNoMappings(m, "buildBloomIndex")
     val expected = m.entries.flatMap(_.rows) match {
       case rs if rs.nonEmpty => math.max(1L, rs.max)
+      // pre-stats fallback: size for the LARGEST file, not the average —
+      // an under-sized filter on a skewed file degrades toward
+      // all-positive and silently defeats pruning on exactly the tables
+      // (pre-stats, skewed) the fallback serves
       case _ => math.max(1L, spark.read
         .parquet(m.files.map(n => s"${filesDir(root)}/$n"): _*)
-        .count() / math.max(1, m.files.size))
+        .groupBy(col("_metadata.file_name")).count()
+        .agg(max(col("count"))).head().getLong(0))
     }
     val out = bloomPath(root, version, column)
+    // multi-file index write (no coalesce(1) single-task funnel — at
+    // 10^6 files × ~1 KB blooms that is ~1 GB through one task); the
+    // probe reads the directory, so the part count is free
     spark.read.parquet(m.files.map(n => s"${filesDir(root)}/$n"): _*)
       .select(col("_metadata.file_name").as("file"), col(column))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("rows"),
         graft.functions.BloomSketch.bloomAgg(col(column), expected, fpp)
           .as("bloom"))
-      .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
     out
   }
@@ -1366,6 +1553,8 @@ object Snapshots {
     require(LakeFs.exists(idx),
       s"no bloom index for v$version.$column — run buildBloomIndex")
     val m = manifest(root, version)
+    if (keys.isEmpty) // zero keys match zero rows, not an error
+      return read(spark, root, version).limit(0)
     val selected =
       Manifest.selectFilesBloomDistributed(spark, idx, keys)
         .filter(m.files.toSet) // tolerate a stale index superset
@@ -1381,7 +1570,11 @@ object Snapshots {
     * commit-time row stats (null when any referenced file lacks them,
     * never a wrong number) and counts MoR-marked rows as live the way
     * footer stats do — subtract the sidecar sizes for exact live
-    * counts. Driver-side over the surviving manifest chain, the same
+    * counts. O(versions) manifest reads: each stamped manifest answers
+    * from its own raw `#nfiles:`/`#nrows:` summary lines (ONE read per
+    * version, no delta-chain resolution — at 10^5 commits the chain
+    * walk costs O(versions × checkpoint interval) reads); pre-stamp
+    * manifests fall back to full resolution. Driver-side, the same
     * bound every format's history listing has.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
@@ -1391,13 +1584,26 @@ object Snapshots {
     (1 to latest)
       .filter(v => LakeFs.exists(manifestPath(root, v)))
       .map { v =>
-        val m = manifest(root, v)
-        val rows =
-          if (m.entries.forall(_.rows.nonEmpty))
-            Some(m.entries.flatMap(_.rows).sum)
-          else None
-        (v, m.commitTs, m.isDelta, m.entries.size.toLong, rows,
-          m.dvNames.size.toLong)
+        val lines = rawLines(root, v)
+        val ts = lines.find(_.startsWith("#ts:"))
+          .map(_.stripPrefix("#ts:").toLong)
+        val isDelta = lines.exists(_.startsWith("#parent:"))
+        val nDv = lines.count(_.startsWith("#dv:")).toLong
+        lines.find(_.startsWith("#nfiles:"))
+          .map(_.stripPrefix("#nfiles:").toLong) match {
+          case Some(nf) => // stamped: answered from this one raw read
+            val rows = lines.find(_.startsWith("#nrows:"))
+              .map(_.stripPrefix("#nrows:").toLong)
+            (v, ts, isDelta, nf, rows, nDv)
+          case None => // pre-stamp manifest: resolve the chain
+            val m = manifest(root, v)
+            val rows =
+              if (m.entries.forall(_.rows.nonEmpty))
+                Some(m.entries.flatMap(_.rows).sum)
+              else None
+            (v, m.commitTs, m.isDelta, m.entries.size.toLong, rows,
+              m.dvNames.size.toLong)
+        }
       }
       .toDF("version", "commit_ts", "is_delta", "n_files", "n_rows",
         "n_dv")

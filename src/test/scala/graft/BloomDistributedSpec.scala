@@ -106,6 +106,60 @@ class BloomDistributedSpec extends AnyFunSuite {
     assert(Snapshots.readKeys(spark, root, 2, "k", Seq(7000L)).count() == 1L)
   }
 
+  test("index writes are not single-task funnels: a multi-file table's " +
+      "bloom index lands as multiple part files") {
+    import graft.sources.Snapshots
+    val dir = rangeDir(8)
+    val root = s"$dir/../snapm"
+    // AQE legitimately coalesces KB-scale partitions at test scale; the
+    // gate is about the HARD coalesce(1) funnel, so pin it off here —
+    // at 10^6 files AQE targets its advisory size and fans out anyway
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    Snapshots.init(s2, root, dir, statsCols = Seq("k"))
+    val idx = Snapshots.buildBloomIndex(s2, root, 1, "k")
+    // 8 grouped files hash across the shuffle partitions; a coalesce(1)
+    // regression would collapse this to exactly one part file
+    assert(Compaction.dataFileNames(idx).size >= 2,
+      "bloom index written through a single task")
+    val manDist = s"${dir}_man_multi"
+    Manifest.writeBloomDistributed(s2, dir, "k", manDist, 2500L)
+    assert(Compaction.dataFileNames(manDist).size >= 2)
+    // the multi-part index still probes exactly
+    assert(Snapshots.readKeys(s2, root, 1, "k",
+      Seq(10L, 7000L, 19999L)).count() == 3L)
+  }
+
+  test("empty key batches select nothing and read an empty frame — " +
+      "never an error") {
+    import graft.sources.Snapshots
+    val dir = rangeDir(2)
+    val root = s"$dir/../snape"
+    Snapshots.init(spark, root, dir, statsCols = Seq("k"))
+    Snapshots.buildBloomIndex(spark, root, 1, "k")
+    assert(Manifest.selectFilesBloomDistributed(spark,
+      s"$root/_blooms/v1_k.parquet", Seq.empty).isEmpty)
+    val empty = Snapshots.readKeys(spark, root, 1, "k", Seq.empty)
+    assert(empty.isEmpty && empty.columns.contains("k"))
+  }
+
+  test("a 1000-key batch probes through ONE array-argument expression " +
+      "with no false negatives") {
+    val dir = rangeDir(4)
+    val man = s"${dir}_man_batch"
+    Manifest.writeBloomDistributed(spark, dir, "k", man, 2500L)
+    // every 10th key of zones 0 and 2 plus misses: 1000 keys total
+    val present = (0 until 250).map(_ * 10L) ++
+      (0 until 250).map(i => 5000L + i * 10L)
+    val absent = (0 until 500).map(i => 1000000L + i)
+    val keys = (present ++ absent).toSeq
+    assert(keys.size == 1000)
+    val sel = Manifest.selectFilesBloomDistributed(spark, man, keys).toSet
+    assert(sel.contains("part-00000.parquet") &&
+      sel.contains("part-00002.parquet"),
+      s"batched probe lost a truly-present key's file: $sel")
+  }
+
   test("build cost is ONE pass regardless of file count: the job tally " +
       "does not grow with files (the driver loop's did, one per file)") {
     def jobsFor(nFiles: Int): Int = {

@@ -188,6 +188,74 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(Snapshots.committedBatches(root) == Seq(7L))
   }
 
+  test("history answers from per-commit #nfiles/#nrows stamps: ONE " +
+      "manifest read per version, no delta-chain resolution") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mchist").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"),
+      checkpointInterval = 8)
+    (1 to 7).foreach { i => // v2..v8: deltas + one checkpoint at v8
+      Snapshots.append(spark, root,
+        Seq((10000L + i, i)).toDF("k", "grp"), "k")
+    }
+    Snapshots.deletePositions(spark, root, "k", 100L, 200L) // v9: +1 dv
+    val ctr = LakeFs.readStringCalls.get()
+    val before = ctr.get()
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    val reads = ctr.get() - before
+    assert(reads == 9L,
+      s"history read $reads manifests for 9 versions, want 9 (O(V))")
+    // the stamped answers must equal full chain resolution's
+    (1 to 9).foreach { v =>
+      val m = Snapshots.manifest(root, v)
+      val (_, nf, nr, ndv) = h(v - 1)
+      assert(nf == m.entries.size.toLong, s"v$v n_files")
+      assert(nr == m.entries.flatMap(_.rows).sum, s"v$v n_rows")
+      assert(ndv == m.dvNames.size.toLong, s"v$v n_dv")
+    }
+  }
+
+  test("contended appendBatch replays stay O(1) under a folded " +
+      "multi-billion batch watermark (no range materialization)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mcwm").toString + "/t"
+    Snapshots.init(spark, root, freshTable(), statsCols = Seq("k"))
+    val m1 = Snapshots.manifest(root, 1)
+    // hand-commit v2 carrying the watermark 3×10^9 sequential streaming
+    // commits would fold to — materializing that range (the old replay
+    // path) is a ~24 GB Seq; the O(1) check must never build it
+    LakeFs.createNewAtomic(s"$root/_manifests/v2.txt",
+      (Seq(s"#ts:${m1.commitTs.get + 1}", "#batchwm:3000000000") ++
+        m1.entries.map(_.render)).mkString("\n"))
+    // an already-folded id resolves to a skip without materialization
+    assert(!Snapshots.appendBatch(spark, root,
+      Seq((40000L, 1)).toDF("k", "grp"), "k", 2999999999L))
+    // and a contended NEW id lands exactly once — losers route through
+    // the ConcurrentModificationException replay check
+    val b = Seq((40001L, 1)).toDF("k", "grp")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        gate.await()
+        results.add(Snapshots.commitWithRetry() {
+          Snapshots.appendBatch(spark, root, b, "k", 3000000001L)
+        })
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    assert(results.size == 4)
+    assert(results.asScala.count(identity) == 1,
+      s"exactly one replay must win: $results")
+    val latest = Snapshots.latestVersion(root)
+    assert(Snapshots.read(spark, root, latest)
+      .where(col("k") === 40001L).count() == 1L)
+  }
+
   test("readRange prunes files from manifest zones before the scan: " +
       "exact values, empty selection yields an empty typed frame") {
     val root = java.nio.file.Files
