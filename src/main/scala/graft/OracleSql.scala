@@ -4066,6 +4066,49 @@ object OracleSql {
         |  TRUE AS metadata_only
         |FROM final""".stripMargin,
 
+    // mc2: the pqsec table's closed form — events plus THREE copies of
+    // the appended 2024-01-26 day minus the deleted window, read AFTER
+    // the vacuum; externalization/replay/reclaim laws engine-verified
+    "mc2_parquet_checkpoint" ->
+      """WITH d26 AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+        |allr AS (
+        |  SELECT ts, value FROM events
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26
+        |  UNION ALL SELECT ts, value FROM d26),
+        |final AS (
+        |  SELECT * FROM allr
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  TRUE AS pqsec_externalized,
+        |  TRUE AS replay_matches,
+        |  TRUE AS vacuum_reclaims
+        |FROM final""".stripMargin,
+
+    // pp8: the string-range slice must equal the derived-key twin
+    // (ids 100..199 through 26-char keys truncated past the 16-byte
+    // stats budget); the pruning laws are engine-verified booleans
+    "pp8_string_zone_read" ->
+      """WITH d AS (
+        |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+        |    || '_xxxxxxxxxxxx' AS skey, n_chars
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_in_range,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_in_range,
+        |  TRUE AS truncated_bounds,
+        |  TRUE AS strict_subset,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS plan_footer_free
+        |FROM d
+        |WHERE skey >= 'doc0000000100' AND skey < 'doc0000000200'""".stripMargin,
+
     // pp6: the zone-pruned day slice must equal the flat events twin
     // (the appended 01-26 copies and the deleted window cannot leak in);
     // the selection laws are engine-verified booleans

@@ -6513,6 +6513,183 @@ object Queries {
     }
   }
 
+  /** MC2: PARQUET manifest checkpoints — mc1's delta/checkpoint
+    * economics with the last O(table-files) metadata cost removed
+    * ([[graft.sources.Snapshots]] `#pqsec:` sections): above the
+    * table's `pqsec` threshold (0 here, so every full manifest
+    * externalizes) a checkpoint's file section is written as a PARQUET
+    * side table and the manifest itself carries ONE pointer line, so
+    * cold resolution loads entries as a DataFrame instead of parsing a
+    * ~10^2 MB text blob on the driver, and every raw metadata read
+    * (committedBatches, versionAsOf, history) stays KB-scale. Gates:
+    * the full manifests (v1, v4 under interval 4) are pointer-only;
+    * a HAND replay (parquet section + raw delta lines) equals
+    * `resolve` at every version; vacuum reclaims the dropped versions'
+    * sections (zero `pqsec_` dirs survive a keepFrom=latest cut) while
+    * resolution through the materialized checkpoint stays exact.
+    * Values: events + 3 appended 01-26 day copies − the deleted window
+    * (count + 6dp mass) read AFTER the vacuum.
+    *
+    * 100 TB lens: Delta's checkpoints are parquet for exactly this —
+    * at 10^6 stats-bearing entries a text checkpoint is ~10^2 MB per
+    * cold resolve; a parquet section decodes distributed and
+    * column-pruned while commits stay delta-sized.
+    */
+  def mc2ParquetCheckpoint(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_mc2")
+    val root = tmpRoot.toString + "/t"
+    try {
+      S.init(s, root, compactedEventsPath(s, dir), statsCols = Seq("ts"),
+        checkpointInterval = 4, pqSectionThreshold = 0)
+      val d26 = t(s, dir, "events")
+        .where(col("ts") >= ts("2024-01-26 00:00:00") &&
+          col("ts") < ts("2024-01-27 00:00:00"))
+      (1 to 3).foreach { i => // v2, v3 deltas; v4 a pqsec checkpoint
+        S.append(s, root, d26.withColumn("event_id",
+          col("event_id") + lit(i * 1000000000000L)), "ts",
+          blockSize = 16 * 1024)
+      }
+      S.deleteRange(s, root, "ts", tsWindowLoMicros, tsWindowHiMicros,
+        blockSize = 16 * 1024) // v5: delta off the pqsec checkpoint
+      val latest = S.latestVersion(root)
+      def raw(v: Int): Seq[String] =
+        graft.sources.LakeFs.readString(s"$root/_manifests/v$v.txt")
+          .split("\n").toSeq.filter(_.nonEmpty)
+      def sectionNames(lines: Seq[String]): Set[String] =
+        lines.find(_.startsWith("#pqsec:")) match {
+          case Some(p) => s.read
+            .parquet(s"$root/_manifests/${p.stripPrefix("#pqsec:")}")
+            .select(col("entry")).collect()
+            .map(_.getString(0).split("\\|").head).toSet
+          case None => lines.filterNot(_.startsWith("#"))
+            .map(_.split("\\|").head).toSet
+        }
+      var replay = Set.empty[String]
+      var replayMatches = true
+      var externalized = true
+      (1 to latest).foreach { v =>
+        val lines = raw(v)
+        if (!lines.exists(_.startsWith("#parent:"))) {
+          if (lines.count(_.startsWith("#pqsec:")) != 1 ||
+              lines.exists(l => !l.startsWith("#"))) externalized = false
+          replay = sectionNames(lines)
+        } else replay = replay --
+          lines.filter(_.startsWith("-")).map(_.stripPrefix("-")) ++
+          lines.filter(_.startsWith("+"))
+            .map(_.stripPrefix("+").split("\\|").head)
+        if (S.resolve(root, v).toSet != replay) replayMatches = false
+      }
+      S.vacuum(root, keepFrom = latest, graceMs = 0L)
+      val reclaimed = graft.sources.LakeFs
+        .listDirNames(s"$root/_manifests")
+        .count(_.startsWith("pqsec_")) == 0
+      def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+        .cast("decimal(38,0)")).cast("double") / lit(1e6))
+      val agg = S.read(s, root, latest)
+        .agg(count(lit(1)).as("n"), mass.as("v")).collect().head
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_final"),
+        lit(agg.getDouble(1)).as("total_value"),
+        lit(latest.toLong).as("n_versions"),
+        lit(externalized).as("pqsec_externalized"),
+        lit(replayMatches).as("replay_matches"),
+        lit(reclaimed).as("vacuum_reclaims"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
+  }
+
+  /** String-keyed snapshot — the pp8 fixture: documents under a derived
+    * 26-char key `doc<id padded 10>_xxxxxxxxxxxx` (discriminating bytes
+    * INSIDE the 16-byte truncation budget, constant tail beyond it — so
+    * every stamped bound is TRUNCATED and pruning must rely on the
+    * conservative prefix/prefix-successor law), range-sorted into 8
+    * files and snapshot-initialized with commit-time `skey` stats.
+    */
+  private val strSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def strSnapPath(s: SparkSession, dir: String): String =
+    strSnapMemo.synchronized {
+      strSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_docs_strsnap_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "documents")
+        buildCachedDir(path) { tmp =>
+          val docs = t(s, dir, "documents")
+            .withColumn("skey", concat(lit("doc"),
+              lpad(col("doc_id").cast("string"), 10, "0"),
+              lit("_xxxxxxxxxxxx")))
+          graft.sources.Bucketing.writeRangeSorted(docs, "skey", 8,
+            s"$tmp/src", 16 * 1024)
+          graft.sources.Snapshots.init(s, s"$tmp/t", s"$tmp/src",
+            statsCols = Seq("skey"))
+          graft.sources.LakeFs.deleteRecursively(s"$tmp/src")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** PP8: STRING zone pruning — [[graft.sources.Snapshots.readRangeStr]]
+    * over truncated commit-time string bounds, the serving read for the
+    * keys an LLM-data pipeline actually ranges on (doc ids, URLs,
+    * categories) where numeric zones are blind. The fixture's keys are
+    * LONGER than the 16-byte truncation budget with the discriminating
+    * bytes inside it, so every file's stamped zone is a conservative
+    * `[prefix, prefix-successor)` envelope — the row proves pruning
+    * stays exact THROUGH truncation. Gates: every bound truncated
+    * (`truncated_bounds` — the row exercises the hard case, not the
+    * exact-fit one), the scan opened a strict subset of the version's
+    * files, every opened file was zone-selected (selection recomputed
+    * here with raw byte compares, independent of the library's
+    * intersect), zero plan-time footer opens. Values: count + char mass
+    * of ids 100..199 via the string range.
+    *
+    * 100 TB lens: Iceberg truncates string bounds to 16 bytes for the
+    * same reason — full URLs/doc-ids would bloat manifests past
+    * usefulness, and the prefix-successor upper bound keeps skipping
+    * sound; without string zones, every range/point read on a string
+    * key degenerates to a full-file-list scan.
+    */
+  def pp8StringZoneRead(s: SparkSession, dir: String): DataFrame = {
+    val root = strSnapPath(s, dir) + "/t"
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val allFiles = S.resolve(root, latest)
+    val lo = "doc" + "100".reverse.padTo(10, '0').reverse.mkString
+    val hi = "doc" + "200".reverse.padTo(10, '0').reverse.mkString
+    val m = S.manifest(root, latest)
+    val truncated = m.entries.nonEmpty && m.entries.forall(e =>
+      e.szones.get("skey").exists(z => !z.hiExact))
+    val ctr = graft.sources.Bucketing.footerReads.get()
+    val before = ctr.get()
+    val pruned = S.readRangeStr(s, root, latest, "skey", lo, hi)
+    val planFooterFree = ctr.get() == before
+    val opened = graft.sources.Bucketing.filesRead(pruned)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    // the selection the truncated bounds imply, recomputed with raw
+    // unsigned byte compares (independent of StrZone.intersects)
+    val qLo = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val qHi = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val selected = m.entries.filter { e =>
+      e.szones.get("skey") match {
+        case Some(z) =>
+          java.util.Arrays.compareUnsigned(z.hi, qLo) >= 0 &&
+            java.util.Arrays.compareUnsigned(z.lo, qHi) < 0
+        case None => true
+      }
+    }.map(_.name).toSet
+    pruned.agg(count(lit(1)).as("n_in_range"),
+        sum(col("n_chars")).as("chars_in_range"))
+      .select(col("n_in_range"), col("chars_in_range"),
+        lit(truncated).as("truncated_bounds"),
+        lit(selected.nonEmpty && selected.size < allFiles.size)
+          .as("strict_subset"),
+        lit(opened.subsetOf(selected)).as("scan_within_selection"),
+        lit(planFooterFree).as("plan_footer_free"))
+  }
+
   /** Timestamp-travel snapshot — the tt2 fixture: v1 adopts the
     * compacted files; v2 appends the 2024-01-25 day (ids +3·10^12); v3
     * is the pp2-window deleteRange. Every manifest carries its `#ts:`
@@ -7364,6 +7541,8 @@ object Queries {
     "vc1_vacuum_retention" -> (vc1VacuumRetention _),
     "hist1_describe_history" -> (hist1DescribeHistory _),
     "bf3_snapshot_point_lookup" -> (bf3SnapshotPointLookup _),
-    "pp7_snapshot_zorder_read" -> (pp7SnapshotZorderRead _)
+    "pp7_snapshot_zorder_read" -> (pp7SnapshotZorderRead _),
+    "mc2_parquet_checkpoint" -> (mc2ParquetCheckpoint _),
+    "pp8_string_zone_read" -> (pp8StringZoneRead _)
   )
 }

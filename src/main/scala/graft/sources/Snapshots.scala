@@ -96,6 +96,19 @@ object Snapshots {
     */
   val DefaultVacuumGraceMs: Long = 60L * 60L * 1000L
 
+  /** Entry count above which a FULL manifest's file section is written
+    * as a PARQUET side table (`_pqsec_v<N>_<uuid>`) instead of inline
+    * text — the Delta parquet-checkpoint economics: a 10^6-file text
+    * checkpoint is a ~10^2 MB driver-side string parse per cold resolve
+    * (and per raw metadata read — committedBatches, versionAsOf probes
+    * all pay it), where a parquet section keeps the manifest itself
+    * KB-scale and the entries load as a DataFrame (distributed decode,
+    * column-pruned). Table-scoped via `pqsec=` in `_props.txt` (set at
+    * [[init]]). 100k keeps every small-to-mid table on the simpler
+    * inline path.
+    */
+  val DefaultPqSectionThreshold: Int = 100000
+
   private def manifestDir(root: String) = s"$root/_manifests"
   private def filesDir(root: String) = s"$root/files"
   private def deletesDir(root: String) = s"$root/_deletes"
@@ -316,7 +329,11 @@ object Snapshots {
       !l.startsWith("#pqsec:")) // per-version stamps, never carried
     val entries = parent match {
       case None =>
-        lines.filterNot(_.startsWith("#")).map(FileEntry.parse)
+        lines.find(_.startsWith("#pqsec:")) match {
+          case Some(p) => loadPqSection(root, p.stripPrefix("#pqsec:"))
+          case None =>
+            lines.filterNot(_.startsWith("#")).map(FileEntry.parse)
+        }
       case Some(pv) =>
         val ck = ckptPath(root, version)
         if (LakeFs.exists(ck)) // vacuum materialized this version full
@@ -349,12 +366,21 @@ object Snapshots {
     rawLines(root, version).find(_.startsWith("#ts:"))
       .map(_.stripPrefix("#ts:").toLong)
 
+  private def tableProps(root: String): Map[String, String] =
+    if (!LakeFs.exists(propsPath(root))) Map.empty
+    else LakeFs.readString(propsPath(root)).split("\n").toSeq
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+
   private def checkpointIntervalOf(root: String): Int =
-    if (!LakeFs.exists(propsPath(root))) DefaultCheckpointInterval
-    else LakeFs.readString(propsPath(root)).split("\n")
-      .find(_.startsWith("ckpt="))
-      .map(_.stripPrefix("ckpt=").trim.toInt)
+    tableProps(root).get("ckpt").map(_.toInt)
       .getOrElse(DefaultCheckpointInterval)
+
+  private def pqSectionThresholdOf(root: String): Int =
+    tableProps(root).get("pqsec").map(_.toInt)
+      .getOrElse(DefaultPqSectionThreshold)
 
   /** Commit a version manifest with OPTIMISTIC CONCURRENCY: the create
     * is exclusive ([[LakeFs.createNewAtomic]]), so two writers committing
@@ -381,7 +407,7 @@ object Snapshots {
     val asDelta = parent.exists(_._1 == version - 1) &&
       interval > 1 && version % interval != 0
     val body =
-      if (!asDelta) entries.sortBy(_.name).map(_.render)
+      if (!asDelta) fullBody(root, version, entries)
       else {
         val (pv, pm) = parent.get
         val newNames = entries.map(_.name).toSet
@@ -410,6 +436,48 @@ object Snapshots {
             "re-plan against the new latest", e)
     }
     LakeFs.writeHint(hintPath(root), version.toString) // advisory only
+  }
+
+  /** FULL manifest file section: inline text below the table's pqsec
+    * threshold; one `#pqsec:<dir>` pointer to a PARQUET side table above
+    * it (the Delta parquet-checkpoint shape). The section is written
+    * BEFORE the atomic manifest create — a losing OCC writer's section
+    * is an orphan directory [[vacuum]] reclaims, never a dangling
+    * reference. Falls back to inline when no SparkSession is reachable
+    * (correctness never depends on the parquet form).
+    */
+  private def fullBody(root: String, version: Int,
+      entries: Seq[FileEntry]): Seq[String] = {
+    val sorted = entries.sortBy(_.name)
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    if (sorted.size <= pqSectionThresholdOf(root) || session.isEmpty)
+      sorted.map(_.render)
+    else {
+      val spark = session.get
+      import spark.implicits._
+      // no leading underscore: Spark's file index treats `_`-prefixed
+      // INPUT paths as hidden (warns and may skip); `_manifests/` already
+      // shields the section from any data scan of the table root
+      val name = s"pqsec_v${version}_${uuid8()}"
+      sorted.map(e => (e.render, e.rows, e.bytes))
+        .toDF("entry", "rows", "bytes")
+        .write.parquet(s"${manifestDir(root)}/$name")
+      Seq(s"#pqsec:$name")
+    }
+  }
+
+  /** Load a `#pqsec:` parquet file section: distributed decode via the
+    * session when one is reachable; sorted like every resolution.
+    */
+  private def loadPqSection(root: String, name: String): Seq[FileEntry] = {
+    val dir = s"${manifestDir(root)}/$name"
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(sys.error(
+        s"parquet manifest section $name needs a SparkSession to load"))
+    spark.read.parquet(dir).select("entry").collect()
+      .map(r => FileEntry.parse(r.getString(0))).toSeq
   }
 
   /** Metadata lines that carry forward across commits: live sidecars,
@@ -602,9 +670,12 @@ object Snapshots {
     */
   def init(spark: SparkSession, root: String, srcDir: String,
       statsCols: Seq[String] = Seq.empty,
-      checkpointInterval: Int = DefaultCheckpointInterval): Int = {
+      checkpointInterval: Int = DefaultCheckpointInterval,
+      pqSectionThreshold: Int = DefaultPqSectionThreshold): Int = {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1: $checkpointInterval")
+    require(pqSectionThreshold >= 0,
+      s"pqSectionThreshold must be >= 0: $pqSectionThreshold")
     LakeFs.mkdirs(filesDir(root))
     val names = Compaction.dataFileNames(srcDir).map { n =>
       LakeFs.copyFile(s"$srcDir/$n", s"${filesDir(root)}/$n")
@@ -612,8 +683,13 @@ object Snapshots {
     }
     require(names.nonEmpty, s"no parquet files in $srcDir")
     LakeFs.mkdirs(manifestDir(root))
-    if (checkpointInterval != DefaultCheckpointInterval)
-      try LakeFs.createNewAtomic(propsPath(root), s"ckpt=$checkpointInterval")
+    val props =
+      (if (checkpointInterval != DefaultCheckpointInterval)
+        Seq(s"ckpt=$checkpointInterval") else Seq.empty) ++
+      (if (pqSectionThreshold != DefaultPqSectionThreshold)
+        Seq(s"pqsec=$pqSectionThreshold") else Seq.empty)
+    if (props.nonEmpty)
+      try LakeFs.createNewAtomic(propsPath(root), props.mkString("\n"))
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
     val entries = names.map(n => statEntry(spark, root, n, statsCols))
     commitManifest(root, 1, entries, Seq.empty, None)
@@ -1668,14 +1744,27 @@ object Snapshots {
       if (n.startsWith("v") && v.nonEmpty && v.toInt < keepFrom)
         LakeFs.deleteRecursively(s"${bloomsDir(root)}/$n")
     }
-    val liveManifests = (keepFrom to latest)
+    val survivors = (keepFrom to latest)
       .filter(v => LakeFs.exists(manifestPath(root, v)))
-      .map(v => manifest(root, v))
+    val liveManifests = survivors.map(v => manifest(root, v))
     val liveFiles = liveManifests.flatMap(_.files).toSet
     val liveDv = liveManifests.flatMap(_.dvNames).toSet
     val now = System.currentTimeMillis()
     def reclaimable(p: String): Boolean =
       now - LakeFs.modificationTime(p) >= graceMs
+    // parquet file sections: referenced only by their own version's
+    // manifest — sections of dropped versions and a losing writer's
+    // orphans reclaim past the grace window
+    val livePq = survivors.flatMap(v =>
+      rawLines(root, v).find(_.startsWith("#pqsec:"))
+        .map(_.stripPrefix("#pqsec:"))).toSet
+    LakeFs.listDirNames(manifestDir(root))
+      .filter(_.startsWith("pqsec_"))
+      .foreach { n =>
+        val p = s"${manifestDir(root)}/$n"
+        if (!livePq.contains(n) && reclaimable(p))
+          LakeFs.deleteRecursively(p)
+      }
     val deletedData = Compaction.dataFileNames(filesDir(root))
       .filterNot(liveFiles.contains)
       .count { n =>

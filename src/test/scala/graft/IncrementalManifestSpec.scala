@@ -256,6 +256,70 @@ class IncrementalManifestSpec extends AnyFunSuite {
       .where(col("k") === 40001L).count() == 1L)
   }
 
+  test("parquet file sections: full manifests above the pqsec threshold " +
+      "externalize to parquet, resolve identically to the inline twin, " +
+      "and vacuum reclaims dropped/orphaned sections") {
+    val base = freshTable()
+    def lifecycle(root: String, pqsecThreshold: Int): Unit = {
+      Snapshots.init(spark, root, base, statsCols = Seq("k"),
+        checkpointInterval = 4, pqSectionThreshold = pqsecThreshold)
+      (1 to 4).foreach { i => // v2,v3 deltas; v4 full; v5 delta
+        Snapshots.append(spark, root,
+          Seq((10000L + i, i)).toDF("k", "grp"), "k")
+      }
+      Snapshots.deleteRange(spark, root, "k", 0L, 2500L) // v6: -1 file
+    }
+    val rootPq = java.nio.file.Files
+      .createTempDirectory("graft_pqsec").toString + "/t"
+    val rootTx = java.nio.file.Files
+      .createTempDirectory("graft_pqsec_tx").toString + "/t"
+    lifecycle(rootPq, pqsecThreshold = 0) // every full section parquet
+    lifecycle(rootTx, pqsecThreshold = Int.MaxValue) // inline twin
+    // the externalized manifests carry ONE pointer line, no file lines
+    Seq(1, 4).foreach { v =>
+      val lines = rawManifest(rootPq, v)
+      assert(lines.count(_.startsWith("#pqsec:")) == 1, s"v$v pointer")
+      assert(!lines.exists(l => !l.startsWith("#")), s"v$v inline leak")
+      assert(rawManifest(rootTx, v).count(_.startsWith("#pqsec:")) == 0)
+    }
+    // resolution equality with the inline twin at every version:
+    // same entry count, same stats multiset (names differ by uuid)
+    (1 to 6).foreach { v =>
+      val pq = Snapshots.manifest(rootPq, v).entries
+      val tx = Snapshots.manifest(rootTx, v).entries
+      assert(pq.size == tx.size, s"v$v size")
+      assert(pq.map(e => (e.rows, e.zones.get("k"))).sorted ==
+        tx.map(e => (e.rows, e.zones.get("k"))).sorted, s"v$v stats")
+    }
+    // data equality end-to-end
+    assert(Snapshots.read(spark, rootPq, 6).count() ==
+      Snapshots.read(spark, rootTx, 6).count())
+    // an orphaned section (losing OCC writer) and dropped versions'
+    // sections reclaim: v4's manifest drops at keepFrom=5 (vacuum
+    // materializes the keepFrom ckpt first, so no survivor's chain
+    // needs it) — ZERO sections remain
+    LakeFs.mkdirs(s"$rootPq/_manifests/pqsec_v9_orphan")
+    Snapshots.vacuum(rootPq, keepFrom = 5, graceMs = 0L)
+    val dirs = LakeFs.listDirNames(s"$rootPq/_manifests")
+      .filter(_.startsWith("pqsec_"))
+    assert(dirs.isEmpty, s"leaked: $dirs")
+    // resolution through the vacuumed chain (v5's materialized ckpt)
+    // stays exact
+    assert(Snapshots.read(spark, rootPq, 6).count() == 10004L - 2500L)
+    intercept[IllegalArgumentException](Snapshots.resolve(rootPq, 3))
+    // while a keepFrom placed ON the pqsec version keeps its section:
+    // rebuild and cut at 4
+    val rootK = java.nio.file.Files
+      .createTempDirectory("graft_pqsec_k").toString + "/t"
+    lifecycle(rootK, pqsecThreshold = 0)
+    Snapshots.vacuum(rootK, keepFrom = 4, graceMs = 0L)
+    val kept = LakeFs.listDirNames(s"$rootK/_manifests")
+      .filter(_.startsWith("pqsec_"))
+    assert(kept.size == 1 && kept.head.startsWith("pqsec_v4_"),
+      s"keepFrom's own section must survive: $kept")
+    assert(Snapshots.read(spark, rootK, 6).count() == 10004L - 2500L)
+  }
+
   test("readRange prunes files from manifest zones before the scan: " +
       "exact values, empty selection yields an empty typed frame") {
     val root = java.nio.file.Files
