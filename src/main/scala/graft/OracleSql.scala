@@ -4109,6 +4109,25 @@ object OracleSql {
         |FROM d
         |WHERE skey >= 'doc0000000100' AND skey < 'doc0000000200'""".stripMargin,
 
+    // sql1: the DSv2 day slice of the MoR-merged v2 = the window
+    // re-imaged (+1000) plus the shadow inserts, originals retracted;
+    // pushdown/audit laws are engine-verified booleans
+    "sql1_dsv2_pushdown_read" ->
+      """WITH win AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |v2day AS (
+        |  SELECT ts, value + 1000 AS value FROM win
+        |  UNION ALL SELECT ts, value FROM win)
+        |SELECT CAST(count(*) AS BIGINT) AS n_day,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS day_value,
+        |  TRUE AS planner_pruned,
+        |  TRUE AS scan_within_selection,
+        |  TRUE AS strict_subset
+        |FROM v2day""".stripMargin,
+
     // pp6: the zone-pruned day slice must equal the flat events twin
     // (the appended 01-26 copies and the deleted window cannot leak in);
     // the selection laws are engine-verified booleans

@@ -1,0 +1,232 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Executor-side parquet → `InternalRow` reader for the graft DSv2
+  * connector — parquet-mr's example `Group` materializer with a
+  * column-pruned requested schema, converting each record to the
+  * partition's required Spark schema:
+  *
+  *  - COLUMN PRUNING is real parquet projection (the requested
+  *    `MessageType` is the subset of the file's own fields the scan
+  *    needs), so an unprojected column's pages are never decoded;
+  *  - ROW POSITION is the record ordinal (no row-group skipping is
+  *    requested, so the stream covers every row in file order — the
+  *    same positions `_metadata.row_index` yields), which is what
+  *    position-delete sidecars anti-join on;
+  *  - LOGICAL COLUMN MAPS (rename/widen) resolve per file: a logical
+  *    column reads from the newest physical name present in THIS file's
+  *    footer, and INT32→long / FLOAT→double / unit-scaled timestamps
+  *    cast at conversion — the executor half of
+  *    [[graft.sources.Snapshots.renameColumn]]/[[widenColumn]].
+  *
+  * Primitive columns only (long/int/double/float/boolean/string/binary/
+  * timestamp/date) — the connector refuses nested types at scan build.
+  * Cited shape: the reference's scan surface is tabular records
+  * (reference: agent_tools.py:34-60, load_csv/describe over flat
+  * frames); nested decode is out of its scope too.
+  */
+object ParquetRowReader {
+
+  /** The physical-name candidates of a logical column, newest first:
+    * the logical name itself, then each older name walking the rename
+    * chain backwards (a file written before `renameColumn(o, n)` holds
+    * `o` physically).
+    */
+  def physicalCandidates(logical: String,
+      maps: Seq[(String, String)]): Seq[String] = {
+    var names = List(logical) // built oldest-first by prepending
+    maps.reverse.foreach { case (o, n) =>
+      if (names.head == n) names = o :: names
+    }
+    names.reverse // newest (the logical name itself) first
+  }
+
+  /** Per-field read plan: the group index in the REQUESTED schema and
+    * the conversion from the parquet primitive to the Spark type; None
+    * = the column is absent from this file (schema evolution) and reads
+    * NULL.
+    */
+  private final case class FieldPlan(groupIdx: Int,
+      convert: (org.apache.parquet.example.data.Group, Int) => Any)
+
+  private def micros(scale: Long)(g: org.apache.parquet.example.data.Group,
+      i: Int): Any = g.getLong(i, 0) * scale
+
+  /** Conversion for one required field given the file's physical field
+    * type — widening casts (int→long, float→double) are where
+    * `#widen:` materializes on read.
+    */
+  private def converter(phys: Type, target: DataType)
+      : (org.apache.parquet.example.data.Group, Int) => Any = {
+    require(phys.isPrimitive,
+      s"graft scan supports primitive columns only, got $phys")
+    val p = phys.asPrimitiveType()
+    import PrimitiveType.PrimitiveTypeName._
+    (p.getPrimitiveTypeName, target) match {
+      case (INT64, LongType) => (g, i) => g.getLong(i, 0)
+      case (INT32, LongType) => (g, i) => g.getInteger(i, 0).toLong
+      case (INT64, TimestampType) =>
+        p.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => micros(1000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS => micros(1L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                (g, i) => g.getLong(i, 0) / 1000L
+            }
+          case _ => micros(1L) // bare INT64 read as micros
+        }
+      case (INT32, IntegerType) => (g, i) => g.getInteger(i, 0)
+      case (INT32, DateType) => (g, i) => g.getInteger(i, 0)
+      case (INT32, ShortType) => (g, i) => g.getInteger(i, 0).toShort
+      case (INT32, ByteType) => (g, i) => g.getInteger(i, 0).toByte
+      case (DOUBLE, DoubleType) => (g, i) => g.getDouble(i, 0)
+      case (FLOAT, DoubleType) => (g, i) => g.getFloat(i, 0).toDouble
+      case (FLOAT, FloatType) => (g, i) => g.getFloat(i, 0)
+      case (BOOLEAN, BooleanType) => (g, i) => g.getBoolean(i, 0)
+      case (BINARY, StringType) =>
+        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BINARY, BinaryType) => (g, i) => g.getBinary(i, 0).getBytes
+      case (pt, st) => throw new IllegalArgumentException(
+        s"graft scan cannot read parquet $pt as Spark $st " +
+          s"(column ${phys.getName})")
+    }
+  }
+
+  /** Open `path` and stream its records as `InternalRow`s of
+    * `required`, skipping `deletedPositions` (sorted file ordinals from
+    * position-delete sidecars). `rowsHint` (manifest commit-time stats)
+    * lets a zero-column projection (COUNT(*) pruned everything) answer
+    * from metadata without decoding a single page.
+    */
+  def open(path: String, conf: Configuration, required: StructType,
+      maps: Seq[(String, String)], deletedPositions: Array[Long],
+      rowsHint: Option[Long]): CloseableRowIterator = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    if (required.isEmpty) {
+      // no columns needed: row COUNT from the manifest hint or one
+      // footer open; emit empty rows (Spark counts them)
+      val total = rowsHint.getOrElse {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            hPath, conf))
+        try rd.getRecordCount finally rd.close()
+      }
+      val live = total - deletedPositions.count(_ < total)
+      return new CloseableRowIterator {
+        private var remaining = live
+        private val row = InternalRow.empty
+        override def next(): Boolean =
+          if (remaining > 0) { remaining -= 1; true } else false
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+    // the file's own schema decides physical names (rename chain) and
+    // source types (widen casts)
+    val fileSchema: MessageType = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+      try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+    }
+    val present = fileSchema.getFields
+    import scala.jdk.CollectionConverters._
+    val byName = present.asScala.map(f => f.getName -> f).toMap
+    // requested projection: the file fields this partition's required
+    // columns resolve to, in required order
+    val resolved: Seq[Option[Type]] = required.fields.toSeq.map { f =>
+      physicalCandidates(f.name, maps).collectFirst {
+        case n if byName.contains(n) => byName(n)
+      }
+    }
+    val requestedFields = resolved.flatten
+    val plans: Array[Option[FieldPlan]] = {
+      var gi = -1
+      required.fields.toSeq.zip(resolved).map {
+        case (f, Some(t)) =>
+          gi += 1
+          Some(FieldPlan(gi, converter(t, f.dataType)))
+        case (_, None) => None
+      }.toArray
+    }
+    val readConf = new Configuration(conf)
+    if (requestedFields.isEmpty) {
+      // every required column is absent from this file (pure schema
+      // evolution): rows are all-null; count them via the footer
+      val total = rowsHint.getOrElse {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            hPath, conf))
+        try rd.getRecordCount finally rd.close()
+      }
+      val live = total - deletedPositions.count(_ < total)
+      return new CloseableRowIterator {
+        private var remaining = live
+        private val row: InternalRow =
+          new GenericInternalRow(Array.fill[Any](required.size)(null))
+        override def next(): Boolean =
+          if (remaining > 0) { remaining -= 1; true } else false
+        override def get(): InternalRow = row
+        override def close(): Unit = ()
+      }
+    }
+    readConf.set(ReadSupport.PARQUET_READ_SCHEMA,
+      new MessageType(fileSchema.getName, requestedFields.asJava).toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), hPath)
+      .withConf(readConf)
+      .build()
+    new CloseableRowIterator {
+      private var pos = -1L
+      private var dvIdx = 0
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (true) {
+          val g = reader.read()
+          if (g == null) return false
+          pos += 1
+          // sorted-merge against the sidecar positions: O(1) per row
+          while (dvIdx < deletedPositions.length &&
+              deletedPositions(dvIdx) < pos) dvIdx += 1
+          val deleted = dvIdx < deletedPositions.length &&
+            deletedPositions(dvIdx) == pos
+          if (!deleted) {
+            val values = new Array[Any](plans.length)
+            var j = 0
+            while (j < plans.length) {
+              plans(j) match {
+                case Some(p) =>
+                  values(j) =
+                    if (g.getFieldRepetitionCount(p.groupIdx) == 0) null
+                    else p.convert(g, p.groupIdx)
+                case None => values(j) = null
+              }
+              j += 1
+            }
+            current = new GenericInternalRow(values)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** The iterator contract `PartitionReader` needs, file-closeable. */
+  trait CloseableRowIterator {
+    def next(): Boolean
+    def get(): InternalRow
+    def close(): Unit
+  }
+}
