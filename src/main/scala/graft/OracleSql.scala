@@ -3755,6 +3755,43 @@ object OracleSql {
         |  TRUE AS exactly_once
         |FROM final""".stripMargin,
 
+    // ss2: the native streaming source's sign-weighted fold must equal
+    // the SAME lifecycle closed form ss1 pins (base v1 rides the feed,
+    // so 5 versions); batching/exactly-once laws engine-verified
+    "ss2_native_stream_fold" ->
+      """WITH d20 AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |d25 AS (
+        |  SELECT ts, value, floor(value * 0.5 * 1e6 + 0.5) / 1e6 AS qs
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value,
+        |    CAST(NULL AS DOUBLE) AS qs
+        |  FROM events
+        |  UNION ALL SELECT ts, value, CAST(NULL AS DOUBLE) FROM d20
+        |  UNION ALL SELECT ts, value, qs FROM d25),
+        |final AS (
+        |  SELECT * FROM merged
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_final,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  CAST(SUM(CAST(floor(qs * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_quality,
+        |  CAST(SUM(CASE WHEN qs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_quality,
+        |  CAST(5 AS BIGINT) AS n_versions_processed,
+        |  TRUE AS bounded_exactly_once
+        |FROM final""".stripMargin,
+
     // mf3: the conjunctive-pruned query must equal the flat twin; the
     // selection-law gates are booleans the engine computes from the
     // manifest itself

@@ -4283,6 +4283,88 @@ object Queries {
         lit(processed == Seq(2, 3, 4, 5)).as("exactly_once"))
   }
 
+  /** SS2: the NATIVE streaming source ([[graft.sources.v2
+    * .GraftMicroBatchStream]]) — ss1's drain loop replaced by
+    * `spark.readStream.format("graft").option("changeFeed", "true")`:
+    * manifest versions are CHECKPOINTED OFFSETS the engine owns, each
+    * micro-batch carries the file-granular tagged delta of its version
+    * range, and [[SupportsAdmissionControl]] bounds the drain
+    * (`maxVersionsPerBatch = 2` → the 5-version lifecycle arrives in
+    * exactly 3 batches — gated). The foreachBatch consumer folds
+    * sign-weighted quantized stats (add = +, remove = −; multiset
+    * cancellation makes the sum exact through the MERGE's rewrites and
+    * the OPTIMIZE's self-cancelling delta), and the fold must equal the
+    * lc1 closed form: count, 6dp value mass, 6dp quality mass,
+    * null-quality count — a source that dropped, duplicated, or
+    * mis-sided one file's rows cannot reproduce all four.
+    * Kill-restart exactly-once is spec-proven (GraftStreamSpec: a
+    * restarted checkpoint re-delivers nothing; new commits stream from
+    * the cursor).
+    *
+    * 100 TB lens: the hand-rolled consumer loop (ss1) owns its own
+    * cursor; production pipelines want the ENGINE's checkpoint/commit
+    * machinery (rate limiting, AvailableNow catch-up, restart
+    * semantics) — offsets-as-versions is how Delta's streaming source
+    * does it, with the change feed first-class here.
+    */
+  def ss2NativeStreamFold(s: SparkSession, dir: String): DataFrame = {
+    val root = lifecycleSnapPath(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss2")
+    try {
+      val acc = new java.util.concurrent.atomic.AtomicReference(
+        (0L, BigInt(0), BigInt(0), 0L, Set.empty[Int], 0))
+      val src = s.readStream.format("graft")
+        .option("path", root).option("changeFeed", "true")
+        .option("maxVersionsPerBatch", "2").load()
+      val q = src.writeStream
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          def qz(c: org.apache.spark.sql.Column) =
+            floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")
+          val signed = when(col("_graft_side") === "add", 1L)
+            .otherwise(-1L)
+          val r = batch.agg(
+            coalesce(sum(signed), lit(0L)),
+            coalesce(sum(when(col("_graft_side") === "add",
+              qz(col("value"))).otherwise(-qz(col("value")))),
+              lit(java.math.BigDecimal.ZERO)),
+            coalesce(sum(when(col("quality_score").isNull, lit(0L)
+                .cast("decimal(38,0)"))
+              .when(col("_graft_side") === "add",
+                qz(col("quality_score")))
+              .otherwise(-qz(col("quality_score")))),
+              lit(java.math.BigDecimal.ZERO)),
+            coalesce(sum(when(col("quality_score").isNull, signed)
+              .otherwise(0L)), lit(0L)),
+            collect_set(col("_graft_version"))).head()
+          acc.updateAndGet { case (n, vq, qq, nq, vs, b) =>
+            (n + r.getLong(0),
+              vq + BigInt(r.getDecimal(1).toBigInteger),
+              qq + BigInt(r.getDecimal(2).toBigInteger),
+              nq + r.getLong(3),
+              vs ++ r.getSeq[Int](4).toSet,
+              b + 1)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val (n, vq, qq, nq, versions, batches) = acc.get()
+      s.range(1).select(
+        lit(n).as("n_final"),
+        (lit(vq.toLong).cast("double") / lit(1e6)).as("total_value"),
+        (lit(qq.toLong).cast("double") / lit(1e6)).as("total_quality"),
+        lit(nq).as("n_null_quality"),
+        lit(versions.size.toLong).as("n_versions_processed"),
+        lit(versions == Set(1, 2, 3, 4, 5) && batches == 3)
+          .as("bounded_exactly_once"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(tmp.toString)
+      ()
+    }
+  }
+
   /** 16-file z-ordered copy of `events` ([[graft.sources.Bucketing
     * .writeZOrderedFiles]] on (user_id, day-of-stream)) plus its
     * TWO-COLUMN manifest ([[graft.sources.Manifest.writeTs2]] on
@@ -7606,6 +7688,7 @@ object Queries {
     "pp7_snapshot_zorder_read" -> (pp7SnapshotZorderRead _),
     "mc2_parquet_checkpoint" -> (mc2ParquetCheckpoint _),
     "pp8_string_zone_read" -> (pp8StringZoneRead _),
-    "sql1_dsv2_pushdown_read" -> (sql1DsvPushdownRead _)
+    "sql1_dsv2_pushdown_read" -> (sql1DsvPushdownRead _),
+    "ss2_native_stream_fold" -> (ss2NativeStreamFold _)
   )
 }

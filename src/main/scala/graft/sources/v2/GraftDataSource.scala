@@ -53,14 +53,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, version) = GraftDataSource.resolve(options)
-    Snapshots.read(SparkSession.active, root, version).schema
+    val base = Snapshots.read(SparkSession.active, root, version).schema
+    if (options.getBoolean("changeFeed", false))
+      GraftChangeFeed.schemaOf(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, version) = GraftDataSource.resolve(opts)
-    new GraftTable(root, version, schema)
+    new GraftTable(root, version, schema,
+      changeFeed = opts.getBoolean("changeFeed", false),
+      startingVersion = opts.getInt("startingVersion", 0),
+      maxVersionsPerBatch = opts.getInt("maxVersionsPerBatch",
+        Int.MaxValue))
   }
 }
 
@@ -88,17 +95,25 @@ object GraftDataSource {
   }
 }
 
-/** One snapshot version as a DSv2 table. */
-class GraftTable(root: String, version: Int, tableSchema: StructType)
+/** One snapshot version as a DSv2 table — batch-readable always;
+  * micro-batch-readable as the tagged change feed when `changeFeed` is
+  * set (the streaming surface, [[GraftMicroBatchStream]]).
+  */
+class GraftTable(root: String, version: Int, tableSchema: StructType,
+    changeFeed: Boolean = false, startingVersion: Int = 0,
+    maxVersionsPerBatch: Int = Int.MaxValue)
   extends Table with SupportsRead {
   override def name(): String = s"graft.`$root` v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (changeFeed)
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(root, version, tableSchema,
-      Option(options.get("auditId")))
+      Option(options.get("auditId")), startingVersion,
+      maxVersionsPerBatch)
 }
 
 /** Pushdown state: filters translate to manifest zone pruning (and stay
@@ -106,7 +121,8 @@ class GraftTable(root: String, version: Int, tableSchema: StructType)
   * column pruning becomes the parquet projection.
   */
 class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
-    auditId: Option[String])
+    auditId: Option[String], startingVersion: Int = 0,
+    maxVersionsPerBatch: Int = Int.MaxValue)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
@@ -124,7 +140,8 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(root, version, tableSchema, required, pushed, auditId)
+    new GraftScan(root, version, tableSchema, required, pushed, auditId,
+      startingVersion, maxVersionsPerBatch)
 }
 
 /** Zone translation of pushed source filters: `mightMatch(entry, f)` is
@@ -230,7 +247,8 @@ case class GraftInputPartition(path: String, fileName: String,
   extends InputPartition
 
 class GraftScan(root: String, version: Int, tableSchema: StructType,
-    required: StructType, pushed: Array[Filter], auditId: Option[String])
+    required: StructType, pushed: Array[Filter], auditId: Option[String],
+    startingVersion: Int = 0, maxVersionsPerBatch: Int = Int.MaxValue)
   extends Scan with Batch with SupportsReportStatistics {
 
   // resolved once per scan, driver-side: manifest + zone selection
@@ -241,6 +259,10 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required, startingVersion,
+      maxVersionsPerBatch, auditId)
   override def description(): String =
     s"GraftScan $root v$version files=${selected.size}/${m.entries.size} " +
       s"pushed=[${pushed.mkString(", ")}]"

@@ -104,24 +104,30 @@ object ParquetRowReader {
 
   /** Open `path` and stream its records as `InternalRow`s of
     * `required`, skipping `deletedPositions` (sorted file ordinals from
-    * position-delete sidecars). `rowsHint` (manifest commit-time stats)
-    * lets a zero-column projection (COUNT(*) pruned everything) answer
-    * from metadata without decoding a single page.
+    * position-delete sidecars) — or, when `emitOnly` is set, emitting
+    * ONLY those sorted ordinals (the change-feed shape: a new sidecar's
+    * freshly-marked rows ARE the delta). `rowsHint` (manifest
+    * commit-time stats) lets a zero-column projection (COUNT(*) pruned
+    * everything) answer from metadata without decoding a single page.
     */
   def open(path: String, conf: Configuration, required: StructType,
       maps: Seq[(String, String)], deletedPositions: Array[Long],
-      rowsHint: Option[Long]): CloseableRowIterator = {
+      rowsHint: Option[Long],
+      emitOnly: Option[Array[Long]] = None): CloseableRowIterator = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     if (required.isEmpty) {
       // no columns needed: row COUNT from the manifest hint or one
       // footer open; emit empty rows (Spark counts them)
-      val total = rowsHint.getOrElse {
+      lazy val total = rowsHint.getOrElse {
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             hPath, conf))
         try rd.getRecordCount finally rd.close()
       }
-      val live = total - deletedPositions.count(_ < total)
+      val live = emitOnly match {
+        case Some(ps) => ps.length.toLong
+        case None => total - deletedPositions.count(_ < total)
+      }
       return new CloseableRowIterator {
         private var remaining = live
         private val row = InternalRow.empty
@@ -162,13 +168,16 @@ object ParquetRowReader {
     if (requestedFields.isEmpty) {
       // every required column is absent from this file (pure schema
       // evolution): rows are all-null; count them via the footer
-      val total = rowsHint.getOrElse {
+      lazy val total = rowsHint.getOrElse {
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             hPath, conf))
         try rd.getRecordCount finally rd.close()
       }
-      val live = total - deletedPositions.count(_ < total)
+      val live = emitOnly match {
+        case Some(ps) => ps.length.toLong
+        case None => total - deletedPositions.count(_ < total)
+      }
       return new CloseableRowIterator {
         private var remaining = live
         private val row: InternalRow =
@@ -188,18 +197,25 @@ object ParquetRowReader {
     new CloseableRowIterator {
       private var pos = -1L
       private var dvIdx = 0
+      private var emitIdx = 0
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (true) {
           val g = reader.read()
           if (g == null) return false
           pos += 1
-          // sorted-merge against the sidecar positions: O(1) per row
-          while (dvIdx < deletedPositions.length &&
-              deletedPositions(dvIdx) < pos) dvIdx += 1
-          val deleted = dvIdx < deletedPositions.length &&
-            deletedPositions(dvIdx) == pos
-          if (!deleted) {
+          // sorted-merge against the position lists: O(1) per row
+          val wanted = emitOnly match {
+            case Some(ps) =>
+              while (emitIdx < ps.length && ps(emitIdx) < pos) emitIdx += 1
+              emitIdx < ps.length && ps(emitIdx) == pos
+            case None =>
+              while (dvIdx < deletedPositions.length &&
+                  deletedPositions(dvIdx) < pos) dvIdx += 1
+              !(dvIdx < deletedPositions.length &&
+                deletedPositions(dvIdx) == pos)
+          }
+          if (wanted) {
             val values = new Array[Any](plans.length)
             var j = 0
             while (j < plans.length) {
