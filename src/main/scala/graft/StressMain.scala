@@ -305,7 +305,19 @@ object StressMain {
       "bf3_snapshot_point_lookup",
       // pp7 conjunctively range-reads the z-ordered snapshot through its
       // own two-dimension commit-time stats
-      "pp7_snapshot_zorder_read")
+      "pp7_snapshot_zorder_read",
+      // round-16: mc2 chains delta commits over PARQUET checkpoint
+      // sections (pointer-only full manifests), replays, and vacuums
+      "mc2_parquet_checkpoint",
+      // pp8 string-range-reads the documents snapshot through truncated
+      // commit-time string bounds (prefix/prefix-successor pruning)
+      "pp8_string_zone_read",
+      // sql1 reads the MoR-merged snapshot through the DSv2 connector
+      // with a pushed SQL WHERE driving manifest zone selection
+      "sql1_dsv2_pushdown_read",
+      // ss2 drains the lifecycle change feed through the native
+      // streaming source in bounded micro-batches and folds stats
+      "ss2_native_stream_fold")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above
