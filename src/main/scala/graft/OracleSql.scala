@@ -4165,6 +4165,84 @@ object OracleSql {
         |  TRUE AS strict_subset
         |FROM v2day""".stripMargin,
 
+    // wr1: evens init + odds DSv2-appended = events exactly; the middle
+    // id-quartile range twin proves the pruned read stays row-exact;
+    // write/stats/pruning laws are engine-verified booleans
+    "wr1_dsv2_write" ->
+      """WITH n AS (SELECT count(*) AS c FROM events),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e6 AS total_value
+        |  FROM events),
+        |r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_range,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e6 AS range_value
+        |  FROM events
+        |  WHERE event_id >= (SELECT c // 4 FROM n)
+        |    AND event_id < (SELECT c // 2 FROM n))
+        |SELECT a.n_total, a.total_value, r.n_range, r.range_value,
+        |  TRUE AS stats_complete,
+        |  TRUE AS zones_disjoint,
+        |  TRUE AS plan_footer_free,
+        |  TRUE AS planner_pruned,
+        |  TRUE AS scan_within_plan
+        |FROM a, r""".stripMargin,
+
+    // ss3: the replicated destination must equal events exactly —
+    // seed slice + two streamed epochs, no drop, no double commit;
+    // exactly-once/replay/stats laws are engine-verified booleans
+    "ss3_dsv2_stream_sink" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  TRUE AS batches_exactly_once,
+        |  TRUE AS replay_skipped,
+        |  TRUE AS stream_stats_complete
+        |FROM events""".stripMargin,
+
+    // sql2: the catalog-managed table must equal events exactly —
+    // totals/extremes/mass plus the half (VERSION AS OF 2) and quartile
+    // (pruned WHERE) slices; catalog/pushdown laws engine-verified
+    "sql2_catalog_sql" ->
+      """WITH n AS (SELECT count(*) AS c FROM events),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(min(event_id) AS BIGINT) AS min_id,
+        |    CAST(max(event_id) AS BIGINT) AS max_id,
+        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e6 AS total_value
+        |  FROM events),
+        |h AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_first_half FROM events
+        |  WHERE event_id < (SELECT c // 2 FROM n)),
+        |r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_range FROM events
+        |  WHERE event_id >= (SELECT c // 4 FROM n)
+        |    AND event_id < (SELECT c // 2 FROM n))
+        |SELECT a.n_total, a.min_id, a.max_id, a.total_value,
+        |  h.n_first_half, r.n_range,
+        |  TRUE AS agg_metadata_only,
+        |  TRUE AS ts_travel_matches,
+        |  TRUE AS scan_pruned
+        |FROM a, h, r""".stripMargin,
+
+    // rf1: the broadcast join's 3 surviving dim keys (every n/100th id,
+    // labels 26-28) must match exactly those events rows; runtime-
+    // filtering laws engine-verified
+    "rf1_runtime_file_skip" ->
+      """WITH n AS (SELECT count(*) AS c FROM events),
+        |keys AS (
+        |  SELECT i * (SELECT c // 100 FROM n) AS k
+        |  FROM (VALUES (26), (27), (28)) t(i))
+        |SELECT CAST(count(*) AS BIGINT) AS n_match,
+        |  COALESCE(CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6, 0.0) AS matched_value,
+        |  TRUE AS runtime_filter_planned,
+        |  TRUE AS files_skipped
+        |FROM events WHERE event_id IN (SELECT k FROM keys)""".stripMargin,
+
     // pp6: the zone-pruned day slice must equal the flat events twin
     // (the appended 01-26 copies and the deleted window cannot leak in);
     // the selection laws are engine-verified booleans

@@ -6984,6 +6984,330 @@ object Queries {
         .as("strict_subset"))
   }
 
+  /** WR1: the DSv2 WRITE path ([[graft.sources.v2.GraftWrite]]) —
+    * `df.write.format("graft").mode("append")` with the production
+    * write split: EXECUTORS stream their partitions straight into the
+    * table's file store (one parquet-mr writer per task, no scratch
+    * copy, no driver data movement) and stamp each file's commit-time
+    * stats from one write-time footer read; the DRIVER commit is
+    * metadata-only OCC ([[graft.sources.Snapshots.commitAdopted]]).
+    * `sortBy` declares an ordered distribution, so Catalyst
+    * range-partitions + sorts BEFORE the writers run and
+    * `targetFileCount` pins the file count — the writeRangeSorted
+    * layout, expressed through the planner.
+    *
+    * Fixture: events split by event_id parity — evens seed v1 through
+    * the Scala init; odds arrive through the DSv2 write (4 sorted
+    * files). Gates: all 4 written entries carry complete stats
+    * (rows/bytes/fp/zones) and their sort-column zones are DISJOINT
+    * (the ordered distribution was real); a pruned DSv2 read of the
+    * middle id range plans a strict subset of the files, opens only
+    * planned files (executor audit), and opens ZERO footers (the ms1
+    * law now holding for executor-stamped stats). Values: full-table
+    * and range count + 6dp value mass, hash-matched to the raw events.
+    *
+    * 100 TB lens: a write path that funnels data through the driver —
+    * or re-reads the table to stamp stats — caps ingest at one node's
+    * bandwidth. Here N executors write N files concurrently, the only
+    * serial step is one exclusive-create of a manifest delta, and a
+    * 1000-executor append commits with the same O(changed-files)
+    * metadata bytes as this fixture.
+    */
+  def wr1DsvWrite(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_wr1")
+    val root = tmpRoot.toString + "/t"
+    try {
+      val ev = t(s, dir, "events")
+      val even = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val odd = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      graft.sources.Bucketing.writeRangeSorted(even, "event_id", 2,
+        s"$tmpRoot/seed", 16 * 1024)
+      S.init(s, root, s"$tmpRoot/seed", statsCols = Seq("event_id"))
+      odd.write.format("graft").option("path", root)
+        .option("sortBy", "event_id").option("targetFileCount", "4")
+        .option("statsCols", "event_id")
+        .mode("append").save()
+      val m = S.manifest(root, 2)
+      val newE = m.entries.filter(_.name.startsWith("w_"))
+      val statsComplete = newE.size == 4 && newE.forall(e =>
+        e.rows.nonEmpty && e.bytes.nonEmpty && e.fp.nonEmpty &&
+          e.zones.contains("event_id"))
+      val zs = newE.flatMap(_.zones.get("event_id")).sortBy(_._1)
+      val zonesDisjoint = zs.size == 4 && zs.sliding(2).forall {
+        case Seq((_, h), (l, _)) => h < l
+        case _ => true
+      }
+      val n = ev.count()
+      val lo = n / 4
+      val hi = n / 2
+      def mass(c: Column) = (sum(floor(c * lit(1e6) + lit(0.5))
+        .cast("decimal(38,0)")).cast("double") / lit(1e6))
+      val ctr = graft.sources.Bucketing.footerReads.get()
+      val before = ctr.get()
+      val audit = s"wr1-${java.util.UUID.randomUUID()}"
+      val r = s.read.format("graft").option("path", root)
+        .option("auditId", audit).load()
+        .where(col("event_id") >= lo && col("event_id") < hi)
+        .agg(count(lit(1)).as("n"), mass(col("value")).as("v"))
+        .collect().head
+      val planFooterFree = ctr.get() == before
+      val planned = graft.sources.v2.GraftScanAudit.planned
+        .getOrElse(audit, Seq.empty).toSet
+      val opened = graft.sources.v2.GraftScanAudit.opened(audit)
+      graft.sources.v2.GraftScanAudit.clear(audit)
+      val a = S.read(s, root, 2).agg(count(lit(1)).as("n"),
+        mass(col("value")).as("v")).collect().head
+      s.range(1).select(
+        lit(a.getLong(0)).as("n_total"),
+        lit(a.getDouble(1)).as("total_value"),
+        lit(r.getLong(0)).as("n_range"),
+        lit(r.getDouble(1)).as("range_value"),
+        lit(statsComplete).as("stats_complete"),
+        lit(zonesDisjoint).as("zones_disjoint"),
+        lit(planFooterFree).as("plan_footer_free"),
+        lit(planned.nonEmpty && planned.size < m.entries.size)
+          .as("planner_pruned"),
+        lit(opened.subsetOf(planned)).as("scan_within_plan"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
+  }
+
+  /** SS3: graft→graft NATIVE streaming replication — the ss2 source
+    * composed with the DSv2 streaming SINK
+    * ([[graft.sources.v2.GraftStreamingWrite]]):
+    * `readStream.format("graft")` (change feed, one version per
+    * micro-batch) feeds `writeStream.format("graft")` on a second
+    * table, and each epoch commits under its batch id as ONE atomic
+    * manifest create — data and idempotence marker inseparable, the
+    * appendBatch exactly-once now reachable without a line of
+    * foreachBatch.
+    *
+    * Fixture: events split 3 ways by event_id mod 3 — slice 0 seeds the
+    * DESTINATION's v1, slices 1 and 2 are committed to a SOURCE table
+    * as versions 1 and 2 and replicated across with
+    * `maxVersionsPerBatch=1` (two epochs). Gates: the destination's
+    * committed batch set contains epochs 0 and 1; a REPLAYED epoch 0
+    * (the restart case) resolves to a skip
+    * ([[graft.sources.Snapshots.commitAdopted]] returns None); every
+    * streamed file carries complete executor-stamped stats. Values: the
+    * destination must equal events EXACTLY (count + 6dp value mass) —
+    * a sink that dropped, duplicated, or double-committed one batch
+    * cannot reproduce them.
+    *
+    * 100 TB lens: CDC replication between tables is the backbone
+    * topology of a training-data platform (bronze→silver→gold); with
+    * both ends native, the ENGINE's checkpointing owns restart
+    * semantics and the idempotent manifest commit makes the pipe
+    * exactly-once end to end.
+    */
+  def ss3DsvStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ss3")
+    val srcRoot = tmpRoot.toString + "/src"
+    val dstRoot = tmpRoot.toString + "/dst"
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      def slice(r: Int) = ev.where(pmod(col("event_id"), lit(3)) === r)
+      graft.sources.Bucketing.writeRangeSorted(slice(0), "event_id", 1,
+        s"$tmpRoot/seed0", 16 * 1024)
+      S.init(s, dstRoot, s"$tmpRoot/seed0", statsCols = Seq("event_id"))
+      graft.sources.Bucketing.writeRangeSorted(slice(1), "event_id", 1,
+        s"$tmpRoot/seed1", 16 * 1024)
+      S.init(s, srcRoot, s"$tmpRoot/seed1", statsCols = Seq("event_id"))
+      S.append(s, srcRoot, slice(2), "event_id") // source v2
+      val q = s.readStream.format("graft")
+        .option("path", srcRoot).option("changeFeed", "true")
+        .option("maxVersionsPerBatch", "1").load()
+        .where(col("_graft_side") === "add")
+        .select(col("event_id"), col("ts"), col("value"))
+        .writeStream.format("graft")
+        .option("path", dstRoot)
+        .option("checkpointLocation", s"$tmpRoot/ck")
+        .option("statsCols", "event_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val committed = S.committedBatches(dstRoot).toSet
+      // the restart case: an epoch re-commit must resolve to a SKIP
+      val replaySkipped = S.commitAdopted(dstRoot,
+        Seq(S.FileEntry("replay_marker.parquet")),
+        batchId = Some(0L)).isEmpty
+      val mDst = S.manifest(dstRoot, S.latestVersion(dstRoot))
+      val streamed = mDst.entries.filter(_.name.startsWith("w_"))
+      val statsComplete = streamed.nonEmpty && streamed.forall(e =>
+        e.rows.nonEmpty && e.bytes.nonEmpty && e.fp.nonEmpty &&
+          e.zones.contains("event_id"))
+      def mass(c: Column) = (sum(floor(c * lit(1e6) + lit(0.5))
+        .cast("decimal(38,0)")).cast("double") / lit(1e6))
+      val a = S.read(s, dstRoot, S.latestVersion(dstRoot))
+        .agg(count(lit(1)).as("n"), mass(col("value")).as("v"))
+        .collect().head
+      s.range(1).select(
+        lit(a.getLong(0)).as("n_total"),
+        lit(a.getDouble(1)).as("total_value"),
+        lit(Set(0L, 1L).subsetOf(committed)).as("batches_exactly_once"),
+        lit(replaySkipped).as("replay_skipped"),
+        lit(statsComplete).as("stream_stats_complete"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
+  }
+
+  /** SQL2: the V2 CATALOG ([[graft.sources.v2.GraftCatalog]]) — the
+    * whole table lifecycle in SQL, zero library calls: CREATE NAMESPACE
+    * / CREATE TABLE (the `stats` TBLPROPERTY persisting default zone
+    * columns) / two INSERT INTOs (DSv2 executor writes, metadata-only
+    * commits) / SELECTs with `VERSION AS OF` + `TIMESTAMP AS OF`
+    * resolving through the manifest history / a filterless
+    * COUNT-MIN-MAX answered by the COMPLETE aggregate pushdown
+    * ([[graft.sources.v2.GraftMetadataAggScan]], zero files) / a WHERE
+    * range pruned to the first insert's files by manifest zones.
+    *
+    * Gates: `agg_metadata_only` — the executed plan IS the metadata
+    * scan; `ts_travel_matches` — TIMESTAMP AS OF v2's commit stamp
+    * equals VERSION AS OF 2; `scan_pruned` — the ranged WHERE opened a
+    * strict subset of the table's live files (executor audit via the
+    * catalog's audit hook). Values (counts, extremes, 6dp value mass,
+    * half/quartile slices) hash-match the raw events closed form.
+    *
+    * 100 TB lens: a data platform's users see CATALOG names, not paths
+    * — `g.lake.events VERSION AS OF 3` is how BI tools, SQL notebooks,
+    * and governance address a table. This row proves the whole surface
+    * resolves through one metadata layer with the same pruning/stats
+    * economics as the library calls.
+    */
+  def sql2CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql2")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val audit = s"sql2-$cat"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.conf.set(s"spark.sql.catalog.$cat.auditId", audit)
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.ev
+               |(event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+               |USING graft TBLPROPERTIES ('stats'='event_id')"""
+        .stripMargin)
+      t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("graft_sql2_src")
+      val n = t(s, dir, "events").count()
+      val (half, quarter) = (n / 2, n / 4)
+      s.sql(s"""INSERT INTO $cat.lake.ev
+               |SELECT * FROM graft_sql2_src WHERE event_id < $half"""
+        .stripMargin) // v2
+      s.sql(s"""INSERT INTO $cat.lake.ev
+               |SELECT * FROM graft_sql2_src WHERE event_id >= $half"""
+        .stripMargin) // v3
+      val root = s"${wh.toString}/lake/ev"
+      val aggDf = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM $cat.lake.ev""".stripMargin)
+      val aggMeta = aggDf.queryExecution.executedPlan.toString
+        .contains("GraftMetadataAggScan")
+      val agg = aggDf.collect().head
+      val tv = s.sql(s"""SELECT CAST(sum(CAST(floor(value * 1e6 + 0.5)
+        |AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS tv FROM $cat.lake.ev"""
+        .stripMargin).head().getDouble(0)
+      val nV2 = s.sql(s"SELECT count(*) FROM $cat.lake.ev VERSION AS OF 2")
+        .head().getLong(0)
+      val ts2 = new java.sql.Timestamp(S.commitTimestamp(root, 2).get)
+      val nTs = s.sql(s"SELECT count(*) FROM $cat.lake.ev " +
+        s"TIMESTAMP AS OF '$ts2'").head().getLong(0)
+      graft.sources.v2.GraftScanAudit.clear(audit)
+      val nRange = s.sql(s"""SELECT count(*) FROM $cat.lake.ev
+        |WHERE event_id >= $quarter AND event_id < $half""".stripMargin)
+        .head().getLong(0)
+      val opened = graft.sources.v2.GraftScanAudit.opened(audit)
+      graft.sources.v2.GraftScanAudit.clear(audit)
+      val live = S.manifest(root, S.latestVersion(root)).entries
+        .count(_.rows.exists(_ > 0L))
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_total"),
+        lit(agg.getLong(1)).as("min_id"),
+        lit(agg.getLong(2)).as("max_id"),
+        lit(tv).as("total_value"),
+        lit(nV2).as("n_first_half"),
+        lit(nRange).as("n_range"),
+        lit(aggMeta).as("agg_metadata_only"),
+        lit(nTs == nV2).as("ts_travel_matches"),
+        lit(opened.nonEmpty && opened.size < live).as("scan_pruned"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** RF1: RUNTIME file skipping (DPP for sorted zones,
+    * [[graft.sources.v2.GraftScan]] `SupportsRuntimeV2Filtering`) — a
+    * broadcast join whose build side filters on a NON-key column, so no
+    * static constraint can reach the fact scan (`pushed=[]`): Spark
+    * materializes the dim, pushes the surviving join keys as a runtime
+    * IN, and the scan re-prunes its file selection against the same
+    * commit-time zones before planning partitions. Fixture: events as a
+    * 4-file range-sorted snapshot; a 100-row dim keyed every n/100 ids,
+    * label-filtered to 3 keys inside the second id-quartile. Gates: the
+    * executed plan carries `dynamicpruning`; the executors opened a
+    * strict subset of files (audit); values (match count + 6dp matched
+    * value mass) hash the closed form.
+    *
+    * 100 TB lens: fact-dim joins are THE warehouse access path; without
+    * runtime filtering a 100 TB fact scan reads everything to join 3
+    * dim rows. Partitioned formats get this from partition pruning;
+    * here sorted zones give file-granular skipping with no partition
+    * columns at all.
+    */
+  def rf1RuntimeFileSkip(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_rf1")
+    val root = tmpRoot.toString + "/t"
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.sources.Bucketing.writeRangeSorted(ev, "event_id", 4,
+        s"$tmpRoot/seed", 16 * 1024)
+      S.init(s, root, s"$tmpRoot/seed", statsCols = Seq("event_id"))
+      val n = ev.count()
+      val step = n / 100
+      s.range(100).select((col("id") * step).as("event_id"),
+        concat(lit("label"), col("id")).as("label"))
+        .write.parquet(s"$tmpRoot/dim")
+      val dim = s.read.parquet(s"$tmpRoot/dim")
+        .where(col("label").isin("label26", "label27", "label28"))
+      val audit = s"rf1-${java.util.UUID.randomUUID()}"
+      val fact = s.read.format("graft").option("path", root)
+        .option("auditId", audit).load()
+      val joined = fact.join(broadcast(dim), "event_id")
+      def mass(c: Column) = coalesce(
+        (sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+          .cast("double") / lit(1e6)), lit(0.0))
+      val r = joined.agg(count(lit(1)).as("n"),
+        mass(col("value")).as("v"))
+      val row = r.collect().head
+      val dpp = r.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      val opened = graft.sources.v2.GraftScanAudit.opened(audit)
+      graft.sources.v2.GraftScanAudit.clear(audit)
+      val total = S.manifest(root, 1).entries.size
+      s.range(1).select(
+        lit(row.getLong(0)).as("n_match"),
+        lit(row.getDouble(1)).as("matched_value"),
+        lit(dpp).as("runtime_filter_planned"),
+        lit(opened.nonEmpty && opened.size < total).as("files_skipped"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
+  }
+
   /** The DISTRIBUTED bloom manifest of [[zordered16Path]] — built by
     * ONE Spark pass ([[graft.sources.Manifest.writeBloomDistributed]]),
     * filters sized for the largest file (ceil(total/16)·2).
@@ -7689,6 +8013,10 @@ object Queries {
     "mc2_parquet_checkpoint" -> (mc2ParquetCheckpoint _),
     "pp8_string_zone_read" -> (pp8StringZoneRead _),
     "sql1_dsv2_pushdown_read" -> (sql1DsvPushdownRead _),
-    "ss2_native_stream_fold" -> (ss2NativeStreamFold _)
+    "ss2_native_stream_fold" -> (ss2NativeStreamFold _),
+    "wr1_dsv2_write" -> (wr1DsvWrite _),
+    "ss3_dsv2_stream_sink" -> (ss3DsvStreamSink _),
+    "sql2_catalog_sql" -> (sql2CatalogSql _),
+    "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _)
   )
 }

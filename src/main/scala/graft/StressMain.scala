@@ -317,7 +317,19 @@ object StressMain {
       "sql1_dsv2_pushdown_read",
       // ss2 drains the lifecycle change feed through the native
       // streaming source in bounded micro-batches and folds stats
-      "ss2_native_stream_fold")
+      "ss2_native_stream_fold",
+      // wr1 appends half of events through the DSv2 WRITE path —
+      // executor-written files, executor-stamped stats, metadata commit
+      "wr1_dsv2_write",
+      // ss3 replicates a snapshot table into another through the native
+      // streaming source AND sink, exactly-once per epoch
+      "ss3_dsv2_stream_sink",
+      // sql2 runs the full catalog lifecycle in SQL (DDL, INSERTs, time
+      // travel, metadata agg, pruned WHERE)
+      "sql2_catalog_sql",
+      // rf1 runtime-prunes a broadcast fact-dim join's file selection
+      // from zones (DPP without partition columns)
+      "rf1_runtime_file_skip")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -317,9 +317,22 @@ object Bucketing {
   def fileStatsEntry(spark: SparkSession, path: String, cols: Seq[String])
       : (Long, String, Map[String, (Long, Long)],
         Map[String, Snapshots.StrZone]) = {
-    import scala.jdk.CollectionConverters._
     footerReads.get().incrementAndGet()
-    val conf = spark.sessionState.newHadoopConf()
+    fileStatsEntryConf(path, spark.sessionState.newHadoopConf(), cols)
+  }
+
+  /** [[fileStatsEntry]] against an explicit Hadoop conf — the
+    * EXECUTOR-side form the DSv2 write path stamps stats with (the task
+    * that just wrote a file reads its own footer once, page-cache hot,
+    * so the driver's commit is metadata-only). Does not bump
+    * [[footerReads]]: that counter proves PLAN-time footer-freedom on
+    * the driver thread; a write-time executor open is not plan I/O.
+    */
+  def fileStatsEntryConf(path: String,
+      conf: org.apache.hadoop.conf.Configuration, cols: Seq[String])
+      : (Long, String, Map[String, (Long, Long)],
+        Map[String, Snapshots.StrZone]) = {
+    import scala.jdk.CollectionConverters._
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), conf))

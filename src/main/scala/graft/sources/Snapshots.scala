@@ -374,6 +374,15 @@ object Snapshots {
         k.trim -> v.trim
       }.toMap
 
+  /** The table's default stats columns (`stats=` property, stamped by
+    * the catalog's CREATE TABLE) — what planner-routed writes (INSERT
+    * INTO through [[graft.sources.v2.GraftCatalog]]) stamp zones for
+    * when the write carries no explicit `statsCols` option.
+    */
+  private[graft] def statsColsProp(root: String): Seq[String] =
+    tableProps(root).get("stats").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   private def checkpointIntervalOf(root: String): Int =
     tableProps(root).get("ckpt").map(_.toInt)
       .getOrElse(DefaultCheckpointInterval)
@@ -671,7 +680,8 @@ object Snapshots {
   def init(spark: SparkSession, root: String, srcDir: String,
       statsCols: Seq[String] = Seq.empty,
       checkpointInterval: Int = DefaultCheckpointInterval,
-      pqSectionThreshold: Int = DefaultPqSectionThreshold): Int = {
+      pqSectionThreshold: Int = DefaultPqSectionThreshold,
+      extraProps: Seq[String] = Seq.empty): Int = {
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1: $checkpointInterval")
     require(pqSectionThreshold >= 0,
@@ -687,7 +697,8 @@ object Snapshots {
       (if (checkpointInterval != DefaultCheckpointInterval)
         Seq(s"ckpt=$checkpointInterval") else Seq.empty) ++
       (if (pqSectionThreshold != DefaultPqSectionThreshold)
-        Seq(s"pqsec=$pqSectionThreshold") else Seq.empty)
+        Seq(s"pqsec=$pqSectionThreshold") else Seq.empty) ++
+      extraProps
     if (props.nonEmpty)
       try LakeFs.createNewAtomic(propsPath(root), props.mkString("\n"))
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
@@ -802,6 +813,58 @@ object Snapshots {
         // commit at exactly the streaming scale the watermark exists for
         if (isBatchCommittedLatest(root, batchId)) false else throw e
     }
+  }
+
+  /** OCC commit of files ALREADY adopted into the store (their
+    * [[FileEntry]] stats pre-computed where they were written — the DSv2
+    * write path, whose executors stream data files directly into
+    * `files/` and stamp stats from one write-time footer read): the
+    * driver's job here is METADATA ONLY. Appends the entries to the
+    * latest version (or REPLACES the file section when `truncate` — the
+    * overwrite mode; old files stay on disk for time travel until
+    * vacuum). A rival commit raises ConcurrentModificationException and
+    * this RETRIES against the new latest — sound because the data files
+    * are immutable and name-unique, so only the manifest line set is
+    * re-planned, never the data.
+    *
+    * `batchId` makes the commit EXACTLY-ONCE (the [[appendBatch]]
+    * idempotence, for the streaming sink's epoch): an already-committed
+    * id resolves to None — the caller must treat that as a replay and
+    * drop its orphaned files. Returns Some(newVersion) on commit.
+    */
+  private[graft] def commitAdopted(root: String, entries: Seq[FileEntry],
+      batchId: Option[Long] = None, truncate: Boolean = false,
+      maxRetries: Int = 20): Option[Int] = {
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(root)
+      require(v >= 1, s"uninitialized snapshot table at $root")
+      val m = manifest(root, v)
+      val replayed = batchId.exists(id =>
+        m.isBatchCommitted(id) || legacyBatchIds(root).contains(id))
+      if (replayed) return None
+      val carried = carryMeta(m, batchId.toSeq)
+      // truncate drops data-bound meta (delete sidecars, column maps —
+      // the new files are physically written under the logical schema)
+      // but KEEPS the batch idempotence lines: exactly-once must survive
+      // an overwrite
+      val meta =
+        if (truncate) carried.filter(l =>
+          l.startsWith("#batchwm:") || l.startsWith("#batch:"))
+        else carried
+      val newEntries =
+        if (truncate) entries.sortBy(_.name)
+        else m.entries ++ entries
+      try {
+        commitManifest(root, v + 1, newEntries, meta, Some((v, m)))
+        return Some(v + 1)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** O(1)-in-watermark membership check against the LATEST manifest's

@@ -1,0 +1,231 @@
+package graft.sources.v2
+
+import graft.sources.{LakeFs, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A filesystem-backed V2 `TableCatalog` over graft snapshot tables —
+  * the last planner surface the format needs: with
+  * {{{
+  *   spark.sql.catalog.g = graft.sources.v2.GraftCatalog
+  *   spark.sql.catalog.g.warehouse = /path/to/warehouse
+  * }}}
+  * SQL owns the table lifecycle end to end, no graft API in sight:
+  *
+  *  - `CREATE NAMESPACE g.ns` / `CREATE TABLE g.ns.t (...) USING graft
+  *    TBLPROPERTIES ('stats'='k')` — the `stats` property persists as
+  *    the table's `stats=` prop, so every planner-routed write stamps
+  *    commit-time zones for those columns with no option in sight;
+  *  - `INSERT INTO g.ns.t SELECT ...` / `INSERT OVERWRITE` — the DSv2
+  *    write path ([[GraftWrite]]): executors write store files, the
+  *    driver commit is a metadata-only OCC manifest create;
+  *  - `SELECT ... FROM g.ns.t WHERE ...` — manifest zone pruning via
+  *    the pushed filters ([[GraftScanBuilder]]);
+  *  - `SELECT ... FROM g.ns.t VERSION AS OF 3` and
+  *    `TIMESTAMP AS OF '...'` — Spark's native time-travel syntax
+  *    resolving through `loadTable(ident, version|timestampMicros)` to
+  *    the manifest history ([[Snapshots.versionAsOf]]); a time-travel
+  *    relation is read-only (writes extend only the latest version);
+  *  - CTAS (`CREATE TABLE g.ns.t2 AS SELECT ...`) — create + append.
+  *
+  * Layout: one directory per namespace level under the warehouse; a
+  * table is any directory holding a `_manifests` child. Catalog
+  * metadata IS the filesystem — no side database to drift from the
+  * tables (the Delta "path is truth" stance), so a thousand writers on
+  * a thousand executors coordinate only through each table's own
+  * atomic manifest creates.
+  *
+  * Cited shape: the reference resolves tables by path convention and
+  * bookkeeping files (reference: agent_tools.py:192-210, versioned
+  * artifact naming); the catalog is that convention made a planner
+  * citizen.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private var auditId: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    auditId = Option(options.get("auditId")) // test/audit hook
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+  private def isTableDir(dir: String): Boolean =
+    LakeFs.exists(s"$dir/_manifests")
+
+  // -------------------------------------------------------------------
+  // Tables
+  // -------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    if (!LakeFs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    LakeFs.listDirNames(dir).filter(d => isTableDir(s"$dir/$d"))
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <v>` — Spark hands the version text through. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(
+      scala.util.Try(version.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes an integer version, got '$version'"))))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    tableAt(ident, Some(Snapshots.versionAsOf(root,
+      Math.floorDiv(timestampMicros, 1000L))))
+  }
+
+  private def tableAt(ident: Identifier, version: Option[Int])
+      : GraftTable = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val v = version.getOrElse(Snapshots.latestVersion(root))
+    val schema = Snapshots.read(spark, root, v).schema
+    val stats = Snapshots.statsColsProp(root)
+    new GraftTable(root, v, schema, versionPinned = version.nonEmpty,
+      scanDefaults = auditId.map("auditId" -> _).toMap,
+      writeDefaults =
+        if (stats.nonEmpty) Map("statsCols" -> stats.mkString(","))
+        else Map.empty)
+  }
+
+  /** CREATE TABLE: an EMPTY v1 whose schema rides a zero-row seed
+    * parquet file (written driver-side through the same parquet schema
+    * mapping the executors write with) — every read/write path then
+    * works unchanged, no special empty-table state in the manifest
+    * layer. The `stats` table property becomes the persistent default
+    * stats columns for planner-routed writes.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables do not take PARTITIONED BY — layout is manifest-" +
+        "planned (sorted writes + zone stats prune like partitions)")
+    val root = rootOf(ident)
+    if (isTableDir(root)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val stats = Option(properties.get("stats")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    stats.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats property names unknown column '$c'"))
+    val seedDir = s"$root/__create_seed"
+    LakeFs.mkdirs(seedDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$seedDir/seed-00000.parquet"),
+        conf))
+      .withType(GraftParquetSchema.toMessageType(schema))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    writer.close() // zero rows: the file exists to carry the schema
+    try Snapshots.init(spark, root, seedDir, statsCols = stats,
+      extraProps =
+        if (stats.nonEmpty) Seq(s"stats=${stats.mkString(",")}")
+        else Seq.empty)
+    finally {
+      LakeFs.deleteRecursively(seedDir)
+      ()
+    }
+    tableAt(ident, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use graft.sources.Snapshots.renameColumn/widenColumn" +
+        " (metadata-only schema evolution)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) false
+    else LakeFs.deleteRecursively(root)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!isTableDir(rootOf(from))) throw new NoSuchTableException(from)
+    if (isTableDir(rootOf(to))) throw new TableAlreadyExistsException(to)
+    LakeFs.move(rootOf(from), rootOf(to))
+  }
+
+  // -------------------------------------------------------------------
+  // Namespaces (directories that are not tables)
+  // -------------------------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (LakeFs.exists(dirOf(namespace)) && !isTableDir(dirOf(namespace)))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = dirOf(namespace)
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    if (!LakeFs.exists(dir)) Array.empty
+    else LakeFs.listDirNames(dir)
+      .filterNot(d => isTableDir(s"$dir/$d"))
+      .map(d => namespace :+ d).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty &&
+        LakeFs.exists(dirOf(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    LakeFs.mkdirs(dirOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val dir = dirOf(namespace)
+      if (!cascade && (LakeFs.listNames(dir).nonEmpty ||
+          LakeFs.listDirNames(dir).nonEmpty))
+        throw new NonEmptyNamespaceException(namespace)
+      LakeFs.deleteRecursively(dir)
+    }
+  }
+}

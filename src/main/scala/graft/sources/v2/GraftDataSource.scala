@@ -67,7 +67,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       changeFeed = opts.getBoolean("changeFeed", false),
       startingVersion = opts.getInt("startingVersion", 0),
       maxVersionsPerBatch = opts.getInt("maxVersionsPerBatch",
-        Int.MaxValue))
+        Int.MaxValue),
+      versionPinned = opts.containsKey("versionAsOf") ||
+        opts.containsKey("timestampAsOf"))
   }
 }
 
@@ -97,36 +99,59 @@ object GraftDataSource {
 
 /** One snapshot version as a DSv2 table — batch-readable always;
   * micro-batch-readable as the tagged change feed when `changeFeed` is
-  * set (the streaming surface, [[GraftMicroBatchStream]]).
+  * set (the streaming surface, [[GraftMicroBatchStream]]); batch- and
+  * streaming-WRITABLE through the manifest ([[GraftWriteBuilder]]) —
+  * refused when the read pinned a historical version (`versionAsOf`/
+  * `timestampAsOf`): writes always extend the LATEST version, never
+  * rewrite history.
   */
 class GraftTable(root: String, version: Int, tableSchema: StructType,
     changeFeed: Boolean = false, startingVersion: Int = 0,
-    maxVersionsPerBatch: Int = Int.MaxValue)
-  extends Table with SupportsRead {
+    maxVersionsPerBatch: Int = Int.MaxValue,
+    versionPinned: Boolean = false,
+    scanDefaults: Map[String, String] = Map.empty,
+    writeDefaults: Map[String, String] = Map.empty)
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$root` v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     if (changeFeed)
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(root, version, tableSchema,
-      Option(options.get("auditId")), startingVersion,
-      maxVersionsPerBatch)
+      Option(options.get("auditId")).orElse(scanDefaults.get("auditId")),
+      startingVersion, maxVersionsPerBatch)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!versionPinned,
+      "cannot write to a time-travel read (versionAsOf/timestampAsOf): " +
+        "graft writes always extend the latest version")
+    new GraftWriteBuilder(root, tableSchema, info, writeDefaults)
+  }
 }
 
 /** Pushdown state: filters translate to manifest zone pruning (and stay
   * residual — the translation is conservative, Spark re-evaluates);
-  * column pruning becomes the parquet projection.
+  * column pruning becomes the parquet projection; filterless
+  * COUNT(* )/MIN/MAX aggregations push COMPLETELY into manifest stats —
+  * the mf4 metadata-only aggregate, now planner-routed: the scan
+  * answers from commit-time stats and opens ZERO files.
   */
 class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
     auditId: Option[String], startingVersion: Int = 0,
     maxVersionsPerBatch: Int = Int.MaxValue)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggRow: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep only deterministic shapes the zone translation understands;
@@ -139,10 +164,144 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(root, version, tableSchema, required, pushed, auditId,
-      startingVersion, maxVersionsPerBatch)
+  /** Complete pushdown or nothing: a metadata answer is either exactly
+    * right or refused (the mf4 discipline) — there is no "partial"
+    * manifest aggregate worth shipping rows for. Spark only attempts
+    * this when every filter was fully pushed; this builder always keeps
+    * filters residual, so aggregation arrives only on FILTERLESS scans,
+    * where manifest row counts and exact zone extremes are the whole
+    * truth (refused outright when live delete sidecars, rename/widen
+    * maps, or missing stats could make them wrong).
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    metadataAnswer(agg).nonEmpty
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggRow = metadataAnswer(agg)
+    aggRow.nonEmpty
+  }
+
+  private def metadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val m = Snapshots.manifest(root, version)
+    if (m.dvNames.nonEmpty || m.hasMappings) return None
+    if (!m.entries.forall(_.rows.nonEmpty)) return None
+    val live = m.entries.filter(_.rows.exists(_ > 0L))
+    val totalRows = m.entries.flatMap(_.rows).sum
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == f.fieldNames.head)
+      case _ => None
+    }
+    /** The exact (min, max) of a column across live entries from
+      * manifest stats, in the column's InternalRow representation —
+      * None when any live file lacks exact bounds for it.
+      */
+    def extremes(f: org.apache.spark.sql.types.StructField)
+        : Option[(Any, Any)] = {
+      import org.apache.spark.sql.types._
+      if (live.isEmpty) return Some((null, null)) // SQL min/max of empty
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+            TimestampType | DateType =>
+          if (!live.forall(_.zones.contains(f.name))) None
+          else {
+            val zs = live.map(_.zones(f.name))
+            val (mn, mx) = (zs.map(_._1).min, zs.map(_._2).max)
+            def conv(v: Long): Any = f.dataType match {
+              case LongType | TimestampType => v
+              case IntegerType | DateType => v.toInt
+              case ShortType => v.toShort
+              case ByteType => v.toByte
+              case _ => v
+            }
+            Some((conv(mn), conv(mx)))
+          }
+        case StringType =>
+          // exact string extremes need UNtruncated bounds on every file
+          if (!live.forall(_.szones.get(f.name).exists(z =>
+            z.loExact && z.hiExact))) None
+          else {
+            val zs = live.map(_.szones(f.name))
+            val ord: Ordering[Array[Byte]] = (a, b) =>
+              java.util.Arrays.compareUnsigned(a, b)
+            Some((
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                zs.map(_.lo).min(ord)),
+              org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                zs.map(_.hi).max(ord))))
+          }
+        case _ => None
+      }
+    }
+    val resolved = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false),
+          totalRows: Any))
+      case mn: Min => fieldOf(mn.column).flatMap(f => extremes(f).map(x =>
+        (f.copy(name = s"min(${f.name})", nullable = true), x._1)))
+      case mx: Max => fieldOf(mx.column).flatMap(f => extremes(f).map(x =>
+        (f.copy(name = s"max(${f.name})", nullable = true), x._2)))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else {
+      val cols = resolved.flatten
+      Some((StructType(cols.map(_._1)), cols.map(_._2)))
+    }
+  }
+
+  override def build(): Scan = aggRow match {
+    case Some((schema, values)) =>
+      new GraftMetadataAggScan(root, version, schema, values, auditId)
+    case None =>
+      new GraftScan(root, version, tableSchema, required, pushed, auditId,
+        startingVersion, maxVersionsPerBatch)
+  }
 }
+
+/** The COMPLETE-pushdown scan: one partition, one row, computed on the
+  * driver from the manifest alone — COUNT/MIN/MAX with zero file I/O.
+  */
+class GraftMetadataAggScan(root: String, version: Int,
+    aggSchema: StructType, values: Seq[Any], auditId: Option[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetadataAggScan $root v$version (manifest-only, 0 files)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    auditId.foreach(id => GraftScanAudit.planned.put(id, Seq.empty))
+    Array(GraftAggRowPartition(values.toArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+        val vs = partition.asInstanceOf[GraftAggRowPartition].values
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftAggRowPartition(values: Array[Any]) extends InputPartition
 
 /** Zone translation of pushed source filters: `mightMatch(entry, f)` is
   * TRUE unless the file's commit-time stats PROVE no row can satisfy
@@ -233,6 +392,67 @@ object GraftZonePrune {
     case sources.Or(l, r) => mightMatch(e, l) || mightMatch(e, r)
     case _ => true
   }
+
+  /** V2 `Predicate` (what runtime filtering delivers — DPP's IN over
+    * the join keys) → the v1 `Filter` shapes [[mightMatch]] speaks.
+    * Conservative: anything unrecognized translates to None (no
+    * pruning), never to a wrong skip. Literal values arrive in
+    * InternalRow representation (UTF8String, micros), which is exactly
+    * what the zone comparisons expect after [[asLong]]/[[asBytes]]
+    * normalization.
+    */
+  def fromV2(p: org.apache.spark.sql.connector.expressions.filter
+      .Predicate): Option[sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Or => VOr}
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    def value(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: Literal[_] => l.value match {
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(u.toString)
+        case v => Some(v)
+      }
+      case _ => None
+    }
+    def binary(mk: (String, Any) => sources.Filter)
+        : Option[sources.Filter] = {
+      val c = p.children()
+      if (c.length != 2) None
+      else for (f <- field(c(0)); v <- value(c(1))) yield mk(f, v)
+    }
+    p match {
+      case a: VAnd =>
+        (fromV2(a.left()), fromV2(a.right())) match {
+          case (Some(l), Some(r)) => Some(sources.And(l, r))
+          case (l, r) => l.orElse(r) // one conjunct still prunes soundly
+        }
+      case o: VOr =>
+        for (l <- fromV2(o.left()); r <- fromV2(o.right()))
+          yield sources.Or(l, r)
+      case _ => p.name() match {
+        case "IN" =>
+          val c = p.children()
+          if (c.length < 2) None
+          else for {
+            f <- field(c.head)
+            vs <- Some(c.tail.toSeq.map(value))
+            if vs.forall(_.nonEmpty)
+          } yield sources.In(f, vs.flatten.toArray)
+        case "=" => binary(sources.EqualTo.apply)
+        case ">" => binary(sources.GreaterThan.apply)
+        case ">=" => binary(sources.GreaterThanOrEqual.apply)
+        case "<" => binary(sources.LessThan.apply)
+        case "<=" => binary(sources.LessThanOrEqual.apply)
+        case _ => None
+      }
+    }
+  }
 }
 
 /** One InputPartition per zone-selected file. Everything an executor
@@ -249,13 +469,44 @@ case class GraftInputPartition(path: String, fileName: String,
 class GraftScan(root: String, version: Int, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], auditId: Option[String],
     startingVersion: Int = 0, maxVersionsPerBatch: Int = Int.MaxValue)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  // resolved once per scan, driver-side: manifest + zone selection
+  // resolved once per scan, driver-side: manifest + zone selection;
+  // a provably EMPTY file (rows=0 commit-time stat — e.g. a CREATE
+  // TABLE's schema seed) can never contribute a row and is skipped
+  // unconditionally
   private lazy val m = Snapshots.manifest(root, version)
-  private lazy val selected: Seq[Snapshots.FileEntry] =
-    m.entries.filter(e => pushed.forall(f =>
-      GraftZonePrune.mightMatch(e, f)))
+  private lazy val planSelected: Seq[Snapshots.FileEntry] =
+    m.entries.filter(e => !e.rows.contains(0L) &&
+      pushed.forall(f => GraftZonePrune.mightMatch(e, f)))
+  // runtime filtering (DPP: Spark materializes a broadcast join's build
+  // side and pushes IN over the probe keys) re-prunes the selection
+  // against the same zone stats BEFORE partitions are planned — the
+  // file-skipping a partitioned format gets from partition pruning,
+  // from sorted zones instead
+  @volatile private var runtimePruned
+      : Option[Seq[Snapshots.FileEntry]] = None
+  private def selected: Seq[Snapshots.FileEntry] =
+    runtimePruned.getOrElse(planSelected)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    m.entries.flatMap(e => e.zones.keysIterator ++ e.szones.keysIterator)
+      .distinct
+      // only columns in the scan OUTPUT — Spark resolves these against
+      // the pruned projection, not the table schema
+      .filter(required.fieldNames.contains)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c)).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector
+      .expressions.filter.Predicate]): Unit = {
+    val fs = predicates.flatMap(GraftZonePrune.fromV2)
+    if (fs.nonEmpty)
+      runtimePruned = Some(selected.filter(e =>
+        fs.forall(f => GraftZonePrune.mightMatch(e, f))))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -1,0 +1,361 @@
+package graft.sources.v2
+
+import graft.sources.{Bucketing, LakeFs, Snapshots}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 WRITE path for graft snapshot tables — the half that
+  * makes the connector a full table format rather than a read adapter:
+  * `df.write.format("graft").option("path", root).mode("append"|
+  * "overwrite").save()` and `df.writeStream.format("graft")` commit
+  * through the manifest with the exact scale split production formats
+  * use (the Delta/Iceberg write architecture):
+  *
+  *  - EXECUTORS write data files. Each task streams its partition's
+  *    rows straight into the table's immutable file store under a
+  *    job/task-unique name via parquet-mr (the writer twin of
+  *    [[ParquetRowReader]]) — N tasks write N files in parallel, no
+  *    funnel, no driver data movement, no second copy (the Scala
+  *    `append` path writes to scratch then moves; here adoption is the
+  *    name itself).
+  *  - Each task stamps its own file's COMMIT-TIME STATS (rows, bytes,
+  *    schema fingerprint, numeric + truncated-string zones) from ONE
+  *    footer read of the file it just wrote — page-cache hot, executor
+  *    side, via the same [[Bucketing.fileStatsEntryConf]] the Scala
+  *    path uses, so manifest stats are BIT-IDENTICAL across write
+  *    surfaces and the ms1 law (plans never open footers) holds for
+  *    DSv2-written files too.
+  *  - The DRIVER commit is METADATA ONLY: [[Snapshots.commitAdopted]]
+  *    folds the per-task entries into the next manifest version under
+  *    the optimistic exclusive-create, retrying (metadata-only — the
+  *    files are already in place and immutable) when a rival lands
+  *    first.
+  *
+  * Exactly-once STREAMING: the sink commits each epoch under its
+  * `epochId` as the manifest `#batch:` id ([[Snapshots.appendBatch]]'s
+  * idempotence) — a restarted query replaying an epoch resolves to a
+  * skip and the replay's freshly-written files are deleted as orphans.
+  * Aborted/zombie task files are deleted on abort; crash orphans are
+  * invisible to every reader (manifests never list the directory) and
+  * reclaimed by vacuum after its retention grace.
+  *
+  * Sorted writes: `.option("sortBy", col)` declares an
+  * [[RequiresDistributionAndOrdering ordered distribution]] so Spark
+  * RANGE-PARTITIONS + sorts before the writers run — each task's file
+  * covers a disjoint key range and its zone stats are tight, the
+  * `writeRangeSorted` layout expressed through the planner.
+  * `.option("targetFileCount", n)` pins the partition (= file) count.
+  *
+  * Cited shape: the reference persists cleaned frames as versioned
+  * artifacts (reference: agent_tools.py:192-210, save_versioned) — here
+  * the versioned write surface is the planner's own, at executor
+  * parallelism.
+  */
+class GraftWriteBuilder(root: String, tableSchema: StructType,
+    info: LogicalWriteInfo, defaults: Map[String, String] = Map.empty)
+  extends WriteBuilder with SupportsTruncate {
+  private var truncateMode = false
+  override def truncate(): WriteBuilder = { truncateMode = true; this }
+  override def build(): Write = {
+    // batch appends arrive pre-aligned (AppendData byName casts to the
+    // table schema); STREAMING writes do not — enforce type equality on
+    // same-named columns here, or mixed physical types would poison
+    // uniform reads. Missing columns (read NULL on new files) and new
+    // columns (schema evolution) are legal, as in the Scala append.
+    val byName = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    info.schema().fields.foreach { f =>
+      byName.get(f.name).foreach(t => require(t == f.dataType,
+        s"write schema mismatch on '${f.name}': table has $t, query " +
+          s"writes ${f.dataType} — cast the query to the table schema"))
+    }
+    new GraftWrite(root, info.schema(), info.options(), truncateMode,
+      defaults)
+  }
+}
+
+class GraftWrite(root: String, schema: StructType,
+    options: CaseInsensitiveStringMap, truncate: Boolean,
+    defaults: Map[String, String] = Map.empty)
+  extends Write with RequiresDistributionAndOrdering {
+
+  // write options win over table-level defaults (the catalog's `stats=`
+  // property — planner-routed INSERTs carry no reader options)
+  private def opt(key: String): Option[String] =
+    Option(options.get(key)).orElse(defaults.get(key))
+  private val sortBy: Option[String] = opt("sortBy")
+  private val statsCols: Seq[String] =
+    opt("statsCols") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => sortBy.toSeq
+    }
+  // an EXPLICIT statsCols option must name real columns; a defaulted
+  // one (table property) silently intersects — a projected write is
+  // not an error, its files just carry fewer zones
+  Option(options.get("statsCols")).foreach(_ =>
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"statsCols column '$c' is not in the write schema " +
+        s"${schema.fieldNames.mkString("[", ",", "]")}")))
+  private val effectiveStatsCols: Seq[String] =
+    statsCols.filter(schema.fieldNames.contains)
+
+  override def requiredDistribution(): Distribution =
+    sortBy.map(c => Distributions.ordered(Array(sortOrderOf(c))))
+      .getOrElse(Distributions.unspecified())
+  override def requiredOrdering(): Array[SortOrder] =
+    sortBy.map(c => Array(sortOrderOf(c))).getOrElse(Array.empty)
+  override def requiredNumPartitions(): Int =
+    options.getInt("targetFileCount", 0)
+  private def sortOrderOf(c: String): SortOrder =
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)
+
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(root, schema, effectiveStatsCols, truncate)
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graft streaming sink supports append output mode only")
+    new GraftStreamingWrite(root, schema, effectiveStatsCols)
+  }
+}
+
+/** Serializable per-file result of one task's write: the manifest entry
+  * (None when the task saw zero rows — no empty files are adopted) and
+  * the store path for abort/replay cleanup.
+  */
+case class GraftCommitMessage(entry: Option[Snapshots.FileEntry],
+    path: String) extends WriterCommitMessage
+
+object GraftWriteCommit {
+  def entriesOf(messages: Array[WriterCommitMessage])
+      : Seq[Snapshots.FileEntry] =
+    messages.toSeq.collect {
+      case GraftCommitMessage(Some(e), _) => e
+    }
+  def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftCommitMessage(Some(_), path) => LakeFs.delete(path); ()
+      case _ => ()
+    }
+}
+
+class GraftBatchWrite(root: String, schema: StructType,
+    statsCols: Seq[String], truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    GraftWriterFactory.create(root, schema, statsCols)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = GraftWriteCommit.entriesOf(messages)
+    // an empty append is a no-op (no version churn); an empty OVERWRITE
+    // is a real commit — it truncates the table
+    if (entries.nonEmpty || truncate) {
+      Snapshots.commitAdopted(root, entries, batchId = None,
+        truncate = truncate)
+      ()
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteCommit.deleteFiles(messages)
+}
+
+class GraftStreamingWrite(root: String, schema: StructType,
+    statsCols: Seq[String]) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftWriterFactory.create(root, schema, statsCols)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val entries = GraftWriteCommit.entriesOf(messages)
+    // empty epochs still commit their batch id: the watermark stays
+    // contiguous (sparse #batch: lines fold away) and a replay of the
+    // empty epoch skips cleanly
+    Snapshots.commitAdopted(root, entries, batchId = Some(epochId)) match {
+      case None =>
+        // replayed epoch (restart re-ran a committed batch): this run's
+        // files are orphans — exactly-once means dropping them
+        GraftWriteCommit.deleteFiles(messages)
+      case Some(_) => ()
+    }
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteCommit.deleteFiles(messages)
+}
+
+/** Factory shipped to executors — both the batch and the streaming
+  * shape. File names are job/epoch/partition/attempt-unique, so rival
+  * attempts never collide and a name is never reused (the immutability
+  * the manifest layer assumes).
+  */
+case class GraftWriterFactory(root: String, schema: StructType,
+    statsCols: Seq[String], jobId: String,
+    confEntries: Map[String, String])
+  extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(root, schema, statsCols,
+      s"w_${jobId}_p${partitionId}_a$taskId.parquet", confEntries)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(root, schema, statsCols,
+      s"w_${jobId}_e${epochId}_p${partitionId}_a$taskId.parquet",
+      confEntries)
+}
+
+object GraftWriterFactory {
+  def create(root: String, schema: StructType, statsCols: Seq[String])
+      : GraftWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    GraftWriterFactory(root, schema, statsCols,
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12),
+      confEntries)
+  }
+}
+
+/** Executor task writer: InternalRow → parquet via parquet-mr's example
+  * Group model (the writer twin of [[ParquetRowReader]]'s reader),
+  * directly at the file's final store location. `commit()` closes the
+  * file and stamps its manifest stats from one footer read of the
+  * just-written file; zero-row tasks delete their (empty) file and
+  * contribute no entry.
+  */
+class GraftDataWriter(root: String, schema: StructType,
+    statsCols: Seq[String], fileName: String,
+    confEntries: Map[String, String]) extends DataWriter[InternalRow] {
+
+  private val path = s"$root/files/$fileName"
+  private val conf: Configuration = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val messageType = GraftParquetSchema.toMessageType(schema)
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      messageType)
+  private val appenders = GraftParquetSchema.appenders(schema)
+  private var rowCount = 0L
+  private var closed = false
+
+  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf))
+    .withType(messageType)
+    .withConf(conf)
+    .withCompressionCodec(
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+    .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
+    .build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < appenders.length) {
+      if (!row.isNullAt(i)) appenders(i)(g, row)
+      i += 1
+    }
+    writer.write(g)
+    rowCount += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    if (rowCount == 0L) {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), false)
+      GraftCommitMessage(None, path)
+    } else {
+      val (rows, fp, zones, szones) =
+        Bucketing.fileStatsEntryConf(path, conf, statsCols)
+      val len = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
+      GraftCommitMessage(Some(Snapshots.FileEntry(fileName, Some(rows),
+        Some(len), Some(fp), zones, szones)), path)
+    }
+  }
+
+  override def abort(): Unit = {
+    closeOnce()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), false)
+    ()
+  }
+
+  override def close(): Unit = closeOnce()
+
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; writer.close() }
+}
+
+/** Spark → parquet schema and row appenders for the primitive column
+  * set the connector speaks (the same set [[ParquetRowReader]] reads;
+  * nested types are refused at write build, matching the scan).
+  */
+object GraftParquetSchema {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types => PT}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  def toMessageType(schema: StructType): MessageType = {
+    val fields: Seq[Type] = schema.fields.toSeq.map { f =>
+      val b = f.dataType match {
+        case LongType => PT.optional(INT64)
+        case IntegerType => PT.optional(INT32)
+        case ShortType =>
+          PT.optional(INT32).as(LogicalTypeAnnotation.intType(16, true))
+        case ByteType =>
+          PT.optional(INT32).as(LogicalTypeAnnotation.intType(8, true))
+        case DoubleType => PT.optional(DOUBLE)
+        case FloatType => PT.optional(FLOAT)
+        case BooleanType => PT.optional(BOOLEAN)
+        case StringType =>
+          PT.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => PT.optional(BINARY)
+        case TimestampType => PT.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType =>
+          PT.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case dt => throw new IllegalArgumentException(
+          s"graft DSv2 write supports primitive columns only: " +
+            s"${f.name} is $dt")
+      }
+      b.named(f.name)
+    }
+    import scala.jdk.CollectionConverters._
+    new MessageType("spark_schema", fields.asJava)
+  }
+
+  type Appender =
+    (org.apache.parquet.example.data.Group, InternalRow) => Unit
+
+  def appenders(schema: StructType): Array[Appender] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val app: Appender = f.dataType match {
+        case LongType | TimestampType => (g, r) => g.add(i, r.getLong(i))
+        case IntegerType | DateType => (g, r) => g.add(i, r.getInt(i))
+        case ShortType => (g, r) => g.add(i, r.getShort(i).toInt)
+        case ByteType => (g, r) => g.add(i, r.getByte(i).toInt)
+        case DoubleType => (g, r) => g.add(i, r.getDouble(i))
+        case FloatType => (g, r) => g.add(i, r.getFloat(i))
+        case BooleanType => (g, r) => g.add(i, r.getBoolean(i))
+        case StringType => (g, r) => g.add(i,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            r.getUTF8String(i).getBytes))
+        case BinaryType => (g, r) => g.add(i,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            r.getBinary(i)))
+        case dt => throw new IllegalArgumentException(
+          s"graft DSv2 write supports primitive columns only: " +
+            s"${f.name} is $dt")
+      }
+      app
+    }
+}

@@ -85,6 +85,17 @@ object ParquetRowReader {
             }
           case _ => micros(1L) // bare INT64 read as micros
         }
+      case (INT96, TimestampType) =>
+        // Spark's legacy default timestamp encoding: 12 little-endian
+        // bytes — nanos-of-day (8) + Julian day (4) → micros since epoch
+        (g, i) => {
+          val b = g.getInt96(i, 0).getBytes
+          val buf = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay.toLong - 2440588L) * 86400000000L + nanosOfDay / 1000L
+        }
       case (INT32, IntegerType) => (g, i) => g.getInteger(i, 0)
       case (INT32, DateType) => (g, i) => g.getInteger(i, 0)
       case (INT32, ShortType) => (g, i) => g.getInteger(i, 0).toShort

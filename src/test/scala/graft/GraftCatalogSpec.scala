@@ -1,0 +1,140 @@
+package graft
+
+import graft.sources.Snapshots
+import graft.sources.v2.GraftScanAudit
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The V2 catalog ([[graft.sources.v2.GraftCatalog]]): SQL DDL + DML +
+  * time travel over graft tables with no library call in sight, and the
+  * catalog's `stats` table property driving commit-time zones on
+  * planner-routed INSERTs.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_cat").toString
+  private val auditId = s"cat-${java.util.UUID.randomUUID()}"
+
+  private def sql(q: String) = spark.sql(q)
+
+  private lazy val init: Unit = {
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.gtest.auditId", auditId)
+    sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns")
+    ()
+  }
+
+  test("CREATE TABLE + INSERT INTO: empty v1, data lands as v2, the " +
+      "stats property stamps zones with no write option") {
+    init
+    sql("""CREATE TABLE gtest.ns.t1 (k BIGINT, grp BIGINT, tag STRING)
+          |USING graft TBLPROPERTIES ('stats'='k,tag')""".stripMargin)
+    assert(sql("SELECT count(*) FROM gtest.ns.t1").head().getLong(0) == 0L)
+    sql("""INSERT INTO gtest.ns.t1
+          |SELECT id AS k, id % 7 AS grp,
+          |  concat('tag', lpad(CAST(id AS STRING), 5, '0')) AS tag
+          |FROM range(10000)""".stripMargin)
+    assert(sql("SELECT count(*), sum(k) FROM gtest.ns.t1").head()
+      .getLong(0) == 10000L)
+    val root = s"$warehouse/ns/t1"
+    assert(Snapshots.latestVersion(root) == 2)
+    val m = Snapshots.manifest(root, 2)
+    val dataE = m.entries.filter(_.name.startsWith("w_"))
+    assert(dataE.nonEmpty)
+    dataE.foreach { e =>
+      assert(e.rows.nonEmpty && e.zones.contains("k") &&
+        e.szones.contains("tag"))
+    }
+    // the zero-row seed is still listed and harmless
+    assert(m.entries.flatMap(_.rows).sum == 10000L)
+  }
+
+  test("SQL WHERE prunes files from manifest zones through the catalog " +
+      "(executor audit ground truth)") {
+    init
+    sql("""CREATE TABLE gtest.ns.t2 (k BIGINT, v DOUBLE)
+          |USING graft TBLPROPERTIES ('stats'='k')""".stripMargin)
+    // 4 sorted inserts → 4 files with disjoint zones
+    (0 until 4).foreach { i =>
+      sql(s"""INSERT INTO gtest.ns.t2
+             |SELECT id AS k, CAST(id AS DOUBLE) / 8 AS v
+             |FROM range(${i * 2500}, ${(i + 1) * 2500})""".stripMargin)
+    }
+    GraftScanAudit.clear(auditId)
+    val got = sql("""SELECT count(*) AS n, sum(k) AS sk FROM gtest.ns.t2
+                    |WHERE k >= 2600 AND k < 2700""".stripMargin).head()
+    assert(got.getLong(0) == 100L && got.getLong(1) ==
+      (2600L until 2700L).sum)
+    val opened = GraftScanAudit.opened(auditId)
+    GraftScanAudit.clear(auditId)
+    assert(opened.size == 1) // one zone held [2500, 5000)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the catalog; " +
+      "a pinned relation is read-only") {
+    init
+    sql("""CREATE TABLE gtest.ns.t3 (k BIGINT) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.t3 SELECT id FROM range(100)") // v2
+    sql("INSERT INTO gtest.ns.t3 SELECT id FROM range(100, 150)") // v3
+    assert(sql("SELECT count(*) FROM gtest.ns.t3").head().getLong(0)
+      == 150L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t3 VERSION AS OF 2")
+      .head().getLong(0) == 100L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t3 VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    val root = s"$warehouse/ns/t3"
+    val ts2 = Snapshots.commitTimestamp(root, 2).get
+    val t2 = new java.sql.Timestamp(ts2)
+    assert(sql(s"SELECT count(*) FROM gtest.ns.t3 TIMESTAMP AS OF '$t2'")
+      .head().getLong(0) == 100L)
+  }
+
+  test("INSERT OVERWRITE truncates to the new image; history intact") {
+    init
+    sql("CREATE TABLE gtest.ns.t4 (k BIGINT) USING graft")
+    sql("INSERT INTO gtest.ns.t4 SELECT id FROM range(50)") // v2
+    sql("INSERT OVERWRITE gtest.ns.t4 SELECT id FROM range(7)") // v3
+    assert(sql("SELECT count(*) FROM gtest.ns.t4").head().getLong(0) == 7L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t4 VERSION AS OF 2")
+      .head().getLong(0) == 50L)
+  }
+
+  test("CTAS, listTables, rename, drop") {
+    init
+    sql("CREATE TABLE gtest.ns.t5 USING graft AS SELECT id AS k " +
+      "FROM range(25)")
+    assert(sql("SELECT count(*) FROM gtest.ns.t5").head().getLong(0)
+      == 25L)
+    val names = sql("SHOW TABLES IN gtest.ns").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("t5"))
+    sql("ALTER TABLE gtest.ns.t5 RENAME TO ns.t5r") // target is
+    // catalog-relative (Spark resolves RENAME TO in the same catalog)
+    assert(sql("SELECT count(*) FROM gtest.ns.t5r").head().getLong(0)
+      == 25L)
+    sql("DROP TABLE gtest.ns.t5r")
+    assert(!sql("SHOW TABLES IN gtest.ns").collect()
+      .map(_.getString(1)).contains("t5r"))
+    intercept[Exception] { sql("SELECT * FROM gtest.ns.t5r").collect() }
+  }
+
+  test("catalog reads compose with the library: a Scala-API mutation " +
+      "is visible to the next SQL query (one source of truth)") {
+    init
+    sql("""CREATE TABLE gtest.ns.t6 (k BIGINT, v DOUBLE) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("""INSERT INTO gtest.ns.t6
+          |SELECT id, CAST(id AS DOUBLE) FROM range(1000)""".stripMargin)
+    val root = s"$warehouse/ns/t6"
+    Snapshots.deletePositions(spark, root, "k", 100L, 200L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t6").head().getLong(0)
+      == 900L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t6 WHERE k >= 100 AND " +
+      "k < 200").head().getLong(0) == 0L)
+  }
+}
