@@ -4169,7 +4169,9 @@ object OracleSql {
     // id-quartile range twin proves the pruned read stays row-exact;
     // write/stats/pruning laws are engine-verified booleans
     "wr1_dsv2_write" ->
-      """WITH n AS (SELECT count(*) AS c FROM events),
+      """WITH n AS (
+        |  SELECT min(event_id) AS mn,
+        |    max(event_id) - min(event_id) + 1 AS span FROM events),
         |a AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_total,
         |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
@@ -4177,11 +4179,11 @@ object OracleSql {
         |  FROM events),
         |r AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_range,
-        |    CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
-        |      AS DOUBLE) / 1e6 AS range_value
+        |    COALESCE(CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT))
+        |      AS DOUBLE) / 1e6, 0.0) AS range_value
         |  FROM events
-        |  WHERE event_id >= (SELECT c // 4 FROM n)
-        |    AND event_id < (SELECT c // 2 FROM n))
+        |  WHERE event_id >= (SELECT mn + span // 4 FROM n)
+        |    AND event_id < (SELECT mn + span // 2 FROM n))
         |SELECT a.n_total, a.total_value, r.n_range, r.range_value,
         |  TRUE AS stats_complete,
         |  TRUE AS zones_disjoint,
@@ -4227,6 +4229,20 @@ object OracleSql {
         |  TRUE AS ts_travel_matches,
         |  TRUE AS scan_pruned
         |FROM a, h, r""".stripMargin,
+
+    // sql3: optimize/zorder/vacuum must be data-invariant — the
+    // maintained table still equals events exactly; procedure laws
+    // engine-verified
+    "sql3_sql_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value,
+        |  TRUE AS optimize_compacted,
+        |  TRUE AS data_invariant,
+        |  TRUE AS zorder_two_dim_stats,
+        |  TRUE AS vacuum_reclaimed,
+        |  TRUE AS history_trimmed
+        |FROM events""".stripMargin,
 
     // rf1: the broadcast join's 3 surviving dim keys (every n/100th id,
     // labels 26-28) must match exactly those events rows; runtime-

@@ -7038,11 +7038,17 @@ object Queries {
         case Seq((_, h), (l, _)) => h < l
         case _ => true
       }
-      val n = ev.count()
-      val lo = n / 4
-      val hi = n / 2
-      def mass(c: Column) = (sum(floor(c * lit(1e6) + lit(0.5))
-        .cast("decimal(38,0)")).cast("double") / lit(1e6))
+      // range bounds from the id SPAN (min + span/4 .. min + span/2):
+      // equals the count-quartiles on the contiguous testdata ids, and
+      // stays non-empty under the stress fixture's offset id-spaces
+      val ext = ev.agg(min(col("event_id")), max(col("event_id")))
+        .collect().head
+      val span = ext.getLong(1) - ext.getLong(0) + 1L
+      val lo = ext.getLong(0) + span / 4
+      val hi = ext.getLong(0) + span / 2
+      def mass(c: Column) = coalesce(
+        (sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
+          .cast("double") / lit(1e6)), lit(0.0))
       val ctr = graft.sources.Bucketing.footerReads.get()
       val before = ctr.get()
       val audit = s"wr1-${java.util.UUID.randomUUID()}"
@@ -7240,6 +7246,92 @@ object Queries {
         lit(aggMeta).as("agg_metadata_only"),
         lit(nTs == nV2).as("ts_travel_matches"),
         lit(opened.nonEmpty && opened.size < live).as("scan_pruned"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** SQL3: table MAINTENANCE via SQL CALL procedures
+    * ([[graft.sources.v2.GraftProcedures]], the connector Procedure
+    * API — Iceberg's `CALL catalog.system.rewrite_data_files` shape):
+    * after four quarter-span INSERTs fragment the table,
+    * `CALL g.system.optimize` compacts the latest version to 2
+    * range-sorted files, `CALL g.system.zorder` relayouts on
+    * (user_id, event_id) stamping TWO-dimension commit-time stats, and
+    * `CALL g.system.vacuum` drops the pre-optimize history and
+    * reclaims its unreferenced store files — every step returning its
+    * outcome as a row the query asserts on. Gates: post-optimize file
+    * count == 2; every z-ordered file carries both zone columns;
+    * vacuum dropped manifests AND reclaimed files; time travel below
+    * the retention floor now fails; data identical through all three
+    * (count + 6dp value mass vs raw events).
+    *
+    * 100 TB lens: compaction/relayout/retention are the jobs a
+    * scheduler owns, and schedulers speak SQL — maintenance that needs
+    * library code is maintenance that doesn't run. The procedures
+    * return rows precisely so orchestration can gate on outcomes.
+    */
+  def sql3SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql3")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.ev
+               |(event_id BIGINT, user_id BIGINT, value DOUBLE)
+               |USING graft TBLPROPERTIES ('stats'='event_id')"""
+        .stripMargin)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .createOrReplaceTempView("graft_sql3_src")
+      val ext = t(s, dir, "events")
+        .agg(min(col("event_id")), max(col("event_id"))).collect().head
+      val mn = ext.getLong(0)
+      val span = ext.getLong(1) - mn + 1L
+      (0 until 4).foreach { q =>
+        val (lo, hi) = (mn + span * q / 4, mn + span * (q + 1) / 4)
+        s.sql(s"""INSERT INTO $cat.lake.ev
+                 |SELECT * FROM graft_sql3_src
+                 |WHERE event_id >= $lo AND event_id < $hi""".stripMargin)
+      }
+      val root = s"${wh.toString}/lake/ev"
+      def massAndCount() = s.sql(s"""SELECT CAST(count(*) AS BIGINT),
+        |CAST(sum(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+        |AS DOUBLE) / 1e6 FROM $cat.lake.ev""".stripMargin)
+        .collect().head
+      val before = massAndCount()
+      val optV = s.sql(s"CALL $cat.system.optimize(" +
+        "table => 'lake.ev', sort_col => 'event_id', n_files => 2)")
+        .head().getInt(0)
+      val compacted = S.resolve(root, optV).size == 2
+      val afterOpt = massAndCount()
+      val zV = s.sql(s"CALL $cat.system.zorder(table => 'lake.ev', " +
+        "col_a => 'user_id', col_b => 'event_id', n_files => 4)")
+        .head().getInt(0)
+      val zm = S.manifest(root, zV)
+      val zStats = zm.entries.nonEmpty && zm.entries.forall(e =>
+        e.zones.contains("user_id") && e.zones.contains("event_id"))
+      val vac = s.sql(s"CALL $cat.system.vacuum(table => 'lake.ev', " +
+        s"keep_from => $zV, grace_ms => 0)").head()
+      val reclaimed = vac.getInt(0) > 0 && vac.getInt(1) > 0
+      val trimmed = scala.util.Try(
+        s.sql(s"SELECT count(*) FROM $cat.lake.ev VERSION AS OF 2")
+          .collect()).isFailure
+      val after = massAndCount()
+      s.range(1).select(
+        lit(after.getLong(0)).as("n_total"),
+        lit(after.getDouble(1)).as("total_value"),
+        lit(compacted).as("optimize_compacted"),
+        lit(before == afterOpt && afterOpt == after)
+          .as("data_invariant"),
+        lit(zStats).as("zorder_two_dim_stats"),
+        lit(reclaimed).as("vacuum_reclaimed"),
+        lit(trimmed).as("history_trimmed"))
     } finally {
       graft.sources.LakeFs.deleteRecursively(wh.toString)
       ()
@@ -8017,6 +8109,7 @@ object Queries {
     "wr1_dsv2_write" -> (wr1DsvWrite _),
     "ss3_dsv2_stream_sink" -> (ss3DsvStreamSink _),
     "sql2_catalog_sql" -> (sql2CatalogSql _),
+    "sql3_sql_maintenance" -> (sql3SqlMaintenance _),
     "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _)
   )
 }

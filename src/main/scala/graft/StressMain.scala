@@ -327,6 +327,9 @@ object StressMain {
       // sql2 runs the full catalog lifecycle in SQL (DDL, INSERTs, time
       // travel, metadata agg, pruned WHERE)
       "sql2_catalog_sql",
+      // sql3 maintains the catalog table via CALL procedures
+      // (optimize/zorder/vacuum), data-invariant throughout
+      "sql3_sql_maintenance",
       // rf1 runtime-prunes a broadcast fact-dim join's file selection
       // from zones (DPP without partition columns)
       "rf1_runtime_file_skip")

@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * artifact naming); the catalog is that convention made a planner
   * citizen.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private var auditId: Option[String] = None
@@ -156,11 +157,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     tableAt(ident, None)
   }
 
+  /** ALTER TABLE — the two metadata-only evolutions the format carries
+    * (`#map:`/`#widen:` manifest lines; zero files touched, the se2
+    * machinery): `RENAME COLUMN` and `ALTER COLUMN ... TYPE` widening
+    * to BIGINT/DOUBLE. Each change is its own manifest commit, so it is
+    * time-travelable and OCC-safe like any write. Anything else
+    * (ADD/DROP COLUMN, nullability, comments) is refused — the table's
+    * schema is its files' union, and a column with no physical file is
+    * not representable.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use graft.sources.Snapshots.renameColumn/widenColumn" +
-        " (metadata-only schema evolution)")
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft columns are top-level only")
+        Snapshots.renameColumn(root, r.fieldNames().head, r.newName())
+        ()
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft columns are top-level only")
+        val target = u.newDataType() match {
+          case org.apache.spark.sql.types.LongType => "long"
+          case org.apache.spark.sql.types.DoubleType => "double"
+          case dt => throw new UnsupportedOperationException(
+            s"graft widens to BIGINT or DOUBLE only, got $dt")
+        }
+        Snapshots.widenColumn(root, u.fieldNames().head, target)
+        ()
+      case c => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports RENAME COLUMN and type widening " +
+          s"only, got $c")
+    }
+    tableAt(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
@@ -172,6 +204,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(rootOf(from))) throw new NoSuchTableException(from)
     if (isTableDir(rootOf(to))) throw new TableAlreadyExistsException(to)
     LakeFs.move(rootOf(from), rootOf(to))
+  }
+
+  // -------------------------------------------------------------------
+  // Procedures — table maintenance via SQL CALL
+  // -------------------------------------------------------------------
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the `system` namespace, got $ident")
+    GraftProcedures.load(ident.name(), warehouse)
   }
 
   // -------------------------------------------------------------------

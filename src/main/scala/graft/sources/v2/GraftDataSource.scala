@@ -52,6 +52,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (options.getBoolean("history", false))
+      return Snapshots.history(SparkSession.active,
+        Option(options.get("path")).getOrElse(
+          throw new IllegalArgumentException(
+            "graft reads need .option(\"path\", <table root>)"))).schema
     val (root, version) = GraftDataSource.resolve(options)
     val base = Snapshots.read(SparkSession.active, root, version).schema
     if (options.getBoolean("changeFeed", false))
@@ -62,6 +67,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("history", false))
+      return new GraftHistoryTable(opts.get("path"), schema)
     val (root, version) = GraftDataSource.resolve(opts)
     new GraftTable(root, version, schema,
       changeFeed = opts.getBoolean("changeFeed", false),
@@ -133,6 +140,35 @@ class GraftTable(root: String, version: Int, tableSchema: StructType,
       "cannot write to a time-travel read (versionAsOf/timestampAsOf): " +
         "graft writes always extend the latest version")
     new GraftWriteBuilder(root, tableSchema, info, writeDefaults)
+  }
+}
+
+/** DESCRIBE HISTORY as a read surface:
+  * `spark.read.format("graft").option("history", "true")` serves the
+  * per-version commit log (version, timestamp, operation shape, file/
+  * row counts — [[Snapshots.history]]'s O(versions) raw-line derivation)
+  * as a driver-[[org.apache.spark.sql.connector.read.LocalScan local]]
+  * relation: the log is manifest-sized metadata, never a distributed
+  * scan.
+  */
+class GraftHistoryTable(root: String, historySchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft.`$root` history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = historySchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Snapshots.history(SparkSession.active, root)
+            .queryExecution.executedPlan.executeCollect()
+        override def description(): String =
+          s"GraftHistoryScan $root (manifest metadata only)"
+      }
   }
 }
 

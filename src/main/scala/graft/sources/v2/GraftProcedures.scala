@@ -1,0 +1,120 @@
+package graft.sources.v2
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Table MAINTENANCE as SQL `CALL` procedures (the connector Procedure
+  * API — the Iceberg `CALL catalog.system.rewrite_data_files` shape):
+  * {{{
+  *   CALL g.system.optimize(table => 'lake.ev',
+  *                          sort_col => 'event_id', n_files => 4)
+  *   CALL g.system.zorder(table => 'lake.ev',
+  *                        col_a => 'user_id', col_b => 'day',
+  *                        n_files => 16)
+  *   CALL g.system.vacuum(table => 'lake.ev', keep_from => 3,
+  *                        grace_ms => 0)
+  * }}}
+  * With these, the LAST library-only surfaces a table's operator needs
+  * — compaction after streaming churn, z-order relayout, history
+  * retention — are SQL statements a scheduler can own. Each procedure
+  * returns its outcome as one row (the new version / reclaim counts) so
+  * orchestration can assert on it.
+  */
+object GraftProcedures {
+  val names: Array[String] = Array("optimize", "zorder", "vacuum")
+
+  private def rootOf(warehouse: String, table: String): String =
+    (warehouse +: table.split('.').toSeq).mkString("/")
+
+  private def oneRowScan(schema: StructType, values: Seq[Any])
+      : java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+      override def description(): String = "GraftProcedureResult"
+    }
+    java.util.List.of(scan).iterator()
+  }
+
+  private abstract class GraftProc(procName: String, desc: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  def load(name: String, warehouse: String): UnboundProcedure =
+    name match {
+      case "optimize" => new GraftProc("optimize",
+        "rewrite the latest version as n_files range-sorted files " +
+          "(small-file compaction; folds MoR sidecars)") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("sort_col", StringType).build(),
+          ProcedureParameter.in("n_files", IntegerType)
+            .defaultValue("4").build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val v = Snapshots.optimize(SparkSession.active, root,
+            input.getUTF8String(1).toString, input.getInt(2))
+          oneRowScan(StructType(Seq(
+            StructField("new_version", IntegerType, nullable = false))),
+            Seq(v))
+        }
+      }
+      case "zorder" => new GraftProc("zorder",
+        "rewrite the latest version z-ordered on (col_a, col_b) with " +
+          "two-dimension commit-time stats") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("col_a", StringType).build(),
+          ProcedureParameter.in("col_b", StringType).build(),
+          ProcedureParameter.in("n_files", IntegerType)
+            .defaultValue("16").build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val (a, b) = (input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString)
+          val v = Snapshots.optimizeZOrder(SparkSession.active, root,
+            col(a), col(b), input.getInt(3), statsCols = Seq(a, b))
+          oneRowScan(StructType(Seq(
+            StructField("new_version", IntegerType, nullable = false))),
+            Seq(v))
+        }
+      }
+      case "vacuum" => new GraftProc("vacuum",
+        "drop manifest history before keep_from and reclaim " +
+          "unreferenced store files older than grace_ms") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_from", IntegerType).build(),
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue(Snapshots.DefaultVacuumGraceMs.toString)
+            .build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val (dropped, reclaimed) = Snapshots.vacuum(root,
+            input.getInt(1), input.getLong(2))
+          oneRowScan(StructType(Seq(
+            StructField("dropped_manifests", IntegerType,
+              nullable = false),
+            StructField("reclaimed_files", IntegerType,
+              nullable = false))), Seq(dropped, reclaimed))
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure '$other' — one of " +
+          names.mkString("[", ", ", "]"))
+    }
+}

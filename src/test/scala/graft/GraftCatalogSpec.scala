@@ -123,6 +123,81 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { sql("SELECT * FROM gtest.ns.t5r").collect() }
   }
 
+  test("ALTER TABLE: RENAME COLUMN and widening TYPE are metadata-only " +
+      "manifest commits; unsupported changes are refused") {
+    init
+    sql("""CREATE TABLE gtest.ns.t7 (k BIGINT, cnt INT, tag STRING)
+          |USING graft""".stripMargin)
+    sql("""INSERT INTO gtest.ns.t7 SELECT id, CAST(id % 5 AS INT),
+          |concat('x', id) FROM range(100)""".stripMargin)
+    val root = s"$warehouse/ns/t7"
+    val filesBefore = Snapshots.resolve(root, Snapshots.latestVersion(root))
+    sql("ALTER TABLE gtest.ns.t7 RENAME COLUMN tag TO label")
+    sql("ALTER TABLE gtest.ns.t7 ALTER COLUMN cnt TYPE BIGINT")
+    val df = sql("SELECT label, cnt FROM gtest.ns.t7 WHERE k = 3")
+    assert(df.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.head().getString(0) == "x3" && df.head().getLong(1) == 3L)
+    // zero files rewritten — evolution is manifest lines
+    val filesAfter = Snapshots.resolve(root, Snapshots.latestVersion(root))
+    assert(filesAfter == filesBefore)
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.t7 ADD COLUMN extra STRING")
+    }
+  }
+
+  test("DESCRIBE HISTORY surface: option(\"history\") serves the commit " +
+      "log as a local metadata relation") {
+    init
+    sql("CREATE TABLE gtest.ns.t8 (k BIGINT) USING graft")
+    sql("INSERT INTO gtest.ns.t8 SELECT id FROM range(10)")
+    sql("INSERT INTO gtest.ns.t8 SELECT id FROM range(10, 30)")
+    val h = spark.read.format("graft")
+      .option("path", s"$warehouse/ns/t8").option("history", "true")
+      .load().orderBy("version").collect()
+    assert(h.length == 3)
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3))
+    val rows = h.map(_.getAs[Long]("n_rows"))
+    assert(rows.toSeq == Seq(0L, 10L, 30L))
+  }
+
+  test("CALL procedures: optimize compacts to n_files, zorder relayouts " +
+      "with 2-d stats, vacuum reclaims history — all from SQL") {
+    init
+    sql("""CREATE TABLE gtest.ns.t9 (k BIGINT, g BIGINT, v DOUBLE)
+          |USING graft TBLPROPERTIES ('stats'='k')""".stripMargin)
+    (0 until 6).foreach { i =>
+      sql(s"""INSERT INTO gtest.ns.t9
+             |SELECT id, id % 10, CAST(id AS DOUBLE)
+             |FROM range(${i * 500}, ${(i + 1) * 500})""".stripMargin)
+    }
+    val root = s"$warehouse/ns/t9"
+    val before = sql("SELECT count(*), sum(k) FROM gtest.ns.t9").head()
+    // 6 inserts + seed → many small files; compact to 2
+    val opt = sql("CALL gtest.system.optimize(table => 'ns.t9', " +
+      "sort_col => 'k', n_files => 2)").head()
+    assert(opt.getInt(0) == Snapshots.latestVersion(root))
+    assert(Snapshots.resolve(root, opt.getInt(0)).size == 2)
+    assert(sql("SELECT count(*), sum(k) FROM gtest.ns.t9").head()
+      == before)
+    // z-order relayout stamps 2-d zones
+    val zv = sql("CALL gtest.system.zorder(table => 'ns.t9', " +
+      "col_a => 'k', col_b => 'g', n_files => 4)").head().getInt(0)
+    val zm = Snapshots.manifest(root, zv)
+    assert(zm.entries.size == 4)
+    assert(zm.entries.forall(e =>
+      e.zones.contains("k") && e.zones.contains("g")))
+    // vacuum drops pre-optimize history and reclaims their files
+    val vac = sql("CALL gtest.system.vacuum(table => 'ns.t9', " +
+      s"keep_from => $zv, grace_ms => 0)").head()
+    assert(vac.getInt(0) > 0 && vac.getInt(1) > 0)
+    assert(sql("SELECT count(*), sum(k) FROM gtest.ns.t9").head()
+      == before)
+    intercept[Exception] {
+      sql("SELECT count(*) FROM gtest.ns.t9 VERSION AS OF 2").collect()
+    }
+  }
+
   test("catalog reads compose with the library: a Scala-API mutation " +
       "is visible to the next SQL query (one source of truth)") {
     init
