@@ -7086,10 +7086,11 @@ object Queries {
     * ([[graft.sources.v2.GraftStreamingWrite]]):
     * `readStream.format("graft")` (change feed, one version per
     * micro-batch) feeds `writeStream.format("graft")` on a second
-    * table, and each epoch commits under its batch id as ONE atomic
-    * manifest create — data and idempotence marker inseparable, the
-    * appendBatch exactly-once now reachable without a line of
-    * foreachBatch.
+    * table, and each epoch commits under the (query id, epoch) pair as
+    * ONE atomic manifest create (a `#txn:` high-water mark per query —
+    * the Delta setTransaction shape) — data and idempotence marker
+    * inseparable, exactly-once scoped to the query so a SECOND
+    * query's epoch 0 on the same table is never a false replay.
     *
     * Fixture: events split 3 ways by event_id mod 3 — slice 0 seeds the
     * DESTINATION's v1, slices 1 and 2 are committed to a SOURCE table
@@ -7136,12 +7137,17 @@ object Queries {
         .option("statsCols", "event_id")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      val qid = q.id.toString
       q.awaitTermination()
-      val committed = S.committedBatches(dstRoot).toSet
+      // exactly-once state is the QUERY's #txn: high-water mark (scoped
+      // to its id — a second query's epoch 0 is never a false replay)
+      val txnMark = S.manifest(dstRoot, S.latestVersion(dstRoot))
+        .txnVersion(qid)
+      val committed = txnMark.exists(_ >= 1L)
       // the restart case: an epoch re-commit must resolve to a SKIP
       val replaySkipped = S.commitAdopted(dstRoot,
         Seq(S.FileEntry("replay_marker.parquet")),
-        batchId = Some(0L)).isEmpty
+        batchId = Some(1L), txnApp = Some(qid)).isEmpty
       val mDst = S.manifest(dstRoot, S.latestVersion(dstRoot))
       val streamed = mDst.entries.filter(_.name.startsWith("w_"))
       val statsComplete = streamed.nonEmpty && streamed.forall(e =>
@@ -7155,7 +7161,7 @@ object Queries {
       s.range(1).select(
         lit(a.getLong(0)).as("n_total"),
         lit(a.getDouble(1)).as("total_value"),
-        lit(Set(0L, 1L).subsetOf(committed)).as("batches_exactly_once"),
+        lit(committed).as("batches_exactly_once"),
         lit(replaySkipped).as("replay_skipped"),
         lit(statsComplete).as("stream_stats_complete"))
     } finally {

@@ -273,6 +273,16 @@ object Snapshots {
       ((0L to batchWatermark) ++ sparseBatchIds).distinct.sorted
     def isBatchCommitted(id: Long): Boolean =
       id <= batchWatermark || sparseBatchIds.contains(id)
+    /** Highest epoch committed under a writer APPLICATION id (`#txn:`
+      * meta, ONE line per app holding its latest epoch — epochs are
+      * monotone per app, so one line is the whole idempotence state;
+      * the Delta setTransaction shape). Scopes streaming exactly-once
+      * to (app, epoch): a DIFFERENT query's epoch 0 is a first write,
+      * not a replay of this query's epoch 0.
+      */
+    def txnVersion(app: String): Option[Long] =
+      meta.find(_.startsWith(s"#txn:$app="))
+        .map(_.stripPrefix(s"#txn:$app=").toLong)
     def columnMaps: Seq[(String, String)] =
       meta.filter(_.startsWith("#map:")).map { l =>
         val Array(o, n) = l.stripPrefix("#map:").split("=", 2)
@@ -382,6 +392,31 @@ object Snapshots {
   private[graft] def statsColsProp(root: String): Seq[String] =
     tableProps(root).get("stats").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Follow a column RENAME in the `stats=` property so planner-routed
+    * writes keep stamping zones for the renamed column (a stale old
+    * name would silently intersect to nothing). Delete+recreate is the
+    * only overwrite the exclusive-create FS layer offers; the window is
+    * benign — a concurrent reader of a missing props file sees table
+    * DEFAULTS (ckpt/pqsec cadence, no stats default), never wrong data.
+    */
+  private[graft] def renameInStatsProp(root: String, oldName: String,
+      newName: String): Unit = {
+    val p = propsPath(root)
+    if (!LakeFs.exists(p)) return
+    val lines = LakeFs.readString(p).split("\n").toSeq
+    val updated = lines.map { l =>
+      if (l.trim.startsWith("stats=")) {
+        val cols = l.trim.stripPrefix("stats=").split(",").map(_.trim)
+          .map(c => if (c == oldName) newName else c)
+        s"stats=${cols.mkString(",")}"
+      } else l
+    }
+    if (updated != lines) {
+      LakeFs.delete(p)
+      LakeFs.createNewAtomic(p, updated.mkString("\n"))
+    }
+  }
 
   private def checkpointIntervalOf(root: String): Int =
     tableProps(root).get("ckpt").map(_.toInt)
@@ -830,28 +865,46 @@ object Snapshots {
     * `batchId` makes the commit EXACTLY-ONCE (the [[appendBatch]]
     * idempotence, for the streaming sink's epoch): an already-committed
     * id resolves to None — the caller must treat that as a replay and
-    * drop its orphaned files. Returns Some(newVersion) on commit.
+    * drop its orphaned files. With `txnApp` (the streaming QUERY id),
+    * idempotence is scoped to the (app, epoch) PAIR via a one-line
+    * `#txn:` high-water mark per app — a different query's epoch 0 on
+    * the same table is a first write, never a false replay (the global
+    * `#batch:` id space stays the Scala [[appendBatch]] surface's).
+    * Returns Some(newVersion) on commit.
     */
   private[graft] def commitAdopted(root: String, entries: Seq[FileEntry],
       batchId: Option[Long] = None, truncate: Boolean = false,
-      maxRetries: Int = 20): Option[Int] = {
+      maxRetries: Int = 20, txnApp: Option[String] = None): Option[Int] = {
+    require(txnApp.isEmpty || batchId.nonEmpty,
+      "txnApp needs the epoch in batchId")
     var attempt = 0
     while (true) {
       val v = latestVersion(root)
       require(v >= 1, s"uninitialized snapshot table at $root")
       val m = manifest(root, v)
-      val replayed = batchId.exists(id =>
-        m.isBatchCommitted(id) || legacyBatchIds(root).contains(id))
+      val replayed = txnApp match {
+        case Some(app) => m.txnVersion(app).exists(_ >= batchId.get)
+        case None => batchId.exists(id =>
+          m.isBatchCommitted(id) || legacyBatchIds(root).contains(id))
+      }
       if (replayed) return None
-      val carried = carryMeta(m, batchId.toSeq)
+      val carried = carryMeta(m,
+        if (txnApp.isEmpty) batchId.toSeq else Seq.empty)
+      val withTxn = txnApp match {
+        case Some(app) =>
+          carried.filterNot(_.startsWith(s"#txn:$app=")) :+
+            s"#txn:$app=${batchId.get}"
+        case None => carried
+      }
       // truncate drops data-bound meta (delete sidecars, column maps —
       // the new files are physically written under the logical schema)
-      // but KEEPS the batch idempotence lines: exactly-once must survive
-      // an overwrite
+      // but KEEPS the batch/txn idempotence lines: exactly-once must
+      // survive an overwrite
       val meta =
-        if (truncate) carried.filter(l =>
-          l.startsWith("#batchwm:") || l.startsWith("#batch:"))
-        else carried
+        if (truncate) withTxn.filter(l =>
+          l.startsWith("#batchwm:") || l.startsWith("#batch:") ||
+            l.startsWith("#txn:"))
+        else withTxn
       val newEntries =
         if (truncate) entries.sortBy(_.name)
         else m.entries ++ entries

@@ -136,16 +136,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val seedDir = s"$root/__create_seed"
     LakeFs.mkdirs(seedDir)
     val conf = spark.sessionState.newHadoopConf()
-    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$seedDir/seed-00000.parquet"),
-        conf))
-      .withType(GraftParquetSchema.toMessageType(schema))
-      .withConf(conf)
-      .withCompressionCodec(
-        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-      .build()
-    writer.close() // zero rows: the file exists to carry the schema
+    GraftParquetSchema.newWriter(s"$seedDir/seed-00000.parquet", schema,
+      conf).close() // zero rows: the file exists to carry the schema
     try Snapshots.init(spark, root, seedDir, statsCols = stats,
       extraProps =
         if (stats.nonEmpty) Seq(s"stats=${stats.mkString(",")}")
@@ -170,12 +162,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTableDir(root)) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // VALIDATE the whole change set before applying ANY of it — each
+    // accepted change is its own durable manifest commit, so a late
+    // rejection must not leave earlier changes half-applied behind a
+    // statement Spark reports as failed
+    val apply: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft columns are top-level only")
-        Snapshots.renameColumn(root, r.fieldNames().head, r.newName())
-        ()
+        () => {
+          Snapshots.renameColumn(root, r.fieldNames().head, r.newName())
+          // keep the stats= default pointing at the renamed column, or
+          // planner-routed writes would silently stop stamping zones
+          Snapshots.renameInStatsProp(root, r.fieldNames().head,
+            r.newName())
+        }
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
           "graft columns are top-level only")
@@ -185,12 +186,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case dt => throw new UnsupportedOperationException(
             s"graft widens to BIGINT or DOUBLE only, got $dt")
         }
-        Snapshots.widenColumn(root, u.fieldNames().head, target)
-        ()
+        () => { Snapshots.widenColumn(root, u.fieldNames().head, target); () }
       case c => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports RENAME COLUMN and type widening " +
           s"only, got $c")
     }
+    apply.foreach(_())
     tableAt(ident, None)
   }
 
@@ -255,8 +256,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
-    if (namespaceExists(namespace) && namespace.nonEmpty &&
-        LakeFs.exists(dirOf(namespace)))
+    // an existing path — namespace OR table — is a conflict either way
+    // (creating a "namespace" over a table would let tables nest inside
+    // another table's root)
+    if (namespace.nonEmpty && LakeFs.exists(dirOf(namespace)))
       throw new NamespaceAlreadyExistsException(namespace)
     LakeFs.mkdirs(dirOf(namespace))
   }

@@ -209,14 +209,29 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
     * truth (refused outright when live delete sidecars, rename/widen
     * maps, or missing stats could make them wrong).
     */
+  // Spark probes supportCompletePushDown then calls pushAggregation
+  // with the same Aggregation — memoize by reference so the manifest
+  // (delta chain / parquet section) resolves ONCE per aggregate query
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Seq[Any])])] =
+    None
+  private def metadataAnswerMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] = aggMemo match {
+    case Some((key, r)) if key eq agg => r
+    case _ =>
+      val r = metadataAnswer(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    metadataAnswer(agg).nonEmpty
+    metadataAnswerMemo(agg).nonEmpty
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    aggRow = metadataAnswer(agg)
+    aggRow = metadataAnswerMemo(agg)
     aggRow.nonEmpty
   }
 

@@ -66,22 +66,35 @@ class GraftWriteBuilder(root: String, tableSchema: StructType,
     // batch appends arrive pre-aligned (AppendData byName casts to the
     // table schema); STREAMING writes do not — enforce type equality on
     // same-named columns here, or mixed physical types would poison
-    // uniform reads. Missing columns (read NULL on new files) and new
-    // columns (schema evolution) are legal, as in the Scala append.
-    val byName = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    // uniform reads. Names compare CASE-INSENSITIVELY (SQL analysis
+    // is), but a case-variant name must be rejected, not written: the
+    // parquet column would carry the variant casing and readers
+    // projecting the table name would null it out silently. Missing
+    // columns (read NULL on new files) and new columns (schema
+    // evolution) are legal, as in the Scala append.
+    val byLower = tableSchema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     info.schema().fields.foreach { f =>
-      byName.get(f.name).foreach(t => require(t == f.dataType,
-        s"write schema mismatch on '${f.name}': table has $t, query " +
-          s"writes ${f.dataType} — cast the query to the table schema"))
+      byLower.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach {
+        tf =>
+          require(tf.name == f.name,
+            s"column '${f.name}' matches table column '${tf.name}' " +
+              "only case-insensitively — rename the query column to " +
+              "the table's casing")
+          require(tf.dataType == f.dataType,
+            s"write schema mismatch on '${f.name}': table has " +
+              s"${tf.dataType}, query writes ${f.dataType} — cast the " +
+              "query to the table schema")
+      }
     }
     new GraftWrite(root, info.schema(), info.options(), truncateMode,
-      defaults)
+      defaults, info.queryId())
   }
 }
 
 class GraftWrite(root: String, schema: StructType,
     options: CaseInsensitiveStringMap, truncate: Boolean,
-    defaults: Map[String, String] = Map.empty)
+    defaults: Map[String, String] = Map.empty, queryId: String = "")
   extends Write with RequiresDistributionAndOrdering {
 
   // write options win over table-level defaults (the catalog's `stats=`
@@ -120,7 +133,7 @@ class GraftWrite(root: String, schema: StructType,
   override def toStreaming: StreamingWrite = {
     require(!truncate,
       "graft streaming sink supports append output mode only")
-    new GraftStreamingWrite(root, schema, effectiveStatsCols)
+    new GraftStreamingWrite(root, schema, effectiveStatsCols, queryId)
   }
 }
 
@@ -152,9 +165,28 @@ class GraftBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = GraftWriteCommit.entriesOf(messages)
     // an empty append is a no-op (no version churn); an empty OVERWRITE
-    // is a real commit — it truncates the table
+    // is a real commit — it truncates the table, with a zero-row seed
+    // file carrying the schema (a zero-FILE version would be unreadable:
+    // the table's schema lives in its files)
     if (entries.nonEmpty || truncate) {
-      Snapshots.commitAdopted(root, entries, batchId = None,
+      val committed =
+        if (entries.nonEmpty) entries
+        else {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val conf = spark.sessionState.newHadoopConf()
+          val name = "w_truncate_seed_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+              .take(12) + ".parquet"
+          val path = s"$root/files/$name"
+          GraftParquetSchema.newWriter(path, schema, conf).close()
+          val (rows, fp, zones, szones) =
+            Bucketing.fileStatsEntryConf(path, conf, Seq.empty)
+          Seq(Snapshots.FileEntry(name, Some(rows),
+            Some(new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+              .getFileStatus(new org.apache.hadoop.fs.Path(path))
+              .getLen), Some(fp), zones, szones))
+        }
+      Snapshots.commitAdopted(root, committed, batchId = None,
         truncate = truncate)
       ()
     }
@@ -164,17 +196,22 @@ class GraftBatchWrite(root: String, schema: StructType,
 }
 
 class GraftStreamingWrite(root: String, schema: StructType,
-    statsCols: Seq[String]) extends StreamingWrite {
+    statsCols: Seq[String], queryId: String) extends StreamingWrite {
+  // idempotence is scoped to THIS query: (queryId, epochId), kept as a
+  // one-line #txn: high-water mark per query in the manifest. Keying on
+  // the epoch alone would make a SECOND query's epoch 0 on the same
+  // table look like a replay and silently drop its data.
+  private val app = if (queryId.nonEmpty) queryId else "graft-stream"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftWriterFactory.create(root, schema, statsCols)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val entries = GraftWriteCommit.entriesOf(messages)
-    // empty epochs still commit their batch id: the watermark stays
-    // contiguous (sparse #batch: lines fold away) and a replay of the
-    // empty epoch skips cleanly
-    Snapshots.commitAdopted(root, entries, batchId = Some(epochId)) match {
+    // empty epochs still advance the txn mark, so their replay also
+    // resolves to a skip
+    Snapshots.commitAdopted(root, entries, batchId = Some(epochId),
+      txnApp = Some(app)) match {
       case None =>
         // replayed epoch (restart re-ran a committed batch): this run's
         // files are orphans — exactly-once means dropping them
@@ -245,15 +282,7 @@ class GraftDataWriter(root: String, schema: StructType,
   private var rowCount = 0L
   private var closed = false
 
-  private val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-    .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), conf))
-    .withType(messageType)
-    .withConf(conf)
-    .withCompressionCodec(
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-    .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
-    .build()
+  private val writer = GraftParquetSchema.newWriter(path, schema, conf)
 
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
@@ -302,6 +331,24 @@ class GraftDataWriter(root: String, schema: StructType,
 object GraftParquetSchema {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types => PT}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  /** The ONE writer construction every graft-written parquet file goes
+    * through (task writers, truncate seeds, CREATE TABLE schema seeds)
+    * — codec/mode/schema mapping can never drift between surfaces.
+    */
+  def newWriter(path: String, schema: StructType,
+      conf: Configuration): org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] =
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+      .withType(toMessageType(schema))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .withWriteMode(
+        org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
+      .build()
 
   def toMessageType(schema: StructType): MessageType = {
     val fields: Seq[Type] = schema.fields.toSeq.map { f =>

@@ -231,7 +231,7 @@ class GraftWriteSpec extends AnyFunSuite {
       "skips and deletes its orphan files (restart semantics)") {
     val root = freshTable()
     val schema = load(root).schema
-    val w = new GraftStreamingWrite(root, schema, Seq("k"))
+    val w = new GraftStreamingWrite(root, schema, Seq("k"), "queryA")
     // synthesize an epoch's worth of committed task output: one real
     // parquet file in the store plus its entry (what DataWriter.commit
     // returns)
@@ -263,12 +263,58 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(root) == 2) // no new version
     assert(load(root).count() == 1001L) // no double data
     assert(!LakeFs.exists(m0b.path)) // the orphan was reclaimed
-    // a NEW epoch commits normally, and an EMPTY epoch still records
-    // its id (watermark contiguity)
+    // a NEW epoch commits normally, and an EMPTY epoch still advances
+    // the query's txn high-water mark (its replay also skips)
     w.commit(1L, Array(taskOutput("e1")))
     w.commit(2L, Array.empty)
-    assert(Snapshots.committedBatches(root) == Seq(0L, 1L, 2L))
+    val m = Snapshots.manifest(root, Snapshots.latestVersion(root))
+    assert(m.txnVersion("queryA").contains(2L))
     assert(load(root).count() == 1002L)
+    // idempotence is scoped to THE QUERY: a different query's epoch 0
+    // on the same table is a FIRST write, never a false replay — the
+    // data-loss trap of keying on the epoch alone
+    val w2 = new GraftStreamingWrite(root, schema, Seq("k"), "queryB")
+    w2.commit(0L, Array(taskOutput("b0")))
+    assert(load(root).count() == 1003L)
+    assert(Snapshots.manifest(root, Snapshots.latestVersion(root))
+      .txnVersion("queryB").contains(0L))
+    // and queryA's mark survives queryB's commits
+    assert(Snapshots.manifest(root, Snapshots.latestVersion(root))
+      .txnVersion("queryA").contains(2L))
+  }
+
+  test("overwrite with an EMPTY frame leaves a readable zero-row table " +
+      "(schema rides a seed file), not a wedged zero-file version") {
+    val root = freshTable()
+    spark.emptyDataset[(Long, Long, String)].toDF("k", "grp", "tag")
+      .write.format("graft").option("path", root)
+      .mode("overwrite").save()
+    assert(Snapshots.latestVersion(root) == 2)
+    assert(load(root).count() == 0L)
+    assert(load(root).columns.toSeq == Seq("k", "grp", "tag"))
+    assert(Snapshots.read(spark, root, 2).count() == 0L)
+    // and the table accepts writes again
+    Seq((1L, 1L, "x")).toDF("k", "grp", "tag")
+      .write.format("graft").option("path", root).mode("append").save()
+    assert(load(root).count() == 1L)
+  }
+
+  test("case-variant column names are refused with a clear error (a " +
+      "silent case-mismatched file would read as all-NULL)") {
+    val root = freshTable()
+    val cp = java.nio.file.Files.createTempDirectory("graft_wcase")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = mem.toDF().toDF("K", "grp", "tag")
+      .writeStream.format("graft").option("path", root)
+      .option("checkpointLocation", cp.toString).start()
+    mem.addData((1L, 1L, "x"))
+    val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+    assert(e.getMessage.contains("case-insensitively") ||
+      Option(e.getCause)
+        .exists(_.getMessage.contains("case-insensitively")))
   }
 
   test("writeStream.format(\"graft\") end-to-end: micro-batches land " +
