@@ -117,6 +117,39 @@ object LakeFs {
     }
   }
 
+  /** ATOMIC REPLACE of an existing (or absent) file: write the new
+    * content to a hidden temp name in the same directory, then rename
+    * over `p` in one step — a reader observes either the old content or
+    * the new, never a missing or torn file. The overwrite counterpart of
+    * [[createNewAtomic]], for mutable metadata like the table props
+    * (delete-then-create would lose ALL properties to a crash or racing
+    * reader in the window between the two calls).
+    */
+  def replaceAtomic(p: String, content: String): Unit = {
+    val f = fs(p)
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tmpName = s".${new Path(p).getName}.tmp" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    if (f.isInstanceOf[LocalFileSystem]) {
+      val target = java.nio.file.Paths.get(new Path(p).toUri.getPath)
+      val tmp = target.getParent.resolve(tmpName)
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val tmp = new Path(new Path(p).getParent, tmpName)
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      // FileContext.rename supports OVERWRITE (FileSystem.rename does
+      // not) — the HDFS-portable atomic replace
+      org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, conf())
+        .rename(tmp, new Path(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Best-effort ADVISORY write (plain overwrite, NOT atomic) — for hint
     * files whose loss or corruption readers must tolerate (e.g. the
     * latest-version hint: a stale/garbled hint only costs extra probes,

@@ -395,10 +395,11 @@ object Snapshots {
 
   /** Follow a column RENAME in the `stats=` property so planner-routed
     * writes keep stamping zones for the renamed column (a stale old
-    * name would silently intersect to nothing). Delete+recreate is the
-    * only overwrite the exclusive-create FS layer offers; the window is
-    * benign — a concurrent reader of a missing props file sees table
-    * DEFAULTS (ckpt/pqsec cadence, no stats default), never wrong data.
+    * name would silently intersect to nothing). The rewrite is an
+    * ATOMIC REPLACE ([[LakeFs.replaceAtomic]] — temp write + rename):
+    * a crash or concurrent reader sees the old props or the new, never
+    * a missing file that would silently reset checkpoint cadence,
+    * parquet-section thresholds, and stats defaults to table defaults.
     */
   private[graft] def renameInStatsProp(root: String, oldName: String,
       newName: String): Unit = {
@@ -412,10 +413,8 @@ object Snapshots {
         s"stats=${cols.mkString(",")}"
       } else l
     }
-    if (updated != lines) {
-      LakeFs.delete(p)
-      LakeFs.createNewAtomic(p, updated.mkString("\n"))
-    }
+    if (updated != lines)
+      LakeFs.replaceAtomic(p, updated.mkString("\n"))
   }
 
   private def checkpointIntervalOf(root: String): Int =
@@ -1445,10 +1444,20 @@ object Snapshots {
     val m = manifest(root, v)
     val entries = writeNewFiles(spark, root, v + 1, "opt",
       read(spark, root, v), sortCol, nFiles, blockSize)
-    commitManifest(root, v + 1, entries,
-      m.meta.filter(_.startsWith("#batch")), Some((v, m)))
+    commitManifest(root, v + 1, entries, idempotenceMeta(m), Some((v, m)))
     v + 1
   }
+
+  /** The metadata a REWRITE commit (optimize / z-order) must carry even
+    * though it folds sidecars and materializes column maps: the
+    * exactly-once state — `#batch`/`#batchwm` ids AND the per-query
+    * `#txn:` high-water marks. Dropping the txn marks would erase a
+    * streaming sink's replay protection: maintenance between epochs, a
+    * query restart, and the replayed epoch re-commits as a "first"
+    * write, duplicating rows.
+    */
+  private def idempotenceMeta(m: ManifestData): Seq[String] =
+    m.meta.filter(l => l.startsWith("#batch") || l.startsWith("#txn:"))
 
   /** Result of an incremental bin-pack: the new version, small files
     * rewritten, right-sized files re-referenced verbatim, and the
@@ -1525,8 +1534,7 @@ object Snapshots {
     val df = read(spark, root, v)
     val entries = adoptEntries(spark, root, v + 1, "zopt", statsCols)(tmp =>
       Bucketing.writeZOrderedFiles(df, colA, colB, nFiles, tmp, blockSize))
-    commitManifest(root, v + 1, entries,
-      m.meta.filter(_.startsWith("#batch")), Some((v, m)))
+    commitManifest(root, v + 1, entries, idempotenceMeta(m), Some((v, m)))
     v + 1
   }
 

@@ -40,9 +40,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * atomic manifest creates.
   *
   * Cited shape: the reference resolves tables by path convention and
-  * bookkeeping files (reference: agent_tools.py:192-210, versioned
-  * artifact naming); the catalog is that convention made a planner
-  * citizen.
+  * bookkeeping files (reference: tool_call_agent.py:139-140 — `_clean`
+  * suffixed artifacts in the source's own directory); the catalog is
+  * that convention made a planner citizen.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -165,21 +165,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // VALIDATE the whole change set before applying ANY of it — each
     // accepted change is its own durable manifest commit, so a late
     // rejection must not leave earlier changes half-applied behind a
-    // statement Spark reports as failed
+    // statement Spark reports as failed. Validation tracks the LOGICAL
+    // schema as the change set evolves it (a rename frees its old name
+    // and claims its new one), so existence and collision checks hold
+    // for each change in sequence, not just against the initial state.
+    var logicalCols: Set[String] = {
+      val spark = SparkSession.active
+      Snapshots.read(spark, root, Snapshots.latestVersion(root))
+        .schema.fieldNames.toSet
+    }
     val apply: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft columns are top-level only")
+        val (from, to) = (r.fieldNames().head, r.newName())
+        require(logicalCols.contains(from),
+          s"RENAME COLUMN: no column '$from' in " +
+            logicalCols.toSeq.sorted.mkString("[", ", ", "]"))
+        require(!logicalCols.contains(to),
+          s"RENAME COLUMN: '$to' already exists")
+        logicalCols = logicalCols - from + to
         () => {
-          Snapshots.renameColumn(root, r.fieldNames().head, r.newName())
+          Snapshots.renameColumn(root, from, to)
           // keep the stats= default pointing at the renamed column, or
           // planner-routed writes would silently stop stamping zones
-          Snapshots.renameInStatsProp(root, r.fieldNames().head,
-            r.newName())
+          Snapshots.renameInStatsProp(root, from, to)
         }
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
           "graft columns are top-level only")
+        require(logicalCols.contains(u.fieldNames().head),
+          s"ALTER COLUMN: no column '${u.fieldNames().head}' in " +
+            logicalCols.toSeq.sorted.mkString("[", ", ", "]"))
         val target = u.newDataType() match {
           case org.apache.spark.sql.types.LongType => "long"
           case org.apache.spark.sql.types.DoubleType => "double"
@@ -261,6 +278,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // another table's root)
     if (namespace.nonEmpty && LakeFs.exists(dirOf(namespace)))
       throw new NamespaceAlreadyExistsException(namespace)
+    // and so is any ANCESTOR being a table: mkdirs would silently nest
+    // the new namespace (and its future tables) inside that table's
+    // root, where DROP TABLE / vacuum of the outer table destroys them
+    (1 until namespace.length).foreach { n =>
+      val ancestor = namespace.take(n)
+      require(!isTableDir(dirOf(ancestor)),
+        s"cannot create namespace ${namespace.mkString(".")}: " +
+          s"'${ancestor.mkString(".")}' is a table, not a namespace")
+    }
     LakeFs.mkdirs(dirOf(namespace))
   }
 

@@ -53,9 +53,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `.option("targetFileCount", n)` pins the partition (= file) count.
   *
   * Cited shape: the reference persists cleaned frames as versioned
-  * artifacts (reference: agent_tools.py:192-210, save_versioned) — here
-  * the versioned write surface is the planner's own, at executor
-  * parallelism.
+  * artifacts, never overwriting the original (reference:
+  * tool_call_agent.py:139-140 — save to a new `_clean` CSV, reload
+  * from the latest) — here the versioned write surface is the
+  * planner's own, at executor parallelism.
   */
 class GraftWriteBuilder(root: String, tableSchema: StructType,
     info: LogicalWriteInfo, defaults: Map[String, String] = Map.empty)
@@ -208,8 +209,14 @@ class GraftStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val entries = GraftWriteCommit.entriesOf(messages)
-    // empty epochs still advance the txn mark, so their replay also
-    // resolves to a skip
+    // EMPTY epochs commit NOTHING — an idle source under a
+    // processing-time trigger must not churn one manifest version per
+    // trigger. Skipping is replay-safe without advancing the `#txn:`
+    // mark: a replayed empty epoch re-executes to the same zero rows
+    // (streaming sources replay an epoch from checkpointed offsets) and
+    // skips again, and a later non-empty epoch advances the mark past
+    // the gap (the mark is a high-water, not a contiguous set).
+    if (entries.isEmpty) return
     Snapshots.commitAdopted(root, entries, batchId = Some(epochId),
       txnApp = Some(app)) match {
       case None =>

@@ -31,8 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Primitive columns only (long/int/double/float/boolean/string/binary/
   * timestamp/date) — the connector refuses nested types at scan build.
   * Cited shape: the reference's scan surface is tabular records
-  * (reference: agent_tools.py:34-60, load_csv/describe over flat
-  * frames); nested decode is out of its scope too.
+  * (reference: tool_call_agent.py:132 — every step loads the CSV into
+  * a flat DataFrame); nested decode is out of its scope too.
   */
 object ParquetRowReader {
 

@@ -212,4 +212,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gtest.ns.t6 WHERE k >= 100 AND " +
       "k < 200").head().getLong(0) == 0L)
   }
+
+  test("CREATE NAMESPACE under a table path is rejected (no namespaces " +
+      "nested inside a table's root)") {
+    init
+    sql("""CREATE TABLE gtest.ns.tguard (k BIGINT) USING graft""")
+    val e = intercept[Exception] {
+      sql("CREATE NAMESPACE gtest.ns.tguard.sub")
+    }
+    assert(e.getMessage.contains("is a table") ||
+      Option(e.getCause).exists(_.getMessage.contains("is a table")),
+      s"expected the table-ancestor rejection, got: ${e.getMessage}")
+    assert(!graft.sources.LakeFs.exists(s"$warehouse/ns/tguard/sub"),
+      "no directory may appear inside the table root")
+  }
+
+  test("ALTER TABLE validates the whole change set up front: an " +
+      "invalid rename commits nothing") {
+    init
+    sql("""CREATE TABLE gtest.ns.talter (a BIGINT, b BIGINT)
+          |USING graft""".stripMargin)
+    sql("INSERT INTO gtest.ns.talter SELECT id, id * 2 FROM range(10)")
+    val root = s"$warehouse/ns/talter"
+    val v = Snapshots.latestVersion(root)
+    // rename of a nonexistent column: rejected, no version committed
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.talter RENAME COLUMN nope TO c")
+    }
+    assert(Snapshots.latestVersion(root) == v,
+      "a rejected rename must not commit a manifest version")
+    // rename colliding with an existing column: rejected, no commit
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.talter RENAME COLUMN a TO b")
+    }
+    assert(Snapshots.latestVersion(root) == v)
+    // a valid rename still works after the rejections
+    sql("ALTER TABLE gtest.ns.talter RENAME COLUMN a TO k")
+    assert(sql("SELECT sum(k) FROM gtest.ns.talter").head().getLong(0)
+      == 45L)
+  }
 }
