@@ -4244,6 +4244,112 @@ object OracleSql {
         |  TRUE AS history_trimmed
         |FROM events""".stripMargin,
 
+    // sql4: after DELETE of the second span-quartile the table is the
+    // closed-form complement; the three-tier plan laws (metadata drop,
+    // exact probe, COW-twin equality, time travel) engine-verified
+    "sql4_sql_delete" ->
+      """WITH n AS (
+        |  SELECT min(event_id) AS mn,
+        |    max(event_id) - min(event_id) + 1 AS span FROM events),
+        |d AS (
+        |  SELECT * FROM events
+        |  WHERE event_id < (SELECT mn + span // 4 FROM n)
+        |     OR event_id >= (SELECT mn + span // 2 FROM n))
+        |SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS after_value,
+        |  TRUE AS covered_dropped,
+        |  TRUE AS straddle_probed,
+        |  TRUE AS marks_exact,
+        |  TRUE AS matches_cow_twin,
+        |  TRUE AS history_intact
+        |FROM d""".stripMargin,
+
+    // sql5: after MERGE the table is events with the day window
+    // re-imaged (+1000) plus its shadow inserts (+5000); delta-plan
+    // laws (zero rewrites, exact marks, MoR twin, travel) engine-
+    // verified
+    "sql5_sql_merge" ->
+      """WITH win AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |rest AS (
+        |  SELECT value FROM events
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00')),
+        |after AS (
+        |  SELECT value + 1000 AS value FROM win
+        |  UNION ALL SELECT value FROM rest
+        |  UNION ALL SELECT value + 5000 AS value FROM win)
+        |SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS after_value,
+        |  TRUE AS one_commit,
+        |  TRUE AS zero_rewrites,
+        |  TRUE AS marks_exact,
+        |  TRUE AS matches_mor_twin,
+        |  TRUE AS history_intact
+        |FROM after""".stripMargin,
+
+    // sql6: after UPDATE (+1 on the day window) the count is invariant
+    // and the mass shifts by exactly the window row count; delta-plan
+    // laws engine-verified
+    "sql6_sql_update" ->
+      """WITH after AS (
+        |  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |    THEN value + 1 ELSE value END AS value
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS after_value,
+        |  TRUE AS zero_rewrites,
+        |  TRUE AS marks_exact,
+        |  TRUE AS count_invariant,
+        |  TRUE AS history_intact
+        |FROM after""".stripMargin,
+
+    // sql7: the v1→v2 feed of the MERGE is one preimage (original
+    // value) + one postimage (+1000) per window key plus the shadow
+    // inserts (+5000), zero deletes; the view-registration law is an
+    // engine-verified boolean
+    "sql7_cdc_catalog" ->
+      """WITH win AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00')
+        |SELECT CAST(count(*) AS BIGINT) AS n_insert,
+        |  CAST(count(*) AS BIGINT) AS n_update_pre,
+        |  CAST(count(*) AS BIGINT) AS n_update_post,
+        |  CAST(0 AS BIGINT) AS n_delete,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS pre_value,
+        |  CAST(SUM(CAST(floor((value + 1000) * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS post_value,
+        |  CAST(SUM(CAST(floor((value + 5000) * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS insert_value,
+        |  TRUE AS view_registered
+        |FROM win""".stripMargin,
+
+    // arr1: after deleting the top half of the id space, the embedding
+    // table is the closed-form bottom half; nested decode fidelity and
+    // the metadata-drop law are engine-verified booleans
+    "arr1_dsv2_array_read" ->
+      """WITH n AS (
+        |  SELECT (min(vec_id) + max(vec_id) + 1) // 2 AS mid
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT * FROM embeddings
+        |  WHERE vec_id < (SELECT mid FROM n))
+        |SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS len_after,
+        |  CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5)
+        |    AS HUGEINT)) AS DOUBLE) / 1e6 AS c1_mass_after,
+        |  TRUE AS full_read_matches,
+        |  TRUE AS metadata_dropped
+        |FROM d""".stripMargin,
+
     // rf1: the broadcast join's 3 surviving dim keys (every n/100th id,
     // labels 26-28) must match exactly those events rows; runtime-
     // filtering laws engine-verified

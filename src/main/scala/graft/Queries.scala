@@ -4128,7 +4128,7 @@ object Queries {
     val dvFolded = S.deleteSidecars(root, 3).isEmpty
     val nDv =
       if (dv2.isEmpty) 0L
-      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+      else graft.sources.Snapshots.dvRead(s, root, dv2).count()
     val v2 = S.read(s, root, 2)
     val v3 = S.read(s, root, 3)
     def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
@@ -4672,7 +4672,7 @@ object Queries {
     val dv2 = S.deleteSidecars(root, 2)
     val nDv =
       if (dv2.isEmpty) 0L
-      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+      else graft.sources.Snapshots.dvRead(s, root, dv2).count()
     def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
       .cast("decimal(38,0)")).cast("double") / lit(1e6))
     val a1 = S.read(s, root, 1).agg(count(lit(1)).as("n_v1"))
@@ -6902,7 +6902,7 @@ object Queries {
     val dvFolded = S.deleteSidecars(root, 3).isEmpty
     val nDv =
       if (dv2.isEmpty) 0L
-      else s.read.parquet(dv2.map(n => s"$root/_deletes/$n"): _*).count()
+      else graft.sources.Snapshots.dvRead(s, root, dv2).count()
     def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
       .cast("decimal(38,0)")).cast("double") / lit(1e6))
     val inWindow = col("ts") >= ts("2024-01-20 00:00:00") &&
@@ -7402,6 +7402,426 @@ object Queries {
         lit(opened.nonEmpty && opened.size < total).as("files_skipped"))
     } finally {
       graft.sources.LakeFs.deleteRecursively(tmpRoot.toString)
+      ()
+    }
+  }
+
+  /** SQL4: row-level `DELETE FROM ... WHERE` through the DSv2 catalog
+    * (`SupportsDeleteV2` on [[graft.sources.v2.GraftTable]]) — the
+    * three-tier plan production formats converge on, each tier gated
+    * independently:
+    *
+    *  1. files whose commit-time stats PROVE full coverage (event_id
+    *     zone inside the range AND stamped zero null count) DROP from
+    *     the manifest as pure metadata — zero data bytes read;
+    *  2. boundary (straddling) files take an exact position probe into
+    *     ONE merge-on-read sidecar;
+    *  3. everything else re-references verbatim.
+    *
+    * Fixture: events as 16 range-sorted files on event_id; DELETE of
+    * the second span-quartile (span/4-wide — ≥4 file widths, so full
+    * coverage is guaranteed to occur). Gates: dropped == the
+    * INDEPENDENTLY recomputed fully-covered set (zone-subset + null
+    * count, no library call) and nonempty; probed == the recomputed
+    * straddle set; marked positions == in-range rows minus
+    * dropped-file rows (exact conservation); the table hash-equals a
+    * Scala [[graft.sources.Snapshots.deleteRange]] COW twin as a
+    * multiset; VERSION AS OF the pre-delete version still serves every
+    * row (time travel unbroken). Values: count + 6dp mass of the
+    * remaining table, closed-form for the oracle.
+    *
+    * 100 TB lens: retention sweeps (`DELETE WHERE ts < cutoff`) are
+    * THE delete workload; on a sorted table this plan drops almost
+    * every touched file as manifest metadata and probes only the
+    * cutoff-boundary file — a predicate-covered delete costs KB of
+    * metadata, not a table rewrite, and SQL users get it with no
+    * library call in sight.
+    */
+  def sql4SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql4")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.sources.Bucketing.writeRangeSorted(ev, "event_id", 16,
+        s"$wh/seed", 16 * 1024)
+      val root = s"$wh/w/lake/ev"
+      val twin = s"$wh/w/lake/tw"
+      S.init(s, root, s"$wh/seed", statsCols = Seq("event_id"))
+      S.init(s, twin, s"$wh/seed", statsCols = Seq("event_id"))
+      val ext = ev.agg(min(col("event_id")), max(col("event_id")))
+        .collect().head
+      val span = ext.getLong(1) - ext.getLong(0) + 1L
+      val lo = ext.getLong(0) + span / 4
+      val hi = ext.getLong(0) + span / 2
+      val m0 = S.manifest(root, 1)
+      // the expectation, recomputed independently of the zone library:
+      // full coverage = zone ⊆ [lo,hi) AND stamped zero nulls; straddle
+      // = intersects but not covered (a zone-less file must be touched)
+      def covered(e: S.FileEntry): Boolean =
+        e.rows.exists(_ > 0L) &&
+          e.nulls.get("event_id").contains(0L) &&
+          e.zones.get("event_id").exists { case (a, b) =>
+            a >= lo && b < hi
+          }
+      def intersects(e: S.FileEntry): Boolean =
+        e.rows.exists(_ > 0L) &&
+          e.zones.get("event_id").forall { case (a, b) =>
+            b >= lo && a < hi
+          }
+      val expDrop = m0.entries.filter(covered)
+      val expProbe = m0.entries.filter(e => !covered(e) && intersects(e))
+      val nInRange = ev
+        .where(col("event_id") >= lo && col("event_id") < hi).count()
+      val nTotal = ev.count()
+      graft.sources.v2.GraftDeleteAudit.clear(root)
+      s.sql(s"DELETE FROM $cat.lake.ev " +
+        s"WHERE event_id >= $lo AND event_id < $hi")
+      val r = graft.sources.v2.GraftDeleteAudit.lastResult(root).get
+      val droppedRows = expDrop.flatMap(_.rows).sum
+      S.deleteRange(s, twin, "event_id", lo, hi)
+      val a = s.sql(s"""SELECT CAST(count(*) AS BIGINT),
+        |CAST(sum(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+        |AS DOUBLE) / 1e6 FROM $cat.lake.ev""".stripMargin)
+        .collect().head
+      val sqlDf = s.sql(s"SELECT * FROM $cat.lake.ev")
+      val twinDf = S.read(s, twin, 2)
+      val twinEq = sqlDf.exceptAll(twinDf).isEmpty &&
+        twinDf.exceptAll(sqlDf).isEmpty
+      val nV1 = s.sql(s"SELECT count(*) FROM $cat.lake.ev VERSION AS OF 1")
+        .head().getLong(0)
+      s.range(1).select(
+        lit(a.getLong(0)).as("n_after"),
+        lit(a.getDouble(1)).as("after_value"),
+        lit(expDrop.nonEmpty && r.droppedFiles == expDrop.size)
+          .as("covered_dropped"),
+        lit(r.probedFiles == expProbe.size).as("straddle_probed"),
+        lit(r.markedPositions == nInRange - droppedRows)
+          .as("marks_exact"),
+        lit(twinEq).as("matches_cow_twin"),
+        lit(nV1 == nTotal).as("history_intact"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** SQL5: `MERGE INTO` through the delta-based row-level operation
+    * ([[graft.sources.v2.GraftRowLevelOperation]], Spark's
+    * `SupportsDelta` contract — the Iceberg v2 position-delta MERGE):
+    * the scan serves `_file`/`_pos` metadata columns as the row
+    * identity, Spark computes the delta, and each task writes its
+    * DELETEs as a position-sidecar part and its INSERTs as a fresh
+    * data file — executor-side, no funnel — folded by ONE
+    * conflict-checked metadata commit.
+    *
+    * Fixture: events as a 6-file catalog table; the source re-images
+    * the 2024-01-20 day window (+1000, matched → UPDATE) and shadows
+    * it beyond the id space (+5000, unmatched → INSERT). Gates: one
+    * manifest commit; ZERO pre-merge files rewritten (v1's files all
+    * survive verbatim); sidecar parts present with marks == the window
+    * row count exactly; the table multiset-equals a Scala
+    * [[graft.sources.Snapshots.upsertPositions]] twin; VERSION AS OF
+    * the pre-merge version still serves the original image. Values:
+    * count + 6dp mass after the merge — closed-form for the oracle.
+    *
+    * 100 TB lens: MERGE is THE CDC/upsert verb; copy-on-write costs a
+    * file rewrite per matched key cluster, while this plan costs KB of
+    * sidecar + KB of appends regardless of how many wide files the
+    * matches scatter across — and the SQL user writes standard
+    * `MERGE INTO`, no library call in sight.
+    */
+  def sql5SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql5")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.sources.Bucketing.writeRangeSorted(ev, "event_id", 6,
+        s"$wh/seed", 16 * 1024)
+      val root = s"$wh/w/lake/ev"
+      val twin = s"$wh/w/lake/tw"
+      S.init(s, root, s"$wh/seed", statsCols = Seq("event_id"))
+      S.init(s, twin, s"$wh/seed", statsCols = Seq("event_id"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val win = ev.where(col("ts") >= ts("2024-01-20 00:00:00") &&
+        col("ts") < ts("2024-01-21 00:00:00"))
+      val nWin = win.count()
+      val src = win.select(col("event_id"), col("ts"),
+          (col("value") + lit(1000.0)).as("value"))
+        .unionAll(win.select(
+          (col("event_id") + lit(maxId + 1L)).as("event_id"), col("ts"),
+          (col("value") + lit(5000.0)).as("value")))
+      src.createOrReplaceTempView("graft_sql5_src")
+      val filesBefore = S.resolve(root, 1).toSet
+      s.sql(s"""MERGE INTO $cat.lake.ev t USING graft_sql5_src s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET t.value = s.value, t.ts = s.ts
+               |WHEN NOT MATCHED THEN INSERT (event_id, ts, value)
+               |VALUES (s.event_id, s.ts, s.value)""".stripMargin)
+      val vAfter = S.latestVersion(root)
+      val oneCommit = vAfter == 2
+      val zeroRewrites = filesBefore.subsetOf(S.resolve(root, vAfter).toSet)
+      val dvs = S.deleteSidecars(root, vAfter)
+      val nMarks =
+        if (dvs.isEmpty) 0L
+        else graft.sources.Snapshots.dvRead(s, root, dvs).count()
+      S.upsertPositions(s, twin, "event_id", "event_id", src)
+      val sqlDf = s.sql(s"SELECT * FROM $cat.lake.ev")
+      val twinDf = S.read(s, twin, S.latestVersion(twin))
+      val twinEq = sqlDf.exceptAll(twinDf).isEmpty &&
+        twinDf.exceptAll(sqlDf).isEmpty
+      val nV1 = s.sql(s"SELECT count(*) FROM $cat.lake.ev VERSION AS OF 1")
+        .head().getLong(0)
+      val a = s.sql(s"""SELECT CAST(count(*) AS BIGINT),
+        |CAST(sum(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+        |AS DOUBLE) / 1e6 FROM $cat.lake.ev""".stripMargin)
+        .collect().head
+      s.range(1).select(
+        lit(a.getLong(0)).as("n_after"),
+        lit(a.getDouble(1)).as("after_value"),
+        lit(oneCommit).as("one_commit"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(dvs.nonEmpty && nMarks == nWin).as("marks_exact"),
+        lit(twinEq).as("matches_mor_twin"),
+        lit(nV1 == ev.count()).as("history_intact"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** SQL6: `UPDATE` through the same delta plan (updates represented
+    * as delete+insert — `representUpdateAsDeleteAndInsert`): one
+    * statement, one conflict-checked commit, retracted originals in
+    * sidecar parts, re-imaged rows appended, zero files rewritten.
+    * Fixture: +1 to the 2024-01-20 day window's values on a 6-file
+    * events catalog table. Gates: zero rewrites; sidecar marks == the
+    * window row count; count invariant; VERSION AS OF the pre-update
+    * version shows the original mass (time travel unbroken). Values:
+    * count + 6dp mass after — closed-form (total + window count).
+    */
+  def sql6SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql6")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.sources.Bucketing.writeRangeSorted(ev, "event_id", 6,
+        s"$wh/seed", 16 * 1024)
+      val root = s"$wh/w/lake/ev"
+      S.init(s, root, s"$wh/seed", statsCols = Seq("event_id"))
+      val nWin = ev.where(col("ts") >= ts("2024-01-20 00:00:00") &&
+        col("ts") < ts("2024-01-21 00:00:00")).count()
+      val nTotal = ev.count()
+      val filesBefore = S.resolve(root, 1).toSet
+      def mass(rel: String) = s.sql(s"""SELECT
+        |CAST(sum(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+        |AS DOUBLE) / 1e6 FROM $rel""".stripMargin).head().getDouble(0)
+      val massBefore = mass(s"$cat.lake.ev")
+      s.sql(s"""UPDATE $cat.lake.ev SET value = value + 1
+               |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+               |  AND ts < TIMESTAMP '2024-01-21 00:00:00'""".stripMargin)
+      val vAfter = S.latestVersion(root)
+      val zeroRewrites = filesBefore.subsetOf(S.resolve(root, vAfter).toSet)
+      val dvs = S.deleteSidecars(root, vAfter)
+      val nMarks =
+        if (dvs.isEmpty) 0L
+        else graft.sources.Snapshots.dvRead(s, root, dvs).count()
+      val nAfter = s.sql(s"SELECT count(*) FROM $cat.lake.ev").head()
+        .getLong(0)
+      val massAfter = mass(s"$cat.lake.ev")
+      val massV1 = mass(s"$cat.lake.ev VERSION AS OF 1")
+      s.range(1).select(
+        lit(nAfter).as("n_after"),
+        lit(massAfter).as("after_value"),
+        lit(zeroRewrites).as("zero_rewrites"),
+        lit(dvs.nonEmpty && nMarks == nWin).as("marks_exact"),
+        lit(nAfter == nTotal).as("count_invariant"),
+        lit(massV1 == massBefore).as("history_intact"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** SQL7: CDC through the CATALOG — `CALL g.system.changes(table,
+    * from, to, key_col, view)` registers the ROW-TAGGED change feed
+    * ([[graft.sources.Snapshots.changeFeed]], the Delta-CDF contract)
+    * as a temp view, and plain SQL aggregates it. The procedure
+    * returns only the VIEW NAME (Spark's CALL materializes LocalScan
+    * rows driver-side — returning the feed itself would collect data
+    * through the driver); the feed's plan stays distributed and
+    * delta-only, executed lazily by the SELECT.
+    *
+    * Fixture: the sql5 shape — a SQL MERGE re-imaging the 2024-01-20
+    * window (+1000) with shadow inserts (+5000) — then the v1→v2 feed:
+    * every window key must tag one update_preimage (original value)
+    * and one update_postimage (+1000), every shadow an insert, zero
+    * deletes. Values: tag counts and 6dp tag masses — all closed-form.
+    *
+    * 100 TB lens: CDC consumers are SQL jobs in a scheduler; a change
+    * feed only reachable from Scala is invisible to them. Two SQL
+    * statements (CALL + SELECT) are the whole consumer, and the feed's
+    * joins touch the DELTA only — never the 100 TB table.
+    */
+  def sql7CdcThroughCatalog(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.Snapshots
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql7")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.sources.Bucketing.writeRangeSorted(ev, "event_id", 4,
+        s"$wh/seed", 16 * 1024)
+      val root = s"$wh/w/lake/ev"
+      S.init(s, root, s"$wh/seed", statsCols = Seq("event_id"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val win = ev.where(col("ts") >= ts("2024-01-20 00:00:00") &&
+        col("ts") < ts("2024-01-21 00:00:00"))
+      win.select(col("event_id"), col("ts"),
+          (col("value") + lit(1000.0)).as("value"))
+        .unionAll(win.select(
+          (col("event_id") + lit(maxId + 1L)).as("event_id"), col("ts"),
+          (col("value") + lit(5000.0)).as("value")))
+        .createOrReplaceTempView("graft_sql7_src")
+      s.sql(s"""MERGE INTO $cat.lake.ev t USING graft_sql7_src s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET t.value = s.value, t.ts = s.ts
+               |WHEN NOT MATCHED THEN INSERT (event_id, ts, value)
+               |VALUES (s.event_id, s.ts, s.value)""".stripMargin)
+      val view = "graft_sql7_changes_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val callRow = s.sql(s"CALL $cat.system.changes(" +
+        s"table => 'lake.ev', from_version => 1, to_version => 2, " +
+        s"key_col => 'event_id', view_name => '$view')").head()
+      val viewOk = callRow.getString(0) == view
+      val a = s.sql(s"""SELECT
+        |CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_insert,
+        |CAST(sum(CASE WHEN _change_type = 'update_preimage' THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_update_pre,
+        |CAST(sum(CASE WHEN _change_type = 'update_postimage' THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_update_post,
+        |CAST(sum(CASE WHEN _change_type = 'delete' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_delete,
+        |CAST(sum(CASE WHEN _change_type = 'update_preimage'
+        |  THEN CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0))
+        |  ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 1e6
+        |  AS pre_value,
+        |CAST(sum(CASE WHEN _change_type = 'update_postimage'
+        |  THEN CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0))
+        |  ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 1e6
+        |  AS post_value,
+        |CAST(sum(CASE WHEN _change_type = 'insert'
+        |  THEN CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0))
+        |  ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 1e6
+        |  AS insert_value
+        |FROM $view""".stripMargin).collect().head
+      s.catalog.dropTempView(view)
+      s.range(1).select(
+        lit(a.getLong(0)).as("n_insert"),
+        lit(a.getLong(1)).as("n_update_pre"),
+        lit(a.getLong(2)).as("n_update_post"),
+        lit(a.getLong(3)).as("n_delete"),
+        lit(a.getDouble(4)).as("pre_value"),
+        lit(a.getDouble(5)).as("post_value"),
+        lit(a.getDouble(6)).as("insert_value"),
+        lit(viewOk).as("view_registered"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
+  /** ARR1: ARRAY columns through the full DSv2 surface — the
+    * embedding-table shape (`array<float>`) served and MUTATED by SQL,
+    * which the connector previously refused (primitive-only scan):
+    * CREATE TABLE with an ARRAY<FLOAT> column, the catalog INSERT
+    * writing 3-level parquet LISTs through the executor writers, a SQL
+    * read aggregating over the vectors (`size`, `element_at`), and a
+    * zone-pruned `DELETE FROM` on the scalar key proving row-level
+    * semantics compose with nested columns. Gates: the DSv2 read of
+    * the full table matches the raw embeddings parquet exactly (count,
+    * summed vector lengths, 6dp mass of the first component — the
+    * nested decode is byte-faithful); after deleting the top half of
+    * the id space the same aggregates equal the closed-form complement;
+    * the delete dropped at least one file as pure metadata (zones on
+    * the scalar key prune around the nested payload).
+    *
+    * 100 TB lens: embedding tables ARE the 100 TB tables of an LLM
+    * data platform; a table format whose SQL surface cannot read the
+    * vector column forces every ANN/dedup pipeline back onto bespoke
+    * APIs. One connector serving both the scalars (pruned, deleted,
+    * merged) and the payload arrays is the difference between a demo
+    * and a format.
+    */
+  def arr1DsvArrayRead(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_arr1")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.emb
+               |(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)
+               |USING graft TBLPROPERTIES ('stats'='vec_id')"""
+        .stripMargin)
+      val raw = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      raw.createOrReplaceTempView("graft_arr1_src")
+      s.sql(s"""INSERT INTO $cat.lake.emb
+        |SELECT /*+ REPARTITION_BY_RANGE(4, vec_id) */ *
+        |FROM graft_arr1_src""".stripMargin)
+      def agg(rel: String) = s.sql(s"""SELECT
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(size(embedding)) AS BIGINT) AS total_len,
+        |CAST(sum(CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE)
+        |  * 1e6 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS c1_mass
+        |FROM $rel""".stripMargin).collect().head
+      val full = agg(s"$cat.lake.emb")
+      // the raw twin through the ordinary parquet reader
+      raw.createOrReplaceTempView("graft_arr1_twin")
+      val twin = agg("graft_arr1_twin")
+      val fullMatches = full == twin
+      // zone-pruned DELETE around the nested payload
+      val half = raw.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect().head
+      val mid = (half.getLong(0) + half.getLong(1) + 1L) / 2L
+      val root = s"$wh/w/lake/emb"
+      graft.sources.v2.GraftDeleteAudit.clear(root)
+      s.sql(s"DELETE FROM $cat.lake.emb WHERE vec_id >= $mid")
+      val r = graft.sources.v2.GraftDeleteAudit.lastResult(root).get
+      val after = agg(s"$cat.lake.emb")
+      s.range(1).select(
+        lit(after.getLong(0)).as("n_after"),
+        lit(after.getLong(1)).as("len_after"),
+        lit(after.getDouble(2)).as("c1_mass_after"),
+        lit(fullMatches).as("full_read_matches"),
+        lit(r.droppedFiles >= 1).as("metadata_dropped"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
       ()
     }
   }
@@ -8116,6 +8536,11 @@ object Queries {
     "ss3_dsv2_stream_sink" -> (ss3DsvStreamSink _),
     "sql2_catalog_sql" -> (sql2CatalogSql _),
     "sql3_sql_maintenance" -> (sql3SqlMaintenance _),
+    "sql4_sql_delete" -> (sql4SqlDelete _),
+    "sql5_sql_merge" -> (sql5SqlMerge _),
+    "sql6_sql_update" -> (sql6SqlUpdate _),
+    "arr1_dsv2_array_read" -> (arr1DsvArrayRead _),
+    "sql7_cdc_catalog" -> (sql7CdcThroughCatalog _),
     "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _)
   )
 }

@@ -332,7 +332,18 @@ object StressMain {
       "sql3_sql_maintenance",
       // rf1 runtime-prunes a broadcast fact-dim join's file selection
       // from zones (DPP without partition columns)
-      "rf1_runtime_file_skip")
+      "rf1_runtime_file_skip",
+      // round-17: sql4 deletes through SQL with the three-tier plan
+      // (metadata drops, exact straddle probe, COW-twin equality)
+      "sql4_sql_delete",
+      // sql5 MERGEs through the delta-based row-level operation
+      // (position sidecar parts + appended files, zero rewrites)
+      "sql5_sql_merge",
+      // sql6 UPDATEs through the same delta plan (delete+insert)
+      "sql6_sql_update",
+      // arr1 serves and mutates an ARRAY<FLOAT> embedding table
+      // through the catalog (nested decode + zone-pruned delete)
+      "arr1_dsv2_array_read")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

@@ -316,7 +316,7 @@ object Bucketing {
     */
   def fileStatsEntry(spark: SparkSession, path: String, cols: Seq[String])
       : (Long, String, Map[String, (Long, Long)],
-        Map[String, Snapshots.StrZone]) = {
+        Map[String, Snapshots.StrZone], Map[String, Long]) = {
     footerReads.get().incrementAndGet()
     fileStatsEntryConf(path, spark.sessionState.newHadoopConf(), cols)
   }
@@ -331,7 +331,7 @@ object Bucketing {
   def fileStatsEntryConf(path: String,
       conf: org.apache.hadoop.conf.Configuration, cols: Seq[String])
       : (Long, String, Map[String, (Long, Long)],
-        Map[String, Snapshots.StrZone]) = {
+        Map[String, Snapshots.StrZone], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -341,6 +341,27 @@ object Bucketing {
       val rows = blocks.map(_.getRowCount).sum
       val fp = fingerprintOf(
         rd.getFooter.getFileMetaData.getSchema.toString)
+      // per requested column: the exact NULL count summed over blocks —
+      // stamped only when EVERY block's stats report it (parquet's
+      // isNumNullsSet; a -1/unset count means unknown, never zero).
+      // Null counts are what turn zone bounds into FULL-COVERAGE
+      // proofs: "[min,max] inside the predicate" only proves every
+      // NON-NULL row matches — a metadata-only SQL DELETE additionally
+      // needs nulls == 0 (a NULL row never satisfies a comparison and
+      // must be KEPT).
+      val nulls: Map[String, Long] = cols.flatMap { column =>
+        val per = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(c) if c.getStatistics != null &&
+                c.getStatistics.isNumNullsSet &&
+                c.getStatistics.getNumNulls >= 0L =>
+              Some(c.getStatistics.getNumNulls)
+            case _ => None
+          }
+        }
+        if (per.isEmpty || per.exists(_.isEmpty)) None
+        else Some(column -> per.flatten.sum)
+      }.toMap
       // per requested column: the per-block (min, max) stat values, or
       // None when any block lacks usable stats for it
       def blockStats(column: String): Option[Seq[(Any, Any)]] = {
@@ -385,7 +406,7 @@ object Bucketing {
           }
         }
       }.toMap
-      (rows, fp, zones, szones)
+      (rows, fp, zones, szones, nulls)
     } finally rd.close()
   }
 

@@ -208,7 +208,8 @@ object Snapshots {
   case class FileEntry(name: String, rows: Option[Long] = None,
       bytes: Option[Long] = None, fp: Option[String] = None,
       zones: Map[String, (Long, Long)] = Map.empty,
-      szones: Map[String, StrZone] = Map.empty) {
+      szones: Map[String, StrZone] = Map.empty,
+      nulls: Map[String, Long] = Map.empty) {
     def render: String = {
       val parts = Seq(name) ++
         rows.map(r => s"r=$r") ++ bytes.map(b => s"b=$b") ++
@@ -218,7 +219,8 @@ object Snapshots {
         } ++
         szones.toSeq.sortBy(_._1).map { case (c, z) =>
           s"s:$c=${z.render}"
-        }
+        } ++
+        nulls.toSeq.sortBy(_._1).map { case (c, n) => s"n:$c=$n" }
       parts.mkString("|")
     }
   }
@@ -237,6 +239,9 @@ object Snapshots {
         } else if (p.startsWith("s:")) {
           val Array(c, zz) = p.drop(2).split("=", 2)
           e.copy(szones = e.szones + (c -> StrZone.parse(zz)))
+        } else if (p.startsWith("n:")) {
+          val Array(c, n) = p.drop(2).split("=", 2)
+          e.copy(nulls = e.nulls + (c -> n.toLong))
         } else e // unknown stat: forward-compatible skip
       }
     }
@@ -336,6 +341,7 @@ object Snapshots {
     val meta = lines.filter(l => l.startsWith("#") &&
       !l.startsWith("#parent:") && !l.startsWith("#ts:") &&
       !l.startsWith("#nfiles:") && !l.startsWith("#nrows:") &&
+      !l.startsWith("#dbytes:") &&
       !l.startsWith("#pqsec:")) // per-version stamps, never carried
     val entries = parent match {
       case None =>
@@ -469,7 +475,11 @@ object Snapshots {
     val stamps = Seq(s"#nfiles:${entries.size}") ++
       (if (entries.forall(_.rows.nonEmpty))
         Seq(s"#nrows:${entries.flatMap(_.rows).sum}")
-      else Seq.empty)
+      else Seq.empty) ++
+      // delta BYTES of this commit (changed files vs the parent; the
+      // whole table for roots) — what byte-based streaming admission
+      // reads from one raw line instead of resolving two manifests
+      deltaBytesStamp(entries, parent)
     val content = (Seq(s"#ts:$ts") ++ stamps ++ meta ++ body).mkString("\n")
     try LakeFs.createNewAtomic(manifestPath(root, version), content)
     catch {
@@ -480,6 +490,35 @@ object Snapshots {
     }
     LakeFs.writeHint(hintPath(root), version.toString) // advisory only
   }
+
+  /** `#dbytes:` stamp value — the byte size of THIS commit's change
+    * feed slice (files added plus files removed vs the parent; the
+    * full referenced set for rootless/first commits), omitted when any
+    * involved entry lacks byte stats (pre-stats files — the consumer
+    * treats absence as "unknown, admit alone").
+    */
+  private def deltaBytesStamp(entries: Seq[FileEntry],
+      parent: Option[(Int, ManifestData)]): Seq[String] = {
+    val changed = parent match {
+      case Some((_, pm)) =>
+        val newNames = entries.map(_.name).toSet
+        val oldNames = pm.entries.map(_.name).toSet
+        entries.filterNot(e => oldNames.contains(e.name)) ++
+          pm.entries.filterNot(e => newNames.contains(e.name))
+      case None => entries
+    }
+    if (changed.forall(_.bytes.nonEmpty))
+      Seq(s"#dbytes:${changed.flatMap(_.bytes).sum}")
+    else Seq.empty
+  }
+
+  /** The `#dbytes:` stamp of one version from ONE raw metadata read;
+    * None on pre-stamp manifests.
+    */
+  private[graft] def versionDeltaBytes(root: String, version: Int)
+      : Option[Long] =
+    rawLines(root, version).find(_.startsWith("#dbytes:"))
+      .map(_.stripPrefix("#dbytes:").toLong)
 
   /** FULL manifest file section: inline text below the table's pqsec
     * threshold; one `#pqsec:<dir>` pointer to a PARQUET side table above
@@ -656,8 +695,7 @@ object Snapshots {
   private def dvFrame(spark: SparkSession, root: String,
       m: ManifestData): Option[DataFrame] =
     if (m.dvNames.isEmpty) None
-    else Some(spark.read.parquet(
-      m.dvNames.sorted.map(n => s"${deletesDir(root)}/$n"): _*))
+    else Some(dvRead(spark, root, m.dvNames))
 
   /** Read a subset of a version's files with the version's column maps
     * AND position deletes applied — the one read helper every consumer
@@ -699,10 +737,10 @@ object Snapshots {
   private def statEntry(spark: SparkSession, root: String, name: String,
       statsCols: Seq[String]): FileEntry = {
     val p = s"${filesDir(root)}/$name"
-    val (rows, fp, zones, szones) =
+    val (rows, fp, zones, szones, nulls) =
       Bucketing.fileStatsEntry(spark, p, statsCols)
     FileEntry(name, Some(rows), Some(LakeFs.fileLength(p)), Some(fp), zones,
-      szones)
+      szones, nulls)
   }
 
   /** Create version 1 by adopting the parquet files of `srcDir` (copied
@@ -917,6 +955,45 @@ object Snapshots {
       }
     }
     None // unreachable
+  }
+
+  /** OCC commit of a ROW-LEVEL DELTA (the DSv2 MERGE/UPDATE/row-level
+    * DELETE): append executor-written insert entries and reference the
+    * per-task position-delete sidecar parts, metadata-only, retrying
+    * against rival appends. CONFLICT CHECK inside the retry loop: every
+    * data file this delta marked positions in must still be referenced
+    * by the latest manifest — a rival rewrite (optimize / COW mutation)
+    * that dropped one has re-homed its rows, and committing the stale
+    * marks would silently UN-delete them; that race throws instead (the
+    * caller re-runs the statement against the new snapshot — the
+    * Delta/Iceberg conflict-validation rule). Returns the new version.
+    */
+  private[graft] def commitRowDelta(root: String,
+      entries: Seq[FileEntry], sidecarNames: Seq[String],
+      markedFiles: Set[String], maxRetries: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      val v = latestVersion(root)
+      require(v >= 1, s"uninitialized snapshot table at $root")
+      val m = manifest(root, v)
+      val missing = markedFiles -- m.files.toSet
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"row-level delta marked positions in ${missing.mkString(", ")} " +
+            "which a concurrent rewrite dropped — re-run the statement " +
+            "against the new snapshot")
+      try {
+        commitManifest(root, v + 1, m.entries ++ entries,
+          carryMeta(m) ++ sidecarNames.sorted.map("#dv:" + _),
+          Some((v, m)))
+        return v + 1
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** O(1)-in-watermark membership check against the LATEST manifest's
@@ -1192,27 +1269,232 @@ object Snapshots {
     }
   }
 
-  /** Write `fresh` (file, pos) as ONE sidecar parquet; None when empty.
-    * Returns (sidecar name, rows marked). Shared by every merge-on-read
-    * mutation; the caller owns the manifest commit.
+  /** Write `fresh` (file, pos) as ONE sidecar — a parquet directory
+    * PARTITIONED BY TARGET FILE (`<name>/file=<dataFile>/part-*`), so
+    * (a) the write is executor-parallel with no single-task funnel (a
+    * GDPR-scale erasure's positions never serialize through one
+    * writer), and (b) a reader of data file F opens exactly F's
+    * positions — an existence probe plus O(F's marks) bytes, never the
+    * whole mark set. One repartition by file bounds the layout at one
+    * part per (file, task). Legacy single-file sidecars
+    * (`dv_*.parquet`) stay readable everywhere via [[dvRead]].
+    * Returns (sidecar name, rows marked); None when empty.
     */
   private def writeSidecarFile(spark: SparkSession, root: String, v: Int,
       fresh: DataFrame): Option[(String, Long)] = {
-    val tmp = s"${deletesDir(root)}/__dv_${uuid8()}"
-    fresh.coalesce(1).write.parquet(tmp)
-    val name = s"dv_v${v + 1}_${uuid8()}.parquet"
-    val n = Compaction.dataFileNames(tmp) match {
-      case Seq(one) =>
-        LakeFs.move(s"$tmp/$one", s"${deletesDir(root)}/$name")
-        spark.read.parquet(s"${deletesDir(root)}/$name").count()
-      case Seq() => 0L
-      case other => sys.error(s"expected 1 sidecar file, got $other")
-    }
-    LakeFs.deleteRecursively(tmp)
-    if (n == 0L) {
-      LakeFs.delete(s"${deletesDir(root)}/$name")
+    val name = s"dv_v${v + 1}_${uuid8()}"
+    val dir = s"${deletesDir(root)}/$name"
+    fresh.repartition(col("file")).write.partitionBy("file").parquet(dir)
+    if (LakeFs.listDirNames(dir).isEmpty) { // zero rows: no partitions
+      LakeFs.deleteRecursively(dir)
       None
-    } else Some((name, n))
+    } else {
+      val n = spark.read.parquet(dir).count()
+      Some((name, n))
+    }
+  }
+
+  /** Uniform (file, pos) read over any mix of sidecar layouts: legacy
+    * single parquet files, partitioned directories (the `file=` value
+    * becomes the column via partition discovery), and the row-level
+    * writers' per-task parts. One scan per sidecar, unioned — sidecar
+    * counts are bounded by compaction cadence, never by data size.
+    */
+  private[graft] def dvRead(spark: SparkSession, root: String,
+      names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, "dvRead needs at least one sidecar")
+    names.sorted.map { n =>
+      spark.read.parquet(s"${deletesDir(root)}/$n")
+        .select(col("file").cast("string").as("file"), col("pos"))
+    }.reduce(_ unionAll _)
+  }
+
+  // ---------------------------------------------------------------------
+  // SQL row-level DELETE (the DSv2 SupportsDelete surface)
+  // ---------------------------------------------------------------------
+
+  /** Result of a SQL (`DELETE FROM ... WHERE`) delete: the new version,
+    * files DROPPED from the manifest because their stats prove every
+    * row matches (metadata-only — zero data bytes read for them), files
+    * PROBED exactly for matching positions (predicate straddles their
+    * zone), positions marked in the resulting sidecar, and the sidecar
+    * name (None when no straddler held a matching live row).
+    */
+  case class SqlDeleteResult(version: Int, droppedFiles: Int,
+      probedFiles: Int, markedPositions: Long, sidecar: Option[String])
+
+  /** The column dataTypes whose filter literals [[deleteWhereFilters]]
+    * can rebuild exactly as Catalyst comparisons.
+    */
+  private val deletableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, ShortType, ByteType, DoubleType,
+      FloatType, BooleanType, StringType, TimestampType, DateType)
+  }
+
+  private def filterColumns(f: org.apache.spark.sql.sources.Filter)
+      : Seq[String] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, _) => Seq(c)
+      case GreaterThan(c, _) => Seq(c)
+      case GreaterThanOrEqual(c, _) => Seq(c)
+      case LessThan(c, _) => Seq(c)
+      case LessThanOrEqual(c, _) => Seq(c)
+      case In(c, _) => Seq(c)
+      case IsNull(c) => Seq(c)
+      case IsNotNull(c) => Seq(c)
+      case And(l, r) => filterColumns(l) ++ filterColumns(r)
+      case Or(l, r) => filterColumns(l) ++ filterColumns(r)
+      case AlwaysTrue() | AlwaysFalse() => Seq.empty
+      case _ => Seq(" unsupported") // no real column has a space: refuses
+    }
+  }
+
+  /** Whether [[deleteWhereFilters]] can apply `filters` EXACTLY: no
+    * pending column mappings (zones/probes are physical), every filter
+    * shape known, every referenced column present with a rebuildable
+    * literal type. The DSv2 `canDeleteWhere` answer — false routes
+    * Spark to an error (or a row-level rewrite plan) instead of a
+    * silently-partial delete.
+    */
+  private[graft] def canDeleteWhere(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val v = latestVersion(root)
+    if (v < 1) return false
+    if (manifest(root, v).hasMappings) return false
+    val schema = read(spark, root, v).schema
+    filters.flatMap(filterColumns).forall(c =>
+      schema.fields.exists(f => f.name == c &&
+        deletableTypes.contains(f.dataType)))
+  }
+
+  /** One v1 Filter tree → the EXACT Catalyst condition over `df` —
+    * timestamps compare in micros (the representation filter literals
+    * arrive in from the V2 predicate translation), everything else as
+    * typed literals. SQL DELETE semantics: a row deletes iff the
+    * condition is TRUE, so NULL comparisons keep the row (Catalyst's
+    * three-valued `where` does exactly that).
+    */
+  private def filterCondition(df: DataFrame,
+      f: org.apache.spark.sql.sources.Filter): Column = {
+    import org.apache.spark.sql.sources._
+    def side(c: String, v: Any): (Column, Column) =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          val micros = v match {
+            case l: Long => l
+            case t: java.sql.Timestamp =>
+              Math.floorDiv(t.getTime, 1000L) * 1000000L +
+                t.getNanos / 1000L
+            case i: java.time.Instant =>
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            case other => sys.error(
+              s"unsupported timestamp literal $other for column $c")
+          }
+          (unix_micros(col(c)), lit(micros))
+        case org.apache.spark.sql.types.DateType =>
+          val days = v match {
+            case i: Int => i
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+            case d: java.time.LocalDate => d.toEpochDay.toInt
+            case other => sys.error(
+              s"unsupported date literal $other for column $c")
+          }
+          (datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01"))),
+            lit(days))
+        case _ => (col(c), lit(v))
+      }
+    f match {
+      case EqualTo(c, v) =>
+        val (l, r) = side(c, v); l === r
+      case GreaterThan(c, v) => val (l, r) = side(c, v); l > r
+      case GreaterThanOrEqual(c, v) => val (l, r) = side(c, v); l >= r
+      case LessThan(c, v) => val (l, r) = side(c, v); l < r
+      case LessThanOrEqual(c, v) => val (l, r) = side(c, v); l <= r
+      case In(c, vs) =>
+        if (vs.isEmpty) lit(false)
+        else vs.toSeq.map(v => { val (l, r) = side(c, v); l === r })
+          .reduce(_ || _)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case And(l, r) => filterCondition(df, l) && filterCondition(df, r)
+      case Or(l, r) => filterCondition(df, l) || filterCondition(df, r)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => sys.error(s"unsupported delete filter $other")
+    }
+  }
+
+  /** SQL row-level DELETE (`DELETE FROM t WHERE <conjunction>`) against
+    * the LATEST version, with the three-tier plan every production
+    * format converges on:
+    *
+    *  1. files whose stats PROVE no row matches ([[graft.sources.v2
+    *     .GraftZonePrune.mightMatch]] false) are re-referenced verbatim
+    *     — zero I/O;
+    *  2. files whose stats PROVE every row matches
+    *     ([[graft.sources.v2.GraftZonePrune.mustMatch]]: zone bounds
+    *     inside the predicate AND a stamped ZERO null count — nulls
+    *     fail comparisons and must be kept) are DROPPED from the
+    *     manifest — a metadata-only whole-file delete, zero data bytes
+    *     read (the Delta/Iceberg "fully-covered file" fast path);
+    *  3. straddling files take the merge-on-read path: an exact
+    *     position probe (the predicate re-evaluated on the rows) marks
+    *     matches in ONE sidecar, existing marks anti-joined away so
+    *     sidecars stay disjoint.
+    *
+    * The filters are a CONJUNCTION (the DSv2 deleteWhere contract).
+    * At 100 TB this split is the delete economics: a retention sweep
+    * (`WHERE ts < cutoff`) on a time-sorted table drops almost every
+    * touched file as pure metadata and probes only the cutoff-boundary
+    * file.
+    */
+  private[graft] def deleteWhereFilters(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : SqlDeleteResult = {
+    import graft.sources.v2.GraftZonePrune
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    requireNoMappings(m, "deleteWhere")
+    val (dropped, kept) = m.entries.partition(e =>
+      filters.nonEmpty && filters.forall(f =>
+        GraftZonePrune.mustMatch(e, f)))
+    // provably-empty entries (rows=0 commit stats — schema seeds) hold
+    // no position to mark and never probe
+    val straddle = kept.filter(e => !e.rows.contains(0L) &&
+      filters.forall(f => GraftZonePrune.mightMatch(e, f)))
+    val sidecar =
+      if (straddle.isEmpty) None
+      else {
+        val df = rawRead(spark,
+          straddle.map(e => s"${filesDir(root)}/${e.name}"),
+          withPos = true, fpLookup(spark, root, m))
+        val cond = filters.map(f => filterCondition(df, f))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val cand = df.where(cond)
+          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        val fresh = dvFrame(spark, root, m) match {
+          case None => cand
+          case Some(dv) =>
+            cand.join(dv,
+              cand("file") === dv("file") && cand("pos") === dv("pos"),
+              "left_anti")
+        }
+        writeSidecarFile(spark, root, v, fresh)
+      }
+    // a delete that drops EVERY file must leave a schema-bearing seed
+    // (a zero-file version is unreadable: the table's schema lives in
+    // its files)
+    val newEntries =
+      if (kept.nonEmpty) kept
+      else adoptEntries(spark, root, v + 1, "delseed", Seq.empty)(tmp =>
+        read(spark, root, v).limit(0).coalesce(1).write.parquet(tmp))
+    commitManifest(root, v + 1, newEntries,
+      carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
+    SqlDeleteResult(v + 1, dropped.size, straddle.size,
+      sidecar.map(_._2).getOrElse(0L), sidecar.map(_._1))
   }
 
   // ---------------------------------------------------------------------
@@ -1901,7 +2183,15 @@ object Snapshots {
         val p = s"${deletesDir(root)}/$n"
         reclaimable(p) && LakeFs.delete(p)
       }
-    (dropped, deletedData + deletedDv)
+    // partitioned-directory sidecars reclaim whole (they are one unit
+    // of reference, like a legacy file)
+    val deletedDvDirs = LakeFs.listDirNames(deletesDir(root))
+      .filterNot(liveDv.contains)
+      .count { n =>
+        val p = s"${deletesDir(root)}/$n"
+        reclaimable(p) && LakeFs.deleteRecursively(p)
+      }
+    (dropped, deletedData + deletedDv + deletedDvDirs)
   }
 
   // ---------------------------------------------------------------------
@@ -1957,8 +2247,7 @@ object Snapshots {
     val removed =
       if (newDv.isEmpty || common.isEmpty) removedFiles
       else {
-        val dv = spark.read.parquet(
-          newDv.toSeq.sorted.map(n => s"${deletesDir(root)}/$n"): _*)
+        val dv = dvRead(spark, root, newDv.toSeq.sorted)
         val rows = readFiles(spark, root,
           mFrom.copy(meta = mFrom.meta.filterNot(_.startsWith("#dv:"))),
           common, keepPos = true)

@@ -75,6 +75,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       startingVersion = opts.getInt("startingVersion", 0),
       maxVersionsPerBatch = opts.getInt("maxVersionsPerBatch",
         Int.MaxValue),
+      maxBytesPerBatch = opts.getLong("maxBytesPerBatch",
+        Long.MaxValue),
       versionPinned = opts.containsKey("versionAsOf") ||
         opts.containsKey("timestampAsOf"))
   }
@@ -115,13 +117,65 @@ object GraftDataSource {
 class GraftTable(root: String, version: Int, tableSchema: StructType,
     changeFeed: Boolean = false, startingVersion: Int = 0,
     maxVersionsPerBatch: Int = Int.MaxValue,
+    maxBytesPerBatch: Long = Long.MaxValue,
     versionPinned: Boolean = false,
     scanDefaults: Map[String, String] = Map.empty,
     writeDefaults: Map[String, String] = Map.empty)
   extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog
+      .SupportsRowLevelOperations {
   override def name(): String = s"graft.`$root` v$version"
   override def schema(): StructType = tableSchema
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMetaColumns.columns
+
+  /** MERGE INTO / UPDATE / fallback DELETE — the delta-based row-level
+    * plan ([[GraftRowLevelOperation]]): position deletes + appended
+    * rows in one conflict-checked manifest commit.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!versionPinned,
+      "cannot run row-level operations on a time-travel read: graft " +
+        "writes always extend the latest version")
+    new GraftRowLevelOperationBuilder(root, version, tableSchema, info,
+      scanDefaults, writeDefaults)
+  }
+
+  /** SQL `DELETE FROM t WHERE ...` — accepted only when every
+    * predicate translates EXACTLY ([[GraftZonePrune.fromV2Strict]]) and
+    * [[graft.sources.Snapshots.canDeleteWhere]] confirms the columns
+    * are applicable (present, rebuildable literal types, no pending
+    * column mappings); the delete itself is the three-tier
+    * metadata-drop / MoR-probe plan in
+    * [[graft.sources.Snapshots.deleteWhereFilters]]. Refusing here is
+    * SAFE: Spark raises a clear error (or routes to a row-level plan)
+    * instead of this connector guessing at semantics it cannot honor.
+    */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = {
+    if (versionPinned) return false // never rewrite history
+    val fs = predicates.map(GraftZonePrune.fromV2Strict)
+    fs.forall(_.nonEmpty) && Snapshots.canDeleteWhere(
+      SparkSession.active, root, fs.toSeq.flatten)
+  }
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val fs = predicates.toSeq.map(p =>
+      GraftZonePrune.fromV2Strict(p).getOrElse(throw
+        new UnsupportedOperationException(
+          s"graft DELETE cannot translate predicate $p exactly")))
+    val r = Snapshots.deleteWhereFilters(SparkSession.active, root, fs)
+    GraftDeleteAudit.record(root, r)
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (changeFeed)
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -132,7 +186,7 @@ class GraftTable(root: String, version: Int, tableSchema: StructType,
       : ScanBuilder =
     new GraftScanBuilder(root, version, tableSchema,
       Option(options.get("auditId")).orElse(scanDefaults.get("auditId")),
-      startingVersion, maxVersionsPerBatch)
+      startingVersion, maxVersionsPerBatch, maxBytesPerBatch)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -181,7 +235,8 @@ class GraftHistoryTable(root: String, historySchema: StructType)
   */
 class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
     auditId: Option[String], startingVersion: Int = 0,
-    maxVersionsPerBatch: Int = Int.MaxValue)
+    maxVersionsPerBatch: Int = Int.MaxValue,
+    maxBytesPerBatch: Long = Long.MaxValue)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -316,7 +371,7 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
       new GraftMetadataAggScan(root, version, schema, values, auditId)
     case None =>
       new GraftScan(root, version, tableSchema, required, pushed, auditId,
-        startingVersion, maxVersionsPerBatch)
+        startingVersion, maxVersionsPerBatch, maxBytesPerBatch)
   }
 }
 
@@ -365,7 +420,8 @@ object GraftZonePrune {
   def translatable(f: Filter): Boolean = f match {
     case _: sources.EqualTo | _: sources.GreaterThan |
          _: sources.GreaterThanOrEqual | _: sources.LessThan |
-         _: sources.LessThanOrEqual | _: sources.In => true
+         _: sources.LessThanOrEqual | _: sources.In |
+         _: sources.IsNull | _: sources.IsNotNull => true
     case sources.And(l, r) => translatable(l) || translatable(r)
     case sources.Or(l, r) => translatable(l) && translatable(r)
     case _ => false
@@ -395,7 +451,24 @@ object GraftZonePrune {
   private def cmpU(a: Array[Byte], b: Array[Byte]): Int =
     java.util.Arrays.compareUnsigned(a, b)
 
+  /** True when the file's stamped stats prove EVERY row is null /
+    * non-null in `c` — `n:` null counts + `r=` row counts, both
+    * commit-time exact. Absent stats decide nothing (None).
+    */
+  private def allNull(e: Snapshots.FileEntry, c: String): Option[Boolean] =
+    for (n <- e.nulls.get(c); r <- e.rows) yield n >= r
+  private def noNulls(e: Snapshots.FileEntry, c: String): Boolean =
+    e.nulls.get(c).contains(0L)
+
   def mightMatch(e: Snapshots.FileEntry, f: Filter): Boolean = f match {
+    case sources.AlwaysFalse() => false
+    case sources.IsNull(c) => !noNulls(e, c) // zero stamped nulls: skip
+    case sources.IsNotNull(c) => !allNull(e, c).contains(true)
+    // a value comparison can never match a row of an ALL-NULL column —
+    // such files carry no zone (footers have no non-null value), so
+    // without the null stats they would conservatively read
+    case _ if valueColumnOf(f).exists(c =>
+      allNull(e, c).contains(true)) => false
     case sources.EqualTo(c, v) =>
       (e.zones.get(c), asLong(v)) match {
         case (Some((mn, mx)), Some(k)) => k >= mn && k <= mx
@@ -444,6 +517,91 @@ object GraftZonePrune {
     case _ => true
   }
 
+  /** The comparison column of a simple value predicate — None for
+    * null tests, composites, and unknown shapes (the [[mightMatch]]
+    * all-null guard must never intercept a structural case).
+    */
+  private def valueColumnOf(f: Filter): Option[String] = f match {
+    case sources.EqualTo(c, _) => Some(c)
+    case sources.GreaterThan(c, _) => Some(c)
+    case sources.GreaterThanOrEqual(c, _) => Some(c)
+    case sources.LessThan(c, _) => Some(c)
+    case sources.LessThanOrEqual(c, _) => Some(c)
+    case sources.In(c, _) => Some(c)
+    case _ => None
+  }
+
+  /** The FULL-COVERAGE dual of [[mightMatch]]: true only when the
+    * file's commit-time stats PROVE every row satisfies `f` — the proof
+    * a metadata-only SQL DELETE drops a whole file on. Zone bounds
+    * alone never suffice for a comparison: they describe NON-NULL
+    * values, and a NULL row fails every comparison and must be KEPT —
+    * so every value case additionally requires a stamped zero null
+    * count. String bounds work asymmetrically under truncation: the
+    * stored `lo` is a lower bound on all values whether or not it is
+    * exact (a truncated lo is a PREFIX of the true min), and a
+    * truncated `hi` is a STRICT upper bound (prefix-successor), so
+    * `>=`/`>` prove from lo unconditionally while `=`/`<=` extremes
+    * need the exact flags. Anything unprovable is false — the file
+    * takes the exact-probe path instead, so a missed proof costs I/O,
+    * never correctness.
+    */
+  def mustMatch(e: Snapshots.FileEntry, f: Filter): Boolean = f match {
+    case sources.AlwaysTrue() => true
+    case sources.IsNull(c) => allNull(e, c).contains(true)
+    case sources.IsNotNull(c) => noNulls(e, c)
+    case sources.EqualTo(c, v) => noNulls(e, c) &&
+      ((e.zones.get(c), asLong(v)) match {
+        case (Some((mn, mx)), Some(k)) => mn == k && mx == k
+        case _ => (e.szones.get(c), asBytes(v)) match {
+          case (Some(z), Some(b)) => z.loExact && z.hiExact &&
+            cmpU(z.lo, b) == 0 && cmpU(z.hi, b) == 0
+          case _ => false
+        }
+      })
+    case sources.GreaterThan(c, v) => noNulls(e, c) &&
+      ((e.zones.get(c), asLong(v)) match {
+        case (Some((mn, _)), Some(k)) => mn > k
+        case _ => (e.szones.get(c), asBytes(v)) match {
+          case (Some(z), Some(b)) => cmpU(z.lo, b) > 0 // lo ≤ min always
+          case _ => false
+        }
+      })
+    case sources.GreaterThanOrEqual(c, v) => noNulls(e, c) &&
+      ((e.zones.get(c), asLong(v)) match {
+        case (Some((mn, _)), Some(k)) => mn >= k
+        case _ => (e.szones.get(c), asBytes(v)) match {
+          case (Some(z), Some(b)) => cmpU(z.lo, b) >= 0
+          case _ => false
+        }
+      })
+    case sources.LessThan(c, v) => noNulls(e, c) &&
+      ((e.zones.get(c), asLong(v)) match {
+        case (Some((_, mx)), Some(k)) => mx < k
+        case _ => (e.szones.get(c), asBytes(v)) match {
+          case (Some(z), Some(b)) =>
+            // exact hi: values ≤ hi, need hi < b; truncated hi is a
+            // strict bound (values < hi), so hi ≤ b suffices
+            if (z.hiExact) cmpU(z.hi, b) < 0 else cmpU(z.hi, b) <= 0
+          case _ => false
+        }
+      })
+    case sources.LessThanOrEqual(c, v) => noNulls(e, c) &&
+      ((e.zones.get(c), asLong(v)) match {
+        case (Some((_, mx)), Some(k)) => mx <= k
+        case _ => (e.szones.get(c), asBytes(v)) match {
+          case (Some(z), Some(b)) => cmpU(z.hi, b) <= 0
+          case _ => false
+        }
+      })
+    case sources.In(c, vs) =>
+      // provable only when the column is a stamped constant in the set
+      vs.exists(v => mustMatch(e, sources.EqualTo(c, v)))
+    case sources.And(l, r) => mustMatch(e, l) && mustMatch(e, r)
+    case sources.Or(l, r) => mustMatch(e, l) || mustMatch(e, r)
+    case _ => false
+  }
+
   /** V2 `Predicate` (what runtime filtering delivers — DPP's IN over
     * the join keys) → the v1 `Filter` shapes [[mightMatch]] speaks.
     * Conservative: anything unrecognized translates to None (no
@@ -454,8 +612,43 @@ object GraftZonePrune {
     */
   def fromV2(p: org.apache.spark.sql.connector.expressions.filter
       .Predicate): Option[sources.Filter] = {
-    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
     import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Or => VOr}
+    p match {
+      case a: VAnd =>
+        (fromV2(a.left()), fromV2(a.right())) match {
+          case (Some(l), Some(r)) => Some(sources.And(l, r))
+          case (l, r) => l.orElse(r) // one conjunct still prunes soundly
+        }
+      case o: VOr =>
+        for (l <- fromV2(o.left()); r <- fromV2(o.right()))
+          yield sources.Or(l, r)
+      case _ => leafFromV2(p)
+    }
+  }
+
+  /** EXACT (lossless) translation of a V2 predicate tree — every node
+    * must translate, or the whole tree refuses. [[fromV2]]'s partial
+    * And fallback is sound for PRUNING (dropping a conjunct only
+    * weakens the skip) but would be silent data corruption for a
+    * DELETE, whose predicate must be applied exactly as written.
+    */
+  def fromV2Strict(p: org.apache.spark.sql.connector.expressions.filter
+      .Predicate): Option[sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Or => VOr}
+    p match {
+      case a: VAnd =>
+        for (l <- fromV2Strict(a.left()); r <- fromV2Strict(a.right()))
+          yield sources.And(l, r)
+      case o: VOr =>
+        for (l <- fromV2Strict(o.left()); r <- fromV2Strict(o.right()))
+          yield sources.Or(l, r)
+      case _ => leafFromV2(p)
+    }
+  }
+
+  private def leafFromV2(p: org.apache.spark.sql.connector.expressions
+      .filter.Predicate): Option[sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
     def field(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
@@ -477,49 +670,130 @@ object GraftZonePrune {
       if (c.length != 2) None
       else for (f <- field(c(0)); v <- value(c(1))) yield mk(f, v)
     }
-    p match {
-      case a: VAnd =>
-        (fromV2(a.left()), fromV2(a.right())) match {
-          case (Some(l), Some(r)) => Some(sources.And(l, r))
-          case (l, r) => l.orElse(r) // one conjunct still prunes soundly
-        }
-      case o: VOr =>
-        for (l <- fromV2(o.left()); r <- fromV2(o.right()))
-          yield sources.Or(l, r)
-      case _ => p.name() match {
-        case "IN" =>
-          val c = p.children()
-          if (c.length < 2) None
-          else for {
-            f <- field(c.head)
-            vs <- Some(c.tail.toSeq.map(value))
-            if vs.forall(_.nonEmpty)
-          } yield sources.In(f, vs.flatten.toArray)
-        case "=" => binary(sources.EqualTo.apply)
-        case ">" => binary(sources.GreaterThan.apply)
-        case ">=" => binary(sources.GreaterThanOrEqual.apply)
-        case "<" => binary(sources.LessThan.apply)
-        case "<=" => binary(sources.LessThanOrEqual.apply)
-        case _ => None
-      }
+    def unary(mk: String => sources.Filter): Option[sources.Filter] = {
+      val c = p.children()
+      if (c.length != 1) None else field(c(0)).map(mk)
+    }
+    p.name() match {
+      case "IN" =>
+        val c = p.children()
+        if (c.length < 2) None
+        else for {
+          f <- field(c.head)
+          vs <- Some(c.tail.toSeq.map(value))
+          if vs.forall(_.nonEmpty)
+        } yield sources.In(f, vs.flatten.toArray)
+      case "=" => binary(sources.EqualTo.apply)
+      case ">" => binary(sources.GreaterThan.apply)
+      case ">=" => binary(sources.GreaterThanOrEqual.apply)
+      case "<" => binary(sources.LessThan.apply)
+      case "<=" => binary(sources.LessThanOrEqual.apply)
+      case "IS_NULL" => unary(sources.IsNull.apply)
+      case "IS_NOT_NULL" => unary(sources.IsNotNull.apply)
+      case "ALWAYS_TRUE" => Some(sources.AlwaysTrue)
+      case "ALWAYS_FALSE" => Some(sources.AlwaysFalse)
+      case _ => None
     }
   }
 }
 
+/** EXECUTOR-side resolution of position-delete sidecars: each reader
+  * loads ONLY its own file's positions, directly from the store —
+  * driver memory stays O(files), never O(marked positions) (the
+  *10^8-position GDPR erasure that would OOM a driver-side collect and
+  * bloat every task's serialized partition). Speaks both layouts:
+  *
+  *  - partitioned directories (`<name>/file=<dataFile>/part-*`): an
+  *    existence probe + a scan of exactly this file's marks;
+  *  - legacy / per-task single parquet files: a column-pruned scan
+  *    filtered to this file (KB-scale by construction).
+  */
+object GraftDvPositions {
+  private val posSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+  private val filePosSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Sorted deleted positions of `fileName` across `sidecarNames`. */
+  def forFile(conf: org.apache.hadoop.conf.Configuration, root: String,
+      sidecarNames: Seq[String], fileName: String): Array[Long] = {
+    if (sidecarNames.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    sidecarNames.foreach { n =>
+      val base = new org.apache.hadoop.fs.Path(s"$root/_deletes/$n")
+      val fs = base.getFileSystem(conf)
+      if (fs.getFileStatus(base).isDirectory) {
+        val sub = new org.apache.hadoop.fs.Path(base, s"file=$fileName")
+        if (fs.exists(sub)) {
+          fs.listStatus(sub).filter(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet")).foreach { part =>
+            val it = ParquetRowReader.open(part.getPath.toString, conf,
+              posSchema, Seq.empty, Array.empty, None)
+            try while (it.next()) out += it.get().getLong(0)
+            finally it.close()
+          }
+        }
+      } else {
+        val it = ParquetRowReader.open(base.toString, conf,
+          filePosSchema, Seq.empty, Array.empty, None)
+        try while (it.next()) {
+          val r = it.get()
+          if (r.getUTF8String(0).toString == fileName)
+            out += r.getLong(1)
+        } finally it.close()
+      }
+    }
+    out.sorted.toArray
+  }
+
+  /** DRIVER-side: the distinct data files a sidecar set marks —
+    * O(marked files) metadata (directory listings for partitioned
+    * sidecars, a column-pruned distinct for legacy files), used to plan
+    * change-feed partitions without materializing one position.
+    */
+  def markedFiles(spark: SparkSession, root: String,
+      sidecarNames: Seq[String]): Set[String] = {
+    if (sidecarNames.isEmpty) return Set.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val (dirs, files) = sidecarNames.partition { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/_deletes/$n")
+      p.getFileSystem(conf).getFileStatus(p).isDirectory
+    }
+    val fromDirs = dirs.flatMap(n =>
+      graft.sources.LakeFs.listDirNames(s"$root/_deletes/$n")
+        .filter(_.startsWith("file="))
+        .map(_.stripPrefix("file=")))
+    val fromFiles =
+      if (files.isEmpty) Seq.empty
+      else spark.read.parquet(files.sorted
+          .map(n => s"$root/_deletes/$n"): _*)
+        .select(org.apache.spark.sql.functions.col("file"))
+        .distinct().collect().map(_.getString(0)).toSeq
+    (fromDirs ++ fromFiles).toSet
+  }
+}
+
 /** One InputPartition per zone-selected file. Everything an executor
-  * needs rides the partition: path, sorted deleted positions from the
-  * version's live sidecars, the rename chain, the required schema, the
-  * manifest row hint, and the Hadoop conf entries.
+  * needs rides the partition: path, the version's live sidecar NAMES
+  * (positions resolve executor-side via [[GraftDvPositions]]), the
+  * rename chain, the required schema, the manifest row hint, and the
+  * Hadoop conf entries.
   */
 case class GraftInputPartition(path: String, fileName: String,
-    deletedPositions: Array[Long], maps: Seq[(String, String)],
+    tableRoot: String, dvNames: Seq[String],
+    maps: Seq[(String, String)],
     required: StructType, rowsHint: Option[Long],
     confEntries: Map[String, String], auditId: Option[String])
   extends InputPartition
 
 class GraftScan(root: String, version: Int, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], auditId: Option[String],
-    startingVersion: Int = 0, maxVersionsPerBatch: Int = Int.MaxValue)
+    startingVersion: Int = 0, maxVersionsPerBatch: Int = Int.MaxValue,
+    maxBytesPerBatch: Long = Long.MaxValue)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -564,7 +838,7 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(root, required, startingVersion,
-      maxVersionsPerBatch, auditId)
+      maxVersionsPerBatch, maxBytesPerBatch, auditId)
   override def description(): String =
     s"GraftScan $root v$version files=${selected.size}/${m.entries.size} " +
       s"pushed=[${pushed.mkString(", ")}]"
@@ -583,33 +857,28 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     require(required.fields.forall(f => f.dataType match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
+      case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: StructType => false
+        case _ => true // array<scalar>: the embedding-column shape
+      }
+      case _: org.apache.spark.sql.types.MapType |
            _: StructType => false
       case _ => true
-    }), "graft DSv2 scan supports primitive columns only")
-    // live sidecar positions, grouped per file — KB-scale metadata
-    // (the same frames Snapshots.read anti-joins; collected once per
-    // scan, sorted for the reader's merge-skip)
-    val dvByFile: Map[String, Array[Long]] =
-      if (m.dvNames.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.col
-        spark.read.parquet(m.dvNames.sorted
-            .map(n => s"$root/_deletes/$n"): _*)
-          .select(col("file"), col("pos")).collect()
-          .groupBy(_.getString(0))
-          .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
-      }
+    }), "graft DSv2 scan supports primitive and array<scalar> columns")
     val conf = spark.sessionState.newHadoopConf()
     import scala.jdk.CollectionConverters._
     val confEntries = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     auditId.foreach(id =>
       GraftScanAudit.planned.put(id, selected.map(_.name)))
+    // sidecar NAMES ride the partitions; each reader resolves its own
+    // file's positions executor-side ([[GraftDvPositions]]) — the
+    // driver never materializes a position
     selected.map { e =>
-      GraftInputPartition(s"$root/files/${e.name}", e.name,
-        dvByFile.getOrElse(e.name, Array.empty[Long]),
+      GraftInputPartition(s"$root/files/${e.name}", e.name, root,
+        m.dvNames.sorted,
         m.columnMaps, required, e.rows, confEntries, auditId)
         : InputPartition
     }.toArray
@@ -619,10 +888,42 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
     new GraftReaderFactory()
 }
 
+/** The connector's metadata columns — the row-identity pair every
+  * row-level operation keys on (the Iceberg `_file`/`_pos` shape):
+  * `_file` is the data file's store name, `_pos` its record ordinal
+  * (the same positions delete sidecars mark). Served by the scan like
+  * any column; consumed by [[GraftRowLevelOperation]] as the rowId.
+  */
+object GraftMetaColumns {
+  val File = "_file"
+  val Pos = "_pos"
+  val names: Set[String] = Set(File, Pos)
+  def isMeta(n: String): Boolean = names.contains(n)
+  def columns: Array[org.apache.spark.sql.connector.catalog
+      .MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = File
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file store name"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = Pos
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row position (file ordinal, the sidecar position space)"
+    })
+}
+
 /** Executor factory: rebuilds the Hadoop conf from the shipped entries
   * and streams the file through [[ParquetRowReader]] (widen casts ride
   * the required schema's target types; the rename chain rides each
-  * partition).
+  * partition). `_file`/`_pos` metadata columns are filled here — the
+  * file name is the partition's own, the position the reader's record
+  * ordinal — at whatever slots the required schema puts them.
   */
 class GraftReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
@@ -631,14 +932,75 @@ class GraftReaderFactory() extends PartitionReaderFactory {
     p.auditId.foreach(id => GraftScanAudit.record(id, p.fileName))
     val conf = new org.apache.hadoop.conf.Configuration(false)
     p.confEntries.foreach { case (k, v) => conf.set(k, v) }
-    val it = ParquetRowReader.open(p.path, conf, p.required, p.maps,
-      p.deletedPositions, p.rowsHint)
-    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      override def next(): Boolean = it.next()
-      override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        it.get()
-      override def close(): Unit = it.close()
+    val deletedPositions = GraftDvPositions.forFile(conf, p.tableRoot,
+      p.dvNames, p.fileName)
+    val metaIdx = p.required.fields.zipWithIndex.collect {
+      case (f, i) if GraftMetaColumns.isMeta(f.name) => (f.name, i)
     }
+    if (metaIdx.isEmpty) {
+      val it = ParquetRowReader.open(p.path, conf, p.required, p.maps,
+        deletedPositions, p.rowsHint)
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        override def next(): Boolean = it.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          it.get()
+        override def close(): Unit = it.close()
+      }
+    } else {
+      val dataFields = p.required.fields.filterNot(f =>
+        GraftMetaColumns.isMeta(f.name))
+      val dataIdx = p.required.fields.zipWithIndex.collect {
+        case (f, i) if !GraftMetaColumns.isMeta(f.name) => i
+      }
+      val fileVal = org.apache.spark.unsafe.types.UTF8String
+        .fromString(p.fileName)
+      val it = ParquetRowReader.open(p.path, conf,
+        StructType(dataFields), p.maps, deletedPositions, p.rowsHint,
+        emitPos = true)
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        override def next(): Boolean = it.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+          val in = it.get()
+          val out = new Array[Any](p.required.size)
+          var j = 0
+          while (j < dataIdx.length) {
+            out(dataIdx(j)) = in.get(j, dataFields(j).dataType)
+            j += 1
+          }
+          val pos = in.getLong(dataFields.length)
+          metaIdx.foreach {
+            case (GraftMetaColumns.File, i) => out(i) = fileVal
+            case (GraftMetaColumns.Pos, i) => out(i) = pos
+            case _ => ()
+          }
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(out)
+        }
+        override def close(): Unit = it.close()
+      }
+    }
+  }
+}
+
+/** LOCAL-MODE test hook: the outcome of the last SQL DELETE per table
+  * root — how many files dropped as pure metadata vs probed for
+  * positions — so gates can assert the three-tier plan did what the
+  * stats promised (a fully-covered file must NEVER take the probe
+  * path).
+  */
+object GraftDeleteAudit {
+  private val last: scala.collection.concurrent
+      .TrieMap[String, Snapshots.SqlDeleteResult] =
+    scala.collection.concurrent.TrieMap.empty
+  def record(root: String, r: Snapshots.SqlDeleteResult): Unit = {
+    last.put(root, r)
+    ()
+  }
+  def lastResult(root: String): Option[Snapshots.SqlDeleteResult] =
+    last.get(root)
+  def clear(root: String): Unit = {
+    last.remove(root)
+    ()
   }
 }
 

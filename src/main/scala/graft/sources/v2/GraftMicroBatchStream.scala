@@ -55,7 +55,8 @@ class GraftOffset(val version: Int) extends Offset {
 
 class GraftMicroBatchStream(root: String, required: StructType,
     startingVersion: Int, maxVersionsPerBatch: Int,
-    auditId: Option[String])
+    maxBytesPerBatch: Long = Long.MaxValue,
+    auditId: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -71,8 +72,42 @@ class GraftMicroBatchStream(root: String, required: StructType,
       .getOrElse(Snapshots.latestVersion(root))
     // long arithmetic: s0 + an unbounded per-batch cap must not wrap
     val capped = math.min(target.toLong,
-      s0.toLong + maxVersionsPerBatch.toLong)
-    new GraftOffset(math.max(s0.toLong, capped).toInt)
+      s0.toLong + maxVersionsPerBatch.toLong).toInt
+    val end =
+      if (maxBytesPerBatch == Long.MaxValue) capped
+      else admitByBytes(s0, capped)
+    new GraftOffset(math.max(s0, end))
+  }
+
+  /** BYTE-based admission (`maxBytesPerBatch`): versions vary 1000× in
+    * delta size (a streaming trickle vs a backfill commit), so a
+    * version-count cap alone can admit an unboundedly fat batch. Walk
+    * candidate versions accumulating their `#dbytes:` stamps (ONE raw
+    * metadata read each, written at commit) and stop before the budget
+    * overflows — always admitting at least one version so the stream
+    * can never stall, which also means a single version fatter than
+    * the budget is admitted ALONE (the Delta maxBytesPerTrigger
+    * semantics). A pre-stamp version's size is unknown → treated as
+    * fat (admitted alone), never silently batched.
+    */
+  private def admitByBytes(s0: Int, capped: Int): Int = {
+    var end = s0
+    var budget = maxBytesPerBatch
+    var v = s0 + 1
+    while (v <= capped) {
+      val b = Snapshots.versionDeltaBytes(root, v)
+      val size = b.getOrElse(Long.MaxValue)
+      if (end == s0) {
+        // first version always admits (fat or unknown => alone)
+        end = v
+        budget = if (size >= budget) 0L else budget - size
+      } else if (size <= budget) {
+        end = v
+        budget -= size
+      } else return end
+      v += 1
+    }
+    end
   }
   override def reportLatestOffset(): Offset =
     new GraftOffset(Snapshots.latestVersion(root))
@@ -82,21 +117,6 @@ class GraftMicroBatchStream(root: String, required: StructType,
     new GraftOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-
-  /** Live sidecar positions of a version, grouped per file (sorted) —
-    * KB-scale metadata, collected once per planned version.
-    */
-  private def dvByFile(spark: SparkSession, m: Snapshots.ManifestData)
-      : Map[String, Array[Long]] =
-    if (m.dvNames.isEmpty) Map.empty
-    else {
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(m.dvNames.sorted
-          .map(n => s"$root/_deletes/$n"): _*)
-        .select(col("file"), col("pos")).collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
-    }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -109,41 +129,47 @@ class GraftMicroBatchStream(root: String, required: StructType,
       .map(kv => kv.getKey -> kv.getValue).toMap
     val parts = ((s0 + 1) to e).flatMap { v =>
       val cur = Snapshots.manifest(root, v)
-      val curDv = dvByFile(spark, cur)
       def part(e: Snapshots.FileEntry, side: String,
-          skip: Array[Long], emitOnly: Option[Array[Long]],
+          skipDv: Seq[String], emitDv: Option[Seq[String]],
           maps: Seq[(String, String)]): GraftStreamPartition =
-        GraftStreamPartition(s"$root/files/${e.name}", e.name, skip,
-          emitOnly, maps, required, v, side, e.rows, confEntries, auditId)
+        GraftStreamPartition(s"$root/files/${e.name}", e.name, root,
+          skipDv, emitDv, maps, required, v, side, e.rows, confEntries,
+          auditId)
       if (v == 1) {
         // the base snapshot: every referenced row is an add
-        cur.entries.map(en => part(en, "add",
-          curDv.getOrElse(en.name, Array.empty[Long]), None,
-          cur.columnMaps))
+        cur.entries.map(en =>
+          part(en, "add", cur.dvNames.sorted, None, cur.columnMaps))
       } else {
         // a vacuumed parent fails loudly in manifest() — a stream
         // cannot diff against dropped history (Delta's startingVersion
         // has the same bound)
         val prev = Snapshots.manifest(root, v - 1)
-        val prevDv = dvByFile(spark, prev)
         val prevNames = prev.files.toSet
         val curNames = cur.files.toSet
         val added = cur.entries.filterNot(en => prevNames(en.name))
-          .map(en => part(en, "add",
-            curDv.getOrElse(en.name, Array.empty[Long]), None,
-            cur.columnMaps))
+          .map(en =>
+            part(en, "add", cur.dvNames.sorted, None, cur.columnMaps))
         val removed = prev.entries.filterNot(en => curNames(en.name))
-          .map(en => part(en, "remove",
-            prevDv.getOrElse(en.name, Array.empty[Long]), None,
-            prev.columnMaps))
-        // freshly-marked positions on carried files: the MoR delta
-        val marked = prev.entries.filter(en => curNames(en.name))
-          .flatMap { en =>
-            val fresh = curDv.getOrElse(en.name, Array.empty[Long])
-              .diff(prevDv.getOrElse(en.name, Array.empty[Long]))
-            if (fresh.isEmpty) None
-            else Some(part(en, "remove", Array.empty[Long],
-              Some(fresh.sorted), prev.columnMaps))
+          .map(en =>
+            part(en, "remove", prev.dvNames.sorted, None,
+              prev.columnMaps))
+        // freshly-marked positions on carried files: the MoR delta.
+        // Fresh marks live ONLY in sidecars new to this version
+        // (sidecars are immutable and disjoint by construction), so the
+        // emit set is exactly the new names; which carried files they
+        // touch is driver-side METADATA (directory listings / a
+        // column-pruned distinct — O(marked files), never positions)
+        val newDv = (cur.dvNames.toSet -- prev.dvNames.toSet)
+          .toSeq.sorted
+        val marked =
+          if (newDv.isEmpty) Seq.empty
+          else {
+            val touched =
+              GraftDvPositions.markedFiles(spark, root, newDv)
+            prev.entries.filter(en =>
+                curNames(en.name) && touched(en.name))
+              .map(en => part(en, "remove", Seq.empty, Some(newDv),
+                prev.columnMaps))
           }
         added ++ removed ++ marked
       }
@@ -156,11 +182,14 @@ class GraftMicroBatchStream(root: String, required: StructType,
 }
 
 /** One streamed file slice: `side`-tagged rows of one file at one
-  * version — `skipPositions` for adds/removes (carry the relevant
-  * version's dead rows), `emitOnly` for fresh sidecar marks.
+  * version — `skipDvNames` for adds/removes (the relevant version's
+  * dead rows, positions resolved executor-side), `emitDvNames` for
+  * fresh sidecar marks (emit ONLY this file's positions in those
+  * sidecars).
   */
 case class GraftStreamPartition(path: String, fileName: String,
-    skipPositions: Array[Long], emitOnly: Option[Array[Long]],
+    tableRoot: String, skipDvNames: Seq[String],
+    emitDvNames: Option[Seq[String]],
     maps: Seq[(String, String)], required: StructType, version: Int,
     side: String, rowsHint: Option[Long],
     confEntries: Map[String, String], auditId: Option[String])
@@ -179,8 +208,12 @@ class GraftStreamReaderFactory() extends PartitionReaderFactory {
     val dataFields = p.required.fields.filterNot(f =>
       f.name == "_graft_version" || f.name == "_graft_side")
     val dataSchema = StructType(dataFields)
+    val skip = GraftDvPositions.forFile(conf, p.tableRoot,
+      p.skipDvNames, p.fileName)
+    val emitOnly = p.emitDvNames.map(names =>
+      GraftDvPositions.forFile(conf, p.tableRoot, names, p.fileName))
     val it = ParquetRowReader.open(p.path, conf, dataSchema, p.maps,
-      p.skipPositions, p.rowsHint, p.emitOnly)
+      skip, p.rowsHint, emitOnly)
     val version = p.version
     val side = UTF8String.fromString(p.side)
     // output ordinal -> data ordinal or tag

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types._
   * orchestration can assert on it.
   */
 object GraftProcedures {
-  val names: Array[String] = Array("optimize", "zorder", "vacuum")
+  val names: Array[String] =
+    Array("optimize", "zorder", "vacuum", "changes")
 
   private def rootOf(warehouse: String, table: String): String =
     (warehouse +: table.split('.').toSeq).mkString("/")
@@ -111,6 +112,46 @@ object GraftProcedures {
               nullable = false),
             StructField("reclaimed_files", IntegerType,
               nullable = false))), Seq(dropped, reclaimed))
+        }
+      }
+      case "changes" => new GraftProc("changes",
+        "register the row-tagged change feed between two versions " +
+          "(_change_type ∈ insert/update_preimage/update_postimage/" +
+          "delete) as a temp view — CDC through SQL") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("from_version", IntegerType).build(),
+          ProcedureParameter.in("to_version", IntegerType).build(),
+          ProcedureParameter.in("key_col", StringType).build(),
+          ProcedureParameter.in("view_name", StringType)
+            .defaultValue("'graft_changes'").build())
+        /** Spark's CALL executes only `LocalScan` results (driver
+          * rows), so returning the feed itself would collect data-
+          * sized output to the driver — the one anti-pattern a CDC
+          * surface must not have. Instead the DISTRIBUTED feed plan
+          * ([[graft.sources.Snapshots.changeFeed]] — delta-only joins,
+          * never a table scan) registers as a session TEMP VIEW and
+          * the returned row names it: `CALL g.system.changes(...)`
+          * then `SELECT ... FROM graft_changes` is the whole consumer
+          * workflow, lazily executed at SELECT time (Delta's
+          * `table_changes` TVF shape within the procedure API's
+          * bounds).
+          */
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val (from, to) = (input.getInt(1), input.getInt(2))
+          val keyCol = input.getUTF8String(3).toString
+          val view = input.getUTF8String(4).toString
+          val feed = Snapshots.changeFeed(spark, root, from, to, keyCol)
+          feed.createOrReplaceTempView(view)
+          oneRowScan(StructType(Seq(
+            StructField("view_name", StringType, nullable = false),
+            StructField("from_version", IntegerType, nullable = false),
+            StructField("to_version", IntegerType, nullable = false))),
+            Seq(org.apache.spark.unsafe.types.UTF8String.fromString(view),
+              from, to))
         }
       }
       case other => throw new IllegalArgumentException(

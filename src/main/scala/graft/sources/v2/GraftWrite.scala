@@ -180,12 +180,12 @@ class GraftBatchWrite(root: String, schema: StructType,
               .take(12) + ".parquet"
           val path = s"$root/files/$name"
           GraftParquetSchema.newWriter(path, schema, conf).close()
-          val (rows, fp, zones, szones) =
+          val (rows, fp, zones, szones, nulls) =
             Bucketing.fileStatsEntryConf(path, conf, Seq.empty)
           Seq(Snapshots.FileEntry(name, Some(rows),
             Some(new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
               .getFileStatus(new org.apache.hadoop.fs.Path(path))
-              .getLen), Some(fp), zones, szones))
+              .getLen), Some(fp), zones, szones, nulls))
         }
       Snapshots.commitAdopted(root, committed, batchId = None,
         truncate = truncate)
@@ -309,12 +309,12 @@ class GraftDataWriter(root: String, schema: StructType,
       fs.delete(new org.apache.hadoop.fs.Path(path), false)
       GraftCommitMessage(None, path)
     } else {
-      val (rows, fp, zones, szones) =
+      val (rows, fp, zones, szones, nulls) =
         Bucketing.fileStatsEntryConf(path, conf, statsCols)
       val len = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
         .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
       GraftCommitMessage(Some(Snapshots.FileEntry(fileName, Some(rows),
-        Some(len), Some(fp), zones, szones)), path)
+        Some(len), Some(fp), zones, szones, nulls)), path)
     }
   }
 
@@ -357,31 +357,42 @@ object GraftParquetSchema {
         org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
       .build()
 
+  /** (physical primitive, logical annotation) of one scalar Spark type
+    * — shared by top-level columns and LIST elements.
+    */
+  private def scalarMapping(dt: DataType, name: String)
+      : (org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+        Option[LogicalTypeAnnotation]) = dt match {
+    case LongType => (INT64, None)
+    case IntegerType => (INT32, None)
+    case ShortType => (INT32, Some(LogicalTypeAnnotation.intType(16, true)))
+    case ByteType => (INT32, Some(LogicalTypeAnnotation.intType(8, true)))
+    case DoubleType => (DOUBLE, None)
+    case FloatType => (FLOAT, None)
+    case BooleanType => (BOOLEAN, None)
+    case StringType => (BINARY, Some(LogicalTypeAnnotation.stringType()))
+    case BinaryType => (BINARY, None)
+    case TimestampType => (INT64, Some(LogicalTypeAnnotation
+      .timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS)))
+    case DateType => (INT32, Some(LogicalTypeAnnotation.dateType()))
+    case other => throw new IllegalArgumentException(
+      s"graft DSv2 cannot write $name as $other")
+  }
+
   def toMessageType(schema: StructType): MessageType = {
     val fields: Seq[Type] = schema.fields.toSeq.map { f =>
-      val b = f.dataType match {
-        case LongType => PT.optional(INT64)
-        case IntegerType => PT.optional(INT32)
-        case ShortType =>
-          PT.optional(INT32).as(LogicalTypeAnnotation.intType(16, true))
-        case ByteType =>
-          PT.optional(INT32).as(LogicalTypeAnnotation.intType(8, true))
-        case DoubleType => PT.optional(DOUBLE)
-        case FloatType => PT.optional(FLOAT)
-        case BooleanType => PT.optional(BOOLEAN)
-        case StringType =>
-          PT.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case BinaryType => PT.optional(BINARY)
-        case TimestampType => PT.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case DateType =>
-          PT.optional(INT32).as(LogicalTypeAnnotation.dateType())
-        case dt => throw new IllegalArgumentException(
-          s"graft DSv2 write supports primitive columns only: " +
-            s"${f.name} is $dt")
+      f.dataType match {
+        // arrays of scalars (embedding columns): the standard 3-level
+        // parquet LIST — group (LIST) { repeated group list {
+        // optional <elem> element } } — the layout Spark/pyarrow write
+        case ArrayType(et, _) =>
+          val (p, ann) = scalarMapping(et, s"${f.name} element")
+          val el = ann.foldLeft(PT.optional(p))((b, a) => b.as(a))
+          PT.optionalList().element(el.named("element")).named(f.name)
+        case dt =>
+          val (p, ann) = scalarMapping(dt, f.name)
+          ann.foldLeft(PT.optional(p))((b, a) => b.as(a)).named(f.name)
       }
-      b.named(f.name)
     }
     import scala.jdk.CollectionConverters._
     new MessageType("spark_schema", fields.asJava)
@@ -389,6 +400,30 @@ object GraftParquetSchema {
 
   type Appender =
     (org.apache.parquet.example.data.Group, InternalRow) => Unit
+
+  /** Typed add of one ARRAY element (ordinal `j` of `arr`) into an
+    * element-holder group's field 0.
+    */
+  private def elementAdder(et: DataType, name: String)
+      : (org.apache.parquet.example.data.Group,
+        org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit =
+    et match {
+      case LongType | TimestampType => (g, a, j) => g.add(0, a.getLong(j))
+      case IntegerType | DateType => (g, a, j) => g.add(0, a.getInt(j))
+      case ShortType => (g, a, j) => g.add(0, a.getShort(j).toInt)
+      case ByteType => (g, a, j) => g.add(0, a.getByte(j).toInt)
+      case DoubleType => (g, a, j) => g.add(0, a.getDouble(j))
+      case FloatType => (g, a, j) => g.add(0, a.getFloat(j))
+      case BooleanType => (g, a, j) => g.add(0, a.getBoolean(j))
+      case StringType => (g, a, j) => g.add(0,
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(
+          a.getUTF8String(j).getBytes))
+      case BinaryType => (g, a, j) => g.add(0,
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(
+          a.getBinary(j)))
+      case dt => throw new IllegalArgumentException(
+        s"graft DSv2 cannot write array element $name as $dt")
+    }
 
   def appenders(schema: StructType): Array[Appender] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -406,9 +441,23 @@ object GraftParquetSchema {
         case BinaryType => (g, r) => g.add(i,
           org.apache.parquet.io.api.Binary.fromConstantByteArray(
             r.getBinary(i)))
+        case ArrayType(et, _) =>
+          // 3-level LIST: column group -> repeated "list" holder per
+          // element -> "element" (absent = null element)
+          val addEl = elementAdder(et, f.name)
+          (g, r) => {
+            val arr = r.getArray(i)
+            val listGroup = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val holder = listGroup.addGroup(0)
+              if (!arr.isNullAt(j)) addEl(holder, arr, j)
+              j += 1
+            }
+          }
         case dt => throw new IllegalArgumentException(
-          s"graft DSv2 write supports primitive columns only: " +
-            s"${f.name} is $dt")
+          s"graft DSv2 write supports primitive and array columns " +
+            s"only: ${f.name} is $dt")
       }
       app
     }

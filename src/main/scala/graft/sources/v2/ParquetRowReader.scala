@@ -28,11 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    cast at conversion — the executor half of
   *    [[graft.sources.Snapshots.renameColumn]]/[[widenColumn]].
   *
-  * Primitive columns only (long/int/double/float/boolean/string/binary/
-  * timestamp/date) — the connector refuses nested types at scan build.
+  * Scalar columns (long/int/double/float/boolean/string/binary/
+  * timestamp/date) plus ARRAY<scalar> via the 3-level parquet LIST —
+  * the embedding-column shape, so ANN/semdedup tables serve through
+  * the SQL surface; maps/structs stay refused at scan build.
   * Cited shape: the reference's scan surface is tabular records
   * (reference: tool_call_agent.py:132 — every step loads the CSV into
-  * a flat DataFrame); nested decode is out of its scope too.
+  * a flat DataFrame).
   */
 object ParquetRowReader {
 
@@ -67,8 +69,34 @@ object ParquetRowReader {
     */
   private def converter(phys: Type, target: DataType)
       : (org.apache.parquet.example.data.Group, Int) => Any = {
+    (phys, target) match {
+      // 3-level parquet LIST (the Spark/pyarrow layout): column group
+      // -> repeated holder -> element field; a holder with no element
+      // is a NULL element
+      case (gt, ArrayType(et, _)) if !gt.isPrimitive =>
+        val holderType = gt.asGroupType().getType(0)
+        require(!holderType.isPrimitive,
+          s"graft scan reads 3-level parquet LISTs only, got $gt")
+        val elType = holderType.asGroupType().getType(0)
+        val elConvert = converter(elType, et)
+        return (g, i) => {
+          val listGroup = g.getGroup(i, 0)
+          val n = listGroup.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val holder = listGroup.getGroup(0, j)
+            out(j) =
+              if (holder.getFieldRepetitionCount(0) == 0) null
+              else elConvert(holder, 0)
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        }
+      case _ => ()
+    }
     require(phys.isPrimitive,
-      s"graft scan supports primitive columns only, got $phys")
+      s"graft scan cannot read $phys as $target")
     val p = phys.asPrimitiveType()
     import PrimitiveType.PrimitiveTypeName._
     (p.getPrimitiveTypeName, target) match {
@@ -124,17 +152,59 @@ object ParquetRowReader {
   def open(path: String, conf: Configuration, required: StructType,
       maps: Seq[(String, String)], deletedPositions: Array[Long],
       rowsHint: Option[Long],
-      emitOnly: Option[Array[Long]] = None): CloseableRowIterator = {
+      emitOnly: Option[Array[Long]] = None,
+      emitPos: Boolean = false): CloseableRowIterator = {
     val hPath = new org.apache.hadoop.fs.Path(path)
+    def totalRows: Long = rowsHint.getOrElse {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          hPath, conf))
+      try rd.getRecordCount finally rd.close()
+    }
+    /** Live ordinals WITHOUT decoding a page (footer row count + the
+      * sorted position lists) — the zero-data-column path when the
+      * caller still needs `_pos` row positions: each emitted row is
+      * `nullPrefix` nulls (absent data columns) followed by the
+      * ordinal.
+      */
+    def ordinalIterator(nullPrefix: Int): CloseableRowIterator =
+      new CloseableRowIterator {
+        private val total = totalRows
+        private var pos = -1L
+        private var dvIdx = 0
+        private var emitIdx = 0
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (pos + 1 < total) {
+            pos += 1
+            val wanted = emitOnly match {
+              case Some(ps) =>
+                while (emitIdx < ps.length && ps(emitIdx) < pos)
+                  emitIdx += 1
+                emitIdx < ps.length && ps(emitIdx) == pos
+              case None =>
+                while (dvIdx < deletedPositions.length &&
+                    deletedPositions(dvIdx) < pos) dvIdx += 1
+                !(dvIdx < deletedPositions.length &&
+                  deletedPositions(dvIdx) == pos)
+            }
+            if (wanted) {
+              val values = new Array[Any](nullPrefix + 1)
+              values(nullPrefix) = pos
+              current = new GenericInternalRow(values)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
     if (required.isEmpty) {
+      if (emitPos) return ordinalIterator(0)
       // no columns needed: row COUNT from the manifest hint or one
       // footer open; emit empty rows (Spark counts them)
-      lazy val total = rowsHint.getOrElse {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            hPath, conf))
-        try rd.getRecordCount finally rd.close()
-      }
+      lazy val total = totalRows
       val live = emitOnly match {
         case Some(ps) => ps.length.toLong
         case None => total - deletedPositions.count(_ < total)
@@ -177,14 +247,10 @@ object ParquetRowReader {
     }
     val readConf = new Configuration(conf)
     if (requestedFields.isEmpty) {
+      if (emitPos) return ordinalIterator(required.size)
       // every required column is absent from this file (pure schema
       // evolution): rows are all-null; count them via the footer
-      lazy val total = rowsHint.getOrElse {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            hPath, conf))
-        try rd.getRecordCount finally rd.close()
-      }
+      lazy val total = totalRows
       val live = emitOnly match {
         case Some(ps) => ps.length.toLong
         case None => total - deletedPositions.count(_ < total)
@@ -227,7 +293,10 @@ object ParquetRowReader {
                 deletedPositions(dvIdx) == pos)
           }
           if (wanted) {
-            val values = new Array[Any](plans.length)
+            // one trailing slot for the row's file ordinal when the
+            // caller asked for positions (metadata-column reads)
+            val values =
+              new Array[Any](plans.length + (if (emitPos) 1 else 0))
             var j = 0
             while (j < plans.length) {
               plans(j) match {
@@ -239,6 +308,7 @@ object ParquetRowReader {
               }
               j += 1
             }
+            if (emitPos) values(plans.length) = pos
             current = new GenericInternalRow(values)
             return true
           }

@@ -213,6 +213,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       "k < 200").head().getLong(0) == 0L)
   }
 
+  test("CALL changes registers the row-tagged change feed as a temp " +
+      "view — CDC through SQL, distributed (no driver collect)") {
+    init
+    sql("""CREATE TABLE gtest.ns.tcdc (k BIGINT, v BIGINT)
+          |USING graft TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("""INSERT INTO gtest.ns.tcdc
+          |SELECT id, id * 10 FROM range(1000)""".stripMargin) // v2
+    // v3: MERGE — 50 updates (+1) and 10 inserts
+    sql("""SELECT id AS k, id * 10 + 1 AS v FROM range(50)
+          |UNION ALL
+          |SELECT id + 5000 AS k, id AS v FROM range(10)""".stripMargin)
+      .createOrReplaceTempView("tcdc_src")
+    sql("""MERGE INTO gtest.ns.tcdc t USING tcdc_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+      .stripMargin)
+    val row = sql("CALL gtest.system.changes(table => 'ns.tcdc', " +
+      "from_version => 2, to_version => 3, key_col => 'k', " +
+      "view_name => 'tcdc_changes')").head()
+    assert(row.getString(0) == "tcdc_changes")
+    val tags = sql("""SELECT _change_type, count(*) AS n
+                     |FROM tcdc_changes GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.getOrElse("insert", 0L) == 10L, s"tags=$tags")
+    assert(tags.getOrElse("update_preimage", 0L) == 50L)
+    assert(tags.getOrElse("update_postimage", 0L) == 50L)
+    assert(tags.getOrElse("delete", 0L) == 0L)
+    // value-exact pairing: post = pre + 50 (one +1 per updated key)
+    val pp = sql("""SELECT
+      |sum(CASE WHEN _change_type = 'update_postimage' THEN v END) -
+      |sum(CASE WHEN _change_type = 'update_preimage' THEN v END)
+      |FROM tcdc_changes""".stripMargin).head().getLong(0)
+    assert(pp == 50L)
+  }
+
   test("CREATE NAMESPACE under a table path is rejected (no namespaces " +
       "nested inside a table's root)") {
     init

@@ -65,7 +65,7 @@ class GraftWriteSpec extends AnyFunSuite {
     // the stamped stats equal what a fresh footer read computes —
     // write-surface-independent manifests
     val e0 = newEntries.head
-    val (rows, fp, zones, szones) = Bucketing.fileStatsEntry(spark,
+    val (rows, fp, zones, szones, _) = Bucketing.fileStatsEntry(spark,
       s"$root/files/${e0.name}", Seq("k", "tag"))
     assert(e0.rows.contains(rows) && e0.fp.contains(fp))
     assert(e0.zones == zones && e0.szones == szones)
@@ -246,7 +246,7 @@ class GraftWriteSpec extends AnyFunSuite {
         new java.io.File(s"$root/files", name).toPath)
       org.apache.spark.network.util.JavaUtils
         .deleteRecursively(new java.io.File(s"$root/__tmp_$tag"))
-      val (rows, fp, zones, szones) = Bucketing.fileStatsEntry(spark,
+      val (rows, fp, zones, szones, _) = Bucketing.fileStatsEntry(spark,
         s"$root/files/$name", Seq("k"))
       GraftCommitMessage(Some(Snapshots.FileEntry(name, Some(rows),
         Some(LakeFs.fileLength(s"$root/files/$name")), Some(fp), zones,
@@ -263,24 +263,34 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(root) == 2) // no new version
     assert(load(root).count() == 1001L) // no double data
     assert(!LakeFs.exists(m0b.path)) // the orphan was reclaimed
-    // a NEW epoch commits normally, and an EMPTY epoch still advances
-    // the query's txn high-water mark (its replay also skips)
+    // a NEW epoch commits normally; an EMPTY epoch commits NOTHING —
+    // no manifest churn from an idle trigger (its replay re-executes
+    // to the same zero rows and skips again), and a later non-empty
+    // epoch advances the mark past the gap
     w.commit(1L, Array(taskOutput("e1")))
+    val vAfterE1 = Snapshots.latestVersion(root)
     w.commit(2L, Array.empty)
+    assert(Snapshots.latestVersion(root) == vAfterE1,
+      "an empty epoch must not commit a version")
     val m = Snapshots.manifest(root, Snapshots.latestVersion(root))
-    assert(m.txnVersion("queryA").contains(2L))
+    assert(m.txnVersion("queryA").contains(1L))
     assert(load(root).count() == 1002L)
+    w.commit(3L, Array(taskOutput("e3")))
+    assert(Snapshots.manifest(root, Snapshots.latestVersion(root))
+      .txnVersion("queryA").contains(3L),
+      "a non-empty epoch advances the mark past the empty gap")
+    assert(load(root).count() == 1003L)
     // idempotence is scoped to THE QUERY: a different query's epoch 0
     // on the same table is a FIRST write, never a false replay — the
     // data-loss trap of keying on the epoch alone
     val w2 = new GraftStreamingWrite(root, schema, Seq("k"), "queryB")
     w2.commit(0L, Array(taskOutput("b0")))
-    assert(load(root).count() == 1003L)
+    assert(load(root).count() == 1004L)
     assert(Snapshots.manifest(root, Snapshots.latestVersion(root))
       .txnVersion("queryB").contains(0L))
     // and queryA's mark survives queryB's commits
     assert(Snapshots.manifest(root, Snapshots.latestVersion(root))
-      .txnVersion("queryA").contains(2L))
+      .txnVersion("queryA").contains(3L))
   }
 
   test("overwrite with an EMPTY frame leaves a readable zero-row table " +

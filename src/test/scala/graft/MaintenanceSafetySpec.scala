@@ -48,12 +48,12 @@ class MaintenanceSafetySpec extends AnyFunSuite {
       .replace("-", "").take(8)}.parquet"
     LakeFs.move(s"$tmp/$one", s"$root/files/$name")
     LakeFs.deleteRecursively(tmp)
-    val (rows, fp, zones, szones) = graft.sources.Bucketing
+    val (rows, fp, zones, szones, nulls) = graft.sources.Bucketing
       .fileStatsEntryConf(s"$root/files/$name",
         spark0.sessionState.newHadoopConf(), Seq("k"))
     Seq(Snapshots.FileEntry(name, Some(rows),
       Some(LakeFs.fileLength(s"$root/files/$name")), Some(fp), zones,
-      szones))
+      szones, nulls))
   }
 
   test("optimize and zorder carry #txn: marks — a replayed epoch after " +

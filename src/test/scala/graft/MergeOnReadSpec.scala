@@ -110,10 +110,12 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(Snapshots.deleteSidecars(root, v3).isEmpty)
     assert(Snapshots.read(spark, root, v3)
       .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
-    // the folded sidecar is unreferenced by the live version → reclaimed
-    assert(LakeFs.listNames(s"$root/_deletes", ".parquet").size == 1)
+    // the folded sidecar (a file-partitioned directory) is
+    // unreferenced by the live version → reclaimed whole
+    assert(LakeFs.listDirNames(s"$root/_deletes").size == 1)
     Snapshots.vacuum(root, keepFrom = 3, graceMs = 0L)
-    assert(LakeFs.listNames(s"$root/_deletes", ".parquet").isEmpty)
+    assert(LakeFs.listDirNames(s"$root/_deletes").isEmpty &&
+      LakeFs.listNames(s"$root/_deletes", ".parquet").isEmpty)
     assert(Snapshots.read(spark, root, v3)
       .agg(count(lit(1)), sum(col("k")), sum(col("grp"))).head() == pre)
   }
