@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B of the DSv2 read paths on a WIDE scan: the same snapshot table
+  * aggregated over every column through (A) the COLUMNAR path (Spark's
+  * vectorized parquet reader — the clean-scan default) and (B) the
+  * row-at-a-time Group reader (`.option("vectorize", false)`). One
+  * warm-up per path, then alternating timed runs, medians reported —
+  * the evidence that the vectorized path carries wide scans.
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.VecAbMain' }}}
+  */
+object VecAbMain {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val rows = sys.env.getOrElse("SPARK_GRAFT_VECAB_ROWS", "4000000").toLong
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // wide fixture: 10 columns (4 longs, 3 doubles, 2 strings, 1 bool)
+    val d = java.nio.file.Files.createTempDirectory("graft_vecab")
+    try {
+      val df = spark.range(rows).select(
+        col("id").as("k"),
+        (col("id") % 97).as("a"),
+        (col("id") % 1009).as("b"),
+        (col("id") * 31 % 7919).as("c"),
+        (col("id") % 1000 / 7.0).as("x"),
+        (col("id") % 313 * 1.5).as("y"),
+        (col("id") % 71 / 3.0).as("z"),
+        concat(lit("user"), col("id") % 100000).as("u"),
+        concat(lit("tag"), col("id") % 64).as("t"),
+        (col("id") % 2 === 0).as("flag"))
+      graft.sources.Bucketing.writeRangeSorted(df, "k", cpus.toInt,
+        s"$d/seed", 8 * 1024 * 1024)
+      val root = s"$d/t"
+      graft.sources.Snapshots.init(spark, root, s"$d/seed",
+        statsCols = Seq("k"))
+
+      def scan(vectorize: Boolean): Unit =
+        spark.read.format("graft").option("path", root)
+          .option("vectorize", vectorize.toString).load()
+          .agg(count(lit(1)), sum(col("a")), sum(col("b")), sum(col("c")),
+            sum(col("x")), sum(col("y")), sum(col("z")),
+            sum(length(col("u"))), sum(length(col("t"))),
+            sum(when(col("flag"), 1L).otherwise(0L)))
+          .write.format("noop").mode("overwrite").save()
+      def time(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      scan(true); scan(false) // warm both paths
+      val (vec, row) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
+      (0 until runs).foreach { i =>
+        vec(i) = time(scan(true))
+        row(i) = time(scan(false))
+      }
+      def med(a: Array[Double]): Double = a.sorted.apply(a.length / 2)
+      println(f"""{"metric":"vec_ab","rows":$rows,"cols":10,""" +
+        f""""vectorized_sec":${med(vec)}%.3f,""" +
+        f""""row_reader_sec":${med(row)}%.3f,""" +
+        f""""speedup":${med(row) / med(vec)}%.2f}""")
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(d.toString)
+      ()
+    }
+    spark.stop()
+  }
+}

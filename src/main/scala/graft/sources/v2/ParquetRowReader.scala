@@ -153,7 +153,9 @@ object ParquetRowReader {
       maps: Seq[(String, String)], deletedPositions: Array[Long],
       rowsHint: Option[Long],
       emitOnly: Option[Array[Long]] = None,
-      emitPos: Boolean = false): CloseableRowIterator = {
+      emitPos: Boolean = false,
+      rowGroupFilters: Seq[org.apache.spark.sql.sources.Filter] =
+        Seq.empty): CloseableRowIterator = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     def totalRows: Long = rowsHint.getOrElse {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -265,21 +267,103 @@ object ParquetRowReader {
         override def close(): Unit = ()
       }
     }
-    readConf.set(ReadSupport.PARQUET_READ_SCHEMA,
-      new MessageType(fileSchema.getName, requestedFields.asJava).toString)
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new GroupReadSupport(), hPath)
-      .withConf(readConf)
-      .build()
+    val requestedMessage =
+      new MessageType(fileSchema.getName, requestedFields.asJava)
+    // ROW-GROUP-WISE read with position reconstruction: the file opens
+    // ONCE, each row group is either read (a RecordReader over its
+    // pages) or SKIPPED WHOLE — pages never decoded — while row
+    // positions stay exact because group start ordinals come from the
+    // footer's block row counts. A group skips when
+    //  - the pushed filters PROVE it empty from its column statistics
+    //    (the same conservative mightMatch as file-level zones, one
+    //    level down — Iceberg/Delta's row-group filtering), or
+    //  - an emit-only read (change-feed marks) has no position inside
+    //    it, or
+    //  - every one of its rows is dv-deleted.
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hPath, readConf))
+    val blocks = rd.getFooter.getBlocks.asScala.toIndexedSeq
+    val blockStarts: IndexedSeq[Long] =
+      blocks.scanLeft(0L)(_ + _.getRowCount).init
+    rd.setRequestedSchema(requestedMessage)
+    val columnIO = new org.apache.parquet.io.ColumnIOFactory()
+      .getColumnIO(requestedMessage, fileSchema, false)
+    // logical filter column -> this file's physical name (rename chain)
+    def physName(logical: String): Option[String] =
+      physicalCandidates(logical, maps).find(byName.contains)
+    def countInRange(ps: Array[Long], lo: Long, hiEx: Long): Long = {
+      // sorted: first index >= lo and first index >= hiEx
+      def lowerBound(k: Long): Int = {
+        var a = 0; var b = ps.length
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (ps(m) < k) a = m + 1 else b = m
+        }
+        a
+      }
+      (lowerBound(hiEx) - lowerBound(lo)).toLong
+    }
+    def shouldRead(bi: Int): Boolean = {
+      val blk = blocks(bi)
+      val start = blockStarts(bi)
+      val n = blk.getRowCount
+      emitOnly match {
+        case Some(ps) => countInRange(ps, start, start + n) > 0
+        case None =>
+          if (deletedPositions.nonEmpty &&
+              countInRange(deletedPositions, start, start + n) >= n)
+            false // every row of the group is dead
+          else if (rowGroupFilters.isEmpty) true
+          else {
+            val entry = blockEntry(blk, n, rowGroupFilters
+              .flatMap(GraftZonePrune.filterColumnsOf)
+              .distinct.flatMap(c => physName(c).map(c -> _)))
+            rowGroupFilters.forall(f =>
+              GraftZonePrune.mightMatch(entry, f))
+          }
+      }
+    }
     new CloseableRowIterator {
       private var pos = -1L
       private var dvIdx = 0
       private var emitIdx = 0
       private var current: InternalRow = _
+      private var blockIdx = 0
+      private var groupRowsLeft = 0L
+      private var recordReader
+          : org.apache.parquet.io.RecordReader[
+            org.apache.parquet.example.data.Group] = _
+      /** Position the reader at the next selected group; false when the
+        * file is exhausted. Skipped groups advance `pos` past their
+        * whole row range without touching a page.
+        */
+      private def advanceGroup(): Boolean = {
+        while (blockIdx < blocks.size) {
+          val n = blocks(blockIdx).getRowCount
+          if (shouldRead(blockIdx)) {
+            val pages = rd.readNextRowGroup()
+            recordReader = columnIO.getRecordReader(pages,
+              new org.apache.parquet.example.data.simple.convert
+                .GroupRecordConverter(requestedMessage))
+            groupRowsLeft = n
+            pos = blockStarts(blockIdx) - 1
+            blockIdx += 1
+            rowGroupsRead.incrementAndGet()
+            return true
+          } else {
+            rd.skipNextRowGroup()
+            rowGroupsSkipped.incrementAndGet()
+            blockIdx += 1
+          }
+        }
+        false
+      }
       override def next(): Boolean = {
         while (true) {
-          val g = reader.read()
-          if (g == null) return false
+          if (groupRowsLeft == 0L && !advanceGroup()) return false
+          val g = recordReader.read()
+          groupRowsLeft -= 1
           pos += 1
           // sorted-merge against the position lists: O(1) per row
           val wanted = emitOnly match {
@@ -316,8 +400,58 @@ object ParquetRowReader {
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = rd.close()
     }
+  }
+
+  /** TEST/AUDIT counters: row groups whose pages were decoded vs
+    * skipped whole — the falsifiable evidence that a pushed filter or
+    * emit-only read never touched a non-matching group's pages (JVM-
+    * global; local[*] runs executors in-process).
+    */
+  val rowGroupsRead = new java.util.concurrent.atomic.AtomicLong
+  val rowGroupsSkipped = new java.util.concurrent.atomic.AtomicLong
+
+  /** One row group's column statistics as a pseudo manifest entry under
+    * LOGICAL names, so [[GraftZonePrune.mightMatch]] speaks block stats
+    * with the same conservative contract: a column with missing or
+    * unusable stats simply gets no zone (must-read). `cols` maps the
+    * filter's logical names to this file's physical names.
+    */
+  private def blockEntry(
+      blk: org.apache.parquet.hadoop.metadata.BlockMetaData, rows: Long,
+      cols: Seq[(String, String)]): graft.sources.Snapshots.FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val byPath = blk.getColumns.asScala
+      .map(c => c.getPath.toDotString -> c).toMap
+    var zones = Map.empty[String, (Long, Long)]
+    var szones = Map.empty[String, graft.sources.Snapshots.StrZone]
+    var nulls = Map.empty[String, Long]
+    cols.foreach { case (logical, physical) =>
+      byPath.get(physical).foreach { c =>
+        val st = c.getStatistics
+        if (st != null) {
+          if (st.isNumNullsSet && st.getNumNulls >= 0L)
+            nulls += logical -> st.getNumNulls
+          if (st.hasNonNullValue)
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number)
+                  if !st.genericGetMin.isInstanceOf[java.lang.Double] &&
+                    !st.genericGetMin.isInstanceOf[java.lang.Float] =>
+                zones += logical -> (mn.longValue(), mx.longValue())
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+                val b64 = java.util.Base64.getEncoder
+                szones += logical -> graft.sources.Snapshots.StrZone(
+                  b64.encodeToString(mn.getBytes), true,
+                  b64.encodeToString(mx.getBytes), true)
+              case _ => ()
+            }
+        }
+      }
+    }
+    graft.sources.Snapshots.FileEntry("<rowgroup>", Some(rows), None,
+      None, zones, szones, nulls)
   }
 
   /** The iterator contract `PartitionReader` needs, file-closeable. */
