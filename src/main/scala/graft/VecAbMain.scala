@@ -57,17 +57,35 @@ object VecAbMain {
       def time(body: => Unit): Double = {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }
+      // FILTERED wide scan (a ~10% slice pushed into the scan): the
+      // vectorized path takes it through a parquet FilterPredicate
+      // (row-group + page skipping), the row path through its own
+      // block-stat group skipping — both end-to-end row-exact
+      def scanFiltered(vectorize: Boolean): Unit =
+        spark.read.format("graft").option("path", root)
+          .option("vectorize", vectorize.toString).load()
+          .where(col("k") >= rows / 2 && col("k") < rows / 2 + rows / 10)
+          .agg(count(lit(1)), sum(col("a")), sum(col("x")),
+            sum(length(col("u"))))
+          .write.format("noop").mode("overwrite").save()
       scan(true); scan(false) // warm both paths
+      scanFiltered(true); scanFiltered(false)
       val (vec, row) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
+      val (vecF, rowF) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
       (0 until runs).foreach { i =>
         vec(i) = time(scan(true))
         row(i) = time(scan(false))
+        vecF(i) = time(scanFiltered(true))
+        rowF(i) = time(scanFiltered(false))
       }
       def med(a: Array[Double]): Double = a.sorted.apply(a.length / 2)
       println(f"""{"metric":"vec_ab","rows":$rows,"cols":10,""" +
         f""""vectorized_sec":${med(vec)}%.3f,""" +
         f""""row_reader_sec":${med(row)}%.3f,""" +
-        f""""speedup":${med(row) / med(vec)}%.2f}""")
+        f""""speedup":${med(row) / med(vec)}%.2f,""" +
+        f""""filtered_vectorized_sec":${med(vecF)}%.3f,""" +
+        f""""filtered_row_sec":${med(rowF)}%.3f,""" +
+        f""""filtered_speedup":${med(rowF) / med(vecF)}%.2f}""")
     } finally {
       graft.sources.LakeFs.deleteRecursively(d.toString)
       ()

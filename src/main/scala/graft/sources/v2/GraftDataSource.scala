@@ -357,6 +357,18 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
         Some((org.apache.spark.sql.types.StructField("count(*)",
           org.apache.spark.sql.types.LongType, nullable = false),
           totalRows: Any))
+      // COUNT(col) = rows − nulls, both commit-time exact — answerable
+      // from the manifest alone when EVERY live file stamps the
+      // column's null count (the `n:` stats written since they were
+      // introduced; any unstamped file refuses the whole aggregate)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).flatMap { f =>
+          if (!live.forall(e => e.nulls.contains(f.name))) None
+          else Some((org.apache.spark.sql.types.StructField(
+            s"count(${f.name})", org.apache.spark.sql.types.LongType,
+            nullable = false),
+            live.map(e => e.rows.get - e.nulls(f.name)).sum: Any))
+        }
       case mn: Min => fieldOf(mn.column).flatMap(f => extremes(f).map(x =>
         (f.copy(name = s"min(${f.name})", nullable = true), x._1)))
       case mx: Max => fieldOf(mx.column).flatMap(f => extremes(f).map(x =>
@@ -898,15 +910,16 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
     //  - no live delete sidecars (positions need record ordinals),
     //  - no rename/widen maps (the vectorized reader reads the file's
     //    own schema verbatim),
-    //  - no pushed filters (the row path's row-group skipping would be
-    //    lost; filtered scans keep it),
     //  - no metadata columns, scalar columns only, a non-empty
     //    projection (the zero-column COUNT answers from metadata), and
     //  - ONE physical schema across the selection (uniform `fp=`
     //    commit-time fingerprints — the table schema IS the file
     //    schema, so every projected column exists in every file).
+    // Pushed filters are NOT a complication: they translate to parquet
+    // FilterPredicates inside the columnar reader (row-group + page
+    // skipping), and the residual re-evaluates above the scan.
     val vectorized = vectorize && m.dvNames.isEmpty && !m.hasMappings &&
-      pushed.isEmpty && required.nonEmpty &&
+      required.nonEmpty &&
       required.fields.forall(f => !GraftMetaColumns.isMeta(f.name) &&
         (f.dataType match {
           case _: org.apache.spark.sql.types.ArrayType |
@@ -1010,6 +1023,30 @@ class GraftReaderFactory() extends PartitionReaderFactory {
     defaultKey("spark.sql.legacy.parquet.nanosAsLong", "false")
     defaultKey("spark.sql.caseSensitive", "false")
     val path = new org.apache.hadoop.fs.Path(p.path)
+    // pushed filters ride into the vectorized read as parquet
+    // FilterPredicates (Spark's own translation bound against THIS
+    // file's physical schema): parquet-mr then skips row groups by
+    // block statistics and pages by column index — position safety is
+    // free here because this path never carries delete vectors or
+    // `_pos` columns, and Spark re-evaluates the residual filter above
+    // the scan either way. An untranslatable filter simply doesn't
+    // push (conservative).
+    if (p.pushed.nonEmpty) {
+      val fileSchema = {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            path, conf))
+        try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+      }
+      val pf = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFilters(fileSchema, true, true, true, true, 10, false,
+          org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+            org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      p.pushed.flatMap(f => pf.createFilter(f))
+        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+        .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(conf, pred))
+    }
     val len = p.bytesHint.getOrElse(
       path.getFileSystem(conf).getFileStatus(path).getLen)
     // the base reader casts to the OLD-API split type

@@ -52,14 +52,16 @@ class Dsv2VectorizedSpec extends AnyFunSuite {
   }
 
   test("complications fall back to the row reader with identical " +
-      "values: pushed filters, sidecars, time-travel maps") {
+      "values: sidecars and mixed schemas (filtered scans vectorize " +
+      "WITH parquet predicate skipping)") {
     val root = freshTable()
-    // pushed filter -> row path (keeps row-group skipping)
+    // pushed filter -> columnar path with a parquet FilterPredicate:
+    // exact values, and only the zone-selected files open at all
     val (nRange, vec1) = vectorizedDelta {
       spark.read.format("graft").option("path", root).load()
         .where(col("k") >= 100 && col("k") < 300).count()
     }
-    assert(vec1 == 0, "filtered scans stay on the row path")
+    assert(vec1 >= 1, "filtered scans vectorize with predicate pushdown")
     assert(nRange == 200L)
     // sidecar -> row path
     Snapshots.deletePositions(spark, root, "k", 0L, 10L)

@@ -121,6 +121,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(n == 9950L)
   }
 
+  test("COUNT(col) answers from manifest row + null-count stats " +
+      "(metadata-only) and refuses when a file lacks the stamp") {
+    val d = java.nio.file.Files.createTempDirectory("graft_cnt").toString
+    val wh = s"$d/w"
+    val cat = "gc" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.t (k BIGINT, tag STRING)
+                 |USING graft TBLPROPERTIES ('stats'='k,tag')"""
+      .stripMargin)
+    spark.sql(s"""INSERT INTO $cat.ns.t
+      |SELECT id, CASE WHEN id % 4 = 0 THEN NULL
+      |  ELSE concat('t', id) END
+      |FROM range(1000)""".stripMargin)
+    val q = spark.sql(s"SELECT count(tag), count(k) FROM $cat.ns.t")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"),
+      "COUNT(col) must push completely into manifest stats")
+    assert(q.head() == org.apache.spark.sql.Row(750L, 1000L))
+    // a column without stamped null counts refuses (v is unstamped)
+    spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN tag TO label")
+    val q2 = spark.sql(s"SELECT count(label) FROM $cat.ns.t")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"),
+      "pending column maps must refuse the metadata aggregate")
+    assert(q2.head().getLong(0) == 750L)
+    graft.sources.LakeFs.deleteRecursively(d)
+  }
+
   test("the scan reports post-pruning statistics from manifest stats " +
       "(AQE's input)") {
     val root = freshTable()
