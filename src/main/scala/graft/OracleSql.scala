@@ -4332,6 +4332,16 @@ object OracleSql {
         |  TRUE AS view_registered
         |FROM win""".stripMargin,
 
+    // mf5: count(*)/count(col) over the null-injected image — the
+    // metadata-only-plan law is an engine-verified boolean
+    "mf5_count_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(event_id) AS BIGINT) AS n_id,
+        |  CAST(count(CASE WHEN event_id % 5 = 0 THEN NULL
+        |    ELSE value END) AS BIGINT) AS n_v,
+        |  TRUE AS metadata_only
+        |FROM events""".stripMargin,
+
     // arr1: after deleting the top half of the id space, the embedding
     // table is the closed-form bottom half; nested decode fidelity and
     // the metadata-drop law are engine-verified booleans

@@ -7753,6 +7753,57 @@ object Queries {
     }
   }
 
+  /** MF5: COUNT(col) as a METADATA-ONLY planner aggregate — the mf4
+    * discipline extended by the commit-time NULL COUNT stats (`n:`
+    * per-column stamps): `SELECT count(*), count(k), count(v)` on a
+    * filterless scan pushes COMPLETELY into the manifest
+    * (`count(col) = rows − nulls`, both exact at commit), planned as
+    * [[graft.sources.v2.GraftMetadataAggScan]] — one driver-computed
+    * row, ZERO files opened. Fixture: events through the catalog with
+    * `value` nulled on every 5th id, stats on both columns. Gates: the
+    * executed plan contains the metadata scan node (no HashAggregate,
+    * no file I/O); values are the closed-form null complement.
+    *
+    * 100 TB lens: `count(col)` is the profiler's null-audit primitive
+    * (P6's distributed cousin); at 10^6 files it is the difference
+    * between a manifest parse and a full-table column scan.
+    */
+  def mf5CountPushdown(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mf5")
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$wh/w")
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.ev (event_id BIGINT, v DOUBLE)
+               |USING graft TBLPROPERTIES ('stats'='event_id,v')"""
+        .stripMargin)
+      t(s, dir, "events").select(col("event_id"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+        .createOrReplaceTempView("graft_mf5_src")
+      s.sql(s"""INSERT INTO $cat.lake.ev
+        |SELECT /*+ REPARTITION_BY_RANGE(4, event_id) */ *
+        |FROM graft_mf5_src""".stripMargin)
+      val q = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |CAST(count(event_id) AS BIGINT) AS n_id,
+        |CAST(count(v) AS BIGINT) AS n_v FROM $cat.lake.ev""".stripMargin)
+      val metaOnly = q.queryExecution.executedPlan.toString
+        .contains("GraftMetadataAggScan")
+      val r = q.collect().head
+      s.range(1).select(
+        lit(r.getLong(0)).as("n_total"),
+        lit(r.getLong(1)).as("n_id"),
+        lit(r.getLong(2)).as("n_v"),
+        lit(metaOnly).as("metadata_only"))
+    } finally {
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
+
   /** ARR1: ARRAY columns through the full DSv2 surface — the
     * embedding-table shape (`array<float>`) served and MUTATED by SQL,
     * which the connector previously refused (primitive-only scan):
@@ -8541,6 +8592,7 @@ object Queries {
     "sql6_sql_update" -> (sql6SqlUpdate _),
     "arr1_dsv2_array_read" -> (arr1DsvArrayRead _),
     "sql7_cdc_catalog" -> (sql7CdcThroughCatalog _),
+    "mf5_count_pushdown" -> (mf5CountPushdown _),
     "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _)
   )
 }

@@ -346,7 +346,10 @@ object StressMain {
       "arr1_dsv2_array_read",
       // sql7 registers the row-tagged change feed as a temp view via
       // CALL and aggregates it in SQL (CDC through the catalog)
-      "sql7_cdc_catalog")
+      "sql7_cdc_catalog",
+      // mf5 answers count(*)/count(col) purely from manifest row +
+      // null-count stats (planner-routed, zero files opened)
+      "mf5_count_pushdown")
     // d7_neardup_components is excluded like d4/d5: its edge generation is
     // the blocked exact all-pairs LABELED BASELINE (quadratic by design);
     // its scale path IS the registry's d7b_components_over_lsh above

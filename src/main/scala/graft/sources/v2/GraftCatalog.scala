@@ -149,14 +149,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableAt(ident, None)
   }
 
-  /** ALTER TABLE — the two metadata-only evolutions the format carries
-    * (`#map:`/`#widen:` manifest lines; zero files touched, the se2
-    * machinery): `RENAME COLUMN` and `ALTER COLUMN ... TYPE` widening
-    * to BIGINT/DOUBLE. Each change is its own manifest commit, so it is
-    * time-travelable and OCC-safe like any write. Anything else
-    * (ADD/DROP COLUMN, nullability, comments) is refused — the table's
-    * schema is its files' union, and a column with no physical file is
-    * not representable.
+  /** ALTER TABLE — the evolutions the format carries: `RENAME COLUMN`
+    * and `ALTER COLUMN ... TYPE` widening to BIGINT/DOUBLE are
+    * metadata-only (`#map:`/`#widen:` manifest lines; zero files
+    * touched, the se2 machinery); `ADD COLUMN` commits one ZERO-ROW
+    * schema-seed file carrying the widened logical schema — the
+    * table's schema is its files' union, so a new column becomes
+    * representable by giving it a (rowless) physical file, and every
+    * existing row reads it as NULL (the Delta ADD COLUMN semantics at
+    * one KB-file of cost). Each change is its own manifest commit, so
+    * it is time-travelable and OCC-safe like any write. DROP COLUMN,
+    * nullability, and comments stay refused.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -191,6 +194,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // planner-routed writes would silently stop stamping zones
           Snapshots.renameInStatsProp(root, from, to)
         }
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft columns are top-level only")
+        val name = a.fieldNames().head
+        require(!logicalCols.contains(name),
+          s"ADD COLUMN: '$name' already exists")
+        require(a.isNullable,
+          "ADD COLUMN must be nullable: existing rows have no value")
+        // fail early on types the parquet writer cannot render
+        GraftParquetSchema.toMessageType(StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, a.dataType()))))
+        logicalCols += name
+        () => {
+          val spark = SparkSession.active
+          val cur = Snapshots.read(spark, root,
+            Snapshots.latestVersion(root)).schema
+          val widened = cur.add(name, a.dataType(), nullable = true)
+          val conf = spark.sessionState.newHadoopConf()
+          val seed = "w_addcol_" + java.util.UUID.randomUUID().toString
+            .replace("-", "").take(12) + ".parquet"
+          val p = s"$root/files/$seed"
+          GraftParquetSchema.newWriter(p, widened, conf).close()
+          val (rows, fp, zones, szones, nulls) =
+            graft.sources.Bucketing.fileStatsEntryConf(p, conf, Seq.empty)
+          Snapshots.commitRowDelta(root,
+            Seq(Snapshots.FileEntry(seed, Some(rows),
+              Some(LakeFs.fileLength(p)), Some(fp), zones, szones,
+              nulls)),
+            Seq.empty, Set.empty)
+          ()
+        }
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
           "graft columns are top-level only")
@@ -205,8 +239,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         () => { Snapshots.widenColumn(root, u.fieldNames().head, target); () }
       case c => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports RENAME COLUMN and type widening " +
-          s"only, got $c")
+        s"graft ALTER TABLE supports ADD COLUMN, RENAME COLUMN, and " +
+          s"type widening only, got $c")
     }
     apply.foreach(_())
     tableAt(ident, None)

@@ -141,8 +141,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     // zero files rewritten — evolution is manifest lines
     val filesAfter = Snapshots.resolve(root, Snapshots.latestVersion(root))
     assert(filesAfter == filesBefore)
+    // still-unsupported shapes refuse (DROP COLUMN)
     intercept[Exception] {
-      sql("ALTER TABLE gtest.ns.t7 ADD COLUMN extra STRING")
+      sql("ALTER TABLE gtest.ns.t7 DROP COLUMN cnt")
     }
   }
 
@@ -211,6 +212,34 @@ class GraftCatalogSpec extends AnyFunSuite {
       == 900L)
     assert(sql("SELECT count(*) FROM gtest.ns.t6 WHERE k >= 100 AND " +
       "k < 200").head().getLong(0) == 0L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: one zero-row schema seed, old rows " +
+      "read NULL, inserts carry it, old versions keep the old schema") {
+    init
+    sql("""CREATE TABLE gtest.ns.tadd (k BIGINT) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.tadd SELECT id FROM range(100)") // v2
+    sql("ALTER TABLE gtest.ns.tadd ADD COLUMN score DOUBLE") // v3
+    assert(sql("SELECT count(*) FROM gtest.ns.tadd " +
+      "WHERE score IS NULL").head().getLong(0) == 100L)
+    sql("INSERT INTO gtest.ns.tadd SELECT id, CAST(id AS DOUBLE) / 2 " +
+      "FROM range(100, 110)")
+    assert(sql("SELECT count(score), sum(score) FROM gtest.ns.tadd")
+      .head() == org.apache.spark.sql.Row(10L, (100 until 110)
+        .map(_ / 2.0).sum))
+    assert(sql("SELECT count(*) FROM gtest.ns.tadd").head()
+      .getLong(0) == 110L)
+    // time travel below the evolution sees the old schema
+    assert(!sql("SELECT * FROM gtest.ns.tadd VERSION AS OF 2")
+      .columns.contains("score"))
+    // duplicates and non-nullable adds refuse without committing
+    val root = s"$warehouse/ns/tadd"
+    val v = Snapshots.latestVersion(root)
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tadd ADD COLUMN k BIGINT")
+    }
+    assert(Snapshots.latestVersion(root) == v)
   }
 
   test("CALL changes registers the row-tagged change feed as a temp " +
