@@ -960,17 +960,30 @@ object Snapshots {
   /** OCC commit of a ROW-LEVEL DELTA (the DSv2 MERGE/UPDATE/row-level
     * DELETE): append executor-written insert entries and reference the
     * per-task position-delete sidecar parts, metadata-only, retrying
-    * against rival appends. CONFLICT CHECK inside the retry loop: every
-    * data file this delta marked positions in must still be referenced
-    * by the latest manifest — a rival rewrite (optimize / COW mutation)
-    * that dropped one has re-homed its rows, and committing the stale
-    * marks would silently UN-delete them; that race throws instead (the
-    * caller re-runs the statement against the new snapshot — the
-    * Delta/Iceberg conflict-validation rule). Returns the new version.
+    * against rival appends. CONFLICT CHECKS inside the retry loop (the
+    * Delta/Iceberg conflict-validation rules — both throw instead of
+    * committing; the caller re-runs the statement against the new
+    * snapshot):
+    *
+    *  1. every data file this delta marked positions in must still be
+    *     referenced by the latest manifest — a rival rewrite (optimize
+    *     / COW mutation) that dropped one has re-homed its rows, and
+    *     committing the stale marks would silently UN-delete them;
+    *  2. no sidecar ADDED since `scannedVersion` (the snapshot this
+    *     statement's scan planned against) may mark positions in the
+    *     files this delta marks — a rival row-level commit touching the
+    *     same files means both statements matched against the same
+    *     pre-image, so letting the second commit would double-apply
+    *     (duplicate post-image rows, lost updates). Checking FILE
+    *     intersection is conservative (position-disjoint writes to the
+    *     same file also refuse) but never wrong.
+    *
+    * Returns the new version.
     */
   private[graft] def commitRowDelta(root: String,
       entries: Seq[FileEntry], sidecarNames: Seq[String],
-      markedFiles: Set[String], maxRetries: Int = 20): Int = {
+      markedFiles: Set[String], scannedVersion: Int,
+      maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
       val v = latestVersion(root)
@@ -982,6 +995,21 @@ object Snapshots {
           s"row-level delta marked positions in ${missing.mkString(", ")} " +
             "which a concurrent rewrite dropped — re-run the statement " +
             "against the new snapshot")
+      if (v != scannedVersion && markedFiles.nonEmpty) {
+        val newDvs = m.dvNames.toSet --
+          manifest(root, scannedVersion).dvNames.toSet
+        if (newDvs.nonEmpty) {
+          val rivalMarked = graft.sources.v2.GraftDvPositions.markedFiles(
+            SparkSession.active, root, newDvs.toSeq.sorted)
+          val clash = rivalMarked & markedFiles
+          if (clash.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"a concurrent row-level commit marked positions in " +
+                s"${clash.mkString(", ")} after this statement's scan " +
+                s"(v$scannedVersion) — re-run the statement against " +
+                "the new snapshot")
+        }
+      }
       try {
         commitManifest(root, v + 1, m.entries ++ entries,
           carryMeta(m) ++ sidecarNames.sorted.map("#dv:" + _),
@@ -1359,11 +1387,15 @@ object Snapshots {
     * silently-partial delete.
     */
   private[graft] def canDeleteWhere(spark: SparkSession, root: String,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Boolean = {
     val v = latestVersion(root)
     if (v < 1) return false
     if (manifest(root, v).hasMappings) return false
-    val schema = read(spark, root, v).schema
+    // the caller's already-resolved logical schema (the DSv2 table's)
+    // avoids plan-time footer I/O; the fallback builds the read frame
+    val schema = schemaHint.getOrElse(read(spark, root, v).schema)
     filters.flatMap(filterColumns).forall(c =>
       schema.fields.exists(f => f.name == c &&
         deletableTypes.contains(f.dataType)))

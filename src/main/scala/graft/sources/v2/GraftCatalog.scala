@@ -222,7 +222,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             Seq(Snapshots.FileEntry(seed, Some(rows),
               Some(LakeFs.fileLength(p)), Some(fp), zones, szones,
               nulls)),
-            Seq.empty, Set.empty)
+            Seq.empty, Set.empty,
+            scannedVersion = Snapshots.latestVersion(root))
           ()
         }
       case u: TableChange.UpdateColumnType =>

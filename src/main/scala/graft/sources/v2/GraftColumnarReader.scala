@@ -1,0 +1,300 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+
+/** COLUMNAR partition reader over Spark's `VectorizedParquetRecordReader`
+  * — the full-surface fast path: unlike the r17 clean-scan-only columnar
+  * reader, this one serves EVERY batch scan shape the row reader serves,
+  * so the first MERGE / GDPR erasure / ALTER no longer de-vectorizes the
+  * table (the Delta DV-read discipline):
+  *
+  *  - POSITION-DELETE SIDECARS apply as a SELECTION over batch row
+  *    indexes: the requested schema carries Spark's row-index temporary
+  *    column (`_tmp_metadata_row_index`), which the vectorized reader
+  *    fills with exact FILE ORDINALS even when a pushed FilterPredicate
+  *    skips row groups — precisely the position space the sidecars mark.
+  *    Batches with no marked row pass through untouched (zero overhead
+  *    after the marks' neighborhoods); batches with marks re-expose the
+  *    reader's vectors through [[SelectedColumnVector]] (an index
+  *    indirection, still columnar — no row materialization, no copy).
+  *  - PER-FILE SCHEMA ADAPTATION replaces the r17 whole-scan uniform-
+  *    fingerprint refusal: a column ABSENT from this file (ADD COLUMN
+  *    history) is simply requested and null-filled by Spark's reader; a
+  *    RENAMED column resolves through the rename chain to this file's
+  *    physical name; a WIDENED column is requested at its target type
+  *    and Spark's updaters widen INT32→long / FLOAT→double in the batch.
+  *  - METADATA COLUMNS serve columnar too: `_file` is a per-partition
+  *    `ConstantColumnVector`, `_pos` IS the row-index vector — so
+  *    MERGE/UPDATE row-level scans (which read the whole table plus row
+  *    identity) ride the vectorized reader.
+  *  - PUSHED FILTERS translate to parquet `FilterPredicate`s bound
+  *    against THIS file's physical schema (names remapped through the
+  *    rename chain; `ParquetFilters` itself refuses value/physical-type
+  *    mismatches such as an out-of-int-range long on a pre-widen INT32
+  *    column — the residual above the scan re-evaluates either way).
+  *
+  * Row-position safety is the load-bearing invariant: `_pos` and the dv
+  * selection both come from the reader's own row-index generator, which
+  * derives them from the page-store's row-index offsets — exact under
+  * row-group skipping, page skipping, and any future reader reordering;
+  * never reconstructed by counting rows.
+  */
+class GraftColumnarReader(p: GraftInputPartition)
+    extends PartitionReader[ColumnarBatch] {
+  import GraftColumnarReader._
+
+  private val conf: Configuration = {
+    val c = new Configuration(false)
+    p.confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val path = new org.apache.hadoop.fs.Path(p.path)
+
+  // this file's deleted positions (sorted ordinals), executor-resolved
+  private val dv: Array[Long] =
+    GraftDvPositions.forFile(conf, p.tableRoot, p.dvNames, p.fileName)
+
+  private val dataFields: Array[StructField] =
+    p.required.fields.filter(f => !GraftMetaColumns.isMeta(f.name))
+  private val posRequested: Boolean =
+    p.required.fields.exists(_.name == GraftMetaColumns.Pos)
+  private val needPos: Boolean = dv.nonEmpty || posRequested
+
+  // the file footer decides physical names (rename chain) and binds
+  // filter predicates; opened only when either is in play
+  private val fileSchema: Option[org.apache.parquet.schema.MessageType] =
+    if (p.maps.nonEmpty || p.pushed.nonEmpty) {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      try Some(rd.getFooter.getFileMetaData.getSchema) finally rd.close()
+    } else None
+  private val fileFieldNames: Set[String] = fileSchema match {
+    case Some(fs) =>
+      import scala.jdk.CollectionConverters._
+      fs.getFields.asScala.map(_.getName).toSet
+    case None => Set.empty
+  }
+
+  /** This file's physical name for a logical column — the newest name
+    * in the rename chain the footer actually holds; the logical name
+    * itself when no maps ride the scan (no footer read) or nothing
+    * matches (column absent: Spark's reader null-fills it).
+    */
+  private def physName(logical: String): String =
+    if (p.maps.isEmpty) logical
+    else ParquetRowReader.physicalCandidates(logical, p.maps)
+      .find(fileFieldNames.contains).getOrElse(logical)
+
+  /** Rewrite a pushed filter's column references to this file's
+    * physical names. Unknown filter shapes pass through untouched —
+    * `ParquetFilters` refuses names it cannot bind, so a stale logical
+    * reference can only cost pruning, never correctness.
+    */
+  private def remapFilter(f: sources.Filter): sources.Filter = f match {
+    case sources.EqualTo(c, v) => sources.EqualTo(physName(c), v)
+    case sources.GreaterThan(c, v) => sources.GreaterThan(physName(c), v)
+    case sources.GreaterThanOrEqual(c, v) =>
+      sources.GreaterThanOrEqual(physName(c), v)
+    case sources.LessThan(c, v) => sources.LessThan(physName(c), v)
+    case sources.LessThanOrEqual(c, v) =>
+      sources.LessThanOrEqual(physName(c), v)
+    case sources.In(c, vs) => sources.In(physName(c), vs)
+    case sources.IsNull(c) => sources.IsNull(physName(c))
+    case sources.IsNotNull(c) => sources.IsNotNull(physName(c))
+    case sources.And(l, r) => sources.And(remapFilter(l), remapFilter(r))
+    case sources.Or(l, r) => sources.Or(remapFilter(l), remapFilter(r))
+    case sources.Not(x) => sources.Not(remapFilter(x))
+    case other => other
+  }
+
+  private val vr: org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader = {
+    // requested catalyst schema: data columns under this file's PHYSICAL
+    // names at their TARGET types (absent -> null vectors, narrower
+    // physical -> widening updaters), plus the row-index temp column
+    // when positions are needed (dv selection or `_pos` output)
+    val requested = StructType(
+      dataFields.toSeq.map(f =>
+        StructField(physName(f.name), f.dataType, nullable = true)) ++
+        (if (needPos) Seq(StructField(RowIdxName, LongType, nullable = true))
+         else Seq.empty))
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      requested.json)
+    conf.set("parquet.read.support.class",
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    // the schema converter reads these with NO default (Spark's own
+    // parquet source always stamps them before use); honor any session
+    // override already present in the shipped conf
+    def defaultKey(k: String, v: String): Unit =
+      if (conf.get(k) == null) conf.set(k, v)
+    defaultKey("spark.sql.parquet.binaryAsString", "false")
+    defaultKey("spark.sql.parquet.int96AsTimestamp", "true")
+    defaultKey("spark.sql.parquet.fieldId.read.enabled", "false")
+    defaultKey("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    defaultKey("spark.sql.legacy.parquet.nanosAsLong", "false")
+    defaultKey("spark.sql.caseSensitive", "false")
+    // pushed filters ride in as parquet FilterPredicates bound against
+    // THIS file's physical schema: row groups skip by block statistics,
+    // pages by column index — safe WITH delete vectors because row
+    // positions come from the row-index generator, not running counts
+    fileSchema.filter(_ => p.pushed.nonEmpty).foreach { fs =>
+      val pf = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFilters(fs, true, true, true, true, 10, false,
+          org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+            org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      p.pushed.flatMap(f => pf.createFilter(remapFilter(f)))
+        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+        .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(conf, pred))
+    }
+    val len = p.bytesHint.getOrElse(
+      path.getFileSystem(conf).getFileStatus(path).getLen)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    // graft-written files are Spark-4-era parquet: no legacy calendar
+    // rebase (CORRECTED), INT96 read as-is, session-neutral
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
+        "CORRECTED", "UTC", false, Capacity)
+    reader.initialize(split, ctx)
+    reader.initBatch(new StructType(),
+      org.apache.spark.sql.catalyst.InternalRow.empty)
+    reader.enableReturningBatches()
+    reader
+  }
+
+  // output assembly — built once from the reader's (reused) vectors:
+  // `outFull` re-exposes them in required order (plus constants);
+  // `outSel` wraps each in a SelectedColumnVector over the shared
+  // selection buffer. The reader reuses its batch vectors across
+  // nextKeyValue() calls, so one wiring serves every batch.
+  private val selBuf = new Array[Int](Capacity)
+  private var outFull: ColumnarBatch = _
+  private var outSel: ColumnarBatch = _
+  private var posVec: ColumnVector = _
+  private var current: ColumnarBatch = _
+  private var dvIdx = 0
+
+  private def initOut(inner: ColumnarBatch): Unit = {
+    if (needPos) posVec = inner.column(dataFields.length)
+    val fileConst = {
+      val c = new org.apache.spark.sql.execution.vectorized
+        .ConstantColumnVector(Capacity, StringType)
+      c.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+        .fromString(p.fileName))
+      c
+    }
+    var dataIdx = -1
+    val vecs: Array[ColumnVector] = p.required.fields.map { f =>
+      if (f.name == GraftMetaColumns.File) fileConst: ColumnVector
+      else if (f.name == GraftMetaColumns.Pos) posVec
+      else { dataIdx += 1; inner.column(dataIdx) }
+    }
+    outFull = new ColumnarBatch(vecs, 0)
+    if (dv.nonEmpty)
+      outSel = new ColumnarBatch(vecs.map {
+        case c: org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector => c: ColumnVector
+        case v => new SelectedColumnVector(v, selBuf)
+      }, 0)
+  }
+
+  override def next(): Boolean = {
+    while (vr.nextKeyValue()) {
+      val inner = vr.getCurrentValue
+        .asInstanceOf[ColumnarBatch]
+      if (outFull == null) initOut(inner)
+      val n = inner.numRows()
+      if (n > 0) {
+        if (dv.isEmpty) {
+          outFull.setNumRows(n)
+          current = outFull
+          return true
+        }
+        // sorted-merge the batch's row indexes (ascending file ordinals)
+        // against the sorted mark list: O(1) amortized per row
+        var selLen = 0
+        var i = 0
+        while (i < n) {
+          val pos = posVec.getLong(i)
+          while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+          if (!(dvIdx < dv.length && dv(dvIdx) == pos)) {
+            selBuf(selLen) = i
+            selLen += 1
+          }
+          i += 1
+        }
+        if (selLen == n) {
+          outFull.setNumRows(n)
+          current = outFull
+          return true
+        } else if (selLen > 0) {
+          GraftVectorizedAudit.selectedBatches.incrementAndGet()
+          outSel.setNumRows(selLen)
+          current = outSel
+          return true
+        }
+        // every row of the batch is dv-dead: fall through to the next
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = vr.close()
+}
+
+object GraftColumnarReader {
+  /** Batch capacity — Spark's vectorized-reader default. */
+  val Capacity = 4096
+  /** Spark's row-index temporary column: a requested column of this
+    * name is filled by the vectorized reader with each row's FILE
+    * ordinal from the page-store row-index offsets (exact under
+    * row-group/page skipping) — the position space delete sidecars and
+    * `_pos` speak.
+    */
+  val RowIdxName: String = org.apache.spark.sql.execution.datasources
+    .parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+}
+
+/** A columnar vector viewed through a row-selection: logical row `i`
+  * reads the base vector's row `sel(i)` — how position-deleted rows
+  * vanish from a `ColumnarBatch` without materializing rows or copying
+  * vector data (the batch stays columnar through `ColumnarToRow`
+  * codegen). The selection buffer is SHARED with the reader, which
+  * rewrites it per batch; `numNulls` reports the base vector's count
+  * (an upper bound — only advisory consumers read it).
+  */
+final class SelectedColumnVector(base: ColumnVector, sel: Array[Int])
+  extends ColumnVector(base.dataType) {
+  // lifecycle is owned by the wrapping reader (the base vectors are the
+  // parquet reader's own, closed by it)
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = base.numNulls
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getChild(ordinal: Int): ColumnVector = base.getChild(ordinal)
+}

@@ -166,7 +166,8 @@ class GraftTable(root: String, version: Int, tableSchema: StructType,
     if (versionPinned) return false // never rewrite history
     val fs = predicates.map(GraftZonePrune.fromV2Strict)
     fs.forall(_.nonEmpty) && Snapshots.canDeleteWhere(
-      SparkSession.active, root, fs.toSeq.flatten)
+      SparkSession.active, root, fs.toSeq.flatten,
+      schemaHint = Some(tableSchema))
   }
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -905,30 +906,31 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
       .map(e => e.getKey -> e.getValue).toMap
     auditId.foreach(id =>
       GraftScanAudit.planned.put(id, selected.map(_.name)))
-    // COLUMNAR fast path (Spark's vectorized parquet reader) when every
-    // complication that needs the row-at-a-time reader is absent:
-    //  - no live delete sidecars (positions need record ordinals),
-    //  - no rename/widen maps (the vectorized reader reads the file's
-    //    own schema verbatim),
-    //  - no metadata columns, scalar columns only, a non-empty
-    //    projection (the zero-column COUNT answers from metadata), and
-    //  - ONE physical schema across the selection (uniform `fp=`
-    //    commit-time fingerprints — the table schema IS the file
-    //    schema, so every projected column exists in every file).
-    // Pushed filters are NOT a complication: they translate to parquet
-    // FilterPredicates inside the columnar reader (row-group + page
-    // skipping), and the residual re-evaluates above the scan.
-    val vectorized = vectorize && m.dvNames.isEmpty && !m.hasMappings &&
-      required.nonEmpty &&
-      required.fields.forall(f => !GraftMetaColumns.isMeta(f.name) &&
+    // COLUMNAR path (Spark's vectorized parquet reader) — the DEFAULT
+    // for every batch scan shape ([[GraftColumnarReader]]): delete
+    // sidecars apply as a row-index selection, rename/widen maps and
+    // mixed file schemas adapt PER FILE, `_file`/`_pos` metadata
+    // columns serve as constant/row-index vectors, and pushed filters
+    // translate to parquet FilterPredicates (the residual re-evaluates
+    // above the scan). The row reader remains only for projections
+    // with no data column at all (pure-count / pure-position reads,
+    // which answer from footer metadata without decoding a page) and
+    // explicit `vectorize=false`.
+    val dataFields = required.fields.filterNot(f =>
+      GraftMetaColumns.isMeta(f.name))
+    val vectorized = vectorize && dataFields.nonEmpty &&
+      dataFields.forall(f => f.name != GraftColumnarReader.RowIdxName &&
         (f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType |
+          case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: StructType => false
+            case _ => true
+          }
+          case _: org.apache.spark.sql.types.MapType |
                _: StructType => false
           case _ => true
-        })) &&
-      selected.nonEmpty && selected.forall(_.fp.nonEmpty) &&
-      selected.map(_.fp).distinct.size == 1
+        }))
     // sidecar NAMES ride the partitions; each reader resolves its own
     // file's positions executor-side ([[GraftDvPositions]]) — the
     // driver never materializes a position
@@ -1002,75 +1004,8 @@ class GraftReaderFactory() extends PartitionReaderFactory {
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     p.auditId.foreach(id => GraftScanAudit.record(id, p.fileName))
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    p.confEntries.foreach { case (k, v) => conf.set(k, v) }
-    // the catalyst projection ParquetReadSupport clips the file schema
-    // to (the same key Spark's own parquet source sets)
-    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      p.required.json)
-    conf.set("parquet.read.support.class",
-      classOf[org.apache.spark.sql.execution.datasources.parquet
-        .ParquetReadSupport].getName)
-    // the schema converter reads these with NO default (Spark's own
-    // parquet source always stamps them before use); honor any session
-    // override already present in the shipped conf
-    def defaultKey(k: String, v: String): Unit =
-      if (conf.get(k) == null) conf.set(k, v)
-    defaultKey("spark.sql.parquet.binaryAsString", "false")
-    defaultKey("spark.sql.parquet.int96AsTimestamp", "true")
-    defaultKey("spark.sql.parquet.fieldId.read.enabled", "false")
-    defaultKey("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    defaultKey("spark.sql.legacy.parquet.nanosAsLong", "false")
-    defaultKey("spark.sql.caseSensitive", "false")
-    val path = new org.apache.hadoop.fs.Path(p.path)
-    // pushed filters ride into the vectorized read as parquet
-    // FilterPredicates (Spark's own translation bound against THIS
-    // file's physical schema): parquet-mr then skips row groups by
-    // block statistics and pages by column index — position safety is
-    // free here because this path never carries delete vectors or
-    // `_pos` columns, and Spark re-evaluates the residual filter above
-    // the scan either way. An untranslatable filter simply doesn't
-    // push (conservative).
-    if (p.pushed.nonEmpty) {
-      val fileSchema = {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            path, conf))
-        try rd.getFooter.getFileMetaData.getSchema finally rd.close()
-      }
-      val pf = new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetFilters(fileSchema, true, true, true, true, 10, false,
-          org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
-            org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
-      p.pushed.flatMap(f => pf.createFilter(f))
-        .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
-        .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
-          .setFilterPredicate(conf, pred))
-    }
-    val len = p.bytesHint.getOrElse(
-      path.getFileSystem(conf).getFileStatus(path).getLen)
-    // the base reader casts to the OLD-API split type
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      path, 0, len, Array.empty[String])
-    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
-    // graft-written files are Spark-4-era parquet: no legacy calendar
-    // rebase (CORRECTED), INT96 read as-is, session-neutral
-    val vr = new org.apache.spark.sql.execution.datasources.parquet
-      .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
-        "CORRECTED", "UTC", false, 4096)
-    vr.initialize(split, ctx)
-    vr.initBatch(new StructType(),
-      org.apache.spark.sql.catalyst.InternalRow.empty)
-    vr.enableReturningBatches()
     GraftVectorizedAudit.batches.incrementAndGet()
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = vr.nextKeyValue()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        vr.getCurrentValue.asInstanceOf[
-          org.apache.spark.sql.vectorized.ColumnarBatch]
-      override def close(): Unit = vr.close()
-    }
+    new GraftColumnarReader(p)
   }
 
   override def createReader(partition: InputPartition)
@@ -1129,12 +1064,15 @@ class GraftReaderFactory() extends PartitionReaderFactory {
   }
 }
 
-/** LOCAL-MODE test hook: how many partitions opened the COLUMNAR
-  * (vectorized) reader — the A/B evidence that a scan actually took
-  * the fast path.
+/** LOCAL-MODE test hooks: `batches` counts partitions that opened the
+  * COLUMNAR (vectorized) reader — the A/B evidence that a scan actually
+  * took the fast path; `selectedBatches` counts batches that applied a
+  * delete-vector row selection ([[SelectedColumnVector]]) — the
+  * evidence that a MoR scan stayed columnar THROUGH its sidecars.
   */
 object GraftVectorizedAudit {
   val batches = new java.util.concurrent.atomic.AtomicLong
+  val selectedBatches = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** LOCAL-MODE test hook: the outcome of the last SQL DELETE per table
@@ -1144,11 +1082,24 @@ object GraftVectorizedAudit {
   * path).
   */
 object GraftDeleteAudit {
+  /** Retention bound: a long-lived session touching many table roots
+    * keeps only the most recent ones (insertion-ordered eviction) —
+    * the hook is per-root "last delete" introspection, not a log.
+    */
+  private val MaxRoots = 64
+  private val order = new java.util.concurrent
+    .ConcurrentLinkedQueue[String]()
   private val last: scala.collection.concurrent
       .TrieMap[String, Snapshots.SqlDeleteResult] =
     scala.collection.concurrent.TrieMap.empty
   def record(root: String, r: Snapshots.SqlDeleteResult): Unit = {
-    last.put(root, r)
+    if (last.put(root, r).isEmpty) {
+      order.add(root)
+      while (last.size > MaxRoots) {
+        val oldest = order.poll()
+        if (oldest != null) last.remove(oldest) else last.clear()
+      }
+    }
     ()
   }
   def lastResult(root: String): Option[Snapshots.SqlDeleteResult] =

@@ -19,20 +19,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (data file, record ordinal), exactly the position space the MoR
   *    delete sidecars already speak;
   *  - Spark joins target and source, computes the delta, and feeds
-  *    each task's [[GraftDeltaWriter]]: DELETEs append `(file, pos)`
-  *    rows to a per-task position-delete SIDECAR part, INSERTs stream
-  *    into fresh data files (updates arrive as delete+insert —
+  *    each task's [[GraftDeltaWriter]]: DELETEs buffer per-target-file
+  *    position lists and land as a PARTITIONED sidecar directory
+  *    (`file=<dataFile>/part-*.parquet`), INSERTs stream into fresh
+  *    data files (updates arrive as delete+insert —
   *    `representUpdateAsDeleteAndInsert`), both written EXECUTOR-side
   *    straight into the store (no driver data movement, no
-  *    `coalesce(1)` funnel: N tasks write N sidecar parts);
+  *    `coalesce(1)` funnel);
+  *  - the DELTA IS REBALANCED before the writers
+  *    (`RequiresDistributionAndOrdering`: clustered by `_file` with an
+  *    advisory partition size): under AQE a 100-row MERGE coalesces to
+  *    ONE writer (one data file + one sidecar part, not one per task
+  *    slot), a huge delta splits by size — and each target file's marks
+  *    land in few tasks, so readers open few parts per file;
   *  - the driver commit is METADATA-ONLY: one manifest version
   *    appending the insert entries and one `#dv:` line per sidecar
   *    part ([[graft.sources.Snapshots.commitRowDelta]]), OCC-retried —
-  *    with a CONFLICT CHECK: if a rival rewrite (optimize/COW) dropped
-  *    any file this delta marked positions in, the marks would dangle
-  *    against the rewritten rows, so the commit REFUSES instead of
-  *    silently un-deleting (the Delta/Iceberg conflict-validation
-  *    rule).
+  *    with BOTH Delta/Iceberg conflict checks: a rival rewrite
+  *    (optimize/COW) that DROPPED a marked file refuses (stale marks
+  *    would un-delete its re-homed rows), and a rival ROW-LEVEL commit
+  *    that marked positions in the same files since this statement's
+  *    scanned snapshot refuses too (two MERGEs planned against the same
+  *    snapshot would otherwise both commit — duplicate post-image rows,
+  *    lost updates).
   *
   * Disjointness holds by construction: the scan serves LIVE rows only
   * (existing sidecars applied inside the readers), so a newly marked
@@ -68,9 +77,11 @@ class GraftRowLevelOperation(root: String, version: Int,
   override def newWriteBuilder(info: LogicalWriteInfo)
       : DeltaWriteBuilder = new DeltaWriteBuilder {
     override def build(): DeltaWrite =
-      new GraftDeltaWrite(root, info.schema(),
+      new GraftDeltaWrite(root, version, info.schema(),
         writeDefaults.get("statsCols").toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        writeDefaults.get("deltaAdvisoryBytes").map(_.toLong)
+          .getOrElse(64L * 1024 * 1024))
   }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -82,8 +93,42 @@ class GraftRowLevelOperation(root: String, version: Int,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 }
 
-class GraftDeltaWrite(root: String, rowSchema: StructType,
-    statsCols: Seq[String]) extends DeltaWrite {
+/** `scannedVersion` is the snapshot the row-level scan planned against —
+  * the base of the commit-time conflict window.
+  */
+class GraftDeltaWrite(root: String, scannedVersion: Int,
+    rowSchema: StructType, statsCols: Seq[String],
+    advisoryBytes: Long) extends DeltaWrite
+  with RequiresDistributionAndOrdering {
+
+  /** Cluster the delta by target file, size-bounded: with an advisory
+    * size this plans as a `RebalancePartitions` — AQE coalesces a small
+    * delta into one writer (the small-file guard) and SPLITS an
+    * oversized bucket (a huge single-file erasure, or the null-`_file`
+    * insert bucket of an insert-heavy MERGE), so the guard never caps
+    * write parallelism.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftMetaColumns.File)))
+  override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
+  override def requiredNumPartitions(): Int = 0
+  /** Sort each writer's slice by (_file, _pos): a file's marks arrive
+    * contiguous and ascending, so sidecar parts write sequentially and
+    * encode tightly.
+    */
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector
+      .expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions._
+    Array(
+      Expressions.sort(Expressions.column(GraftMetaColumns.File),
+        SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column(GraftMetaColumns.Pos),
+        SortDirection.ASCENDING))
+  }
+
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : DeltaWriterFactory = {
@@ -102,7 +147,8 @@ class GraftDeltaWrite(root: String, rowSchema: StructType,
       val sidecars = ms.flatMap(_.sidecar)
       val marked = ms.flatMap(_.markedFiles).toSet
       if (entries.nonEmpty || sidecars.nonEmpty) {
-        Snapshots.commitRowDelta(root, entries, sidecars, marked)
+        Snapshots.commitRowDelta(root, entries, sidecars, marked,
+          scannedVersion = scannedVersion)
         ()
       }
     }
@@ -110,7 +156,8 @@ class GraftDeltaWrite(root: String, rowSchema: StructType,
       messages.foreach {
         case m: GraftDeltaCommitMessage =>
           m.entry.foreach(_ => LakeFs.delete(m.dataPath))
-          m.sidecar.foreach(n => LakeFs.delete(s"$root/_deletes/$n"))
+          m.sidecar.foreach(n =>
+            LakeFs.deleteRecursively(s"$root/_deletes/$n"))
         case _ => ()
       }
   }
@@ -133,12 +180,18 @@ case class GraftDeltaWriterFactory(root: String, rowSchema: StructType,
       : DeltaWriter[InternalRow] =
     new GraftDeltaWriter(root, rowSchema, statsCols,
       s"w_rl_${jobId}_p${partitionId}_a$taskId.parquet",
-      s"dv_rl_${jobId}_p${partitionId}_a$taskId.parquet", confEntries)
+      s"dv_rl_${jobId}_p${partitionId}_a$taskId", confEntries)
 }
 
 /** Executor task writer for one delta partition: inserts stream into a
   * (lazily created) data file via the shared parquet writer path;
-  * deletes stream into a (lazily created) `(file, pos)` sidecar part.
+  * deletes buffer per TARGET FILE and land as a PARTITIONED sidecar
+  * directory (`<dvName>/file=<dataFile>/part-<k>.parquet`, positions
+  * only) — the layout [[GraftDvPositions.forFile]] resolves with an
+  * existence probe + a scan of exactly one file's marks, so scan-side
+  * read amplification is O(own marks), not O(all tasks' marks).
+  * Buffers flush at [[GraftDeltaWriter.FlushMarks]] positions per file,
+  * bounding task memory under pathological single-file erasures.
   * Zero-insert / zero-delete tasks leave no file behind.
   */
 class GraftDeltaWriter(root: String, rowSchema: StructType,
@@ -151,7 +204,7 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
     c
   }
   private val dataPath = s"$root/files/$dataName"
-  private val dvPath = s"$root/_deletes/$dvName"
+  private val dvDir = s"$root/_deletes/$dvName"
 
   // insert side — created on first insert (a delete-only task must not
   // write an empty data file; DELETE commands may carry no row schema
@@ -164,19 +217,20 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   private lazy val appenders = GraftParquetSchema.appenders(rowSchema)
   private var inserted = 0L
 
-  // delete side — created on first delete
-  private val dvSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("file",
-      org.apache.spark.sql.types.StringType, nullable = false),
+  // delete side — per-target-file position buffers, flushed as
+  // pos-only parquet parts under the partitioned layout
+  private val posSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
-  private var dvWriter: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
-  private lazy val dvFactory =
+  private lazy val posFactory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(
-      GraftParquetSchema.toMessageType(dvSchema))
+      GraftParquetSchema.toMessageType(posSchema))
+  private val dvBuf =
+    scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+  private val dvParts = scala.collection.mutable.Map[String, Int]()
   private var marks = 0L
-  private val markedFiles = scala.collection.mutable.Set[String]()
+  private var wroteSidecar = false
 
   override def insert(row: InternalRow): Unit = {
     if (dataWriter == null)
@@ -193,15 +247,34 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
 
   /** `id` is the rowId projection in declared order: (_file, _pos). */
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-    if (dvWriter == null)
-      dvWriter = GraftParquetSchema.newWriter(dvPath, dvSchema, conf)
     val file = id.getUTF8String(0).toString
-    val g = dvFactory.newGroup()
-    g.add(0, org.apache.parquet.io.api.Binary.fromString(file))
-    g.add(1, id.getLong(1))
-    dvWriter.write(g)
-    markedFiles += file
+    val buf = dvBuf.getOrElseUpdate(file,
+      scala.collection.mutable.ArrayBuffer[Long]())
+    buf += id.getLong(1)
     marks += 1
+    if (buf.length >= GraftDeltaWriter.FlushMarks) flushFile(file, buf)
+  }
+
+  private def flushFile(file: String,
+      buf: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    if (buf.isEmpty) return
+    val part = dvParts.getOrElse(file, 0)
+    dvParts(file) = part + 1
+    val path = s"$dvDir/file=$file/part-$part.parquet"
+    val w = GraftParquetSchema.newWriter(path, posSchema, conf)
+    try {
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      var i = 0
+      while (i < sorted.length) {
+        val g = posFactory.newGroup()
+        g.add(0, sorted(i))
+        w.write(g)
+        i += 1
+      }
+    } finally w.close()
+    wroteSidecar = true
+    buf.clear()
   }
 
   override def update(metadata: InternalRow, id: InternalRow,
@@ -210,6 +283,7 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
       "graft represents UPDATE as delete+insert")
 
   override def commit(): WriterCommitMessage = {
+    dvBuf.foreach { case (f, b) => flushFile(f, b) }
     closeAll()
     val entry =
       if (inserted == 0L) {
@@ -222,19 +296,15 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
           Some(LakeFs.fileLength(dataPath)), Some(fp), zones, szones,
           nulls))
       }
-    val sidecar =
-      if (marks == 0L) {
-        if (dvWriter != null) LakeFs.delete(dvPath)
-        None
-      } else Some(dvName)
+    val sidecar = if (wroteSidecar) Some(dvName) else None
     GraftDeltaCommitMessage(entry, dataPath, sidecar, marks,
-      markedFiles.toSet)
+      dvBuf.keySet.toSet ++ dvParts.keySet)
   }
 
   override def abort(): Unit = {
     closeAll()
     if (dataWriter != null) LakeFs.delete(dataPath)
-    if (dvWriter != null) LakeFs.delete(dvPath)
+    if (wroteSidecar) LakeFs.deleteRecursively(dvDir)
     ()
   }
 
@@ -244,6 +314,13 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   private def closeAll(): Unit = if (!closed) {
     closed = true
     if (dataWriter != null) dataWriter.close()
-    if (dvWriter != null) dvWriter.close()
   }
+}
+
+object GraftDeltaWriter {
+  /** Per-file mark-buffer flush threshold — 4M positions ≈ 32 MB of
+    * task memory per pathological file; ordinary MERGEs never reach it
+    * and write one part per (task, file).
+    */
+  val FlushMarks: Int = 4 * 1024 * 1024
 }

@@ -44,8 +44,12 @@ class Dsv2RowGroupSkipSpec extends AnyFunSuite {
     // mark [10000, 10050) dead — inside the range the filter selects
     val del = Snapshots.deletePositions(spark, root, "k", 10000L, 10050L)
     assert(del.markedPositions == 50L)
+    // drive the ROW reader explicitly — dv'd scans default to the
+    // columnar path since r18, and this spec gates the row reader's
+    // group-skip counters
     val (rows, read, skipped) = groupCounts {
-      spark.read.format("graft").option("path", root).load()
+      spark.read.format("graft").option("path", root)
+        .option("vectorize", "false").load()
         .where(col("k") >= 9900 && col("k") < 10200)
         .select(col("k")).collect().map(_.getLong(0)).sorted
     }
@@ -57,6 +61,13 @@ class Dsv2RowGroupSkipSpec extends AnyFunSuite {
     val expect = ((9900L until 10000L) ++ (10050L until 10200L)).sorted
     assert(rows.toSeq == expect,
       "row positions must survive group skipping (DV applied exactly)")
+    // the default (columnar) path returns the identical slice — its
+    // positions come from the row-index generator, exact under the
+    // parquet FilterPredicate's own group skipping
+    val colRows = spark.read.format("graft").option("path", root).load()
+      .where(col("k") >= 9900 && col("k") < 10200)
+      .select(col("k")).collect().map(_.getLong(0)).sorted
+    assert(colRows.toSeq == expect)
   }
 
   test("an emit-only read (change-feed marks) decodes only the groups " +

@@ -98,7 +98,7 @@ class DvExecutorSpec extends AnyFunSuite {
     // commit a version referencing BOTH sidecars
     val v2 = Snapshots.latestVersion(root)
     Snapshots.commitRowDelta(root, Seq.empty, Seq(legacy),
-      Set(first))
+      Set(first), scannedVersion = v2)
     val v3 = Snapshots.latestVersion(root)
     assert(v3 == v2 + 1)
     val df = Snapshots.read(spark, root, v3)

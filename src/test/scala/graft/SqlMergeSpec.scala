@@ -125,7 +125,8 @@ class SqlMergeSpec extends AnyFunSuite {
     // conflict check: a delta whose marked file vanished must refuse
     intercept[java.util.ConcurrentModificationException] {
       Snapshots.commitRowDelta(root, Seq.empty, Seq("dv_fake.parquet"),
-        Set("no_such_file.parquet"))
+        Set("no_such_file.parquet"),
+        scannedVersion = Snapshots.latestVersion(root))
     }
   }
 }
