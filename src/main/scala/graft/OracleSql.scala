@@ -3843,6 +3843,27 @@ object OracleSql {
         |  CAST(4 AS BIGINT) AS files_final
         |FROM evolved""".stripMargin,
 
+    // se3: DROP COLUMN is metadata-only and lossless for the surviving
+    // columns — counts/mass at v2 (tombstone) and v3 (optimize) equal
+    // the raw table; hide/serve/refusal gates are engine booleans
+    "se3_drop_column" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_v2,
+        |  CAST(count(*) AS BIGINT) AS n_v3,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_v3,
+        |  CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS props_nonnull_v1,
+        |  TRUE AS hidden_v2,
+        |  TRUE AS hidden_v3,
+        |  TRUE AS served_v1,
+        |  TRUE AS tombstone_kept,
+        |  TRUE AS physical_gone_v3,
+        |  TRUE AS stats_drop_refused,
+        |  TRUE AS redrop_refused
+        |FROM events""".stripMargin,
+
     // oz1: the z-order recompaction is lossless (whole-table count/mass)
     // and the conjunctive window equals the flat twin; the layout gates
     // are engine-computed booleans

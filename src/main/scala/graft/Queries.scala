@@ -4549,6 +4549,85 @@ object Queries {
         lit(S.resolve(root, 6).size.toLong).as("files_final"))
   }
 
+  /** Snapshot table exercising DROP COLUMN evolution — the se3 fixture:
+    * v1 adopts the compacted files (ts stats); v2 drops `props`
+    * (metadata-only `#drop:` tombstone); v3 OPTIMIZE materializes the
+    * drop physically (rewritten files have no `props` column) while the
+    * tombstone carries.
+    */
+  private val evolve3SnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def evolve3SnapPath(s: SparkSession, dir: String): String =
+    evolve3SnapMemo.synchronized {
+      evolve3SnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_evolve3_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          S.init(s, tmp, compactedEventsPath(s, dir),
+            statsCols = Seq("ts"), extraProps = Seq("stats=ts"))
+          S.dropColumn(s, tmp, "props")
+          S.optimize(s, tmp, "ts", 4, blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** SE3: logical DROP COLUMN ([[graft.sources.Snapshots.dropColumn]])
+    * — the last quarter of the evolution surface next to ADD/RENAME/
+    * widen. A `#drop:` manifest tombstone hides the column from the
+    * CURRENT schema at zero data I/O; physical bytes stay, so v1 time
+    * travel still serves the column; OPTIMIZE materializes the drop
+    * (rewritten footers carry no `props` field) but KEEPS the tombstone
+    * — the re-add refusal record, since a name-mapped format (no field
+    * ids) cannot tell a re-added column from pre-drop values retained
+    * in unrewritten files. Gates (engine-verified booleans): the
+    * dropped column is hidden at v2 and v3 and absent from v3 footers;
+    * v1 still serves it non-null; dropping the stats column and
+    * re-dropping are refused; counts and 6dp value mass survive both
+    * commits untouched.
+    *
+    * 100 TB lens: retiring a column from a year of files must cost one
+    * metadata line, not a rewrite — and must never resurrect as stale
+    * bytes when someone reuses the name.
+    */
+  def se3DropColumn(s: SparkSession, dir: String): DataFrame = {
+    val root = evolve3SnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val hiddenV2 = !S.read(s, root, 2).columns.contains("props")
+    val hiddenV3 = !S.read(s, root, 3).columns.contains("props")
+    val servedV1 = S.read(s, root, 1).columns.contains("props")
+    val tombstoneKept = S.manifest(root, 3).droppedColumns == Seq("props")
+    // materialized: no v3 footer carries the column physically
+    val physicalGone = !s.read.parquet(
+      S.resolve(root, 3).map(n => s"$root/files/$n"): _*)
+      .columns.contains("props")
+    val statsDropRefused = scala.util.Try(
+      S.dropColumn(s, root, "ts")).isFailure
+    val redropRefused = scala.util.Try(
+      S.dropColumn(s, root, "props")).isFailure
+    val propsV1 = S.read(s, root, 1)
+      .agg(sum(when(col("props").isNotNull, 1L).otherwise(0L)))
+      .head().getLong(0)
+    def agg(df: DataFrame, p: String) =
+      df.agg(count(lit(1)).as(s"n_$p"),
+        (sum(floor(col("value") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as(s"value_$p"))
+    agg(S.read(s, root, 2), "v2")
+      .crossJoin(broadcast(agg(S.read(s, root, 3), "v3")))
+      .select(col("n_v2"), col("value_v2"), col("n_v3"), col("value_v3"),
+        lit(propsV1).as("props_nonnull_v1"),
+        lit(hiddenV2).as("hidden_v2"),
+        lit(hiddenV3).as("hidden_v3"),
+        lit(servedV1).as("served_v1"),
+        lit(tombstoneKept).as("tombstone_kept"),
+        lit(physicalGone).as("physical_gone_v3"),
+        lit(statsDropRefused).as("stats_drop_refused"),
+        lit(redropRefused).as("redrop_refused"))
+  }
+
   /** Snapshot table optimized into a Z-ORDER clustering — the oz1
     * fixture: v1 adopts the compacted (ts-sorted) files; v2 is
     * [[graft.sources.Snapshots.optimizeZOrder]] on (user_id,
@@ -8563,6 +8642,7 @@ object Queries {
     "ss1_snapshot_source_fold" -> (ss1SnapshotSourceFold _),
     "mf3_two_column_manifest" -> (mf3TwoColumnManifest _),
     "se2_rename_widen" -> (se2RenameWiden _),
+    "se3_drop_column" -> (se3DropColumn _),
     "oz1_optimize_zorder" -> (oz1OptimizeZOrder _),
     "mor2_key_erasure" -> (mor2KeyErasure _),
     "rep1_cdc_replica" -> (rep1CdcReplica _),

@@ -258,6 +258,9 @@ object StressMain {
       // se2 reads a three-physical-schema table through manifest
       // rename/widen mappings, then its optimize-materialized twin
       "se2_rename_widen",
+      // se3 drops a column as a metadata tombstone, then optimize
+      // materializes the drop physically with the tombstone carried
+      "se3_drop_column",
       // oz1 recompacts the snapshot as 16 Morton-range files and prunes
       // a conjunctive predicate from the resulting footer envelopes
       "oz1_optimize_zorder",

@@ -293,6 +293,15 @@ object Snapshots {
         val Array(o, n) = l.stripPrefix("#map:").split("=", 2)
         (o, n)
       }
+    /** Logically DROPPED columns (`#drop:` tombstones): hidden from the
+      * current schema at read time, physical data retained (old
+      * versions still serve it through time travel). Tombstones carry
+      * forever — they are also the re-add refusal record, since a
+      * re-added name would resurrect retained physical values in any
+      * not-yet-rewritten file.
+      */
+    def droppedColumns: Seq[String] =
+      meta.filter(_.startsWith("#drop:")).map(_.stripPrefix("#drop:"))
     def widenings: Seq[(String, String)] =
       meta.filter(_.startsWith("#widen:")).map { l =>
         val Array(c, t) = l.stripPrefix("#widen:").split("=", 2)
@@ -720,8 +729,9 @@ object Snapshots {
           base("__dv_file") === dv("file") && base("__dv_pos") === dv("pos"),
           "left_anti")
     }
-    if (keepPos || m.dvNames.isEmpty) undeleted
-    else undeleted.drop("__dv_file", "__dv_pos")
+    val visible = m.droppedColumns.foldLeft(undeleted)(_ drop _)
+    if (keepPos || m.dvNames.isEmpty) visible
+    else visible.drop("__dv_file", "__dv_pos")
   }
 
   // ---------------------------------------------------------------------
@@ -1738,6 +1748,43 @@ object Snapshots {
     v + 1
   }
 
+  /** Metadata-only logical DROP COLUMN: commits a `#drop:` tombstone —
+    * the current schema hides the column at read time, physical data
+    * stays in place, and every earlier version still serves it through
+    * time travel (the missing quarter of the evolution surface next to
+    * RENAME/widen/ADD). Refused for the table's zone/stats columns —
+    * dropping the pruning key would strand the layout the scans plan
+    * against — and for the last remaining column. The tombstone is
+    * PERMANENT: re-adding the name is refused at the catalog, because a
+    * name-mapped format (no Iceberg-style field ids) cannot tell a
+    * re-added column from retained physical values in files written
+    * before the drop. `optimize`/Z-ORDER materialize the drop
+    * physically (the rewrite reads the hidden-column view) but KEEP the
+    * tombstone as the refusal record.
+    */
+  def dropColumn(spark: SparkSession, root: String, column: String): Int = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    val schema = read(spark, root, v).schema
+    require(schema.fieldNames.contains(column),
+      s"DROP COLUMN: no column '$column' in " +
+        schema.fieldNames.sorted.mkString("[", ", ", "]"))
+    require(schema.length > 1,
+      s"DROP COLUMN: cannot drop the last column '$column'")
+    require(!statsColsProp(root).contains(column),
+      s"DROP COLUMN: '$column' is a stats column (the table's zone/" +
+        "pruning key) — re-sort the table on another column first")
+    require(!m.entries.exists(e =>
+      e.zones.contains(column) || e.szones.contains(column)),
+      s"DROP COLUMN: '$column' carries commit-time zone stats (the " +
+        "pruning key of existing files) — optimize onto another sort " +
+        "column first")
+    commitManifest(root, v + 1, m.entries,
+      carryMeta(m) :+ s"#drop:$column", Some((v, m)))
+    v + 1
+  }
+
   // ---------------------------------------------------------------------
   // Optimize / vacuum
   // ---------------------------------------------------------------------
@@ -1771,7 +1818,9 @@ object Snapshots {
     * write, duplicating rows.
     */
   private def idempotenceMeta(m: ManifestData): Seq[String] =
-    m.meta.filter(l => l.startsWith("#batch") || l.startsWith("#txn:"))
+    m.meta.filter(l => l.startsWith("#batch") || l.startsWith("#txn:") ||
+      l.startsWith("#drop:")) // tombstones outlive the rewrite: they
+      // are the re-add refusal record, not a read-time mapping
 
   /** Result of an incremental bin-pack: the new version, small files
     * rewritten, right-sized files re-referenced verbatim, and the

@@ -157,9 +157,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * table's schema is its files' union, so a new column becomes
     * representable by giving it a (rowless) physical file, and every
     * existing row reads it as NULL (the Delta ADD COLUMN semantics at
-    * one KB-file of cost). Each change is its own manifest commit, so
-    * it is time-travelable and OCC-safe like any write. DROP COLUMN,
-    * nullability, and comments stay refused.
+    * one KB-file of cost); `DROP COLUMN` is a metadata-only `#drop:`
+    * tombstone — the schema hides the column, old versions still serve
+    * it through time travel, and the NAME IS RETIRED (re-ADD and
+    * RENAME onto a dropped name are refused: without field ids, a
+    * reused name would resurrect retained physical values in files
+    * written before the drop). Each change is its own manifest commit,
+    * so it is time-travelable and OCC-safe like any write.
+    * Nullability and comments stay refused.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -177,6 +182,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Snapshots.read(spark, root, Snapshots.latestVersion(root))
         .schema.fieldNames.toSet
     }
+    // names retired by #drop tombstones (ever, at any version): a
+    // dropped name never comes back — neither by ADD nor by RENAME
+    var retired: Set[String] = Snapshots
+      .manifest(root, Snapshots.latestVersion(root)).droppedColumns.toSet
+    val statsProp = Snapshots.statsColsProp(root).toSet
     val apply: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -187,6 +197,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             logicalCols.toSeq.sorted.mkString("[", ", ", "]"))
         require(!logicalCols.contains(to),
           s"RENAME COLUMN: '$to' already exists")
+        require(!retired.contains(to),
+          s"RENAME COLUMN: '$to' was dropped — the name is retired " +
+            "(files written before the drop still hold its values)")
         logicalCols = logicalCols - from + to
         () => {
           Snapshots.renameColumn(root, from, to)
@@ -194,12 +207,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // planner-routed writes would silently stop stamping zones
           Snapshots.renameInStatsProp(root, from, to)
         }
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft columns are top-level only")
+        val name = d.fieldNames().head
+        require(logicalCols.contains(name),
+          s"DROP COLUMN: no column '$name' in " +
+            logicalCols.toSeq.sorted.mkString("[", ", ", "]"))
+        require(logicalCols.size > 1,
+          s"DROP COLUMN: cannot drop the last column '$name'")
+        require(!statsProp.contains(name),
+          s"DROP COLUMN: '$name' is a stats column (the table's zone/" +
+            "pruning key) — re-sort the table on another column first")
+        logicalCols -= name
+        retired += name
+        () => {
+          Snapshots.dropColumn(SparkSession.active, root, name)
+          ()
+        }
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft columns are top-level only")
         val name = a.fieldNames().head
         require(!logicalCols.contains(name),
           s"ADD COLUMN: '$name' already exists")
+        require(!retired.contains(name),
+          s"ADD COLUMN: '$name' was dropped — the name is retired " +
+            "(files written before the drop still hold its values); " +
+            "add it under a new name")
         require(a.isNullable,
           "ADD COLUMN must be nullable: existing rows have no value")
         // fail early on types the parquet writer cannot render
@@ -240,7 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         () => { Snapshots.widenColumn(root, u.fieldNames().head, target); () }
       case c => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMN, RENAME COLUMN, and " +
+        s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
           s"type widening only, got $c")
     }
     apply.foreach(_())

@@ -141,9 +141,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     // zero files rewritten — evolution is manifest lines
     val filesAfter = Snapshots.resolve(root, Snapshots.latestVersion(root))
     assert(filesAfter == filesBefore)
-    // still-unsupported shapes refuse (DROP COLUMN)
+    // still-unsupported shapes refuse (comments)
     intercept[Exception] {
-      sql("ALTER TABLE gtest.ns.t7 DROP COLUMN cnt")
+      sql("ALTER TABLE gtest.ns.t7 ALTER COLUMN cnt COMMENT 'nope'")
     }
   }
 
@@ -240,6 +240,59 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE gtest.ns.tadd ADD COLUMN k BIGINT")
     }
     assert(Snapshots.latestVersion(root) == v)
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only tombstone — the schema " +
+      "hides it, time travel serves it, the name is retired") {
+    init
+    sql("""CREATE TABLE gtest.ns.tdrop (k BIGINT, tag STRING, x DOUBLE)
+          |USING graft TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.tdrop " +
+      "SELECT id, concat('t', id), CAST(id AS DOUBLE) FROM range(100)")
+    val root = s"$warehouse/ns/tdrop"
+    val filesBefore = Snapshots.resolve(root,
+      Snapshots.latestVersion(root)).toSet
+    sql("ALTER TABLE gtest.ns.tdrop DROP COLUMN tag") // v3
+    // metadata-only: same files, new version
+    assert(Snapshots.resolve(root, Snapshots.latestVersion(root)).toSet
+      == filesBefore)
+    assert(!sql("SELECT * FROM gtest.ns.tdrop").columns.contains("tag"))
+    assert(sql("SELECT count(*), sum(x) FROM gtest.ns.tdrop").head()
+      == org.apache.spark.sql.Row(100L, (0 until 100).map(_.toDouble).sum))
+    // time travel below the drop still serves the column
+    assert(sql("SELECT count(tag) FROM gtest.ns.tdrop VERSION AS OF 2")
+      .head().getLong(0) == 100L)
+    // inserts after the drop carry the narrowed schema
+    sql("INSERT INTO gtest.ns.tdrop SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(100, 110)")
+    assert(sql("SELECT count(*) FROM gtest.ns.tdrop").head()
+      .getLong(0) == 110L)
+    // the name is retired: re-ADD and RENAME-onto both refuse, and a
+    // failed statement commits nothing
+    val v = Snapshots.latestVersion(root)
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tdrop ADD COLUMN tag STRING")
+    }
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tdrop RENAME COLUMN x TO tag")
+    }
+    // the stats column and the last column refuse
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tdrop DROP COLUMN k")
+    }
+    assert(Snapshots.latestVersion(root) == v)
+    // optimize materializes the drop physically, keeps the tombstone
+    sql(s"CALL gtest.system.optimize(`table` => 'ns.tdrop', " +
+      s"sort_col => 'k', n_files => 2)")
+    val vOpt = Snapshots.latestVersion(root)
+    assert(Snapshots.manifest(root, vOpt).droppedColumns == Seq("tag"))
+    assert(!spark.read.parquet(Snapshots.resolve(root, vOpt)
+      .map(n => s"$root/files/$n"): _*).columns.contains("tag"))
+    assert(sql("SELECT count(*) FROM gtest.ns.tdrop").head()
+      .getLong(0) == 110L)
+    intercept[Exception] { // still retired after materialization
+      sql("ALTER TABLE gtest.ns.tdrop ADD COLUMN tag STRING")
+    }
   }
 
   test("CALL changes registers the row-tagged change feed as a temp " +
