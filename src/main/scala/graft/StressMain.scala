@@ -400,35 +400,45 @@ object StressMain {
     println(f"[stress] skew_guard_50k        ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
       f"(dropped=$drops/49999, oversized_buckets=${audit.oversizedBuckets})")
 
-    // GDPR-SCALE MoR erasure: 10^6 positions marked in ONE statement on
-    // an 8-file table. The sidecar writes executor-parallel partitioned
-    // by target file (no single-task funnel), the driver commit carries
+    // GDPR-SCALE MoR erasure: 10^7 positions marked in ONE statement on
+    // a 16-file table. The sidecar writes executor-parallel partitioned
+    // by target file (no single-task funnel) as per-file COMPRESSED
+    // BITMAPS (GraftBitmap run-length varints — measured below against
+    // the 16 B/mark (file,pos)-row baseline), the driver commit carries
     // one #dv: line, and the post-erasure DSv2 read resolves each
     // file's positions EXECUTOR-side — the driver plans O(files)
     // metadata and never materializes a position (the r16 judge's
     // driver-OOM scenario, closed and measured).
     val tDv = System.nanoTime()
-    val dvRoot = s"$outDir/__dv1m/t"
-    val dvRows = 4000000L
+    val dvRoot = s"$outDir/__dv10m/t"
+    val dvRows = 16000000L
     graft.sources.Bucketing.writeRangeSorted(
       spark.range(dvRows).select(col("id").as("k"),
         (col("id") % 97).as("v")),
-      "k", 8, s"$outDir/__dv1m/seed", 32 * 1024 * 1024)
-    graft.sources.Snapshots.init(spark, dvRoot, s"$outDir/__dv1m/seed",
+      "k", 16, s"$outDir/__dv10m/seed", 32 * 1024 * 1024)
+    graft.sources.Snapshots.init(spark, dvRoot, s"$outDir/__dv10m/seed",
       statsCols = Seq("k"))
     val tMark = System.nanoTime()
     val er = graft.sources.Snapshots.deletePositions(spark, dvRoot, "k",
-      250000L, 1250000L) // 1e6 marks straddling file boundaries
+      1000000L, 11000000L) // 1e7 marks straddling file boundaries
     val markSec = (System.nanoTime() - tMark) / 1e9
+    val dvBytes = er.sidecar.toSeq.flatMap { n =>
+      val d = s"$dvRoot/_deletes/$n"
+      graft.sources.LakeFs.listDirNames(d).flatMap(sub =>
+        graft.sources.Compaction.dataFileNames(s"$d/$sub")
+          .map(f => graft.sources.LakeFs.fileLength(s"$d/$sub/$f")))
+    }.sum
+    val rowBaseline = er.markedPositions * 16L // (file,pos) parquet rows
     val tRd = System.nanoTime()
     val nLive = spark.read.format("graft").option("path", dvRoot).load()
       .count()
     val readSec = (System.nanoTime() - tRd) / 1e9
-    println(f"[stress] dv_erase_1m           $markSec%8.2f s " +
-      f"(marked=${er.markedPositions}, sidecar=${er.sidecar.nonEmpty})")
-    println(f"[stress] dv_read_after_1m      $readSec%8.2f s " +
+    println(f"[stress] dv_erase_10m          $markSec%8.2f s " +
+      f"(marked=${er.markedPositions}, sidecar_bytes=$dvBytes, " +
+      f"vs_row_format=${rowBaseline / math.max(1L, dvBytes)}x smaller)")
+    println(f"[stress] dv_read_after_10m     $readSec%8.2f s " +
       f"(live=$nLive of $dvRows)")
-    graft.sources.LakeFs.deleteRecursively(s"$outDir/__dv1m")
+    graft.sources.LakeFs.deleteRecursively(s"$outDir/__dv10m")
 
     // Fuzzy join at factor×15k strings (the registry fixture's customer
     // table does not replicate — dims keep their keys — so the scale

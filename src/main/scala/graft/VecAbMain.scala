@@ -78,6 +78,19 @@ object VecAbMain {
         vecF(i) = time(scanFiltered(true))
         rowF(i) = time(scanFiltered(false))
       }
+      // DV'D wide scan — the post-MERGE/erasure steady state: mark a
+      // scattered ~1% of positions, then A/B the same wide aggregate.
+      // Since r18 the columnar path serves this through the row-index
+      // selection; before, every post-mutation scan paid the row path.
+      graft.sources.Snapshots.deletePositionsByKey(spark, root, "k",
+        spark.range(rows).select(col("id"))
+          .where(col("id") % 101 === 0).select(col("id").as("k")))
+      scan(true); scan(false) // re-warm on the dv'd table
+      val (vecD, rowD) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
+      (0 until runs).foreach { i =>
+        vecD(i) = time(scan(true))
+        rowD(i) = time(scan(false))
+      }
       def med(a: Array[Double]): Double = a.sorted.apply(a.length / 2)
       println(f"""{"metric":"vec_ab","rows":$rows,"cols":10,""" +
         f""""vectorized_sec":${med(vec)}%.3f,""" +
@@ -85,7 +98,10 @@ object VecAbMain {
         f""""speedup":${med(row) / med(vec)}%.2f,""" +
         f""""filtered_vectorized_sec":${med(vecF)}%.3f,""" +
         f""""filtered_row_sec":${med(rowF)}%.3f,""" +
-        f""""filtered_speedup":${med(rowF) / med(vecF)}%.2f}""")
+        f""""filtered_speedup":${med(rowF) / med(vecF)}%.2f,""" +
+        f""""dv_vectorized_sec":${med(vecD)}%.3f,""" +
+        f""""dv_row_sec":${med(rowD)}%.3f,""" +
+        f""""dv_speedup":${med(rowD) / med(vecD)}%.2f}""")
     } finally {
       graft.sources.LakeFs.deleteRecursively(d.toString)
       ()

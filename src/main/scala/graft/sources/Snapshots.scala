@@ -1318,32 +1318,55 @@ object Snapshots {
     * (`dv_*.parquet`) stay readable everywhere via [[dvRead]].
     * Returns (sidecar name, rows marked); None when empty.
     */
+  /** Write a `(file, pos)` delete frame as a PARTITIONED sidecar of
+    * per-file COMPRESSED BITMAPS: one `file=<dataFile>` directory per
+    * marked file holding a single-row parquet `(card, blob)` part — the
+    * [[GraftBitmap]] run-length encoding, ~100× smaller than `(file,
+    * pos)` rows at range-erasure scale. The per-file position set
+    * aggregates in ONE task (`groupBy(file)` + `collect_list`) — the
+    * same bound every per-file-DV format carries (Delta builds each DV
+    * blob in one task); a file marked beyond task memory is a file the
+    * three-tier DELETE would have dropped whole instead. Returns the
+    * sidecar name and total marks.
+    */
   private def writeSidecarFile(spark: SparkSession, root: String, v: Int,
       fresh: DataFrame): Option[(String, Long)] = {
     val name = s"dv_v${v + 1}_${uuid8()}"
     val dir = s"${deletesDir(root)}/$name"
-    fresh.repartition(col("file")).write.partitionBy("file").parquet(dir)
+    val enc = udf((ps: Seq[Long]) => GraftBitmap.encode(ps.toArray))
+    fresh.groupBy(col("file"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("file"), size(col("ps")).cast("long").as("card"),
+        enc(col("ps")).as("blob"))
+      .write.partitionBy("file").parquet(dir)
     if (LakeFs.listDirNames(dir).isEmpty) { // zero rows: no partitions
       LakeFs.deleteRecursively(dir)
       None
     } else {
-      val n = spark.read.parquet(dir).count()
+      val n = spark.read.parquet(dir)
+        .agg(coalesce(sum(col("card")), lit(0L))).head().getLong(0)
       Some((name, n))
     }
   }
 
   /** Uniform (file, pos) read over any mix of sidecar layouts: legacy
-    * single parquet files, partitioned directories (the `file=` value
-    * becomes the column via partition discovery), and the row-level
-    * writers' per-task parts. One scan per sidecar, unioned — sidecar
-    * counts are bounded by compaction cadence, never by data size.
+    * single parquet files, partitioned ROW directories (`file=` dirs of
+    * `pos` rows), and partitioned BITMAP directories (`file=` dirs of
+    * one-row `(card, blob)` parts — decoded and exploded). One scan per
+    * sidecar, unioned — sidecar counts are bounded by compaction
+    * cadence, never by data size.
     */
   private[graft] def dvRead(spark: SparkSession, root: String,
       names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "dvRead needs at least one sidecar")
+    val dec = udf((b: Array[Byte]) => GraftBitmap.decode(b))
     names.sorted.map { n =>
-      spark.read.parquet(s"${deletesDir(root)}/$n")
-        .select(col("file").cast("string").as("file"), col("pos"))
+      val df = spark.read.parquet(s"${deletesDir(root)}/$n")
+      if (df.columns.contains("blob"))
+        df.select(col("file").cast("string").as("file"),
+          explode(dec(col("blob"))).as("pos"))
+      else
+        df.select(col("file").cast("string").as("file"), col("pos"))
     }.reduce(_ unionAll _)
   }
 

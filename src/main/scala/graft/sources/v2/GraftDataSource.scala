@@ -730,17 +730,23 @@ object GraftZonePrune {
   * loads ONLY its own file's positions, directly from the store —
   * driver memory stays O(files), never O(marked positions) (the
   *10^8-position GDPR erasure that would OOM a driver-side collect and
-  * bloat every task's serialized partition). Speaks both layouts:
+  * bloat every task's serialized partition). Speaks all three layouts:
   *
   *  - partitioned directories (`<name>/file=<dataFile>/part-*`): an
-  *    existence probe + a scan of exactly this file's marks;
+  *    existence probe + a scan of exactly this file's marks — each
+  *    part is either `pos` ROWS or a one-row COMPRESSED BITMAP
+  *    (`blob`, [[graft.sources.GraftBitmap]]); the reader requests
+  *    both columns and the absent one reads null, so the two part
+  *    formats coexist in one table's history;
   *  - legacy / per-task single parquet files: a column-pruned scan
   *    filtered to this file (KB-scale by construction).
   */
 object GraftDvPositions {
-  private val posSchema = StructType(Seq(
+  private val partSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("blob",
+      org.apache.spark.sql.types.BinaryType)))
   private val filePosSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file",
       org.apache.spark.sql.types.StringType),
@@ -761,9 +767,13 @@ object GraftDvPositions {
           fs.listStatus(sub).filter(s => s.isFile &&
               s.getPath.getName.endsWith(".parquet")).foreach { part =>
             val it = ParquetRowReader.open(part.getPath.toString, conf,
-              posSchema, Seq.empty, Array.empty, None)
-            try while (it.next()) out += it.get().getLong(0)
-            finally it.close()
+              partSchema, Seq.empty, Array.empty, None)
+            try while (it.next()) {
+              val r = it.get()
+              if (!r.isNullAt(1))
+                out ++= graft.sources.GraftBitmap.decode(r.getBinary(1))
+              else out += r.getLong(0)
+            } finally it.close()
           }
         }
       } else {

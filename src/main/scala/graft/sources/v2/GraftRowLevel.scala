@@ -217,14 +217,16 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   private lazy val appenders = GraftParquetSchema.appenders(rowSchema)
   private var inserted = 0L
 
-  // delete side — per-target-file position buffers, flushed as
-  // pos-only parquet parts under the partitioned layout
-  private val posSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  private lazy val posFactory =
+  // delete side — per-target-file position buffers, flushed as one-row
+  // COMPRESSED-BITMAP parquet parts under the partitioned layout
+  private val bmSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("card",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("blob",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+  private lazy val bmFactory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(
-      GraftParquetSchema.toMessageType(posSchema))
+      GraftParquetSchema.toMessageType(bmSchema))
   private val dvBuf =
     scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Long]]()
@@ -261,17 +263,16 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
     val part = dvParts.getOrElse(file, 0)
     dvParts(file) = part + 1
     val path = s"$dvDir/file=$file/part-$part.parquet"
-    val w = GraftParquetSchema.newWriter(path, posSchema, conf)
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    val blob = graft.sources.GraftBitmap.encode(sorted)
+    val w = GraftParquetSchema.newWriter(path, bmSchema, conf)
     try {
-      val sorted = buf.toArray
-      java.util.Arrays.sort(sorted)
-      var i = 0
-      while (i < sorted.length) {
-        val g = posFactory.newGroup()
-        g.add(0, sorted(i))
-        w.write(g)
-        i += 1
-      }
+      val g = bmFactory.newGroup()
+      g.add(0, sorted.length.toLong)
+      g.add(1, org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(blob))
+      w.write(g)
     } finally w.close()
     wroteSidecar = true
     buf.clear()
