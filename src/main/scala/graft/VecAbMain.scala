@@ -78,14 +78,29 @@ object VecAbMain {
         vecF(i) = time(scanFiltered(true))
         rowF(i) = time(scanFiltered(false))
       }
-      // DV'D wide scan — the post-MERGE/erasure steady state: mark a
-      // scattered ~1% of positions, then A/B the same wide aggregate.
-      // Since r18 the columnar path serves this through the row-index
-      // selection; before, every post-mutation scan paid the row path.
+      // DV'D wide scans — the post-MERGE/erasure steady state, both
+      // mark shapes. Since r18 the columnar path serves these through
+      // the row-index selection; before, every post-mutation scan paid
+      // the row path for the WHOLE table.
+      //  - RANGE erasure (the GDPR/retention shape): 1% contiguous —
+      //    all-dead batches skip whole, fully-live batches pass raw
+      //    vectors through, only the two boundary batches pay the
+      //    selection indirection → ~clean-scan speed;
+      //  - SCATTERED marks (every 101st row): every 4096-row batch
+      //    holds ~40 marks, so EVERY batch pays the per-access
+      //    selection indirection — the adversarial density.
+      graft.sources.Snapshots.deletePositions(spark, root, "k",
+        rows / 2, rows / 2 + rows / 100)
+      scan(true); scan(false) // re-warm on the dv'd table
+      val (vecR, rowR) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
+      (0 until runs).foreach { i =>
+        vecR(i) = time(scan(true))
+        rowR(i) = time(scan(false))
+      }
       graft.sources.Snapshots.deletePositionsByKey(spark, root, "k",
         spark.range(rows).select(col("id"))
           .where(col("id") % 101 === 0).select(col("id").as("k")))
-      scan(true); scan(false) // re-warm on the dv'd table
+      scan(true); scan(false)
       val (vecD, rowD) = (Array.ofDim[Double](runs), Array.ofDim[Double](runs))
       (0 until runs).foreach { i =>
         vecD(i) = time(scan(true))
@@ -99,9 +114,12 @@ object VecAbMain {
         f""""filtered_vectorized_sec":${med(vecF)}%.3f,""" +
         f""""filtered_row_sec":${med(rowF)}%.3f,""" +
         f""""filtered_speedup":${med(rowF) / med(vecF)}%.2f,""" +
-        f""""dv_vectorized_sec":${med(vecD)}%.3f,""" +
-        f""""dv_row_sec":${med(rowD)}%.3f,""" +
-        f""""dv_speedup":${med(rowD) / med(vecD)}%.2f}""")
+        f""""dv_range_vectorized_sec":${med(vecR)}%.3f,""" +
+        f""""dv_range_row_sec":${med(rowR)}%.3f,""" +
+        f""""dv_range_speedup":${med(rowR) / med(vecR)}%.2f,""" +
+        f""""dv_scatter_vectorized_sec":${med(vecD)}%.3f,""" +
+        f""""dv_scatter_row_sec":${med(rowD)}%.3f,""" +
+        f""""dv_scatter_speedup":${med(rowD) / med(vecD)}%.2f}""")
     } finally {
       graft.sources.LakeFs.deleteRecursively(d.toString)
       ()

@@ -218,18 +218,54 @@ class GraftColumnarReader(p: GraftInputPartition)
           current = outFull
           return true
         }
-        // sorted-merge the batch's row indexes (ascending file ordinals)
-        // against the sorted mark list: O(1) amortized per row
+        // batch-range probe first: a batch whose position span holds no
+        // mark passes through with TWO vector reads, not n — the common
+        // case away from a mark's neighborhood
+        val first = posVec.getLong(0)
+        val last = posVec.getLong(n - 1)
+        while (dvIdx < dv.length && dv(dvIdx) < first) dvIdx += 1
+        if (dvIdx >= dv.length || dv(dvIdx) > last) {
+          outFull.setNumRows(n)
+          current = outFull
+          return true
+        }
         var selLen = 0
-        var i = 0
-        while (i < n) {
-          val pos = posVec.getLong(i)
-          while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
-          if (!(dvIdx < dv.length && dv(dvIdx) == pos)) {
-            selBuf(selLen) = i
-            selLen += 1
+        if (last - first == n - 1) {
+          // CONSECUTIVE batch (no mid-batch row skipping): row i holds
+          // position first+i, so the survivor selection falls out of
+          // the mark list alone — O(marks) long compares + O(n)
+          // primitive int writes, no per-row vector reads
+          var row = 0
+          var d = dvIdx
+          while (d < dv.length && dv(d) <= last) {
+            val mrow = (dv(d) - first).toInt
+            while (row < mrow) {
+              selBuf(selLen) = row
+              selLen += 1
+              row += 1
+            }
+            if (row == mrow) row += 1 // duplicates (sidecar union) skip
+            d += 1
           }
-          i += 1
+          while (row < n) {
+            selBuf(selLen) = row
+            selLen += 1
+            row += 1
+          }
+          dvIdx = d
+        } else {
+          // gapped batch (FilterPredicate page/row skipping inside the
+          // span): sorted-merge row positions against the mark list
+          var i = 0
+          while (i < n) {
+            val pos = posVec.getLong(i)
+            while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+            if (!(dvIdx < dv.length && dv(dvIdx) == pos)) {
+              selBuf(selLen) = i
+              selLen += 1
+            }
+            i += 1
+          }
         }
         if (selLen == n) {
           outFull.setNumRows(n)
