@@ -3843,6 +3843,22 @@ object OracleSql {
         |  CAST(4 AS BIGINT) AS files_final
         |FROM evolved""".stripMargin,
 
+    // tt3: RESTORE returns the table to the pre-delete whole-table
+    // state (count/mass closed-form); the deleted intermediate version
+    // stays readable; layout/refusal gates are engine booleans
+    "tt3_restore" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_restored,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_restored,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |     AND ts < TIMESTAMP '2024-01-13 00:00:00')) AS n_v2,
+        |  CAST(3 AS BIGINT) AS latest_version,
+        |  TRUE AS files_match_v1,
+        |  TRUE AS sidecar_cleared,
+        |  TRUE AS out_of_range_refused
+        |FROM events""".stripMargin,
+
     // se3: DROP COLUMN is metadata-only and lossless for the surviving
     // columns — counts/mass at v2 (tombstone) and v3 (optimize) equal
     // the raw table; hide/serve/refusal gates are engine booleans

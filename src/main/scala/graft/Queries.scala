@@ -4549,6 +4549,64 @@ object Queries {
         lit(S.resolve(root, 6).size.toLong).as("files_final"))
   }
 
+  /** Snapshot table exercising RESTORE — the tt3 fixture: v1 adopts the
+    * compacted files; v2 MoR-deletes the pp2 3-day window (sidecar);
+    * v3 is [[graft.sources.Snapshots.restore]] back to v1 — a
+    * metadata-only rollback commit referencing v1's exact file set.
+    */
+  private val restoreSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def restoreSnapPath(s: SparkSession, dir: String): String =
+    restoreSnapMemo.synchronized {
+      restoreSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_restore_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          graft.sources.Snapshots.deletePositions(
+            s, tmp, "ts", tsWindowLoMicros, tsWindowHiMicros)
+          graft.sources.Snapshots.restore(s, tmp, 1)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** TT3: RESTORE TO VERSION — the rollback verb next to time travel
+    * ([[graft.sources.Snapshots.restore]]): an accidental delete (v2's
+    * MoR sidecar over the 3-day window) is undone by ONE metadata
+    * commit (v3) whose file set and read state are v1's — zero data
+    * I/O, history preserved (v2 stays time-travelable AFTER the
+    * restore; the row reads it last). Gates: v3 count/mass equal the
+    * whole table (the v1 state, closed-form pinned), v3 references
+    * EXACTLY v1's files with NO live sidecar, v2 still serves the
+    * deleted view, and out-of-history restores refuse.
+    *
+    * 100 TB lens: the bad-write undo must cost one manifest line, not
+    * a restore-from-backup — that is half the operational case for
+    * snapshots in every production format.
+    */
+  def tt3Restore(s: SparkSession, dir: String): DataFrame = {
+    val root = restoreSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val filesMatch = S.resolve(root, 3) == S.resolve(root, 1)
+    val noSidecar = S.manifest(root, 3).dvNames.isEmpty &&
+      S.manifest(root, 2).dvNames.nonEmpty
+    val outOfRangeRefused = scala.util.Try(S.restore(s, root, 99)).isFailure
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val a3 = S.read(s, root, 3)
+      .agg(count(lit(1)).as("n_restored"), mass.as("value_restored"))
+    // v2 read LAST, after the restore commit: continuity of history
+    val a2 = S.read(s, root, 2).agg(count(lit(1)).as("n_v2"))
+    a3.crossJoin(broadcast(a2))
+      .select(col("n_restored"), col("value_restored"), col("n_v2"),
+        lit(S.latestVersion(root).toLong).as("latest_version"),
+        lit(filesMatch).as("files_match_v1"),
+        lit(noSidecar).as("sidecar_cleared"),
+        lit(outOfRangeRefused).as("out_of_range_refused"))
+  }
+
   /** Snapshot table exercising DROP COLUMN evolution — the se3 fixture:
     * v1 adopts the compacted files (ts stats); v2 drops `props`
     * (metadata-only `#drop:` tombstone); v3 OPTIMIZE materializes the
@@ -8651,6 +8709,7 @@ object Queries {
     "mc1_incremental_manifest" -> (mc1IncrementalManifest _),
     "ms1_manifest_stats" -> (ms1ManifestStats _),
     "tt2_timestamp_travel" -> (tt2TimestampTravel _),
+    "tt3_restore" -> (tt3Restore _),
     "mor3_merge_on_read_upsert" -> (mor3MergeOnReadUpsert _),
     "bf2_distributed_bloom" -> (bf2DistributedBloom _),
     "mf4_snapshot_metadata_agg" -> (mf4SnapshotMetadataAgg _),

@@ -261,6 +261,9 @@ object StressMain {
       // se3 drops a column as a metadata tombstone, then optimize
       // materializes the drop physically with the tombstone carried
       "se3_drop_column",
+      // tt3 rolls back a bad MoR delete with one metadata RESTORE
+      // commit, history preserved
+      "tt3_restore",
       // oz1 recompacts the snapshot as 16 Morton-range files and prunes
       // a conjunctive predicate from the resulting footer envelopes
       "oz1_optimize_zorder",

@@ -1808,6 +1808,52 @@ object Snapshots {
     v + 1
   }
 
+  /** RESTORE the table to an earlier version's state — the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` verb: commits a NEW version
+    * whose file set and read-state metadata (`#dv:`/`#map:`/`#widen:`/
+    * `#drop:` lines) are the target version's, metadata-only (zero
+    * data I/O — the files are still there; that is what snapshots
+    * bought). History is preserved, not rewritten: the bad versions
+    * stay time-travelable between the target and the restore commit,
+    * and the restore itself is one more OCC commit on top.
+    *
+    * The CURRENT version's idempotence state (`#batch`/`#txn:` lines)
+    * carries INSTEAD of the target's older view — restoring data must
+    * not reopen a streaming sink's replay window (an epoch committed
+    * after the target would otherwise re-commit as a "first" write).
+    *
+    * Refused when [[vacuum]] already reclaimed any file or sidecar the
+    * target references — a restore either serves the exact old state
+    * or does not happen.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val cur = latestVersion(root)
+    require(cur >= 1, s"uninitialized snapshot table at $root")
+    require(toVersion >= 1 && toVersion <= cur,
+      s"RESTORE: version $toVersion outside [1, $cur]")
+    require(LakeFs.exists(manifestPath(root, toVersion)),
+      s"RESTORE: version $toVersion was vacuumed from history at $root")
+    val tgt = manifest(root, toVersion)
+    val missing = tgt.entries.filterNot(e =>
+      LakeFs.exists(s"${filesDir(root)}/${e.name}"))
+    require(missing.isEmpty,
+      s"RESTORE: ${missing.size} data files of v$toVersion were " +
+        s"reclaimed by vacuum (e.g. ${missing.take(3).map(_.name)
+          .mkString(", ")})")
+    val missingDv = tgt.dvNames.filterNot(n =>
+      LakeFs.exists(s"${deletesDir(root)}/$n"))
+    require(missingDv.isEmpty,
+      s"RESTORE: ${missingDv.size} delete sidecars of v$toVersion were " +
+        s"reclaimed by vacuum (${missingDv.take(3).mkString(", ")})")
+    val m = manifest(root, cur)
+    val idem = m.meta.filter(l =>
+      l.startsWith("#batch") || l.startsWith("#txn:"))
+    val meta = tgt.meta.filterNot(l =>
+      l.startsWith("#batch") || l.startsWith("#txn:")) ++ idem
+    commitManifest(root, cur + 1, tgt.entries, meta, Some((cur, m)))
+    cur + 1
+  }
+
   // ---------------------------------------------------------------------
   // Optimize / vacuum
   // ---------------------------------------------------------------------

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
   val names: Array[String] =
-    Array("optimize", "zorder", "vacuum", "changes")
+    Array("optimize", "zorder", "vacuum", "changes", "restore")
 
   private def rootOf(warehouse: String, table: String): String =
     (warehouse +: table.split('.').toSeq).mkString("/")
@@ -152,6 +152,25 @@ object GraftProcedures {
             StructField("to_version", IntegerType, nullable = false))),
             Seq(org.apache.spark.unsafe.types.UTF8String.fromString(view),
               from, to))
+        }
+      }
+      case "restore" => new GraftProc("restore",
+        "commit a new version whose file set and read state are an " +
+          "earlier version's (metadata-only rollback; history " +
+          "preserved; refused when vacuum reclaimed the target's " +
+          "files)") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val v = Snapshots.restore(SparkSession.active, root,
+            input.getInt(1))
+          oneRowScan(StructType(Seq(
+            StructField("new_version", IntegerType, nullable = false),
+            StructField("restored_version", IntegerType,
+              nullable = false))), Seq(v, input.getInt(1)))
         }
       }
       case other => throw new IllegalArgumentException(

@@ -295,6 +295,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL restore rolls the table back to an earlier version as one " +
+      "metadata commit; history preserved; vacuumed targets refuse") {
+    init
+    sql("""CREATE TABLE gtest.ns.trst (k BIGINT, v BIGINT) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.trst SELECT id, id % 7 FROM range(1000)")
+    val root = s"$warehouse/ns/trst"
+    val vGood = Snapshots.latestVersion(root)
+    sql("DELETE FROM gtest.ns.trst WHERE k < 900") // the bad write
+    assert(sql("SELECT count(*) FROM gtest.ns.trst").head()
+      .getLong(0) == 100L)
+    val r = sql(s"CALL gtest.system.restore(`table` => 'ns.trst', " +
+      s"version => $vGood)").head()
+    assert(r.getInt(1) == vGood)
+    assert(sql("SELECT count(*) FROM gtest.ns.trst").head()
+      .getLong(0) == 1000L)
+    // metadata-only: the restored version references vGood's exact files
+    assert(Snapshots.resolve(root, r.getInt(0)) ==
+      Snapshots.resolve(root, vGood))
+    // the bad version stays time-travelable
+    assert(sql(s"SELECT count(*) FROM gtest.ns.trst VERSION AS OF " +
+      s"${vGood + 1}").head().getLong(0) == 100L)
+    // vacuum away vGood's history, then a restore below it refuses
+    val keepFrom = Snapshots.latestVersion(root)
+    Snapshots.vacuum(root, keepFrom, graceMs = 0L)
+    intercept[Exception] {
+      sql(s"CALL gtest.system.restore(`table` => 'ns.trst', " +
+        s"version => 1)")
+    }
+    assert(sql("SELECT count(*) FROM gtest.ns.trst").head()
+      .getLong(0) == 1000L)
+  }
+
   test("CALL changes registers the row-tagged change feed as a temp " +
       "view — CDC through SQL, distributed (no driver collect)") {
     init
