@@ -97,6 +97,9 @@ object VecAbMain {
         vecR(i) = time(scan(true))
         rowR(i) = time(scan(false))
       }
+      // fold the range sidecar first so the scatter leg measures the
+      // pure scattered shape, not two stacked sidecars
+      graft.sources.Snapshots.optimize(spark, root, "k", cpus.toInt)
       graft.sources.Snapshots.deletePositionsByKey(spark, root, "k",
         spark.range(rows).select(col("id"))
           .where(col("id") % 101 === 0).select(col("id").as("k")))

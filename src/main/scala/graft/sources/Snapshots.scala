@@ -1005,19 +1005,37 @@ object Snapshots {
           s"row-level delta marked positions in ${missing.mkString(", ")} " +
             "which a concurrent rewrite dropped — re-run the statement " +
             "against the new snapshot")
-      if (v != scannedVersion && markedFiles.nonEmpty) {
-        val newDvs = m.dvNames.toSet --
-          manifest(root, scannedVersion).dvNames.toSet
-        if (newDvs.nonEmpty) {
-          val rivalMarked = graft.sources.v2.GraftDvPositions.markedFiles(
-            SparkSession.active, root, newDvs.toSeq.sorted)
-          val clash = rivalMarked & markedFiles
-          if (clash.nonEmpty)
-            throw new java.util.ConcurrentModificationException(
-              s"a concurrent row-level commit marked positions in " +
-                s"${clash.mkString(", ")} after this statement's scan " +
-                s"(v$scannedVersion) — re-run the statement against " +
-                "the new snapshot")
+      if (v != scannedVersion) {
+        val scanned = manifest(root, scannedVersion)
+        // READ-STATE REGRESSION: a rival RESTORE (or any commit that
+        // removed sidecars or changed column maps/widenings/tombstones)
+        // changed the rows and schema this statement's scan SAW — both
+        // its matched set and its NOT-MATCHED inserts are stale (a
+        // resurrected row duplicates the insert computed against its
+        // absence), so refuse regardless of what this delta marked.
+        val removedDvs = scanned.dvNames.toSet -- m.dvNames.toSet
+        if (removedDvs.nonEmpty || scanned.columnMaps != m.columnMaps ||
+            scanned.widenings != m.widenings ||
+            scanned.droppedColumns != m.droppedColumns)
+          throw new java.util.ConcurrentModificationException(
+            s"the table's read state changed since this statement's " +
+              s"scan (v$scannedVersion → v$v: sidecars removed or " +
+              "schema mappings changed — e.g. a concurrent RESTORE/" +
+              "OPTIMIZE/ALTER) — re-run the statement against the new " +
+              "snapshot")
+        if (markedFiles.nonEmpty) {
+          val newDvs = m.dvNames.toSet -- scanned.dvNames.toSet
+          if (newDvs.nonEmpty) {
+            val rivalMarked = graft.sources.v2.GraftDvPositions.markedFiles(
+              SparkSession.active, root, newDvs.toSeq.sorted)
+            val clash = rivalMarked & markedFiles
+            if (clash.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"a concurrent row-level commit marked positions in " +
+                  s"${clash.mkString(", ")} after this statement's scan " +
+                  s"(v$scannedVersion) — re-run the statement against " +
+                  "the new snapshot")
+          }
         }
       }
       try {
@@ -1851,6 +1869,33 @@ object Snapshots {
     val meta = tgt.meta.filterNot(l =>
       l.startsWith("#batch") || l.startsWith("#txn:")) ++ idem
     commitManifest(root, cur + 1, tgt.entries, meta, Some((cur, m)))
+    // the `stats=` prop followed renames forward (renameInStatsProp);
+    // restoring across a rename would leave it naming a column absent
+    // from the restored schema, and every later planner-routed write
+    // would silently stop stamping zones for the real sort column.
+    // Walk each missing stats name BACK through the pre-restore rename
+    // chain to the name the restored schema actually has; drop it if
+    // nothing matches (visible degradation beats a silent wrong name).
+    val prop = statsColsProp(root)
+    if (prop.nonEmpty) {
+      val restoredCols =
+        read(spark, root, cur + 1).schema.fieldNames.toSet
+      if (!prop.forall(restoredCols.contains)) {
+        val fixed = prop.flatMap(s =>
+          if (restoredCols.contains(s)) Some(s)
+          else graft.sources.v2.ParquetRowReader
+            .physicalCandidates(s, m.columnMaps)
+            .find(restoredCols.contains))
+        val p = propsPath(root)
+        val lines = LakeFs.readString(p).split("\n").toSeq
+        val updated = lines.flatMap { l =>
+          if (!l.trim.startsWith("stats=")) Some(l)
+          else if (fixed.isEmpty) None
+          else Some(s"stats=${fixed.mkString(",")}")
+        }
+        LakeFs.replaceAtomic(p, updated.mkString("\n"))
+      }
+    }
     cur + 1
   }
 

@@ -182,10 +182,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Snapshots.read(spark, root, Snapshots.latestVersion(root))
         .schema.fieldNames.toSet
     }
-    // names retired by #drop tombstones (ever, at any version): a
-    // dropped name never comes back — neither by ADD nor by RENAME
-    var retired: Set[String] = Snapshots
-      .manifest(root, Snapshots.latestVersion(root)).droppedColumns.toSet
+    // RETIRED names — reusing any of them would resurrect stale
+    // physical values (no field ids; resolution is by name):
+    //  - `#drop:` tombstones (forever — unrewritten files keep data);
+    //  - the OLD side of every LIVE `#map:` rename (files written
+    //    before the rename still hold the old name physically; a new
+    //    logical column under that name would read their bytes). Map
+    //    retirements heal when optimize materializes the renames and
+    //    drops the lines — the physical name is gone from every live
+    //    file at that point.
+    val curManifest = Snapshots
+      .manifest(root, Snapshots.latestVersion(root))
+    var retired: Set[String] = curManifest.droppedColumns.toSet ++
+      curManifest.columnMaps.map(_._1)
     val statsProp = Snapshots.statsColsProp(root).toSet
     val apply: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn =>
@@ -198,9 +207,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!logicalCols.contains(to),
           s"RENAME COLUMN: '$to' already exists")
         require(!retired.contains(to),
-          s"RENAME COLUMN: '$to' was dropped — the name is retired " +
-            "(files written before the drop still hold its values)")
+          s"RENAME COLUMN: '$to' is retired (an earlier rename or drop " +
+            "left physical data under that name in unrewritten files)")
         logicalCols = logicalCols - from + to
+        retired += from // the old name's physical data stays in place
         () => {
           Snapshots.renameColumn(root, from, to)
           // keep the stats= default pointing at the renamed column, or
@@ -232,9 +242,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!logicalCols.contains(name),
           s"ADD COLUMN: '$name' already exists")
         require(!retired.contains(name),
-          s"ADD COLUMN: '$name' was dropped — the name is retired " +
-            "(files written before the drop still hold its values); " +
-            "add it under a new name")
+          s"ADD COLUMN: '$name' is retired (an earlier rename or drop " +
+            "left physical data under that name in unrewritten files); " +
+            "add it under a new name, or optimize first to materialize " +
+            "renames")
         require(a.isNullable,
           "ADD COLUMN must be nullable: existing rows have no value")
         // fail early on types the parquet writer cannot render

@@ -295,6 +295,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("names freed by RENAME are retired while the map is live " +
+      "(stale physical data would resurrect); optimize heals them") {
+    init
+    sql("""CREATE TABLE gtest.ns.tren (k BIGINT, a BIGINT) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.tren SELECT id, id * 10 FROM range(100)")
+    sql("ALTER TABLE gtest.ns.tren RENAME COLUMN a TO b")
+    // old files still hold physical 'a' (b's data): the name is retired
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tren ADD COLUMN a BIGINT")
+    }
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ns.tren RENAME COLUMN k TO a")
+    }
+    // optimize materializes the rename: physical 'a' is gone from every
+    // live file, so the name becomes safely reusable
+    sql("CALL gtest.system.optimize(`table` => 'ns.tren', " +
+      "sort_col => 'k', n_files => 2)")
+    sql("ALTER TABLE gtest.ns.tren ADD COLUMN a DOUBLE")
+    assert(sql("SELECT count(a) FROM gtest.ns.tren").head()
+      .getLong(0) == 0L, "the re-added column reads NULL, never b's data")
+    assert(sql("SELECT sum(b) FROM gtest.ns.tren").head()
+      .getLong(0) == (0 until 100).map(_ * 10L).sum)
+  }
+
   test("CALL restore rolls the table back to an earlier version as one " +
       "metadata commit; history preserved; vacuumed targets refuse") {
     init
@@ -326,6 +351,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(sql("SELECT count(*) FROM gtest.ns.trst").head()
       .getLong(0) == 1000L)
+  }
+
+  test("restore across a rename walks the stats= prop back to the " +
+      "restored schema's column name") {
+    init
+    sql("""CREATE TABLE gtest.ns.trsp (k BIGINT, v BIGINT) USING graft
+          |TBLPROPERTIES ('stats'='k')""".stripMargin)
+    sql("INSERT INTO gtest.ns.trsp SELECT id, id FROM range(100)")
+    val root = s"$warehouse/ns/trsp"
+    val vPre = Snapshots.latestVersion(root)
+    sql("ALTER TABLE gtest.ns.trsp RENAME COLUMN k TO key")
+    assert(Snapshots.statsColsProp(root) == Seq("key"))
+    Snapshots.restore(spark, root, vPre)
+    // the restored schema has 'k' again; the prop must follow back, or
+    // planner-routed writes would stamp zones for a nonexistent column
+    assert(Snapshots.statsColsProp(root) == Seq("k"))
+    assert(sql("SELECT sum(k) FROM gtest.ns.trsp").head()
+      .getLong(0) == (0 until 100).map(_.toLong).sum)
   }
 
   test("CALL changes registers the row-tagged change feed as a temp " +

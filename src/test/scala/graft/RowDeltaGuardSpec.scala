@@ -65,6 +65,28 @@ class RowDeltaGuardSpec extends AnyFunSuite {
     assert(v3 == v2 + 1)
   }
 
+  test("a delta planned before a rival RESTORE refuses: removed " +
+      "sidecars mean the scan's pre-image is gone (resurrected rows " +
+      "would duplicate its inserts)") {
+    val (cat, wh) = freshCatalog()
+    seed(cat, "r")
+    val root = s"$wh/ns/r"
+    spark.sql(s"UPDATE $cat.ns.r SET grp = -1 WHERE k < 10") // adds a dv
+    val scanned = Snapshots.latestVersion(root)
+    assert(Snapshots.deleteSidecars(root, scanned).nonEmpty)
+    // rival RESTORE removes the sidecar (rows resurrect)
+    Snapshots.restore(spark, root, scanned - 1)
+    // any delta planned against `scanned` refuses — even insert-only
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitRowDelta(root, Seq.empty, Seq.empty,
+        markedFiles = Set.empty, scannedVersion = scanned)
+    }
+    // a fresh statement against the restored snapshot commits fine
+    val now = Snapshots.latestVersion(root)
+    assert(Snapshots.commitRowDelta(root, Seq.empty, Seq.empty,
+      markedFiles = Set.empty, scannedVersion = now) == now + 1)
+  }
+
   test("a 100-row MERGE lands a handful of files (delta rebalanced " +
       "before the writers) and partitioned `file=` sidecar parts") {
     val (cat, wh) = freshCatalog()
