@@ -1377,12 +1377,18 @@ object Snapshots {
   private[graft] def dvRead(spark: SparkSession, root: String,
       names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "dvRead needs at least one sidecar")
-    val dec = udf((b: Array[Byte]) => GraftBitmap.decode(b))
+    // bitmaps decode to BOUNDED run chunks (≤64k positions each) and
+    // expand via sequence() — a 10^9-position erasure never
+    // materializes its flat position array in any single task row
+    val runs = udf((b: Array[Byte]) =>
+      GraftBitmap.decodeRunChunks(b, 64 * 1024))
     names.sorted.map { n =>
       val df = spark.read.parquet(s"${deletesDir(root)}/$n")
       if (df.columns.contains("blob"))
         df.select(col("file").cast("string").as("file"),
-          explode(dec(col("blob"))).as("pos"))
+          explode(runs(col("blob"))).as("run"))
+          .select(col("file"), explode(sequence(col("run._1"),
+            col("run._1") + col("run._2").cast("long") - 1)).as("pos"))
       else
         df.select(col("file").cast("string").as("file"), col("pos"))
     }.reduce(_ unionAll _)

@@ -26,6 +26,23 @@ class GraftBitmapSpec extends AnyFunSuite {
     roundTrip((0L until 50L).flatMap(i => Seq(i * 37L, i * 37L + 1)).toArray)
   }
 
+  test("decodeRunChunks covers the set exactly with bounded chunks") {
+    def viaChunks(ps: Array[Long], maxChunk: Int): Seq[Long] = {
+      val chunks = GraftBitmap.decodeRunChunks(
+        GraftBitmap.encode(ps.sorted), maxChunk)
+      assert(chunks.forall(_._2 <= maxChunk))
+      chunks.flatMap { case (s, n) => s until s + n }.toSeq
+    }
+    assert(viaChunks(Array.empty, 10) == Seq.empty)
+    assert(viaChunks((100L until 500L).toArray, 64) ==
+      (100L until 500L).toSeq)
+    assert(GraftBitmap.decodeRunChunks(
+      GraftBitmap.encode((0L until 1000L).toArray), 64).length == 16)
+    val rnd = new scala.util.Random(11)
+    val ps = Array.fill(3000)(rnd.nextLong(1L << 30).abs).distinct.sorted
+    assert(viaChunks(ps, 7) == ps.toSeq)
+  }
+
   test("randomized round trips (fixed seed)") {
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { _ =>
