@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   root/files/<name>.parquet        immutable data files (append-only)
-  *   root/_deletes/<name>.parquet     position-delete sidecars (file, pos)
+  *   root/_deletes/<name>/file=<f>/…  position-delete sidecar: per marked
+  *                                    data file, one-row (card, blob)
+  *                                    COMPRESSED-BITMAP parts
+  *                                    ([[GraftBitmap]]) — or legacy `pos`
+  *                                    rows; `<name>.parquet` (file, pos)
+  *                                    single-file sidecars stay readable
   *   root/_manifests/v<N>.txt         version N: metadata + file section
   *   root/_manifests/_ckpt_v<N>.txt   full file list materialized by vacuum
   *   root/_manifests/_latest.hint     advisory latest-version pointer
@@ -308,6 +313,16 @@ object Snapshots {
         (c, t)
       }
     def hasMappings: Boolean = columnMaps.nonEmpty || widenings.nonEmpty
+    /** The table's default stats columns as VERSIONED state (`#stats:`
+      * meta, carried like every read-state line): renames update it in
+      * the SAME commit as their `#map:` line and RESTORE takes the
+      * target's, so the zone-stamping default can never drift from the
+      * schema the way a side file can (None on pre-feature manifests —
+      * the `_props.txt stats=` fallback serves those).
+      */
+    def statsColsMeta: Option[Seq[String]] =
+      meta.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
   }
 
   /** Latest committed version — advisory-hint + forward-probe instead of
@@ -399,14 +414,21 @@ object Snapshots {
         k.trim -> v.trim
       }.toMap
 
-  /** The table's default stats columns (`stats=` property, stamped by
-    * the catalog's CREATE TABLE) — what planner-routed writes (INSERT
-    * INTO through [[graft.sources.v2.GraftCatalog]]) stamp zones for
-    * when the write carries no explicit `statsCols` option.
+  /** The table's default stats columns — what planner-routed writes
+    * (INSERT INTO through [[graft.sources.v2.GraftCatalog]]) stamp
+    * zones for when the write carries no explicit `statsCols` option.
+    * Manifest-versioned `#stats:` meta first (atomic with renames and
+    * restores — see [[ManifestData.statsColsMeta]]); the legacy
+    * `_props.txt stats=` line serves pre-feature tables.
     */
-  private[graft] def statsColsProp(root: String): Seq[String] =
-    tableProps(root).get("stats").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  private[graft] def statsColsProp(root: String): Seq[String] = {
+    val fromMeta =
+      if (latestVersion(root) >= 1)
+        manifest(root, latestVersion(root)).statsColsMeta
+      else None
+    fromMeta.getOrElse(tableProps(root).get("stats").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+  }
 
   /** Follow a column RENAME in the `stats=` property so planner-routed
     * writes keep stamping zones for the renamed column (a stale old
@@ -784,8 +806,14 @@ object Snapshots {
     if (props.nonEmpty)
       try LakeFs.createNewAtomic(propsPath(root), props.mkString("\n"))
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+    // the stats DEFAULT also rides the manifest as carried `#stats:`
+    // meta, so renames/restores keep it consistent ATOMICALLY with the
+    // commit that changes the schema (the props line stays as the
+    // legacy fallback read)
+    val statsMeta = props.find(_.startsWith("stats="))
+      .map(p => s"#stats:${p.stripPrefix("stats=")}").toSeq
     val entries = names.map(n => statEntry(spark, root, n, statsCols))
-    commitManifest(root, 1, entries, Seq.empty, None)
+    commitManifest(root, 1, entries, statsMeta, None)
     1
   }
 
@@ -950,7 +978,9 @@ object Snapshots {
       val meta =
         if (truncate) withTxn.filter(l =>
           l.startsWith("#batchwm:") || l.startsWith("#batch:") ||
-            l.startsWith("#txn:"))
+            l.startsWith("#txn:") ||
+            l.startsWith("#stats:")) // the stats default survives an
+            // INSERT OVERWRITE like any table property would
         else withTxn
       val newEntries =
         if (truncate) entries.sortBy(_.name)
@@ -986,14 +1016,24 @@ object Snapshots {
     *     pre-image, so letting the second commit would double-apply
     *     (duplicate post-image rows, lost updates). Checking FILE
     *     intersection is conservative (position-disjoint writes to the
-    *     same file also refuse) but never wrong.
+    *     same file also refuse) but never wrong;
+    *  3. with `refuseNewFiles` (set for MERGE, whose NOT-MATCHED inserts
+    *     were computed against the scanned snapshot's FULL key set): no
+    *     data file may have been ADDED since `scannedVersion` — a rival
+    *     append (including another MERGE's insert files) could carry
+    *     keys this statement decided to insert because it did not see
+    *     them, and committing would duplicate those keys (the
+    *     Delta ConcurrentAppendException rule for statements that read
+    *     the table). DELETE/UPDATE skip this: missing a concurrent
+    *     append is write-serializable snapshot semantics, not
+    *     duplication.
     *
     * Returns the new version.
     */
   private[graft] def commitRowDelta(root: String,
       entries: Seq[FileEntry], sidecarNames: Seq[String],
       markedFiles: Set[String], scannedVersion: Int,
-      maxRetries: Int = 20): Int = {
+      maxRetries: Int = 20, refuseNewFiles: Boolean = false): Int = {
     var attempt = 0
     while (true) {
       val v = latestVersion(root)
@@ -1023,6 +1063,16 @@ object Snapshots {
               "schema mappings changed — e.g. a concurrent RESTORE/" +
               "OPTIMIZE/ALTER) — re-run the statement against the new " +
               "snapshot")
+        if (refuseNewFiles) {
+          val added = m.files.toSet -- scanned.files.toSet
+          if (added.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"data files were added since this statement's scan " +
+                s"(v$scannedVersion → v$v: e.g. ${added.take(3)
+                  .mkString(", ")}) — a MERGE's NOT-MATCHED inserts " +
+                "were computed against their absence; re-run the " +
+                "statement against the new snapshot")
+        }
         if (markedFiles.nonEmpty) {
           val newDvs = m.dvNames.toSet -- scanned.dvNames.toSet
           if (newDvs.nonEmpty) {
@@ -1336,26 +1386,42 @@ object Snapshots {
     * (`dv_*.parquet`) stay readable everywhere via [[dvRead]].
     * Returns (sidecar name, rows marked); None when empty.
     */
-  /** Write a `(file, pos)` delete frame as a PARTITIONED sidecar of
-    * per-file COMPRESSED BITMAPS: one `file=<dataFile>` directory per
-    * marked file holding a single-row parquet `(card, blob)` part — the
-    * [[GraftBitmap]] run-length encoding, ~100× smaller than `(file,
-    * pos)` rows at range-erasure scale. The per-file position set
-    * aggregates in ONE task (`groupBy(file)` + `collect_list`) — the
-    * same bound every per-file-DV format carries (Delta builds each DV
-    * blob in one task); a file marked beyond task memory is a file the
-    * three-tier DELETE would have dropped whole instead. Returns the
-    * sidecar name and total marks.
+  /** Position-range width of one encode segment: the per-(file,
+    * segment) `collect_list` below is bounded at this many positions
+    * per task row (~32 MB of longs), so even a file whose ENTIRE
+    * position space is marked encodes in bounded memory — the chunked-
+    * encode escape hatch for straddling files beyond the single-task
+    * bound other per-file-DV formats carry.
     */
-  private def writeSidecarFile(spark: SparkSession, root: String, v: Int,
-      fresh: DataFrame): Option[(String, Long)] = {
+  private[graft] val SidecarSegmentPositions: Long = 4L * 1024 * 1024
+
+  /** Write a `(file, pos)` delete frame as a PARTITIONED sidecar of
+    * per-file COMPRESSED BITMAPS: each `file=<dataFile>` directory
+    * holds one-row parquet `(card, blob)` parts — the [[GraftBitmap]]
+    * run-length encoding, ~100× smaller than `(file, pos)` rows at
+    * range-erasure scale. Positions aggregate per (file, POSITION-RANGE
+    * SEGMENT) — `collect_list` is bounded at [[SidecarSegmentPositions]]
+    * positions per task row, so no file can exceed task memory however
+    * many marks it takes (segments are disjoint ranges: every part is
+    * an independent bitmap, and readers union parts per file). `card`
+    * is derived from the encoded blob's own header, so duplicate
+    * `(file, pos)` input rows (the codec collapses them — set
+    * semantics) can never inflate the stored count. Returns the
+    * sidecar name and total distinct marks.
+    */
+  private[graft] def writeSidecarFile(spark: SparkSession, root: String,
+      v: Int, fresh: DataFrame,
+      segmentPositions: Long = SidecarSegmentPositions)
+      : Option[(String, Long)] = {
     val name = s"dv_v${v + 1}_${uuid8()}"
     val dir = s"${deletesDir(root)}/$name"
     val enc = udf((ps: Seq[Long]) => GraftBitmap.encode(ps.toArray))
-    fresh.groupBy(col("file"))
+    val cardOf = udf((b: Array[Byte]) => GraftBitmap.cardinality(b))
+    fresh.groupBy(col("file"),
+        floor(col("pos") / lit(segmentPositions)).as("__seg"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-      .select(col("file"), size(col("ps")).cast("long").as("card"),
-        enc(col("ps")).as("blob"))
+      .select(col("file"), enc(col("ps")).as("blob"))
+      .select(col("file"), cardOf(col("blob")).as("card"), col("blob"))
       .write.partitionBy("file").parquet(dir)
     if (LakeFs.listDirNames(dir).isEmpty) { // zero rows: no partitions
       LakeFs.deleteRecursively(dir)
@@ -1773,8 +1839,19 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
-    commitManifest(root, v + 1, m.entries,
-      carryMeta(m) :+ s"#map:$oldName=$newName", Some((v, m)))
+    // the `#stats:` default follows the rename IN THE SAME COMMIT — the
+    // rename and the stats repair are one atomic manifest create, so no
+    // crash window can leave the default naming a column the schema no
+    // longer has (the legacy props-file follow-up in the catalog is
+    // best-effort sync for pre-feature readers only)
+    val meta = carryMeta(m).map { l =>
+      if (l.startsWith("#stats:"))
+        "#stats:" + l.stripPrefix("#stats:").split(",").toSeq
+          .map(c => if (c.trim == oldName) newName else c.trim)
+          .mkString(",")
+      else l
+    } :+ s"#map:$oldName=$newName"
+    commitManifest(root, v + 1, m.entries, meta, Some((v, m)))
     v + 1
   }
 
@@ -1875,31 +1952,55 @@ object Snapshots {
     val meta = tgt.meta.filterNot(l =>
       l.startsWith("#batch") || l.startsWith("#txn:")) ++ idem
     commitManifest(root, cur + 1, tgt.entries, meta, Some((cur, m)))
-    // the `stats=` prop followed renames forward (renameInStatsProp);
-    // restoring across a rename would leave it naming a column absent
-    // from the restored schema, and every later planner-routed write
-    // would silently stop stamping zones for the real sort column.
-    // Walk each missing stats name BACK through the pre-restore rename
-    // chain to the name the restored schema actually has; drop it if
-    // nothing matches (visible degradation beats a silent wrong name).
-    val prop = statsColsProp(root)
-    if (prop.nonEmpty) {
-      val restoredCols =
-        read(spark, root, cur + 1).schema.fieldNames.toSet
-      if (!prop.forall(restoredCols.contains)) {
-        val fixed = prop.flatMap(s =>
-          if (restoredCols.contains(s)) Some(s)
-          else graft.sources.v2.ParquetRowReader
-            .physicalCandidates(s, m.columnMaps)
-            .find(restoredCols.contains))
-        val p = propsPath(root)
-        val lines = LakeFs.readString(p).split("\n").toSeq
-        val updated = lines.flatMap { l =>
-          if (!l.trim.startsWith("stats=")) Some(l)
-          else if (fixed.isEmpty) None
-          else Some(s"stats=${fixed.mkString(",")}")
+    // TOCTOU guard: a concurrent vacuum planned against the PRE-restore
+    // latest could reclaim target-only files between the existence
+    // checks above and the commit (it never sees cur+1 as live). Re-
+    // verify AFTER the commit; on loss, roll FORWARD to the pre-restore
+    // state (one more metadata commit — its files are still referenced
+    // by cur, which every vacuum keeps when it keeps cur) and refuse,
+    // so no committed version ever serves dangling references.
+    val lostData = tgt.entries.filterNot(e =>
+      LakeFs.exists(s"${filesDir(root)}/${e.name}")).map(_.name)
+    val lostDv = tgt.dvNames.filterNot(n =>
+      LakeFs.exists(s"${deletesDir(root)}/$n"))
+    if (lostData.nonEmpty || lostDv.nonEmpty) {
+      val mR = manifest(root, cur + 1)
+      commitManifest(root, cur + 2, m.entries, m.meta,
+        Some((cur + 1, mR)))
+      throw new IllegalStateException(
+        s"RESTORE to v$toVersion lost a race with vacuum: " +
+          s"${(lostData ++ lostDv).take(3).mkString(", ")} reclaimed " +
+          s"after the pre-commit checks — rolled forward to the " +
+          s"pre-restore state as v${cur + 2}")
+    }
+    // `#stats:` meta restores ATOMICALLY with the manifest (it IS the
+    // target's carried line). Only pre-feature tables (no `#stats:`)
+    // still keep the default in `_props.txt`, where a restore across a
+    // rename can leave it naming a column absent from the restored
+    // schema. Walk each missing name BACK through the pre-restore
+    // rename chain to the name the restored schema actually has; drop
+    // it if nothing matches (visible degradation beats a silent wrong
+    // name).
+    if (manifest(root, cur + 1).statsColsMeta.isEmpty) {
+      val prop = statsColsProp(root)
+      if (prop.nonEmpty) {
+        val restoredCols =
+          read(spark, root, cur + 1).schema.fieldNames.toSet
+        if (!prop.forall(restoredCols.contains)) {
+          val fixed = prop.flatMap(s =>
+            if (restoredCols.contains(s)) Some(s)
+            else graft.sources.v2.ParquetRowReader
+              .physicalCandidates(s, m.columnMaps)
+              .find(restoredCols.contains))
+          val p = propsPath(root)
+          val lines = LakeFs.readString(p).split("\n").toSeq
+          val updated = lines.flatMap { l =>
+            if (!l.trim.startsWith("stats=")) Some(l)
+            else if (fixed.isEmpty) None
+            else Some(s"stats=${fixed.mkString(",")}")
+          }
+          LakeFs.replaceAtomic(p, updated.mkString("\n"))
         }
-        LakeFs.replaceAtomic(p, updated.mkString("\n"))
       }
     }
     cur + 1
@@ -1939,8 +2040,10 @@ object Snapshots {
     */
   private def idempotenceMeta(m: ManifestData): Seq[String] =
     m.meta.filter(l => l.startsWith("#batch") || l.startsWith("#txn:") ||
-      l.startsWith("#drop:")) // tombstones outlive the rewrite: they
+      l.startsWith("#drop:") || // tombstones outlive the rewrite: they
       // are the re-add refusal record, not a read-time mapping
+      l.startsWith("#stats:")) // the zone-stamping default is table
+      // state, not a read-time mapping — a rewrite must not reset it
 
   /** Result of an incremental bin-pack: the new version, small files
     * rewritten, right-sized files re-referenced verbatim, and the
@@ -1991,6 +2094,45 @@ object Snapshots {
     commitManifest(root, v + 1, big.map(_._1) ++ packed, carryMeta(m),
       Some((v, m)))
     BinPackResult(v + 1, small.size, big.size, big.size + packed.size)
+  }
+
+  /** Result of a sidecar compaction: the new version, live sidecars
+    * before and after (0 or 1), and the distinct positions the merged
+    * sidecar carries.
+    */
+  case class CompactSidecarsResult(version: Int, sidecarsBefore: Int,
+      sidecarsAfter: Int, markedPositions: Long)
+
+  /** SIDECAR COMPACTION — fold K live position-delete sidecars into ONE
+    * per-file-union sidecar WITHOUT touching a data file: reads only
+    * the sidecars themselves (KB-scale), re-encodes the union as one
+    * partitioned bitmap sidecar, and commits a manifest whose `#dv:`
+    * set is that single name. The missing middle between per-statement
+    * sidecar accrual and a FULL optimize rewrite: a MERGE-heavy table
+    * accretes one sidecar per statement, and every read pays one
+    * sidecar resolution per live name ([[dvRead]] unions one scan per
+    * sidecar; the DSv2 readers probe one directory per name per file) —
+    * this verb keeps that read cost FLAT between optimizes at metadata
+    * cost, the Iceberg `rewrite_position_delete_files` role. Sidecars
+    * are disjoint by construction, so the union is exact; old sidecars
+    * stay referenced by old versions (time travel) until [[vacuum]].
+    * No-op (no commit) when fewer than two sidecars are live.
+    */
+  def compactSidecars(spark: SparkSession, root: String)
+      : CompactSidecarsResult = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    if (m.dvNames.size <= 1)
+      return CompactSidecarsResult(v, m.dvNames.size, m.dvNames.size,
+        0L)
+    val union = dvRead(spark, root, m.dvNames)
+    val sidecar = writeSidecarFile(spark, root, v, union)
+    val meta = carryMeta(m).filterNot(_.startsWith("#dv:")) ++
+      sidecar.map(s => s"#dv:${s._1}")
+    commitManifest(root, v + 1, m.entries, meta, Some((v, m)))
+    CompactSidecarsResult(v + 1, m.dvNames.size,
+      sidecar.size, sidecar.map(_._2).getOrElse(0L))
   }
 
   /** OPTIMIZE ... ZORDER BY — the Delta/Iceberg clustering rewrite: the

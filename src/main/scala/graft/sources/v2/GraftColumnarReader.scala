@@ -64,25 +64,46 @@ class GraftColumnarReader(p: GraftInputPartition)
     p.required.fields.exists(_.name == GraftMetaColumns.Pos)
   private val needPos: Boolean = dv.nonEmpty || posRequested
 
-  // the file footer decides physical names (rename chain) and binds
-  // filter predicates; opened only when either is in play
-  private val fileSchema: Option[org.apache.parquet.schema.MessageType] =
-    if (p.maps.nonEmpty || p.pushed.nonEmpty) {
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-      try Some(rd.getFooter.getFileMetaData.getSchema) finally rd.close()
-    } else None
-  private val fileFieldNames: Set[String] = fileSchema match {
-    case Some(fs) =>
-      import scala.jdk.CollectionConverters._
-      fs.getFields.asScala.map(_.getName).toSet
-    case None => Set.empty
+  // ONE footer per partition: read once on the task's own stream, used
+  // for physical-name resolution (rename chain) AND FilterPredicate
+  // binding, then HANDED to the vectorized reader (whose initialize
+  // would otherwise re-read it) — one footer I/O per file per scan
+  // instead of two; on object storage that is one GET saved per file on
+  // every mapped or filtered scan. [[GraftVectorizedAudit.footerReads]]
+  // counts these reads so specs can pin the per-file total at exactly 1.
+  private val inputFile: org.apache.parquet.hadoop.util.HadoopInputFile =
+    p.bytesHint match {
+      case Some(len) => // manifest byte stats: skip the getFileStatus HEAD
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, len, 0L,
+            path), conf)
+      case None =>
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    }
+  private val inputStream: org.apache.parquet.io.SeekableInputStream =
+    inputFile.newStream()
+  private val footer: org.apache.parquet.hadoop.metadata.ParquetMetadata =
+    try {
+      GraftVectorizedAudit.footerReads.incrementAndGet()
+      org.apache.parquet.hadoop.ParquetFileReader.readFooter(inputFile,
+        org.apache.parquet.HadoopReadOptions.builder(conf, path).build(),
+        inputStream)
+    } catch {
+      case t: Throwable =>
+        inputStream.close()
+        throw t
+    }
+  private val fileSchema: org.apache.parquet.schema.MessageType =
+    footer.getFileMetaData.getSchema
+  private val fileFieldNames: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    fileSchema.getFields.asScala.map(_.getName).toSet
   }
 
   /** This file's physical name for a logical column — the newest name
     * in the rename chain the footer actually holds; the logical name
-    * itself when no maps ride the scan (no footer read) or nothing
-    * matches (column absent: Spark's reader null-fills it).
+    * itself when no maps ride the scan or nothing matches (column
+    * absent: Spark's reader null-fills it).
     */
   private def physName(logical: String): String =
     if (p.maps.isEmpty) logical
@@ -142,9 +163,9 @@ class GraftColumnarReader(p: GraftInputPartition)
     // THIS file's physical schema: row groups skip by block statistics,
     // pages by column index — safe WITH delete vectors because row
     // positions come from the row-index generator, not running counts
-    fileSchema.filter(_ => p.pushed.nonEmpty).foreach { fs =>
+    if (p.pushed.nonEmpty) {
       val pf = new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetFilters(fs, true, true, true, true, 10, false,
+        .ParquetFilters(fileSchema, true, true, true, true, 10, false,
           org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
             org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
       p.pushed.flatMap(f => pf.createFilter(remapFilter(f)))
@@ -152,10 +173,8 @@ class GraftColumnarReader(p: GraftInputPartition)
         .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
           .setFilterPredicate(conf, pred))
     }
-    val len = p.bytesHint.getOrElse(
-      path.getFileSystem(conf).getFileStatus(path).getLen)
     val split = new org.apache.hadoop.mapred.FileSplit(
-      path, 0, len, Array.empty[String])
+      path, 0, inputFile.getLength, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     // graft-written files are Spark-4-era parquet: no legacy calendar
@@ -163,7 +182,19 @@ class GraftColumnarReader(p: GraftInputPartition)
     val reader = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(null, "CORRECTED", "UTC",
         "CORRECTED", "UTC", false, Capacity)
-    reader.initialize(split, ctx)
+    try {
+      // the already-read footer + open stream ride into the reader (the
+      // 2-arg initialize would re-open and re-parse both); parquet-mr's
+      // footer-provided constructor still applies the conf's
+      // FilterPredicate to the provided blocks (row-group skipping is
+      // unchanged — Dsv2RowGroupSkipSpec gates it)
+      reader.initialize(split, ctx, Some(inputFile), Some(inputStream),
+        Some(footer))
+    } catch {
+      case t: Throwable =>
+        inputStream.close()
+        throw t
+    }
     reader.initBatch(new StructType(),
       org.apache.spark.sql.catalyst.InternalRow.empty)
     reader.enableReturningBatches()

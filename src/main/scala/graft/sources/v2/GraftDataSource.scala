@@ -1083,6 +1083,12 @@ class GraftReaderFactory() extends PartitionReaderFactory {
 object GraftVectorizedAudit {
   val batches = new java.util.concurrent.atomic.AtomicLong
   val selectedBatches = new java.util.concurrent.atomic.AtomicLong
+  /** Parquet footer READS performed by columnar partition readers —
+    * exactly ONE per file per scan (the same read serves name/filter
+    * binding and the vectorized reader), even on mapped/filtered scans
+    * that used to pay a second open. Specs pin `delta == files`.
+    */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** LOCAL-MODE test hook: the outcome of the last SQL DELETE per table

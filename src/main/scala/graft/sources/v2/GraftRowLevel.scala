@@ -81,7 +81,14 @@ class GraftRowLevelOperation(root: String, version: Int,
         writeDefaults.get("statsCols").toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
         writeDefaults.get("deltaAdvisoryBytes").map(_.toLong)
-          .getOrElse(64L * 1024 * 1024))
+          .getOrElse(64L * 1024 * 1024),
+        // MERGE's NOT-MATCHED inserts were computed against the scanned
+        // snapshot's full key set — rival appends since then could carry
+        // those keys, so the commit must refuse them (Delta's
+        // ConcurrentAppendException rule); DELETE/UPDATE stay
+        // write-serializable (a missed concurrent append is snapshot
+        // semantics, not duplication)
+        refuseNewFiles = cmd == RowLevelOperation.Command.MERGE)
   }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -98,7 +105,8 @@ class GraftRowLevelOperation(root: String, version: Int,
   */
 class GraftDeltaWrite(root: String, scannedVersion: Int,
     rowSchema: StructType, statsCols: Seq[String],
-    advisoryBytes: Long) extends DeltaWrite
+    advisoryBytes: Long, refuseNewFiles: Boolean = false)
+  extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
   /** Cluster the delta by target file, size-bounded: with an advisory
@@ -148,7 +156,8 @@ class GraftDeltaWrite(root: String, scannedVersion: Int,
       val marked = ms.flatMap(_.markedFiles).toSet
       if (entries.nonEmpty || sidecars.nonEmpty) {
         Snapshots.commitRowDelta(root, entries, sidecars, marked,
-          scannedVersion = scannedVersion)
+          scannedVersion = scannedVersion,
+          refuseNewFiles = refuseNewFiles)
         ()
       }
     }
@@ -269,7 +278,9 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
     val w = GraftParquetSchema.newWriter(path, bmSchema, conf)
     try {
       val g = bmFactory.newGroup()
-      g.add(0, sorted.length.toLong)
+      // card from the blob's own header: the codec collapses duplicate
+      // positions (set semantics), so the stored count must too
+      g.add(0, graft.sources.GraftBitmap.cardinality(blob))
       g.add(1, org.apache.parquet.io.api.Binary
         .fromConstantByteArray(blob))
       w.write(g)

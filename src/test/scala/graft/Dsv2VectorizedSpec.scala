@@ -142,6 +142,34 @@ class Dsv2VectorizedSpec extends AnyFunSuite {
       rRow.getLong(1) == r.getLong(1))
   }
 
+  test("mapped and filtered scans read each file's footer EXACTLY once " +
+      "(the one read serves name/filter binding and the reader itself)") {
+    val root = freshTable()
+    Snapshots.renameColumn(root, "grp", "bucket")
+    def footerPerFile(body: => Long): (Long, Long, Long) = {
+      val f0 = GraftVectorizedAudit.footerReads.get()
+      val (n, vec) = vectorizedDelta(body)
+      (n, vec, GraftVectorizedAudit.footerReads.get() - f0)
+    }
+    // mapped + filtered: the r18 reader paid 2 footer opens per file here
+    val (n1, vec1, foot1) = footerPerFile {
+      spark.read.format("graft").option("path", root).load()
+        .where(col("k") >= 1000 && col("k") < 3000)
+        .agg(sum(col("bucket"))).head().getLong(0)
+    }
+    assert(vec1 >= 1)
+    assert(foot1 == vec1,
+      s"one footer read per opened file, got $foot1 for $vec1 files")
+    assert(n1 == (1000L until 3000L).map(_ % 7).sum)
+    // unfiltered full scan of a data column: still exactly one per file
+    val (n2, vec2, foot2) = footerPerFile {
+      spark.read.format("graft").option("path", root).load()
+        .agg(sum(col("k"))).head().getLong(0)
+    }
+    assert(vec2 == 4 && foot2 == 4, s"got $foot2 footer reads, $vec2 files")
+    assert(n2 == (0L until 20000L).sum)
+  }
+
   test("array<scalar> columns (the embedding shape) vectorize") {
     val d = java.nio.file.Files.createTempDirectory("graft_vecarr").toString
     val src = s"$d/src"

@@ -87,6 +87,56 @@ class RowDeltaGuardSpec extends AnyFunSuite {
       markedFiles = Set.empty, scannedVersion = now) == now + 1)
   }
 
+  test("a MERGE-mode delta refuses rival APPENDS since its scanned " +
+      "snapshot (insert duplication window); DELETE/UPDATE-mode commits") {
+    val (cat, wh) = freshCatalog()
+    seed(cat, "a")
+    val root = s"$wh/ns/a"
+    val scanned = Snapshots.latestVersion(root)
+    // rival plain append lands after the statement's scan
+    spark.sql(s"INSERT INTO $cat.ns.a VALUES (90001, 1)")
+    assert(Snapshots.latestVersion(root) == scanned + 1)
+    // MERGE semantics (refuseNewFiles): the rival's insert files could
+    // carry keys this statement decided to NOT-MATCH-insert — refuse
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commitRowDelta(root, Seq.empty, Seq.empty,
+        markedFiles = Set.empty, scannedVersion = scanned,
+        refuseNewFiles = true)
+    }
+    // DELETE/UPDATE semantics: a missed concurrent append is
+    // write-serializable snapshot behavior, not duplication — commits
+    val v = Snapshots.commitRowDelta(root, Seq.empty, Seq.empty,
+      markedFiles = Set.empty, scannedVersion = scanned)
+    assert(v == scanned + 2)
+  }
+
+  test("sidecar card comes from the blob header (duplicate (file,pos) " +
+      "rows collapse) and straddling files encode in bounded segments") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    seed(cat, "s")
+    val root = s"$wh/ns/s"
+    val v = Snapshots.latestVersion(root)
+    val f = Snapshots.resolve(root, v).head
+    // 5000 distinct positions, every row duplicated, spanning 5 encode
+    // segments of 1000 positions each
+    val fresh = (0L until 5000L).flatMap(p => Seq((f, p), (f, p)))
+      .toDF("file", "pos")
+    val Some((name, card)) = Snapshots.writeSidecarFile(spark, root, v,
+      fresh, segmentPositions = 1000L)
+    assert(card == 5000L, s"duplicates must not inflate card: $card")
+    // bounded segments: >1 one-row (card, blob) part for the file
+    val parts = spark.read.parquet(s"$root/_deletes/$name")
+    assert(parts.count() >= 5L,
+      "5 position-range segments must yield >= 5 bitmap parts")
+    assert(parts.agg(org.apache.spark.sql.functions.sum("card"))
+      .head().getLong(0) == 5000L)
+    // readers union parts per file: exactly the distinct positions
+    val got = graft.sources.v2.GraftDvPositions.forFile(
+      spark.sessionState.newHadoopConf(), root, Seq(name), f)
+    assert(got.toSeq == (0L until 5000L).toSeq)
+  }
+
   test("a 100-row MERGE lands a handful of files (delta rebalanced " +
       "before the writers) and partitioned `file=` sidecar parts") {
     val (cat, wh) = freshCatalog()
