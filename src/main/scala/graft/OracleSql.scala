@@ -3859,6 +3859,33 @@ object OracleSql {
         |  TRUE AS out_of_range_refused
         |FROM events""".stripMargin,
 
+    // mt1: sidecar compaction is lossless — the merged sidecar's marks
+    // equal the three delete windows' row count; the live set (count +
+    // 6dp mass) is the closed-form survivor set and equals the
+    // pre-compaction read; layout gates are engine booleans
+    "mt1_compact_sidecars" ->
+      """WITH windows AS (
+        |  SELECT value,
+        |    ((ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-06 00:00:00')
+        |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-13 00:00:00')
+        |    OR (ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00')) AS marked
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_live,
+        |  CAST(count(*) AS BIGINT) AS n_pre_compact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM windows WHERE marked)
+        |    AS marked_positions,
+        |  CAST(3 AS BIGINT) AS sidecars_before,
+        |  CAST(1 AS BIGINT) AS sidecars_after,
+        |  CAST(5 AS BIGINT) AS latest_version,
+        |  TRUE AS files_untouched,
+        |  TRUE AS bitmap_parts_readable
+        |FROM windows WHERE NOT marked""".stripMargin,
+
     // se3: DROP COLUMN is metadata-only and lossless for the surviving
     // columns — counts/mass at v2 (tombstone) and v3 (optimize) equal
     // the raw table; hide/serve/refusal gates are engine booleans

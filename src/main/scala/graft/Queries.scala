@@ -4572,6 +4572,85 @@ object Queries {
       })
     }
 
+  /** Snapshot table exercising SIDECAR COMPACTION — the mt1 fixture:
+    * v1 adopts the compacted files; v2/v3/v4 are three independent MoR
+    * deletes (three live sidecars — the MERGE-heavy accrual shape);
+    * v5 is [[graft.sources.Snapshots.compactSidecars]]: the three fold
+    * into ONE per-file-union bitmap sidecar, zero data files touched.
+    */
+  private val compactDvSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def compactDvSnapPath(s: SparkSession, dir: String): String =
+    compactDvSnapMemo.synchronized {
+      compactDvSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_compactdv_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          val S = graft.sources.Snapshots
+          def micros(v: String): Long = {
+            val t = java.sql.Timestamp.valueOf(v)
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          }
+          S.init(s, tmp, compactedEventsPath(s, dir))
+          S.deletePositions(s, tmp, "ts",
+            micros("2024-01-05 00:00:00"), micros("2024-01-06 00:00:00"))
+          S.deletePositions(s, tmp, "ts",
+            tsWindowLoMicros, tsWindowHiMicros)
+          S.deletePositions(s, tmp, "ts",
+            micros("2024-01-20 00:00:00"), micros("2024-01-21 00:00:00"))
+          S.compactSidecars(s, tmp)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** MT1: SIDECAR COMPACTION ([[graft.sources.Snapshots
+    * .compactSidecars]] / `CALL g.system.compact_sidecars`) — the
+    * maintenance middle between per-statement sidecar accrual and a
+    * full optimize: three MoR deletes leave three live sidecars (reads
+    * pay one sidecar resolution per name per scan), and one METADATA
+    * commit folds them into a single per-file-union bitmap sidecar —
+    * zero data files rewritten. Gates: sidecar count 3 → 1 with the
+    * data-file list IDENTICAL across the commit; merged marks equal the
+    * three windows' row count exactly (closed form); post-compaction
+    * count/6dp mass equal the pre-compaction read AND the closed-form
+    * survivor set; the pre-compaction version stays time-travelable.
+    *
+    * 100 TB lens: a CDC-ingest table takes a MERGE a minute — 1440
+    * sidecars a day. Folding them must cost KB of sidecar I/O on a
+    * schedule, not a full-table rewrite; this is Iceberg's
+    * rewrite_position_delete_files / Delta's DV compaction role.
+    */
+  def mt1CompactSidecars(s: SparkSession, dir: String): DataFrame = {
+    val root = compactDvSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val latest = S.latestVersion(root)
+    val before = S.deleteSidecars(root, 4)
+    val after = S.deleteSidecars(root, 5)
+    val filesUntouched = S.resolve(root, 5) == S.resolve(root, 4)
+    val marked = graft.sources.v2.GraftDvPositions.markedFiles(
+      s, root, after)
+    // the merged sidecar's own cardinality, from the bitmap parts
+    val mergedMarks = after.headOption.map(n =>
+      s.read.parquet(s"$root/_deletes/$n")
+        .agg(coalesce(sum(col("card")), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val a5 = S.read(s, root, 5)
+      .agg(count(lit(1)).as("n_live"), mass.as("value_live"))
+    val a4 = S.read(s, root, 4).agg(count(lit(1)).as("n_pre_compact"))
+    a5.crossJoin(broadcast(a4))
+      .select(col("n_live"), col("value_live"), col("n_pre_compact"),
+        lit(mergedMarks).as("marked_positions"),
+        lit(before.size.toLong).as("sidecars_before"),
+        lit(after.size.toLong).as("sidecars_after"),
+        lit(latest.toLong).as("latest_version"),
+        lit(filesUntouched).as("files_untouched"),
+        lit(marked.nonEmpty).as("bitmap_parts_readable"))
+  }
+
   /** TT3: RESTORE TO VERSION — the rollback verb next to time travel
     * ([[graft.sources.Snapshots.restore]]): an accidental delete (v2's
     * MoR sidecar over the 3-day window) is undone by ONE metadata
@@ -8732,6 +8811,7 @@ object Queries {
     "arr1_dsv2_array_read" -> (arr1DsvArrayRead _),
     "sql7_cdc_catalog" -> (sql7CdcThroughCatalog _),
     "mf5_count_pushdown" -> (mf5CountPushdown _),
-    "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _)
+    "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _),
+    "mt1_compact_sidecars" -> (mt1CompactSidecars _)
   )
 }

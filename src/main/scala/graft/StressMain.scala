@@ -264,6 +264,9 @@ object StressMain {
       // tt3 rolls back a bad MoR delete with one metadata RESTORE
       // commit, history preserved
       "tt3_restore",
+      // mt1 folds three live MoR sidecars into one per-file-union
+      // bitmap sidecar — KB of sidecar I/O, zero data files touched
+      "mt1_compact_sidecars",
       // oz1 recompacts the snapshot as 16 Morton-range files and prunes
       // a conjunctive predicate from the resulting footer envelopes
       "oz1_optimize_zorder",

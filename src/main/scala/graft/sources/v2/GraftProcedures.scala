@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
   val names: Array[String] =
-    Array("optimize", "zorder", "vacuum", "changes", "restore")
+    Array("optimize", "zorder", "vacuum", "changes", "restore",
+      "compact_sidecars")
 
   private def rootOf(warehouse: String, table: String): String =
     (warehouse +: table.split('.').toSeq).mkString("/")
@@ -171,6 +172,28 @@ object GraftProcedures {
             StructField("new_version", IntegerType, nullable = false),
             StructField("restored_version", IntegerType,
               nullable = false))), Seq(v, input.getInt(1)))
+        }
+      }
+      case "compact_sidecars" => new GraftProc("compact_sidecars",
+        "merge all live position-delete sidecars into one per-file-" +
+          "union sidecar — metadata-only (no data file rewritten), " +
+          "keeping MoR read cost flat between optimizes") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val r = Snapshots.compactSidecars(SparkSession.active, root)
+          oneRowScan(StructType(Seq(
+            StructField("new_version", IntegerType, nullable = false),
+            StructField("sidecars_before", IntegerType, nullable = false),
+            StructField("sidecars_after", IntegerType, nullable = false),
+            StructField("marked_positions", LongType, nullable = false))),
+            // box explicitly: Seq(Int, …, Long) would weak-LUB to
+            // Seq[Long] and widen every Int, breaking the IntegerType
+            // fields' unboxing
+            Seq[Any](Int.box(r.version), Int.box(r.sidecarsBefore),
+              Int.box(r.sidecarsAfter), Long.box(r.markedPositions)))
         }
       }
       case other => throw new IllegalArgumentException(
