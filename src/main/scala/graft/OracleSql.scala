@@ -3859,6 +3859,49 @@ object OracleSql {
         |  TRUE AS out_of_range_refused
         |FROM events""".stripMargin,
 
+    // eq1: the equality-delete MERGE's result is the up1 closed-form
+    // replay (window bumped + shadow rows), identical at v2 (sidecar
+    // live) and v3 (optimize folded); layout gates are engine booleans
+    "eq1_equality_upsert" ->
+      """WITH win AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |merged AS (
+        |  SELECT ts,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |      THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL SELECT ts, value FROM win)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+        |  CAST(count(*) AS BIGINT) AS n_latest,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS total_value_latest,
+        |  (SELECT CAST(2 * count(*) AS BIGINT) FROM win)
+        |    AS n_window_latest,
+        |  CAST(count(*) AS BIGINT) AS n_opt,
+        |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e6 AS value_opt,
+        |  TRUE AS eq_sidecar_live,
+        |  TRUE AS files_all_reused,
+        |  TRUE AS eq_folded
+        |FROM merged""".stripMargin,
+
+    // spj1: the storage-partitioned join's RESULT is the plain join —
+    // per-segment order counts and 6dp price mass; the no-exchange and
+    // twin-equality gates are engine booleans
+    "spj1_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS total_price,
+        |  TRUE AS spj_join_unshuffled,
+        |  TRUE AS rows_match_twin
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     // mt1: sidecar compaction is lossless — the merged sidecar's marks
     // equal the three delete windows' row count; the live set (count +
     // 6dp mass) is the closed-form survivor set and equals the

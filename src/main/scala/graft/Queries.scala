@@ -3702,6 +3702,84 @@ object Queries {
       })
     }
 
+  /** Snapshot table exercising EQUALITY-DELETE MERGE — the eq1 fixture:
+    * v1 adopts the compacted files; v2 is [[graft.sources.Snapshots
+    * .upsertEquality]] with the up1 batch (2024-01-20 updates + shadow
+    * inserts) — the batch's KEY SET commits as an `#eq:` sidecar plus
+    * fresh insert files, ZERO target files read or rewritten; v3 is
+    * OPTIMIZE folding the sidecar physically.
+    */
+  private val eqSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def eqSnapPath(s: SparkSession, dir: String): String =
+    eqSnapMemo.synchronized {
+      eqSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_events_equpsert_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "events")
+        buildCachedDir(path) { tmp =>
+          graft.sources.Snapshots.init(s, tmp, compactedEventsPath(s, dir))
+          val win = t(s, dir, "events")
+            .where(col("ts") >= ts("2024-01-20 00:00:00") &&
+              col("ts") < ts("2024-01-21 00:00:00"))
+          val updates = win.withColumn("value", col("value") + lit(1000.0))
+            .unionByName(win.withColumn("event_id",
+              col("event_id") + lit(1000000000000L)))
+          graft.sources.Snapshots.upsertEquality(s, tmp, "event_id", "ts",
+            updates, blockSize = 16 * 1024)
+          graft.sources.Snapshots.optimize(s, tmp, "ts", 4,
+            blockSize = 16 * 1024)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+        }
+      })
+    }
+
+  /** EQ1: EQUALITY-DELETE MERGE ([[graft.sources.Snapshots
+    * .upsertEquality]] — the Iceberg-v2 equality-delete file): the up1
+    * batch commits as its KEY SET (`#eq:` sidecar) + fresh insert
+    * files, with ZERO target files read, probed, or rewritten — commit
+    * cost is O(batch) where the positional MERGE pays a target scan
+    * per batch. Reads apply the key set to files ADDED BEFORE the
+    * commit (`av=` sequence scoping), so the upsert's own post-image
+    * rows survive their own keys. Gates: v2 equals the up1 closed-form
+    * replay exactly (count, 6dp mass, 2×|window| rows in the window);
+    * EVERY v1 file is re-referenced verbatim (`files_all_reused` — the
+    * zero-rewrite proof) with the batch as the only new files; the
+    * `#eq:` line is live at v2 and GONE at v3 (optimize folds it) with
+    * values unchanged; v1 still serves the pre-merge table.
+    *
+    * 100 TB lens: CDC ingest MERGEs every minute; a commit that scans
+    * the fact table 1440× a day IS the cluster's workload — an
+    * equality-delete commit costs the batch, and the read amplification
+    * folds at the next scheduled optimize.
+    */
+  def eq1EqualityUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = eqSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val f1 = S.resolve(root, 1).toSet
+    val f2 = S.resolve(root, 2).toSet
+    val eqLive = S.manifest(root, 2).eqDeletes.size == 1
+    val eqFolded = S.manifest(root, 3).eqDeletes.isEmpty
+    val allReused = f1.subsetOf(f2) && (f2 -- f1).nonEmpty
+    def mass = (sum(floor(col("value") * lit(1e6) + lit(0.5))
+      .cast("decimal(38,0)")).cast("double") / lit(1e6))
+    val inWindow = col("ts") >= ts("2024-01-20 00:00:00") &&
+      col("ts") < ts("2024-01-21 00:00:00")
+    val a1 = S.read(s, root, 1).agg(count(lit(1)).as("n_v1"))
+    val a2 = S.read(s, root, 2).agg(count(lit(1)).as("n_latest"),
+      mass.as("total_value_latest"),
+      coalesce(sum(when(inWindow, 1L).otherwise(0L)), lit(0L))
+        .as("n_window_latest"))
+    val a3 = S.read(s, root, 3).agg(count(lit(1)).as("n_opt"),
+      mass.as("value_opt"))
+    a2.crossJoin(broadcast(a1)).crossJoin(broadcast(a3))
+      .select(col("n_v1"), col("n_latest"), col("total_value_latest"),
+        col("n_window_latest"), col("n_opt"), col("value_opt"),
+        lit(eqLive).as("eq_sidecar_live"),
+        lit(allReused).as("files_all_reused"),
+        lit(eqFolded).as("eq_folded"))
+  }
+
   /** CDC1: change feed between snapshot versions — what an incremental
     * consumer replays after the tt1 delete ([[graft.sources.Snapshots
     * .netChanges]]): copy-on-write makes the diff exact AND cheap — only
@@ -4571,6 +4649,101 @@ object Queries {
         }
       })
     }
+
+  /** SPJ1: STORAGE-PARTITIONED JOIN ([[graft.sources.Snapshots
+    * .optimizeBucketed]] + the DSv2 scan's
+    * `SupportsReportPartitioning`) — orders and customer are relaid out
+    * through `CALL g.system.bucket` so every file holds exactly one
+    * `bucket(8, custkey)` value; both scans then report
+    * `KeyGroupedPartitioning(bucket(8, key))`, the planner resolves the
+    * transform to the catalog's frozen bucket function on both sides,
+    * and the fact⋈dim join runs with NO shuffle Exchange on either
+    * input. Gates: the SPJ plan's hash-exchange count is strictly
+    * below the shuffled twin's (which pays one per join input) and at
+    * most the final GROUP BY's one; SPJ rows equal the twin EXACTLY;
+    * values equal the closed-form DuckDB join per market segment.
+    *
+    * 100 TB lens: the fact-fact join exchange is the single most
+    * expensive stage a warehouse produces — two co-bucketed 50 TB
+    * tables joining WITHOUT moving either side is the whole point of
+    * declaring layout to the planner, and why Iceberg/Delta ship SPJ.
+    */
+  def spj1BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj1")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = confs.map(k =>
+      k -> scala.util.Try(s.conf.get(k)).toOption)
+    try {
+      val cat = "g" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.ord
+               |(o_custkey BIGINT, o_totalprice DOUBLE)
+               |USING graft""".stripMargin)
+      s.sql(s"""CREATE TABLE $cat.lake.cust
+               |(c_custkey BIGINT, c_mktsegment STRING)
+               |USING graft""".stripMargin)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_spj1_ord")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("graft_spj1_cust")
+      s.sql(s"INSERT INTO $cat.lake.ord SELECT * FROM graft_spj1_ord")
+      s.sql(s"INSERT INTO $cat.lake.cust SELECT * FROM graft_spj1_cust")
+      s.sql(s"CALL $cat.system.bucket(table => 'lake.ord', " +
+        "col => 'o_custkey', n_buckets => 8)")
+      s.sql(s"CALL $cat.system.bucket(table => 'lake.cust', " +
+        "col => 'c_custkey', n_buckets => 8)")
+      val q = s"""SELECT c_mktsegment,
+                 |  CAST(count(*) AS BIGINT) AS n_orders,
+                 |  CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5)
+                 |    AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS total_price
+                 |FROM $cat.lake.ord JOIN $cat.lake.cust
+                 |  ON o_custkey = c_custkey
+                 |GROUP BY c_mktsegment""".stripMargin
+      def shuffleCount(df: DataFrame): Int = {
+        df.collect()
+        // FINAL plan only — the AQE rendering appends the pre-adaptive
+        // "Initial Plan", whose exchanges never ran
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        "Exchange hashpartitioning".r.findAllIn(plan).size
+      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val spj = s.sql(q)
+      val spjShuffles = shuffleCount(spj)
+      val spjRows = spj.collect().map(_.toString).sorted.toSeq
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val twin = s.sql(q)
+      val twinShuffles = shuffleCount(twin)
+      val twinRows = twin.collect().map(_.toString).sorted.toSeq
+      val unshuffled = spjShuffles <= 1 && twinShuffles >= 2 &&
+        spjShuffles < twinShuffles
+      // materialize NOW: the temp warehouse dies in the finally block
+      val rows = spj.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+      import s.implicits._
+      rows.toDF("c_mktsegment", "n_orders", "total_price")
+        .select(col("c_mktsegment"), col("n_orders"), col("total_price"),
+          lit(unshuffled).as("spj_join_unshuffled"),
+          lit(spjRows == twinRows).as("rows_match_twin"))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      graft.sources.LakeFs.deleteRecursively(wh.toString)
+      ()
+    }
+  }
 
   /** Snapshot table exercising SIDECAR COMPACTION — the mt1 fixture:
     * v1 adopts the compacted files; v2/v3/v4 are three independent MoR
@@ -8812,6 +8985,8 @@ object Queries {
     "sql7_cdc_catalog" -> (sql7CdcThroughCatalog _),
     "mf5_count_pushdown" -> (mf5CountPushdown _),
     "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _),
-    "mt1_compact_sidecars" -> (mt1CompactSidecars _)
+    "mt1_compact_sidecars" -> (mt1CompactSidecars _),
+    "spj1_bucketed_join" -> (spj1BucketedJoin _),
+    "eq1_equality_upsert" -> (eq1EqualityUpsert _)
   )
 }

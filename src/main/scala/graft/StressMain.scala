@@ -267,6 +267,12 @@ object StressMain {
       // mt1 folds three live MoR sidecars into one per-file-union
       // bitmap sidecar — KB of sidecar I/O, zero data files touched
       "mt1_compact_sidecars",
+      // spj1 joins two co-bucketed snapshot tables with NO shuffle on
+      // either input (KeyGroupedPartitioning + the catalog bucket fn)
+      "spj1_bucketed_join",
+      // eq1 commits a MERGE batch as its key set + insert files — zero
+      // target I/O at commit; reads apply the set below the dv anti-join
+      "eq1_equality_upsert",
       // oz1 recompacts the snapshot as 16 Morton-range files and prunes
       // a conjunctive predicate from the resulting footer envelopes
       "oz1_optimize_zorder",

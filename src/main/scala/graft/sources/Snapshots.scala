@@ -214,11 +214,14 @@ object Snapshots {
       bytes: Option[Long] = None, fp: Option[String] = None,
       zones: Map[String, (Long, Long)] = Map.empty,
       szones: Map[String, StrZone] = Map.empty,
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      bucket: Option[Int] = None,
+      addedV: Option[Int] = None) {
     def render: String = {
       val parts = Seq(name) ++
         rows.map(r => s"r=$r") ++ bytes.map(b => s"b=$b") ++
         fp.map(f => s"fp=$f") ++
+        bucket.map(k => s"k=$k") ++ addedV.map(v => s"av=$v") ++
         zones.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s"z:$c=$mn..$mx"
         } ++
@@ -237,6 +240,9 @@ object Snapshots {
         if (p.startsWith("r=")) e.copy(rows = Some(p.drop(2).toLong))
         else if (p.startsWith("b=")) e.copy(bytes = Some(p.drop(2).toLong))
         else if (p.startsWith("fp=")) e.copy(fp = Some(p.drop(3)))
+        else if (p.startsWith("k=")) e.copy(bucket = Some(p.drop(2).toInt))
+        else if (p.startsWith("av="))
+          e.copy(addedV = Some(p.drop(3).toInt))
         else if (p.startsWith("z:")) {
           val Array(c, mm) = p.drop(2).split("=", 2)
           val Array(mn, mx) = mm.split("\\.\\.", 2)
@@ -323,6 +329,44 @@ object Snapshots {
     def statsColsMeta: Option[Seq[String]] =
       meta.find(_.startsWith("#stats:")).map(_.stripPrefix("#stats:")
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    /** The version's BUCKET layout (`#bucket:<col>=<n>` meta): every
+      * data file holds exactly one `bucket(n, col)` value, stamped as
+      * its `k=` stat — what the DSv2 scan reports as
+      * KeyGroupedPartitioning so co-bucketed tables join WITHOUT a
+      * shuffle. Dropped by rewrites that break the layout (optimize/
+      * z-order); re-stamped by [[Snapshots.optimizeBucketed]]. A scan
+      * only trusts the spec when EVERY selected file carries a `k=`
+      * stat (plain appends after the bucketing land unbucketed files
+      * and soundly disable the report).
+      */
+    def bucketSpec: Option[(String, Int)] =
+      meta.find(_.startsWith("#bucket:")).map { l =>
+        val Array(c, n) = l.stripPrefix("#bucket:").split("=", 2)
+        (c, n.toInt)
+      }
+    /** Live EQUALITY-delete sidecars (`#eq:<name>=<col>@<v>` meta): a
+      * key set in `_deletes/<name>` deleting every row of `keyCol` ∈
+      * set from files ADDED BEFORE version `v` (`av=` stamp < v; a file
+      * without a stamp predates the feature and always applies) — the
+      * Iceberg-v2 equality-delete scoping, with the `av=` stamp playing
+      * the sequence number. Files added at ≥ v (the committing upsert's
+      * own inserts and everything later) are exempt, so an upsert's
+      * post-image rows survive their own key set.
+      */
+    def eqDeletes: Seq[EqDelete] =
+      meta.filter(_.startsWith("#eq:")).map { l =>
+        val Array(n, rest) = l.stripPrefix("#eq:").split("=", 2)
+        val Array(c, v) = rest.split("@", 2)
+        EqDelete(n, c, v.toInt)
+      }
+  }
+
+  /** One live equality-delete sidecar: key set `name` over `keyCol`,
+    * applying to files added before `version`.
+    */
+  case class EqDelete(name: String, keyCol: String, version: Int) {
+    def appliesTo(e: FileEntry): Boolean = e.addedV.forall(_ < version)
+    def render: String = s"#eq:$name=$keyCol@$version"
   }
 
   /** Latest committed version — advisory-hint + forward-probe instead of
@@ -728,15 +772,47 @@ object Snapshots {
     if (m.dvNames.isEmpty) None
     else Some(dvRead(spark, root, m.dvNames))
 
-  /** Read a subset of a version's files with the version's column maps
-    * AND position deletes applied — the one read helper every consumer
-    * (time travel, rewrites, change feeds) goes through, so merge-on-read
-    * rows can never resurrect in any path. Stale dv rows pointing at
-    * files outside `names` simply never match the anti-join (file names
-    * are UUID-unique, never reused).
+  /** Read a subset of a version's files with the version's column maps,
+    * position deletes AND equality deletes applied — the one read
+    * helper every consumer (time travel, rewrites, change feeds, the
+    * mutation probes) goes through, so merge-on-read rows can never
+    * resurrect in any path. Stale dv rows pointing at files outside
+    * `names` simply never match the anti-join (file names are
+    * UUID-unique, never reused). Equality deletes apply PER APPLICABLE
+    * SET: files group by which live `#eq:` sidecars scope over them
+    * (added-before semantics — [[EqDelete.appliesTo]]), each group
+    * anti-joins its key sets, and the groups union back; in practice
+    * there are ≤ live-eq-count+1 groups, each join a broadcast of a
+    * KB-scale key set.
     */
   private def readFiles(spark: SparkSession, root: String, m: ManifestData,
       names: Seq[String], keepPos: Boolean): DataFrame = {
+    val eqs = m.eqDeletes
+    if (eqs.isEmpty) readFilesBase(spark, root, m, names, keepPos)
+    else {
+      val entryOf = m.entries.map(e => e.name -> e).toMap
+      val groups = names.groupBy(n =>
+        eqs.filter(_.appliesTo(entryOf(n))).map(_.name).sorted)
+      groups.toSeq.sortBy(_._1.mkString(","))
+        .map { case (eqNames, ns) =>
+          val df = readFilesBase(spark, root, m, ns, keepPos)
+          eqs.filter(e => eqNames.contains(e.name)).groupBy(_.keyCol)
+            .toSeq.sortBy(_._1).foldLeft(df) {
+              case (acc, (kc, es)) =>
+                val keys = es.map(e => spark.read
+                    .parquet(s"${deletesDir(root)}/${e.name}"))
+                  .reduce(_ unionAll _).select(col("k")).distinct()
+                // null keys never match: NULL comparisons keep the row,
+                // the SQL DELETE semantics
+                acc.join(broadcast(keys), acc(kc) === keys("k"),
+                  "left_anti")
+            }
+        }.reduce((a, b) => a.unionByName(b))
+    }
+  }
+
+  private def readFilesBase(spark: SparkSession, root: String,
+      m: ManifestData, names: Seq[String], keepPos: Boolean): DataFrame = {
     val paths = names.map(n => s"${filesDir(root)}/$n")
     val needPos = keepPos || m.dvNames.nonEmpty
     val fpOf = fpLookup(spark, root, m)
@@ -767,12 +843,12 @@ object Snapshots {
     * plan parses the manifest.
     */
   private def statEntry(spark: SparkSession, root: String, name: String,
-      statsCols: Seq[String]): FileEntry = {
+      statsCols: Seq[String], addedV: Option[Int] = None): FileEntry = {
     val p = s"${filesDir(root)}/$name"
     val (rows, fp, zones, szones, nulls) =
       Bucketing.fileStatsEntry(spark, p, statsCols)
     FileEntry(name, Some(rows), Some(LakeFs.fileLength(p)), Some(fp), zones,
-      szones, nulls)
+      szones, nulls, addedV = addedV)
   }
 
   /** Create version 1 by adopting the parquet files of `srcDir` (copied
@@ -812,7 +888,8 @@ object Snapshots {
     // legacy fallback read)
     val statsMeta = props.find(_.startsWith("stats="))
       .map(p => s"#stats:${p.stripPrefix("stats=")}").toSeq
-    val entries = names.map(n => statEntry(spark, root, n, statsCols))
+    val entries = names.map(n =>
+      statEntry(spark, root, n, statsCols, addedV = Some(1)))
     commitManifest(root, 1, entries, statsMeta, None)
     1
   }
@@ -837,12 +914,16 @@ object Snapshots {
     names
   }
 
-  /** [[adoptFiles]] + commit-time stats for each adopted file. */
+  /** [[adoptFiles]] + commit-time stats for each adopted file. `v` is
+    * the version the files will be committed under — stamped as their
+    * `av=` added-at sequence number (a lost OCC race rebuilds the
+    * entries against the new latest, so the stamp is always final).
+    */
   private def adoptEntries(spark: SparkSession, root: String, v: Int,
       tag: String, statsCols: Seq[String])
       (write: String => Unit): Seq[FileEntry] =
     adoptFiles(root, v, tag)(write)
-      .map(n => statEntry(spark, root, n, statsCols))
+      .map(n => statEntry(spark, root, n, statsCols, addedV = Some(v)))
 
   /** Range-sorted write of `df` into the file store under UUID-unique
     * names, stats stamped for the sort column.
@@ -982,9 +1063,13 @@ object Snapshots {
             l.startsWith("#stats:")) // the stats default survives an
             // INSERT OVERWRITE like any table property would
         else withTxn
+      // executor-written entries learn their added-at version only here
+      // (the OCC loop decides the final version)
+      val stamped = entries.map(e =>
+        if (e.addedV.isEmpty) e.copy(addedV = Some(v + 1)) else e)
       val newEntries =
-        if (truncate) entries.sortBy(_.name)
-        else m.entries ++ entries
+        if (truncate) stamped.sortBy(_.name)
+        else m.entries ++ stamped
       try {
         commitManifest(root, v + 1, newEntries, meta, Some((v, m)))
         return Some(v + 1)
@@ -1056,7 +1141,11 @@ object Snapshots {
         val removedDvs = scanned.dvNames.toSet -- m.dvNames.toSet
         if (removedDvs.nonEmpty || scanned.columnMaps != m.columnMaps ||
             scanned.widenings != m.widenings ||
-            scanned.droppedColumns != m.droppedColumns)
+            scanned.droppedColumns != m.droppedColumns ||
+            // equality deletes change the LIVE ROW SET of every file
+            // they scope over — added or removed since the scan, the
+            // statement's matched/not-matched split is stale
+            scanned.eqDeletes != m.eqDeletes)
           throw new java.util.ConcurrentModificationException(
             s"the table's read state changed since this statement's " +
               s"scan (v$scannedVersion → v$v: sidecars removed or " +
@@ -1089,7 +1178,9 @@ object Snapshots {
         }
       }
       try {
-        commitManifest(root, v + 1, m.entries ++ entries,
+        val stamped = entries.map(e =>
+          if (e.addedV.isEmpty) e.copy(addedV = Some(v + 1)) else e)
+        commitManifest(root, v + 1, m.entries ++ stamped,
           carryMeta(m) ++ sidecarNames.sorted.map("#dv:" + _),
           Some((v, m)))
         return v + 1
@@ -1183,6 +1274,19 @@ object Snapshots {
     require(!m.hasMappings,
       s"$op plans zones on PHYSICAL columns; run optimize first to " +
         "materialize pending column renames/widenings")
+
+  /** Refuse evolving a column a LIVE equality-delete keys on — the key
+    * sets were written under this name and type, and reads resolve them
+    * by name; optimize folds the sidecars first.
+    */
+  private def requireNoLiveEq(m: ManifestData, column: String,
+      op: String): Unit = {
+    val live = m.eqDeletes.filter(_.keyCol == column)
+    require(live.isEmpty,
+      s"$op: '$column' is the key of ${live.size} live equality-delete " +
+        s"sidecar(s) (e.g. ${live.take(2).map(_.name).mkString(", ")}) " +
+        "— run optimize first to fold them")
+  }
 
   // ---------------------------------------------------------------------
   // Copy-on-write delete
@@ -1286,17 +1390,13 @@ object Snapshots {
       commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return MorDeleteResult(v + 1, 0L, 0, None)
     }
-    val df = rawRead(spark, touched.map(n => s"${filesDir(root)}/$n"),
-      withPos = true, fpLookup(spark, root, m))
+    // probe the LIVE view (dv + equality deletes applied inside
+    // readFiles), so new marks are always fresh and sidecars stay
+    // DISJOINT — the exactly-once invariant the change feed needs
+    val df = readFiles(spark, root, m, touched, keepPos = true)
     val micros = microsOf(df, column)
-    val cand = df.where(micros >= lit(lo) && micros < lit(hi))
+    val fresh = df.where(micros >= lit(lo) && micros < lit(hi))
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-    val fresh = dvFrame(spark, root, m) match {
-      case None => cand
-      case Some(dv) =>
-        cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
-          "left_anti")
-    }
     val sidecar = writeSidecarFile(spark, root, v, fresh)
     commitManifest(root, v + 1, m.entries,
       carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
@@ -1332,20 +1432,16 @@ object Snapshots {
       commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return MorDeleteResult(v + 1, 0L, 0, None)
     }
-    val probe = rawRead(spark, touched.map(n => s"${filesDir(root)}/$n"),
-      withPos = true, fpLookup(spark, root, m))
+    // live-view probe (dv + eq applied in readFiles): Catalyst prunes
+    // the scan to (key, position) below the joins, and the marks stay
+    // disjoint from every existing sidecar
+    val probe = readFiles(spark, root, m, touched, keepPos = true)
       .select(col(keyCol), col("__dv_file").as("file"),
         col("__dv_pos").as("pos"))
-    val cand = probe
+    val fresh = probe
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol),
         "left_semi")
       .select(col("file"), col("pos"))
-    val fresh = dvFrame(spark, root, m) match {
-      case None => cand
-      case Some(dv) =>
-        cand.join(dv, cand("file") === dv("file") && cand("pos") === dv("pos"),
-          "left_anti")
-    }
     val sidecar = writeSidecarFile(spark, root, v, fresh)
     commitManifest(root, v + 1, m.entries,
       carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
@@ -1623,20 +1719,13 @@ object Snapshots {
     val sidecar =
       if (straddle.isEmpty) None
       else {
-        val df = rawRead(spark,
-          straddle.map(e => s"${filesDir(root)}/${e.name}"),
-          withPos = true, fpLookup(spark, root, m))
+        // live-view probe (dv + equality deletes applied in readFiles)
+        val df = readFiles(spark, root, m, straddle.map(_.name),
+          keepPos = true)
         val cond = filters.map(f => filterCondition(df, f))
           .reduceOption(_ && _).getOrElse(lit(true))
-        val cand = df.where(cond)
+        val fresh = df.where(cond)
           .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-        val fresh = dvFrame(spark, root, m) match {
-          case None => cand
-          case Some(dv) =>
-            cand.join(dv,
-              cand("file") === dv("file") && cand("pos") === dv("pos"),
-              "left_anti")
-        }
         writeSidecarFile(spark, root, v, fresh)
       }
     // a delete that drops EVERY file must leave a schema-bearing seed
@@ -1711,23 +1800,15 @@ object Snapshots {
         case None => true
       }
     }
-    val fpOf = fpLookup(spark, root, m)
     // verify the zone plan: promote out-of-zone files that hold a LIVE
     // matched key (key column + position only — column-pruned; position
-    // deletes applied so a MoR-deleted row cannot promote its file)
+    // and equality deletes applied so a deleted row cannot promote its
+    // file)
     val promoted: Set[String] =
       if (trustZones || zoneMissed.isEmpty) Set.empty
       else {
-        val raw = rawRead(spark,
-          zoneMissed.map(e => s"${filesDir(root)}/${e.name}"),
-          withPos = true, fpOf)
-        val live = dvFrame(spark, root, m) match {
-          case None => raw
-          case Some(dv) =>
-            raw.join(dv,
-              raw("__dv_file") === dv("file") && raw("__dv_pos") === dv("pos"),
-              "left_anti")
-        }
+        val live = readFiles(spark, root, m, zoneMissed.map(_.name),
+          keepPos = true)
         val probe = live
           .select(col(keyCol), col("__dv_file").as("__f"))
           .join(broadcast(updates.select(col(keyCol)).distinct()),
@@ -1798,22 +1879,15 @@ object Snapshots {
     val sidecar =
       if (touched.isEmpty) None // pure insert: no position can match
       else {
-        val probe = rawRead(spark,
-          touched.map(n => s"${filesDir(root)}/$n"),
-          withPos = true, fpLookup(spark, root, m))
+        // live-view probe: dv + equality deletes applied in readFiles,
+        // so marks stay disjoint from every existing sidecar
+        val probe = readFiles(spark, root, m, touched, keepPos = true)
           .select(col(keyCol), col("__dv_file").as("file"),
             col("__dv_pos").as("pos"))
-        val cand = probe
+        val fresh = probe
           .join(broadcast(updates.select(col(keyCol)).distinct()),
             Seq(keyCol), "left_semi")
           .select(col("file"), col("pos"))
-        val fresh = dvFrame(spark, root, m) match {
-          case None => cand
-          case Some(dv) =>
-            cand.join(dv,
-              cand("file") === dv("file") && cand("pos") === dv("pos"),
-              "left_anti")
-        }
         writeSidecarFile(spark, root, v, fresh)
       }
     val updEntries = writeNewFiles(spark, root, v + 1, "morup", updates,
@@ -1822,6 +1896,64 @@ object Snapshots {
       carryMeta(m) ++ sidecar.map(s => s"#dv:${s._1}"), Some((v, m)))
     MorUpsertResult(v + 1, sidecar.map(_._2).getOrElse(0L), nUpd,
       touched.size, sidecar.map(_._1))
+  }
+
+  /** Result of an equality-delete MERGE: the new version, distinct keys
+    * the sidecar carries, rows appended, and the sidecar name.
+    */
+  case class EqUpsertResult(version: Int, keys: Long, appended: Long,
+      sidecar: Option[String])
+
+  /** EQUALITY-DELETE MERGE — the streaming-upsert commit whose cost is
+    * O(batch), ZERO target I/O: instead of PROBING the target for
+    * matched positions ([[upsertPositions]] — a column-pruned scan
+    * whose cost grows with TABLE size), commit the batch's KEY SET as
+    * an equality-delete sidecar plus the batch rows as fresh files.
+    * Reads apply the key set below the dv anti-join to every file
+    * ADDED BEFORE this commit (the `av=` scoping — the upsert's own
+    * insert files and all later appends are exempt), so the read
+    * result is row-for-row the positional MERGE's; [[optimize]] folds
+    * the sidecar exactly like position deletes (the rewrite reads
+    * through [[readFiles]]), and [[compactSidecars]]-style maintenance
+    * is unnecessary — optimize retires `#eq:` lines wholesale.
+    *
+    * At 100 TB this is the CDC-ingest economics (the Iceberg v2
+    * equality-delete file): a MERGE-per-minute pipeline must commit at
+    * batch cost, not table cost — 1440 commits a day that each scan
+    * the fact table would BE the cluster's workload.
+    *
+    * Key column: LONG or STRING, not renamed/widened/dropped while the
+    * sidecar lives (the evolution verbs refuse — run optimize first).
+    */
+  def upsertEquality(spark: SparkSession, root: String, keyCol: String,
+      zoneCol: String, updates: DataFrame,
+      blockSize: Int = DefaultBlockSize): EqUpsertResult = {
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    requireNoMappings(m, "upsertEquality")
+    import org.apache.spark.sql.types._
+    updates.schema(keyCol).dataType match {
+      case LongType | StringType => ()
+      case dt => sys.error(
+        s"upsertEquality keys must be BIGINT or STRING, got $dt for " +
+          s"'$keyCol'")
+    }
+    val nUpd = updates.count()
+    if (nUpd == 0L) {
+      commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
+      return EqUpsertResult(v + 1, 0L, 0L, None)
+    }
+    val name = s"eq_v${v + 1}_${uuid8()}"
+    val keysDf = updates.select(col(keyCol).as("k")).distinct()
+    val nKeys = keysDf.count() // before the write: zero read-back I/O
+    keysDf.write.parquet(s"${deletesDir(root)}/$name")
+    val updEntries = writeNewFiles(spark, root, v + 1, "equp", updates,
+      zoneCol, 1, blockSize)
+    commitManifest(root, v + 1, m.entries ++ updEntries,
+      carryMeta(m) :+ EqDelete(name, keyCol, v + 1).render,
+      Some((v, m)))
+    EqUpsertResult(v + 1, nKeys, nUpd, Some(name))
   }
 
   // ---------------------------------------------------------------------
@@ -1839,6 +1971,7 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
+    requireNoLiveEq(m, oldName, "RENAME COLUMN")
     // the `#stats:` default follows the rename IN THE SAME COMMIT — the
     // rename and the stats repair are one atomic manifest create, so no
     // crash window can leave the default naming a column the schema no
@@ -1867,6 +2000,7 @@ object Snapshots {
     val v = latestVersion(root)
     require(v >= 1, s"uninitialized snapshot table at $root")
     val m = manifest(root, v)
+    requireNoLiveEq(m, column, "ALTER COLUMN TYPE")
     commitManifest(root, v + 1, m.entries,
       carryMeta(m) :+ s"#widen:$column=$toType", Some((v, m)))
     v + 1
@@ -1904,6 +2038,7 @@ object Snapshots {
       s"DROP COLUMN: '$column' carries commit-time zone stats (the " +
         "pruning key of existing files) — optimize onto another sort " +
         "column first")
+    requireNoLiveEq(m, column, "DROP COLUMN")
     commitManifest(root, v + 1, m.entries,
       carryMeta(m) :+ s"#drop:$column", Some((v, m)))
     v + 1
@@ -1941,8 +2076,8 @@ object Snapshots {
       s"RESTORE: ${missing.size} data files of v$toVersion were " +
         s"reclaimed by vacuum (e.g. ${missing.take(3).map(_.name)
           .mkString(", ")})")
-    val missingDv = tgt.dvNames.filterNot(n =>
-      LakeFs.exists(s"${deletesDir(root)}/$n"))
+    val missingDv = (tgt.dvNames ++ tgt.eqDeletes.map(_.name))
+      .filterNot(n => LakeFs.exists(s"${deletesDir(root)}/$n"))
     require(missingDv.isEmpty,
       s"RESTORE: ${missingDv.size} delete sidecars of v$toVersion were " +
         s"reclaimed by vacuum (${missingDv.take(3).mkString(", ")})")
@@ -1961,8 +2096,8 @@ object Snapshots {
     // so no committed version ever serves dangling references.
     val lostData = tgt.entries.filterNot(e =>
       LakeFs.exists(s"${filesDir(root)}/${e.name}")).map(_.name)
-    val lostDv = tgt.dvNames.filterNot(n =>
-      LakeFs.exists(s"${deletesDir(root)}/$n"))
+    val lostDv = (tgt.dvNames ++ tgt.eqDeletes.map(_.name))
+      .filterNot(n => LakeFs.exists(s"${deletesDir(root)}/$n"))
     if (lostData.nonEmpty || lostDv.nonEmpty) {
       val mR = manifest(root, cur + 1)
       commitManifest(root, cur + 2, m.entries, m.meta,
@@ -2094,6 +2229,76 @@ object Snapshots {
     commitManifest(root, v + 1, big.map(_._1) ++ packed, carryMeta(m),
       Some((v, m)))
     BinPackResult(v + 1, small.size, big.size, big.size + packed.size)
+  }
+
+  /** Result of a bucketed relayout: the new version, the bucket count,
+    * and the files written.
+    */
+  case class BucketizeResult(version: Int, nBuckets: Int, files: Int)
+
+  /** BUCKETED relayout — the STORAGE-PARTITIONED-JOIN layout: rewrite
+    * the LATEST version so every data file holds exactly ONE
+    * `bucket(nBuckets, bucketCol)` value ([[graft.sources.v2
+    * .GraftBucket.id]] — the same frozen function the catalog exposes
+    * to the planner), each file's bucket stamped as its `k=` stat and
+    * the spec as carried `#bucket:` meta. The DSv2 scan then reports
+    * `KeyGroupedPartitioning(bucket(n, col))`, and a join between two
+    * tables bucketed with the SAME (function, n) on the join key runs
+    * with NO shuffle on either side — at 100 TB the fact-fact join
+    * exchange this removes is the single most expensive stage the
+    * engine would otherwise produce. Rows sort by `bucketCol` within
+    * each bucket, so key zones stay prunable. Like optimize, folds
+    * sidecars and materializes column mappings (the read applies
+    * them); later UN-bucketed appends simply disable the partitioning
+    * report until the next relayout (soundness never depends on the
+    * meta alone — every selected file must carry a `k=` stamp).
+    */
+  def optimizeBucketed(spark: SparkSession, root: String,
+      bucketCol: String, nBuckets: Int,
+      blockSize: Int = DefaultBlockSize,
+      statsCols: Seq[String] = Seq.empty): BucketizeResult = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val v = latestVersion(root)
+    require(v >= 1, s"uninitialized snapshot table at $root")
+    val m = manifest(root, v)
+    val df = read(spark, root, v)
+    import org.apache.spark.sql.types._
+    df.schema(bucketCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case dt => sys.error(
+        s"optimizeBucketed needs an integral bucket key, got $dt " +
+          s"for '$bucketCol'")
+    }
+    val bId = udf((k: java.lang.Long) =>
+      graft.sources.v2.GraftBucket.id(nBuckets,
+        if (k == null) 0L else k.longValue()))
+    val fdir = filesDir(root)
+    val u = uuid8()
+    val tmp = s"$fdir/__bucketize_$u"
+    df.withColumn("__gbucket", bId(col(bucketCol).cast("long")))
+      .repartition(nBuckets, col("__gbucket"))
+      .sortWithinPartitions(col(bucketCol))
+      .write.option("parquet.block.size", blockSize.toLong)
+      .partitionBy("__gbucket").parquet(tmp)
+    val cols = statsCols :+ bucketCol
+    val entries = LakeFs.listDirNames(tmp)
+      .filter(_.startsWith("__gbucket=")).sorted.flatMap { sub =>
+        val id = sub.stripPrefix("__gbucket=").toInt
+        Compaction.dataFileNames(s"$tmp/$sub").zipWithIndex.map {
+          case (f, i) =>
+            val name = s"bk${id}_v${v + 1}_${u}_$i.parquet"
+            LakeFs.move(s"$tmp/$sub/$f", s"$fdir/$name")
+            statEntry(spark, root, name, cols.distinct,
+              addedV = Some(v + 1)).copy(bucket = Some(id))
+        }
+      }
+    LakeFs.deleteRecursively(tmp)
+    require(entries.nonEmpty,
+      s"optimizeBucketed on an empty table at $root")
+    commitManifest(root, v + 1, entries,
+      idempotenceMeta(m) :+ s"#bucket:$bucketCol=$nBuckets",
+      Some((v, m)))
+    BucketizeResult(v + 1, nBuckets, entries.size)
   }
 
   /** Result of a sidecar compaction: the new version, live sidecars
@@ -2236,9 +2441,10 @@ object Snapshots {
       column: String): DataFrame = {
     import spark.implicits._
     val m = manifest(root, version)
-    require(m.dvNames.isEmpty,
-      "metadataAggStr needs a sidecar-free version (live position " +
-        "deletes make footer stats overcount); run optimize first")
+    require(m.dvNames.isEmpty && m.eqDeletes.isEmpty,
+      "metadataAggStr needs a sidecar-free version (live position/" +
+        "equality deletes make footer stats overcount); run optimize " +
+        "first")
     requireNoMappings(m, "metadataAggStr")
     val stats = m.entries.map { e =>
       (e.rows, e.szones.get(column)) match {
@@ -2274,9 +2480,10 @@ object Snapshots {
       column: String): DataFrame = {
     import spark.implicits._
     val m = manifest(root, version)
-    require(m.dvNames.isEmpty,
-      "metadataAgg needs a sidecar-free version (live position deletes " +
-        "make footer stats overcount); run optimize first")
+    require(m.dvNames.isEmpty && m.eqDeletes.isEmpty,
+      "metadataAgg needs a sidecar-free version (live position/" +
+        "equality deletes make footer stats overcount); run optimize " +
+        "first")
     requireNoMappings(m, "metadataAgg")
     val stats = m.entries.map { e =>
       (e.rows, e.zones.get(column)) match {
@@ -2497,7 +2704,8 @@ object Snapshots {
       .filter(v => LakeFs.exists(manifestPath(root, v)))
     val liveManifests = survivors.map(v => manifest(root, v))
     val liveFiles = liveManifests.flatMap(_.files).toSet
-    val liveDv = liveManifests.flatMap(_.dvNames).toSet
+    val liveDv = liveManifests.flatMap(_.dvNames).toSet ++
+      liveManifests.flatMap(_.eqDeletes.map(_.name)).toSet
     val now = System.currentTimeMillis()
     def reclaimable(p: String): Boolean =
       now - LakeFs.modificationTime(p) >= graceMs
@@ -2587,7 +2795,7 @@ object Snapshots {
     // readFiles applied from's own dv there)
     val newDv = mTo.dvNames.toSet -- mFrom.dvNames.toSet
     val common = (fFrom & fTo).toSeq.sorted
-    val removed =
+    val withDvMarks =
       if (newDv.isEmpty || common.isEmpty) removedFiles
       else {
         val dv = dvRead(spark, root, newDv.toSeq.sorted)
@@ -2598,6 +2806,38 @@ object Snapshots {
           rows("__dv_file") === dv("file") && rows("__dv_pos") === dv("pos"),
           "left_semi").drop("__dv_file", "__dv_pos")
         val (a, b) = alignPair(removedFiles, marked)
+        a.unionByName(b)
+      }
+    // EQUALITY deletes added since `from` kill rows on common files by
+    // key: report each row LIVE at `from` whose key joined a new key
+    // set — deduped by position (two key columns could both match) and
+    // excluding rows `to`'s position deletes already account for
+    // (the dv slice above reports those)
+    val newEq = mTo.eqDeletes.filterNot(mFrom.eqDeletes.toSet)
+    val removed =
+      if (newEq.isEmpty || common.isEmpty) withDvMarks
+      else {
+        val liveFrom = readFiles(spark, root, mFrom, common,
+          keepPos = true)
+        val eqMarked = newEq.groupBy(_.keyCol).toSeq.sortBy(_._1)
+          .map { case (kc, es) =>
+            val keys = es.map(e => spark.read
+                .parquet(s"${deletesDir(root)}/${e.name}"))
+              .reduce(_ unionAll _).select(col("k")).distinct()
+            liveFrom.join(broadcast(keys), liveFrom(kc) === keys("k"),
+              "left_semi")
+          }.reduce(_ unionAll _)
+          .dropDuplicates("__dv_file", "__dv_pos")
+        val toDv =
+          if (mTo.dvNames.isEmpty) eqMarked
+          else {
+            val dvTo = dvRead(spark, root, mTo.dvNames)
+            eqMarked.join(dvTo,
+              eqMarked("__dv_file") === dvTo("file") &&
+                eqMarked("__dv_pos") === dvTo("pos"), "left_anti")
+          }
+        val (a, b) = alignPair(withDvMarks,
+          toDv.drop("__dv_file", "__dv_pos"))
         a.unionByName(b)
       }
     val (aA, aR) = alignPair(added, removed)

@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * that convention made a planner citizen.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private var auditId: Option[String] = None
@@ -322,6 +323,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft procedures live in the `system` namespace, got $ident")
     GraftProcedures.load(ident.name(), warehouse)
   }
+
+  // -------------------------------------------------------------------
+  // Functions — the SPJ clustering function (storage-partitioned joins
+  // resolve a scan's reported bucket transform back through here)
+  // -------------------------------------------------------------------
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    // SPJ resolution looks the transform's name up in the EMPTY
+    // namespace (V2ExpressionUtils); accept `system` for human CALLs
+    if (ident.name() == "bucket" && (ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("system"))))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // -------------------------------------------------------------------
   // Namespaces (directories that are not tables)

@@ -58,8 +58,24 @@ class GraftColumnarReader(p: GraftInputPartition)
   private val dv: Array[Long] =
     GraftDvPositions.forFile(conf, p.tableRoot, p.dvNames, p.fileName)
 
+  // equality-delete key sets scoped to this file (executor-resolved,
+  // KB-scale): rows whose key lands in a set vanish from the selection
+  // exactly like dv-marked positions
+  private val eqSets: Seq[(String, Boolean, java.util.HashSet[AnyRef])] =
+    if (p.eqDeletes.isEmpty) Seq.empty
+    else GraftEqKeys.forSidecars(conf, p.tableRoot, p.eqDeletes)
+
   private val dataFields: Array[StructField] =
     p.required.fields.filter(f => !GraftMetaColumns.isMeta(f.name))
+  // eq key columns the projection pruned away are requested INTERNALLY
+  // (between the data columns and the row-index column; never exposed)
+  private val extraEqFields: Array[StructField] =
+    eqSets.map(k => (k._1, k._2)).distinct
+      .filterNot { case (kc, _) => dataFields.exists(_.name == kc) }
+      .map { case (kc, isStr) =>
+        StructField(kc, if (isStr) StringType else LongType,
+          nullable = true)
+      }.toArray
   private val posRequested: Boolean =
     p.required.fields.exists(_.name == GraftMetaColumns.Pos)
   private val needPos: Boolean = dv.nonEmpty || posRequested
@@ -141,6 +157,10 @@ class GraftColumnarReader(p: GraftInputPartition)
     val requested = StructType(
       dataFields.toSeq.map(f =>
         StructField(physName(f.name), f.dataType, nullable = true)) ++
+        // eq key columns ride under their own names: a live
+        // equality-delete key column can never be renamed (the
+        // evolution verbs refuse while the sidecar lives)
+        extraEqFields.toSeq ++
         (if (needPos) Seq(StructField(RowIdxName, LongType, nullable = true))
          else Seq.empty))
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
@@ -210,11 +230,23 @@ class GraftColumnarReader(p: GraftInputPartition)
   private var outFull: ColumnarBatch = _
   private var outSel: ColumnarBatch = _
   private var posVec: ColumnVector = _
+  // (key vector, isString, key set) per live equality constraint
+  private var eqProbes
+      : Array[(ColumnVector, Boolean, java.util.HashSet[AnyRef])] = _
   private var current: ColumnarBatch = _
   private var dvIdx = 0
 
   private def initOut(inner: ColumnarBatch): Unit = {
-    if (needPos) posVec = inner.column(dataFields.length)
+    if (needPos)
+      posVec = inner.column(dataFields.length + extraEqFields.length)
+    eqProbes = eqSets.map { case (kc, isStr, set) =>
+      val idx = dataFields.indexWhere(_.name == kc) match {
+        case -1 => dataFields.length +
+          extraEqFields.indexWhere(_.name == kc)
+        case i => i
+      }
+      (inner.column(idx), isStr, set)
+    }.toArray
     val fileConst = {
       val c = new org.apache.spark.sql.execution.vectorized
         .ConstantColumnVector(Capacity, StringType)
@@ -229,12 +261,30 @@ class GraftColumnarReader(p: GraftInputPartition)
       else { dataIdx += 1; inner.column(dataIdx) }
     }
     outFull = new ColumnarBatch(vecs, 0)
-    if (dv.nonEmpty)
+    if (dv.nonEmpty || eqProbes.nonEmpty)
       outSel = new ColumnarBatch(vecs.map {
         case c: org.apache.spark.sql.execution.vectorized
             .ConstantColumnVector => c: ColumnVector
         case v => new SelectedColumnVector(v, selBuf)
       }, 0)
+  }
+
+  /** Row `r` of the current batch is killed by an equality constraint
+    * (key non-null and in a live key set).
+    */
+  private def eqDead(r: Int): Boolean = {
+    var i = 0
+    while (i < eqProbes.length) {
+      val (vec, isStr, set) = eqProbes(i)
+      if (!vec.isNullAt(r)) {
+        val v: AnyRef =
+          if (isStr) vec.getUTF8String(r)
+          else java.lang.Long.valueOf(vec.getLong(r))
+        if (set.contains(v)) return true
+      }
+      i += 1
+    }
+    false
   }
 
   override def next(): Boolean = {
@@ -244,61 +294,83 @@ class GraftColumnarReader(p: GraftInputPartition)
       if (outFull == null) initOut(inner)
       val n = inner.numRows()
       if (n > 0) {
-        if (dv.isEmpty) {
-          outFull.setNumRows(n)
-          current = outFull
-          return true
-        }
-        // batch-range probe first: a batch whose position span holds no
-        // mark passes through with TWO vector reads, not n — the common
-        // case away from a mark's neighborhood
-        val first = posVec.getLong(0)
-        val last = posVec.getLong(n - 1)
-        while (dvIdx < dv.length && dv(dvIdx) < first) dvIdx += 1
-        if (dvIdx >= dv.length || dv(dvIdx) > last) {
+        if (dv.isEmpty && eqProbes.isEmpty) {
           outFull.setNumRows(n)
           current = outFull
           return true
         }
         var selLen = 0
-        if (last - first == n - 1) {
-          // CONSECUTIVE batch (no mid-batch row skipping): row i holds
-          // position first+i, so the survivor selection falls out of
-          // the mark list alone — O(marks) long compares + O(n)
-          // primitive int writes, no per-row vector reads
-          var row = 0
-          var d = dvIdx
-          while (d < dv.length && dv(d) <= last) {
-            val mrow = (dv(d) - first).toInt
-            while (row < mrow) {
+        if (dv.isEmpty) {
+          var i = 0
+          while (i < n) { selBuf(i) = i; i += 1 }
+          selLen = n
+        } else {
+          // batch-range probe first: a batch whose position span holds
+          // no mark passes through with TWO vector reads, not n — the
+          // common case away from a mark's neighborhood
+          val first = posVec.getLong(0)
+          val last = posVec.getLong(n - 1)
+          while (dvIdx < dv.length && dv(dvIdx) < first) dvIdx += 1
+          if (dvIdx >= dv.length || dv(dvIdx) > last) {
+            var i = 0
+            while (i < n) { selBuf(i) = i; i += 1 }
+            selLen = n
+          } else if (last - first == n - 1) {
+            // CONSECUTIVE batch (no mid-batch row skipping): row i
+            // holds position first+i, so the survivor selection falls
+            // out of the mark list alone — O(marks) long compares +
+            // O(n) primitive int writes, no per-row vector reads
+            var row = 0
+            var d = dvIdx
+            while (d < dv.length && dv(d) <= last) {
+              val mrow = (dv(d) - first).toInt
+              while (row < mrow) {
+                selBuf(selLen) = row
+                selLen += 1
+                row += 1
+              }
+              if (row == mrow) row += 1 // duplicates (sidecar union) skip
+              d += 1
+            }
+            while (row < n) {
               selBuf(selLen) = row
               selLen += 1
               row += 1
             }
-            if (row == mrow) row += 1 // duplicates (sidecar union) skip
-            d += 1
+            dvIdx = d
+          } else {
+            // gapped batch (FilterPredicate page/row skipping inside the
+            // span): sorted-merge row positions against the mark list
+            var i = 0
+            while (i < n) {
+              val pos = posVec.getLong(i)
+              while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+              if (!(dvIdx < dv.length && dv(dvIdx) == pos)) {
+                selBuf(selLen) = i
+                selLen += 1
+              }
+              i += 1
+            }
           }
-          while (row < n) {
-            selBuf(selLen) = row
-            selLen += 1
-            row += 1
-          }
-          dvIdx = d
-        } else {
-          // gapped batch (FilterPredicate page/row skipping inside the
-          // span): sorted-merge row positions against the mark list
+        }
+        // equality constraints compact the dv-surviving selection in
+        // place — O(survivors) hash probes per batch, the MoR read
+        // amplification optimize folds away
+        if (eqProbes.nonEmpty && selLen > 0) {
+          var w = 0
           var i = 0
-          while (i < n) {
-            val pos = posVec.getLong(i)
-            while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
-            if (!(dvIdx < dv.length && dv(dvIdx) == pos)) {
-              selBuf(selLen) = i
-              selLen += 1
+          while (i < selLen) {
+            if (!eqDead(selBuf(i))) {
+              selBuf(w) = selBuf(i)
+              w += 1
             }
             i += 1
           }
+          selLen = w
         }
         if (selLen == n) {
+          // full survival is always the identity selection: serve the
+          // reader's vectors directly
           outFull.setNumRows(n)
           current = outFull
           return true
@@ -308,7 +380,7 @@ class GraftColumnarReader(p: GraftInputPartition)
           current = outSel
           return true
         }
-        // every row of the batch is dv-dead: fall through to the next
+        // every row of the batch is dead: fall through to the next
       }
     }
     false

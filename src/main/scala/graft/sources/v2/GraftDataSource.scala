@@ -302,7 +302,8 @@ class GraftScanBuilder(root: String, version: Int, tableSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val m = Snapshots.manifest(root, version)
-    if (m.dvNames.nonEmpty || m.hasMappings) return None
+    if (m.dvNames.nonEmpty || m.hasMappings ||
+      m.eqDeletes.nonEmpty) return None
     if (!m.entries.forall(_.rows.nonEmpty)) return None
     val live = m.entries.filter(_.rows.exists(_ > 0L))
     val totalRows = m.entries.flatMap(_.rows).sum
@@ -816,6 +817,44 @@ object GraftDvPositions {
   }
 }
 
+/** EXECUTOR-side resolution of EQUALITY-delete key sets (the Iceberg v2
+  * equality-delete role): each reader loads the KB-scale key sets of
+  * the sidecars that scope over ITS file — one column-pruned parquet
+  * read per sidecar, never a driver collect or a per-task broadcast of
+  * someone else's keys. Returns one `(keyCol, isString, set)` per key
+  * column (sidecars on the same column union).
+  */
+object GraftEqKeys {
+  def forSidecars(conf: org.apache.hadoop.conf.Configuration,
+      root: String, eqs: Seq[(String, String, Boolean)])
+      : Seq[(String, Boolean, java.util.HashSet[AnyRef])] = {
+    eqs.groupBy(e => (e._2, e._3)).toSeq.sortBy(_._1._1).map {
+      case ((kc, isStr), es) =>
+        val set = new java.util.HashSet[AnyRef]()
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            if (isStr) org.apache.spark.sql.types.StringType
+            else org.apache.spark.sql.types.LongType)))
+        es.foreach { case (name, _, _) =>
+          val dir = new org.apache.hadoop.fs.Path(s"$root/_deletes/$name")
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir).filter(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet")).foreach { part =>
+            val it = ParquetRowReader.open(part.getPath.toString, conf,
+              schema, Seq.empty, Array.empty, None)
+            try while (it.next()) {
+              val r = it.get()
+              if (!r.isNullAt(0))
+                set.add(if (isStr) r.getUTF8String(0).copy()
+                  else java.lang.Long.valueOf(r.getLong(0)))
+            } finally it.close()
+          }
+        }
+        (kc, isStr, set)
+    }
+  }
+}
+
 /** One InputPartition per zone-selected file. Everything an executor
   * needs rides the partition: path, the version's live sidecar NAMES
   * (positions resolve executor-side via [[GraftDvPositions]]), the
@@ -829,8 +868,31 @@ case class GraftInputPartition(path: String, fileName: String,
     confEntries: Map[String, String], auditId: Option[String],
     pushed: Seq[Filter] = Seq.empty,
     bytesHint: Option[Long] = None,
-    vectorized: Boolean = false)
+    vectorized: Boolean = false,
+    /** Equality-delete sidecars APPLICABLE to this file (added-before
+      * scoping already applied driver-side): (sidecar name, key column,
+      * key-is-string) — readers resolve the KB-scale key sets
+      * executor-side like dv positions.
+      */
+    eqDeletes: Seq[(String, String, Boolean)] = Seq.empty)
   extends InputPartition
+
+/** A [[GraftInputPartition]] carrying its file's bucket id as the
+  * partition key — what `KeyGroupedPartitioning` groups tasks by for
+  * storage-partitioned joins (all rows of the wrapped file share this
+  * `bucket(n, col)` value by the [[graft.sources.Snapshots
+  * .optimizeBucketed]] layout).
+  */
+case class GraftBucketedPartition(base: GraftInputPartition,
+    bucketId: Int)
+  extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+  override def preferredLocations(): Array[String] =
+    base.preferredLocations()
+}
 
 class GraftScan(root: String, version: Int, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], auditId: Option[String],
@@ -838,7 +900,8 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
     maxBytesPerBatch: Long = Long.MaxValue,
     vectorize: Boolean = true)
   extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // resolved once per scan, driver-side: manifest + zone selection;
   // a provably EMPTY file (rows=0 commit-time stat — e.g. a CREATE
@@ -875,6 +938,41 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
       runtimePruned = Some(selected.filter(e =>
         fs.forall(f => GraftZonePrune.mightMatch(e, f))))
   }
+
+  /** The scan's BUCKET layout, trusted only when (a) the manifest
+    * carries a `#bucket:` spec, (b) EVERY selected file is stamped with
+    * its bucket (`k=` — un-bucketed appends since the relayout disable
+    * the claim), and (c) the bucket column survives into the output
+    * (the join key must be resolvable against this scan).
+    */
+  private def bucketLayout: Option[(String, Int)] =
+    m.bucketSpec.filter { case (c, _) =>
+      required.fieldNames.contains(c) && selected.nonEmpty &&
+        selected.forall(_.bucket.isDefined)
+    }
+
+  /** STORAGE-PARTITIONED JOINS: report the bucketed layout as
+    * `KeyGroupedPartitioning(bucket(n, col))` — with
+    * `spark.sql.sources.v2.bucketing.enabled`, a join between two
+    * tables bucketed by the SAME catalog function and count on the
+    * join key groups this scan's partitions by bucket id and runs
+    * WITHOUT an Exchange on either side (the planner resolves the
+    * transform back to [[GraftBucketFunction]] through the catalog).
+    * Non-bucketed layouts report unknown — the normal shuffle plan.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c)),
+            selected.flatMap(_.bucket).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -943,13 +1041,24 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
         }))
     // sidecar NAMES ride the partitions; each reader resolves its own
     // file's positions executor-side ([[GraftDvPositions]]) — the
-    // driver never materializes a position
+    // driver never materializes a position. Equality deletes ship only
+    // to the files they SCOPE over (added-before semantics).
+    val bucketed = bucketLayout.isDefined
+    def eqFor(e: Snapshots.FileEntry): Seq[(String, String, Boolean)] =
+      m.eqDeletes.filter(_.appliesTo(e)).map { eq =>
+        val isString = tableSchema.fields.find(_.name == eq.keyCol)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType)
+        (eq.name, eq.keyCol, isString)
+      }
     selected.map { e =>
-      GraftInputPartition(s"$root/files/${e.name}", e.name, root,
+      val p = GraftInputPartition(s"$root/files/${e.name}", e.name, root,
         m.dvNames.sorted,
         m.columnMaps, required, e.rows, confEntries, auditId,
-        pushed.toSeq, e.bytes, vectorized)
-        : InputPartition
+        pushed.toSeq, e.bytes, vectorized, eqFor(e))
+      // the partition key MUST accompany a KeyGroupedPartitioning
+      // report — same bucketLayout decision as outputPartitioning()
+      if (bucketed) GraftBucketedPartition(p, e.bucket.get)
+      else p: InputPartition
     }.toArray
   }
 
@@ -996,6 +1105,15 @@ object GraftMetaColumns {
   */
 class GraftReaderFactory() extends PartitionReaderFactory {
 
+  /** Strip the [[GraftBucketedPartition]] key carrier — readers see the
+    * plain file partition either way.
+    */
+  private def unwrap(partition: InputPartition): InputPartition =
+    partition match {
+      case b: GraftBucketedPartition => b.base
+      case p => p
+    }
+
   /** COLUMNAR reads via Spark's own `VectorizedParquetRecordReader` —
     * whole-stage codegen consumes `ColumnarBatch`es instead of one
     * boxed `Group` + `GenericInternalRow` per row, the 3-10× wide-scan
@@ -1005,14 +1123,14 @@ class GraftReaderFactory() extends PartitionReaderFactory {
     * scan to be all-columnar or all-row).
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition match {
+    unwrap(partition) match {
       case p: GraftInputPartition => p.vectorized
       case _ => false
     }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = unwrap(partition).asInstanceOf[GraftInputPartition]
     p.auditId.foreach(id => GraftScanAudit.record(id, p.fileName))
     GraftVectorizedAudit.batches.incrementAndGet()
     new GraftColumnarReader(p)
@@ -1020,16 +1138,19 @@ class GraftReaderFactory() extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = unwrap(partition).asInstanceOf[GraftInputPartition]
     p.auditId.foreach(id => GraftScanAudit.record(id, p.fileName))
     val conf = new org.apache.hadoop.conf.Configuration(false)
     p.confEntries.foreach { case (k, v) => conf.set(k, v) }
     val deletedPositions = GraftDvPositions.forFile(conf, p.tableRoot,
       p.dvNames, p.fileName)
+    val eqSets =
+      if (p.eqDeletes.isEmpty) Seq.empty
+      else GraftEqKeys.forSidecars(conf, p.tableRoot, p.eqDeletes)
     val metaIdx = p.required.fields.zipWithIndex.collect {
       case (f, i) if GraftMetaColumns.isMeta(f.name) => (f.name, i)
     }
-    if (metaIdx.isEmpty) {
+    if (metaIdx.isEmpty && eqSets.isEmpty) {
       val it = ParquetRowReader.open(p.path, conf, p.required, p.maps,
         deletedPositions, p.rowsHint, rowGroupFilters = p.pushed)
       new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
@@ -1044,30 +1165,68 @@ class GraftReaderFactory() extends PartitionReaderFactory {
       val dataIdx = p.required.fields.zipWithIndex.collect {
         case (f, i) if !GraftMetaColumns.isMeta(f.name) => i
       }
+      // equality-key columns the projection pruned away are read
+      // INTERNALLY (appended after the data fields, dropped on output)
+      val extraKeys = eqSets.map(k => (k._1, k._2)).distinct
+        .filterNot { case (kc, _) => dataFields.exists(_.name == kc) }
+        .map { case (kc, isStr) =>
+          org.apache.spark.sql.types.StructField(kc,
+            if (isStr) org.apache.spark.sql.types.StringType
+            else org.apache.spark.sql.types.LongType, nullable = true)
+        }
+      val readFields = dataFields ++ extraKeys
       val fileVal = org.apache.spark.unsafe.types.UTF8String
         .fromString(p.fileName)
       val it = ParquetRowReader.open(p.path, conf,
-        StructType(dataFields), p.maps, deletedPositions, p.rowsHint,
-        emitPos = true, rowGroupFilters = p.pushed)
-      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-        override def next(): Boolean = it.next()
-        override def get(): org.apache.spark.sql.catalyst.InternalRow = {
-          val in = it.get()
-          val out = new Array[Any](p.required.size)
-          var j = 0
-          while (j < dataIdx.length) {
-            out(dataIdx(j)) = in.get(j, dataFields(j).dataType)
-            j += 1
+        StructType(readFields), p.maps, deletedPositions, p.rowsHint,
+        emitPos = metaIdx.nonEmpty, rowGroupFilters = p.pushed)
+      val eqProbe = eqSets.map { case (kc, isStr, set) =>
+        (readFields.indexWhere(_.name == kc), isStr, set)
+      }.toArray
+      def eqDead(in: org.apache.spark.sql.catalyst.InternalRow)
+          : Boolean = {
+        var i = 0
+        while (i < eqProbe.length) {
+          val (ord, isStr, set) = eqProbe(i)
+          if (!in.isNullAt(ord)) {
+            val v: AnyRef =
+              if (isStr) in.getUTF8String(ord)
+              else java.lang.Long.valueOf(in.getLong(ord))
+            if (set.contains(v)) return true
           }
-          val pos = in.getLong(dataFields.length)
-          metaIdx.foreach {
-            case (GraftMetaColumns.File, i) => out(i) = fileVal
-            case (GraftMetaColumns.Pos, i) => out(i) = pos
-            case _ => ()
-          }
-          new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(out)
+          i += 1
         }
+        false
+      }
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+        override def next(): Boolean = {
+          while (it.next()) {
+            val in = it.get()
+            if (!eqDead(in)) {
+              val out = new Array[Any](p.required.size)
+              var j = 0
+              while (j < dataIdx.length) {
+                out(dataIdx(j)) = in.get(j, dataFields(j).dataType)
+                j += 1
+              }
+              if (metaIdx.nonEmpty) {
+                val pos = in.getLong(readFields.length)
+                metaIdx.foreach {
+                  case (GraftMetaColumns.File, i) => out(i) = fileVal
+                  case (GraftMetaColumns.Pos, i) => out(i) = pos
+                  case _ => ()
+                }
+              }
+              cur = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(out)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          cur
         override def close(): Unit = it.close()
       }
     }

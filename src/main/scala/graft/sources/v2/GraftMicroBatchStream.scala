@@ -129,6 +129,15 @@ class GraftMicroBatchStream(root: String, required: StructType,
       .map(kv => kv.getKey -> kv.getValue).toMap
     val parts = ((s0 + 1) to e).flatMap { v =>
       val cur = Snapshots.manifest(root, v)
+      // EQUALITY deletes have no positional delta to emit per file —
+      // refuse loudly rather than stream resurrected rows; optimize
+      // folds the #eq sidecars into data files and the stream resumes
+      // (the eq path optimizes the WRITE side of CDC ingest; the READ
+      // stream stays positional)
+      require(cur.eqDeletes.isEmpty,
+        s"graft change-feed streaming cannot diff version $v: it " +
+          "carries live equality-delete sidecars — run optimize to " +
+          "fold them first")
       def part(e: Snapshots.FileEntry, side: String,
           skipDv: Seq[String], emitDv: Option[Seq[String]],
           maps: Seq[(String, String)]): GraftStreamPartition =

@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
   val names: Array[String] =
     Array("optimize", "zorder", "vacuum", "changes", "restore",
-      "compact_sidecars")
+      "compact_sidecars", "bucket")
 
   private def rootOf(warehouse: String, table: String): String =
     (warehouse +: table.split('.').toSeq).mkString("/")
@@ -194,6 +194,27 @@ object GraftProcedures {
             // fields' unboxing
             Seq[Any](Int.box(r.version), Int.box(r.sidecarsBefore),
               Int.box(r.sidecarsAfter), Long.box(r.markedPositions)))
+        }
+      }
+      case "bucket" => new GraftProc("bucket",
+        "rewrite the latest version into a BUCKETED layout (one " +
+          "bucket(n_buckets, col) value per file) so co-bucketed " +
+          "tables join without a shuffle (storage-partitioned joins)") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("col", StringType).build(),
+          ProcedureParameter.in("n_buckets", IntegerType).build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val r = Snapshots.optimizeBucketed(SparkSession.active, root,
+            input.getUTF8String(1).toString, input.getInt(2))
+          oneRowScan(StructType(Seq(
+            StructField("new_version", IntegerType, nullable = false),
+            StructField("n_buckets", IntegerType, nullable = false),
+            StructField("files", IntegerType, nullable = false))),
+            Seq[Any](Int.box(r.version), Int.box(r.nBuckets),
+              Int.box(r.files)))
         }
       }
       case other => throw new IllegalArgumentException(
