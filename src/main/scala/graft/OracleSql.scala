@@ -3890,15 +3890,18 @@ object OracleSql {
         |FROM merged""".stripMargin,
 
     // spj1: the storage-partitioned join's RESULT is the plain join —
-    // per-segment order counts and 6dp price mass; the no-exchange and
-    // twin-equality gates are engine booleans
+    // per-segment order counts and 6dp price mass (the engine's
+    // post-bucketing INSERT adds only keys < 0, which match no
+    // customer); the no-exchange, twin-equality, and append-layout-
+    // maintenance gates are engine booleans
     "spj1_bucketed_join" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT))
         |    AS DOUBLE) / 1e6 AS total_price,
         |  TRUE AS spj_join_unshuffled,
-        |  TRUE AS rows_match_twin
+        |  TRUE AS rows_match_twin,
+        |  TRUE AS layout_maintained
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 

@@ -4699,6 +4699,18 @@ object Queries {
         "col => 'o_custkey', n_buckets => 8)")
       s.sql(s"CALL $cat.system.bucket(table => 'lake.cust', " +
         "col => 'c_custkey', n_buckets => 8)")
+      // LAYOUT MAINTENANCE under append: a catalog INSERT into the
+      // bucketed fact splits per bucket id in the writers and stamps
+      // every new file's `k=`, so the SPJ report SURVIVES the append
+      // (keys < 0 match no customer — the join result is unchanged)
+      s.sql(s"INSERT INTO $cat.lake.ord VALUES " +
+        "(CAST(-1 AS BIGINT), 0.0), (CAST(-9 AS BIGINT), 1.5)")
+      val ordRoot = s"$wh/lake/ord"
+      val mOrd = graft.sources.Snapshots.manifest(ordRoot,
+        graft.sources.Snapshots.latestVersion(ordRoot))
+      val layoutMaintained =
+        mOrd.bucketSpec.contains(("o_custkey", 8)) &&
+          mOrd.entries.forall(_.bucket.isDefined)
       val q = s"""SELECT c_mktsegment,
                  |  CAST(count(*) AS BIGINT) AS n_orders,
                  |  CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5)
@@ -4734,7 +4746,8 @@ object Queries {
       rows.toDF("c_mktsegment", "n_orders", "total_price")
         .select(col("c_mktsegment"), col("n_orders"), col("total_price"),
           lit(unshuffled).as("spj_join_unshuffled"),
-          lit(spjRows == twinRows).as("rows_match_twin"))
+          lit(spjRows == twinRows).as("rows_match_twin"),
+          lit(layoutMaintained).as("layout_maintained"))
     } finally {
       saved.foreach {
         case (k, Some(v)) => s.conf.set(k, v)

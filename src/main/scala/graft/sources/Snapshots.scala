@@ -334,10 +334,14 @@ object Snapshots {
       * its `k=` stat — what the DSv2 scan reports as
       * KeyGroupedPartitioning so co-bucketed tables join WITHOUT a
       * shuffle. Dropped by rewrites that break the layout (optimize/
-      * z-order); re-stamped by [[Snapshots.optimizeBucketed]]. A scan
-      * only trusts the spec when EVERY selected file carries a `k=`
-      * stat (plain appends after the bucketing land unbucketed files
-      * and soundly disable the report).
+      * z-order); re-stamped by [[Snapshots.optimizeBucketed]]. The
+      * DSv2 writers MAINTAIN the layout (INSERT/streaming appends and
+      * MERGE inserts split per bucket id and stamp `k=` when the
+      * bucket column is in the write schema); a scan still only trusts
+      * the spec when EVERY selected file carries a `k=` stat, so any
+      * surface that skips the split (the Scala [[Snapshots.append]],
+      * a write missing the bucket column) soundly disables the report
+      * instead of mis-joining.
       */
     def bucketSpec: Option[(String, Int)] =
       meta.find(_.startsWith("#bucket:")).map { l =>
@@ -1982,6 +1986,13 @@ object Snapshots {
         "#stats:" + l.stripPrefix("#stats:").split(",").toSeq
           .map(c => if (c.trim == oldName) newName else c.trim)
           .mkString(",")
+      // the bucket layout FOLLOWS the rename in the same atomic commit:
+      // the `k=` stamps are layout facts independent of the column's
+      // name, so the spec tracks the logical name and SPJ stays alive
+      // (leaving the old name would silently disable the report — the
+      // scan requires the spec's column in its output)
+      else if (l.startsWith(s"#bucket:$oldName="))
+        s"#bucket:$newName=" + l.stripPrefix(s"#bucket:$oldName=")
       else l
     } :+ s"#map:$oldName=$newName"
     commitManifest(root, v + 1, m.entries, meta, Some((v, m)))
@@ -2039,8 +2050,13 @@ object Snapshots {
         "pruning key of existing files) — optimize onto another sort " +
         "column first")
     requireNoLiveEq(m, column, "DROP COLUMN")
+    // dropping the bucket column retires the bucket layout with it (a
+    // spec naming a hidden column could never be reported anyway —
+    // this keeps the manifest from carrying a dangling claim)
+    val meta = carryMeta(m).filterNot(l =>
+      l.startsWith(s"#bucket:$column="))
     commitManifest(root, v + 1, m.entries,
-      carryMeta(m) :+ s"#drop:$column", Some((v, m)))
+      meta :+ s"#drop:$column", Some((v, m)))
     v + 1
   }
 

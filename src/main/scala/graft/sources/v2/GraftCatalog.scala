@@ -109,9 +109,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stats = Snapshots.statsColsProp(root)
     new GraftTable(root, v, schema, versionPinned = version.nonEmpty,
       scanDefaults = auditId.map("auditId" -> _).toMap,
-      writeDefaults =
-        if (stats.nonEmpty) Map("statsCols" -> stats.mkString(","))
-        else Map.empty)
+      // viaCatalog: this table can resolve the bucket TRANSFORM through
+      // the session's FunctionCatalog, so a bucketed write may require
+      // a clustered-by-bucket distribution (path-based writes cannot)
+      writeDefaults = Map("viaCatalog" -> "true") ++
+        (if (stats.nonEmpty) Map("statsCols" -> stats.mkString(","))
+         else Map.empty))
   }
 
   /** CREATE TABLE: an EMPTY v1 whose schema rides a zero-row seed

@@ -88,7 +88,14 @@ class GraftRowLevelOperation(root: String, version: Int,
         // ConcurrentAppendException rule); DELETE/UPDATE stay
         // write-serializable (a missed concurrent append is snapshot
         // semantics, not duplication)
-        refuseNewFiles = cmd == RowLevelOperation.Command.MERGE)
+        refuseNewFiles = cmd == RowLevelOperation.Command.MERGE,
+        // a bucketed table's MERGE inserts route per bucket id and
+        // stamp `k=`, so MoR upserts keep storage-partitioned joins
+        // ALIVE (delete sidecars never touch the stamps; only the new
+        // files could break the all-stamped condition)
+        bucketSpec = Snapshots.manifest(root, version).bucketSpec
+          .filter { case (c, _) =>
+            info.schema().fieldNames.contains(c) })
   }
 
   override def rowId(): Array[NamedReference] = Array(
@@ -105,7 +112,8 @@ class GraftRowLevelOperation(root: String, version: Int,
   */
 class GraftDeltaWrite(root: String, scannedVersion: Int,
     rowSchema: StructType, statsCols: Seq[String],
-    advisoryBytes: Long, refuseNewFiles: Boolean = false)
+    advisoryBytes: Long, refuseNewFiles: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
   extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
@@ -114,13 +122,24 @@ class GraftDeltaWrite(root: String, scannedVersion: Int,
     * delta into one writer (the small-file guard) and SPLITS an
     * oversized bucket (a huge single-file erasure, or the null-`_file`
     * insert bucket of an insert-heavy MERGE), so the guard never caps
-    * write parallelism.
+    * write parallelism. On a BUCKETED table the insert rows (null
+    * `_file`) additionally cluster by their bucket id, so each bucket's
+    * inserts co-locate and the writers' per-bucket split lands
+    * ~nBuckets right-sized files instead of one per (task, bucket);
+    * delete rows are unaffected — a stamped file holds one bucket
+    * value, so (_file, bucket) clusters exactly like _file.
     */
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val file = Expressions.column(GraftMetaColumns.File)
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(GraftMetaColumns.File)))
+      bucketSpec match {
+        case Some((c, n)) if rowSchema.fieldNames.contains(c) =>
+          Array(file, Expressions.bucket(n, c))
+        case _ => Array(file)
+      })
+  }
   override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
   override def requiredNumPartitions(): Int = 0
   /** Sort each writer's slice by (_file, _pos): a file's marks arrive
@@ -147,11 +166,11 @@ class GraftDeltaWrite(root: String, scannedVersion: Int,
       GraftDeltaWriterFactory(root, rowSchema,
         statsCols.filter(rowSchema.fieldNames.contains),
         java.util.UUID.randomUUID().toString.replace("-", "").take(12),
-        confEntries)
+        confEntries, bucketSpec)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.toSeq.map(_.asInstanceOf[GraftDeltaCommitMessage])
-      val entries = ms.flatMap(_.entry)
+      val entries = ms.flatMap(_.inserted.map(_._1))
       val sidecars = ms.flatMap(_.sidecar)
       val marked = ms.flatMap(_.markedFiles).toSet
       if (entries.nonEmpty || sidecars.nonEmpty) {
@@ -164,7 +183,7 @@ class GraftDeltaWrite(root: String, scannedVersion: Int,
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       messages.foreach {
         case m: GraftDeltaCommitMessage =>
-          m.entry.foreach(_ => LakeFs.delete(m.dataPath))
+          m.inserted.foreach(f => LakeFs.delete(f._2))
           m.sidecar.foreach(n =>
             LakeFs.deleteRecursively(s"$root/_deletes/$n"))
         case _ => ()
@@ -172,31 +191,39 @@ class GraftDeltaWrite(root: String, scannedVersion: Int,
   }
 }
 
-/** Per-task result: the inserted data file's manifest entry (None when
-  * the task inserted nothing), its path for abort cleanup, the task's
-  * sidecar part name + mark count (None/0 when it deleted nothing),
-  * and the distinct data files it marked positions in (the commit-time
-  * conflict check's working set — bounded by files-per-task).
+/** Per-task result: the inserted data files' manifest entries with
+  * their store paths for abort cleanup (empty when the task inserted
+  * nothing; one per bucket when the write maintains a bucket layout),
+  * the task's sidecar part name + mark count (None/0 when it deleted
+  * nothing), and the distinct data files it marked positions in (the
+  * commit-time conflict check's working set — bounded by
+  * files-per-task).
   */
-case class GraftDeltaCommitMessage(entry: Option[Snapshots.FileEntry],
-    dataPath: String, sidecar: Option[String], marks: Long,
+case class GraftDeltaCommitMessage(
+    inserted: Seq[(Snapshots.FileEntry, String)],
+    sidecar: Option[String], marks: Long,
     markedFiles: Set[String]) extends WriterCommitMessage
 
 case class GraftDeltaWriterFactory(root: String, rowSchema: StructType,
     statsCols: Seq[String], jobId: String,
-    confEntries: Map[String, String]) extends DeltaWriterFactory {
+    confEntries: Map[String, String],
+    bucketSpec: Option[(String, Int)] = None) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new GraftDeltaWriter(root, rowSchema, statsCols,
-      s"w_rl_${jobId}_p${partitionId}_a$taskId.parquet",
-      s"dv_rl_${jobId}_p${partitionId}_a$taskId", confEntries)
+      s"w_rl_${jobId}_p${partitionId}_a$taskId",
+      s"dv_rl_${jobId}_p${partitionId}_a$taskId", confEntries,
+      bucketSpec)
 }
 
-/** Executor task writer for one delta partition: inserts stream into a
-  * (lazily created) data file via the shared parquet writer path;
-  * deletes buffer per TARGET FILE and land as a PARTITIONED sidecar
-  * directory (`<dvName>/file=<dataFile>/part-<k>.parquet`, positions
-  * only) — the layout [[GraftDvPositions.forFile]] resolves with an
+/** Executor task writer for one delta partition: inserts stream into
+  * (lazily created) data files via the shared parquet writer path —
+  * ONE file normally, one PER BUCKET ID when the table carries a
+  * bucket layout (`k=`-stamped, so MoR upserts keep the
+  * storage-partitioned-join report alive); deletes buffer per TARGET
+  * FILE and land as a PARTITIONED sidecar directory
+  * (`<dvName>/file=<dataFile>/part-<k>.parquet`, positions only) —
+  * the layout [[GraftDvPositions.forFile]] resolves with an
   * existence probe + a scan of exactly one file's marks, so scan-side
   * read amplification is O(own marks), not O(all tasks' marks).
   * Buffers flush at [[GraftDeltaWriter.FlushMarks]] positions per file,
@@ -204,27 +231,50 @@ case class GraftDeltaWriterFactory(root: String, rowSchema: StructType,
   * Zero-insert / zero-delete tasks leave no file behind.
   */
 class GraftDeltaWriter(root: String, rowSchema: StructType,
-    statsCols: Seq[String], dataName: String, dvName: String,
-    confEntries: Map[String, String]) extends DeltaWriter[InternalRow] {
+    statsCols: Seq[String], dataPrefix: String, dvName: String,
+    confEntries: Map[String, String],
+    bucketSpec: Option[(String, Int)] = None)
+  extends DeltaWriter[InternalRow] {
 
   private val conf: Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  private val dataPath = s"$root/files/$dataName"
   private val dvDir = s"$root/_deletes/$dvName"
 
-  // insert side — created on first insert (a delete-only task must not
-  // write an empty data file; DELETE commands may carry no row schema
-  // at all)
-  private var dataWriter: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
+  // insert side — files created on first insert (a delete-only task
+  // must not write an empty data file; DELETE commands may carry no
+  // row schema at all)
   private lazy val dataFactory =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(
       GraftParquetSchema.toMessageType(rowSchema))
   private lazy val appenders = GraftParquetSchema.appenders(rowSchema)
-  private var inserted = 0L
+
+  /** Bucket id of an inserted row, or -1 when unbucketed (the
+    * [[GraftDataWriter]] routing — NULL keys land in bucket 0).
+    */
+  private lazy val bucketOf: InternalRow => Int = bucketSpec match {
+    case None => _ => -1
+    case Some((c, n)) =>
+      import org.apache.spark.sql.types._
+      val i = rowSchema.fieldIndex(c)
+      val keyOf: InternalRow => Long = rowSchema(i).dataType match {
+        case LongType => r => r.getLong(i)
+        case IntegerType => r => r.getInt(i).toLong
+        case ShortType => r => r.getShort(i).toLong
+        case ByteType => r => r.getByte(i).toLong
+        case dt => throw new IllegalArgumentException(
+          s"bucket column '$c' must be integral, got $dt")
+      }
+      r => GraftBucket.id(n, if (r.isNullAt(i)) 0L else keyOf(r))
+  }
+  private final class DataSink(val name: String) {
+    val path = s"$root/files/$name"
+    val writer = GraftParquetSchema.newWriter(path, rowSchema, conf)
+  }
+  private val dataSinks =
+    scala.collection.mutable.LinkedHashMap.empty[Int, DataSink]
 
   // delete side — per-target-file position buffers, flushed as one-row
   // COMPRESSED-BITMAP parquet parts under the partitioned layout
@@ -244,16 +294,17 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   private var wroteSidecar = false
 
   override def insert(row: InternalRow): Unit = {
-    if (dataWriter == null)
-      dataWriter = GraftParquetSchema.newWriter(dataPath, rowSchema, conf)
+    val k = bucketOf(row)
+    val sink = dataSinks.getOrElseUpdate(k, new DataSink(
+      if (k >= 0) s"${dataPrefix}_k$k.parquet"
+      else s"$dataPrefix.parquet"))
     val g = dataFactory.newGroup()
     var i = 0
     while (i < appenders.length) {
       if (!row.isNullAt(i)) appenders(i)(g, row)
       i += 1
     }
-    dataWriter.write(g)
-    inserted += 1
+    sink.writer.write(g)
   }
 
   /** `id` is the rowId projection in declared order: (_file, _pos). */
@@ -297,25 +348,21 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   override def commit(): WriterCommitMessage = {
     dvBuf.foreach { case (f, b) => flushFile(f, b) }
     closeAll()
-    val entry =
-      if (inserted == 0L) {
-        if (dataWriter != null) LakeFs.delete(dataPath)
-        None
-      } else {
-        val (rows, fp, zones, szones, nulls) =
-          Bucketing.fileStatsEntryConf(dataPath, conf, statsCols)
-        Some(Snapshots.FileEntry(dataName, Some(rows),
-          Some(LakeFs.fileLength(dataPath)), Some(fp), zones, szones,
-          nulls))
-      }
+    val inserted = dataSinks.toSeq.map { case (k, s) =>
+      val (rows, fp, zones, szones, nulls) =
+        Bucketing.fileStatsEntryConf(s.path, conf, statsCols)
+      (Snapshots.FileEntry(s.name, Some(rows),
+        Some(LakeFs.fileLength(s.path)), Some(fp), zones, szones,
+        nulls, bucket = if (k >= 0) Some(k) else None), s.path)
+    }
     val sidecar = if (wroteSidecar) Some(dvName) else None
-    GraftDeltaCommitMessage(entry, dataPath, sidecar, marks,
+    GraftDeltaCommitMessage(inserted, sidecar, marks,
       dvBuf.keySet.toSet ++ dvParts.keySet)
   }
 
   override def abort(): Unit = {
     closeAll()
-    if (dataWriter != null) LakeFs.delete(dataPath)
+    dataSinks.values.foreach(s => LakeFs.delete(s.path))
     if (wroteSidecar) LakeFs.deleteRecursively(dvDir)
     ()
   }
@@ -325,7 +372,7 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
   private var closed = false
   private def closeAll(): Unit = if (!closed) {
     closed = true
-    if (dataWriter != null) dataWriter.close()
+    dataSinks.values.foreach(_.writer.close())
   }
 }
 

@@ -103,6 +103,21 @@ class GraftWrite(root: String, schema: StructType,
   private def opt(key: String): Option[String] =
     Option(options.get(key)).orElse(defaults.get(key))
   private val sortBy: Option[String] = opt("sortBy")
+
+  /** The table's live BUCKET layout, MAINTAINED by this write when the
+    * bucket column is in the write schema: every task splits its rows
+    * into one file per bucket id (`k=`-stamped), so an INSERT INTO a
+    * bucketed table keeps storage-partitioned joins alive instead of
+    * silently disabling them until the next relayout. A write missing
+    * the bucket column lands unstamped files — the scan's
+    * all-files-stamped check then disables the SPJ report SOUNDLY.
+    */
+  private val bucketSpec: Option[(String, Int)] = {
+    val v = Snapshots.latestVersion(root)
+    if (v < 1) None
+    else Snapshots.manifest(root, v).bucketSpec
+      .filter { case (c, _) => schema.fieldNames.contains(c) }
+  }
   private val statsCols: Seq[String] =
     opt("statsCols") match {
       case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -118,51 +133,70 @@ class GraftWrite(root: String, schema: StructType,
   private val effectiveStatsCols: Seq[String] =
     statsCols.filter(schema.fieldNames.contains)
 
+  // catalog-routed writes (INSERT INTO g.ns.t) can resolve the bucket
+  // TRANSFORM through the FunctionCatalog, so they cluster rows by
+  // bucket id before the writers (≤ ~n files per insert); path-based
+  // writes cannot resolve the transform and skip the clustering — the
+  // per-bucket FILE SPLIT in the writer maintains the layout either way
+  private val viaCatalog = defaults.get("viaCatalog").contains("true")
+
   override def requiredDistribution(): Distribution =
-    sortBy.map(c => Distributions.ordered(Array(sortOrderOf(c))))
-      .getOrElse(Distributions.unspecified())
+    bucketSpec match {
+      case Some((c, n)) if viaCatalog =>
+        Distributions.clustered(Array(Expressions.bucket(n, c)))
+      case _ =>
+        sortBy.map(c => Distributions.ordered(Array(sortOrderOf(c))))
+          .getOrElse(Distributions.unspecified())
+    }
   override def requiredOrdering(): Array[SortOrder] =
     sortBy.map(c => Array(sortOrderOf(c))).getOrElse(Array.empty)
   override def requiredNumPartitions(): Int =
-    options.getInt("targetFileCount", 0)
+    bucketSpec match {
+      case Some((_, n)) if viaCatalog => n
+      case _ => options.getInt("targetFileCount", 0)
+    }
   private def sortOrderOf(c: String): SortOrder =
     Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
       NullOrdering.NULLS_FIRST)
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(root, schema, effectiveStatsCols, truncate)
+    new GraftBatchWrite(root, schema, effectiveStatsCols, truncate,
+      bucketSpec)
   override def toStreaming: StreamingWrite = {
     require(!truncate,
       "graft streaming sink supports append output mode only")
-    new GraftStreamingWrite(root, schema, effectiveStatsCols, queryId)
+    new GraftStreamingWrite(root, schema, effectiveStatsCols, queryId,
+      bucketSpec)
   }
 }
 
-/** Serializable per-file result of one task's write: the manifest entry
-  * (None when the task saw zero rows — no empty files are adopted) and
-  * the store path for abort/replay cleanup.
+/** Serializable result of one task's write: the manifest entries (one
+  * per file — a bucket-maintaining task writes one file PER BUCKET it
+  * saw; empty tasks contribute none) with their store paths for
+  * abort/replay cleanup.
   */
-case class GraftCommitMessage(entry: Option[Snapshots.FileEntry],
-    path: String) extends WriterCommitMessage
+case class GraftCommitMessage(files: Seq[(Snapshots.FileEntry, String)])
+  extends WriterCommitMessage
 
 object GraftWriteCommit {
   def entriesOf(messages: Array[WriterCommitMessage])
       : Seq[Snapshots.FileEntry] =
     messages.toSeq.collect {
-      case GraftCommitMessage(Some(e), _) => e
-    }
+      case GraftCommitMessage(fs) => fs.map(_._1)
+    }.flatten
   def deleteFiles(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftCommitMessage(Some(_), path) => LakeFs.delete(path); ()
+      case GraftCommitMessage(fs) => fs.foreach(f => LakeFs.delete(f._2))
       case _ => ()
     }
 }
 
 class GraftBatchWrite(root: String, schema: StructType,
-    statsCols: Seq[String], truncate: Boolean) extends BatchWrite {
+    statsCols: Seq[String], truncate: Boolean,
+    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    GraftWriterFactory.create(root, schema, statsCols)
+    GraftWriterFactory.create(root, schema, statsCols, bucketSpec)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = GraftWriteCommit.entriesOf(messages)
     // an empty append is a no-op (no version churn); an empty OVERWRITE
@@ -197,7 +231,8 @@ class GraftBatchWrite(root: String, schema: StructType,
 }
 
 class GraftStreamingWrite(root: String, schema: StructType,
-    statsCols: Seq[String], queryId: String) extends StreamingWrite {
+    statsCols: Seq[String], queryId: String,
+    bucketSpec: Option[(String, Int)] = None) extends StreamingWrite {
   // idempotence is scoped to THIS query: (queryId, epochId), kept as a
   // one-line #txn: high-water mark per query in the manifest. Keying on
   // the epoch alone would make a SECOND query's epoch 0 on the same
@@ -205,7 +240,7 @@ class GraftStreamingWrite(root: String, schema: StructType,
   private val app = if (queryId.nonEmpty) queryId else "graft-stream"
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    GraftWriterFactory.create(root, schema, statsCols)
+    GraftWriterFactory.create(root, schema, statsCols, bucketSpec)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val entries = GraftWriteCommit.entriesOf(messages)
@@ -238,44 +273,55 @@ class GraftStreamingWrite(root: String, schema: StructType,
   */
 case class GraftWriterFactory(root: String, schema: StructType,
     statsCols: Seq[String], jobId: String,
-    confEntries: Map[String, String])
+    confEntries: Map[String, String],
+    bucketSpec: Option[(String, Int)] = None)
   extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, statsCols,
-      s"w_${jobId}_p${partitionId}_a$taskId.parquet", confEntries)
+      s"w_${jobId}_p${partitionId}_a$taskId", confEntries, bucketSpec)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(root, schema, statsCols,
-      s"w_${jobId}_e${epochId}_p${partitionId}_a$taskId.parquet",
-      confEntries)
+      s"w_${jobId}_e${epochId}_p${partitionId}_a$taskId",
+      confEntries, bucketSpec)
 }
 
 object GraftWriterFactory {
-  def create(root: String, schema: StructType, statsCols: Seq[String])
-      : GraftWriterFactory = {
+  def create(root: String, schema: StructType, statsCols: Seq[String],
+      bucketSpec: Option[(String, Int)] = None): GraftWriterFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     import scala.jdk.CollectionConverters._
     val confEntries = spark.sessionState.newHadoopConf()
       .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
     GraftWriterFactory(root, schema, statsCols,
       java.util.UUID.randomUUID().toString.replace("-", "").take(12),
-      confEntries)
+      confEntries, bucketSpec)
   }
 }
 
 /** Executor task writer: InternalRow → parquet via parquet-mr's example
   * Group model (the writer twin of [[ParquetRowReader]]'s reader),
-  * directly at the file's final store location. `commit()` closes the
-  * file and stamps its manifest stats from one footer read of the
-  * just-written file; zero-row tasks delete their (empty) file and
-  * contribute no entry.
+  * directly at the files' final store locations. Files open LAZILY on
+  * the first row they receive — a zero-row task creates nothing and
+  * contributes no entries. Without a bucket spec the task writes ONE
+  * file (`<prefix>.parquet`); with one it routes each row to a file
+  * per [[GraftBucket.id]] value (`<prefix>_k<id>.parquet`, `k=`
+  * stamped), so an append into a bucketed table MAINTAINS the
+  * storage-partitioned-join layout. Catalog-routed inserts arrive
+  * pre-clustered by the bucket transform (one bucket per task →
+  * ~nBuckets files per insert); an unclustered path write still splits
+  * correctly, just into more, smaller files — bin-pack compaction
+  * re-coalesces within buckets. `commit()` closes every file and
+  * stamps each one's manifest stats from one footer read of the
+  * just-written file.
   */
 class GraftDataWriter(root: String, schema: StructType,
-    statsCols: Seq[String], fileName: String,
-    confEntries: Map[String, String]) extends DataWriter[InternalRow] {
+    statsCols: Seq[String], namePrefix: String,
+    confEntries: Map[String, String],
+    bucketSpec: Option[(String, Int)] = None)
+  extends DataWriter[InternalRow] {
 
-  private val path = s"$root/files/$fileName"
   private val conf: Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
@@ -286,49 +332,73 @@ class GraftDataWriter(root: String, schema: StructType,
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(
       messageType)
   private val appenders = GraftParquetSchema.appenders(schema)
-  private var rowCount = 0L
   private var closed = false
 
-  private val writer = GraftParquetSchema.newWriter(path, schema, conf)
+  /** Bucket id of a row, or -1 when the write is unbucketed. NULL keys
+    * land in bucket 0 — the same rule [[GraftBucket.id]] documents and
+    * [[Snapshots.optimizeBucketed]] applies.
+    */
+  private val bucketOf: InternalRow => Int = bucketSpec match {
+    case None => _ => -1
+    case Some((c, n)) =>
+      val i = schema.fieldIndex(c)
+      val keyOf: InternalRow => Long = schema(i).dataType match {
+        case LongType => r => r.getLong(i)
+        case IntegerType => r => r.getInt(i).toLong
+        case ShortType => r => r.getShort(i).toLong
+        case ByteType => r => r.getByte(i).toLong
+        case dt => throw new IllegalArgumentException(
+          s"bucket column '$c' must be integral, got $dt")
+      }
+      r => GraftBucket.id(n, if (r.isNullAt(i)) 0L else keyOf(r))
+  }
+
+  private final class Sink(val name: String) {
+    val path = s"$root/files/$name"
+    val writer = GraftParquetSchema.newWriter(path, schema, conf)
+  }
+  private val sinks =
+    scala.collection.mutable.LinkedHashMap.empty[Int, Sink]
 
   override def write(row: InternalRow): Unit = {
+    val k = bucketOf(row)
+    val sink = sinks.getOrElseUpdate(k, new Sink(
+      if (k >= 0) s"${namePrefix}_k$k.parquet"
+      else s"$namePrefix.parquet"))
     val g = factory.newGroup()
     var i = 0
     while (i < appenders.length) {
       if (!row.isNullAt(i)) appenders(i)(g, row)
       i += 1
     }
-    writer.write(g)
-    rowCount += 1
+    sink.writer.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
     closeOnce()
-    if (rowCount == 0L) {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      fs.delete(new org.apache.hadoop.fs.Path(path), false)
-      GraftCommitMessage(None, path)
-    } else {
+    GraftCommitMessage(sinks.toSeq.map { case (k, s) =>
       val (rows, fp, zones, szones, nulls) =
-        Bucketing.fileStatsEntryConf(path, conf, statsCols)
-      val len = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
-      GraftCommitMessage(Some(Snapshots.FileEntry(fileName, Some(rows),
-        Some(len), Some(fp), zones, szones, nulls)), path)
-    }
+        Bucketing.fileStatsEntryConf(s.path, conf, statsCols)
+      val len = new org.apache.hadoop.fs.Path(s.path).getFileSystem(conf)
+        .getFileStatus(new org.apache.hadoop.fs.Path(s.path)).getLen
+      (Snapshots.FileEntry(s.name, Some(rows), Some(len), Some(fp),
+        zones, szones, nulls,
+        bucket = if (k >= 0) Some(k) else None), s.path)
+    })
   }
 
   override def abort(): Unit = {
     closeOnce()
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), false)
-    ()
+    sinks.values.foreach { s =>
+      val fs = new org.apache.hadoop.fs.Path(s.path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(s.path), false)
+    }
   }
 
   override def close(): Unit = closeOnce()
 
   private def closeOnce(): Unit =
-    if (!closed) { closed = true; writer.close() }
+    if (!closed) { closed = true; sinks.values.foreach(_.writer.close()) }
 }
 
 /** Spark → parquet schema and row appenders for the primitive column

@@ -248,9 +248,9 @@ class GraftWriteSpec extends AnyFunSuite {
         .deleteRecursively(new java.io.File(s"$root/__tmp_$tag"))
       val (rows, fp, zones, szones, _) = Bucketing.fileStatsEntry(spark,
         s"$root/files/$name", Seq("k"))
-      GraftCommitMessage(Some(Snapshots.FileEntry(name, Some(rows),
+      GraftCommitMessage(Seq((Snapshots.FileEntry(name, Some(rows),
         Some(LakeFs.fileLength(s"$root/files/$name")), Some(fp), zones,
-        szones)), s"$root/files/$name")
+        szones), s"$root/files/$name")))
     }
     val m0 = taskOutput("e0")
     w.commit(0L, Array(m0))
@@ -262,7 +262,7 @@ class GraftWriteSpec extends AnyFunSuite {
     w.commit(0L, Array(m0b))
     assert(Snapshots.latestVersion(root) == 2) // no new version
     assert(load(root).count() == 1001L) // no double data
-    assert(!LakeFs.exists(m0b.path)) // the orphan was reclaimed
+    assert(!LakeFs.exists(m0b.files.head._2)) // the orphan was reclaimed
     // a NEW epoch commits normally; an EMPTY epoch commits NOTHING —
     // no manifest churn from an idle trigger (its replay re-executes
     // to the same zero rows and skips again), and a later non-empty

@@ -45,8 +45,8 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
   }
 
   test("co-bucketed tables join with ZERO shuffle exchanges; values " +
-      "equal the shuffled twin; un-bucketed appends disable the claim " +
-      "soundly") {
+      "equal the shuffled twin; catalog INSERTs MAINTAIN the layout " +
+      "so SPJ survives appends") {
     val wh = java.nio.file.Files.createTempDirectory("graft_spj").toString
     val cat = "gj" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -96,19 +96,146 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       s"twin should shuffle both join inputs, got $twinShuffles")
     assert(spjShuffles < twinShuffles)
 
-    // soundness: an UN-bucketed append disables the report (no wrong
-    // co-location claim) and values stay correct
-    spark.sql(s"INSERT INTO $cat.ns.fact VALUES (5, 100.0)")
-    val (rows2, _) = withSpjConfs {
-      val df = spark.sql(
-        s"SELECT sum(f.amt) FROM $cat.ns.fact f " +
-          s"JOIN $cat.ns.dim d ON f.k = d.k")
-      (df.collect().head.getDouble(0), 0)
+    // LAYOUT MAINTENANCE: an INSERT INTO the bucketed table splits its
+    // rows per bucket id in the writers and stamps every new file's
+    // `k=`, so SPJ stays ALIVE after the append instead of silently
+    // degrading to a full two-sided shuffle until the next relayout
+    spark.sql(s"INSERT INTO $cat.ns.fact VALUES (5, 100.0), (1003, 2.5)")
+    val factRoot = s"$wh/ns/fact"
+    val mAfter = Snapshots.manifest(factRoot,
+      Snapshots.latestVersion(factRoot))
+    assert(mAfter.bucketSpec == Some(("k", 8)))
+    assert(mAfter.entries.forall(_.bucket.isDefined),
+      "a catalog INSERT must stamp its files' buckets")
+    // the appended rows landed in their keys' buckets
+    Seq(5L, 1003L).foreach { key =>
+      val b = graft.sources.v2.GraftBucket.id(8, key)
+      assert(mAfter.entries.filter(_.bucket.contains(b)).exists { e =>
+        spark.read.parquet(s"$factRoot/files/${e.name}")
+          .filter(col("k") === key).count() >= 1
+      }, s"key $key must be readable from a bucket-$b file")
     }
-    val expected = (0L until 20000L).filter(_ % 1000 < 1000)
-      .map(id => (id % 1000, id * 0.5)).filter(_._1 < 1000)
-      .map(_._2).sum + 100.0
-    assert(math.abs(rows2 - expected) < 1e-6)
+    val (rows2, shuffles2) = withSpjConfs {
+      val df = spark.sql(
+        s"SELECT sum(f.amt) AS s FROM $cat.ns.fact f " +
+          s"JOIN $cat.ns.dim d ON f.k = d.k")
+      (df.collect().head.getDouble(0), shuffles(df))
+    }
+    val expected = (0L until 20000L)
+      .map(id => (id % 1000, id * 0.5)).map(_._2).sum + 100.0
+    assert(math.abs(rows2 - expected) < 1e-6) // key 1003 has no dim row
+    assert(shuffles2 == 0,
+      s"SPJ must survive a bucket-maintaining INSERT, got $shuffles2 " +
+        "exchanges")
+  }
+
+  test("MERGE inserts keep the bucket layout: a MoR upsert leaves " +
+      "every file stamped and SPJ alive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj3").toString
+    val cat = "gm" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.fact (k BIGINT, amt DOUBLE)
+                 |USING graft""".stripMargin)
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (k BIGINT, grp BIGINT)
+                 |USING graft""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ns.fact " +
+      "SELECT id % 100, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT id, id % 5 FROM range(100)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.fact', col => 'k', " +
+      "n_buckets => 4)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.dim', col => 'k', " +
+      "n_buckets => 4)")
+    // the upsert: update every k < 3 row's amt, insert two NEW keys
+    // (no dim match — the SPJ join result gains nothing from them)
+    spark.sql(s"""MERGE INTO $cat.ns.fact t
+                 |USING (SELECT * FROM VALUES
+                 |  (CAST(0 AS BIGINT), 1.0), (1, 1.0), (2, 1.0),
+                 |  (200, 7.0), (205, 7.0) AS s(k, amt)) s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET amt = s.amt
+                 |WHEN NOT MATCHED THEN INSERT (k, amt)
+                 |  VALUES (s.k, s.amt)""".stripMargin)
+    val factRoot = s"$wh/ns/fact"
+    val m = Snapshots.manifest(factRoot,
+      Snapshots.latestVersion(factRoot))
+    assert(m.bucketSpec == Some(("k", 4)))
+    assert(m.entries.forall(_.bucket.isDefined),
+      "MERGE insert files must carry bucket stamps")
+    assert(m.dvNames.nonEmpty, "the matched updates must be MoR deltas")
+    // re-inserted update rows and fresh inserts landed in their buckets
+    m.entries.filter(_.name.contains("_rl_")).foreach { e =>
+      val ks = spark.read.parquet(s"$factRoot/files/${e.name}")
+        .select(col("k")).collect().map(_.getLong(0))
+      assert(ks.nonEmpty && ks.forall(k =>
+        graft.sources.v2.GraftBucket.id(4, k) == e.bucket.get))
+    }
+    val (got, nShuffles) = withSpjConfs {
+      val df = spark.sql(
+        s"""SELECT f.k AS k, sum(f.amt) AS amt
+           |FROM $cat.ns.fact f JOIN $cat.ns.dim d ON f.k = d.k
+           |GROUP BY f.k""".stripMargin)
+      (df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap,
+        shuffles(df))
+    }
+    // post-merge truth: k in 0..99, ten source rows each of value k +
+    // 100*j for j in 0..9; k < 3 rows were all updated to amt = 1.0
+    (0L until 100L).foreach { k =>
+      val expected =
+        if (k < 3) 10.0
+        else (0 until 10).map(j => (k + 100L * j).toDouble).sum
+      assert(math.abs(got(k) - expected) < 1e-6, s"k=$k")
+    }
+    assert(!got.contains(200L) && !got.contains(205L))
+    // the join itself ran without exchanging either side: at most the
+    // GROUP BY's exchange survives
+    assert(nShuffles <= 1,
+      s"SPJ must survive a MoR MERGE, got $nShuffles exchanges")
+  }
+
+  test("the bucket layout FOLLOWS a column rename — SPJ stays alive " +
+      "on the new name over files physically carrying the old one") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj4").toString
+    val cat = "gr" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.fact (k BIGINT, amt DOUBLE)
+                 |USING graft""".stripMargin)
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (k BIGINT, grp BIGINT)
+                 |USING graft""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ns.fact " +
+      "SELECT id % 50, CAST(id AS DOUBLE) FROM range(500)")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT id, id % 3 FROM range(50)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.fact', col => 'k', " +
+      "n_buckets => 4)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.dim', col => 'k', " +
+      "n_buckets => 4)")
+    spark.sql(s"ALTER TABLE $cat.ns.fact RENAME COLUMN k TO fk")
+    val factRoot = s"$wh/ns/fact"
+    val m = Snapshots.manifest(factRoot,
+      Snapshots.latestVersion(factRoot))
+    assert(m.bucketSpec == Some(("fk", 4)),
+      "the bucket spec must track the rename in the same commit")
+    val (got, nShuffles) = withSpjConfs {
+      val df = spark.sql(
+        s"""SELECT f.fk AS k, sum(f.amt) AS amt
+           |FROM $cat.ns.fact f JOIN $cat.ns.dim d ON f.fk = d.k
+           |GROUP BY f.fk""".stripMargin)
+      (df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap,
+        shuffles(df))
+    }
+    (0L until 50L).foreach { k =>
+      val expected = (0 until 10).map(j => (k + 50L * j).toDouble).sum
+      assert(math.abs(got(k) - expected) < 1e-6, s"k=$k")
+    }
+    assert(nShuffles <= 1,
+      s"SPJ must survive the rename, got $nShuffles exchanges")
   }
 
   test("the scan reports KeyGroupedPartitioning only when every " +
