@@ -536,6 +536,41 @@ object GraftZonePrune {
     case _ => true
   }
 
+  /** BUCKET pruning — the point-lookup complement zones cannot give a
+    * bucketed layout: `floorMod` interleaves keys, so every file's
+    * zone on the bucket column spans nearly the whole key range and
+    * `k = 42` zone-prunes NOTHING — but the file's `k=` stamp names
+    * the ONE bucket the key can live in, so an equality/IN filter on
+    * the bucket column keeps 1/n of the files. True unless the stamp
+    * PROVES every key the filter accepts hashes elsewhere; unstamped
+    * files always might-match (sound — the same every-file-stamped
+    * conservatism the SPJ report uses). NULL keys route to bucket 0
+    * in every stamping writer ([[GraftBucket.id]]), so `IS NULL`
+    * prunes to bucket 0 too.
+    */
+  def mightMatchBucket(e: Snapshots.FileEntry, f: Filter,
+      bucketCol: String, n: Int): Boolean = e.bucket match {
+    case None => true
+    case Some(k) =>
+      def keyHits(v: Any): Boolean = asLong(v) match {
+        case Some(key) => GraftBucket.id(n, key) == k
+        case None => true // non-integral comparison value: no claim
+      }
+      f match {
+        case sources.EqualTo(c, v) if c == bucketCol => keyHits(v)
+        case sources.In(c, vs) if c == bucketCol => vs.exists(keyHits)
+        case sources.IsNull(c) if c == bucketCol =>
+          GraftBucket.id(n, 0L) == k
+        case sources.And(l, r) =>
+          mightMatchBucket(e, l, bucketCol, n) &&
+            mightMatchBucket(e, r, bucketCol, n)
+        case sources.Or(l, r) =>
+          mightMatchBucket(e, l, bucketCol, n) ||
+            mightMatchBucket(e, r, bucketCol, n)
+        case _ => true
+      }
+  }
+
   /** Every column a filter tree references — what a row-group pruner
     * needs block statistics for.
     */
@@ -908,9 +943,18 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
   // TABLE's schema seed) can never contribute a row and is skipped
   // unconditionally
   private lazy val m = Snapshots.manifest(root, version)
+  /** Zone AND bucket-stamp admission of one file against one filter
+    * (bucket pruning covers the point lookups a bucketed layout's
+    * interleaved zones cannot — [[GraftZonePrune.mightMatchBucket]]).
+    */
+  private def admits(e: Snapshots.FileEntry, f: Filter): Boolean =
+    GraftZonePrune.mightMatch(e, f) && (m.bucketSpec match {
+      case Some((c, n)) => GraftZonePrune.mightMatchBucket(e, f, c, n)
+      case None => true
+    })
   private lazy val planSelected: Seq[Snapshots.FileEntry] =
     m.entries.filter(e => !e.rows.contains(0L) &&
-      pushed.forall(f => GraftZonePrune.mightMatch(e, f)))
+      pushed.forall(f => admits(e, f)))
   // runtime filtering (DPP: Spark materializes a broadcast join's build
   // side and pushes IN over the probe keys) re-prunes the selection
   // against the same zone stats BEFORE partitions are planned — the
@@ -936,7 +980,7 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
     val fs = predicates.flatMap(GraftZonePrune.fromV2)
     if (fs.nonEmpty)
       runtimePruned = Some(selected.filter(e =>
-        fs.forall(f => GraftZonePrune.mightMatch(e, f))))
+        fs.forall(f => admits(e, f))))
   }
 
   /** The scan's BUCKET layout, trusted only when (a) the manifest

@@ -150,11 +150,19 @@ class GraftWrite(root: String, schema: StructType,
     }
   override def requiredOrdering(): Array[SortOrder] =
     sortBy.map(c => Array(sortOrderOf(c))).getOrElse(Array.empty)
+  // bucketed inserts take an ADVISORY size, never an exact partition
+  // count: clustered + advisory plans as RebalancePartitions, so AQE
+  // coalesces a trickle insert into one writer and SPLITS a bulk
+  // insert's hot buckets across tasks (a pinned count of nBuckets
+  // would cap a 1 TB insert at one task per bucket) — the writers'
+  // per-bucket file split keeps every landed file pure either way
   override def requiredNumPartitions(): Int =
-    bucketSpec match {
-      case Some((_, n)) if viaCatalog => n
-      case _ => options.getInt("targetFileCount", 0)
-    }
+    if (bucketSpec.isDefined && viaCatalog) 0
+    else options.getInt("targetFileCount", 0)
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (bucketSpec.isDefined && viaCatalog)
+      opt("advisoryBytes").map(_.toLong).getOrElse(64L * 1024 * 1024)
+    else 0L
   private def sortOrderOf(c: String): SortOrder =
     Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
       NullOrdering.NULLS_FIRST)

@@ -272,4 +272,44 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       !m2.entries.forall(_.bucket.isDefined),
       "appended files must not carry a bucket stamp")
   }
+
+  test("bucket stamps PRUNE point lookups: an equality filter on the " +
+      "bucket column plans only that bucket's files (zones cannot — " +
+      "floorMod interleaves every file's key range)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj5").toString
+    import spark.implicits._
+    val src = s"$wh/src"
+    graft.sources.Bucketing.writeRangeSorted(
+      (0L until 4000L).map(k => (k, k % 5)).toDF("k", "grp"),
+      "k", 4, src, 64 * 1024)
+    val root = s"$wh/t"
+    Snapshots.init(spark, root, src)
+    val r = Snapshots.optimizeBucketed(spark, root, "k", 4)
+    val m = Snapshots.manifest(root, r.version)
+    // zones are useless here BY CONSTRUCTION: every file's k-range
+    // spans nearly the whole table
+    val b3 = m.entries.filter(_.bucket.contains(
+      graft.sources.v2.GraftBucket.id(4, 7L))).map(_.name).toSet
+    assert(b3.nonEmpty && b3.size < m.entries.size)
+    def lookup(tag: String): (Seq[Long], Set[String]) = {
+      val audit = s"bp-$tag-${java.util.UUID.randomUUID()}"
+      val df = spark.read.format("graft").option("path", root)
+        .option("auditId", audit).load().where(col("k") === 7L)
+      val rows = df.collect().map(_.getLong(0)).toSeq
+      val planned = graft.sources.v2.GraftScanAudit.planned(audit).toSet
+      graft.sources.v2.GraftScanAudit.clear(audit)
+      (rows, planned)
+    }
+    val (rows1, planned1) = lookup("stamped")
+    assert(rows1 == Seq(7L))
+    assert(planned1.nonEmpty && planned1.subsetOf(b3),
+      s"point lookup must plan only bucket files: $planned1 vs $b3")
+    // soundness: an UNSTAMPED append carrying the key is always
+    // planned — bucket pruning may only use proofs the stamps give
+    Snapshots.append(spark, root, Seq((7L, 9L)).toDF("k", "grp"), "k")
+    val (rows2, planned2) = lookup("mixed")
+    assert(rows2 == Seq(7L, 7L))
+    assert(planned2.size == planned1.size + 1,
+      "the unstamped file must stay planned")
+  }
 }
