@@ -938,6 +938,44 @@ object Snapshots {
     adoptEntries(spark, root, v, tag, Seq(sortCol))(tmp =>
       Bucketing.writeRangeSorted(df, sortCol, nFiles, tmp, blockSize))
 
+  /** BUCKET-MAINTAINING twin of [[writeNewFiles]]: split `df` into one
+    * file per live `bucket(n, bucketCol)` id ([[graft.sources.v2
+    * .GraftBucket.id]] — the layout contract every stamping surface
+    * shares), `k=`-stamped and `av=`-stamped, rows sorted by `sortCol`
+    * within each bucket. Keeps the storage-partitioned-join report
+    * alive across library-level ingest verbs (the equality-delete
+    * upsert) the way the DSv2 writers keep it across INSERT/MERGE.
+    */
+  private def writeNewFilesBucketed(spark: SparkSession, root: String,
+      v: Int, tag: String, df: DataFrame, sortCol: String,
+      blockSize: Int, bucketCol: String, nBuckets: Int): Seq[FileEntry] = {
+    val bId = udf((k: java.lang.Long) =>
+      graft.sources.v2.GraftBucket.id(nBuckets,
+        if (k == null) 0L else k.longValue()))
+    val fdir = filesDir(root)
+    val u = uuid8()
+    val tmp = s"$fdir/__${tag}_$u"
+    df.withColumn("__gbucket", bId(col(bucketCol).cast("long")))
+      .repartition(nBuckets, col("__gbucket"))
+      .sortWithinPartitions(col(sortCol))
+      .write.option("parquet.block.size", blockSize.toLong)
+      .partitionBy("__gbucket").parquet(tmp)
+    val cols = Seq(sortCol, bucketCol).distinct
+    val entries = LakeFs.listDirNames(tmp)
+      .filter(_.startsWith("__gbucket=")).sorted.flatMap { sub =>
+        val id = sub.stripPrefix("__gbucket=").toInt
+        Compaction.dataFileNames(s"$tmp/$sub").zipWithIndex.map {
+          case (f, i) =>
+            val name = s"${tag}_v${v}_${u}_k${id}_$i.parquet"
+            LakeFs.move(s"$tmp/$sub/$f", s"$fdir/$name")
+            statEntry(spark, root, name, cols, addedV = Some(v))
+              .copy(bucket = Some(id))
+        }
+      }
+    LakeFs.deleteRecursively(tmp)
+    entries
+  }
+
   /** APPEND: commit `df` as new range-sorted file(s) referenced by a new
     * version alongside everything the latest version holds — the ingest
     * path. Schema evolution is allowed: an appended batch may carry NEW
@@ -1952,8 +1990,22 @@ object Snapshots {
     val keysDf = updates.select(col(keyCol).as("k")).distinct()
     val nKeys = keysDf.count() // before the write: zero read-back I/O
     keysDf.write.parquet(s"${deletesDir(root)}/$name")
-    val updEntries = writeNewFiles(spark, root, v + 1, "equp", updates,
-      zoneCol, 1, blockSize)
+    // CDC ingest composes with storage-partitioned joins: on a
+    // bucketed table the batch's insert files split per bucket id and
+    // stamp `k=`, so a MERGE-per-minute pipeline never degrades the
+    // fact join back to a two-sided shuffle
+    val updEntries = m.bucketSpec.filter { case (c, _) =>
+      updates.schema.fieldNames.contains(c) &&
+        (updates.schema(c).dataType match {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        })
+    } match {
+      case Some((c, n)) => writeNewFilesBucketed(spark, root, v + 1,
+        "equp", updates, zoneCol, blockSize, c, n)
+      case None => writeNewFiles(spark, root, v + 1, "equp", updates,
+        zoneCol, 1, blockSize)
+    }
     commitManifest(root, v + 1, m.entries ++ updEntries,
       carryMeta(m) :+ EqDelete(name, keyCol, v + 1).render,
       Some((v, m)))

@@ -147,4 +147,42 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(added.count() == 100L)
     assert(removed.where(col("k") < 100).count() == 100L)
   }
+
+  test("on a BUCKETED table the upsert's insert files are bucket-" +
+      "stamped and pure — CDC ingest composes with SPJ instead of " +
+      "degrading the fact join back to a shuffle") {
+    val root = freshTable()
+    Snapshots.optimizeBucketed(spark, root, "k", 4)
+    val updates = (0L until 100L).map(k => (k, -1L, s"new$k"))
+      .toDF("k", "grp", "tag")
+      .union(Seq((90001L, 5L, "ins")).toDF("k", "grp", "tag"))
+    val r = Snapshots.upsertEquality(spark, root, "k", "k", updates,
+      blockSize = 64 * 1024)
+    val m = Snapshots.manifest(root, r.version)
+    assert(m.bucketSpec == Some(("k", 4)))
+    assert(m.entries.forall(_.bucket.isDefined),
+      "equality-upsert insert files must carry bucket stamps")
+    assert(m.eqDeletes.nonEmpty)
+    // per-file purity: every insert file holds exactly its bucket
+    val inserted = m.entries.filter(_.name.startsWith("equp_"))
+    assert(inserted.nonEmpty)
+    inserted.foreach { e =>
+      val ks = spark.read.parquet(s"$root/files/${e.name}")
+        .select(col("k")).collect().map(_.getLong(0))
+      assert(ks.nonEmpty && ks.forall(k =>
+        graft.sources.v2.GraftBucket.id(4, k) == e.bucket.get),
+        s"${e.name} leaks keys outside bucket ${e.bucket.get}")
+      assert(e.addedV.contains(r.version),
+        "the av= scoping stamp must survive the bucketed write path")
+    }
+    // read parity: updated keys serve the post-image, the rest the
+    // original rows, the fresh insert appears once
+    val got = Snapshots.read(spark, root, r.version)
+      .select(col("k"), col("tag")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got.size == 20001)
+    (0L until 100L).foreach(k => assert(got(k) == s"new$k"))
+    assert(got(90001L) == "ins")
+    assert(got(150L) == "v150" && got(19999L) == "v19999")
+  }
 }
