@@ -2287,16 +2287,39 @@ object Snapshots {
       commitManifest(root, v + 1, m.entries, carryMeta(m), Some((v, m)))
       return BinPackResult(v + 1, 0, m.files.size, m.files.size)
     }
-    val smallBytes = small.map(_._2).sum
-    val nOut = math.max(1L,
-      (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val df = readFiles(spark, root, m, small.map(_._1.name),
-      keepPos = false)
-    val packed = writeNewFiles(spark, root, v + 1, "pack", df, sortCol,
-      nOut, blockSize)
-    commitManifest(root, v + 1, big.map(_._1) ++ packed, carryMeta(m),
+    def packTogether(files: Seq[(FileEntry, Long)]): Seq[FileEntry] = {
+      val bytes = files.map(_._2).sum
+      val nOut = math.max(1L,
+        (bytes + targetBytes - 1) / targetBytes).toInt
+      val df = readFiles(spark, root, m, files.map(_._1.name),
+        keepPos = false)
+      writeNewFiles(spark, root, v + 1, "pack", df, sortCol, nOut,
+        blockSize)
+    }
+    // a BUCKETED layout packs WITHIN buckets (each bucket's small
+    // files rewrite into right-sized files stamped with that bucket —
+    // purity is inherited, so the storage-partitioned-join report
+    // SURVIVES nightly maintenance; the Iceberg partition-preserving
+    // binpack). A bucket holding one small file is re-referenced
+    // verbatim — rewriting it alone would gain nothing. Mixed history
+    // (any unstamped small file) falls back to the global pack, which
+    // soundly disables the report like any unstamped write.
+    val (rewritten, reusedSingles, packed) = m.bucketSpec match {
+      case Some(_) if small.forall(_._1.bucket.isDefined) =>
+        val groups = small.groupBy(_._1.bucket.get).toSeq.sortBy(_._1)
+        val (multi, single) = groups.partition(_._2.size > 1)
+        val out = multi.flatMap { case (id, fs) =>
+          packTogether(fs).map(_.copy(bucket = Some(id)))
+        }
+        (multi.map(_._2.size).sum, single.flatMap(_._2.map(_._1)), out)
+      case _ => (small.size, Seq.empty[FileEntry], packTogether(small))
+    }
+    commitManifest(root, v + 1,
+      big.map(_._1) ++ reusedSingles ++ packed, carryMeta(m),
       Some((v, m)))
-    BinPackResult(v + 1, small.size, big.size, big.size + packed.size)
+    BinPackResult(v + 1, rewritten,
+      big.size + reusedSingles.size,
+      big.size + reusedSingles.size + packed.size)
   }
 
   /** Result of a bucketed relayout: the new version, the bucket count,

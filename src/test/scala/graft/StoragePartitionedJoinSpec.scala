@@ -273,6 +273,71 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "appended files must not carry a bucket stamp")
   }
 
+  test("bin-pack on a bucketed table packs WITHIN buckets: stamps and " +
+      "SPJ survive nightly maintenance instead of dying until the " +
+      "next full relayout") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj6").toString
+    val cat = "gp" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.fact (k BIGINT, amt DOUBLE)
+                 |USING graft""".stripMargin)
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (k BIGINT, grp BIGINT)
+                 |USING graft""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ns.fact " +
+      "SELECT id % 20, CAST(id AS DOUBLE) FROM range(2000)")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT id, id % 3 FROM range(20)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.fact', col => 'k', " +
+      "n_buckets => 4)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.dim', col => 'k', " +
+      "n_buckets => 4)")
+    val factRoot = s"$wh/ns/fact"
+    val bigSize = Snapshots.manifest(factRoot,
+      Snapshots.latestVersion(factRoot)).entries.flatMap(_.bytes).min
+    // streaming-accretion shape: three tiny stamped appends per bucket
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.ns.fact VALUES " +
+        s"(100, 0.0), (101, 0.0), (102, 0.0), (103, 0.0)")
+    }
+    val mPre = Snapshots.manifest(factRoot,
+      Snapshots.latestVersion(factRoot))
+    assert(mPre.entries.forall(_.bucket.isDefined))
+    val smallPre = mPre.entries.count(_.bytes.exists(_ < bigSize))
+    assert(smallPre >= 12, s"expected >=12 small stamped files, got " +
+      s"$smallPre")
+
+    val r = Snapshots.optimizeBinPack(spark, factRoot, "k", bigSize)
+    val mPost = Snapshots.manifest(factRoot, r.version)
+    assert(mPost.bucketSpec == Some(("k", 4)))
+    assert(mPost.entries.forall(_.bucket.isDefined),
+      "packed files must inherit their bucket's stamp")
+    assert(r.rewritten == smallPre)
+    // per-bucket purity of every packed file
+    mPost.entries.filter(_.name.startsWith("pack_")).foreach { e =>
+      val ks = spark.read.parquet(s"$factRoot/files/${e.name}")
+        .select(col("k")).collect().map(_.getLong(0))
+      assert(ks.nonEmpty && ks.forall(k =>
+        graft.sources.v2.GraftBucket.id(4, k) == e.bucket.get))
+    }
+    // lossless, and the join STILL runs without exchanging either side
+    val (total, nShuffles) = withSpjConfs {
+      val df = spark.sql(
+        s"SELECT sum(f.amt * (d.grp + 1)) AS s FROM $cat.ns.fact f " +
+          s"JOIN $cat.ns.dim d ON f.k = d.k")
+      (df.collect().head.getDouble(0), shuffles(df))
+    }
+    // the inserted keys 100-103 have no dim row (dim keys are 0..19)
+    // and zero amt — they prove stamping, not value mass
+    val expected = (0L until 2000L)
+      .map(id => id.toDouble * (id % 20 % 3 + 1)).sum
+    assert(math.abs(total - expected) < 1e-6)
+    assert(nShuffles == 0,
+      s"SPJ must survive the bucketed bin-pack, got $nShuffles")
+  }
+
   test("bucket stamps PRUNE point lookups: an equality filter on the " +
       "bucket column plans only that bucket's files (zones cannot — " +
       "floorMod interleaves every file's key range)") {
