@@ -452,6 +452,36 @@ object StressMain {
       f"(live=$nLive of $dvRows)")
     graft.sources.LakeFs.deleteRecursively(s"$outDir/__dv10m")
 
+    // BUCKET-PRUNED point lookup at factor×1.6M rows: floorMod
+    // interleaves keys, so after the relayout every file's zone on k
+    // spans ~the whole range and a zone-only plan would read ALL
+    // files — the k= stamps prune to exactly one bucket's files. The
+    // row reports the planned-file count (the 1/n proof) and the
+    // lookup time over the bucketed layout.
+    val tBp = System.nanoTime()
+    val bpRoot = s"$outDir/__bprune/t"
+    val bpBuckets = 16
+    graft.sources.Bucketing.writeRangeSorted(
+      spark.range(factor * 1600000L).select(col("id").as("k"),
+        (col("id") % 13).as("v")),
+      "k", bpBuckets, s"$outDir/__bprune/seed", 32 * 1024 * 1024)
+    graft.sources.Snapshots.init(spark, bpRoot, s"$outDir/__bprune/seed",
+      statsCols = Seq("k"))
+    val bpR = graft.sources.Snapshots.optimizeBucketed(spark, bpRoot,
+      "k", bpBuckets)
+    val tBpQ = System.nanoTime()
+    val bpAudit = s"stress-bp-${java.util.UUID.randomUUID()}"
+    val bpHits = spark.read.format("graft").option("path", bpRoot)
+      .option("auditId", bpAudit).load()
+      .where(col("k") === 123457L).count()
+    val bpSec = (System.nanoTime() - tBpQ) / 1e9
+    val bpPlanned = graft.sources.v2.GraftScanAudit.planned(bpAudit).size
+    graft.sources.v2.GraftScanAudit.clear(bpAudit)
+    println(f"[stress] bucket_point_lookup   $bpSec%8.2f s " +
+      f"(planned=$bpPlanned of ${bpR.files} files/$bpBuckets buckets, " +
+      f"hits=$bpHits, relayout=${(tBpQ - tBp) / 1e9}%.2f s)")
+    graft.sources.LakeFs.deleteRecursively(s"$outDir/__bprune")
+
     // Fuzzy join at factor×15k strings (the registry fixture's customer
     // table does not replicate — dims keep their keys — so the scale
     // fixture is synthetic 9-digit names). Lossless deletion-neighborhood
