@@ -4661,7 +4661,11 @@ object Queries {
     * input. Gates: the SPJ plan's hash-exchange count is strictly
     * below the shuffled twin's (which pays one per join input) and at
     * most the final GROUP BY's one; SPJ rows equal the twin EXACTLY;
-    * values equal the closed-form DuckDB join per market segment.
+    * values equal the closed-form DuckDB join per market segment; and
+    * a post-bucketing INSERT of never-matching keys leaves the layout
+    * FULLY `k=`-stamped (`layout_maintained` — the DSv2 writers split
+    * per bucket id, so appends never silently degrade the join back
+    * to a shuffle).
     *
     * 100 TB lens: the fact-fact join exchange is the single most
     * expensive stage a warehouse produces — two co-bucketed 50 TB
