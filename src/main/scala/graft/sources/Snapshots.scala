@@ -1072,7 +1072,8 @@ object Snapshots {
     */
   private[graft] def commitAdopted(root: String, entries: Seq[FileEntry],
       batchId: Option[Long] = None, truncate: Boolean = false,
-      maxRetries: Int = 20, txnApp: Option[String] = None): Option[Int] = {
+      maxRetries: Int = 20, txnApp: Option[String] = None,
+      assumedBucket: Option[(String, Int)] = None): Option[Int] = {
     require(txnApp.isEmpty || batchId.nonEmpty,
       "txnApp needs the epoch in batchId")
     var attempt = 0
@@ -1107,8 +1108,21 @@ object Snapshots {
         else withTxn
       // executor-written entries learn their added-at version only here
       // (the OCC loop decides the final version)
-      val stamped = entries.map(e =>
+      val stampedAv = entries.map(e =>
         if (e.addedV.isEmpty) e.copy(addedV = Some(v + 1)) else e)
+      // STALE-STAMP guard: the writers computed their `k=` stamps under
+      // the bucket spec resolved at write BUILD time (`assumedBucket`).
+      // Appends have no conflict checks — this retry loop happily lands
+      // on top of a rival relayout — so if the LIVE spec differs (a
+      // rival re-bucketed with another column/count, or dropped the
+      // layout), those ids are meaningless under it: land the files
+      // UNSTAMPED. The scan's every-file-stamped check then disables
+      // the SPJ report soundly, instead of trusting wrong stamps into
+      // a mis-grouped join. Same-spec retries keep their stamps.
+      val stamped =
+        if (m.bucketSpec == assumedBucket) stampedAv
+        else stampedAv.map(e =>
+          if (e.bucket.isEmpty) e else e.copy(bucket = None))
       val newEntries =
         if (truncate) stamped.sortBy(_.name)
         else m.entries ++ stamped
@@ -1156,6 +1170,13 @@ object Snapshots {
     *     duplication.
     *
     * Returns the new version.
+    *
+    * No stale-BUCKET-stamp guard is needed here (unlike
+    * [[commitAdopted]]): a rival relayout rewrites every file, so a
+    * delta that marked anything refuses on the dropped files (check
+    * 1), a MERGE refuses on the added ones (check 3), and
+    * DELETE/UPDATE always mark what they matched — every path that
+    * could land stamps computed under a dead spec refuses first.
     */
   private[graft] def commitRowDelta(root: String,
       entries: Seq[FileEntry], sidecarNames: Seq[String],
@@ -1350,6 +1371,12 @@ object Snapshots {
     * Spark job — not a per-file driver loop. Live dv sidecars carry
     * forward verbatim: rewritten files get fresh UUID names the stale
     * positions can never re-match, untouched files keep their deletes.
+    *
+    * On a BUCKETED layout the rewritten files land unstamped (a global
+    * range-sorted rewrite cannot inherit per-bucket purity), so the
+    * storage-partitioned-join report disables soundly until the next
+    * relayout — prefer the MoR [[deletePositions]] there, which
+    * touches no data file and keeps every stamp.
     */
   def deleteRange(spark: SparkSession, root: String, column: String,
       lo: Long, hi: Long,

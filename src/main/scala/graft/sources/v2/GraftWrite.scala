@@ -230,7 +230,7 @@ class GraftBatchWrite(root: String, schema: StructType,
               .getLen), Some(fp), zones, szones, nulls))
         }
       Snapshots.commitAdopted(root, committed, batchId = None,
-        truncate = truncate)
+        truncate = truncate, assumedBucket = bucketSpec)
       ()
     }
   }
@@ -261,7 +261,7 @@ class GraftStreamingWrite(root: String, schema: StructType,
     // the gap (the mark is a high-water, not a contiguous set).
     if (entries.isEmpty) return
     Snapshots.commitAdopted(root, entries, batchId = Some(epochId),
-      txnApp = Some(app)) match {
+      txnApp = Some(app), assumedBucket = bucketSpec) match {
       case None =>
         // replayed epoch (restart re-ran a committed batch): this run's
         // files are orphans — exactly-once means dropping them

@@ -36,6 +36,45 @@ class GraftWriteSpec extends AnyFunSuite {
     opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  test("a rival relayout between write build and commit STRIPS stale " +
+      "bucket stamps: ids computed under a dead spec never mis-group " +
+      "a storage-partitioned join") {
+    val root = freshTable()
+    Snapshots.optimizeBucketed(spark, root, "k", 4)
+    // one real store file, stamped as a writer that RESOLVED (k, 8)
+    // would stamp it — the live spec is (k, 4), so the id is stale
+    def adopted(tag: String, assumed: Option[(String, Int)])
+        : Snapshots.FileEntry = {
+      Seq((9000L, 1L, tag)).toDF("k", "grp", "tag").coalesce(1)
+        .write.parquet(s"$root/__w_$tag")
+      val f = graft.sources.Compaction.dataFiles(s"$root/__w_$tag") match {
+        case Seq(x) => x
+      }
+      val name = s"w_race_$tag.parquet"
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(s"$root/files", name).toPath)
+      org.apache.spark.network.util.JavaUtils
+        .deleteRecursively(new java.io.File(s"$root/__w_$tag"))
+      val (rows, fp, zones, szones, _) = Bucketing.fileStatsEntry(spark,
+        s"$root/files/$name", Seq("k"))
+      val n = assumed.map(_._2).getOrElse(4)
+      val e = Snapshots.FileEntry(name, Some(rows),
+        Some(LakeFs.fileLength(s"$root/files/$name")), Some(fp), zones,
+        szones, bucket = Some(graft.sources.v2.GraftBucket.id(n, 9000L)))
+      Snapshots.commitAdopted(root, Seq(e), assumedBucket = assumed)
+      Snapshots.manifest(root, Snapshots.latestVersion(root))
+        .entries.find(_.name == name).get
+    }
+    // assumed (k, 8) ≠ live (k, 4): the stamp must be STRIPPED
+    assert(adopted("stale", Some(("k", 8))).bucket.isEmpty,
+      "a stamp computed under a dead spec must not land")
+    // assumed matches the live spec: the stamp lands
+    assert(adopted("fresh", Some(("k", 4))).bucket
+      .contains(graft.sources.v2.GraftBucket.id(4, 9000L)))
+    // data correct through both commits
+    assert(load(root).where(col("k") === 9000L).count() == 2L)
+  }
+
   test("batch append through the writer API: new version, data exact, " +
       "manifest stats stamped by the EXECUTOR (plans stay footer-free)") {
     val root = freshTable()
