@@ -3905,6 +3905,17 @@ object OracleSql {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // spj2: the bucket-pruned point lookup's RESULT is the plain
+    // aggregate at the MIN custkey (closed-form on both sides); the
+    // planned-files-subset-of-one-bucket gate is an engine boolean
+    "spj2_bucket_pruned_lookup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e6 AS total_price,
+        |  TRUE AS pruned_to_bucket
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)""".stripMargin,
+
     // mt1: sidecar compaction is lossless — the merged sidecar's marks
     // equal the three delete windows' row count; the live set (count +
     // 6dp mass) is the closed-form survivor set and equals the

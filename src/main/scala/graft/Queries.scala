@@ -4762,6 +4762,79 @@ object Queries {
     }
   }
 
+  /** Snapshot table exercising BUCKET-STAMP PRUNING — the spj2
+    * fixture: v1 adopts the orders (o_custkey, o_totalprice)
+    * projection; v2 is [[graft.sources.Snapshots.optimizeBucketed]]
+    * (o_custkey, 8 buckets) — every file holds one bucket's keys,
+    * `k=`-stamped.
+    */
+  private val bucketSnapMemo = scala.collection.mutable.Map[String, String]()
+  private[graft] def bucketSnapPath(s: SparkSession, dir: String): String =
+    bucketSnapMemo.synchronized {
+      bucketSnapMemo.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_orders_bucketed_" +
+          dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" +
+          tableFingerprint(dir, "orders")
+        buildCachedDir(path) { tmp =>
+          val seed = s"$tmp/__seed"
+          t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+            .coalesce(4).write.parquet(seed)
+          graft.sources.Snapshots.init(s, tmp, seed)
+          graft.sources.Snapshots.optimizeBucketed(s, tmp, "o_custkey", 8)
+          org.apache.spark.network.util.JavaUtils
+            .deleteRecursively(new java.io.File(seed))
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(s"$tmp/_SUCCESS"))
+          ()
+        }
+      })
+    }
+
+  /** SPJ2: BUCKET-STAMP PRUNING ([[graft.sources.v2.GraftZonePrune
+    * .mightMatchBucket]]) — the point-lookup complement zones cannot
+    * give a bucketed layout. `floorMod` interleaves keys, so every
+    * file's zone on `o_custkey` spans ~the whole key range and
+    * `o_custkey = <const>` zone-prunes NOTHING; the `k=` stamp names
+    * the one bucket the key can live in, so the scan plans ONLY that
+    * bucket's files (1/8 here). Gates: the scan-audit planned set is a
+    * strict, non-empty subset of the probe key's bucket files on a
+    * fully stamped layout (`pruned_to_bucket`); the lookup's count and
+    * 6dp price mass equal the closed-form DuckDB aggregate over raw
+    * orders at the same key (the MIN custkey — closed-form on both
+    * sides).
+    *
+    * 100 TB lens: needle-in-haystack reads on the join key are the
+    * second-most-common query on a bucketed fact after the join
+    * itself; without stamp pruning they scan the whole table, because
+    * bucketing destroyed the zone locality that range-sorting gave.
+    */
+  def spj2BucketPrunedLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = bucketSnapPath(s, dir)
+    val S = graft.sources.Snapshots
+    val m = S.manifest(root, S.latestVersion(root))
+    val key = t(s, dir, "orders").agg(min(col("o_custkey")))
+      .head().getLong(0)
+    val audit = "spj2-" + java.util.UUID.randomUUID().toString.take(8)
+    val agg = s.read.format("graft").option("path", root)
+      .option("auditId", audit).load()
+      .where(col("o_custkey") === key)
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).cast("double") / lit(1e6))
+          .as("total_price")).head()
+    val planned = graft.sources.v2.GraftScanAudit.planned(audit).toSet
+    graft.sources.v2.GraftScanAudit.clear(audit)
+    val bucketFiles = m.entries.filter(_.bucket.contains(
+      graft.sources.v2.GraftBucket.id(8, key))).map(_.name).toSet
+    val prunedToBucket = m.entries.forall(_.bucket.isDefined) &&
+      planned.nonEmpty && planned.subsetOf(bucketFiles) &&
+      planned.size < m.entries.size
+    import s.implicits._
+    Seq((agg.getLong(0), agg.getDouble(1))).toDF("n_orders", "total_price")
+      .select(col("n_orders"), col("total_price"),
+        lit(prunedToBucket).as("pruned_to_bucket"))
+  }
+
   /** Snapshot table exercising SIDECAR COMPACTION — the mt1 fixture:
     * v1 adopts the compacted files; v2/v3/v4 are three independent MoR
     * deletes (three live sidecars — the MERGE-heavy accrual shape);
@@ -9004,6 +9077,7 @@ object Queries {
     "rf1_runtime_file_skip" -> (rf1RuntimeFileSkip _),
     "mt1_compact_sidecars" -> (mt1CompactSidecars _),
     "spj1_bucketed_join" -> (spj1BucketedJoin _),
+    "spj2_bucket_pruned_lookup" -> (spj2BucketPrunedLookup _),
     "eq1_equality_upsert" -> (eq1EqualityUpsert _)
   )
 }

@@ -270,6 +270,9 @@ object StressMain {
       // spj1 joins two co-bucketed snapshot tables with NO shuffle on
       // either input (KeyGroupedPartitioning + the catalog bucket fn)
       "spj1_bucketed_join",
+      // spj2 point-looks-up the bucketed orders snapshot: the k= stamp
+      // plans ONE bucket's files where interleaved zones prune nothing
+      "spj2_bucket_pruned_lookup",
       // eq1 commits a MERGE batch as its key set + insert files — zero
       // target I/O at commit; reads apply the set below the dv anti-join
       "eq1_equality_upsert",

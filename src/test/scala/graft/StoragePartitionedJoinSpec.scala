@@ -273,6 +273,45 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "appended files must not carry a bucket stamp")
   }
 
+  test("streaming epochs into a bucketed table land stamped, pure " +
+      "files — the exactly-once sink maintains SPJ too") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj7").toString
+    import spark.implicits._
+    val src = s"$wh/src"
+    graft.sources.Bucketing.writeRangeSorted(
+      (0L until 1000L).map(k => (k, k % 3)).toDF("k", "grp"),
+      "k", 2, src, 64 * 1024)
+    val root = s"$wh/t"
+    Snapshots.init(spark, root, src)
+    Snapshots.optimizeBucketed(spark, root, "k", 4)
+    val cp = java.nio.file.Files.createTempDirectory("graft_spj7cp")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "grp")
+      .writeStream.format("graft").option("path", root)
+      .option("checkpointLocation", cp.toString).start()
+    mem.addData((2001L, 1L), (2002L, 2L), (2003L, 0L))
+    q.processAllAvailable()
+    mem.addData((2004L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val m = Snapshots.manifest(root, Snapshots.latestVersion(root))
+    assert(m.bucketSpec == Some(("k", 4)))
+    assert(m.entries.forall(_.bucket.isDefined),
+      "streaming epochs must stamp their files' buckets")
+    m.entries.filter(_.name.startsWith("w_")).foreach { e =>
+      val ks = spark.read.parquet(s"$root/files/${e.name}")
+        .select(col("k")).collect().map(_.getLong(0))
+      assert(ks.nonEmpty && ks.forall(k =>
+        graft.sources.v2.GraftBucket.id(4, k) == e.bucket.get),
+        s"${e.name} leaks keys outside bucket ${e.bucket.get}")
+    }
+    val got = spark.read.format("graft").option("path", root).load()
+    assert(got.count() == 1004L)
+    assert(got.where(col("k") >= 2001L).count() == 4L)
+  }
+
   test("bin-pack on a bucketed table packs WITHIN buckets: stamps and " +
       "SPJ survive nightly maintenance instead of dying until the " +
       "next full relayout") {
