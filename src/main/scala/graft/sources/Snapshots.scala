@@ -950,8 +950,7 @@ object Snapshots {
       v: Int, tag: String, df: DataFrame, sortCol: String,
       blockSize: Int, bucketCol: String, nBuckets: Int): Seq[FileEntry] = {
     val bId = udf((k: java.lang.Long) =>
-      graft.sources.v2.GraftBucket.id(nBuckets,
-        if (k == null) 0L else k.longValue()))
+      graft.sources.v2.GraftBucket.idNullSafe(nBuckets, k))
     val fdir = filesDir(root)
     val u = uuid8()
     val tmp = s"$fdir/__${tag}_$u"
@@ -1103,8 +1102,14 @@ object Snapshots {
         if (truncate) withTxn.filter(l =>
           l.startsWith("#batchwm:") || l.startsWith("#batch:") ||
             l.startsWith("#txn:") ||
-            l.startsWith("#stats:")) // the stats default survives an
+            l.startsWith("#stats:") || // the stats default survives an
             // INSERT OVERWRITE like any table property would
+            l.startsWith("#bucket:")) // the bucket LAYOUT is a table
+            // property too: an overwrite whose writers maintained it
+            // (stamped files) keeps SPJ alive; one that landed
+            // unstamped files disables the report through the
+            // every-file-stamped check — keeping the line is sound
+            // either way, dropping it wasted the writers' split
         else withTxn
       // executor-written entries learn their added-at version only here
       // (the OCC loop decides the final version)
@@ -2276,8 +2281,10 @@ object Snapshots {
       // state, not a read-time mapping — a rewrite must not reset it
 
   /** Result of an incremental bin-pack: the new version, small files
-    * rewritten, right-sized files re-referenced verbatim, and the
-    * version's file count after packing.
+    * rewritten, files re-referenced verbatim (right-sized files, plus
+    * — on a bucketed layout — any bucket's LONE small file, which a
+    * solo rewrite could not improve), and the version's file count
+    * after packing.
     */
   case class BinPackResult(version: Int, rewritten: Int, reused: Int,
       filesAfter: Int)
@@ -2328,17 +2335,35 @@ object Snapshots {
     // purity is inherited, so the storage-partitioned-join report
     // SURVIVES nightly maintenance; the Iceberg partition-preserving
     // binpack). A bucket holding one small file is re-referenced
-    // verbatim — rewriting it alone would gain nothing. Mixed history
-    // (any unstamped small file) falls back to the global pack, which
-    // soundly disables the report like any unstamped write.
+    // verbatim — rewriting it alone would gain nothing (it counts as
+    // reused in the result). Mixed history (any unstamped small file)
+    // falls back to the global pack, which soundly disables the
+    // report like any unstamped write.
     val (rewritten, reusedSingles, packed) = m.bucketSpec match {
-      case Some(_) if small.forall(_._1.bucket.isDefined) =>
+      case Some((c, n)) if small.forall(_._1.bucket.isDefined) =>
         val groups = small.groupBy(_._1.bucket.get).toSeq.sortBy(_._1)
         val (multi, single) = groups.partition(_._2.size > 1)
-        val out = multi.flatMap { case (id, fs) =>
+        // ONE partitioned Spark job packs every size-bounded bucket
+        // (≤ targetBytes of small bytes → one right-sized-or-smaller
+        // file per bucket — the nightly streaming-accretion case);
+        // only the rare OVERSIZED bucket packs alone with ceil
+        // sizing. Wall-clock is O(data + oversized buckets), never
+        // O(buckets) job-submission overhead.
+        val (bounded, oversized) =
+          multi.partition(_._2.map(_._2).sum <= targetBytes)
+        val boundedOut =
+          if (bounded.isEmpty) Seq.empty
+          else {
+            val df = readFiles(spark, root, m,
+              bounded.flatMap(_._2.map(_._1.name)), keepPos = false)
+            writeNewFilesBucketed(spark, root, v + 1, "pack", df,
+              sortCol, blockSize, c, n)
+          }
+        val overOut = oversized.flatMap { case (id, fs) =>
           packTogether(fs).map(_.copy(bucket = Some(id)))
         }
-        (multi.map(_._2.size).sum, single.flatMap(_._2.map(_._1)), out)
+        (multi.map(_._2.size).sum, single.flatMap(_._2.map(_._1)),
+          boundedOut ++ overOut)
       case _ => (small.size, Seq.empty[FileEntry], packTogether(small))
     }
     commitManifest(root, v + 1,
@@ -2388,8 +2413,7 @@ object Snapshots {
           s"for '$bucketCol'")
     }
     val bId = udf((k: java.lang.Long) =>
-      graft.sources.v2.GraftBucket.id(nBuckets,
-        if (k == null) 0L else k.longValue()))
+      graft.sources.v2.GraftBucket.idNullSafe(nBuckets, k))
     val fdir = filesDir(root)
     val u = uuid8()
     val tmp = s"$fdir/__bucketize_$u"

@@ -946,9 +946,13 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
   /** Zone AND bucket-stamp admission of one file against one filter
     * (bucket pruning covers the point lookups a bucketed layout's
     * interleaved zones cannot — [[GraftZonePrune.mightMatchBucket]]).
+    * The spec is parsed from the manifest meta ONCE per scan —
+    * `ManifestData.bucketSpec` is a def over the meta lines, and
+    * admits runs per (file, filter) on the plan hot path.
     */
+  private lazy val liveBucketSpec: Option[(String, Int)] = m.bucketSpec
   private def admits(e: Snapshots.FileEntry, f: Filter): Boolean =
-    GraftZonePrune.mightMatch(e, f) && (m.bucketSpec match {
+    GraftZonePrune.mightMatch(e, f) && (liveBucketSpec match {
       case Some((c, n)) => GraftZonePrune.mightMatchBucket(e, f, c, n)
       case None => true
     })
@@ -990,7 +994,7 @@ class GraftScan(root: String, version: Int, tableSchema: StructType,
     * (the join key must be resolvable against this scan).
     */
   private def bucketLayout: Option[(String, Int)] =
-    m.bucketSpec.filter { case (c, _) =>
+    liveBucketSpec.filter { case (c, _) =>
       required.fieldNames.contains(c) && selected.nonEmpty &&
         selected.forall(_.bucket.isDefined)
     }

@@ -25,6 +25,33 @@ object GraftBucket {
   /** Bucket of an integral key: non-negative, stable, NULL → 0. */
   def id(numBuckets: Int, key: Long): Int =
     java.lang.Math.floorMod(key, numBuckets.toLong).toInt
+
+  /** Null-safe boxed form — the one rule every STAMPING surface shares
+    * (NULL keys land in bucket 0); the udf the relayout and library
+    * writers wrap.
+    */
+  def idNullSafe(numBuckets: Int, key: java.lang.Long): Int =
+    id(numBuckets, if (key == null) 0L else key.longValue())
+
+  /** Row-level bucket extractor for the DSv2 writers: dispatches once
+    * on the column's integral type, NULL → bucket 0. ONE definition so
+    * the batch, streaming, and delta writers can never drift on the
+    * layout contract (a divergence would silently break cross-surface
+    * bucket purity).
+    */
+  def rowExtractor(schema: StructType, col: String, numBuckets: Int)
+      : InternalRow => Int = {
+    val i = schema.fieldIndex(col)
+    val keyOf: InternalRow => Long = schema(i).dataType match {
+      case LongType => r => r.getLong(i)
+      case IntegerType => r => r.getInt(i).toLong
+      case ShortType => r => r.getShort(i).toLong
+      case ByteType => r => r.getByte(i).toLong
+      case dt => throw new IllegalArgumentException(
+        s"bucket column '$col' must be integral, got $dt")
+    }
+    r => id(numBuckets, if (r.isNullAt(i)) 0L else keyOf(r))
+  }
 }
 
 object GraftBucketFunction extends UnboundFunction {

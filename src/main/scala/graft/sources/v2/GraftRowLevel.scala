@@ -251,23 +251,13 @@ class GraftDeltaWriter(root: String, rowSchema: StructType,
       GraftParquetSchema.toMessageType(rowSchema))
   private lazy val appenders = GraftParquetSchema.appenders(rowSchema)
 
-  /** Bucket id of an inserted row, or -1 when unbucketed (the
-    * [[GraftDataWriter]] routing — NULL keys land in bucket 0).
+  /** Bucket id of an inserted row, or -1 when unbucketed —
+    * [[GraftBucket.rowExtractor]], the shared stamping contract (lazy:
+    * a schema-less DELETE must not resolve the field index).
     */
   private lazy val bucketOf: InternalRow => Int = bucketSpec match {
     case None => _ => -1
-    case Some((c, n)) =>
-      import org.apache.spark.sql.types._
-      val i = rowSchema.fieldIndex(c)
-      val keyOf: InternalRow => Long = rowSchema(i).dataType match {
-        case LongType => r => r.getLong(i)
-        case IntegerType => r => r.getInt(i).toLong
-        case ShortType => r => r.getShort(i).toLong
-        case ByteType => r => r.getByte(i).toLong
-        case dt => throw new IllegalArgumentException(
-          s"bucket column '$c' must be integral, got $dt")
-      }
-      r => GraftBucket.id(n, if (r.isNullAt(i)) 0L else keyOf(r))
+    case Some((c, n)) => GraftBucket.rowExtractor(rowSchema, c, n)
   }
   private final class DataSink(val name: String) {
     val path = s"$root/files/$name"

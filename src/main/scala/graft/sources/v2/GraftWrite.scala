@@ -113,6 +113,14 @@ class GraftWrite(root: String, schema: StructType,
     * all-files-stamped check then disables the SPJ report SOUNDLY.
     */
   private val bucketSpec: Option[(String, Int)] = {
+    // one KB-scale manifest resolution per write BUILD (driver,
+    // metadata-only — the same cost class as the statement's scan and
+    // commit resolutions; deliberately read from the LATEST version,
+    // not the loaded table's pinned one, so a long-lived handle still
+    // maintains a layout added after it loaded). A cross-surface
+    // manifest cache was considered and rejected: manifests are
+    // immutable per version, but vacuum DELETES them, and a cache
+    // would serve vacuumed versions that must refuse.
     val v = Snapshots.latestVersion(root)
     if (v < 1) None
     else Snapshots.manifest(root, v).bucketSpec
@@ -342,23 +350,13 @@ class GraftDataWriter(root: String, schema: StructType,
   private val appenders = GraftParquetSchema.appenders(schema)
   private var closed = false
 
-  /** Bucket id of a row, or -1 when the write is unbucketed. NULL keys
-    * land in bucket 0 — the same rule [[GraftBucket.id]] documents and
-    * [[Snapshots.optimizeBucketed]] applies.
+  /** Bucket id of a row, or -1 when the write is unbucketed —
+    * [[GraftBucket.rowExtractor]], the one definition every stamping
+    * writer shares (NULL keys land in bucket 0).
     */
   private val bucketOf: InternalRow => Int = bucketSpec match {
     case None => _ => -1
-    case Some((c, n)) =>
-      val i = schema.fieldIndex(c)
-      val keyOf: InternalRow => Long = schema(i).dataType match {
-        case LongType => r => r.getLong(i)
-        case IntegerType => r => r.getInt(i).toLong
-        case ShortType => r => r.getShort(i).toLong
-        case ByteType => r => r.getByte(i).toLong
-        case dt => throw new IllegalArgumentException(
-          s"bucket column '$c' must be integral, got $dt")
-      }
-      r => GraftBucket.id(n, if (r.isNullAt(i)) 0L else keyOf(r))
+    case Some((c, n)) => GraftBucket.rowExtractor(schema, c, n)
   }
 
   private final class Sink(val name: String) {

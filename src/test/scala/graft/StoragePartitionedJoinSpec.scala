@@ -273,6 +273,40 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "appended files must not carry a bucket stamp")
   }
 
+  test("INSERT OVERWRITE keeps the bucket spec: the layout is a table " +
+      "property, and a maintained overwrite leaves SPJ alive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj8").toString
+    val cat = "go" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.fact (k BIGINT, amt DOUBLE)
+                 |USING graft""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ns.fact " +
+      "SELECT id % 10, CAST(id AS DOUBLE) FROM range(100)")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.fact', col => 'k', " +
+      "n_buckets => 4)")
+    spark.sql(s"INSERT OVERWRITE $cat.ns.fact " +
+      "SELECT id % 10, 2.0 FROM range(50)")
+    val root = s"$wh/ns/fact"
+    val m = Snapshots.manifest(root, Snapshots.latestVersion(root))
+    assert(m.bucketSpec == Some(("k", 4)),
+      "the bucket spec must survive INSERT OVERWRITE like any table " +
+        "property")
+    assert(m.entries.forall(_.bucket.isDefined),
+      "the overwrite's writers must have maintained the layout")
+    m.entries.foreach { e =>
+      val ks = spark.read.parquet(s"$root/files/${e.name}")
+        .select(col("k")).collect().map(_.getLong(0))
+      assert(ks.forall(k =>
+        graft.sources.v2.GraftBucket.id(4, k) == e.bucket.get))
+    }
+    val df = spark.sql(s"SELECT sum(amt) FROM $cat.ns.fact")
+    assert(df.collect().head.getDouble(0) == 100.0) // 50 rows x 2.0
+  }
+
   test("streaming epochs into a bucketed table land stamped, pure " +
       "files — the exactly-once sink maintains SPJ too") {
     val wh = java.nio.file.Files.createTempDirectory("graft_spj7").toString
