@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
   val names: Array[String] =
     Array("optimize", "zorder", "vacuum", "changes", "restore",
-      "compact_sidecars", "bucket")
+      "compact_sidecars", "bucket", "layout")
 
   private def rootOf(warehouse: String, table: String): String =
     (warehouse +: table.split('.').toSeq).mkString("/")
@@ -215,6 +215,38 @@ object GraftProcedures {
             StructField("files", IntegerType, nullable = false))),
             Seq[Any](Int.box(r.version), Int.box(r.nBuckets),
               Int.box(r.files)))
+        }
+      }
+      case "layout" => new GraftProc("layout",
+        "report the table's bucket-layout state: the #bucket: spec, " +
+          "file/stamp counts, and whether the storage-partitioned-" +
+          "join report is LIVE (spec present, every file stamped) — " +
+          "the observability half of the layout-maintenance contract") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build())
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val root = rootOf(warehouse, input.getUTF8String(0).toString)
+          val v = Snapshots.latestVersion(root)
+          require(v >= 1, s"uninitialized snapshot table at $root")
+          val m = Snapshots.manifest(root, v)
+          val spec = m.bucketSpec
+          val stamped = m.entries.count(_.bucket.isDefined)
+          val live = spec.isDefined && m.entries.nonEmpty &&
+            stamped == m.entries.size
+          oneRowScan(StructType(Seq(
+            StructField("version", IntegerType, nullable = false),
+            StructField("bucket_col", StringType, nullable = true),
+            StructField("n_buckets", IntegerType, nullable = true),
+            StructField("files", IntegerType, nullable = false),
+            StructField("stamped_files", IntegerType, nullable = false),
+            StructField("spj_live", BooleanType, nullable = false))),
+            Seq[Any](Int.box(v),
+              spec.map(s => org.apache.spark.unsafe.types.UTF8String
+                .fromString(s._1)).orNull,
+              spec.map(s => Int.box(s._2)).orNull,
+              Int.box(m.entries.size), Int.box(stamped),
+              Boolean.box(live)))
         }
       }
       case other => throw new IllegalArgumentException(

@@ -273,6 +273,41 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "appended files must not carry a bucket stamp")
   }
 
+  test("CALL g.system.layout reports SPJ health: no spec, live, and " +
+      "degraded-by-unstamped-append states") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_spj9").toString
+    val cat = "gl" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.fact (k BIGINT, amt DOUBLE)
+                 |USING graft""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.ns.fact " +
+      "SELECT id % 10, 1.0 FROM range(100)")
+    def layout() = spark.sql(
+      s"CALL $cat.system.layout(table => 'ns.fact')").collect().head
+    val r0 = layout()
+    assert(r0.isNullAt(1) && r0.isNullAt(2) && !r0.getBoolean(5),
+      "an unbucketed table must report no spec and spj_live = false")
+    spark.sql(s"CALL $cat.system.bucket(table => 'ns.fact', col => 'k', " +
+      "n_buckets => 4)")
+    val r1 = layout()
+    assert(r1.getString(1) == "k" && r1.getInt(2) == 4)
+    assert(r1.getInt(3) == r1.getInt(4) && r1.getBoolean(5),
+      "a fresh relayout must report every file stamped and spj_live")
+    // a library-level (unstamped) append degrades — and the report
+    // SHOWS it instead of the user discovering a shuffle in a plan
+    import spark.implicits._
+    Snapshots.append(spark, s"$wh/ns/fact",
+      Seq((999L, 1.0)).toDF("k", "amt"), "k")
+    val r2 = layout()
+    assert(r2.getInt(4) == r2.getInt(3) - 1 && !r2.getBoolean(5),
+      "an unstamped file must flip spj_live off with the counts " +
+        "showing why")
+  }
+
   test("INSERT OVERWRITE keeps the bucket spec: the layout is a table " +
       "property, and a maintained overwrite leaves SPJ alive") {
     val wh = java.nio.file.Files.createTempDirectory("graft_spj8").toString
