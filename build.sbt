@@ -26,7 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (overridable via SPARK_DRIVER_MEM): local[32] runs 32
+  // concurrent tasks in ONE JVM, so execution memory per task slot is
+  // heap*fraction/32 — at 8g that is ~150 MB/slot, and the persist-heavy
+  // operators (LSH banding, k-means point caches, CC edge caches) evict
+  // and re-derive under storage/execution competition (optimization guide
+  // §5; measured: nd4 degraded 11.7→21.3 s across 3 back-to-back runs at
+  // 8g from accumulated block eviction+GC pressure, flat at 24g). On a
+  // cluster this is the executor-memory sizing knob, not a constant.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // the forked TEST JVM runs every suite against one shared SparkContext
 // in parallel; 8g OOMs as the suite count grows — last -Xmx wins
